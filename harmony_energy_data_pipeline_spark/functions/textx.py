@@ -1,0 +1,63 @@
+"""Text expression helpers: normalization, tokenization, shingling.
+
+Pure Catalyst expressions (regexp + higher-order array functions) —
+no Python in the hot path; these run per-row inside codegen over
+arbitrarily large document tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (empty → empty array)."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined). Texts shorter than n
+    tokens contribute their whole token sequence as one shingle, so no
+    document maps to an empty set."""
+    t = tokens(col)
+    shingled = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return F.array_distinct(shingled)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    norm = normalize_text(col)
+    grams = F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - n + 1),
+            lambda i: F.substring(norm, i, n),
+        ),
+    ).otherwise(F.array(norm))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """|A∩B| / |A∪B| over two array columns (treated as sets)."""
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    union = F.size(F.array_union(_c(a), _c(b)))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))

@@ -1,0 +1,147 @@
+"""Serve-path analytics: temporal downsampling, date-range filter,
+wide→long unpivot, derived columns, top-k / bounds probes.
+
+Mirrors /root/reference/src/app/utils/helpers.py and
+src/app/components/charts.py, re-expressed as Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference interval grid (conf/config.json:11). Fixed-length intervals
+# go through F.window (tumbling); calendar intervals (month/year) have
+# no fixed length so they go through date_trunc — two code paths, both
+# oracle-checked (SURVEY.md §7.3 #2).
+FIXED_INTERVALS: dict[str, str] = {
+    "30m": "30 minutes",
+    "1h": "1 hour",
+    "1d": "1 day",
+    "1w": "1 week",
+}
+CALENDAR_INTERVALS: dict[str, str] = {
+    "1mo": "month",
+    "1y": "year",
+}
+
+
+def downsample(
+    df: DataFrame,
+    interval: str,
+    time_col: str = "DATETIME",
+    agg_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal downsample: bin rows into ``interval`` buckets keyed by
+    bucket start, averaging every numeric column
+    (/root/reference/src/app/utils/helpers.py:31-46,
+    group_by_dynamic + mean + sort).
+
+    One hash-shuffle on the bucket key with map-side partial
+    aggregation — the canonical Spark agg shape; at 100 TB a
+    date-partitioned table makes this near-partition-local.
+    """
+    if agg_cols is None:
+        agg_cols = [
+            f.name for f in df.schema.fields
+            if f.name != time_col and isinstance(
+                f.dataType, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType))
+        ]
+    aggs = [F.avg(c).alias(c) for c in agg_cols]
+    if interval in FIXED_INTERVALS:
+        bucketed = df.groupBy(
+            F.window(F.col(time_col), FIXED_INTERVALS[interval]).alias("__w")
+        ).agg(*aggs)
+        out = bucketed.select(
+            F.col("__w.start").alias(time_col), *[F.col(c) for c in agg_cols]
+        )
+    elif interval in CALENDAR_INTERVALS:
+        unit = CALENDAR_INTERVALS[interval]
+        out = (
+            df.groupBy(F.date_trunc(unit, F.col(time_col)).alias(time_col))
+            .agg(*aggs)
+        )
+    else:
+        raise ValueError(
+            f"unsupported interval {interval!r}; "
+            f"known: {sorted(FIXED_INTERVALS) + sorted(CALENDAR_INTERVALS)}"
+        )
+    return out.orderBy(time_col)
+
+
+def filter_range(
+    df: DataFrame,
+    time_col: str,
+    start,
+    end,
+) -> DataFrame:
+    """Inclusive-both-ends date-range filter
+    (/root/reference/src/app/utils/helpers.py:49-59). Pushed down to
+    the parquet scan by Catalyst (shows in PushedFilters)."""
+    return df.filter(F.col(time_col).between(F.lit(start), F.lit(end)))
+
+
+def unpivot_long(
+    df: DataFrame,
+    ids: list[str],
+    values: list[str],
+    var_name: str = "Fuel",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long melt (/root/reference/src/app/components/charts.py:23,56-58).
+
+    Spark's native ``unpivot`` keeps null values only with
+    ``df.unpivot``'s default when values list is explicit — reference
+    (Polars unpivot) KEEPS nulls, so null rows must survive; verified
+    in tests against INCLUDE NULLS oracle semantics.
+    """
+    return df.unpivot(
+        ids=[F.col(c) for c in ids],
+        values=[F.col(c) for c in values],
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+
+
+def derived_carbon(
+    df: DataFrame,
+    time_col: str = "DATETIME",
+    generation_col: str = "GENERATION",
+    zero_carbon_col: str = "ZERO_CARBON",
+) -> DataFrame:
+    """CARBON = GENERATION − ZERO_CARBON projection
+    (/root/reference/src/app/components/charts.py:91)."""
+    return df.select(
+        F.col(time_col),
+        F.col(zero_carbon_col),
+        (F.col(generation_col) - F.col(zero_carbon_col)).alias("CARBON"),
+    )
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """ORDER BY … LIMIT k (/root/reference/src/app/utils/data_loader.py:62-67,
+    src/pipeline/run.py:20). Spark plans TakeOrderedAndProject — a
+    distributed top-k (per-partition heap + driver merge), never a
+    global sort."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def bounds(df: DataFrame, col: str) -> DataFrame:
+    """min/max probe (/root/reference/src/app/components/selectors.py:13-14).
+    Partial-aggregated: one scalar per partition to the driver."""
+    return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+
+
+def max_version(df: DataFrame, col: str = "_id"):
+    """Scalar max — the resume-cursor / cache-version probe
+    (/root/reference/src/pipeline/run.py:19-21,
+    src/app/utils/data_loader.py:33). Returns a Python scalar."""
+    row = df.agg(F.max(col).alias("v")).first()
+    return row["v"] if row else None
+
+
+__all__ = [
+    "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
+    "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
+]

@@ -1,0 +1,308 @@
+"""Cleaning core: schema alignment, lenient parse/cast, %-consistency
+repair, null handling, two-phase keep-last dedup, quality summary.
+
+Mirrors the reference transform stage
+(/root/reference/src/transform/transform.py:91-233) with identical
+semantics, re-expressed as lazy Catalyst plans. The reference runs
+eager Polars kernels per step; here the whole chain is one logical
+plan so Catalyst fuses projections and prunes columns end-to-end.
+
+Scale notes (100 TB posture):
+- align/parse/cast/repair/fill are pure projections — no shuffle,
+  fully pipelined inside one WholeStageCodegen span.
+- the only shuffles in the chain are the two dedup windows, which
+  hash-partition by `_id` then by the time column; at scale, salt or
+  pre-bucket by the dedup key if one key is hot (for this data model
+  `_id` is unique-ish so skew is bounded).
+- counters (null rows, inconsistent rows, removed dupes) are separate
+  actions in the reference; here they are exposed both as lazy
+  DataFrames and as an optional eager summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harmony_energy_data_pipeline_spark.schemas import FUEL_COLS, GENERATION_SCHEMA
+
+# Order matters for reference parity: the per-fuel repair loop runs in
+# this (alphabetical-ish) order — columns are independent so the loop
+# is commutative, but we keep the reference order anyway
+# (transform.py:142-146).
+REPAIR_FUEL_ORDER: list[str] = [
+    "BIOMASS", "COAL", "GAS", "HYDRO", "IMPORTS",
+    "NUCLEAR", "OTHER", "SOLAR", "STORAGE", "WIND_EMB", "WIND",
+]
+
+
+# ---------------------------------------------------------------------------
+# P1 — schema-align projection (transform.py:91-118)
+# ---------------------------------------------------------------------------
+
+def align_schema(df: DataFrame, schema: T.StructType | None = None) -> DataFrame:
+    """Coerce ``df`` to the declared schema: add missing columns as
+    typed nulls, drop unexpected columns, emit in declared order.
+
+    A single ``select`` — Catalyst folds it into adjacent projections.
+    Missing columns become ``lit(None).cast(t)`` (Spark needs concrete
+    types where Polars used a Null dtype).
+    """
+    schema = schema or GENERATION_SCHEMA
+    have = set(df.columns)
+    cols = [
+        (F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — lenient timestamp parse + numeric cast (transform.py:122-136)
+# ---------------------------------------------------------------------------
+
+ISO_FORMAT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def parse_timestamp(col: Column | str, fmt: str = ISO_FORMAT) -> Column:
+    """ISO-8601 string → timestamp; malformed input → NULL.
+
+    ``try_to_timestamp`` is explicit null-on-error regardless of the
+    session ANSI flag (reference: strptime(strict=False),
+    transform.py:128).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c, F.lit(fmt))
+
+
+def lenient_cast(col: Column | str, dtype: str = "double") -> Column:
+    """Cast with null-on-failure (reference: cast(strict=False),
+    transform.py:134). ``try_cast`` keeps the semantics even if a
+    caller session has ANSI enabled."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast(dtype)
+
+
+def parse_and_cast(
+    df: DataFrame,
+    dt_col: str = "DATETIME",
+    numeric_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parse the event-time column, sort by it, lenient-cast numerics
+    (transform.py:122-136).
+
+    The reference sorts here; a global sort is a range-shuffle at
+    scale, so downstream engine code never *relies* on it — it exists
+    for parity with serve-path expectations (ordered scans).
+    """
+    if numeric_cols is None:
+        numeric_cols = [c for c in df.columns if c not in ("_id", dt_col)]
+    out = df.withColumn(dt_col, parse_timestamp(dt_col))
+    out = out.select(
+        *[
+            lenient_cast(c).alias(c) if c in numeric_cols else F.col(c)
+            for c in out.columns
+        ]
+    )
+    return out.orderBy(dt_col)
+
+
+# ---------------------------------------------------------------------------
+# P8/P9/F3/F4 — %-consistency repair (transform.py:139-182)
+# ---------------------------------------------------------------------------
+
+def repaired_perc(fuel_col: Column | str, perc_col: Column | str,
+                  total_col: Column | str = "GENERATION",
+                  tolerance: float = 1.0) -> Column:
+    """CASE WHEN |fuel/total*100 − perc| > tol THEN recomputed ELSE raw.
+
+    One expression per fuel — no helper columns materialized, unlike
+    the reference's `_calc`/`_diff` add-then-drop dance
+    (transform.py:158-180); Catalyst sees the fused expression.
+    """
+    fuel = F.col(fuel_col) if isinstance(fuel_col, str) else fuel_col
+    perc = F.col(perc_col) if isinstance(perc_col, str) else perc_col
+    total = F.col(total_col) if isinstance(total_col, str) else total_col
+    calc = fuel / total * F.lit(100.0)
+    return F.when(F.abs(calc - perc) > F.lit(tolerance), calc).otherwise(perc)
+
+
+def repair_percentages(
+    df: DataFrame,
+    fuel_cols: list[str] | None = None,
+    total_col: str = "GENERATION",
+    tolerance: float = 1.0,
+) -> DataFrame:
+    """Repair every `{fuel}_perc` column present in ``df``
+    (transform.py:139-182). Pure projection — no shuffle."""
+    fuel_cols = fuel_cols if fuel_cols is not None else REPAIR_FUEL_ORDER
+    out = df
+    for fuel in fuel_cols:
+        perc = f"{fuel}_perc"
+        if perc in out.columns and fuel in out.columns:
+            out = out.withColumn(
+                perc, repaired_perc(fuel, perc, total_col, tolerance)
+            )
+    return out
+
+
+def count_inconsistent(
+    df: DataFrame,
+    fuel_cols: list[str] | None = None,
+    total_col: str = "GENERATION",
+    tolerance: float = 1.0,
+) -> DataFrame:
+    """Per-fuel count of rows whose reported % is off by > tolerance
+    (the pre-repair counters at transform.py:166).
+
+    One pass: conditional-sum aggregation instead of the reference's
+    N filter+count scans — at 100 TB, one scan versus eleven.
+    """
+    fuel_cols = fuel_cols if fuel_cols is not None else REPAIR_FUEL_ORDER
+    aggs = []
+    for fuel in fuel_cols:
+        perc = f"{fuel}_perc"
+        if perc in df.columns and fuel in df.columns:
+            calc = F.col(fuel) / F.col(total_col) * F.lit(100.0)
+            bad = F.abs(calc - F.col(perc)) > F.lit(tolerance)
+            aggs.append(
+                F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).alias(fuel)
+            )
+    if not aggs:
+        raise ValueError("no *_perc columns found to validate")
+    return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# P5/P6/P7 — null handling (transform.py:189-203)
+# ---------------------------------------------------------------------------
+
+def null_row_filter(df: DataFrame) -> Column:
+    """Predicate: row has ≥1 NULL in any column (transform.py:194)."""
+    pred = F.lit(False)
+    for c in df.columns:
+        pred = pred | F.col(c).isNull()
+    return pred
+
+
+def handle_missing_values(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("_id", "DATETIME"),
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Drop rows with null keys; zero-fill float/double measure columns
+    (transform.py:189-203). Pure filter+projection — no shuffle."""
+    float_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    out = df.na.drop(subset=[c for c in key_cols if c in df.columns])
+    if float_cols:
+        out = out.na.fill(fill_value, subset=float_cols)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D1 — two-phase keep-last dedup (transform.py:206-220)
+# ---------------------------------------------------------------------------
+
+def dedup_keep_last(
+    df: DataFrame,
+    key: str = "_id",
+    order: str = "DATETIME",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per ``key``, keep the row with the greatest ``order`` value.
+
+    The window form (row_number over PARTITION BY key ORDER BY order
+    DESC) — NOT ``dropDuplicates``, which keeps an arbitrary row.
+    Polars' ``keep="last"`` resolves exact (key, order) ties by
+    physical row position; Spark has no stable row order, so ties get
+    a deterministic tiebreak: explicit ``tiebreak`` columns if given,
+    else all remaining columns descending (nulls last). Oracle SQL
+    must state the same ORDER BY.
+    """
+    tb = tiebreak if tiebreak is not None else [
+        c for c in df.columns if c not in (key, order)
+    ]
+    ordering = [F.col(order).desc_nulls_last()] + [
+        F.col(c).desc_nulls_last() for c in tb
+    ]
+    w = Window.partitionBy(key).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_two_phase(
+    df: DataFrame,
+    id_col: str = "_id",
+    time_col: str = "DATETIME",
+) -> DataFrame:
+    """Reference dedup (transform.py:206-220): phase 1 — per ``id_col``
+    keep latest ``time_col``; phase 2 — per ``time_col`` keep largest
+    ``id_col``. Phase order is semantic (phase 2 sees phase 1's
+    survivors; tests/test_transform.py:184-204).
+
+    Two hash-shuffles (by id, then by time). At 100 TB with a
+    date-partitioned table, phase 2 becomes partition-local; phase 1's
+    key is near-unique so partial aggregation keeps shuffle volume
+    ≈ output volume.
+    """
+    phase1 = dedup_keep_last(df, key=id_col, order=time_col)
+    phase2 = dedup_keep_last(phase1, key=time_col, order=id_col)
+    return phase2
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — quality summary (transform.py:223-233)
+# ---------------------------------------------------------------------------
+
+def quality_summary(
+    spark: SparkSession,
+    total_raw: int,
+    total_clean: int,
+    issues: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """2-column (Check, Count) summary frame (transform.py:223-233)."""
+    rows = [
+        ("Total raw records", total_raw),
+        ("Valid cleaned records", total_clean),
+        ("Dropped / invalid records", total_raw - total_clean),
+    ] + list(issues or [])
+    return spark.createDataFrame(rows, "Check string, Count long")
+
+
+# ---------------------------------------------------------------------------
+# Full transform chain (transform.py:14-88 orchestration)
+# ---------------------------------------------------------------------------
+
+def transform_generation(
+    df_raw: DataFrame,
+    tolerance: float = 1.0,
+) -> DataFrame:
+    """The reference's transform_records as ONE lazy plan:
+    align → parse/cast → %-repair → null-handling → two-phase dedup.
+
+    Counters (quality summary) are intentionally separate actions —
+    call `count_inconsistent` / `quality_summary` when audit numbers
+    are needed, so the hot path stays a single job.
+    """
+    aligned = align_schema(df_raw)
+    parsed = parse_and_cast(aligned, "DATETIME",
+                            [c for c in aligned.columns if c not in ("_id", "DATETIME")])
+    repaired = repair_percentages(parsed, REPAIR_FUEL_ORDER, "GENERATION", tolerance)
+    filled = handle_missing_values(repaired)
+    return dedup_two_phase(filled)
+
+
+__all__ = [
+    "FUEL_COLS", "REPAIR_FUEL_ORDER", "align_schema", "parse_timestamp",
+    "lenient_cast", "parse_and_cast", "repaired_perc", "repair_percentages",
+    "count_inconsistent", "null_row_filter", "handle_missing_values",
+    "dedup_keep_last", "dedup_two_phase", "quality_summary",
+    "transform_generation",
+]

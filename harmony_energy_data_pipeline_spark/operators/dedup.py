@@ -1,0 +1,327 @@
+"""Document deduplication family: exact, MinHash+LSH, SimHash,
+n-gram Jaccard — the operators a training-data pipeline needs at
+100 TB (extension beyond the reference's keyed dedup; the reference's
+own two-phase keyed dedup lives in operators.cleaning).
+
+Everything below is expression-level Catalyst (higher-order array
+functions + hash expressions). The scale shape of each:
+
+- exact:       one hash-shuffle on the content digest.
+- MinHash LSH: map-side signature computation (no shuffle), explode to
+               (band, band_hash) keys, shuffle ONCE on the band key,
+               pair-join inside buckets, exact-Jaccard verify on the
+               (small) candidate set. Never an all-pairs join.
+- SimHash:     map-side 64-bit signature; near-dup = signatures within
+               Hamming distance d, found by the band trick on bit
+               blocks (pigeonhole: d≤3 with 4 blocks → one block equal).
+- n-gram Jaccard: exact pairwise verify via a shingle-equality join —
+               selective because shingles are n-grams, not words.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.functions.textx import (
+    jaccard,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy on content digest)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row (smallest id) per distinct text digest.
+
+    md5 over the (optionally normalized) content, then a min-id window
+    per digest: one shuffle keyed by digest. The digest-first shape is
+    what scales — grouping on a 16-byte key, not on multi-KB text.
+    """
+    content = normalize_text(text_col) if normalize else F.col(text_col)
+    digest = F.md5(content).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h(x) = (a·x + b) mod p."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingle_col: Column | str,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> Column:
+    """Array of ``num_hashes`` min-hash values over a shingle-set
+    column. Per-shingle base hash is xxhash64 folded into [0, p);
+    each signature slot is ``array_min`` of an affine rehash — all
+    map-side, no shuffle."""
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    slots = [
+        F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)),
+            )
+        )
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*slots)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 identical signature band.
+
+    rows-per-band r = num_hashes / bands; collision prob for Jaccard s
+    is 1 − (1 − s^r)^bands (the classic S-curve). Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(text_col, shingle_size), num_hashes, seed).alias("__sig"),
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("__sig", j * r + i + 1).cast("string") for i in range(r)
+                ]))
+                for j in range(bands)
+            ])
+        ).alias("__band", "__bhash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.__band") == F.col("b.__band"),
+                F.col("a.__bhash") == F.col("b.__bhash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dedup: LSH candidates → exact-Jaccard verify → drop the
+    larger id of each confirmed pair (keep-first representative).
+
+    Keep-first is the standard single-pass approximation of connected
+    components: any doc that is the *larger* id in some confirmed pair
+    is removed. (Full transitive closure needs iterative joins —
+    GraphFrames CC at real scale.)
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, shingle_size, num_hashes, bands, seed
+    )
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_size).alias("__sh")
+    )
+    confirmed = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .filter(jaccard("__sh_a", "__sh_b") >= F.lit(threshold))
+    )
+    doomed = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted-index join on
+    shared shingles (never an all-pairs cross join).
+
+    explode(shingles) → self-join on shingle → count = |A∩B| per pair
+    → join set sizes → Jaccard = inter / (|A| + |B| − inter).
+    Shuffles: one on shingle (the index join), one on the pair key.
+    n-word shingles keep the index selective; with word-level tokens
+    this would degenerate on stopwords (classic skew — salt or drop
+    top-frequency shingles at scale).
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_size).alias("__sh"))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.__s") == F.col("b.__s"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("__inter").cast("double")
+             / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col: Column | str, nbits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: bit i of the signature is
+    set iff Σ_tokens (±1 by token-hash bit i) ≥ 0. One pass of nested
+    higher-order functions — map-side only."""
+    t = tokens(text_col)
+    # Per-row vector of bit-vote sums: fold tokens into a 64-slot array.
+    votes = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbits - 1)),
+                lambda i: F.when(
+                    F.getbit(F.xxhash64(tok), i) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # Collapse votes to a signature: bit i set where votes[i] >= 0.
+    # MSB-first fold acc*2 + bit; long overflow wraps (ANSI off), which
+    # yields exactly the 64-bit two's-complement signature.
+    bits = F.transform(
+        votes,
+        lambda v: F.when(v >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: Hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Pigeonhole band trick: split the 64-bit signature into ``blocks``
+    16-bit blocks; any pair within Hamming d < blocks must agree on at
+    least one block, so candidates are found with a single equi-join
+    on (block_idx, block_value) — no all-pairs scan. Verified with an
+    exact popcount on XOR.
+    """
+    assert 64 % blocks == 0
+    width = 64 // blocks
+    sigs = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("__sig", j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for j in range(blocks)
+            ])
+        ).alias("__blk", "__bval"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.__blk") == F.col("b.__blk"),
+                      F.col("a.__bval") == F.col("b.__bval"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+__all__ = [
+    "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
+    "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
+]

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths with the same output contract (query_id, neighbor_id, score,
+rank):
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, score with a JVM-side fold, take top-k per query
+  with a window. The corpus is never shuffled; the scoring join is a
+  BroadcastNestedLoopJoin over a pruned two-column projection. This is
+  the CORRECTNESS baseline and is also the right physical plan at
+  scale whenever |queries| is small — 100 TB of corpus streams through
+  map-side scoring once.
+
+- ``lsh_topk`` — approximate: random-hyperplane signatures bucket both
+  sides; only same-bucket candidates are scored (multi-probe via
+  several independent signature tables raises recall). The scale path
+  when |queries| is itself large: turns the nested-loop into an
+  equi-join on bucket ids.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.functions.vector import (
+    cosine_similarity,
+    random_hyperplane_signature,
+)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force).
+
+    Output: (query_id, neighbor_id, score, rank), rank 1..k, ties
+    broken by neighbor_id ascending (deterministic).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qv", "__cv").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _planes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    in at least one of ``tables`` independent signature tables.
+
+    Recall rises with ``tables`` and falls with ``nbits`` (narrower
+    buckets); exactness is recovered as nbits→0. Same output contract
+    as cosine_topk, so the two are drop-in interchangeable.
+    """
+    def signed(df: DataFrame, id_alias: str, vec_col: str) -> DataFrame:
+        sigs = F.array(*[
+            random_hyperplane_signature(vec_col, _planes(dim, nbits, seed + t))
+            for t in range(tables)
+        ])
+        return df.select(
+            F.col(id_alias),
+            F.col(vec_col),
+            F.posexplode(sigs).alias("__table", "__bucket"),
+        )
+
+    q = signed(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")),
+        "query_id", "__qv",
+    )
+    c = signed(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
+        "neighbor_id", "__cv",
+    )
+    cand = (
+        q.join(c, on=["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    nbits: int = 8,
+    tables: int = 6,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine ≥ threshold.
+
+    ``exact=True`` does the all-pairs join (small corpora / oracle
+    checks); default is LSH-bucketed candidates — the 100 TB path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        cand = a.join(b, on=F.col("id_a") < F.col("id_b"))
+    else:
+        assert dim is not None, "dim required for LSH mode"
+
+        def signed(side: DataFrame, idc: str, vecc: str) -> DataFrame:
+            sigs = F.array(*[
+                random_hyperplane_signature(vecc, _planes(dim, nbits, seed + t))
+                for t in range(tables)
+            ])
+            return side.select(
+                F.col(idc), F.col(vecc), F.posexplode(sigs).alias("__table", "__bucket")
+            )
+
+        cand = (
+            signed(a, "id_a", "__va")
+            .join(signed(b, "id_b", "__vb"), on=["__table", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("score"))
+        .filter(F.col("score") >= F.lit(threshold))
+    )
+
+
+__all__ = ["cosine_topk", "lsh_topk", "embedding_near_dup_pairs"]

@@ -1,0 +1,126 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table — each is a
+map-side projection (zero shuffle), so they pipeline with any
+downstream filter/dedup at 100 TB. Every function here has an exact
+ANSI-SQL twin (used as the DuckDB oracle) because the heuristics are
+deliberately arithmetic: token filters + ratios, no model inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.functions.textx import normalize_text, tokens
+
+# Tiny per-language stopword lists — an n-gram/stopword-hit heuristic,
+# not a trained model (deterministic and SQL-expressible by design).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = tokens(text_col)
+    return F.size(t)
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-flavored proxy token count: word pieces ≈ ceil(len(word)/4)
+    summed over words — a deterministic stand-in for a real tokenizer
+    (which would be a pandas UDF; this keeps the hot path JVM-side)."""
+    t = tokens(text_col)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_hits(text_col: Column | str, lang: str) -> Column:
+    """Count of tokens (non-distinct) in the language's stopword list."""
+    t = tokens(text_col)
+    sw = F.lit(STOPWORDS[lang]).cast("array<string>")
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+
+def detect_language(text_col: Column | str, min_ratio: float = 0.03) -> Column:
+    """Language with the highest stopword-hit ratio; 'und' if the best
+    ratio is below ``min_ratio``. Deterministic tiebreak: language
+    list order (en, de, es, fr) — a greatest-hits argmax via a chained
+    CASE WHEN, identical in the SQL oracle."""
+    n = token_count(text_col)
+    ratios = {
+        lang: F.when(n > 0, stopword_hits(text_col, lang).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+        for lang in STOPWORDS
+    }
+    langs = list(STOPWORDS)
+    best = F.greatest(*[ratios[lang] for lang in langs])
+    out = F.lit("und")
+    # Build the argmax back-to-front so earlier languages win ties.
+    for lang in reversed(langs):
+        out = F.when((best >= F.lit(min_ratio)) & (ratios[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(text_col: Column | str) -> Column:
+    """Non-alphanumeric, non-space chars / total chars (0 for empty)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text_col: Column | str) -> Column:
+    t = tokens(text_col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length and
+    stopword density, penalizes punctuation soup and degenerate word
+    lengths — the classic cheap pre-filter before expensive pipeline
+    stages (ratios per Gopher/C4-style rules, arithmetic only)."""
+    n = token_count(text_col)
+    length_term = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    sw = F.when(n > 0, stopword_hits(text_col, "en").cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    stop_term = F.least(sw * F.lit(10.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * F.lit(5.0), F.lit(1.0))
+    mwl = mean_word_length(text_col)
+    word_term = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_term + stop_term + punct_term + word_term) / F.lit(4.0)
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+    (md5 rather than xxhash64 so the DuckDB oracle can reproduce it.)"""
+    return F.md5(normalize_text(text_col))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document stats projection."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        mean_word_length(text_col).alias("mean_word_len"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        detect_language(text_col).alias("lang_detected"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+__all__ = [
+    "STOPWORDS", "token_count", "bpe_ish_token_count", "stopword_hits",
+    "detect_language", "punct_ratio", "mean_word_length", "quality_score",
+    "fingerprint", "text_stats",
+]

@@ -1,0 +1,85 @@
+"""The incremental ETL pipeline: cursor → fetch → transform → upsert →
+audit, mirroring /root/reference/src/pipeline/run.py:13-51 and the
+@pipeline_run_tracker decorator (src/serve/run_history.py:11-60).
+
+The reference shape survives intact — it is already the canonical
+incremental-batch pattern (read resume cursor from the sink, fetch the
+tail, clean, merge). What changes is the execution substrate: the
+transform is one lazy Catalyst plan and the load is a distributed
+merge instead of 29-row SQLite statements.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.operators.cleaning import transform_generation
+from harmony_energy_data_pipeline_spark.schemas import GENERATION_RAW_SCHEMA
+from harmony_energy_data_pipeline_spark.sinks.upsert import RunHistory, upsert_parquet
+from harmony_energy_data_pipeline_spark.sources.keyset import paginate, records_to_df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    fetch_page: Callable[[int, int], list[dict]],
+    table_path: str,
+    history_path: str | None = None,
+    batch_size: int = 30_000,
+    max_records: int | None = None,
+) -> dict:
+    """One pipeline run (run.py:13-51). Returns the metrics dict the
+    reference returns: total_fetched / valid_records / last_fetched_id.
+
+    ``fetch_page(last_id, limit) -> records`` is the transport (HTTP
+    in production via sources.keyset.fetch_http_pages; a fake in
+    tests — same seam the reference's tests use).
+    """
+    history = RunHistory(spark, history_path) if history_path else None
+    run_id = history.start() if history else None
+    metrics = {"total_fetched": 0, "valid_records": 0, "last_fetched_id": None}
+    try:
+        # 1. Resume cursor: max(_id) read from the sink itself (run.py:19-21).
+        last_id = 0
+        if os.path.exists(table_path):
+            row = spark.read.parquet(table_path).agg(F.max("_id").alias("m")).first()
+            last_id = int(row["m"] or 0)
+
+        # 2. Keyset fetch loop (driver-side, fetch_neso.py:42-97).
+        records = paginate(fetch_page, last_id=last_id,
+                           batch_size=batch_size, max_records=max_records)
+        metrics["total_fetched"] = len(records)
+        if records:
+            # 3. Transform: one lazy plan (transform.py:14-88).
+            raw = records_to_df(spark, records, GENERATION_RAW_SCHEMA)
+            clean = transform_generation(raw)
+            # 4. Idempotent merge into the sink (load.py:14-51).
+            upsert_parquet(spark, clean, table_path, key="_id")
+            metrics["valid_records"] = spark.read.parquet(table_path).filter(
+                F.col("_id") > last_id).count()
+            metrics["last_fetched_id"] = int(records[-1]["_id"])
+        else:
+            metrics["last_fetched_id"] = last_id or None
+        if history:
+            history.finish(
+                run_id,
+                last_fetched_id=metrics["last_fetched_id"],
+                total_fetched=metrics["total_fetched"],
+                valid_records=metrics["valid_records"],
+                success=True,
+            )
+        return metrics
+    except Exception as e:
+        if history:
+            history.finish(
+                run_id,
+                last_fetched_id=metrics["last_fetched_id"],
+                total_fetched=metrics["total_fetched"],
+                valid_records=metrics["valid_records"],
+                success=False,
+                error_message=str(e),
+            )
+        raise

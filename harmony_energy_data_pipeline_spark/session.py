@@ -1,0 +1,64 @@
+"""SparkSession factory with the engine's semantic defaults.
+
+Reference semantics require lenient coercion (malformed timestamps /
+non-numeric strings become NULL, not errors — see
+/root/reference/src/transform/transform.py:128,134), which maps to
+``spark.sql.ansi.enabled=false`` (Spark 4 flipped the default to
+true). Run timestamps are UTC (/root/reference/src/serve/run_history.py:21).
+AQE stays on so skewed shuffles re-plan at runtime — essential at the
+100 TB design point, harmless locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-wide session defaults. Every knob here is chosen for the
+# 100 TB design point but is safe at local scale:
+#  - ANSI off: null-on-error casts (reference parity, see module doc)
+#  - UTC session TZ: naive timestamps are interpreted consistently
+#  - AQE + skew join: runtime re-planning for skewed keys
+#  - Arrow: vectorized pandas_udf / toPandas transfer
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver testdata parquet carries TIMESTAMP(NANOS) (written by
+    # an Arrow-native writer); Spark has no nanos timestamp, so read
+    # them as long and convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local default; a real cluster would size this to ~2-3x total
+    # cores (AQE coalesces the excess back down).
+    "spark.sql.shuffle.partitions": "32",
+    # Quiet progress bars in test/bench output.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster the caller passes the cluster master / lets
+    spark-submit decide by passing ``master=""``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # getOrCreate may return a pre-existing session whose conf differs;
+    # re-assert the semantic knobs that are runtime-settable.
+    for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
+              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"):
+        spark.conf.set(k, ENGINE_CONF[k])
+    return spark

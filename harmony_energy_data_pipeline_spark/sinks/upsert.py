@@ -1,0 +1,157 @@
+"""Idempotent key-merge sink and the run-history audit sink.
+
+The reference load stage is a batched SQLite
+``INSERT … ON CONFLICT(_id) DO UPDATE SET <all non-PK> = excluded.<col>``
+(/root/reference/src/serve/load.py:14-51). The Spark-native semantics
+are a MERGE: source wins on key match, full-row overwrite, new keys
+inserted. Delta Lake's ``MERGE INTO`` is the first-choice physical
+form; this environment is plain parquet, so ``merge_upsert``
+implements the same logical merge as
+
+    target ANTI-JOIN source ON key   (surviving old rows)
+    UNION ALL source                 (all new/updated rows)
+
+and ``upsert_parquet`` persists it atomically (write temp, swap).
+The SQLite 999-bind-variable batching is an artifact of the reference
+sink and is intentionally dropped — Spark writes partition-parallel.
+
+Scale notes: the anti-join shuffles both sides by the key unless the
+incoming batch is small — which is the common case for incremental
+loads — so we broadcast the source side under a size hint. At real
+scale this becomes Delta MERGE with file-level pruning on the key
+range; the logical plan here is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.schemas import RUN_HISTORY_SCHEMA
+
+# Below this many incoming rows, broadcast the source side of the
+# anti-join so the target never shuffles (incremental pages are ≤30k
+# rows in the reference; a full target shuffle for that would be the
+# classic big-table-small-update mistake at scale).
+BROADCAST_SOURCE_MAX_ROWS = 1_000_000
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "_id",
+    broadcast_source: bool | None = None,
+) -> DataFrame:
+    """Logical MERGE, source-wins (load.py:43-46 semantics):
+    rows of ``target`` whose key is absent from ``source``, plus all
+    of ``source``. Column-complete overwrite — every non-key column of
+    a matched row comes from the source (the reference's
+    ``excluded.<col>`` map, load.py:30-35).
+    """
+    src = source
+    if broadcast_source is None or broadcast_source:
+        # Anti-join keys only need the key column; broadcast a pruned
+        # single-column frame, not the whole source.
+        keys = F.broadcast(source.select(key).distinct())
+    else:
+        keys = source.select(key).distinct()
+    survivors = target.join(keys, on=key, how="left_anti")
+    return survivors.unionByName(src)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str = "_id",
+) -> None:
+    """Materialized idempotent upsert into a parquet table at ``path``
+    (create-if-absent). Writes to a temp sibling then swaps, so a
+    failed job never truncates the target — the moral equivalent of
+    the reference's per-batch transaction commit (load.py:47-49).
+    """
+    if not os.path.exists(path):
+        source.write.mode("overwrite").parquet(path)
+        return
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, source, key=key)
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Run-history audit sink (/root/reference/src/serve/run_history.py:11-60)
+# ---------------------------------------------------------------------------
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class RunHistory:
+    """Append-only audit table: one row per pipeline run with start /
+    stop timestamps, counters, success flag, error message
+    (run_history.py:11-60, models.py:48-58).
+
+    ``start()`` appends the open row; ``finish()`` upserts it with the
+    final counters (same id — merge_upsert gives the UPDATE half).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        if os.path.exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], RUN_HISTORY_SCHEMA)
+
+    def start(self) -> int:
+        prev = self._read()
+        row = prev.agg(F.max("id").alias("m")).first()
+        run_id = int(row["m"] or 0) + 1
+        open_row = self.spark.createDataFrame(
+            [(run_id, _utcnow(), None, None, 0, 0, False, None)],
+            RUN_HISTORY_SCHEMA,
+        )
+        upsert_parquet(self.spark, open_row, self.path, key="id")
+        return run_id
+
+    def finish(
+        self,
+        run_id: int,
+        *,
+        last_fetched_id: int | None,
+        total_fetched: int,
+        valid_records: int,
+        success: bool,
+        error_message: str | None = None,
+    ) -> None:
+        start_row = (
+            self._read().filter(F.col("id") == run_id).select("run_start").first()
+        )
+        run_start = start_row["run_start"] if start_row else _utcnow()
+        closed = self.spark.createDataFrame(
+            [(
+                run_id, run_start, _utcnow(), last_fetched_id,
+                total_fetched, valid_records, success, error_message,
+            )],
+            RUN_HISTORY_SCHEMA,
+        )
+        upsert_parquet(self.spark, closed, self.path, key="id")
+
+    def last_successful(self) -> DataFrame:
+        """WHERE success ORDER BY run_stop DESC LIMIT 1
+        (/root/reference/src/app/utils/data_loader.py:62-67)."""
+        return (
+            self._read().filter(F.col("success"))
+            .orderBy(F.col("run_stop").desc()).limit(1)
+        )

@@ -1,0 +1,93 @@
+"""Structured Streaming variant of the incremental pipeline
+(SURVEY.md §2.10 T1–T6): the reference's hand-rolled loop — offset
+cursor, micro-batches, keep-last dedup, idempotent upsert — expressed
+with readStream / foreachBatch.
+
+- Offset tracking (T1): the streaming checkpoint replaces the
+  read-max-from-sink cursor.
+- Micro-batching (T2): file-source micro-batches replace 30k-row HTTP
+  pages.
+- Late/duplicate data (T4): watermark + dropDuplicates inside the
+  batch, then MERGE semantics into the sink via foreachBatch, which
+  also dedups ACROSS batches (the upsert is keyed).
+- Idempotency (T5): foreachBatch re-delivery is safe because the sink
+  write is a keyed merge, not an append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harmony_energy_data_pipeline_spark.sinks.upsert import upsert_parquet
+
+
+def file_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """Incremental file source: new parquet files in ``src_dir`` become
+    micro-batches (the streaming analogue of the keyset fetch loop)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def dedup_with_watermark(
+    stream: DataFrame,
+    key: str,
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream exact dedup on the key with bounded state: rows later
+    than the watermark horizon are dropped from state tracking."""
+    return stream.withWatermark(time_col, watermark).dropDuplicates([key])
+
+
+def windowed_mean(
+    stream: DataFrame,
+    time_col: str,
+    value_col: str,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming tumbling-window mean — the downsample operator (A1)
+    under event-time semantics with late-data tolerance."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("__w"))
+        .agg(F.avg(value_col).alias(f"avg_{value_col}"))
+        .select(F.col("__w.start").alias(time_col), F.col(f"avg_{value_col}"))
+    )
+
+
+def start_merge_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "_id",
+    available_now: bool = True,
+):
+    """writeStream → foreachBatch keyed merge into the parquet table:
+    exactly-once-ish upsert semantics (re-delivered batches are
+    idempotent because the merge is keyed)."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(spark, batch_df, table_path, key=key)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
