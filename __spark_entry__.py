@@ -1,38 +1,715 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship serve-path chain on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Cross-engine determinism: aggregate queries sum *scaled integers*
+(``CAST(round(x*100) AS BIGINT)``) and divide once at the end, so the
+result double is bit-identical in Spark and DuckDB regardless of
+summation order — plain double sums drift in the last ulps and break
+the driver's value hash. Per-row arithmetic uses identical expression
+shapes on both sides (same association order ⇒ same doubles).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.operators import (
+    analytics,
+    cleaning,
+    dedup,
+    similarity,
+    text,
+)
+from harmony_energy_data_pipeline_spark.operators.cleaning import (
+    dedup_two_phase,
+    handle_missing_values,
+    null_row_filter,
+    repaired_perc,
+)
+from harmony_energy_data_pipeline_spark.sinks.upsert import merge_upsert
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _cents(col, scale: int = 100):
+    """Deterministic fixed-point: round(x*scale) as BIGINT."""
+    return F.round(F.col(col) * F.lit(scale)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Serve-path chain on sf0.001 events: two-phase keep-last dedup →
+    daily downsample (mean value) → inclusive date-range filter →
+    derived column (SURVEY.md §3.2 steps 5–6)."""
+    ev = load_table(spark, "events", SF_SMOKE)
+    deduped = dedup_two_phase(ev, id_col="event_id", time_col="ts")
+    daily = analytics.downsample(deduped, "1d", time_col="ts", agg_cols=["value"])
+    ranged = analytics.filter_range(
+        daily, "ts", "2024-01-02 00:00:00", "2024-01-29 00:00:00"
+    )
+    return ranged.select(
+        F.col("ts").alias("DATETIME"),
+        F.col("value").alias("avg_value"),
+        (F.col("value") * F.lit(48.0)).alias("daily_total_proxy"),
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles, defined pairwise
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# --- A1: temporal downsample, fixed interval (30m tumbling window) ---------
+
+@_q("downsample_30m", """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(value)) AS avg_value,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+""")
+def q_downsample_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "30 minutes").alias("__w"))
+        .agg(
+            (F.sum(_cents("value")).cast("double")
+             / (F.lit(100.0) * F.count("value"))).alias("avg_value"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(F.col("__w.start").alias("bucket"), "avg_value", "n_rows")
+    )
+
+
+# --- A1: temporal downsample, calendar interval (month via date_trunc) -----
+
+@_q("downsample_month", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(o_totalprice)) AS avg_totalprice,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""")
+def q_downsample_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    return (
+        od.groupBy(F.date_trunc("month", "o_orderdate").alias("bucket"))
+        .agg(
+            (F.sum(_cents("o_totalprice")).cast("double")
+             / (F.lit(100.0) * F.count("o_totalprice"))).alias("avg_totalprice"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- P10: inclusive date-range filter (pushed to the scan) -----------------
+
+@_q("filter_range", """
+SELECT * FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+""")
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.filter_range(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+# --- D1: two-phase keep-last dedup (constructed duplicates) -----------------
+
+@_q("dedup_two_phase", """
+WITH base AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 1000000 AS event_id, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 11 = 0
+),
+p1 AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn FROM base
+  ) WHERE rn = 1
+)
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY ts ORDER BY event_id DESC) AS rn FROM p1
+) WHERE rn = 1
+""")
+def q_dedup_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dup_ts = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    dup_id = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(1000000))
+    )
+    base = ev.unionByName(dup_ts).unionByName(dup_id)
+    return dedup_two_phase(base, id_col="event_id", time_col="ts")
+
+
+# --- P8/P9/F3/F4: %-consistency repair (CASE WHEN) --------------------------
+
+@_q("repair_percentages", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN abs(l_quantity / l_extendedprice * 100 - l_tax * 1000) > 1.0
+            THEN l_quantity / l_extendedprice * 100
+            ELSE l_tax * 1000 END AS repaired_perc
+FROM lineitem
+""")
+def q_repair_percentages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    reported = (F.col("l_tax") * F.lit(1000)).alias("rep")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        repaired_perc(
+            F.col("l_quantity"), F.col("l_tax") * F.lit(1000),
+            F.col("l_extendedprice"), tolerance=1.0,
+        ).alias("repaired_perc"),
+    )
+
+
+# --- P5-P7: null handling (drop null keys, zero-fill floats) ----------------
+
+_DIRTY_EVENTS_SQL = """
+  SELECT CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_id END AS event_id,
+         CASE WHEN event_id % 19 = 0 THEN NULL ELSE ts END AS ts,
+         user_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+         props
+  FROM events
+"""
+
+
+def _dirty_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.when(F.col("event_id") % 23 == 0, None).otherwise(F.col("event_id")).alias("event_id"),
+        F.when(F.col("event_id") % 19 == 0, None).otherwise(F.col("ts")).alias("ts"),
+        "user_id", "event_type",
+        F.when(F.col("event_id") % 13 == 0, None).otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+
+
+@_q("null_handling", f"""
+WITH dirty AS ({_DIRTY_EVENTS_SQL})
+SELECT event_id, ts, user_id, event_type, COALESCE(value, 0.0) AS value, props
+FROM dirty WHERE event_id IS NOT NULL AND ts IS NOT NULL
+""")
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = _dirty_events(spark, sf_dir)
+    return handle_missing_values(dirty, key_cols=("event_id", "ts"), fill_value=0.0)
+
+
+# --- A4/A5: quality counters -------------------------------------------------
+
+@_q("quality_counts", f"""
+WITH dirty AS ({_DIRTY_EVENTS_SQL})
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL
+                        OR event_type IS NULL OR value IS NULL OR props IS NULL) AS n_null_rows
+FROM dirty
+""")
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = _dirty_events(spark, sf_dir)
+    return dirty.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(null_row_filter(dirty), 1).otherwise(0)).alias("n_null_rows"),
+    )
+
+
+# --- S1/T1: keyset incremental scan -----------------------------------------
+
+@_q("incremental_scan", """
+SELECT * FROM events WHERE event_id > 400 ORDER BY event_id ASC LIMIT 200
+""")
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.sources.keyset import incremental_scan
+    ev = load_table(spark, "events", sf_dir)
+    return incremental_scan(ev, "event_id", 400, 200)
+
+
+# --- O1-O4/W2: top-k ---------------------------------------------------------
+
+@_q("topk_value", """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+""")
+def q_topk_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.top_k(
+        ev.select("event_id", "value"),
+        [F.col("value").desc(), F.col("event_id").asc()],
+        10,
+    )
+
+
+# --- A2/A3: bounds / version probe -------------------------------------------
+
+@_q("bounds", """
+SELECT min(ts) AS min_ts, max(ts) AS max_ts,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events
+""")
+def q_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_event_id"), F.max("event_id").alias("max_event_id"),
+    )
+
+
+# --- R1: unpivot (wide→long, nulls kept) -------------------------------------
+
+@_q("unpivot_lineitem", """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""")
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return analytics.unpivot_long(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+
+
+# --- P4/F3: derived computed projection --------------------------------------
+
+@_q("derived_charge", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""")
+def q_derived_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+         * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+# --- S4/J1: merge upsert (source wins) ----------------------------------------
+
+@_q("merge_upsert", """
+SELECT t.* FROM events t
+WHERE t.event_id NOT IN (SELECT event_id FROM events WHERE event_id % 5 = 0)
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value * 2.0 AS value, props
+FROM events WHERE event_id % 5 = 0
+""")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    source = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    return merge_upsert(ev, source, key="event_id")
+
+
+# --- M4: aggregation breadth — TPC-H Q1 (fixed-point exact) -------------------
+
+@_q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    qty, ep, disc, tax = (_cents("l_quantity"), _cents("l_extendedprice"),
+                          _cents("l_discount"), _cents("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ep).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ep * (F.lit(100) - disc) * (F.lit(100) + tax)).cast("double")
+             / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / (F.lit(100.0) * F.count("*"))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / (F.lit(100.0) * F.count("*"))).alias("avg_price"),
+            (F.sum(disc).cast("double") / (F.lit(100.0) * F.count("*"))).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- M4: broadcast hash join + agg --------------------------------------------
+
+@_q("brand_revenue", """
+SELECT p.p_brand,
+  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pt = load_table(spark, "part", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- M4: multi-way join (TPC-H Q5 shape) ---------------------------------------
+
+@_q("region_revenue", """
+SELECT n.n_name,
+  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name
+""")
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# --- M4: anti / semi joins ------------------------------------------------------
+
+@_q("customers_without_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q("customers_with_open_orders", """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""")
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "O"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# --- M4: rollup (grouping sets) --------------------------------------------------
+
+@_q("rollup_orders", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("total"),
+        )
+    )
+
+
+# --- W1/W2: ranking window -----------------------------------------------------
+
+@_q("top3_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""")
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- W: lag / event-time delta ---------------------------------------------------
+
+@_q("value_delta_per_user", """
+SELECT user_id, event_id, value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+FROM events
+""")
+def q_value_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id", "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# --- F: JSON extraction -----------------------------------------------------------
+
+@_q("json_extract_props", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# --- M5: text analysis --------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END"
+_EN = "['the','a','of','and','to','in','is','it','that','for']"
+
+@_q("text_stats", f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars_raw,
+  len(toks) AS n_tokens,
+  COALESCE(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))), 0) AS n_tokens_bpe,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS mean_word_len,
+  CASE WHEN len(toks) > 0
+       THEN CAST(len(list_filter(toks, w -> list_contains({_EN}, w))) AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS en_stopword_ratio,
+  md5({_NORM}) AS fingerprint
+FROM t
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.functions.textx import tokens
+    docs = load_table(spark, "documents", sf_dir)
+    t = tokens("text")
+    n = F.size(t)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        text.mean_word_length("text").alias("mean_word_len"),
+        F.when(n > 0, text.stopword_hits("text", "en").cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0)).alias("en_stopword_ratio"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# --- M5: language detection (stopword-hit argmax) -------------------------------------
+
+def _lang_oracle() -> str:
+    toks = _TOKS
+    ratio = {
+        lang: (
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> list_contains("
+            f"[{', '.join(repr(w) for w in text.STOPWORDS[lang])}], w))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+        )
+        for lang in text.STOPWORDS
+    }
+    langs = list(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"r_{k}" for k in langs) + ")"
+    # argmax with list-order tiebreak, built back-to-front like the engine
+    expr = "'und'"
+    for lang in reversed(langs):
+        expr = f"CASE WHEN {best} >= 0.03 AND r_{lang} = {best} THEN '{lang}' ELSE {expr} END"
+    ratios_sql = ", ".join(f"{v} AS r_{k}" for k, v in ratio.items())
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+r AS (SELECT doc_id, {ratios_sql} FROM t)
+SELECT doc_id, {expr} AS lang_detected FROM r
+"""
+
+
+@_q("lang_detect", _lang_oracle())
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", text.detect_language("text").alias("lang_detected"))
+
+
+# --- M5: exact dedup on content digest --------------------------------------------------
+
+@_q("exact_dedup_docs", f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""")
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, "doc_id", "text", normalize=True)
+
+
+# --- M5: n-gram Jaccard near-dup pairs (exact, inverted-index join) ----------------------
+
+@_q("ngram_jaccard_pairs", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+""")
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
+
+
+# --- M5: MinHash-LSH near-dedup (no SQL oracle: hash-family specific; verified in
+#     tests against exact Jaccard) ---------------------------------------------------------
+
+@_q("minhash_dedup")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+# --- M5: SimHash near-dup pairs (no SQL oracle: bit-level hash op; tested in pytest) -------
+
+@_q("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --- M5: brute-force cosine top-k (exact ANN baseline) --------------------------------------
+
+@_q("cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, len(q.qe)+1),
+             i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS score
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=10,
+    )
+    return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+# --- M5: embedding near-dup pairs (exact mode) ------------------------------------------------
+
+@_q("embedding_near_dup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+  , 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.8
+""")
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.8, exact=True
+    )
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

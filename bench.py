@@ -1,0 +1,69 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write so the full plan
+materializes (a bare count() would let Catalyst prune the compute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: reference-parity core + join/agg breadth + scale extensions.
+HEADLINE = [
+    "downsample_30m",
+    "filter_range",
+    "dedup_two_phase",
+    "merge_upsert",
+    "tpch_q1",
+    "brand_revenue",
+    "region_revenue",
+    "top3_orders_per_customer",
+    "text_stats",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_dedup",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    from harmony_energy_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    qs["bounds"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

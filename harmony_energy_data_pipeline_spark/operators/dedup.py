@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from harmony_energy_data_pipeline_spark.functions.textx import (
     jaccard,
@@ -82,21 +86,38 @@ def minhash_signature(
     seed: int = 42,
 ) -> Column:
     """Array of ``num_hashes`` min-hash values over a shingle-set
-    column. Per-shingle base hash is xxhash64 folded into [0, p);
-    each signature slot is ``array_min`` of an affine rehash — all
-    map-side, no shuffle."""
+    column.
+
+    Two stages, both map-side (no shuffle):
+    1. per-shingle base hash — JVM expression ``pmod(xxhash64(s), p)``,
+       one pass over the array;
+    2. the ``num_hashes`` affine rehash+min slots — an Arrow-batched
+       pandas UDF doing one (num_hashes × n_shingles) matrix op in
+       numpy. Higher-order-function expressions are interpreted (no
+       codegen), so 64 interpreted passes per row are ~10× slower than
+       this vectorized form; the UDF is the fast path here, not the
+       slow one.
+    """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    slots = [
-        F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)),
-            )
-        )
-        for a, b in _hash_params(num_hashes, seed)
-    ]
-    return F.array(*slots)
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            h = np.asarray(h, dtype=np.int64)
+            if h.size == 0:
+                out.append(np.full(num_hashes, _MERSENNE_P, dtype=np.int64))
+                continue
+            # a < 2^31 and h ∈ [0, 2^31) ⇒ a·h + b < 2^62: no overflow.
+            m = (a_vec[:, None] * h[None, :] + b_vec[:, None]) % _MERSENNE_P
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    return _sig(base)
 
 
 def minhash_candidate_pairs(
@@ -131,6 +152,11 @@ def minhash_candidate_pairs(
             ])
         ).alias("__band", "__bhash"),
     )
+    # Materialize band keys once: the self-join would otherwise
+    # recompute shingling + signatures on BOTH sides. At cluster scale
+    # the same move is persist-to-disk or a checkpointed signature
+    # table; either way signatures are computed exactly once.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -238,37 +264,31 @@ def ngram_jaccard_pairs(
 
 def simhash64(text_col: Column | str, nbits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens: bit i of the signature is
-    set iff Σ_tokens (±1 by token-hash bit i) ≥ 0. One pass of nested
-    higher-order functions — map-side only."""
+    set iff Σ_tokens (±1 by token-hash bit i) ≥ 0.
+
+    Token hashes are JVM-side (``xxhash64`` in one array pass); the
+    bit-vote fold is a vectorized numpy pandas UDF — an interpreted
+    higher-order-function fold would cost 64 interpreted evals per
+    token (HOFs don't codegen), ~10× slower than the Arrow batch."""
     t = tokens(text_col)
-    # Per-row vector of bit-vote sums: fold tokens into a 64-slot array.
-    votes = F.aggregate(
-        t,
-        F.array_repeat(F.lit(0).cast("long"), nbits),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nbits - 1)),
-                lambda i: F.when(
-                    F.getbit(F.xxhash64(tok), i) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    # Collapse votes to a signature: bit i set where votes[i] >= 0.
-    # MSB-first fold acc*2 + bit; long overflow wraps (ANSI off), which
-    # yields exactly the 64-bit two's-complement signature.
-    bits = F.transform(
-        votes,
-        lambda v: F.when(v >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        F.reverse(bits),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc * F.lit(2).cast("long") + b,
-    )
+    hashed = F.transform(t, lambda tok: F.xxhash64(tok))
+    shifts = np.arange(nbits, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _sim(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            h = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = ((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)  # two's-complement wrap
+        return pd.Series(out)
+
+    return _sim(hashed)
 
 
 def simhash_near_pairs(
@@ -300,6 +320,9 @@ def simhash_near_pairs(
             ])
         ).alias("__blk", "__bval"),
     )
+    # Same materialize-once move as minhash_candidate_pairs: don't
+    # recompute signatures on both sides of the self-join.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

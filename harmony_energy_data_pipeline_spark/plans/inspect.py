@@ -40,6 +40,17 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def in_wholestage_codegen(df: DataFrame, operator: str) -> bool:
+    """True if ``operator`` (e.g. "Project", "HashAggregate") appears
+    inside a whole-stage-codegen span — the formatted plan prefixes
+    codegen'd operators with ``*``."""
+    plan = physical_plan(df)
+    return any(
+        line.strip().lstrip("+-").strip().startswith(f"* {operator}")
+        for line in plan.splitlines()
+    )
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
 

@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the 100 TB design properties —
+pushdown, pruning, broadcast, no redundant shuffles — asserted on the
+actual Catalyst output so they can't silently regress."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.plans.inspect import (
+    has_pushed_filter,
+    in_wholestage_codegen,
+    physical_plan,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from harmony_energy_data_pipeline_spark.sources.keyset import incremental_scan
+
+
+def test_keyset_scan_pushes_filter_and_plans_topk(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    page = incremental_scan(ev, "event_id", 400, 200)
+    assert has_pushed_filter(page, "event_id")
+    assert "TakeOrderedAndProject" in physical_plan(page)  # top-k, not global sort
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    two = ev.select("event_id", "value").filter(F.col("value") > 100)
+    cols = read_schema_columns(two)
+    assert set(cols) == {"event_id", "value"}, f"scan reads too much: {cols}"
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    pt = load_table(spark, "part", sf_dir)
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select("p_brand")
+    assert uses_broadcast_join(joined)
+
+
+def test_range_filter_pushed(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    # the ts column is reconstructed from nano-longs, so pushdown applies
+    # to the raw long column via the between on the derived col is not
+    # possible — but event_id filters must push.
+    q = ev.filter(F.col("event_id").between(10, 20))
+    assert has_pushed_filter(q, "event_id")
+
+
+def test_whole_stage_codegen_covers_projection(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    proj = li.select(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net")
+    )
+    assert in_wholestage_codegen(proj, "Project")

@@ -1,0 +1,64 @@
+"""Structured Streaming variant: the availableNow stream over the
+events table must produce the same windowed means as the batch
+downsample, and the foreachBatch merge sink must stay idempotent."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import convert_nano_timestamps, load_table
+from harmony_energy_data_pipeline_spark.streaming.incremental import (
+    dedup_with_watermark,
+    file_stream,
+    start_merge_sink,
+    windowed_mean,
+)
+
+
+def _events_stream(spark, tmp_path, sf_dir):
+    # copy the events parquet into a source dir (file source wants a dir
+    # it can watch; testdata itself is read-only)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    # the streaming reader must be given the parquet's PHYSICAL schema
+    # (ts is INT64 nanos on disk); the nano→timestamp conversion is a
+    # projection applied on top of the stream
+    raw_schema = spark.read.parquet(str(src)).schema
+    return convert_nano_timestamps(file_stream(spark, str(src), raw_schema), "events")
+
+
+def test_streaming_windowed_mean_matches_batch(spark, tmp_path, sf_dir):
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    agg = windowed_mean(stream, "ts", "value", window="1 hour", watermark="2 hours")
+    out_dir = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("memory").queryName("wm")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["ts"])): round(r["avg_value"], 9)
+        for r in spark.table("wm").collect()
+    }
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("ts"), "avg_value")
+    )
+    want = {str(r["ts"]): round(r["avg_value"], 9) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_merge_sink_idempotent(spark, tmp_path, sf_dir):
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    deduped = dedup_with_watermark(stream, "event_id", "ts", watermark="1 hour")
+    table = str(tmp_path / "sink.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_merge_sink(deduped, spark, table, ckpt, key="event_id")
+    q.awaitTermination(120)
+    n = load_table(spark, "events", sf_dir).count()
+    assert spark.read.parquet(table).count() == n

@@ -1,0 +1,101 @@
+"""Sink idempotency (mirrors /root/reference/tests/test_db_load.py:85-105)
+and the end-to-end incremental pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.pipeline.run import run_pipeline
+from harmony_energy_data_pipeline_spark.schemas import MEASURE_COLS
+from harmony_energy_data_pipeline_spark.sinks.upsert import RunHistory, merge_upsert, upsert_parquet
+from harmony_energy_data_pipeline_spark.sources.keyset import paginate
+
+
+def test_merge_upsert_source_wins(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "_id long, GAS double")
+    source = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "_id long, GAS double")
+    out = {r["_id"]: r["GAS"] for r in merge_upsert(target, source).collect()}
+    assert out == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "gen.parquet")
+    batch = spark.createDataFrame(
+        [(1, 1000.0), (2, 2000.0)], "_id long, GAS double")
+    upsert_parquet(spark, batch, path)
+    upsert_parquet(spark, batch, path)  # same rows again
+    df = spark.read.parquet(path)
+    assert df.count() == 2              # no dupes
+    assert df.filter("_id = 1").first()["GAS"] == 1000.0
+
+
+def _rec(i, dt=None, **over):
+    r = {"_id": i, "DATETIME": dt or f"2024-01-{(i % 27) + 1:02d}T{i % 24:02d}:00:00"}
+    for c in MEASURE_COLS:
+        r[c] = float(i % 50)
+    r["GENERATION"] = 100.0
+    r.update(over)
+    return r
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    table = str(tmp_path / "generation.parquet")
+    hist = str(tmp_path / "history.parquet")
+    records = [_rec(i) for i in range(1, 51)]
+    records[4]["DATETIME"] = "not-a-date"  # dropped by cleaning
+
+    def fetch(last_id, limit):
+        return sorted(
+            (r for r in records if r["_id"] > last_id), key=lambda r: r["_id"]
+        )[:limit]
+
+    m1 = run_pipeline(spark, fetch, table, hist, batch_size=20)
+    assert m1["total_fetched"] == 50
+    assert m1["valid_records"] == 49
+    assert m1["last_fetched_id"] == 50
+    assert spark.read.parquet(table).count() == 49
+
+    # second run: nothing new, idempotent
+    m2 = run_pipeline(spark, fetch, table, hist, batch_size=20)
+    assert m2["total_fetched"] == 0
+    assert spark.read.parquet(table).count() == 49
+
+    history = RunHistory(spark, hist)
+    last = history.last_successful().first()
+    assert last["success"] is True
+    assert spark.read.parquet(hist).count() == 2
+
+
+def test_run_pipeline_records_failure(spark, tmp_path):
+    table = str(tmp_path / "generation.parquet")
+    hist = str(tmp_path / "history.parquet")
+
+    def broken(last_id, limit):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        run_pipeline(spark, broken, table, hist)
+    row = spark.read.parquet(hist).first()
+    assert row["success"] is False
+    assert "boom" in row["error_message"]
+
+
+def test_paginate_cursor_and_short_page():
+    data = [{"_id": i} for i in range(1, 26)]
+
+    calls = []
+
+    def fetch(last_id, limit):
+        calls.append((last_id, limit))
+        return [r for r in data if r["_id"] > last_id][:limit]
+
+    out = paginate(fetch, last_id=0, batch_size=10)
+    assert [r["_id"] for r in out] == list(range(1, 26))
+    assert calls == [(0, 10), (10, 10), (20, 10)]  # short page stops loop
+
+    capped = paginate(fetch, last_id=0, batch_size=10, max_records=15)
+    assert len(capped) == 15
