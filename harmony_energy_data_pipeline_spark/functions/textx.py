@@ -1,11 +1,19 @@
 """Text expression helpers: normalization, tokenization, shingling.
 
-Pure Catalyst expressions (regexp + higher-order array functions) —
-no Python in the hot path; these run per-row inside codegen over
-arbitrarily large document tables.
+Normalization/tokenization are pure Catalyst expressions (regexp +
+split — codegen'd, JVM-side). Shingle construction is the exception:
+per-position array slicing through higher-order functions is
+interpreted (HOFs don't codegen) and ~10× slower than an
+Arrow-batched pandas UDF, so the hashed-shingle hot path
+(``shingle_hashes``) is vectorized Python by design.
 """
 
 from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -41,6 +49,38 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
     return F.array_distinct(shingled)
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text, as stable
+    64-bit hashes (first 8 md5 bytes — process-independent, unlike
+    Python's salted ``hash``).
+
+    Same set semantics as ``word_shingles`` (short texts contribute
+    their whole token sequence as one shingle) but 8-byte elements:
+    downstream inverted indexes and signatures shuffle longs, not
+    multi-word strings. Tokenization stays JVM-side; only the
+    per-position shingle build is Python (Arrow-batched).
+    """
+    t = tokens(col)
+
+    @F.pandas_udf("array<long>")
+    def _hashes(tok_ser: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_ser:
+            toks = list(toks)
+            if len(toks) >= n:
+                sset = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sset = {" ".join(toks)}
+            out.append(np.array(
+                [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
+                 for s in sset],
+                dtype=np.int64,
+            ))
+        return pd.Series(out)
+
+    return _hashes(t)
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:

@@ -32,8 +32,8 @@ from pyspark.storagelevel import StorageLevel
 from harmony_energy_data_pipeline_spark.functions.textx import (
     jaccard,
     normalize_text,
+    shingle_hashes,
     tokens,
-    word_shingles,
 )
 
 # ---------------------------------------------------------------------------
@@ -81,25 +81,20 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    shingle_col: Column | str,
+    hash_col: Column | str,
     num_hashes: int = 64,
     seed: int = 42,
 ) -> Column:
-    """Array of ``num_hashes`` min-hash values over a shingle-set
-    column.
+    """Array of ``num_hashes`` min-hash values over a column of 64-bit
+    shingle hashes (``textx.shingle_hashes``).
 
-    Two stages, both map-side (no shuffle):
-    1. per-shingle base hash — JVM expression ``pmod(xxhash64(s), p)``,
-       one pass over the array;
-    2. the ``num_hashes`` affine rehash+min slots — an Arrow-batched
-       pandas UDF doing one (num_hashes × n_shingles) matrix op in
-       numpy. Higher-order-function expressions are interpreted (no
-       codegen), so 64 interpreted passes per row are ~10× slower than
-       this vectorized form; the UDF is the fast path here, not the
-       slow one.
+    One Arrow-batched pandas UDF doing a (num_hashes × n_shingles)
+    matrix op in numpy — map-side, no shuffle. Higher-order-function
+    expressions are interpreted (no codegen), so 64 interpreted passes
+    per row are ~10× slower than this vectorized form; the UDF is the
+    fast path here, not the slow one.
     """
-    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    col = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     params = _hash_params(num_hashes, seed)
     a_vec = np.array([a for a, _ in params], dtype=np.int64)
     b_vec = np.array([b for _, b in params], dtype=np.int64)
@@ -108,7 +103,7 @@ def minhash_signature(
     def _sig(hashes: pd.Series) -> pd.Series:
         out = []
         for h in hashes:
-            h = np.asarray(h, dtype=np.int64)
+            h = np.asarray(h, dtype=np.int64) % _MERSENNE_P  # fold into [0, p)
             if h.size == 0:
                 out.append(np.full(num_hashes, _MERSENNE_P, dtype=np.int64))
                 continue
@@ -117,7 +112,7 @@ def minhash_signature(
             out.append(m.min(axis=1))
         return pd.Series(out)
 
-    return _sig(base)
+    return _sig(col)
 
 
 def minhash_candidate_pairs(
@@ -139,7 +134,7 @@ def minhash_candidate_pairs(
     r = num_hashes // bands
     sigs = df.select(
         F.col(id_col),
-        minhash_signature(word_shingles(text_col, shingle_size), num_hashes, seed).alias("__sig"),
+        minhash_signature(shingle_hashes(text_col, shingle_size), num_hashes, seed).alias("__sig"),
     )
     banded = sigs.select(
         F.col(id_col),
@@ -197,9 +192,11 @@ def minhash_dedup(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, shingle_size, num_hashes, bands, seed
     )
+    # Hashed shingle sets for the exact-Jaccard verify: 8-byte set
+    # elements (same Jaccard w.h.p.), computed once for both join sides.
     sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_size).alias("__sh")
-    )
+        F.col(id_col), shingle_hashes(text_col, shingle_size).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     confirmed = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -229,9 +226,16 @@ def ngram_jaccard_pairs(
     n-word shingles keep the index selective; with word-level tokens
     this would degenerate on stopwords (classic skew — salt or drop
     top-frequency shingles at scale).
+
+    Scale shape: shingles are xxhash64-hashed to int64 before the
+    explode, so the inverted index and its shuffle carry 8-byte keys
+    instead of multi-word strings; the shingle table is computed once
+    and persisted (it feeds the size lookup and both self-join sides).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_size).alias("__sh"))
+    sh = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_size).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     a = inv.alias("a")
