@@ -703,6 +703,246 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+# --- P1/F1/F2: schema align + lenient parse/cast on dirty string records ----
+
+@_q("align_parse_cast", """
+WITH raw AS (
+  SELECT CAST(event_id AS VARCHAR) AS _id,
+         CASE WHEN event_id % 19 = 0 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS DATETIME,
+         CASE WHEN event_id % 13 = 0 THEN 'n/a'
+              ELSE CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) END AS VALUE_CENTS
+  FROM events
+)
+SELECT _id,
+       try_strptime(DATETIME, '%Y-%m-%dT%H:%M:%S') AS DATETIME,
+       TRY_CAST(VALUE_CENTS AS DOUBLE) AS VALUE_CENTS,
+       CAST(NULL AS DOUBLE) AS MISSING_MEASURE
+FROM raw
+""")
+def q_align_parse_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        F.col("event_id").cast("string").alias("_id"),
+        F.when(F.col("event_id") % 19 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")).alias("DATETIME"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("n/a"))
+        .otherwise(F.round(F.col("value") * 100).cast("long").cast("string")).alias("VALUE_CENTS"),
+        F.lit("junk").alias("EXTRA_COL"),  # align must drop this
+    )
+    target = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("DATETIME", T.StringType()),
+        T.StructField("VALUE_CENTS", T.StringType()),
+        T.StructField("MISSING_MEASURE", T.DoubleType()),  # align must add as null
+    ])
+    aligned = cleaning.align_schema(raw, target)
+    return cleaning.parse_and_cast(aligned, "DATETIME", ["VALUE_CENTS", "MISSING_MEASURE"])
+
+
+# --- A1: temporal downsample, calendar year -----------------------------------
+
+@_q("downsample_year", """
+SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS bucket,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(o_totalprice)) AS avg_totalprice,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""")
+def q_downsample_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    return (
+        od.groupBy(F.date_trunc("year", "o_orderdate").alias("bucket"))
+        .agg(
+            (F.sum(_cents("o_totalprice")).cast("double")
+             / (F.lit(100.0) * F.count("o_totalprice"))).alias("avg_totalprice"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- M4: cube grouping sets ----------------------------------------------------
+
+@_q("cube_orders", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("total"),
+        )
+    )
+
+
+# --- M4: TPC-H Q6 (pushdown-friendly filter + agg) -----------------------------
+
+@_q("tpch_q6", """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(ep * disc).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# --- M4: TPC-H Q3 (join + agg + deterministic top-k) ---------------------------
+
+@_q("tpch_q3", """
+SELECT l_orderkey,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""")
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        .join(o.filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --- A: distinct aggregation ----------------------------------------------------
+
+@_q("distinct_users_per_type", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- A5: quality-summary frame ---------------------------------------------------
+
+@_q("quality_summary", f"""
+WITH dirty AS ({_DIRTY_EVENTS_SQL}),
+counts AS (
+  SELECT COUNT(*) AS n_raw,
+         COUNT(*) FILTER (WHERE event_id IS NOT NULL AND ts IS NOT NULL) AS n_clean
+  FROM dirty
+)
+SELECT 'Total raw records' AS "Check", n_raw AS "Count" FROM counts
+UNION ALL SELECT 'Valid cleaned records', n_clean FROM counts
+UNION ALL SELECT 'Dropped / invalid records', n_raw - n_clean FROM counts
+""")
+def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = _dirty_events(spark, sf_dir)
+    n_raw = dirty.count()
+    n_clean = handle_missing_values(
+        dirty, key_cols=("event_id", "ts"), fill_value=0.0
+    ).count()
+    return cleaning.quality_summary(spark, n_raw, n_clean)
+
+
+# --- M5: text quality scoring -----------------------------------------------------
+
+@_q("text_quality", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, len(toks) AS n,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, w -> list_contains({_EN}, w))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS sw_ratio,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS p_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM t
+)
+SELECT doc_id,
+  round(p_ratio, 6) AS punct_ratio,
+  round((
+    least(CAST(n AS DOUBLE) / 50.0, 1.0)
+    + least(sw_ratio * 10.0, 1.0)
+    + (1.0 - least(p_ratio * 5.0, 1.0))
+    + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END
+  ) / 4.0, 6) AS quality
+FROM m
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+
+
+# --- M5: LSH-bucketed approximate top-k (no SQL oracle: recall-style op;
+#     checked against exact cosine_topk in pytest) ----------------------------------
+
+@_q("lsh_topk")
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = emb.select(F.size("embedding")).first()[0]
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=10,
+    )
+
+
+# --- multimodal: decode/feature plumbing over binary payloads (no SQL oracle:
+#     mapInPandas plumbing; deterministic fake codec, tested in pytest) -------------
+
+@_q("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators import multimodal
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = multimodal.attach_media_meta(media, "payload", "image", "png")
+    return multimodal.decode_features(media, "doc_id", "payload")
+
+
+@_q("multimodal_frames")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators import multimodal
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = multimodal.sample_frames(media, "doc_id", "payload", every_n=5, frame_size=32)
+    return frames.select("id", "frame_idx", F.length("frame_bytes").alias("n_bytes"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
