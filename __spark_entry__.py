@@ -131,8 +131,13 @@ SELECT * FROM events
 WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
 """)
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return analytics.filter_range(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    # pushdown-aware variant: the range predicate reaches the parquet
+    # scan (on the raw nano column), so row groups outside the window
+    # are never read — the semantics match analytics.filter_range
+    from harmony_energy_data_pipeline_spark.io import scan_ts_range
+    return scan_ts_range(
+        spark, "events", sf_dir, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
 
 
 # --- D1: two-phase keep-last dedup (constructed duplicates) -----------------

@@ -52,6 +52,42 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return convert_nano_timestamps(df, name)
 
 
+def scan_ts_range(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None,
+    ts_col: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Time-range scan with parquet predicate pushdown, inclusive both
+    ends.
+
+    A filter on the *converted* timestamp column cannot push down (the
+    scan column is INT64 nanos; Catalyst won't invert
+    ``timestamp_micros(x div 1000)``), so a full 100 TB table would be
+    read just to drop most of it. This helper applies the equivalent
+    range on the raw nano column BEFORE conversion — the predicate
+    lands in PushedFilters and row groups outside the range are never
+    read. ``ts >= S`` ⇔ ``nanos >= S·10⁹``;
+    ``ts <= E`` (micros-truncated) ⇔ ``nanos <= E·10⁹ + 999``.
+
+    For natively-written tables (micros timestamps) a plain
+    ``between`` pushes down already and this helper degrades to it.
+    """
+    base = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+    raw_type = {f.name: f.dataType for f in df.schema.fields}.get(ts_col)
+    lo = F.lit(start).cast("timestamp")
+    hi = F.lit(end).cast("timestamp")
+    if isinstance(raw_type, T.LongType):
+        lo_nanos = F.unix_micros(lo) * F.lit(1000)
+        hi_nanos = F.unix_micros(hi) * F.lit(1000) + F.lit(999)
+        df = df.filter(F.col(ts_col).between(lo_nanos, hi_nanos))
+        return convert_nano_timestamps(df, name)
+    return convert_nano_timestamps(df, name).filter(F.col(ts_col).between(lo, hi))
+
+
 def load_tables(spark: SparkSession, names: list[str], sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in names}
 

@@ -66,6 +66,77 @@ def windowed_mean(
     )
 
 
+def sessionized_agg(
+    stream: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation: events for a key within ``gap`` of
+    each other merge into one session. Native ``session_window`` —
+    Spark manages the merging state; the watermark bounds it."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(time_col), gap).alias("__s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias(f"sum_{value_col}"),
+        )
+        .select(
+            key,
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "n_events",
+            f"sum_{value_col}",
+        )
+    )
+
+
+def stateful_running_total(
+    stream: DataFrame,
+    key: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running (count, sum) that survives across micro-batches —
+    the pattern for stateful logic Spark's built-in aggregations can't
+    express (the built-ins COULD do this particular fold; it's the
+    canonical demo of the arbitrary-state API).
+
+    State is one (count, sum) pair per key — O(|keys|) store, each
+    micro-batch touches only the keys it contains.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(key, T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "total": [s]})
+
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def start_merge_sink(
     stream: DataFrame,
     spark: SparkSession,

@@ -1,0 +1,90 @@
+"""Salted join parity, partitioned-write pruning, and the
+pushdown-aware time-range scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import load_table, scan_ts_range
+from harmony_energy_data_pipeline_spark.operators.joins import salted_join
+from harmony_energy_data_pipeline_spark.plans.inspect import (
+    has_pushed_filter,
+    physical_plan,
+)
+from harmony_energy_data_pipeline_spark.sinks.partitioned import (
+    overwrite_partitions_dynamic,
+    with_date_partition,
+    write_partitioned,
+)
+
+
+def _key(r, cols):
+    return tuple(r[c] for c in cols)
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    plain = li.join(pt.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+    salted = salted_join(
+        li, pt.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", n_salts=8
+    )
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    got = sorted(_key(r, cols) for r in salted.collect())
+    want = sorted(_key(r, cols) for r in plain.collect())
+    assert got == want
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    out = salted_join(big, small, "k", n_salts=4, how="left")
+    rows = {(r["k"], r["w"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None), (3, None)}
+
+
+def test_scan_ts_range_pushes_down_and_matches(spark, sf_dir):
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    pruned = scan_ts_range(spark, "events", sf_dir, "ts", lo, hi)
+    # the range predicate must reach the parquet scan (raw nano column)
+    assert has_pushed_filter(pruned, "ts")
+    naive = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
+    )
+    assert pruned.count() == naive.count()
+    assert pruned.count() > 0
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    ev = with_date_partition(load_table(spark, "events", sf_dir), "ts")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["dt"], mode="overwrite")
+    back = spark.read.parquet(path).filter(F.col("dt") == "2024-01-05")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "dt" in plan
+    want = ev.filter(F.col("dt") == "2024-01-05").count()
+    assert back.count() == want and want > 0
+
+
+def test_dynamic_partition_overwrite_is_partition_local(spark, sf_dir, tmp_path):
+    ev = with_date_partition(load_table(spark, "events", sf_dir), "ts")
+    path = str(tmp_path / "events_dyn")
+    write_partitioned(ev, path, ["dt"], mode="overwrite")
+    n_before = spark.read.parquet(path).count()
+    # re-write ONE day with doubled value; all other days must survive
+    one_day = ev.filter(F.col("dt") == "2024-01-05").withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions_dynamic(spark, one_day, path, ["dt"])
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    day = after.filter(F.col("dt") == "2024-01-05")
+    orig = load_table(spark, "events", sf_dir).filter(
+        F.to_date("ts") == "2024-01-05"
+    )
+    assert abs(
+        day.agg(F.sum("value")).first()[0] - 2 * orig.agg(F.sum("value")).first()[0]
+    ) < 1e-6

@@ -12,7 +12,9 @@ from harmony_energy_data_pipeline_spark.io import convert_nano_timestamps, load_
 from harmony_energy_data_pipeline_spark.streaming.incremental import (
     dedup_with_watermark,
     file_stream,
+    sessionized_agg,
     start_merge_sink,
+    stateful_running_total,
     windowed_mean,
 )
 
@@ -50,6 +52,53 @@ def test_streaming_windowed_mean_matches_batch(spark, tmp_path, sf_dir):
         .select(F.col("w.start").alias("ts"), "avg_value")
     )
     want = {str(r["ts"]): round(r["avg_value"], 9) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path, sf_dir):
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    agg = sessionized_agg(stream, "user_id", "ts", "value", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("sess").collect()
+    }
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    want = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want and got
+
+
+def test_stateful_running_total_accumulates(spark, tmp_path, sf_dir):
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    totals = stateful_running_total(stream, "user_id", "value")
+    q = (
+        totals.writeStream.format("memory").queryName("totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # single availableNow pass → running totals == batch totals per key
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total"], 6))
+        for r in spark.table("totals").collect()
+    }
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()}
     assert got == want
 
 
