@@ -1,0 +1,78 @@
+"""Serve-layer cache invalidation, chart projections, scheduler loop,
+and config defaults."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark import config, serve
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.pipeline.schedule import IntervalScheduler
+
+
+def test_versioned_cache_reloads_only_on_version_change(spark, tmp_path, sf_dir):
+    path = str(tmp_path / "tbl.parquet")
+    load_table(spark, "events", sf_dir).limit(100).write.parquet(path)
+    loads = []
+
+    def loader():
+        loads.append(1)
+        return spark.read.parquet(path)
+
+    cache = serve.VersionedCache(loader, version_col="event_id")
+    df1 = cache.get()
+    n1 = df1.count()
+    df2 = cache.get()
+    assert df2 is df1  # same cached object while version unchanged
+    # append rows with a larger key -> version moves -> reload
+    df1.select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    ).limit(10).write.mode("append").parquet(path)
+    df3 = cache.get()
+    assert df3 is not df1
+    assert df3.count() == n1 + 10
+
+
+def test_chart_projections(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", 100.0, 40.0, 60.0, 40.0, 60.0)],
+        "DATETIME string, GENERATION double, WIND double, ZERO_CARBON double, "
+        "WIND_perc double, SOLAR_perc double",
+    )
+    mix = serve.fuel_mix_long(df, "DATETIME", ["WIND", "MISSING_FUEL"])
+    assert {r["Fuel"] for r in mix.collect()} == {"WIND"}
+    share = serve.fuel_share_long(df, "DATETIME", ["WIND_perc", "SOLAR_perc"])
+    assert {r["Fuel"] for r in share.collect()} == {"WIND", "SOLAR"}
+    carbon = serve.carbon_split(df, "DATETIME").collect()[0]
+    assert carbon["CARBON"] == 40.0
+    dual = serve.dual_axis(df, "DATETIME", "GENERATION", "WIND")
+    assert dual.columns == ["DATETIME", "GENERATION", "WIND"]
+
+
+def test_interval_scheduler_fires_and_survives_errors():
+    calls = []
+
+    def job():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("first run fails")
+
+    sched = IntervalScheduler(job, interval_seconds=0.05).start()
+    deadline = time.time() + 5
+    while sched.run_count < 3 and time.time() < deadline:
+        time.sleep(0.02)
+    sched.stop()
+    assert sched.run_count >= 3  # immediate run + repeats, error survived
+
+
+def test_config_defaults_and_override(tmp_path):
+    cfg = config.load_config(None)
+    assert cfg["schedule_interval"] == 60
+    p = tmp_path / "conf.json"
+    p.write_text('{"batch_size": 123}')
+    cfg = config.load_config(p)
+    assert cfg["batch_size"] == 123
+    assert config.get(cfg, "nope", 7) == 7
