@@ -843,6 +843,30 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4: skew-salted join (same result contract as the plain join) -------------
+
+@_q("salted_brand_revenue", """
+SELECT p.p_brand,
+  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.joins import salted_join
+    li = load_table(spark, "lineitem", sf_dir)
+    pt = load_table(spark, "part", sf_dir).withColumnRenamed("p_partkey", "l_partkey")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        salted_join(li, pt, "l_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # --- A: distinct aggregation ----------------------------------------------------
 
 @_q("distinct_users_per_type", """
