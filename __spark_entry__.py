@@ -946,8 +946,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     dim = emb.select(F.size("embedding")).first()[0]
+    # wide-bucket dial (4 bits x 16 tables): the synthetic embeddings
+    # are near-random, so narrow buckets would gut recall
     return similarity.lsh_topk(
-        emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=10,
+        emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=10, nbits=4, tables=16,
+    )
+
+
+# --- M5: IVF approximate top-k (no SQL oracle: cluster-assignment specific;
+#     probe-all == exact equivalence proven in pytest) -------------------------------
+
+@_q("ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, n_centroids=8, n_probe=4,
     )
 
 

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,6 +134,68 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the
+    corpus into ``n_centroids`` Voronoi cells (seeded KMeans); each
+    query scores only the cells of its ``n_probe`` nearest centroids.
+
+    Scale shape: the centroid table is tiny and lives on the driver /
+    in broadcast; the corpus is shuffled ONCE by cell id (in a real
+    deployment: written out partitioned by cell, so queries touch
+    ~n_probe/n_centroids of the data). ``n_probe == n_centroids``
+    recovers exact brute force — the recall/latency dial.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_feat = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        array_to_vector(F.col(corpus_vec)).alias("__feat"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(corpus_feat)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(corpus_feat).select("neighbor_id", "__cv", "__cell")
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            d = ((centroids - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe].astype(np.int32))
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probe_cells(F.col(query_vec))).alias("__cell"),
+    )
+    scored = (
+        q.join(assigned, on="__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -176,4 +241,4 @@ def embedding_near_dup_pairs(
     )
 
 
-__all__ = ["cosine_topk", "lsh_topk", "embedding_near_dup_pairs"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_pairs"]

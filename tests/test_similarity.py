@@ -1,0 +1,59 @@
+"""ANN operator contracts: exact baseline, LSH and IVF approximations.
+
+The approximate paths have no SQL oracle (hash/cluster specific), so
+their check is recall against the exact brute-force baseline — and
+exact equivalence when the approximation dial is fully open
+(probe-all-cells / nbits→0 recovers brute force)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.operators import similarity
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_probe_all_matches_exact(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(similarity.cosine_topk(q, emb, k=5))
+    ivf = _topk_sets(
+        similarity.ivf_topk(q, emb, k=5, n_centroids=8, n_probe=8)
+    )
+    assert ivf == exact  # probing every cell == brute force
+
+
+def test_ivf_partial_probe_contract(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(q, emb, k=5, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "neighbor_id", "score", "rank"}
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.cosine_topk(q, emb, k=5))
+    # the synthetic embeddings are near-random (top-5 cosine ~0.3), so
+    # the bucket dial must open wide: 4-bit signatures x 16 tables
+    approx = _topk_sets(
+        similarity.lsh_topk(q, emb, dim=64, k=5, nbits=4, tables=16)
+    )
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.7, f"LSH recall too low: {hits}/{total}"
