@@ -511,6 +511,48 @@ def q_value_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W: frame-spec window (rolling mean over last 4 rows) -------------------------
+
+@_q("moving_avg_user", """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+    / (100.0 * COUNT(value) OVER w) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+def q_moving_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        (F.sum(_cents("value")).over(w).cast("double")
+         / (F.lit(100.0) * F.count("value").over(w))).alias("moving_avg"),
+    )
+
+
+# --- SQL-string entry point: GROUPING SETS via spark.sql --------------------------
+
+@_q("grouping_sets_sql", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the spark.sql(...) surface (SURVEY.md §3.3): same engine, SQL text in
+    from harmony_energy_data_pipeline_spark.io import register_views
+    register_views(spark, ["orders"], sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 # --- F: JSON extraction -----------------------------------------------------------
 
 @_q("json_extract_props", """
