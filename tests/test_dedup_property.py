@@ -1,0 +1,54 @@
+"""Property-based check of the two-phase keep-last dedup: for random
+small frames, the Spark window implementation must agree with a direct
+Python model of the reference semantics
+(/root/reference/src/transform/transform.py:206-220 with the engine's
+deterministic tiebreak, SURVEY.md §7.3 item 1)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from harmony_energy_data_pipeline_spark.operators.cleaning import dedup_two_phase
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # _id: few values -> collisions
+        st.integers(min_value=0, max_value=5),    # ts (encoded as int)
+        st.integers(min_value=0, max_value=3),    # value (tiebreak column)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _model(rows):
+    """Pure-Python reference: phase 1 keep max (ts, value) per id;
+    phase 2 keep max (id, value) per ts — desc tiebreak on remaining
+    columns, matching dedup_keep_last's ordering."""
+    by_id: dict = {}
+    for _id, ts, val in rows:
+        cur = by_id.get(_id)
+        if cur is None or (ts, val) > (cur[1], cur[2]):
+            by_id[_id] = (_id, ts, val)
+    by_ts: dict = {}
+    for _id, ts, val in by_id.values():
+        cur = by_ts.get(ts)
+        if cur is None or (_id, val) > (cur[0], cur[2]):
+            by_ts[ts] = (_id, ts, val)
+    return sorted(by_ts.values())
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows_strategy)
+def test_two_phase_dedup_matches_model(spark, rows):
+    df = spark.createDataFrame(rows, "_id long, ts long, value long")
+    got = sorted(
+        (r["_id"], r["ts"], r["value"])
+        for r in dedup_two_phase(df, id_col="_id", time_col="ts").collect()
+    )
+    assert got == _model(rows)
