@@ -591,19 +591,12 @@ SELECT doc_id,
 FROM t
 """)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from harmony_energy_data_pipeline_spark.functions.textx import tokens
     docs = load_table(spark, "documents", sf_dir)
-    t = tokens("text")
-    n = F.size(t)
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_raw"),
-        text.token_count("text").alias("n_tokens"),
-        text.bpe_ish_token_count("text").alias("n_tokens_bpe"),
-        text.mean_word_length("text").alias("mean_word_len"),
-        F.when(n > 0, text.stopword_hits("text", "en").cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0)).alias("en_stopword_ratio"),
-        text.fingerprint("text").alias("fingerprint"),
+    # single Arrow-batched pass (tokens computed once per row); values
+    # are identical to the expression builders in operators.text
+    return text.text_stats_full(docs, "doc_id", "text").select(
+        "doc_id", "n_chars_raw", "n_tokens", "n_tokens_bpe",
+        "mean_word_len", "en_stopword_ratio", "fingerprint",
     )
 
 
@@ -635,7 +628,7 @@ SELECT doc_id, {expr} AS lang_detected FROM r
 @_q("lang_detect", _lang_oracle())
 def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select("doc_id", text.detect_language("text").alias("lang_detected"))
+    return text.text_stats_full(docs, "doc_id", "text").select("doc_id", "lang_detected")
 
 
 # --- M5: exact dedup on content digest --------------------------------------------------
@@ -974,10 +967,10 @@ FROM m
 """)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    return text.text_stats_full(docs, "doc_id", "text").select(
         "doc_id",
-        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(text.quality_score("text"), 6).alias("quality"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
     )
 
 

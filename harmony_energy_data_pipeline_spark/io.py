@@ -17,6 +17,26 @@ from harmony_energy_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable semantic knobs the engine depends on. A caller may
+# hand us a session built elsewhere (the driver harness does); without
+# these, TIMESTAMP(NANOS) parquet reads fail outright and timestamp
+# bucketing would follow the caller's zone instead of UTC.
+_REQUIRED_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_semantics(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build: fall through, read may still work
+    return spark
+
 
 def convert_nano_timestamps(df: DataFrame, name: str) -> DataFrame:
     """Convert LongType nano-timestamp columns (surfaced by
@@ -48,6 +68,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     LongType nanos and are converted here to true timestamps.
     """
     base = sf_dir or DEFAULT_SF_DIR
+    ensure_semantics(spark)
     df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
     return convert_nano_timestamps(df, name)
 
@@ -76,6 +97,7 @@ def scan_ts_range(
     ``between`` pushes down already and this helper degrades to it.
     """
     base = sf_dir or DEFAULT_SF_DIR
+    ensure_semantics(spark)
     df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
     raw_type = {f.name: f.dataType for f in df.schema.fields}.get(ts_col)
     lo = F.lit(start).cast("timestamp")

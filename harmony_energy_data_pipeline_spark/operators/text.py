@@ -105,7 +105,9 @@ def fingerprint(text_col: Column | str) -> Column:
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass per-document stats projection."""
+    """One-pass per-document stats projection (expression form — each
+    stat recomputes the token array; fine for a few stats, see
+    ``text_stats_full`` for the all-stats hot path)."""
     return df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars_raw"),
@@ -117,6 +119,78 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def text_stats_full(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All per-document stats in ONE Arrow-batched pass (mapInPandas).
+
+    Value-identical to the expression builders above (same IEEE op
+    order, same ASCII-range regexes as the Java forms), but tokens are
+    computed once per row instead of once per stat — the expression
+    form pays ~10 interpreted higher-order-function passes per row
+    (HOFs don't codegen). Only (id, text) ship to Python.
+    """
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    norm_re = re.compile(r"[^a-z0-9]+")
+    # explicit ASCII class: Java's \s is ASCII-only, Python's is not
+    punct_re = re.compile(r"[^a-zA-Z0-9 \t\n\x0b\f\r]")
+    stopsets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    rows.append((_id,) + (None,) * 9)
+                    continue
+                norm = norm_re.sub(" ", txt.lower()).strip()
+                toks = norm.split(" ") if norm else []
+                n = len(toks)
+                sum_len = sum(len(w) for w in toks)
+                bpe = sum(math.ceil(len(w) / 4.0) for w in toks)
+                mwl = sum_len / n if n else 0.0
+                n_chars = len(txt)
+                p_cnt = n_chars - len(punct_re.sub("", txt))
+                p_ratio = p_cnt / n_chars if n_chars else 0.0
+                ratios = [
+                    (sum(1 for w in toks if w in stopsets[lang]) / n if n else 0.0)
+                    for lang in langs
+                ]
+                best = max(ratios)
+                lang = "und"
+                if best >= 0.03:
+                    lang = langs[ratios.index(best)]
+                quality = (
+                    min(n / 50.0, 1.0)
+                    + min(ratios[0] * 10.0, 1.0)
+                    + (1.0 - min(p_ratio * 5.0, 1.0))
+                    + (1.0 if 2.0 <= mwl <= 12.0 else 0.0)
+                ) / 4.0
+                rows.append((
+                    _id, n_chars, n, bpe, mwl, p_ratio, ratios[0], lang,
+                    quality, hashlib.md5(norm.encode()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_chars_raw", "n_tokens", "n_tokens_bpe",
+                    "mean_word_len", "punct_ratio", "en_stopword_ratio",
+                    "lang_detected", "quality", "fingerprint",
+                ],
+            )
+
+    schema = (
+        f"{id_col} long, n_chars_raw int, n_tokens long, n_tokens_bpe long, "
+        "mean_word_len double, punct_ratio double, en_stopword_ratio double, "
+        "lang_detected string, quality double, fingerprint string"
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
 
 
 __all__ = [

@@ -57,3 +57,19 @@ def test_lsh_recall_against_exact(spark, sf_dir):
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.7, f"LSH recall too low: {hits}/{total}"
+
+
+def test_text_stats_full_matches_expression_form(spark, sf_dir):
+    """Guard the two text-stats implementations against drift: the
+    Arrow-batched single-pass version must be value-identical to the
+    expression builders."""
+    from harmony_energy_data_pipeline_spark.operators import text as t
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    fast = t.text_stats_full(docs, "doc_id", "text")
+    slow = t.text_stats(docs, "doc_id", "text")
+    cols = ["doc_id", "n_chars_raw", "n_tokens", "n_tokens_bpe",
+            "mean_word_len", "punct_ratio", "lang_detected", "quality",
+            "fingerprint"]
+    got = sorted(tuple(r[c] for c in cols) for r in fast.select(cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in slow.select(cols).collect())
+    assert got == want
