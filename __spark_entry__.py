@@ -902,6 +902,64 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal: backward as-of join (DuckDB native ASOF JOIN as oracle) ---------
+
+_RATES_SQL = """
+  SELECT user_id, ts, value AS rate FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+    FROM events WHERE event_id % 10 = 0
+  ) WHERE rn = 1
+"""
+
+
+@_q("asof_join_rates", f"""
+WITH rates AS ({_RATES_SQL})
+SELECT e.event_id, e.user_id, e.ts, r.rate
+FROM events e
+ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.ts
+""")
+def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.temporal import asof_join
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("rate").desc())
+    rates = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select("user_id", "ts", F.col("value").alias("rate"))
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"), rates, on="user_id",
+        left_ts="ts", right_ts="ts", how="left",
+    )
+    return joined.select("event_id", "user_id", "ts", "rate")
+
+
+# --- temporal: interval (range) join -------------------------------------------
+
+_BANDS_SQL = """
+  SELECT band_id, band_id * 20.0 AS lo, (band_id + 1) * 20.0 AS hi
+  FROM (SELECT unnest(range(0, 10)) AS band_id)
+"""
+
+
+@_q("interval_join_bands", f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT e.event_id, b.band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+""")
+def q_interval_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.temporal import interval_join
+    ev = load_table(spark, "events", sf_dir)
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        ((F.col("id") + 1) * 20.0).alias("hi"),
+    )
+    out = interval_join(ev.select("event_id", "value"), "value", bands, "lo", "hi")
+    return out.select("event_id", "band_id")
+
+
 # --- A: distinct aggregation ----------------------------------------------------
 
 @_q("distinct_users_per_type", """

@@ -1,0 +1,135 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+interval (range) join.
+
+As-of join — for each left row, the latest right row with
+``right.ts <= left.ts`` per key — is THE time-series join (price
+as-of trade, rate as-of reading). Spark has no ASOF JOIN; the naive
+rewrite (inequality join + row_number) shuffles |L|·|R| candidate
+pairs. This implementation uses the union-window trick instead:
+
+    union(L tagged, R tagged) → one window pass per key ordered by
+    (ts, tag) carrying last non-null right payload → filter L rows.
+
+One shuffle, state bounded by one right payload per partition-order
+position — the same shape a dedicated ASOF physical operator would
+have. DuckDB's native ASOF JOIN is the oracle.
+
+Interval join — left rows matched to right [lo, hi) intervals — comes
+in two shapes: broadcast nested-loop for a small interval table (the
+common dimension case), and a bucket-decomposed equi-join when both
+sides are large (intervals exploded to covering buckets, join on
+bucket id, exact refine — turns O(|L|·|R|) into O(|L| + Σ interval
+spans) shuffle keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` within the same ``on``
+    key (null-extended when no such row and ``how='left'``;
+    ``how='inner'`` drops unmatched left rows).
+
+    Right rows should be unique per (key, ts) — pre-dedup otherwise
+    (ties would resolve by partition order, not deterministically).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports left/inner")
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows sort before left rows at equal ts, so ts-equal matches count
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out = merged.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match").getField(c).alias(c) for c in rcols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    left_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Join left rows to intervals with ``lo <= left_col < hi``.
+
+    Small interval table ⇒ broadcast nested loop (each executor scans
+    its left partition against the in-memory interval list — no
+    shuffle of the left side at all).
+    """
+    cond = (F.col(left_col) >= F.col(lo_col)) & (F.col(left_col) < F.col(hi_col))
+    return left.join(F.broadcast(intervals), on=cond, how="inner")
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    left_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Large-large interval join: decompose into an equi-join on a
+    coarse bucket grid, then refine exactly.
+
+    Left rows map to one bucket (``floor(x / w)``); each interval
+    explodes to every bucket it covers. Shuffle keys are bucket ids —
+    pick ``bucket_width`` near the typical interval span so intervals
+    explode to O(1) buckets each.
+    """
+    lb = left.withColumn("__b", F.floor(F.col(left_col) / F.lit(bucket_width)))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    return (
+        lb.join(ib, on="__b")
+        .filter((F.col(left_col) >= F.col(lo_col)) & (F.col(left_col) < F.col(hi_col)))
+        .drop("__b")
+    )
+
+
+__all__ = ["asof_join", "interval_join", "bucketed_interval_join"]
