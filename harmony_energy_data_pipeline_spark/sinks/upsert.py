@@ -88,6 +88,51 @@ def upsert_parquet(
     shutil.rmtree(backup, ignore_errors=True)
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str = "_id",
+    ts_col: str = "DATETIME",
+    part_col: str = "dt",
+) -> None:
+    """Partition-local idempotent upsert into a date-partitioned
+    parquet table: only the partitions PRESENT IN THE BATCH are read,
+    merged, and dynamically overwritten — everything else is untouched.
+
+    This is the 100 TB incremental-load shape: a 30k-row page touching
+    two days rewrites two directories, not the decade.
+    ``upsert_parquet`` (whole-table swap) remains correct but rewrites
+    O(|table|) per merge; this rewrites O(|affected partitions|).
+    The same logical plan is what Delta MERGE does with file-level
+    pruning.
+    """
+    from harmony_energy_data_pipeline_spark.sinks.partitioned import (
+        overwrite_partitions_dynamic,
+        with_date_partition,
+    )
+
+    src = with_date_partition(source, ts_col, part_col)
+    if not os.path.exists(path):
+        src.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        return
+    days = [r[part_col] for r in src.select(part_col).distinct().collect()]
+    target = spark.read.parquet(path)
+    # partition-pruned read: only the affected days leave disk
+    affected = target.filter(F.col(part_col).isin(days))
+    merged = merge_upsert(
+        affected, src.select(*affected.columns), key=key
+    )
+    overwrite_partitions_dynamic(spark, merged, path, [part_col])
+
+
+# Caveat: partition-local merge assumes a key's partition value is
+# stable across revisions (an _id whose DATETIME moves to another day
+# would leave its old row behind). Key-moves need the whole-table
+# upsert_parquet — or a tombstone pass — exactly as with Delta MERGE
+# on a partition-pruned condition.
+
+
 # ---------------------------------------------------------------------------
 # Run-history audit sink (/root/reference/src/serve/run_history.py:11-60)
 # ---------------------------------------------------------------------------

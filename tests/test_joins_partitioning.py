@@ -88,3 +88,41 @@ def test_dynamic_partition_overwrite_is_partition_local(spark, sf_dir, tmp_path)
     assert abs(
         day.agg(F.sum("value")).first()[0] - 2 * orig.agg(F.sum("value")).first()[0]
     ) < 1e-6
+
+
+def test_upsert_partitioned_touches_only_affected_days(spark, sf_dir, tmp_path):
+    import os
+    from harmony_energy_data_pipeline_spark.sinks.upsert import upsert_partitioned
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("_id"), F.col("ts").alias("DATETIME"), "value"
+    )
+    path = str(tmp_path / "events_upsert")
+    upsert_partitioned(spark, ev, path, key="_id", ts_col="DATETIME")
+    n = spark.read.parquet(path).count()
+    assert n == ev.count()
+
+    # note the mtime of an untouched partition, then merge a one-day batch
+    parts = sorted(p for p in os.listdir(path) if p.startswith("dt="))
+    untouched = os.path.join(path, parts[0], "")
+    before = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    batch = (
+        ev.filter(F.to_date("DATETIME") == "2024-01-05")
+        .withColumn("value", F.col("value") * 10)
+    )
+    assert batch.count() > 0
+    upsert_partitioned(spark, batch, path, key="_id", ts_col="DATETIME")
+
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == n  # updates, not appends
+    got = after_df.filter(F.col("dt") == "2024-01-05").agg(F.sum("value")).first()[0]
+    want = 10 * ev.filter(F.to_date("DATETIME") == "2024-01-05").agg(
+        F.sum("value")
+    ).first()[0]
+    assert abs(got - want) < 1e-6
+    after = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    assert after == before  # untouched partition files were not rewritten
