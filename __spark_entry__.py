@@ -456,6 +456,27 @@ def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+# --- M4: dim-dim join over the remaining table (supplier) -----------------------
+
+@_q("suppliers_per_nation", """
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(round(s.s_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum(_cents("s_acctbal")).cast("double") / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )
+
+
 # --- M4: rollup (grouping sets) --------------------------------------------------
 
 @_q("rollup_orders", """

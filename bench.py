@@ -22,9 +22,12 @@ HEADLINE = [
     "dedup_two_phase",
     "merge_upsert",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "brand_revenue",
     "region_revenue",
     "top3_orders_per_customer",
+    "asof_join_rates",
     "text_stats",
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
