@@ -257,6 +257,40 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_scan(ev, "event_id", 400, 200)
 
 
+# --- S1 via Spark 4 Python DataSource: keyset pages with cursor pushdown ------
+
+@_q("keyset_datasource_scan", """
+SELECT event_id AS _id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS DATETIME,
+       value AS GENERATION
+FROM events WHERE event_id > 400
+""")
+def q_keyset_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from harmony_energy_data_pipeline_spark.sources.pyds import (
+        KeysetPagesDataSource, write_pages,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    records = [
+        {"_id": r["event_id"],
+         "DATETIME": r["ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+         "GENERATION": r["value"]}
+        for r in ev.select("event_id", "ts", "value").collect()
+    ]
+    pages_dir = tempfile.mkdtemp(prefix="keyset_pages_")
+    write_pages(records, pages_dir, page_size=100)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KeysetPagesDataSource)
+    df = (
+        spark.read.format("keyset_pages")
+        .schema("_id BIGINT, DATETIME STRING, GENERATION DOUBLE")
+        .option("path", pages_dir).load()
+    )
+    # the cursor predicate is absorbed by pushFilters — pages whose
+    # max _id is below the cursor are never opened
+    return df.filter(F.col("_id") > 400)
+
+
 # --- O1-O4/W2: top-k ---------------------------------------------------------
 
 @_q("topk_value", """

@@ -28,6 +28,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (sources/pyds.py absorbs the
+    # keyset cursor predicate to skip whole pages).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # The driver testdata parquet carries TIMESTAMP(NANOS) (written by
     # an Arrow-native writer); Spark has no nanos timestamp, so read
     # them as long and convert in io.load_table.
@@ -59,6 +62,7 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
     # getOrCreate may return a pre-existing session whose conf differs;
     # re-assert the semantic knobs that are runtime-settable.
     for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
-              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"):
+              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+              "spark.sql.python.filterPushdown.enabled"):
         spark.conf.set(k, ENGINE_CONF[k])
     return spark

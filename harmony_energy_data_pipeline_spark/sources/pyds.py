@@ -1,0 +1,152 @@
+"""Spark 4 Python DataSource for the keyset-paginated source (S1/T1
+done natively: /root/reference/src/ingest/fetch_neso.py:42-97 pulls
+pages with ``WHERE _id > last ORDER BY _id LIMIT n``; here the same
+cursor predicate is pushed INTO a custom source instead of a
+driver-side loop).
+
+Pages live as JSONL files named ``page_<min_id>_<max_id>.jsonl`` (the
+name carries the keyset stats, like parquet footer min/max). The batch
+reader implements ``pushFilters`` so ``df.filter(_id > cursor)``
+physically skips whole page files; the stream reader exposes the same
+directory as an incremental source with file-index offsets — the
+reference's resume-cursor pattern with Spark-managed checkpoints.
+
+Usage:
+    spark.dataSource.register(KeysetPagesDataSource)
+    spark.read.format("keyset_pages").schema(ddl).option("path", d).load()
+    spark.readStream.format("keyset_pages").schema(ddl).option("path", d).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = "_id BIGINT, DATETIME STRING, GENERATION DOUBLE, WIND DOUBLE"
+
+
+def write_pages(records: list[dict], out_dir: str, page_size: int = 1000) -> list[str]:
+    """Test/simulator helper: write records (sorted by _id) as keyset
+    page files with min/max ids in the filename."""
+    os.makedirs(out_dir, exist_ok=True)
+    records = sorted(records, key=lambda r: r["_id"])
+    paths = []
+    for i in range(0, len(records), page_size):
+        page = records[i:i + page_size]
+        name = f"page_{page[0]['_id']}_{page[-1]['_id']}.jsonl"
+        p = os.path.join(out_dir, name)
+        with open(p, "w") as fh:
+            for r in page:
+                fh.write(json.dumps(r) + "\n")
+        paths.append(p)
+    return paths
+
+
+def _page_files(path: str) -> list[tuple[str, int, int]]:
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("page_") and name.endswith(".jsonl"):
+            _, lo, hi = name[:-6].split("_")
+            out.append((os.path.join(path, name), int(lo), int(hi)))
+    return out
+
+
+@dataclass
+class PagePartition(InputPartition):
+    file: str
+
+
+class KeysetPagesReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+        self.cursor: int | None = None  # exclusive lower bound on _id
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, GreaterThan) and f.attribute == ("_id",):
+                self.cursor = max(self.cursor or f.value, f.value)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("_id",):
+                self.cursor = max(self.cursor or f.value - 1, f.value - 1)
+            else:
+                yield f  # not ours — Spark evaluates it post-scan
+
+    def partitions(self):
+        parts = []
+        for file, _lo, hi in _page_files(self.path):
+            if self.cursor is not None and hi <= self.cursor:
+                continue  # whole page below the cursor: never opened
+            parts.append(PagePartition(file))
+        return parts
+
+    def read(self, partition: PagePartition):
+        with open(partition.file) as fh:
+            for line in fh:
+                row = json.loads(line)
+                if self.cursor is not None and row.get("_id", 0) <= self.cursor:
+                    continue
+                yield tuple(row.get(c) for c in self.fields)
+
+
+class KeysetPagesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental variant: offset = number of page files consumed.
+    New page files arriving in the directory become the next batch."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def _rows(self, files):
+        # materialized list, not a generator: the harness pickles the
+        # prefetched batch for replay between offsets
+        out = []
+        for file, _lo, _hi in files:
+            with open(file) as fh:
+                for line in fh:
+                    row = json.loads(line)
+                    out.append(tuple(row.get(c) for c in self.fields))
+        return out
+
+    def read(self, start: dict):
+        files = _page_files(self.path)
+        i = start["index"]
+        return self._rows(files[i:]), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _page_files(self.path)
+        return self._rows(files[start["index"]:end["index"]])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positional; nothing to clean up
+
+
+class KeysetPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "keyset_pages"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> KeysetPagesReader:
+        return KeysetPagesReader(self.options["path"], schema)
+
+    def simpleStreamReader(self, schema: StructType) -> KeysetPagesStreamReader:
+        return KeysetPagesStreamReader(self.options["path"], schema)
+
+
+__all__ = ["KeysetPagesDataSource", "KeysetPagesReader", "write_pages"]

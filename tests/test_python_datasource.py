@@ -1,0 +1,71 @@
+"""Spark 4 Python DataSource: keyset pages with cursor pushdown
+(batch) and incremental file-index offsets (streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThan
+from pyspark.sql.types import StructType
+
+from harmony_energy_data_pipeline_spark.sources.pyds import (
+    KeysetPagesDataSource,
+    KeysetPagesReader,
+    write_pages,
+)
+
+DDL = "_id BIGINT, DATETIME STRING, GENERATION DOUBLE"
+
+
+def _records(n=500):
+    return [
+        {"_id": i, "DATETIME": f"2024-01-01T{i % 24:02d}:00:00", "GENERATION": float(i)}
+        for i in range(1, n + 1)
+    ]
+
+
+def test_batch_read_and_cursor_pushdown(spark, tmp_path):
+    d = str(tmp_path / "pages")
+    write_pages(_records(500), d, page_size=100)  # 5 pages
+    spark.dataSource.register(KeysetPagesDataSource)
+    df = (
+        spark.read.format("keyset_pages").schema(DDL).option("path", d).load()
+    )
+    assert df.count() == 500
+    after = df.filter(F.col("_id") > 250)
+    assert after.count() == 250
+    assert after.agg(F.min("_id")).first()[0] == 251
+
+
+def test_pushdown_skips_whole_pages(spark, tmp_path):
+    d = str(tmp_path / "pages")
+    write_pages(_records(500), d, page_size=100)
+    schema = spark.createDataFrame([], DDL).schema
+    rdr = KeysetPagesReader(d, schema)
+    remaining = list(rdr.pushFilters([GreaterThan(("_id",), 250)]))
+    assert remaining == []          # the cursor filter is fully absorbed
+    parts = rdr.partitions()
+    assert len(parts) == 3          # pages 1-100 and 101-200 never opened
+
+
+def test_stream_read_incremental(spark, tmp_path):
+    d = str(tmp_path / "pages")
+    write_pages(_records(300), d, page_size=100)
+    spark.dataSource.register(KeysetPagesDataSource)
+    stream = (
+        spark.readStream.format("keyset_pages").schema(DDL).option("path", d).load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("keyset_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("keyset_stream").count() == 300
+    # late-arriving page becomes the next micro-batch on restart
+    write_pages([{"_id": i, "DATETIME": "2024-01-02T00:00:00", "GENERATION": 1.0}
+                 for i in range(301, 401)], d, page_size=100)
+    q2 = (
+        stream.writeStream.format("memory").queryName("keyset_stream2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("keyset_stream2").count() == 400
