@@ -1124,6 +1124,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(media, "doc_id", "payload")
 
 
+@_q("winnowing_fingerprints")
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling-hash local fingerprints (no SQL oracle: sequential
+    # Rabin-Karp recurrence; overlap properties tested in pytest)
+    docs = load_table(spark, "documents", sf_dir)
+    return text.winnowing_fingerprints(docs, "doc_id", "text")
+
+
+@_q("multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators import multimodal
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = multimodal.resize_images(media, "doc_id", "payload", width=16, height=16)
+    return out.select("id", "width", "height", F.length("resized").alias("n_bytes"))
+
+
 @_q("multimodal_frames")
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.operators import multimodal

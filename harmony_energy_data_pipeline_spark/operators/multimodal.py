@@ -97,6 +97,40 @@ def decode_features(
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(run, _DECODED_FIELDS)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    width: int = 64,
+    height: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Image-resize stub: emits (id, width, height, resized binary).
+    The real decoder+resampler (PIL) is unavailable in this container;
+    the fake truncates/pads the payload to width*height bytes so the
+    batch shapes, schema, and byte-budget semantics are exercised."""
+    n_bytes = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("image codecs not available in this container")
+        for pdf in batches:
+            payloads = pdf[media_col]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "width": pd.array([width] * len(pdf), dtype="int32"),
+                "height": pd.array([height] * len(pdf), dtype="int32"),
+                "resized": payloads.map(
+                    lambda b: bytes(b[:n_bytes]).ljust(n_bytes, b"\0")
+                    if b is not None else None
+                ),
+            })
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        run, "id long, width int, height int, resized binary"
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,
@@ -130,5 +164,5 @@ def sample_frames(
 
 __all__ = [
     "MEDIA_META_SCHEMA", "FEATURE_DIM", "attach_media_meta",
-    "decode_features", "sample_frames",
+    "decode_features", "resize_images", "sample_frames",
 ]

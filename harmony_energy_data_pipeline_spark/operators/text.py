@@ -10,6 +10,9 @@ deliberately arithmetic: token filters + ratios, no model inference.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +107,68 @@ def fingerprint(text_col: Column | str) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling Rabin-Karp hashes over character k-grams of
+    the normalized text; from every ``window`` consecutive hashes keep
+    the minimum (rightmost on ties). Output: (id, fingerprint) pairs —
+    the selected hash set is a position-robust local signature (shared
+    fingerprints locate copied PASSAGES, where whole-document digests
+    only catch exact dupes).
+
+    Arrow-batched pandas UDF: the rolling hash is a per-row sequential
+    recurrence, exactly the case where vectorized Python beats
+    interpreted expression trees. Map-side until the final explode.
+    """
+    import re
+
+    norm_re = re.compile(r"[^a-z0-9]+")
+    B, M = 257, (1 << 61) - 1
+
+    @F.pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            s = norm_re.sub(" ", txt.lower()).strip()
+            n = len(s)
+            if n < k:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            # rolling Rabin-Karp over k-grams
+            h = 0
+            top = pow(B, k - 1, M)
+            hashes = np.empty(n - k + 1, dtype=np.int64)
+            for i, ch in enumerate(s):
+                h = (h * B + ord(ch)) % M
+                if i >= k - 1:
+                    hashes[i - k + 1] = h
+                    h = (h - ord(s[i - k + 1]) * top) % M
+            if len(hashes) <= window:
+                out.append(np.unique(hashes.min(keepdims=True)))
+                continue
+            # winnowing: min of each window, rightmost on ties
+            sel = set()
+            for w0 in range(len(hashes) - window + 1):
+                w = hashes[w0:w0 + window]
+                sel.add(int(w[::-1].argmin() * -1 + window - 1 + w0))
+            out.append(np.unique(hashes[sorted(sel)]))
+        return pd.Series(out)
+
+    return (
+        df.select(F.col(id_col), _fps(F.col(text_col)).alias("__fps"))
+        .select(F.col(id_col), F.explode("__fps").alias("fingerprint"))
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document stats projection (expression form — each
     stat recomputes the token array; fine for a few stats, see
@@ -196,5 +261,5 @@ def text_stats_full(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 __all__ = [
     "STOPWORDS", "token_count", "bpe_ish_token_count", "stopword_hits",
     "detect_language", "punct_ratio", "mean_word_length", "quality_score",
-    "fingerprint", "text_stats",
+    "fingerprint", "text_stats", "text_stats_full", "winnowing_fingerprints",
 ]

@@ -53,3 +53,36 @@ def test_sample_frames_fanout(spark):
     assert {r["id"]: r["count"] for r in got} == want
     row = frames.filter("id = 0 AND frame_idx = 0").first()
     assert row["frame_bytes"] == bytes(range(0, 64))
+
+
+def test_winnowing_fingerprints_local_overlap(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import winnowing_fingerprints
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> identical fingerprint set
+            (3, "completely different content about spark shuffles " + base),  # shares a passage
+            (4, "zzz qqq xxx unrelated nonsense tokens entirely elsewhere"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] & by_doc[3], "shared passage must share fingerprints"
+    assert not (by_doc[1] & by_doc[4]), "unrelated docs must not collide"
+
+
+def test_resize_images_shapes(spark):
+    from harmony_energy_data_pipeline_spark.operators.multimodal import resize_images
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 10000)], "doc_id long, text string"
+    )
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = resize_images(media, "doc_id", "payload", width=16, height=16).collect()
+    assert all(len(r["resized"]) == 256 for r in out)
+    assert {(r["width"], r["height"]) for r in out} == {(16, 16)}
