@@ -1029,6 +1029,22 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A: exact percentiles per group ----------------------------------------------
+
+@_q("value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""")
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
 # --- A5: quality-summary frame ---------------------------------------------------
 
 @_q("quality_summary", f"""

@@ -11,6 +11,8 @@ directories before any IO happens.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,4 +57,41 @@ def overwrite_partitions_dynamic(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-__all__ = ["with_date_partition", "write_partitioned", "overwrite_partitions_dynamic"]
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_mb: int = 128,
+) -> None:
+    """Rewrite a partitioned table with right-sized files.
+
+    Incremental merges leave many small files per partition (each
+    micro-batch writes its own); small files kill scan throughput at
+    scale (per-file open cost, tiny row groups, no effective column
+    statistics). Repartition to ~``target_file_mb`` outputs per
+    partition-value using on-disk size, then dynamically overwrite.
+    The real-world cadence: compact daily partitions once the day is
+    closed.
+    """
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _dirs, files in os.walk(path)
+        for f in files if f.endswith(".parquet")
+    )
+    n_parts = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_parts, *partition_cols)
+            .write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+__all__ = [
+    "with_date_partition", "write_partitioned",
+    "overwrite_partitions_dynamic", "compact_partitions",
+]

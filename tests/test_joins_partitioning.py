@@ -126,3 +126,26 @@ def test_upsert_partitioned_touches_only_affected_days(spark, sf_dir, tmp_path):
         os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
     )
     assert after == before  # untouched partition files were not rewritten
+
+
+def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
+    import os
+    from harmony_energy_data_pipeline_spark.sinks.partitioned import compact_partitions
+
+    ev = with_date_partition(load_table(spark, "events", sf_dir), "ts")
+    path = str(tmp_path / "fragmented")
+    # simulate many incremental merges: 8 small appends
+    for i in range(8):
+        ev.filter(F.col("event_id") % 8 == i).write.mode("append").partitionBy(
+            "dt"
+        ).parquet(path)
+
+    def n_files():
+        return sum(
+            1 for dp, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+
+    before, n_rows = n_files(), spark.read.parquet(path).count()
+    compact_partitions(spark, path, ["dt"], target_file_mb=128)
+    assert n_files() < before
+    assert spark.read.parquet(path).count() == n_rows

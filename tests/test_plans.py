@@ -53,3 +53,16 @@ def test_whole_stage_codegen_covers_projection(spark, sf_dir):
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net")
     )
     assert in_wholestage_codegen(proj, "Project")
+
+
+def test_no_unplanned_cartesian_products(spark, sf_dir):
+    """Sweep every driver-contract query: the physical plan must never
+    contain a non-broadcast CartesianProduct (all-pairs shuffles are
+    the classic 100 TB killer; intended cross joins are broadcast
+    nested loops over a small side)."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
