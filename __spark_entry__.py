@@ -1140,6 +1140,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(media, "doc_id", "payload")
 
 
+# --- A: approximate distinct (HLL sketch; no SQL oracle — sketch internals
+#     differ across engines; relative-error bound asserted in pytest) -----------
+
+@_q("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 @_q("winnowing_fingerprints")
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rolling-hash local fingerprints (no SQL oracle: sequential

@@ -73,3 +73,21 @@ def test_text_stats_full_matches_expression_form(spark, sf_dir):
     got = sorted(tuple(r[c] for c in cols) for r in fast.select(cols).collect())
     want = sorted(tuple(r[c] for c in cols) for r in slow.select(cols).collect())
     assert got == want
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    ev = load_table(spark, "embeddings", sf_dir)  # any keyed table works
+    from harmony_energy_data_pipeline_spark.io import load_table as lt
+    events = lt(spark, "events", sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in events.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.1, (k, approx[k], n)
