@@ -1029,6 +1029,41 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session windows (batch): gap-based sessionization ---------------------------
+
+@_q("session_agg", """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM sess GROUP BY user_id, sid
+""")
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("__s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("__s.start").alias("session_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 # --- A: exact percentiles per group ----------------------------------------------
 
 @_q("value_percentiles", """
