@@ -11,6 +11,9 @@ from harmony_energy_data_pipeline_spark.operators import (  # noqa: F401
     analytics,
     cleaning,
     dedup,
+    joins,
+    multimodal,
     similarity,
+    temporal,
     text,
 )
