@@ -856,6 +856,47 @@ def q_downsample_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4: conditional aggregation (TPC-H Q12 shape) ------------------------------
+
+@_q("conditional_agg_orders", """
+SELECT o_orderstatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+FROM orders GROUP BY o_orderstatus
+""")
+def q_conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_priority"),
+    )
+
+
+# --- M4: scalar-subquery shape (promo-revenue-% style, TPC-H Q14 flavor) --------
+
+@_q("above_avg_customers", """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_bal
+  FROM customer
+)
+SELECT c_custkey, c_acctbal FROM customer, stats WHERE c_acctbal > avg_bal
+""")
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    # deterministic fixed-point mean, broadcast as a 1-row frame (the
+    # scalar-subquery plan shape: aggregate once, stream the big side)
+    stats = c.agg(
+        (F.sum(_cents("c_acctbal")).cast("double")
+         / (F.lit(100.0) * F.count("*"))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
 # --- M4: cube grouping sets ----------------------------------------------------
 
 @_q("cube_orders", """
