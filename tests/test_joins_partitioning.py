@@ -149,3 +149,30 @@ def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
     compact_partitions(spark, path, ["dt"], target_file_mb=128)
     assert n_files() < before
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from harmony_energy_data_pipeline_spark.plans.inspect import shuffle_count
+    from harmony_energy_data_pipeline_spark.sinks.bucketed import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    od = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed_table(li, "li_b", "l_orderkey", 8, path=str(tmp_path / "li"))
+    write_bucketed_table(od, "od_b", "l_orderkey", 8, path=str(tmp_path / "od"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = bucketed_join(spark, "li_b", "od_b", "l_orderkey")
+        assert shuffle_count(joined) == 0, "co-bucketed join must not exchange"
+        plain = li.join(od, "l_orderkey")
+        assert shuffle_count(plain) >= 1  # the layout is what removed them
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
