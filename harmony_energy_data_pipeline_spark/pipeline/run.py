@@ -17,10 +17,13 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.logging_utils import get_logger, timed_stage
 from harmony_energy_data_pipeline_spark.operators.cleaning import transform_generation
 from harmony_energy_data_pipeline_spark.schemas import GENERATION_RAW_SCHEMA
 from harmony_energy_data_pipeline_spark.sinks.upsert import RunHistory, upsert_parquet
 from harmony_energy_data_pipeline_spark.sources.keyset import paginate, records_to_df
+
+logger = get_logger(__name__)
 
 
 def run_pipeline(
@@ -49,15 +52,18 @@ def run_pipeline(
             last_id = int(row["m"] or 0)
 
         # 2. Keyset fetch loop (driver-side, fetch_neso.py:42-97).
-        records = paginate(fetch_page, last_id=last_id,
-                           batch_size=batch_size, max_records=max_records)
+        with timed_stage(logger, "fetch", last_id=last_id):
+            records = paginate(fetch_page, last_id=last_id,
+                               batch_size=batch_size, max_records=max_records)
         metrics["total_fetched"] = len(records)
         if records:
-            # 3. Transform: one lazy plan (transform.py:14-88).
-            raw = records_to_df(spark, records, GENERATION_RAW_SCHEMA)
-            clean = transform_generation(raw)
-            # 4. Idempotent merge into the sink (load.py:14-51).
-            upsert_parquet(spark, clean, table_path, key="_id")
+            # 3+4. Transform (one lazy plan, transform.py:14-88) and
+            # idempotent merge (load.py:14-51) — one job, timed like
+            # the reference's transform wall-clock line.
+            with timed_stage(logger, "transform+load", n_records=len(records)):
+                raw = records_to_df(spark, records, GENERATION_RAW_SCHEMA)
+                clean = transform_generation(raw)
+                upsert_parquet(spark, clean, table_path, key="_id")
             metrics["valid_records"] = spark.read.parquet(table_path).filter(
                 F.col("_id") > last_id).count()
             metrics["last_fetched_id"] = int(records[-1]["_id"])
