@@ -730,6 +730,65 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
 
 
+# --- M5: char-n-gram Jaccard (the char-level near-dup variant) --------------------
+
+@_q("char_jaccard_pairs", f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) >= 5
+         THEN list_distinct(list_transform(range(1, length(norm)-3),
+              i -> substring(norm, i, 5)))
+         ELSE [norm] END AS s
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
+""")
+def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.functions.textx import char_ngrams, jaccard
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    sh = docs.select("doc_id", char_ngrams("text", 5).alias("__sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jaccard("__sa", "__sb"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+# --- F: typed JSON struct parse ---------------------------------------------------
+
+@_q("parse_props_typed", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+FROM events
+""")
+def q_parse_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.functions.jsonx import parse_props
+    ev = load_table(spark, "events", sf_dir)
+    parsed = parse_props(ev, "props", "k INT")
+    return parsed.select(
+        "event_id",
+        F.col("props_parsed.k").alias("k"),
+        (F.col("props_parsed.k") % 10).alias("k_mod"),
+    )
+
+
 # --- M5: MinHash-LSH near-dedup (no SQL oracle: hash-family specific; verified in
 #     tests against exact Jaccard) ---------------------------------------------------------
 
