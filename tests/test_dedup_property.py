@@ -52,3 +52,39 @@ def test_two_phase_dedup_matches_model(spark, rows):
         for r in dedup_two_phase(df, id_col="_id", time_col="ts").collect()
     )
     assert got == _model(rows)
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10)),  # (key, ts)
+    min_size=1, max_size=15,
+)
+asof_right = st.dictionaries(
+    st.tuples(st.integers(0, 3), st.integers(0, 10)),  # (key, ts) unique
+    st.integers(0, 100),                               # payload
+    min_size=0, max_size=15,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_left, asof_right)
+def test_asof_join_matches_model(spark, left_rows, right_map):
+    from harmony_energy_data_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k long, ts long, lid long"
+    )
+    right_rows = [(k, t, v) for (k, t), v in right_map.items()]
+    right = spark.createDataFrame(right_rows or [(99, 99, 0)], "k long, ts long, v long")
+    if not right_rows:
+        right = right.filter("k < 0")
+
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, on="k", how="left").collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt), v in right_map.items() if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
