@@ -1180,6 +1180,16 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouped model fit via applyInPandas (no SQL oracle: float summation
+#     order differs across engines; checked against numpy in pytest) --------------
+
+@_q("grouped_trend")
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.analytics import grouped_trend
+    ev = load_table(spark, "events", sf_dir)
+    return grouped_trend(ev, "user_id", "ts", "value")
+
+
 # --- A5: quality-summary frame ---------------------------------------------------
 
 @_q("quality_summary", f"""

@@ -145,3 +145,45 @@ __all__ = [
     "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
     "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
 ]
+
+
+def grouped_trend(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key OLS trend fit (slope per hour, intercept, n) via
+    ``applyInPandas`` — the grouped-batch pattern for per-entity model
+    fits that no built-in aggregate expresses.
+
+    Scale shape: one shuffle on the key; each group arrives as a
+    single pandas frame, so the per-key cardinality must fit an
+    executor (true for per-user event streams; for giant keys,
+    pre-aggregate to per-interval sufficient statistics first).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{key} long, slope_per_hour double, intercept double, n long"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[time_col].astype("int64").to_numpy() / 1e9 / 3600.0  # hours
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        if n < 2 or np.ptp(x) == 0:
+            slope, intercept = 0.0, float(y.mean()) if n else 0.0
+        else:
+            x0 = x - x.mean()
+            slope = float((x0 @ (y - y.mean())) / (x0 @ x0))
+            intercept = float(y.mean() - slope * x.mean())
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]],
+            "slope_per_hour": [slope],
+            "intercept": [intercept],
+            "n": [n],
+        })
+
+    return df.select(key, time_col, value_col).groupBy(key).applyInPandas(fit, out_schema)

@@ -91,3 +91,23 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.1, (k, approx[k], n)
+
+
+def test_grouped_trend_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from harmony_energy_data_pipeline_spark.operators.analytics import grouped_trend
+
+    ev = load_table(spark, "events", sf_dir)
+    got = {
+        r["user_id"]: (r["slope_per_hour"], r["n"])
+        for r in grouped_trend(ev, "user_id", "ts", "value").collect()
+    }
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        x = grp["ts"].astype("int64").to_numpy() / 1e9 / 3600.0
+        y = grp["value"].to_numpy(dtype="float64")
+        x0 = x - x.mean()
+        want = float((x0 @ (y - y.mean())) / (x0 @ x0))
+        slope, n = got[uid]
+        assert n == len(grp)
+        assert abs(slope - want) < 1e-9
