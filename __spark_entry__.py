@@ -895,6 +895,95 @@ def q_align_parse_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.parse_and_cast(aligned, "DATETIME", ["VALUE_CENTS", "MISSING_MEASURE"])
 
 
+# --- FLAGSHIP PARITY: the full reference transform chain as one query ----------
+# align → lenient parse/cast → %-repair → null handling → two-phase dedup
+# (transform.py:14-233 end-to-end), DuckDB-oracled on constructed dirty input.
+
+def _transform_chain_oracle() -> str:
+    from harmony_energy_data_pipeline_spark.schemas import MEASURE_COLS
+    zero_cols = ",\n       ".join(
+        f"CAST(0.0 AS DOUBLE) AS {c}"
+        for c in MEASURE_COLS if c not in ("GENERATION", "WIND", "WIND_perc")
+    )
+    return f"""
+WITH raw AS (
+  SELECT event_id AS _id,
+         CASE WHEN event_id % 19 = 0 THEN 'garbage'
+              ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS DATETIME,
+         CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS GENERATION,
+         CAST(CAST(round(value*10) AS BIGINT) AS VARCHAR) AS WIND,
+         '50' AS WIND_perc
+  FROM events
+  UNION ALL
+  SELECT event_id,
+         strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S'),
+         CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(value*20) AS BIGINT) AS VARCHAR), '50'
+  FROM events WHERE event_id % 11 = 0
+),
+parsed AS (
+  SELECT _id,
+         try_strptime(DATETIME, '%Y-%m-%dT%H:%M:%S') AS DATETIME,
+         TRY_CAST(GENERATION AS DOUBLE) AS GENERATION,
+         TRY_CAST(WIND AS DOUBLE) AS WIND,
+         TRY_CAST(WIND_perc AS DOUBLE) AS WIND_perc
+  FROM raw
+),
+repaired AS (
+  SELECT _id, DATETIME, GENERATION, WIND,
+         CASE WHEN abs(WIND / GENERATION * 100 - WIND_perc) > 1.0
+              THEN WIND / GENERATION * 100 ELSE WIND_perc END AS WIND_perc
+  FROM parsed
+),
+filled AS (
+  SELECT _id, DATETIME,
+         COALESCE(GENERATION, 0.0) AS GENERATION,
+         COALESCE(WIND, 0.0) AS WIND,
+         COALESCE(WIND_perc, 0.0) AS WIND_perc
+  FROM repaired
+  WHERE _id IS NOT NULL AND DATETIME IS NOT NULL
+),
+p1 AS (
+  SELECT _id, DATETIME, GENERATION, WIND, WIND_perc FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY DATETIME DESC) AS rn
+    FROM filled
+  ) WHERE rn = 1
+),
+p2 AS (
+  SELECT _id, DATETIME, GENERATION, WIND, WIND_perc FROM (
+    SELECT *, row_number() OVER (PARTITION BY DATETIME ORDER BY _id DESC) AS rn
+    FROM p1
+  ) WHERE rn = 1
+)
+SELECT _id, DATETIME, GENERATION, WIND, WIND_perc,
+       {zero_cols}
+FROM p2
+"""
+
+
+@_q("transform_chain", _transform_chain_oracle())
+def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.cleaning import transform_generation
+    ev = load_table(spark, "events", sf_dir)
+
+    def raw_rows(df, dt_shift, wind_scale):
+        dt = F.col("ts") + F.expr(f"INTERVAL {dt_shift} HOUR") if dt_shift else F.col("ts")
+        return df.select(
+            F.col("event_id").alias("_id"),
+            F.when((F.col("event_id") % 19 == 0) & F.lit(dt_shift == 0), F.lit("garbage"))
+            .otherwise(F.date_format(dt, "yyyy-MM-dd'T'HH:mm:ss")).alias("DATETIME"),
+            F.round(F.col("value") * 100).cast("long").cast("string").alias("GENERATION"),
+            F.round(F.col("value") * wind_scale).cast("long").cast("string").alias("WIND"),
+            F.lit("50").alias("WIND_perc"),
+            F.lit("dropme").alias("JUNK"),  # align_schema must drop this
+        )
+
+    raw = raw_rows(ev, 0, 10).unionByName(
+        raw_rows(ev.filter(F.col("event_id") % 11 == 0), 1, 20)
+    )
+    return transform_generation(raw)
+
+
 # --- A1: temporal downsample, calendar year -----------------------------------
 
 @_q("downsample_year", """
