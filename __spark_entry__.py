@@ -186,7 +186,6 @@ FROM lineitem
 """)
 def q_repair_percentages(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    reported = (F.col("l_tax") * F.lit(1000)).alias("rep")
     return li.select(
         "l_orderkey", "l_linenumber",
         repaired_perc(

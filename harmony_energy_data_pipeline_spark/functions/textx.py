@@ -68,6 +68,9 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     def _hashes(tok_ser: pd.Series) -> pd.Series:
         out = []
         for toks in tok_ser:
+            if toks is None:  # NULL text -> NULL token array -> empty set
+                out.append(np.array([], dtype=np.int64))
+                continue
             toks = list(toks)
             if len(toks) >= n:
                 sset = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}

@@ -144,6 +144,7 @@ def max_version(df: DataFrame, col: str = "_id"):
 __all__ = [
     "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
     "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
+    "grouped_trend",
 ]
 
 
@@ -165,8 +166,9 @@ def grouped_trend(
     import numpy as np
     import pandas as pd
 
+    key_type = df.schema[key].dataType.simpleString()  # not hardcoded: any key type
     out_schema = (
-        f"{key} long, slope_per_hour double, intercept double, n long"
+        f"{key} {key_type}, slope_per_hour double, intercept double, n long"
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -103,6 +103,9 @@ def minhash_signature(
     def _sig(hashes: pd.Series) -> pd.Series:
         out = []
         for h in hashes:
+            if h is None:
+                out.append(np.full(num_hashes, _MERSENNE_P, dtype=np.int64))
+                continue
             h = np.asarray(h, dtype=np.int64) % _MERSENNE_P  # fold into [0, p)
             if h.size == 0:
                 out.append(np.full(num_hashes, _MERSENNE_P, dtype=np.int64))
@@ -282,6 +285,9 @@ def simhash64(text_col: Column | str, nbits: int = 64) -> Column:
     def _sim(hashes: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
         for i, h in enumerate(hashes):
+            if h is None:
+                out[i] = 0
+                continue
             h = np.asarray(h, dtype=np.int64).astype(np.uint64)
             if h.size == 0:
                 out[i] = 0
@@ -311,6 +317,9 @@ def simhash_near_pairs(
     exact popcount on XOR.
     """
     assert 64 % blocks == 0
+    # pigeonhole bound: with `blocks` blocks, a pair within Hamming
+    # distance d is only guaranteed to agree on >=1 block when d < blocks
+    assert max_hamming < blocks, "max_hamming must be < blocks (pigeonhole)"
     width = 64 // blocks
     sigs = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
     banded = sigs.select(

@@ -56,10 +56,18 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
+    """Number of shuffle-exchange operators in the physical plan.
+
+    Counts every ``Exchange`` node regardless of tree-branch prefix
+    (``:  +- Exchange …`` lines included); broadcast and reused
+    exchanges are not shuffles and are excluded.
+    """
+    import re
+
     plan = physical_plan(df)
     return sum(
         1 for line in plan.splitlines()
-        if line.strip().startswith(("Exchange", "+- Exchange"))
-        or "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+        if re.search(r"\bExchange\b", line)
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )

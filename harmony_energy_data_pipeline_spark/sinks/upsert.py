@@ -52,9 +52,20 @@ def merge_upsert(
     of ``source``. Column-complete overwrite — every non-key column of
     a matched row comes from the source (the reference's
     ``excluded.<col>`` map, load.py:30-35).
+
+    Contract: ``source`` must be unique per ``key`` — both source rows
+    would survive otherwise. Callers that cannot guarantee it dedup
+    first (the pipeline runs two-phase dedup; the streaming sink drops
+    in-batch duplicates).
     """
     src = source
-    if broadcast_source is None or broadcast_source:
+    if broadcast_source is None:
+        # Auto mode: probe the source size with a bounded count (the
+        # limit caps the probe's work) instead of force-broadcasting a
+        # possibly huge backfill batch.
+        probe = source.select(key).limit(BROADCAST_SOURCE_MAX_ROWS + 1).count()
+        broadcast_source = probe <= BROADCAST_SOURCE_MAX_ROWS
+    if broadcast_source:
         # Anti-join keys only need the key column; broadcast a pruned
         # single-column frame, not the whole source.
         keys = F.broadcast(source.select(key).distinct())

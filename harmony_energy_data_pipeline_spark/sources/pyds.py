@@ -55,10 +55,16 @@ def write_pages(records: list[dict], out_dir: str, page_size: int = 1000) -> lis
 
 def _page_files(path: str) -> list[tuple[str, int, int]]:
     out = []
-    for name in sorted(os.listdir(path)):
+    for name in os.listdir(path):
         if name.startswith("page_") and name.endswith(".jsonl"):
             _, lo, hi = name[:-6].split("_")
             out.append((os.path.join(path, name), int(lo), int(hi)))
+    # NUMERIC order by id range, not filename: lexicographic sort puts
+    # page_1001_1100 before page_101_200, which would make the stream
+    # reader's positional offsets re-emit consumed pages and skip new
+    # ones once ids cross a digit-length boundary. Keyset pages arrive
+    # with monotonically increasing ids, so numeric order is stable.
+    out.sort(key=lambda t: (t[1], t[2]))
     return out
 
 
@@ -74,11 +80,16 @@ class KeysetPagesReader(DataSourceReader):
         self.cursor: int | None = None  # exclusive lower bound on _id
 
     def pushFilters(self, filters):
+        def tighten(bound: int) -> None:
+            # `or` would treat a legitimate cursor of 0 as unset and
+            # let a weaker filter regress the bound
+            self.cursor = bound if self.cursor is None else max(self.cursor, bound)
+
         for f in filters:
             if isinstance(f, GreaterThan) and f.attribute == ("_id",):
-                self.cursor = max(self.cursor or f.value, f.value)
+                tighten(f.value)
             elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("_id",):
-                self.cursor = max(self.cursor or f.value - 1, f.value - 1)
+                tighten(f.value - 1)
             else:
                 yield f  # not ours — Spark evaluates it post-scan
 

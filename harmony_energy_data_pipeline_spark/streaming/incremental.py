@@ -112,7 +112,7 @@ def stateful_running_total(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType([
-        T.StructField(key, T.LongType()),
+        T.StructField(key, stream.schema[key].dataType),  # match the input key type
         T.StructField("n_events", T.LongType()),
         T.StructField("total", T.DoubleType()),
     ])
@@ -152,7 +152,11 @@ def start_merge_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_parquet(spark, batch_df, table_path, key=key)
+        # merge_upsert requires key-unique sources; a micro-batch can
+        # legitimately carry the same key twice (e.g. rapid revisions),
+        # and batches are unordered, so any-row-wins is the honest
+        # Spark semantic for the in-batch collision
+        upsert_parquet(spark, batch_df.dropDuplicates([key]), table_path, key=key)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -71,3 +71,20 @@ def test_exact_dedup_normalization(spark):
     )
     kept = dedup.exact_dedup(docs, "doc_id", "text", normalize=True)
     assert {r["doc_id"] for r in kept.collect()} == {1, 3}  # keeps min id
+
+
+def test_null_text_rows_survive(spark):
+    """NULL documents must not crash the near-dup jobs (they carry no
+    shingles, so they never pair)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, None),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_candidate_pairs(docs, "doc_id", "text")
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 3)}
+    sims = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    assert {(r["id_a"], r["id_b"]) for r in sims.collect()} == {(1, 3)}
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in jac.collect()} == {(1, 3)}

@@ -69,3 +69,26 @@ def test_stream_read_incremental(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.table("keyset_stream2").count() == 400
+
+
+def test_page_order_numeric_across_digit_boundary(tmp_path):
+    """Lexicographic file order would put page_1001_1100 before
+    page_101_200 and corrupt positional stream offsets."""
+    from harmony_energy_data_pipeline_spark.sources.pyds import _page_files
+    d = str(tmp_path / "pages")
+    write_pages(_records(1100), d, page_size=100)  # ids 1..1100 -> 11 pages
+    files = _page_files(d)
+    los = [lo for _f, lo, _hi in files]
+    assert los == sorted(los)
+    assert los[-1] == 1001  # the 4-digit page really is last
+
+
+def test_pushdown_cursor_zero_not_regressed(spark, tmp_path):
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    schema = spark.createDataFrame([], DDL).schema
+    d = str(tmp_path / "pages")
+    write_pages(_records(10), d, page_size=5)
+    rdr = KeysetPagesReader(d, schema)
+    list(rdr.pushFilters([GreaterThan(("_id",), 0)]))
+    list(rdr.pushFilters([GreaterThanOrEqual(("_id",), -4)]))
+    assert rdr.cursor == 0  # the weaker filter must not regress the bound
