@@ -1300,6 +1300,36 @@ def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.quality_summary(spark, n_raw, n_clean)
 
 
+# --- sampling: deterministic hash-keyed train/test split -------------------------
+
+@_q("train_test_split", """
+SELECT doc_id,
+       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""")
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import deterministic_split
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_split(docs, "doc_id", train_frac=0.8).select("doc_id", "split")
+
+
+@_q("stratified_cap", """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000)
+   OR (lang = 'de' AND CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 10000)
+""")
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        deterministic_stratified_cap,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    out = deterministic_stratified_cap(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0}
+    )
+    return out.select("doc_id", "lang")
+
+
 # --- M5: text quality scoring -----------------------------------------------------
 
 @_q("text_quality", f"""

@@ -1,0 +1,81 @@
+"""Sampling operators for training-data pipelines: deterministic
+hash-based splits and stratified samples.
+
+A train/test split at 100 TB must be (a) reproducible across runs and
+engines, (b) stable under re-partitioning and incremental appends —
+``rand()``-based splits are neither. The split here hashes the row KEY
+(md5 prefix vs a threshold), so a document keeps its assignment
+forever, new data distributes proportionally, and the exact same rule
+is expressible in any engine (it is this repo's DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_bucket(key_col: str | F.Column, n_buckets: int = 10_000) -> F.Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of the key.
+
+    Uses the first 8 hex chars (32 bits) — uniform, engine-portable
+    (``conv(substr(md5(x),1,8),16,10) % n``)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(n_buckets)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    train_frac: float = 0.8,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'test') keyed on the row id.
+    Same key ⇒ same split in every run, engine, and data epoch."""
+    threshold = int(train_frac * n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(key, n_buckets) < threshold, F.lit("train"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``): cap over-represented
+    strata (the classic language/source rebalance before training).
+    Seeded, but partition-order dependent — for run-stable sampling use
+    ``deterministic_split``-style bucket predicates per stratum."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def deterministic_stratified_cap(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Run-stable stratified downsample: keep a row iff its key bucket
+    falls under its stratum's fraction. Same guarantees as
+    ``deterministic_split`` — reproducible, append-stable, oracle-able."""
+    bucket = split_bucket(key, n_buckets)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == F.lit(stratum)) & (bucket < int(frac * n_buckets))
+        )
+    return df.filter(keep)
+
+
+__all__ = [
+    "split_bucket", "deterministic_split", "stratified_sample",
+    "deterministic_stratified_cap",
+]

@@ -111,3 +111,19 @@ def test_grouped_trend_matches_numpy(spark, sf_dir):
         slope, n = got[uid]
         assert n == len(grp)
         assert abs(slope - want) < 1e-9
+
+
+def test_deterministic_split_stable_and_proportional(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    s1 = {r["doc_id"]: r["split"] for r in
+          deterministic_split(docs, "doc_id", 0.8).select("doc_id", "split").collect()}
+    # assignment is a pure function of the key: same under repartition
+    s2 = {r["doc_id"]: r["split"] for r in
+          deterministic_split(docs.repartition(7), "doc_id", 0.8)
+          .select("doc_id", "split").collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.75 <= frac <= 0.85  # ~0.8 within sampling noise
