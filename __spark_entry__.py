@@ -1482,6 +1482,258 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("id", "frame_idx", F.length("frame_bytes").alias("n_bytes"))
 
 
+# --- M4 breadth: TPC-H Q5 (6-way join, regional revenue per nation) ----------
+# Reference has no joins (SURVEY.md §2.3); this proves broadcast-dim join
+# breadth on the driver corpus. nation/region/supplier are broadcast dims.
+
+@_q("tpch_q5", """
+SELECT n_name,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    # dims collapse right-to-left: region filters nation, nation tags supplier
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sn),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q14 (conditional share over a join; scalar result) ----
+
+@_q("tpch_q14", """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        ELSE 0 END) AS DOUBLE) * 100.0
+     / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+""")
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+    )
+    pt = load_table(spark, "part", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = ep * (F.lit(100) - disc)
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))).cast("double")
+                * F.lit(100.0)
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q18 (HAVING-filtered semi join, large orders top-k) ---
+
+@_q("tpch_q18", """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 25000
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""")
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 25000)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(_cents("l_quantity")).cast("double") / F.lit(100.0)).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# --- W breadth: ntile / rank / percent_rank / cume_dist over a total order ---
+
+@_q("window_rank_customers", """
+SELECT c_custkey, c_nationkey,
+  ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+  rank()         OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS rnk,
+  percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS pct_rank,
+  cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS cdist
+FROM customer
+""")
+def q_window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --- set operations: INTERSECT / EXCEPT (distinct set semantics) -------------
+
+@_q("set_ops_customers", """
+SELECT c_custkey, 'rich_with_orders' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'rich_no_orders' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders
+)
+""")
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    buyers = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = rich.intersect(buyers).withColumn("tag", F.lit("rich_with_orders"))
+    only = rich.subtract(buyers).withColumn("tag", F.lit("rich_no_orders"))
+    return both.unionByName(only)
+
+
+# --- R: pivot (long→wide — the inverse of R1's unpivot) ----------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@_q("pivot_event_values", """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE) / 100.0 AS click,
+  CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE) / 100.0 AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE) / 100.0 AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE) / 100.0 AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE) / 100.0 AS view
+FROM events GROUP BY user_id
+""")
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # explicit pivot values → no extra distinct-scan job, stable column order
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(_cents("value")))
+        .select(
+            "user_id",
+            *[(F.col(t).cast("double") / F.lit(100.0)).alias(t) for t in _EVENT_TYPES],
+        )
+    )
+
+
+# --- F: calendar extraction (year/quarter/month breakdown) -------------------
+
+@_q("revenue_by_quarter", """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+""")
+def q_revenue_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            (F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- F: string split + multi-agg (first token of p_type as a class) ----------
+
+@_q("part_class_stats", """
+SELECT split_part(p_type, ' ', 1) AS class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(p_retailprice)) AS avg_price,
+       MIN(p_size) AS min_size,
+       MAX(p_size) AS max_size
+FROM part GROUP BY 1
+""")
+def q_part_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, "part", sf_dir)
+    return (
+        pt.groupBy(
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("class")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            (
+                F.sum(_cents("p_retailprice")).cast("double")
+                / (F.lit(100.0) * F.count("p_retailprice"))
+            ).alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
