@@ -1734,6 +1734,64 @@ def q_part_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A breadth: argmax aggregate (max_by with a unique deterministic key) ----
+
+@_q("argmax_order_per_customer", """
+SELECT o_custkey,
+  arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*100000 + o_orderkey) AS best_orderkey,
+  CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_totalprice
+FROM orders GROUP BY o_custkey
+""")
+def q_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    # price ties broken by orderkey: the ordering key is unique, so
+    # arg_max/max_by agree across engines
+    ordkey = _cents("o_totalprice") * F.lit(100000) + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_orderkey"),
+        (F.max(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("max_totalprice"),
+    )
+
+
+# --- array breadth: posexplode + per-position aggregate (embedding centroid) --
+
+@_q("embedding_centroids", """
+SELECT label, pos,
+  CAST(SUM(CAST(round(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(v)) AS avg_v
+FROM (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+) GROUP BY label, pos
+""")
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    micros = F.round(F.col("v").cast("double") * F.lit(1000000.0)).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (F.sum(micros).cast("double") / (F.lit(1000000.0) * F.count("v"))).alias("avg_v")
+        )
+    )
+
+
+# --- F breadth: regexp extraction + conditional count ------------------------
+
+@_q("regexp_name_consistency", """
+SELECT c_nationkey, COUNT(*) AS n,
+  SUM(CASE WHEN CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey
+      THEN 1 ELSE 0 END) AS n_consistent
+FROM customer GROUP BY c_nationkey
+""")
+def q_regexp_name_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    num = F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1).cast("long")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(num == F.col("c_custkey"), 1).otherwise(0)).cast("long").alias("n_consistent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
