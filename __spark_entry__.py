@@ -1671,15 +1671,14 @@ FROM events GROUP BY user_id
 """)
 def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    # explicit pivot values → no extra distinct-scan job, stable column order
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.sum(_cents("value")))
-        .select(
-            "user_id",
-            *[(F.col(t).cast("double") / F.lit(100.0)).alias(t) for t in _EVENT_TYPES],
-        )
+    # single-shuffle conditional-agg rewrite: stock groupBy().pivot()
+    # would plan a second exchange for the pivotfirst collapse
+    wide = analytics.pivot_wide(
+        ev, "user_id", "event_type", _EVENT_TYPES, _cents("value")
+    )
+    return wide.select(
+        "user_id",
+        *[(F.col(t).cast("double") / F.lit(100.0)).alias(t) for t in _EVENT_TYPES],
     )
 
 

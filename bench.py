@@ -23,11 +23,14 @@ HEADLINE = [
     "merge_upsert",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q18",
     "brand_revenue",
     "region_revenue",
     "top3_orders_per_customer",
     "asof_join_rates",
+    "pivot_event_values",
     "text_stats",
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -104,6 +104,33 @@ def unpivot_long(
     )
 
 
+def pivot_wide(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    measure: Column,
+    agg=F.sum,
+) -> DataFrame:
+    """Long→wide pivot (inverse of :func:`unpivot_long`) as a single-shuffle
+    conditional aggregation.
+
+    Stock ``groupBy().pivot()`` plans TWO exchanges — one on
+    ``(group, pivot)`` for the inner aggregate and one on ``group`` for
+    the ``pivotfirst`` collapse. With an explicit ``values`` list the
+    equivalent ``agg(CASE WHEN pivot = v THEN measure END)`` form needs
+    only the ``group`` shuffle, with map-side partial aggregation — half
+    the shuffle volume at scale. Rows whose ``pivot_col`` is outside
+    ``values`` are ignored, matching explicit-values ``pivot()``.
+    """
+    return df.groupBy(group_col).agg(
+        *[
+            agg(F.when(F.col(pivot_col) == v, measure)).alias(v)
+            for v in values
+        ]
+    )
+
+
 def derived_carbon(
     df: DataFrame,
     time_col: str = "DATETIME",

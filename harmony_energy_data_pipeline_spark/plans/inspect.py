@@ -58,16 +58,17 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle-exchange operators in the physical plan.
 
-    Counts every ``Exchange`` node regardless of tree-branch prefix
-    (``:  +- Exchange …`` lines included); broadcast and reused
-    exchanges are not shuffles and are excluded.
+    Counts tree nodes ``Exchange (N)`` — the formatted explain repeats
+    every node in a details section (``(N) Exchange``), which must not
+    double-count. Broadcast and reused exchanges are not shuffles and
+    are excluded.
     """
     import re
 
     plan = physical_plan(df)
     return sum(
         1 for line in plan.splitlines()
-        if re.search(r"\bExchange\b", line)
+        if re.search(r"\bExchange \(\d+\)", line)
         and "BroadcastExchange" not in line
         and "ReusedExchange" not in line
     )

@@ -12,6 +12,7 @@ from harmony_energy_data_pipeline_spark.plans.inspect import (
     in_wholestage_codegen,
     physical_plan,
     read_schema_columns,
+    shuffle_count,
     uses_broadcast_join,
 )
 from harmony_energy_data_pipeline_spark.sources.keyset import incremental_scan
@@ -53,6 +54,24 @@ def test_whole_stage_codegen_covers_projection(spark, sf_dir):
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net")
     )
     assert in_wholestage_codegen(proj, "Project")
+
+
+def test_tpch_q5_broadcasts_dim_stack(spark, sf_dir):
+    """The supplier⟕nation⟕region dim stack must come in as a broadcast —
+    no shuffle of lineitem on s_suppkey at any scale."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q5"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_pivot_single_shuffle(spark, sf_dir):
+    """Pivot with explicit values compiles to one hash aggregate: exactly
+    one exchange (partial map-side agg, then the groupBy shuffle)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["pivot_event_values"](spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
 
 
 def test_no_unplanned_cartesian_products(spark, sf_dir):
