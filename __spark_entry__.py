@@ -1602,6 +1602,244 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4 breadth: TPC-H Q7 (bidirectional nation-pair trade volume by year) --
+# Dim stack (supplier⋈nation, customer⋈nation) broadcasts; only the
+# lineitem⋈orders spine shuffles, so the plan survives a 100× scale-up.
+
+@_q("tpch_q7", """
+SELECT supp_nation, cust_nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN (SELECT n_nationkey, n_name AS supp_nation FROM nation) n1 ON s.s_nationkey = n1.n_nationkey
+JOIN (SELECT n_nationkey, n_name AS cust_nation FROM nation) n2 ON c.c_nationkey = n2.n_nationkey
+WHERE supp_nation IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+  AND cust_nation IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+  AND supp_nation <> cust_nation
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name").isin(*nations))
+    sn = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum(ep * (F.lit(100) - disc)).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q8 (national market share within a region) -----------
+# Numerator and denominator are exact BIGINT cent-sums; the single double
+# division at the end is bit-identical across engines.
+
+@_q("tpch_q8", """
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev_c) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND p.p_type = 'ECONOMY'
+) GROUP BY o_year
+""")
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    # customers restricted to the region via the broadcast nation⋈region stack
+    cn = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = (ep * (F.lit(100) - disc)).alias("rev_c")
+    target = F.col("supp_nation") == "NATION_7"
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.year("o_orderdate").alias("o_year"), rev, "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(target, F.col("rev_c")).otherwise(F.lit(0))).cast("double")
+                / F.sum("rev_c").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q13 (order-count distribution; outer join + 2 aggs) --
+# The groupBy(c_custkey) after the join reuses the join's hash
+# partitioning (no extra exchange); only the tiny c_count histogram
+# reshuffles.
+
+@_q("tpch_q13", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --- M4 breadth: TPC-H Q15 (top supplier by quarter revenue; agg max-join) --
+# The scalar max comes back as a broadcast 1-row join, not a
+# single-partition window — the revenue aggregate never leaves its
+# hash-partitioned layout.
+
+@_q("tpch_q15", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_c AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_c = (SELECT MAX(total_c) FROM revenue)
+""")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(ep * (F.lit(100) - disc)).alias("total_c"))
+    )
+    mx = rev.agg(F.max("total_c").alias("__mx"))
+    s = load_table(spark, "supplier", sf_dir)
+    top = rev.join(F.broadcast(mx), F.col("total_c") == F.col("__mx"))
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q17 (small-quantity revenue; correlated per-part avg) -
+# The correlated AVG becomes a per-part aggregate joined back; the
+# predicate qty < 0.2*avg is rewritten integer-exact as
+# qc*5*cnt < sum_qc so both engines agree at the boundary.
+
+@_q("tpch_q17", """
+WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'),
+lb AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity*100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS ec
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+),
+pa AS (SELECT l_partkey, SUM(qc) AS sq, COUNT(*) AS cnt FROM lb GROUP BY l_partkey)
+SELECT CAST(SUM(ec) AS DOUBLE) / (100.0 * 7.0) AS avg_yearly
+FROM lb JOIN pa USING (l_partkey)
+WHERE qc * 5 * cnt < sq
+""")
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    lb = (
+        li.join(F.broadcast(pb), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            _cents("l_quantity").alias("qc"),
+            _cents("l_extendedprice").alias("ec"),
+        )
+    )
+    pa = lb.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sq"), F.count("*").alias("cnt")
+    )
+    return (
+        lb.join(pa, "l_partkey")
+        .filter(F.col("qc") * F.lit(5) * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum("ec").cast("double") / F.lit(100.0 * 7.0)).alias("avg_yearly")
+        )
+    )
+
+
 # --- W breadth: ntile / rank / percent_rank / cume_dist over a total order ---
 
 @_q("window_rank_customers", """

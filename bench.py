@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q13",
     "tpch_q18",
     "brand_revenue",
     "region_revenue",
