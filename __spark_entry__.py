@@ -2012,6 +2012,113 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- text breadth: corpus vocabulary (top-k tokens by frequency) -------------
+
+@_q("vocab_topk", f"""
+WITH per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token
+)
+SELECT token, CAST(SUM(tf) AS BIGINT) AS term_freq, COUNT(*) AS doc_freq
+FROM per_doc
+GROUP BY token
+ORDER BY term_freq DESC, token ASC
+LIMIT 50
+""")
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        text.vocabulary(docs, "doc_id", "text")
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+# --- text breadth: tf-idf top terms per document -----------------------------
+# Rational idf ((n+1)/(df+1), no ln) so the score double is one exact-int
+# multiply + one division in both engines — ln() may differ in the last
+# ulp between libm implementations and break the value hash.
+
+@_q("tfidf_top_terms", f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfreq.df + 1) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfreq.df + 1) DESC,
+                    tf.token ASC
+         ) AS rn
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+) WHERE rn <= 3
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def rational(tf, dfreq, n):
+        return (tf * (n + F.lit(1))).cast("double") / (dfreq + F.lit(1))
+
+    scored = text.tf_idf(docs, "doc_id", "text", score=rational)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+    )
+
+
+# --- embedding breadth: nearest-centroid assignment (Lloyd E-step) -----------
+# Confusion matrix of true label × nearest per-label centroid; distances
+# are exact integer sums over micro-quantized vectors (see
+# similarity.assign_nearest_centroid determinism contract).
+
+@_q("nearest_centroid_confusion", """
+WITH pe AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS assigned_label, pos,
+         CAST(round(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pe GROUP BY label, pos
+),
+dist AS (
+  SELECT pe.vec_id, pe.label, cent.assigned_label,
+         SUM((pe.vm - cent.cm) * (pe.vm - cent.cm)) AS d2
+  FROM pe JOIN cent ON pe.pos = cent.pos
+  GROUP BY pe.vec_id, pe.label, cent.assigned_label
+),
+best AS (
+  SELECT vec_id, label, assigned_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, assigned_label ASC) AS rn
+  FROM dist
+)
+SELECT label, assigned_label, COUNT(*) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY label, assigned_label
+""")
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = similarity.assign_nearest_centroid(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count("*").alias("n_vecs")
+    )
+
+
 # --- F breadth: regexp extraction + conditional count ------------------------
 
 @_q("regexp_name_consistency", """

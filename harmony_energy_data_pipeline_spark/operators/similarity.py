@@ -241,4 +241,59 @@ def embedding_near_dup_pairs(
     )
 
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_pairs"]
+def assign_nearest_centroid(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid assignment (one Lloyd E-step / centroid
+    classifier): per-``label_col`` mean centroids, then each vector is
+    assigned to the centroid with the smallest squared L2 distance.
+
+    Output: ``(id, label, assigned_label, d2)`` — ``d2`` in squared
+    micro-units (exact BIGINT).
+
+    Determinism contract: vectors and centroids are quantized to
+    ``round(x * scale)`` integers, so distances are exact integer sums
+    — identical across engines and summation orders (the float-sum
+    centroid mean is reduced to one double division before rounding).
+    Tie-break: smallest label wins.
+
+    Scale shape: the centroid table is (n_labels × dim) rows — a
+    broadcast; the vector side explodes to (n × dim) rows map-side,
+    and the only shuffle is the (id, label) distance aggregation. For
+    very wide fleets prefer the numpy matrix path in ``ivf_topk`` —
+    this exploded form is the exact/oracle-checkable variant.
+    """
+    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    pe = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select("id", "label", "pos", vm.alias("vm"))
+    cent = (
+        pe.groupBy(F.col("label").alias("assigned_label"), "pos")
+        .agg(
+            F.round(F.sum("vm").cast("double") / F.count("*")).cast("long").alias("cm")
+        )
+    )
+    d = F.col("vm") - F.col("cm")
+    dist = (
+        pe.join(F.broadcast(cent), "pos")
+        .groupBy("id", "label", "assigned_label")
+        .agg(F.sum(d * d).alias("d2"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("assigned_label").asc())
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+__all__ = [
+    "cosine_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_pairs",
+    "assign_nearest_centroid",
+]

@@ -258,8 +258,85 @@ def text_stats_full(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
 
 
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token) pairs — one row per token occurrence.
+
+    Map-side explode (no shuffle); empty/whitespace-only documents
+    contribute no rows, matching ``string_split`` + ``<> ''`` in SQL.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def vocabulary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences (``term_freq``)
+    and number of distinct documents containing it (``doc_freq``).
+
+    One shuffle on (doc_id, token) collapses duplicates map-side, then
+    the token-level agg derives both frequencies from the collapsed
+    rows — cheaper than a ``count_distinct`` over raw occurrences at
+    corpus scale (the heavy stream is pre-reduced before the second,
+    token-keyed shuffle).
+    """
+    per_doc = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("__tf"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("__tf").alias("term_freq"),
+        F.count("*").alias("doc_freq"),
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: "callable | None" = None,
+) -> DataFrame:
+    """Per-(document, token) tf-idf: columns ``doc_id, token, tf, df,
+    score``.
+
+    ``score(tf, df, n_docs)`` defaults to ``tf * ln((n+1)/(df+1))``
+    (smoothed idf). Pass a custom callable for e.g. a rational idf when
+    bit-exact cross-engine determinism matters (``ln`` may differ in
+    the last ulp between libm implementations).
+
+    Shape at scale: tf is one shuffle on (doc, token); doc-frequency is
+    a token-keyed agg of the *already collapsed* tf rows joined back on
+    token; the corpus size joins in as a broadcast 1-row cross join —
+    no driver collect.
+    """
+    if score is None:
+        def score(tf, dfreq, n):  # noqa: ANN001 - Column arithmetic
+            return tf.cast("double") * F.log((n.cast("double") + 1.0) / (dfreq.cast("double") + 1.0))
+
+    tf = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            score(F.col("tf"), F.col("df"), F.col("n_docs")).alias("score"),
+        )
+    )
+
+
 __all__ = [
     "STOPWORDS", "token_count", "bpe_ish_token_count", "stopword_hits",
     "detect_language", "punct_ratio", "mean_word_length", "quality_score",
     "fingerprint", "text_stats", "text_stats_full", "winnowing_fingerprints",
+    "vocabulary", "tf_idf",
 ]

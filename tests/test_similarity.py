@@ -127,3 +127,44 @@ def test_deterministic_split_stable_and_proportional(spark, sf_dir):
     assert s1 == s2
     frac = sum(1 for v in s1.values() if v == "train") / len(s1)
     assert 0.75 <= frac <= 0.85  # ~0.8 within sampling noise
+
+
+def test_nearest_centroid_recovers_separated_clusters(spark):
+    # two well-separated clusters: every vector lands on its own label's
+    # centroid, and d2 is exact integer micro-units
+    rows = [
+        (i, [10.0 + (i % 3) * 0.01, 0.0], "a") for i in range(6)
+    ] + [
+        (10 + i, [-10.0 - (i % 3) * 0.01, 0.0], "b") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>, label string")
+    got = similarity.assign_nearest_centroid(
+        df, id_col="id", vec_col="vec", label_col="label"
+    ).collect()
+    assert len(got) == 12
+    for r in got:
+        assert r["assigned_label"] == r["label"]
+        assert isinstance(r["d2"], int)
+
+
+def test_tfidf_default_log_score_matches_math(spark):
+    import math
+
+    from harmony_energy_data_pipeline_spark.operators.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["token"]): r
+        for r in tf_idf(docs, "doc_id", "text").collect()
+    }
+    n = 3
+    # apple: df=2, doc 1 tf=2
+    r = got[(1, "apple")]
+    assert (r["tf"], r["df"]) == (2, 2)
+    assert abs(r["score"] - 2 * math.log((n + 1) / (2 + 1))) < 1e-12
+    # cherry: df=1, doc 2 tf=1
+    r = got[(2, "cherry")]
+    assert abs(r["score"] - 1 * math.log((n + 1) / (1 + 1))) < 1e-12
