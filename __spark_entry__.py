@@ -2078,6 +2078,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- text breadth: end-to-end corpus cleaning pipeline -----------------------
+# Language gate → quality gate → token bounds → fingerprint dedup, the
+# whole training-data cleaning chain as ONE map stage + one shuffle.
+
+def _clean_corpus_oracle() -> str:
+    ratios = {
+        lang: (
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> list_contains("
+            f"[{', '.join(repr(w) for w in text.STOPWORDS[lang])}], w))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+        )
+        for lang in text.STOPWORDS
+    }
+    langs = list(text.STOPWORDS)
+    ratios_sql = ", ".join(f"{v} AS r_{k}" for k, v in ratios.items())
+    best = "greatest(" + ", ".join(f"r_{k}" for k in langs) + ")"
+    lang_case = "'und'"
+    for lang in reversed(langs):
+        lang_case = f"CASE WHEN {best} >= 0.03 AND r_{lang} = {best} THEN '{lang}' ELSE {lang_case} END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+r AS (
+  SELECT doc_id, len(toks) AS n, {ratios_sql},
+    CASE WHEN length(text) > 0
+         THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS p_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+    md5({_NORM}) AS fp
+  FROM t
+),
+s AS (
+  SELECT doc_id, n, fp,
+    round((
+      least(CAST(n AS DOUBLE) / 50.0, 1.0)
+      + least(r_en * 10.0, 1.0)
+      + (1.0 - least(p_ratio * 5.0, 1.0))
+      + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END
+    ) / 4.0, 6) AS quality,
+    {lang_case} AS lang_detected
+  FROM r
+),
+k AS (
+  SELECT * FROM s
+  WHERE lang_detected = 'en' AND quality >= 0.5 AND n BETWEEN 5 AND 1000
+)
+SELECT doc_id, n_tokens, quality FROM (
+  SELECT doc_id, n AS n_tokens, quality,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+  FROM k
+) WHERE rn = 1
+"""
+
+
+@_q("corpus_clean", _clean_corpus_oracle())
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.clean_corpus(
+        docs, "doc_id", "text", lang="en",
+        min_quality=0.5, min_tokens=5, max_tokens=1000,
+    ).select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+
+
 # --- embedding breadth: nearest-centroid assignment (Lloyd E-step) -----------
 # Confusion matrix of true label × nearest per-label centroid; distances
 # are exact integer sums over micro-quantized vectors (see

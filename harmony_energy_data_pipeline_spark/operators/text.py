@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.functions.textx import normalize_text, tokens
@@ -258,6 +258,44 @@ def text_stats_full(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+) -> DataFrame:
+    """End-to-end training-corpus cleaning: language gate → quality
+    gate → token-length bounds → exact dedup (keep-smallest-id on the
+    normalized-content fingerprint).
+
+    Output: one row per surviving document with its stats
+    (``text_stats_full`` columns). All stats come from the single
+    Arrow pass, so the whole chain is one map stage plus the one
+    fingerprint shuffle for dedup — the shape that matters at corpus
+    scale (filters run BEFORE the shuffle, so only survivors move).
+
+    The quality threshold compares the 6-dp rounded score, mirroring
+    the engine's oracle convention (raw doubles match bit-exactly
+    across engines only when expression shapes are identical; rounding
+    makes the gate robust to reordering).
+    """
+    stats = text_stats_full(df, id_col, text_col)
+    kept = stats.filter(
+        (F.col("lang_detected") == lang)
+        & (F.round("quality", 6) >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token) pairs — one row per token occurrence.
 
@@ -338,5 +376,5 @@ __all__ = [
     "STOPWORDS", "token_count", "bpe_ish_token_count", "stopword_hits",
     "detect_language", "punct_ratio", "mean_word_length", "quality_score",
     "fingerprint", "text_stats", "text_stats_full", "winnowing_fingerprints",
-    "vocabulary", "tf_idf",
+    "vocabulary", "tf_idf", "clean_corpus",
 ]
