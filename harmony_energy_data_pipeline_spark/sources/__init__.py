@@ -1,1 +1,1 @@
-from harmony_energy_data_pipeline_spark.sources import keyset  # noqa: F401
+from harmony_energy_data_pipeline_spark.sources import files, keyset  # noqa: F401
