@@ -34,6 +34,8 @@ HEADLINE = [
     "asof_join_rates",
     "pivot_event_values",
     "text_stats",
+    "corpus_clean",
+    "vocab_topk",
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
     "minhash_dedup",
