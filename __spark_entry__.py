@@ -2184,6 +2184,75 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A breadth: numeric moments + correlation from exact integer sums --------
+# variance/corr are derived from BIGINT sums (sx, sxx, sxy, ...) with an
+# IDENTICAL double op-sequence in both engines; sqrt is IEEE
+# correctly-rounded (unlike ln), so corr is cross-engine bit-exact.
+
+@_q("numeric_profile_events", """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(round(value*100) AS BIGINT)) AS sx,
+    SUM(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS sxx,
+    SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sy,
+    SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS syy,
+    SUM(CAST(round(value*100) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+  (CAST(sx AS DOUBLE) / n) / 100.0 AS mean_value,
+  (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / 10000.0 AS var_pop_value,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+FROM s
+""")
+def q_numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    vc = _cents("value")
+    hr = F.hour("ts").cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vc).alias("sx"),
+        F.sum(vc * vc).alias("sxx"),
+        F.sum(hr).alias("sy"),
+        F.sum(hr * hr).alias("syy"),
+        F.sum(vc * hr).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    mean_c = sx.cast("double") / n
+    return s.select(
+        "event_type",
+        "n",
+        (mean_c / F.lit(100.0)).alias("mean_value"),
+        ((sxx.cast("double") / n - mean_c * mean_c) / F.lit(10000.0)).alias("var_pop_value"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_value_hour"),
+    )
+
+
+# --- A breadth: generic per-column data profile ------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+@_q("profile_orders", "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+  COUNT(*) - COUNT({c}) AS n_nulls,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_str,
+  CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM orders""" for c in _PROFILE_COLS
+))
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return analytics.profile(o, _PROFILE_COLS)
+
+
 # --- F breadth: regexp extraction + conditional count ------------------------
 
 @_q("regexp_name_consistency", """

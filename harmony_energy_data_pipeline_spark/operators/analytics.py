@@ -216,3 +216,40 @@ def grouped_trend(
         })
 
     return df.select(key, time_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: null count, exact distinct count, and
+    min/max (computed on the native type, then rendered as strings so
+    heterogeneous columns fit one output schema).
+
+    Output: one row per profiled column —
+    ``(col_name, n_nulls, n_distinct, min_str, max_str)``.
+
+    One full-scan aggregation; the n distinct-counts share the scan via
+    Spark's Expand (each input row fans out once per distinct
+    aggregate). For very wide tables at 100 TB prefer
+    ``approx_count_distinct`` — exact distinct is the profile/audit
+    variant.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")

@@ -85,3 +85,32 @@ def test_no_unplanned_cartesian_products(spark, sf_dir):
         df = fn(spark, sf_dir)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_tpch_q8_dims_broadcast(spark, sf_dir):
+    """Q8's five dimension joins (part, supplier⟕nation, nation⟕region)
+    all arrive as broadcasts; only the lineitem⟕orders⟕customer spine
+    shuffles."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q8"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_corpus_clean_single_shuffle(spark, sf_dir):
+    """The whole cleaning chain (lang+quality+length gates + dedup) is
+    one map stage plus the fingerprint-window shuffle."""
+    import __spark_entry__ as e
+
+    df = e.queries()["corpus_clean"](spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+
+
+def test_vocabulary_two_level_agg(spark, sf_dir):
+    """vocabulary pre-reduces on (doc, token) before the token-level
+    agg: exactly two exchanges, both fed by partial aggregation."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.text import vocabulary
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert shuffle_count(vocabulary(docs, "doc_id", "text")) == 2
