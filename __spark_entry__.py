@@ -771,6 +771,53 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
 
 
+# --- M5: near-dup clusters (connected components over the pair graph) -------------
+# Pairs → transitive closure: the oracle is a recursive reachability
+# CTE (component = min reachable node), the engine is iterative
+# min-label propagation (dedup.connected_components).
+
+@_q("near_dup_clusters", f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS comp FROM e
+  UNION
+  SELECT e.dst AS node, r.comp FROM reach r JOIN e ON e.src = r.node
+)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+""")
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
 # --- M5: char-n-gram Jaccard (the char-level near-dup variant) --------------------
 
 @_q("char_jaccard_pairs", f"""

@@ -357,7 +357,98 @@ def simhash_near_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over a near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph by min-label
+    propagation: every node's component becomes the smallest node id
+    reachable from it. Output: ``(node, component)`` for every node
+    that appears in ``pairs``.
+
+    Near-dup PAIRS are only half of dedup — keeping "one doc per
+    duplicate set" needs the transitive closure (A~B, B~C ⇒ drop two
+    of {A,B,C}), which no single join can express.
+
+    Execution: an iterative loop of (edge ⋈ label → min per node)
+    shuffles, converging in O(graph diameter) rounds — near-dup
+    graphs are shallow (duplicate sets are near-cliques), so 2-4
+    rounds is typical. Each round persists its labels and drops the
+    previous ones, keeping lineage constant; the convergence probe is
+    an aggregated count, not a collect. This is the standard Pregel
+    shape (cf. GraphX/GraphFrames connectedComponents); for
+    pathological chain graphs raise ``max_iter`` (rounds, not data,
+    is the cost: every round is one shuffle of |V| labels).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # eager localCheckpoint each round: materializes AND truncates
+    # lineage, so round N's plan doesn't re-derive (or re-broadcast)
+    # rounds 1..N-1 — without it the nested-plan depth grows linearly
+    # and AQE re-materializes the whole history every iteration.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors (and itself)
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nc"))
+        )
+        merged = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nc"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.agg(F.sum("__changed")).first()[0] or 0
+        labels = merged.select("node", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (smallest id) per near-dup cluster:
+    rows of ``df`` whose id is either outside the pair graph or equal
+    to its component's minimum. One anti-join against the (small)
+    non-representative set — ``df`` itself is never shuffled."""
+    comps = connected_components(pairs, a_col, b_col)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
+    "connected_components", "dedup_by_clusters",
 ]

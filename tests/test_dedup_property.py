@@ -88,3 +88,64 @@ def test_asof_join_matches_model(spark, left_rows, right_map):
         cands = [(rt, v) for (rk, rt), v in right_map.items() if rk == k and rt <= t]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    import random as _random
+
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_by_clusters,
+    )
+
+    rng = _random.Random(7)
+    # several graph shapes in one: chain, clique, stars, singleton pairs
+    edges = (
+        [(i, i + 1) for i in range(0, 8)]                   # 9-node chain
+        + [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]  # clique
+        + [(30, t) for t in (31, 32, 33)]                   # star
+        + [(rng.randrange(40, 70), rng.randrange(40, 70)) for _ in range(25)]
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # reference: union-find
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    # canonicalize the union-find roots to min-of-component to compare
+    comp_members: dict = {}
+    for n, root in want.items():
+        comp_members.setdefault(root, []).append(n)
+    want_min = {
+        n: min(members)
+        for members in comp_members.values()
+        for n in members
+    }
+    assert got == want_min
+
+    # representatives: one survivor per cluster + all untouched rows
+    ids = list(range(0, 75))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    kept = {r["id"] for r in dedup_by_clusters(df, pairs, "id").collect()}
+    expected_losers = {n for n, c in want_min.items() if n != c}
+    assert kept == set(ids) - expected_losers
