@@ -2231,6 +2231,54 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S4 breadth: SCD2 dimension merge (history-tracking upsert) --------------
+# dim = customer snapshot; updates re-segment every 6th customer (every
+# 3rd is touched, half are no-ops). Changed keys close their open row
+# and append a new version; no-ops pass through.
+
+@_q("scd2_customer_segments", """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+u AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 6 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+         TIMESTAMP '2000-01-01 00:00:00' AS ts
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.ts AS valid_to
+FROM dim d JOIN u ON d.c_custkey = u.c_custkey AND d.c_mktsegment <> u.c_mktsegment
+UNION ALL
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+FROM dim d LEFT JOIN u ON d.c_custkey = u.c_custkey AND d.c_mktsegment <> u.c_mktsegment
+WHERE u.c_custkey IS NULL
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, u.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM u JOIN dim d ON d.c_custkey = u.c_custkey AND d.c_mktsegment <> u.c_mktsegment
+""")
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.sinks.upsert import scd2_merge
+
+    c = load_table(spark, "customer", sf_dir)
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit("2000-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    return scd2_merge(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
 # --- A breadth: numeric moments + correlation from exact integer sums --------
 # variance/corr are derived from BIGINT sums (sx, sxx, sxy, ...) with an
 # IDENTICAL double op-sequence in both engines; sqrt is IEEE

@@ -148,6 +148,75 @@ def upsert_partitioned(
 # Run-history audit sink (/root/reference/src/serve/run_history.py:11-60)
 # ---------------------------------------------------------------------------
 
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply ``updates`` (one
+    row per key, attribute values + ``ts_col`` effective time) to a
+    versioned ``dim`` (open rows have ``to_col`` IS NULL).
+
+    Per update key:
+    - attrs equal the current open row (null-safe) → no-op;
+    - attrs differ → close the open row (``to_col`` = effective time)
+      and append a new open version (``from_col`` = effective time);
+    - key unseen → append a new open version.
+    Closed history rows pass through untouched.
+
+    Generalizes the reference's overwrite-upsert (S4,
+    `/root/reference/src/serve/load.py:14-51`) to full history
+    tracking. One key-shuffle join, reused by every output branch; at
+    scale pair it with `upsert_partitioned`'s partition-local rewrite
+    (only partitions holding touched keys change).
+    """
+    closed = dim.filter(F.col(to_col).isNotNull())
+    open_rows = dim.filter(F.col(to_col).isNull())
+    j = open_rows.alias("o").join(
+        updates.alias("u"), F.col(f"o.{key_col}") == F.col(f"u.{key_col}"), "full_outer"
+    )
+    changed = j.filter(
+        F.col(f"o.{key_col}").isNotNull()
+        & F.col(f"u.{key_col}").isNotNull()
+        & ~_all_equal(attr_cols)
+    )
+    unchanged_open = j.filter(
+        F.col(f"u.{key_col}").isNull() | (
+            F.col(f"o.{key_col}").isNotNull() & _all_equal(attr_cols)
+        )
+    ).select([F.col(f"o.{c}") for c in dim.columns])
+    closed_now = changed.select(
+        *[F.col(f"o.{c}") for c in [key_col, *attr_cols, from_col]],
+        F.col(f"u.{ts_col}").alias(to_col),
+    ).select(dim.columns)
+    new_versions = (
+        j.filter(
+            F.col(f"u.{key_col}").isNotNull()
+            & (F.col(f"o.{key_col}").isNull() | ~_all_equal(attr_cols))
+        )
+        .select(
+            *[F.col(f"u.{c}") for c in [key_col, *attr_cols]],
+            F.col(f"u.{ts_col}").alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        )
+        .select(dim.columns)
+    )
+    return closed.unionByName(unchanged_open).unionByName(closed_now).unionByName(new_versions)
+
+
+def _all_equal(attr_cols: list[str]):
+    """Null-safe conjunction: every tracked attribute matches between
+    the open row (``o``) and the update (``u``)."""
+    cond = F.lit(True)
+    for c in attr_cols:
+        cond = cond & F.col(f"o.{c}").eqNullSafe(F.col(f"u.{c}"))
+    return cond
+
+
 def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 

@@ -99,3 +99,42 @@ def test_paginate_cursor_and_short_page():
 
     capped = paginate(fetch, last_id=0, batch_size=10, max_records=15)
     assert len(capped) == 15
+
+
+def test_scd2_merge_change_noop_and_new_key(spark):
+    from harmony_energy_data_pipeline_spark.sinks.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "BUILDING", "1995-01-01 00:00:00", None),
+            (2, "MACHINERY", "1995-01-01 00:00:00", None),
+            # key 2 also has an already-closed historical row
+            (2, "AUTOMOBILE", "1990-01-01 00:00:00", "1995-01-01 00:00:00"),
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "BUILDING", "2000-06-01 00:00:00"),   # no-op
+            (2, "FURNITURE", "2000-06-01 00:00:00"),  # change
+            (3, "HOUSEHOLD", "2000-06-01 00:00:00"),  # new key
+        ],
+        "k long, seg string, effective_ts string",
+    ).selectExpr("k", "seg", "CAST(effective_ts AS TIMESTAMP) AS effective_ts")
+
+    out = scd2_merge(dim, updates, "k", ["seg"]).collect()
+    rows = {(r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert rows == {
+        # untouched history + no-op open row
+        (2, "AUTOMOBILE", "1990-01-01 00:00:00", "1995-01-01 00:00:00"),
+        (1, "BUILDING", "1995-01-01 00:00:00", "None"),
+        # closed old version and its replacement
+        (2, "MACHINERY", "1995-01-01 00:00:00", "2000-06-01 00:00:00"),
+        (2, "FURNITURE", "2000-06-01 00:00:00", "None"),
+        # brand-new key opens
+        (3, "HOUSEHOLD", "2000-06-01 00:00:00", "None"),
+    }
