@@ -66,6 +66,45 @@ def windowed_mean(
     )
 
 
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension
+    table. The static side is re-resolved per micro-batch (so a
+    refreshed dim parquet is picked up) and, being small, arrives as a
+    broadcast — no streaming state is kept for this join."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right-side events
+    that occur within [lower, upper] AFTER the left event on the same
+    key. Both sides carry watermarks, and the time-bound predicate is
+    what lets Spark expire join state — without it state grows
+    forever. (Stream-stream joins need `right_time` and `left_time`
+    as distinct column names.)"""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_time) >= F.col(left_time) + F.expr(lower))
+        & (F.col(right_time) <= F.col(left_time) + F.expr(upper))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def sessionized_agg(
     stream: DataFrame,
     key: str,

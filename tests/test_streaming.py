@@ -111,3 +111,79 @@ def test_streaming_merge_sink_idempotent(spark, tmp_path, sf_dir):
     q.awaitTermination(120)
     n = load_table(spark, "events", sf_dir).count()
     assert spark.read.parquet(table).count() == n
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, sf_dir):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        enrich_with_static,
+    )
+
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    # static dim: per-event-type multiplier
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    enriched = enrich_with_static(stream, dim, "event_type").select(
+        "event_id", (F.col("value") * F.col("weight")).alias("wv")
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("enr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["wv"] for r in spark.table("enr").collect()}
+    want = {
+        r["event_id"]: r["wv"]
+        for r in load_table(spark, "events", sf_dir)
+        .join(dim, "event_type")
+        .select("event_id", (F.col("value") * F.col("weight")).alias("wv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        interval_join_streams,
+    )
+
+    base = _events_stream(spark, tmp_path, sf_dir)
+    # split one stream into two keyed streams with distinct time cols:
+    # purchases follow clicks by the same user within 10 minutes
+    left = base.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = interval_join_streams(
+        left, right, "user_id", "l_ts", "r_ts",
+        upper="interval 10 minutes", watermark="1 hour",
+    ).select("l_id", "r_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("ssj").collect()}
+
+    ev = load_table(spark, "events", sf_dir)
+    bl = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    br = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    want = {
+        (r["l_id"], r["r_id"])
+        for r in bl.join(
+            br,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 10 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
