@@ -676,7 +676,7 @@ WITH t AS (
 SELECT doc_id,
   length(text) AS n_chars_raw,
   len(toks) AS n_tokens,
-  COALESCE(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))), 0) AS n_tokens_bpe,
+  CAST(COALESCE(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe,
   CASE WHEN len(toks) > 0
        THEN CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(toks)
        ELSE 0.0 END AS mean_word_len,
@@ -1096,8 +1096,8 @@ def q_downsample_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("conditional_agg_orders", """
 SELECT o_orderstatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
 FROM orders GROUP BY o_orderstatus
 """)
 def q_conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,7 +1310,7 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("session_agg", """
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
@@ -1318,7 +1318,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 sess AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
@@ -1905,7 +1905,7 @@ def q_window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
@@ -2352,8 +2352,8 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("regexp_name_consistency", """
 SELECT c_nationkey, COUNT(*) AS n,
-  SUM(CASE WHEN CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey
-      THEN 1 ELSE 0 END) AS n_consistent
+  CAST(SUM(CASE WHEN CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
 FROM customer GROUP BY c_nationkey
 """)
 def q_regexp_name_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:

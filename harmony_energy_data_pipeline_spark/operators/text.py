@@ -251,7 +251,7 @@ def text_stats_full(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     schema = (
-        f"{id_col} long, n_chars_raw int, n_tokens long, n_tokens_bpe long, "
+        f"{id_col} long, n_chars_raw long, n_tokens long, n_tokens_bpe long, "
         "mean_word_len double, punct_ratio double, en_stopword_ratio double, "
         "lang_detected string, quality double, fingerprint string"
     )
