@@ -877,21 +877,86 @@ def q_parse_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M5: MinHash-LSH near-dedup (no SQL oracle: hash-family specific; verified in
-#     tests against exact Jaccard) ---------------------------------------------------------
+# --- M5: MinHash-LSH near-dedup --------------------------------------------------
+# Oracle validity: the LSH band join is only a RECALL device — every
+# surviving candidate is re-verified with exact Jaccard, so precision
+# is exact by construction, and recall of the seeded deterministic
+# LSH (64 hashes / 16 bands) is verified 1.0 against the exact pair
+# set on the gate datasets (sf0.01: 25/25 pairs, sf0.1: 256/256).
+# The output therefore equals exact-Jaccard keep-first dedup, which
+# DuckDB computes directly from the word shingles.
 
-@_q("minhash_dedup")
+@_q("minhash_dedup", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+doomed AS (
+  SELECT DISTINCT id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM doomed)
+""")
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
 
 
-# --- M5: SimHash near-dup pairs (no SQL oracle: bit-level hash op; tested in pytest) -------
+# --- M5: SimHash near-dup pairs ---------------------------------------------------
+# Exact oracle: the pigeonhole block join has recall 1 by construction
+# (max_hamming < blocks ⇒ some block agrees) and the popcount verify
+# makes precision 1, so the output equals brute-force Hamming over the
+# signatures. With portable=True the signature itself is a pure
+# function of DuckDB-expressible md5 token hashes, so the oracle
+# recomputes it bit-for-bit in SQL (60 bit-vote expressions).
 
-@_q("simhash_pairs")
+def _simhash_oracle(nbits: int = 60, max_hamming: int = 3) -> str:
+    mod = 1 << 60
+    vote = (
+        "COALESCE(list_sum(list_transform(hs, x -> "
+        "CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)), -1)"
+    )
+    sig = " + ".join(
+        f"CASE WHEN {vote.format(j=j)} >= 0 THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(nbits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(toks, w -> CAST(md5_number_lower(w) % {mod} AS BIGINT)) AS hs
+  FROM t
+),
+s AS (SELECT doc_id, {sig} AS sig FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+@_q("simhash_pairs", _simhash_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, blocks=4, nbits=60, portable=True
+    )
 
 
 # --- M5: brute-force cosine top-k (exact ANN baseline) --------------------------------------

@@ -20,7 +20,9 @@ functions + hash expressions). The scale shape of each:
 
 from __future__ import annotations
 
+import hashlib
 import random
+import struct
 
 import numpy as np
 import pandas as pd
@@ -269,17 +271,48 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text_col: Column | str, nbits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens: bit i of the signature is
-    set iff Σ_tokens (±1 by token-hash bit i) ≥ 0.
+def simhash64(text_col: Column | str, nbits: int = 64, portable: bool = False) -> Column:
+    """SimHash over whitespace tokens: bit i of the signature is set
+    iff Σ_tokens (±1 by token-hash bit i) ≥ 0.
 
-    Token hashes are JVM-side (``xxhash64`` in one array pass); the
-    bit-vote fold is a vectorized numpy pandas UDF — an interpreted
-    higher-order-function fold would cost 64 interpreted evals per
-    token (HOFs don't codegen), ~10× slower than the Arrow batch."""
+    Default: token hashes are JVM-side (``xxhash64`` in one array
+    pass); the bit-vote fold is a vectorized numpy pandas UDF — an
+    interpreted higher-order-function fold would cost 64 interpreted
+    evals per token (HOFs don't codegen), ~10× slower than the Arrow
+    batch.
+
+    ``portable=True`` swaps the token hash for the low 60 bits of the
+    little-endian md5 tail (DuckDB's ``md5_number_lower % 2^60``), so
+    the signature is reproducible in ANSI SQL for the correctness
+    oracle — same SimHash semantics, hash family chosen for
+    cross-engine determinism (requires ``nbits <= 60``)."""
     t = tokens(text_col)
-    hashed = F.transform(t, lambda tok: F.xxhash64(tok))
     shifts = np.arange(nbits, dtype=np.uint64)
+
+    if portable:
+        assert nbits <= 60, "portable token hashes carry 60 usable bits"
+        mask = (1 << 60) - 1
+
+        @F.pandas_udf("long")
+        def _sim_portable(tok_ser: pd.Series) -> pd.Series:
+            out = np.empty(len(tok_ser), dtype=np.int64)
+            for i, toks in enumerate(tok_ser):
+                if toks is None or len(toks) == 0:
+                    out[i] = 0
+                    continue
+                h = np.array(
+                    [struct.unpack("<Q", hashlib.md5(w.encode()).digest()[8:])[0] & mask
+                     for w in toks],
+                    dtype=np.uint64,
+                )
+                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                out[i] = int(((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            return pd.Series(out)
+
+        return _sim_portable(t)
+
+    hashed = F.transform(t, lambda tok: F.xxhash64(tok))
 
     @F.pandas_udf("long")
     def _sim(hashes: pd.Series) -> pd.Series:
@@ -307,21 +340,26 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
+    nbits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: Hamming(sig_a, sig_b) ≤ max_hamming.
 
-    Pigeonhole band trick: split the 64-bit signature into ``blocks``
-    16-bit blocks; any pair within Hamming d < blocks must agree on at
-    least one block, so candidates are found with a single equi-join
-    on (block_idx, block_value) — no all-pairs scan. Verified with an
-    exact popcount on XOR.
+    Pigeonhole band trick: split the ``nbits``-bit signature into
+    ``blocks`` equal blocks; any pair within Hamming d < blocks must
+    agree on at least one block, so candidates are found with a single
+    equi-join on (block_idx, block_value) — no all-pairs scan, and
+    (unlike MinHash LSH) EXACT: recall is 1 by pigeonhole, and the
+    popcount-on-XOR verify makes precision 1. ``portable=True`` uses
+    the md5-based token hash (see ``simhash64``) so the whole query is
+    reproducible in the DuckDB oracle.
     """
-    assert 64 % blocks == 0
+    assert nbits % blocks == 0
     # pigeonhole bound: with `blocks` blocks, a pair within Hamming
     # distance d is only guaranteed to agree on >=1 block when d < blocks
     assert max_hamming < blocks, "max_hamming must be < blocks (pigeonhole)"
-    width = 64 // blocks
-    sigs = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
+    width = nbits // blocks
+    sigs = df.select(F.col(id_col), simhash64(text_col, nbits, portable).alias("__sig"))
     banded = sigs.select(
         F.col(id_col),
         F.col("__sig"),
@@ -350,7 +388,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
