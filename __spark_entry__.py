@@ -1422,10 +1422,40 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- grouped model fit via applyInPandas (no SQL oracle: float summation
-#     order differs across engines; checked against numpy in pytest) --------------
+# --- grouped model fit via applyInPandas -----------------------------------------
+# Exact oracle: the per-group OLS fit runs on exact-integer sufficient
+# statistics (x = min-centered epoch μs, y = cents), so the slope is a
+# ratio of exact integers reduced to doubles by one division — the
+# engine's Python bigints and the oracle's HUGEINT sums agree
+# bit-for-bit.
 
-@_q("grouped_trend")
+@_q("grouped_trend", """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS x, CAST(round(value*100) AS BIGINT) AS y FROM events
+),
+m AS (SELECT user_id, MIN(x) AS x0 FROM c GROUP BY user_id),
+z AS (SELECT c.user_id, c.x - m.x0 AS x, c.y FROM c JOIN m ON c.user_id = m.user_id),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM z GROUP BY user_id
+)
+-- num/den are re-narrowed to BIGINT before the DOUBLE cast: DuckDB's
+-- BIGINT→DOUBLE conversion is correctly rounded, HUGEINT→DOUBLE is not
+SELECT user_id,
+  CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN 0.0
+       ELSE CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
+            / CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) * 3600.0 / 100.0
+  END AS slope_per_hour,
+  CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN CAST(sy AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+       ELSE CAST(sy AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+            - (CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
+               / CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) / 100.0)
+              * (CAST(CAST(sx AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE))
+  END AS intercept,
+  n
+FROM s
+""")
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.operators.analytics import grouped_trend
     ev = load_table(spark, "events", sf_dir)
@@ -1520,72 +1550,256 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M5: LSH-bucketed approximate top-k (no SQL oracle: recall-style op;
-#     checked against exact cosine_topk in pytest) ----------------------------------
+# --- M5: LSH-bucketed approximate top-k ---------------------------------------------
+# Exact oracle: the engine's hyperplanes are a seeded deterministic
+# constant, so the oracle embeds the SAME plane vectors as SQL literals
+# and recomputes signatures, candidate buckets, and cosine ranking —
+# both sides are sequential double folds over identical constants
+# (same recipe the green cosine_topk proves out).
 
-@_q("lsh_topk")
+def _cos_sql(qa: str, ca: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({qa}.embedding)+1), "
+        f"i -> CAST({qa}.embedding[i] AS DOUBLE) * CAST({ca}.embedding[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({qa}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({ca}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _lsh_oracle(dim: int = 64, k: int = 10, nbits: int = 4, tables: int = 16, seed: int = 42) -> str:
+    from harmony_energy_data_pipeline_spark.operators.similarity import _planes
+
+    sig_exprs = []
+    for t in range(tables):
+        bits = []
+        for j, plane in enumerate(_planes(dim, nbits, seed + t)):
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            dotp = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+            )
+            bits.append(f"CASE WHEN {dotp} >= 0 THEN {1 << j} ELSE 0 END")
+        sig_exprs.append(" + ".join(bits))
+    sigs = "[" + ", ".join(sig_exprs) + "]"
+    return f"""
+WITH s AS (SELECT vec_id, {sigs} AS sigs FROM embeddings),
+b AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, {tables + 1}), i -> {{'t': i, 'b': sigs[i]}}),
+                recursive := true)
+  FROM s
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_cos_sql("qa", "ca")} AS score
+  FROM cand
+  JOIN embeddings qa ON qa.vec_id = cand.query_id
+  JOIN embeddings ca ON ca.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_q("lsh_topk", _lsh_oracle())
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     dim = emb.select(F.size("embedding")).first()[0]
     # wide-bucket dial (4 bits x 16 tables): the synthetic embeddings
     # are near-random, so narrow buckets would gut recall
-    return similarity.lsh_topk(
+    out = similarity.lsh_topk(
         emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=10, nbits=4, tables=16,
     )
+    return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
 
 
-# --- M5: IVF approximate top-k (no SQL oracle: cluster-assignment specific;
-#     probe-all == exact equivalence proven in pytest) -------------------------------
+# --- M5: IVF approximate top-k -------------------------------------------------------
+# The registered variant uses the deterministic portable quantizer
+# (ivf_topk_portable: one Lloyd M-step over cell = vec_id % n, exact
+# integer distances), so cells, probes, candidates, and ranking are
+# all oracle-reproducible. The KMeans-trained ivf_topk keeps the same
+# plan shape and is equivalence-tested against exact brute force in
+# pytest (probe-all == cosine_topk).
 
-@_q("ivf_topk")
+def _ivf_oracle(dim: int = 64, k: int = 10, n_centroids: int = 8, n_probe: int = 4) -> str:
+    return f"""
+WITH pe AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+),
+cent AS (
+  SELECT vec_id % {n_centroids} AS cell, pos,
+         CAST(round(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pe GROUP BY 1, 2
+),
+dist AS (
+  SELECT pe.vec_id, c.cell, SUM((pe.vm - c.cm) * (pe.vm - c.cm)) AS d2
+  FROM pe JOIN cent c ON pe.pos = c.pos GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist WHERE vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_cos_sql("qa", "ca")} AS score
+  FROM cand
+  JOIN embeddings qa ON qa.vec_id = cand.query_id
+  JOIN embeddings ca ON ca.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_q("ivf_topk", _ivf_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.ivf_topk(
+    out = similarity.ivf_topk_portable(
         emb.filter(F.col("vec_id") < 10), emb, k=10, n_centroids=8, n_probe=4,
     )
+    return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
 
 
-# --- multimodal: decode/feature plumbing over binary payloads (no SQL oracle:
-#     mapInPandas plumbing; deterministic fake codec, tested in pytest) -------------
+# --- multimodal: decode/feature plumbing over binary payloads ---------------------
+# The payload is the UTF-8 encoding of `text`, and DuckDB hashes
+# VARCHARs over their UTF-8 bytes — so the deterministic fake codec
+# (sha256-derived features) is fully oracle-checkable: the binary
+# mapInPandas plumbing must produce exactly what SQL computes from the
+# source text. Feature array exploded to scalars (pos, val) so the
+# value hash covers every element.
 
-@_q("multimodal_features")
+@_q("multimodal_features", """
+SELECT doc_id AS id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       j AS pos,
+       CAST(CAST(CONCAT('0x', substr(sha256(text), 2*j+1, 2)) AS INTEGER) / 255.0 AS FLOAT) AS val
+FROM documents, (SELECT unnest(range(0, 16)) AS j) t
+""")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.operators import multimodal
     docs = load_table(spark, "documents", sf_dir)
     media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     media = multimodal.attach_media_meta(media, "payload", "image", "png")
-    return multimodal.decode_features(media, "doc_id", "payload")
-
-
-# --- A: approximate distinct (HLL sketch; no SQL oracle — sketch internals
-#     differ across engines; relative-error bound asserted in pytest) -----------
-
-@_q("approx_distinct_users")
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    decoded = multimodal.decode_features(media, "doc_id", "payload")
+    return decoded.select(
+        "id", "n_bytes", "sha256", F.posexplode("feature").alias("pos", "val")
     )
 
 
-@_q("winnowing_fingerprints")
+# --- A: approximate distinct (KMV sketch — deterministic + portable, so the
+#     cardinality ESTIMATE itself is oracle-checked bit-for-bit; the HLL
+#     variant is Spark's built-in approx_count_distinct, error-bound-tested
+#     in pytest) ---------------------------------------------------------------
+
+@_q("approx_distinct_users", f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % {1 << 60} AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM h
+),
+s AS (SELECT event_type, COUNT(*) AS cnt, MAX(hv) AS hk FROM r WHERE rn <= 64 GROUP BY event_type)
+SELECT event_type,
+  CASE WHEN cnt < 64 THEN cnt
+       ELSE CAST(round({float(63 * (1 << 60))!r} / CAST(hk AS DOUBLE)) AS BIGINT)
+  END AS approx_user_id
+FROM s
+""")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.analytics import kmv_distinct
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+# Winnowing oracle notes: (1) the Rabin-Karp k-gram hash is the nested
+# Horner form ((((c0·B+c1)·B+c2)·B+c3)·B+c4) mod M — DuckDB needs
+# HUGEINT for the ~2^69 intermediates; (2) the engine's selected
+# positions all carry their window's MINIMUM hash, so the distinct
+# fingerprint VALUE set is exactly the distinct set of window minima —
+# the rightmost-tie rule affects positions only, letting the oracle
+# skip position bookkeeping entirely.
+
+_WINNOW_M = (1 << 61) - 1
+_WINNOW_KGRAM = (
+    "CAST((((((((CAST(ascii(s[i]) AS HUGEINT) * 257 + ascii(s[i+1])) % {M}) * 257"
+    " + ascii(s[i+2])) % {M}) * 257 + ascii(s[i+3])) % {M}) * 257"
+    " + ascii(s[i+4])) % {M} AS BIGINT)"
+).format(M=_WINNOW_M)
+
+
+@_q("winnowing_fingerprints", f"""
+WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents),
+g AS (SELECT doc_id, s FROM n WHERE length(s) >= 5),
+h AS (
+  SELECT doc_id,
+    list_transform(range(1, length(s) - 3), i -> {_WINNOW_KGRAM}) AS hs
+  FROM g
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+              w0 -> list_min(hs[w0:w0+3])))
+    END AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM f
+""")
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rolling-hash local fingerprints (no SQL oracle: sequential
-    # Rabin-Karp recurrence; overlap properties tested in pytest)
     docs = load_table(spark, "documents", sf_dir)
     return text.winnowing_fingerprints(docs, "doc_id", "text")
 
 
-@_q("multimodal_resize")
+@_q("multimodal_resize", """
+SELECT doc_id AS id, 16 AS width, 16 AS height,
+       256 AS n_bytes,
+       md5(CONCAT(substr(text, 1, 256), repeat(chr(0), greatest(256 - octet_length(encode(text)), 0)))) AS checksum
+FROM documents
+""")
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.operators import multimodal
     docs = load_table(spark, "documents", sf_dir)
     media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = multimodal.resize_images(media, "doc_id", "payload", width=16, height=16)
-    return out.select("id", "width", "height", F.length("resized").alias("n_bytes"))
+    return out.select(
+        "id", "width", "height",
+        F.length("resized").alias("n_bytes"),
+        F.md5("resized").alias("checksum"),
+    )
 
 
-@_q("multimodal_frames")
+@_q("multimodal_frames", """
+WITH b AS (SELECT doc_id AS id, octet_length(encode(text)) AS len FROM documents),
+f AS (SELECT id, len, unnest(range(0, greatest(len // 32, 1), 5)) AS fi FROM b)
+SELECT id, fi AS frame_idx, LEAST(32, len - fi * 32) AS n_bytes FROM f
+""")
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.operators import multimodal
     docs = load_table(spark, "documents", sf_dir)

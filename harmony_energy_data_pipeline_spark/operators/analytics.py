@@ -7,7 +7,7 @@ src/app/components/charts.py, re-expressed as Catalyst plans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -171,7 +171,7 @@ def max_version(df: DataFrame, col: str = "_id"):
 __all__ = [
     "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
     "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
-    "grouped_trend",
+    "grouped_trend", "kmv_distinct",
 ]
 
 
@@ -199,23 +199,86 @@ def grouped_trend(
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[time_col].astype("int64").to_numpy() / 1e9 / 3600.0  # hours
-        y = pdf[value_col].to_numpy(dtype="float64")
-        n = len(pdf)
-        if n < 2 or np.ptp(x) == 0:
-            slope, intercept = 0.0, float(y.mean()) if n else 0.0
+        # Exact-integer sufficient statistics: x in whole epoch seconds
+        # (min-centered per group), y in cents. The OLS closed form
+        # num/den = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is then a ratio of
+        # exact integers (Python bigints — no overflow, no summation-
+        # order drift), reduced to doubles by ONE division — the same
+        # convention as the cents-sum oracle queries, so the DuckDB
+        # twin is bit-identical. Seconds (not μs) keep num/den inside
+        # BIGINT: DuckDB's BIGINT→DOUBLE cast is correctly rounded but
+        # its HUGEINT→DOUBLE cast is NOT, so magnitudes must stay
+        # < 2^63 for cross-engine equality.
+        x = (pdf[time_col].astype("int64") // 1_000_000_000).tolist()  # ns → s
+        t = pdf[value_col].to_numpy(dtype="float64") * 100.0
+        # half-away-from-zero, matching SQL round() (np.round is half-even)
+        y = [int(v) for v in np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))]
+        n = len(x)
+        x0 = min(x)
+        x = [v - x0 for v in x]
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        ybar = float(sy) / (100.0 * float(n))
+        if n < 2 or den == 0:
+            slope_per_hour, intercept = 0.0, ybar
         else:
-            x0 = x - x.mean()
-            slope = float((x0 @ (y - y.mean())) / (x0 @ x0))
-            intercept = float(y.mean() - slope * x.mean())
+            slope_sec = float(num) / float(den)          # cents per second
+            slope_per_hour = slope_sec * 3600.0 / 100.0
+            intercept = ybar - (slope_sec / 100.0) * (float(sx) / float(n))
         return pd.DataFrame({
             key: [pdf[key].iloc[0]],
-            "slope_per_hour": [slope],
+            "slope_per_hour": [slope_per_hour],
             "intercept": [intercept],
             "n": [n],
         })
 
     return df.select(key, time_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate distinct count per group via a KMV (k-minimum-
+    values) sketch [Bar-Yossef et al. 2002]: keep the k smallest
+    60-bit hashes of the values; estimate = (k−1)/R_k where R_k is the
+    k-th smallest hash normalized to [0,1). Exact when the group has
+    < k distinct values.
+
+    Unlike HLL (``approx_count_distinct``), every step is a
+    deterministic portable expression (md5-tail hash, window top-k,
+    one double division), so the DuckDB oracle reproduces the estimate
+    bit-for-bit — a cardinality sketch that passes an exact-equality
+    correctness gate.
+
+    Scale shape: one shuffle for the (group, hash) distinct, one for
+    the per-group top-k window — both on pre-hashed 8-byte keys; the
+    map-side distinct-partial keeps the shuffle near |groups|·k rows.
+    """
+    from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
+
+    scale = float((k - 1) * (1 << 60))
+    hashed = df.select(
+        F.col(group_col), portable_hash60(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc())
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return (
+        topk.groupBy(group_col)
+        .agg(F.count("*").alias("__cnt"), F.max("__h").alias("__hk"))
+        .select(
+            F.col(group_col),
+            F.when(F.col("__cnt") < k, F.col("__cnt"))
+            .otherwise(
+                F.round(F.lit(scale) / F.col("__hk").cast("double")).cast("long")
+            )
+            .alias("approx_" + value_col),
+        )
+    )
 
 
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -196,6 +196,82 @@ def ivf_topk(
     )
 
 
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: one Lloyd
+    M-step over the seed partition ``cell = id % n_centroids``, with
+    vectors quantized to ``round(x·scale)`` integers so every distance
+    comparison (cell assignment, probe ranking) is exact integer
+    arithmetic — identical on any engine, which makes this the
+    oracle-checkable twin of ``ivf_topk``'s KMeans quantizer. The
+    recall/latency dial (n_probe of n_centroids cells scored) is the
+    same; only the quantizer training differs.
+
+    Scale shape: the centroid table (n_centroids × dim rows) is a
+    broadcast on both distance joins; the corpus explodes map-side for
+    the assignment agg (one shuffle on id), and candidate scoring is a
+    cell-keyed equi-join — the corpus is never all-pairs scanned.
+    """
+    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    pe_c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.posexplode(corpus_vec).alias("pos", "v"),
+    ).select("neighbor_id", "pos", vm.alias("vm"))
+    cent = (
+        pe_c.withColumn("cell", F.col("neighbor_id") % n_centroids)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.sum("vm").cast("double") / F.count("*")).cast("long").alias("cm"))
+    )
+    d = F.col("vm") - F.col("cm")
+
+    def nearest_cells(pe: DataFrame, idc: str, n_keep: int) -> DataFrame:
+        dist = (
+            pe.join(F.broadcast(cent), "pos")
+            .groupBy(idc, "cell")
+            .agg(F.sum(d * d).alias("__d2"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__d2").asc(), F.col("cell").asc())
+        return (
+            dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_keep)
+            .select(idc, "cell")
+        )
+
+    assigned = nearest_cells(pe_c, "neighbor_id", 1)
+    pe_q = queries.select(
+        F.col(query_id).alias("query_id"), F.posexplode(query_vec).alias("pos", "v")
+    ).select("query_id", "pos", vm.alias("vm"))
+    probes = nearest_cells(pe_q, "query_id", n_probe)
+
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    # each corpus vector lives in exactly one cell and probes are
+    # distinct cells, so (query, neighbor) pairs are already unique
+    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -294,6 +370,6 @@ def assign_nearest_centroid(
 
 
 __all__ = [
-    "cosine_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_pairs",
-    "assign_nearest_centroid",
+    "cosine_topk", "lsh_topk", "ivf_topk", "ivf_topk_portable",
+    "embedding_near_dup_pairs", "assign_nearest_centroid",
 ]

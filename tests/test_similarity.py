@@ -104,13 +104,15 @@ def test_grouped_trend_matches_numpy(spark, sf_dir):
     }
     pdf = ev.select("user_id", "ts", "value").toPandas()
     for uid, grp in pdf.groupby("user_id"):
-        x = grp["ts"].astype("int64").to_numpy() / 1e9 / 3600.0
-        y = grp["value"].to_numpy(dtype="float64")
+        # same quantization as the operator (whole seconds, cents); the
+        # numpy float path is an independent computation of the same fit
+        x = (grp["ts"].astype("int64").to_numpy() // 10**9).astype("float64") / 3600.0
+        y = np.round(grp["value"].to_numpy(dtype="float64") * 100.0) / 100.0
         x0 = x - x.mean()
         want = float((x0 @ (y - y.mean())) / (x0 @ x0))
         slope, n = got[uid]
         assert n == len(grp)
-        assert abs(slope - want) < 1e-9
+        assert abs(slope - want) < 1e-6 * max(1.0, abs(want))
 
 
 def test_deterministic_split_stable_and_proportional(spark, sf_dir):
