@@ -742,8 +742,9 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M5: n-gram Jaccard near-dup pairs (exact, inverted-index join) ----------------------
 
-@_q("ngram_jaccard_pairs", f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared CTE block: shingle explode + hot-shingle guard (df > cap
+# dropped from index AND sizes — the engine's max_doc_freq semantics).
+_NGRAM_GUARDED_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id,
     CASE WHEN len(toks) >= 3
@@ -752,13 +753,19 @@ sh AS (
          ELSE [array_to_string(toks, ' ')] END AS s
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hot AS (SELECT g FROM (SELECT g, COUNT(*) AS d FROM ex0 GROUP BY g) WHERE d > {{cap}}),
+ex AS (SELECT * FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+@_q("ngram_jaccard_pairs", f"""
+WITH {_NGRAM_GUARDED_CTES.format(cap=10)}
 SELECT id_a, id_b,
        CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
 FROM inter
@@ -768,7 +775,9 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
 """)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5, max_doc_freq=10
+    )
 
 
 # --- M5: near-dup clusters (connected components over the pair graph) -------------
@@ -777,22 +786,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label propagation (dedup.connected_components).
 
 @_q("near_dup_clusters", f"""
-WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(toks) >= 3
-         THEN list_distinct(list_transform(range(1, len(toks)-1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-         ELSE [array_to_string(toks, ' ')] END AS s
-  FROM t
-),
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_NGRAM_GUARDED_CTES.format(cap=10)},
 pairs AS (
   SELECT id_a, id_b
   FROM inter
@@ -814,7 +808,9 @@ SELECT node, MIN(comp) AS component FROM reach GROUP BY node
 """)
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5, max_doc_freq=10
+    )
     return dedup.connected_components(pairs)
 
 

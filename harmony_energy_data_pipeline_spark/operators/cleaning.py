@@ -88,13 +88,16 @@ def parse_and_cast(
     df: DataFrame,
     dt_col: str = "DATETIME",
     numeric_cols: list[str] | None = None,
+    sort: bool = True,
 ) -> DataFrame:
-    """Parse the event-time column, sort by it, lenient-cast numerics
-    (transform.py:122-136).
+    """Parse the event-time column, lenient-cast numerics, and (by
+    default) sort by event time (transform.py:122-136).
 
-    The reference sorts here; a global sort is a range-shuffle at
-    scale, so downstream engine code never *relies* on it — it exists
-    for parity with serve-path expectations (ordered scans).
+    The reference sorts here for its serve path (ordered scans). A
+    global sort is a full range-shuffle at scale and downstream window
+    operators re-shuffle by their own keys anyway, so pipeline callers
+    (``transform_generation``) pass ``sort=False`` and ordering is
+    applied only where the serve contract needs it.
     """
     if numeric_cols is None:
         numeric_cols = [c for c in df.columns if c not in ("_id", dt_col)]
@@ -105,7 +108,7 @@ def parse_and_cast(
             for c in out.columns
         ]
     )
-    return out.orderBy(dt_col)
+    return out.orderBy(dt_col) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +296,8 @@ def transform_generation(
     """
     aligned = align_schema(df_raw)
     parsed = parse_and_cast(aligned, "DATETIME",
-                            [c for c in aligned.columns if c not in ("_id", "DATETIME")])
+                            [c for c in aligned.columns if c not in ("_id", "DATETIME")],
+                            sort=False)
     repaired = repair_percentages(parsed, REPAIR_FUEL_ORDER, "GENERATION", tolerance)
     filled = handle_missing_values(repaired)
     return dedup_two_phase(filled)

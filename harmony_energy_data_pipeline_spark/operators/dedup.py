@@ -221,6 +221,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted-index join on
     shared shingles (never an all-pairs cross join).
@@ -228,9 +229,15 @@ def ngram_jaccard_pairs(
     explode(shingles) → self-join on shingle → count = |A∩B| per pair
     → join set sizes → Jaccard = inter / (|A| + |B| − inter).
     Shuffles: one on shingle (the index join), one on the pair key.
-    n-word shingles keep the index selective; with word-level tokens
-    this would degenerate on stopwords (classic skew — salt or drop
-    top-frequency shingles at scale).
+
+    ``max_doc_freq`` is the hot-shingle skew guard: shingles appearing
+    in more than that many documents are dropped from BOTH the index
+    and the set sizes before the self-join (stop-shingle removal —
+    Jaccard is then over the informative-shingle space). A shingle
+    with document frequency d produces d·(d−1)/2 join rows, so a few
+    template shingles dominate the join at corpus scale; the hot list
+    is tiny by construction and rides a broadcast anti-join, and the
+    df aggregation is map-side combined on 8-byte keys.
 
     Scale shape: shingles are xxhash64-hashed to int64 before the
     explode, so the inverted index and its shuffle carry 8-byte keys
@@ -241,8 +248,20 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), shingle_hashes(text_col, shingle_size).alias("__sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__s")
+        )
+        inv = inv.join(F.broadcast(hot), "__s", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sizes = inv.groupBy(id_col).agg(F.count("*").alias("__n"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

@@ -106,6 +106,34 @@ def test_corpus_clean_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) == 1, physical_plan(df)
 
 
+def test_transform_chain_has_no_global_sort(spark, sf_dir):
+    """The pipeline transform chain must not buy a range-shuffle for
+    ordering the dedup windows immediately destroy; sorting belongs to
+    the serve path only."""
+    import __spark_entry__ as e
+
+    df = e.queries()["transform_chain"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_ngram_hot_shingle_guard_prunes_index(spark, sf_dir):
+    """With max_doc_freq set, the hot-shingle list arrives as a
+    broadcast anti-join (the guard must never shuffle the full index a
+    second time), and the pair output over gate data is unchanged."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    guarded = ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=10)
+    assert "BroadcastHashJoin" in physical_plan(guarded)
+    plain = ngram_jaccard_pairs(docs, "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    want = {(r.id_a, r.id_b) for r in plain.collect()}
+    # informative shingles carry the true pairs; the guard only drops
+    # template noise on this corpus
+    assert got == want
+
+
 def test_vocabulary_two_level_agg(spark, sf_dir):
     """vocabulary pre-reduces on (doc, token) before the token-level
     agg: exactly two exchanges, both fed by partial aggregation."""
