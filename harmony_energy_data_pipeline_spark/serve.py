@@ -81,6 +81,26 @@ def dual_axis(df: DataFrame, dt_col: str, left_col: str, right_col: str) -> Data
     return df.select(dt_col, left_col, right_col)
 
 
+def default_date_range(min_date, max_date, interval: str = "1y"):
+    """Default (start, end) selection per interval — the reference's
+    date_range_selector defaults (selectors.py:39-46): 30m→7d back,
+    1h→14d, 1d→13w, 1mo→5y, 1y→full range; unknown intervals fall back
+    to the full range. Driver-side pure Python by design (F7): it
+    parameterizes the ``filter_range`` engine query, it is not one."""
+    from datetime import timedelta
+
+    defaults = {
+        "30m": max_date - timedelta(days=7),
+        "1h": max_date - timedelta(days=14),
+        "1d": max_date - timedelta(weeks=13),
+        "1mo": max_date - timedelta(days=365 * 5),
+        "1y": min_date,
+    }
+    start = defaults.get(interval, min_date)
+    return max(start, min_date), max_date
+
+
 __all__ = [
     "VersionedCache", "fuel_mix_long", "fuel_share_long", "carbon_split", "dual_axis",
+    "default_date_range",
 ]

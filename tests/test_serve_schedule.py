@@ -76,3 +76,20 @@ def test_config_defaults_and_override(tmp_path):
     cfg = config.load_config(p)
     assert cfg["batch_size"] == 123
     assert config.get(cfg, "nope", 7) == 7
+
+
+def test_default_date_range_per_interval():
+    """Reference selectors.py:39-46: per-interval default start, end
+    pinned to max; starts never precede the data's min."""
+    from datetime import date
+
+    from harmony_energy_data_pipeline_spark.serve import default_date_range
+
+    lo, hi = date(2020, 1, 1), date(2024, 3, 1)
+    assert default_date_range(lo, hi, "30m") == (date(2024, 2, 23), hi)
+    assert default_date_range(lo, hi, "1h") == (date(2024, 2, 16), hi)
+    assert default_date_range(lo, hi, "1d") == (date(2023, 12, 1), hi)
+    # 5y back from 2024-03-01 precedes the data floor -> clamped to min
+    assert default_date_range(lo, hi, "1mo") == (lo, hi)
+    assert default_date_range(lo, hi, "1y") == (lo, hi)
+    assert default_date_range(lo, hi, "whatever") == (lo, hi)

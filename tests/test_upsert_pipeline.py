@@ -138,3 +138,44 @@ def test_scd2_merge_change_noop_and_new_key(spark):
         # brand-new key opens
         (3, "HOUSEHOLD", "2000-06-01 00:00:00", "None"),
     }
+
+
+def test_scd2_merge_idempotent_on_reapply(spark):
+    """Re-applying the same update batch must be a no-op: every update
+    key's open row already carries the new attrs, so the second merge
+    changes nothing (the S4 idempotency contract, extended to SCD2)."""
+    from harmony_energy_data_pipeline_spark.sinks.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "BUILDING", "1995-01-01 00:00:00", None),
+            (2, "MACHINERY", "1995-01-01 00:00:00", None),
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "FURNITURE", "2000-06-01 00:00:00"),
+            (3, "HOUSEHOLD", "2000-06-01 00:00:00"),
+        ],
+        "k long, seg string, effective_ts string",
+    ).selectExpr("k", "seg", "CAST(effective_ts AS TIMESTAMP) AS effective_ts")
+
+    def snapshot(df):
+        return {
+            (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]))
+            for r in df.collect()
+        }
+
+    once = scd2_merge(dim, updates, "k", ["seg"])
+    twice = scd2_merge(once, updates, "k", ["seg"])
+    assert snapshot(once) == snapshot(twice)
+    # and a third application with a LATER timestamp is also a no-op
+    later = updates.selectExpr(
+        "k", "seg", "CAST('2001-01-01 00:00:00' AS TIMESTAMP) AS effective_ts"
+    )
+    assert snapshot(scd2_merge(once, later, "k", ["seg"])) == snapshot(once)
