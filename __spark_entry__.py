@@ -2640,6 +2640,129 @@ def q_regexp_name_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M5 breadth: PII redaction, repetition signal, URL stats, packing --------
+# The gate corpus has no natural PII/URLs, so these queries append a
+# deterministic synthetic tail (email/phone/IP/URL derived from
+# doc_id/source) to every document IN BOTH ENGINES before operating —
+# the redaction/extraction itself is then fully exercised and
+# oracle-checked.
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com call +1-555-123-4567 ip 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || ' see https://'"
+    " || source || '.example.org/docs'"
+)
+
+
+def _pii_aug_col() -> "F.Column":
+    return F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-123-4567 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" see https://"),
+        F.col("source"),
+        F.lit(".example.org/docs"),
+    )
+
+
+def _pii_oracle() -> str:
+    from harmony_energy_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    em, ph, ip = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+s1 AS (
+  SELECT doc_id, CAST(len(string_split_regex(t, '{em}')) - 1 AS BIGINT) AS n_email,
+         regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email, CAST(len(string_split_regex(t, '{ph}')) - 1 AS BIGINT) AS n_phone,
+         regexp_replace(t, '{ph}', '<PHONE>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(string_split_regex(t, '{ip}')) - 1 AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '{ip}', '<IPV4>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_phone, n_ipv4, t AS redacted FROM s3
+"""
+
+
+@_q("pii_redact", _pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select("doc_id", _pii_aug_col().alias("aug"))
+    return text.redact_pii(aug, "doc_id", "aug")
+
+
+@_q("repetition_ratio", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CASE WHEN len(grams) > 0
+       THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+       ELSE 0.0 END AS rep_ratio
+FROM g
+""")
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.repetition_ratio(docs, "doc_id", "text", n=2)
+
+
+@_q("url_domains", f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM aug
+)
+SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+FROM ex GROUP BY domain
+""")
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(F.col("doc_id"), _pii_aug_col().alias("aug"))
+    return text.url_domain_stats(aug, "doc_id", "aug")
+
+
+@_q("pack_sequences", f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 4 AS shard, CAST(len({_TOKS}) AS BIGINT) AS tk,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id ASC) AS rn
+  FROM documents
+),
+p AS (
+  SELECT shard, rn, doc_id, tk, 0::BIGINT AS seq_id, 0::BIGINT AS tok_offset, tk AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.tk,
+         CASE WHEN p.fill + d.tk <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + d.tk <= 256 THEN p.fill ELSE 0::BIGINT END,
+         CASE WHEN p.fill + d.tk <= 256 THEN p.fill + d.tk ELSE d.tk END
+  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT shard, doc_id, seq_id, tok_offset, tk AS n_tokens FROM p
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import pack_sequences
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select("doc_id", text.token_count("text").cast("long").alias("tk"))
+    return pack_sequences(sized, "doc_id", "tk", budget=256, n_shards=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from harmony_energy_data_pipeline_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    sampling,
     similarity,
     temporal,
     text,

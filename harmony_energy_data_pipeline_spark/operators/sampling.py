@@ -75,7 +75,60 @@ def deterministic_stratified_cap(
     return df.filter(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    count_col: str,
+    budget: int,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Greedy token-budget sequence packing — the training-batch prep
+    step: within each shard (``id % n_shards``), walk documents in id
+    order and append each to the current sequence unless it would
+    exceed ``budget`` tokens, in which case a new sequence starts
+    (oversized documents get a sequence of their own).
+
+    Output: ``(shard, id, seq_id, tok_offset, n_tokens)`` —
+    ``tok_offset`` is the document's token start inside its sequence.
+
+    Scale shape: greedy packing is a sequential recurrence, so it
+    cannot be a window expression; it IS embarrassingly parallel
+    across shards, which is exactly ``applyInPandas`` over the shard
+    key — one shuffle, then a linear pass per shard. Shard count is
+    the parallelism dial (a real corpus uses thousands).
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        first = True
+        for tk in pdf[count_col].astype("int64"):
+            tk = int(tk)
+            if not first and fill + tk > budget:
+                seq, fill = seq + 1, 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += tk
+            first = False
+        out = pd.DataFrame({
+            "shard": pdf["shard"],
+            id_col: pdf[id_col],
+            "seq_id": pd.array(seqs, dtype="int64"),
+            "tok_offset": pd.array(offs, dtype="int64"),
+            "n_tokens": pdf[count_col].astype("int64"),
+        })
+        return out
+
+    schema = f"shard long, {id_col} long, seq_id long, tok_offset long, n_tokens long"
+    with_shard = df.select(
+        (F.col(id_col) % n_shards).alias("shard"), F.col(id_col), F.col(count_col)
+    )
+    return with_shard.groupBy("shard").applyInPandas(pack, schema)
+
+
 __all__ = [
     "split_bucket", "deterministic_split", "stratified_sample",
-    "deterministic_stratified_cap",
+    "deterministic_stratified_cap", "pack_sequences",
 ]

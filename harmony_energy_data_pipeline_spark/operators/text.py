@@ -372,9 +372,109 @@ def tf_idf(
     )
 
 
+# Deliberately simple, cross-dialect-safe patterns (char classes and
+# bounded quantifiers only — identical semantics in Java regex and
+# DuckDB's RE2, so the redaction is oracle-checkable).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace each pattern class
+    with a ``<CLASS>`` tag and count the redactions per class.
+
+    Output: (id, redacted text, n_<class> counts). Pure Catalyst
+    regexp expressions — map-side, zero shuffle, codegen'd; the count
+    is (len − len(after-removal)) / avg-match-len-free via a
+    split-based occurrence count (size(split(text, pat)) − 1), which
+    is dialect-portable.
+
+    Classes apply in dict order; later patterns see earlier tags (so
+    e.g. phone patterns can't re-match inside an ``<EMAIL>`` tag).
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = df.select(F.col(id_col), F.col(text_col))
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(
+            (F.size(F.split(redacted, pat)) - 1).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.select(
+        F.col(id_col), *counts, redacted.alias("redacted")
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Repetition quality signal: fraction of duplicated word n-grams,
+    ``1 − distinct/total`` (0 = no repetition; → 1 for loop spam).
+    The classic Gopher-style rep filter. Map-side expressions only;
+    counting runs over the n-gram array without materializing strings
+    off-JVM.
+
+    Output: (id, n_ngrams, rep_ratio) — docs shorter than n tokens
+    have 0 n-grams and ratio 0.0.
+    """
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        F.round(ratio, 6).alias("rep_ratio"),
+    )
+
+
+def url_domain_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-level URL domain frequency: extract every http(s) URL,
+    reduce to its registrable host, count docs per domain.
+
+    Output: (domain, n_docs, n_urls). One explode + one agg shuffle on
+    the (short) domain string; extraction is JVM regexp on the scan.
+    """
+    urls = F.expr(
+        rf"regexp_extract_all({text_col}, 'https?://([A-Za-z0-9.-]+)', 1)"
+    )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(urls).alias("domain"))
+    return ex.groupBy("domain").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_urls"),
+    )
+
+
 __all__ = [
-    "STOPWORDS", "token_count", "bpe_ish_token_count", "stopword_hits",
-    "detect_language", "punct_ratio", "mean_word_length", "quality_score",
-    "fingerprint", "text_stats", "text_stats_full", "winnowing_fingerprints",
-    "vocabulary", "tf_idf", "clean_corpus",
+    "STOPWORDS", "PII_PATTERNS", "token_count", "bpe_ish_token_count",
+    "stopword_hits", "detect_language", "punct_ratio", "mean_word_length",
+    "quality_score", "fingerprint", "text_stats", "text_stats_full",
+    "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
+    "redact_pii", "repetition_ratio", "url_domain_stats",
 ]
