@@ -56,6 +56,14 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if master.startswith("local"):
+        # In local mode the driver JVM is also the executor; Spark's 1g
+        # default heap starves 32 concurrent tasks. No effect when a
+        # JVM already exists (driver-harness sessions) or on a real
+        # cluster (spark-submit sizes executors there).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+        )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
