@@ -2763,6 +2763,56 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, "doc_id", "tk", budget=256, n_shards=4)
 
 
+# --- temporal: gap-filling resample (time_bucket_gapfill + locf shape) -------
+
+@_q("resample_fill_hourly", """
+WITH obs0 AS (
+  SELECT user_id AS key, (epoch_us(ts) // 1000000 // 3600) * 3600 AS b, ts, value
+  FROM events
+),
+obs AS (
+  SELECT key, b, value AS v FROM (
+    SELECT key, b, value,
+           row_number() OVER (PARTITION BY key, b ORDER BY ts DESC, value DESC) AS rn
+    FROM obs0
+  ) WHERE rn = 1
+),
+span AS (SELECT key, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(range(lo, hi + 3600, 3600)) AS b FROM span),
+j AS (
+  SELECT g.key, g.b, o.v
+  FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.b = g.b
+)
+SELECT key AS user_id, CAST(to_timestamp(b) AS TIMESTAMP) AS bucket,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY b ASC ROWS UNBOUNDED PRECEDING
+       ) AS value,
+       v IS NULL AS is_filled
+FROM j
+""")
+def q_resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.temporal import resample_with_fill
+    ev = load_table(spark, "events", sf_dir)
+    return resample_with_fill(ev, "user_id", "ts", "value", step_seconds=3600)
+
+
+# --- A: fixed-width histogram per group --------------------------------------
+
+@_q("histogram_values", """
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(floor(value / 20.0), 0), 14) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(bin AS DOUBLE) * 20.0 AS bin_lo, COUNT(*) AS n
+FROM b GROUP BY event_type, bin
+""")
+def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.analytics import histogram
+    ev = load_table(spark, "events", sf_dir)
+    return histogram(ev, "event_type", "value", bin_width=20.0, n_bins=15)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -171,7 +171,7 @@ def max_version(df: DataFrame, col: str = "_id"):
 __all__ = [
     "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
     "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
-    "grouped_trend", "kmv_distinct",
+    "grouped_trend", "kmv_distinct", "histogram",
 ]
 
 
@@ -235,6 +235,41 @@ def grouped_trend(
         })
 
     return df.select(key, time_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
+
+
+def histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram per group: values bucketed by
+    ``floor(v / bin_width)``, clamped to ``[0, n_bins)`` (under/
+    overflow land in the edge bins). One map-side projection + one
+    partial-aggregated shuffle on (group, bin) — the profile/monitoring
+    primitive that stays cheap at any scale.
+
+    Output: ``(group, bin, bin_lo, n)``.
+    """
+    b = (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+    )
+    return (
+        df.select(F.col(group_col), b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            group_col,
+            "bin",
+            (F.col("bin").cast("double") * F.lit(bin_width)).alias("bin_lo"),
+            "n",
+        )
+    )
 
 
 def kmv_distinct(

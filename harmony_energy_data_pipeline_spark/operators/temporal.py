@@ -132,4 +132,76 @@ def bucketed_interval_join(
     )
 
 
-__all__ = ["asof_join", "interval_join", "bucketed_interval_join"]
+def resample_with_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Gap-filling resample: snap each series to a regular
+    ``step_seconds`` grid from its first to its last observation,
+    then forward-fill missing buckets with the last seen value — the
+    hypertable `time_bucket_gapfill + locf` shape, composed from
+    stock operators.
+
+    Per key: aggregate observed buckets (last value per bucket, ties
+    by latest ts), build the dense grid with ``sequence`` + explode
+    (map-side — the grid never shuffles), left-join observations, and
+    ``last(value, ignorenulls)`` over the bucket window for the fill.
+
+    Output: ``(key, bucket, value, is_filled)``.
+
+    Scale shape: two shuffles on the key ((key,bucket) agg, then the
+    fill window); the grid explode is generated from the per-key
+    min/max — dense in time but proportional to the series' real
+    span, never a global calendar cross-join.
+    """
+    step = F.lit(step_seconds)
+    bucket = (F.unix_timestamp(F.col(time_col)) / step).cast("long") * step
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("__b"),
+            F.col(time_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("key", "__b").orderBy(
+                    F.col("__ts").desc(), F.col("__v").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("key", "__b", "__v")
+    )
+    span = obs.groupBy("key").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds))
+        ).alias("__b"),
+    )
+    fill_w = (
+        Window.partitionBy("key")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["key", "__b"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.timestamp_seconds("__b").alias("bucket"),
+            F.last("__v", ignorenulls=True).over(fill_w).alias(value_col),
+            F.col("__v").isNull().alias("is_filled"),
+        )
+    )
+
+
+__all__ = [
+    "asof_join", "interval_join", "bucketed_interval_join", "resample_with_fill",
+]

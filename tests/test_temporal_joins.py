@@ -61,3 +61,35 @@ def test_bucketed_interval_join_matches_broadcast(spark, sf_dir):
         for r in bucketed_interval_join(ev, "value", bands, "lo", "hi", 15.0).collect()
     )
     assert got == want and want
+
+
+def test_resample_with_fill_gapfill_and_locf(spark):
+    from harmony_energy_data_pipeline_spark.operators.temporal import resample_with_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 5.0),
+            (1, "2024-01-01 03:20:00", 9.0),   # 2 missing hours before
+            (2, "2024-01-01 01:00:00", 7.0),   # single-point series
+        ],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = resample_with_fill(df, "k", "ts", "v", step_seconds=3600)
+    rows = {(r["k"], str(r["bucket"])): (r["v"], r["is_filled"]) for r in out.collect()}
+    assert rows[(1, "2024-01-01 00:00:00")] == (5.0, False)
+    assert rows[(1, "2024-01-01 01:00:00")] == (5.0, True)   # filled forward
+    assert rows[(1, "2024-01-01 02:00:00")] == (5.0, True)
+    assert rows[(1, "2024-01-01 03:00:00")] == (9.0, False)
+    assert rows[(2, "2024-01-01 01:00:00")] == (7.0, False)
+    assert len(rows) == 5
+
+
+def test_resample_keeps_last_value_per_bucket(spark):
+    from harmony_energy_data_pipeline_spark.operators.temporal import resample_with_fill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 1.0), (1, "2024-01-01 00:55:00", 2.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = resample_with_fill(df, "k", "ts", "v").collect()
+    assert len(out) == 1 and out[0]["v"] == 2.0  # latest observation wins

@@ -75,3 +75,17 @@ def test_pack_sequences_respects_budget_and_order(spark, sf_dir):
             assert r["tok_offset"] == run
             run += r["n_tokens"]
         assert r["shard"] == r["doc_id"] % 4
+
+
+def test_histogram_bins_and_clamping(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 19.9), ("a", 20.0), ("a", 999.0)],
+        "g string, v double",
+    )
+    got = {(r["g"], r["bin"]): (r["bin_lo"], r["n"]) for r in
+           histogram(df, "g", "v", bin_width=20.0, n_bins=3).collect()}
+    assert got[("a", 0)] == (0.0, 3)   # -5 clamped up, 0, 19.9
+    assert got[("a", 1)] == (20.0, 1)
+    assert got[("a", 2)] == (40.0, 1)  # 999 clamped into the top bin
