@@ -290,6 +290,43 @@ def q_keyset_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("_id") > 400)
 
 
+# --- S5/S6 via SQLite Python DataSource: the reference's actual serve store ---
+# Rowid-range partitioned scan + WHERE pushdown into SQLite; the query
+# materializes events into a cached .db file first (stdlib sqlite3),
+# then reads it back through the Spark source.
+
+@_q("sqlite_scan", """
+SELECT event_id, user_id, event_type, value FROM events WHERE value >= 100.0
+""")
+def q_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import pyarrow.parquet as pq
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import (
+        SqliteTableDataSource,
+        write_sqlite_table,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    slug = sf_dir.strip("/").replace("/", "_")
+    db = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".cache_sqlite", f"{slug}_events.db")
+    if not os.path.exists(db):
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=cols)
+        rows = list(zip(*[t.column(c).to_pylist() for c in cols]))
+        write_sqlite_table(db, "events", cols, rows)
+    spark.dataSource.register(SqliteTableDataSource)
+    df = (
+        spark.read.format("sqlite_table")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("path", db)
+        .option("table", "events")
+        .option("numPartitions", "8")
+        .load()
+    )
+    # absorbed by pushFilters -> SQLite WHERE, not a post-scan filter
+    return df.filter(F.col("value") >= 100.0)
+
+
 # --- O1-O4/W2: top-k ---------------------------------------------------------
 
 @_q("topk_value", """

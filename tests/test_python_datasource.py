@@ -92,3 +92,56 @@ def test_pushdown_cursor_zero_not_regressed(spark, tmp_path):
     list(rdr.pushFilters([GreaterThan(("_id",), 0)]))
     list(rdr.pushFilters([GreaterThanOrEqual(("_id",), -4)]))
     assert rdr.cursor == 0  # the weaker filter must not regress the bound
+
+
+# ---------------------------------------------------------------------------
+# SQLite table source (reference's serve store, S5/S6)
+# ---------------------------------------------------------------------------
+
+def _mk_db(tmp_path):
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import write_sqlite_table
+
+    db = str(tmp_path / "app.db")
+    rows = [(i, f"u{i % 3}", float(i) if i % 7 else None) for i in range(1, 101)]
+    write_sqlite_table(db, "events", ["event_id", "name", "value"], rows)
+    return db, rows
+
+
+def _read(spark, db, parts=4):
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import SqliteTableDataSource
+
+    spark.dataSource.register(SqliteTableDataSource)
+    return (
+        spark.read.format("sqlite_table")
+        .schema("event_id BIGINT, name STRING, value DOUBLE")
+        .option("path", db).option("table", "events")
+        .option("numPartitions", str(parts))
+        .load()
+    )
+
+
+def test_sqlite_source_full_scan_partitioned(spark, tmp_path):
+    db, rows = _mk_db(tmp_path)
+    got = sorted(tuple(r) for r in _read(spark, db, parts=7).collect())
+    assert got == sorted(rows)
+    assert _read(spark, db).rdd.getNumPartitions() == 4
+
+
+def test_sqlite_source_pushes_comparison_and_null_filters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    db, rows = _mk_db(tmp_path)
+    df = _read(spark, db).filter((F.col("event_id") > 50) & F.col("value").isNotNull())
+    want = [r for r in rows if r[0] > 50 and r[2] is not None]
+    assert sorted(tuple(r) for r in df.collect()) == sorted(want)
+    # equality pushdown on a string column
+    df2 = _read(spark, db).filter(F.col("name") == "u1")
+    assert df2.count() == sum(1 for r in rows if r[1] == "u1")
+
+
+def test_sqlite_source_empty_table(spark, tmp_path):
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import write_sqlite_table
+
+    db = str(tmp_path / "empty.db")
+    write_sqlite_table(db, "events", ["event_id", "name", "value"], [])
+    assert _read(spark, db).count() == 0
