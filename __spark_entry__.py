@@ -2833,6 +2833,36 @@ def q_resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_with_fill(ev, "user_id", "ts", "value", step_seconds=3600)
 
 
+# --- temporal: exact time-weighted average -----------------------------------
+
+@_q("time_weighted_avg", """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT user_id, cents,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC) - s AS dt
+  FROM c
+),
+a AS (
+  SELECT user_id, SUM(CAST(cents AS HUGEINT) * dt) AS num,
+         SUM(CAST(dt AS HUGEINT)) AS den, COUNT(*) AS n_intervals
+  FROM l WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CAST(num AS BIGINT) AS DOUBLE) / (100.0 * CAST(CAST(den AS BIGINT) AS DOUBLE)) AS twa,
+       n_intervals,
+       CAST(den AS BIGINT) AS span_seconds
+FROM a WHERE den > 0
+""")
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.temporal import time_weighted_avg
+    ev = load_table(spark, "events", sf_dir)
+    return time_weighted_avg(ev, "user_id", "ts", "value", tiebreak_col="event_id")
+
+
 # --- A: fixed-width histogram per group --------------------------------------
 
 @_q("histogram_values", """

@@ -202,6 +202,58 @@ def resample_with_fill(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per key: each observation holds until the
+    next one, so the mean weights ``value_i`` by its holding interval —
+    the correct average for irregularly-sampled series (plain AVG
+    over-weights densely-sampled periods). Keys with a single
+    observation have no interval and are omitted.
+
+    Determinism contract: seconds × cents are exact integers; one
+    double division at the end (cross-engine bit-exact). Rows sharing
+    a timestamp need ``tiebreak_col`` for a defined successor order
+    (zero-length intervals contribute nothing, but WHICH value spans
+    the following gap depends on the order of ties).
+
+    Output: ``(key, twa, n_intervals, span_seconds)``. One window
+    shuffle on the key + the final agg (AQE-coalesced map-side
+    partials).
+    """
+    order = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    sec = F.unix_timestamp(F.col(time_col))
+    cents = F.round(F.col(value_col) * F.lit(100.0)).cast("long")
+    stepped = df.select(
+        F.col(key_col).alias("key"),
+        cents.alias("__c"),
+        (F.lead(sec).over(w) - sec).alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    return (
+        stepped.groupBy("key")
+        .agg(
+            F.sum(F.col("__c") * F.col("__dt")).alias("__num"),
+            F.sum("__dt").alias("__den"),
+            F.count("*").alias("n_intervals"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            F.col("key").alias(key_col),
+            (F.col("__num").cast("double") / (F.lit(100.0) * F.col("__den").cast("double"))).alias("twa"),
+            "n_intervals",
+            F.col("__den").alias("span_seconds"),
+        )
+    )
+
+
 __all__ = [
     "asof_join", "interval_join", "bucketed_interval_join", "resample_with_fill",
+    "time_weighted_avg",
 ]

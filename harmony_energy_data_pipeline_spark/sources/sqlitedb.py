@@ -24,13 +24,17 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import os
 import sqlite3
+import tempfile
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -39,6 +43,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -118,6 +123,73 @@ class SqliteTableReader(DataSourceReader):
             con.close()
 
 
+@dataclass
+class StagedFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class SqliteUpsertWriter(DataSourceWriter):
+    """Keyed-upsert sink with a stage-then-commit protocol: SQLite is a
+    single-writer store, so executor tasks never touch the database —
+    each stages its partition as a JSONL file and the COMMIT applies
+    every staged file in ONE driver-side transaction with
+    ``INSERT OR REPLACE`` (primary key = ``key`` option). The write is
+    therefore atomic (all-or-nothing across partitions) and idempotent
+    (rerunning replaces the same keys) — the reference's S4 upsert
+    contract (/root/reference/src/serve/load.py:14-51) against its own
+    store, expressed as a Spark sink commit protocol."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.key = options.get("key", "_id")
+        self.fields = [f.name for f in schema.fields]
+        self.stage_dir = options.get(
+            "stagedir", os.path.join(tempfile.gettempdir(), "sqlite_stage")
+        )
+
+    def write(self, rows) -> StagedFile:
+        os.makedirs(self.stage_dir, exist_ok=True)
+        path = os.path.join(self.stage_dir, f"stage_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(list(row)) + "\n")
+                n += 1
+        return StagedFile(path=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        qt = _quote_ident(self.table)
+        cols = ", ".join(_quote_ident(c) for c in self.fields)
+        col_defs = ", ".join(
+            _quote_ident(c)
+            + (" PRIMARY KEY" if c == self.key else "")
+            for c in self.fields
+        )
+        con = sqlite3.connect(self.path)
+        try:
+            con.execute(f"CREATE TABLE IF NOT EXISTS {qt} ({col_defs})")
+            con.execute("BEGIN")
+            for m in messages:
+                with open(m.path) as fh:
+                    con.executemany(
+                        f"INSERT OR REPLACE INTO {qt} ({cols}) "
+                        f"VALUES ({', '.join('?' for _ in self.fields)})",
+                        (json.loads(line) for line in fh),
+                    )
+            con.commit()
+        finally:
+            con.close()
+        for m in messages:
+            os.unlink(m.path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
 class SqliteTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -130,6 +202,11 @@ class SqliteTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SqliteTableReader:
         return SqliteTableReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SqliteUpsertWriter:
+        if overwrite:
+            raise ValueError("sqlite_table sink is upsert-only; use mode('append')")
+        return SqliteUpsertWriter(self.options, schema)
 
 
 def write_sqlite_table(
@@ -154,4 +231,7 @@ def write_sqlite_table(
         con.close()
 
 
-__all__ = ["SqliteTableDataSource", "SqliteTableReader", "write_sqlite_table"]
+__all__ = [
+    "SqliteTableDataSource", "SqliteTableReader", "SqliteUpsertWriter",
+    "write_sqlite_table",
+]

@@ -145,3 +145,40 @@ def test_sqlite_source_empty_table(spark, tmp_path):
     db = str(tmp_path / "empty.db")
     write_sqlite_table(db, "events", ["event_id", "name", "value"], [])
     assert _read(spark, db).count() == 0
+
+
+def test_sqlite_sink_upsert_atomic_and_idempotent(spark, tmp_path):
+    """The write sink: executor tasks stage JSONL, the driver commit
+    applies everything in one INSERT OR REPLACE transaction — rerun
+    replaces the same keys (S4 idempotency against the real store)."""
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import SqliteTableDataSource
+
+    spark.dataSource.register(SqliteTableDataSource)
+    db = str(tmp_path / "sink.db")
+    stage = str(tmp_path / "stage")
+
+    def write(df):
+        (df.write.format("sqlite_table")
+         .option("path", db).option("table", "gen").option("key", "_id")
+         .option("stageDir", stage)
+         .mode("append").save())
+
+    df1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "_id long, v double"
+    ).repartition(3)
+    write(df1)
+    # upsert batch: update key 2, add key 4
+    write(spark.createDataFrame([(2, 99.0), (4, 40.0)], "_id long, v double"))
+    # idempotent rerun of the same batch
+    write(spark.createDataFrame([(2, 99.0), (4, 40.0)], "_id long, v double"))
+
+    back = (
+        spark.read.format("sqlite_table")
+        .schema("_id BIGINT, v DOUBLE")
+        .option("path", db).option("table", "gen")
+        .load()
+    )
+    got = {r["_id"]: r["v"] for r in back.collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    import os
+    assert not os.listdir(stage)  # staged files cleaned up on commit

@@ -93,3 +93,24 @@ def test_resample_keeps_last_value_per_bucket(spark):
     ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
     out = resample_with_fill(df, "k", "ts", "v").collect()
     assert len(out) == 1 and out[0]["v"] == 2.0  # latest observation wins
+
+
+def test_time_weighted_avg_weights_by_holding_interval(spark):
+    from harmony_energy_data_pipeline_spark.operators.temporal import time_weighted_avg
+
+    # value 10 holds for 3600s, value 20 for 1800s; plain mean = 15,
+    # time-weighted = (10*3600 + 20*1800) / 5400 = 13.333...
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 01:00:00", 20.0),
+            (1, "2024-01-01 01:30:00", 0.0),    # terminal point, no interval
+            (2, "2024-01-01 00:00:00", 42.0),   # single point -> omitted
+        ],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = {r["k"]: r for r in time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert abs(r["twa"] - (10 * 3600 + 20 * 1800) / 5400) < 1e-12
+    assert r["n_intervals"] == 2 and r["span_seconds"] == 5400
