@@ -1961,6 +1961,85 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4 breadth: TPC-H Q4 shape (EXISTS semi-join + priority count) ----------
+# Adapted to testdata columns: the lateness predicate is
+# l_shipdate > o_orderdate + 60 days (no l_commitdate in this corpus).
+
+@_q("tpch_q4", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""")
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    # correlated EXISTS as a left-semi join with the date predicate in
+    # the join condition — one shuffle on orderkey, lineitem pruned to
+    # two columns at the scan
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- M4 breadth: TPC-H Q22 shape (scalar subquery + anti-join + agg) ----------
+# Adapted: nation key stands in for the phone country code (no c_phone
+# in this corpus).
+
+@_q("tpch_q22", """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS a
+  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+)
+SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c_nationkey
+""")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_nationkey").isin(nations))
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    # scalar subquery -> tiny agg cross-joined as a broadcast; NOT
+    # EXISTS -> left-anti on the order keys
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_cents("c_acctbal")).cast("double") / (F.lit(100.0) * F.count("*"))).alias("__a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents("c_acctbal")).cast("double") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
 # --- M4 breadth: TPC-H Q7 (bidirectional nation-pair trade volume by year) --
 # Dim stack (supplier⋈nation, customer⋈nation) broadcasts; only the
 # lineitem⋈orders spine shuffles, so the plan survives a 100× scale-up.
