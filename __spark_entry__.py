@@ -2959,6 +2959,84 @@ def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(ev, "event_type", "value", bin_width=20.0, n_bins=15)
 
 
+# --- training-pipeline: sliding-window document chunking --------------------
+# Chunk i covers tokens [i*48+1, i*48+64]; identical window formula on
+# both sides, chunk text compared via md5 fingerprint.
+
+@_q("chunk_docs", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+        unnest(range(0, CASE WHEN n <= 64 THEN 1
+                             ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_id
+      FROM d)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')) AS chunk_hash
+FROM c
+""")
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
+
+
+# --- training-pipeline: benchmark decontamination ---------------------------
+# Benchmark = every 20th doc_id (stands in for an eval suite); corpus =
+# the rest. Engine joins hashed shingles against the broadcast
+# benchmark set; oracle joins the raw shingle strings.
+
+@_q("decontam_overlap", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+),
+bex AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0)),
+cex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+SELECT doc_id, COUNT(*) AS n_hit
+FROM cex JOIN bex USING (g)
+GROUP BY doc_id
+""")
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate(corpus, bench, "doc_id", "text", shingle_size=3)
+
+
+# --- training-pipeline: robust median/MAD outlier screen --------------------
+# Lower-median formulation (rank (n+1)//2 of the sorted cents) — no
+# interpolation, so med/MAD are exact integers in both engines; the
+# k=3.5 threshold compares as 2*dev > 7*mad.
+
+@_q("robust_outliers_events", """
+WITH c AS (SELECT *, CAST(round(value*100) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+med AS (SELECT event_type, v AS medv FROM r WHERE rn = (n+1)//2),
+d AS (SELECT c.*, abs(c.v - med.medv) AS dev, med.medv AS medv
+      FROM c JOIN med USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM d),
+mad AS (SELECT event_type, dev AS madv FROM r2 WHERE rn = (n+1)//2)
+SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(medv AS DOUBLE)/100 AS med, CAST(madv AS DOUBLE)/100 AS mad
+FROM d JOIN mad USING (event_type)
+WHERE 2*d.dev > 7*mad.madv
+""")
+def q_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.robust_outliers(ev, "event_type", "value", k_num=7, k_den=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -351,3 +351,63 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_num: int = 7,
+    k_den: int = 2,
+) -> DataFrame:
+    """Per-group robust outlier detection: flag rows whose deviation
+    from the group median exceeds k × MAD (median absolute deviation),
+    the standard-deviation-free screen that survives the heavy-tailed
+    value distributions where mean/stddev z-scores break down.
+    k = k_num / k_den (default 3.5) stays rational so the threshold
+    compares as exact integers: flagged ⇔ k_den·dev > k_num·MAD.
+
+    Median here is the *lower* median (the element at rank ⌊(n+1)/2⌋
+    of the sorted group) — single-element, no interpolation, hence
+    bit-identical across engines on the cents-integer scale. Both
+    medians come from a ``row_number`` window over the group: an
+    exact, fully distributed formulation (no ``collect_list`` — a
+    group never has to fit in one task's memory beyond the sort spill
+    path Spark already handles).
+
+    Shuffles: the two rank windows hash-partition on the group key —
+    the second reuses the first's partitioning — and the two
+    median/MAD lookup tables are tiny (one row per group) broadcast
+    joins. Output: (group, id-preserving passthrough of ``df``'s
+    columns) for flagged rows only, plus med/mad context columns.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.withColumn("__v", cents)
+    w_rank = Window.partitionBy(group_col).orderBy("__v")
+    w_grp = Window.partitionBy(group_col)
+    ranked = base.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count("*").over(w_grp)
+    )
+    med = (
+        ranked.filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select(F.col(group_col), F.col("__v").alias("__med"))
+    )
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    w_rank2 = Window.partitionBy(group_col).orderBy("__dev")
+    ranked2 = dev.withColumn("__rn", F.row_number().over(w_rank2)).withColumn(
+        "__n", F.count("*").over(w_grp)
+    )
+    mad = (
+        ranked2.filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select(F.col(group_col), F.col("__dev").alias("__mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), group_col).filter(
+        F.lit(k_den) * F.col("__dev") > F.lit(k_num) * F.col("__mad")
+    )
+    return flagged.select(
+        *[F.col(c) for c in df.columns],
+        (F.col("__med").cast("double") / 100).alias("med"),
+        (F.col("__mad").cast("double") / 100).alias("mad"),
+    )

@@ -504,8 +504,57 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    min_overlap: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) corpus documents that
+    share word n-grams with an evaluation/benchmark set — the standard
+    guard against test-set leakage into a training corpus.
+
+    Both sides shingle through the same normalizer
+    (``textx.shingle_hashes``: distinct n-word shingles as 64-bit md5
+    hashes). The benchmark side is collapsed to its distinct shingle
+    set — tiny relative to the corpus (eval suites are MBs; corpora
+    are TBs) — and broadcast, so the corpus-side inverted index
+    streams map-side against it: zero corpus shuffle for the match,
+    one small agg shuffle on doc_id for the per-document overlap
+    count. The corpus shingle explode carries 8-byte hashes, not
+    strings.
+
+    ``mode="flag"`` returns (doc_id, n_hit) for documents with at
+    least ``min_overlap`` distinct shingles in common with the
+    benchmark; ``mode="clean"`` returns the corpus rows with those
+    documents removed (broadcast anti-join on the flagged ids).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingle_hashes(text_col, shingle_size)).alias("__s"))
+        .distinct()
+    )
+    inv = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(text_col, shingle_size)).alias("__s"),
+    )
+    hits = (
+        inv.join(F.broadcast(bench_sh), "__s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") >= min_overlap)
+    )
+    if mode == "clean":
+        return corpus.join(
+            F.broadcast(hits.select(F.col("doc_id").alias(id_col))), id_col, "left_anti"
+        )
+    return hits
+
+
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
-    "connected_components", "dedup_by_clusters",
+    "connected_components", "dedup_by_clusters", "decontaminate",
 ]

@@ -471,10 +471,58 @@ def url_domain_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token windows of ``chunk_size`` words advancing by ``stride``
+    (overlap = chunk_size − stride), the standard pre-tokenization
+    step before packing a training corpus into fixed-length sequences.
+
+    Chunk i covers tokens [i·stride+1, i·stride+chunk_size]; a
+    document with n tokens yields 1 chunk if n ≤ chunk_size, else
+    ⌊(n − chunk_size + stride − 1) / stride⌋ + 1, so the final
+    (possibly short) tail is always emitted and every token lands in
+    ≥1 chunk. Empty documents yield no chunks.
+
+    Scale shape: pure Catalyst — tokenize (JVM regexp) → one
+    ``explode(sequence(...))`` per document → ``slice`` projections.
+    Zero shuffle; output rows stay co-partitioned with their source
+    document, so a downstream per-chunk transform or write pipelines
+    map-side. Chunk text rides as an md5 fingerprint plus the token
+    count, not the repeated text, keeping the fan-out narrow (the
+    caller can re-slice lazily when materializing chunks).
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_hash).
+    """
+    t = tokens(text_col)
+    sized = df.select(
+        F.col(id_col).alias("doc_id"), t.alias("__t"), F.size(t).alias("__n")
+    ).filter(F.col("__n") > 0)
+    n_chunks = F.when(F.col("__n") <= chunk_size, F.lit(1)).otherwise(
+        F.floor((F.col("__n") - chunk_size + stride - 1) / stride) + 1
+    )
+    ex = sized.select(
+        "doc_id", "__t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, chunk_size)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 __all__ = [
     "STOPWORDS", "PII_PATTERNS", "token_count", "bpe_ish_token_count",
     "stopword_hits", "detect_language", "punct_ratio", "mean_word_length",
     "quality_score", "fingerprint", "text_stats", "text_stats_full",
     "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
-    "redact_pii", "repetition_ratio", "url_domain_stats",
+    "redact_pii", "repetition_ratio", "url_domain_stats", "chunk_documents",
 ]

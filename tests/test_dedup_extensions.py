@@ -88,3 +88,45 @@ def test_null_text_rows_survive(spark):
     assert {(r["id_a"], r["id_b"]) for r in sims.collect()} == {(1, 3)}
     jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
     assert {(r["id_a"], r["id_b"]) for r in jac.collect()} == {(1, 3)}
+
+
+def test_decontaminate_flag_and_clean_modes(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox appeared"),        # shares 'quick brown fox'
+            (2, "totally unrelated words entirely here"),
+            (3, "the quick brown fox jumps again"),   # shares two shingles
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: r["n_hit"]
+        for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    }
+    assert set(flagged) == {1, 3}
+    assert flagged[3] > flagged[1] >= 1
+    clean = decontaminate(corpus, bench, "doc_id", "text", mode="clean")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    # min_overlap=2 drops the single-shingle hit
+    strict = decontaminate(corpus, bench, "doc_id", "text", min_overlap=2)
+    assert {r["doc_id"] for r in strict.collect()} == {3}
+
+
+def test_robust_outliers_median_mad(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import robust_outliers
+
+    rows = [("a", i, 10.0) for i in range(9)] + [("a", 9, 1000.0)] + [
+        ("b", 10, 5.0), ("b", 11, 6.0), ("b", 12, 7.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, value double")
+    out = robust_outliers(df, "g", "value").collect()
+    # group a: median=10, MAD=0 -> only the 1000.0 row exceeds 3.5*0
+    # group b: median=6, MAD=1 -> no deviation exceeds 3.5
+    assert [(r["g"], r["id"]) for r in out] == [("a", 9)]
+    assert out[0]["med"] == 10.0 and out[0]["mad"] == 0.0

@@ -89,3 +89,46 @@ def test_histogram_bins_and_clamping(spark):
     assert got[("a", 0)] == (0.0, 3)   # -5 clamped up, 0, 19.9
     assert got[("a", 1)] == (20.0, 1)
     assert got[("a", 2)] == (40.0, 1)  # 999 clamped into the top bin
+
+
+def test_chunk_documents_window_math(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # short: one chunk
+            (2, " ".join(f"w{i}" for i in range(8))),    # exactly chunk_size
+            (3, " ".join(f"w{i}" for i in range(9))),    # one token over -> 2 chunks
+            (4, " ".join(f"w{i}" for i in range(20))),   # several chunks + short tail
+            (5, ""),                                      # empty: zero chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=5).collect()
+    }
+    by_doc = {}
+    for (d, c) in got:
+        by_doc.setdefault(d, []).append(c)
+    assert sorted(by_doc[1]) == [0, 1]          # 10 tokens: ceil((10-8)/5)+1 = 2
+    assert sorted(by_doc[2]) == [0]
+    assert sorted(by_doc[3]) == [0, 1]
+    assert sorted(by_doc[4]) == [0, 1, 2, 3]    # 20 tokens: ceil(12/5)+1 = 4
+    assert 5 not in by_doc
+    # tail chunk of doc 4 starts at 3*5+1=16 -> 5 tokens left
+    assert got[(4, 3)]["n_tokens"] == 5
+    assert got[(4, 0)]["n_tokens"] == 8
+    # every token is covered: chunk starts advance by stride <= chunk_size
+    assert got[(3, 1)]["n_tokens"] == 4         # tokens 6..9
+
+
+def test_chunk_hash_is_deterministic_fingerprint(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=5).collect()
+    hashes = {r["chunk_hash"] for r in rows}
+    assert len(rows) == 2 and len(hashes) == 1  # same text -> same fingerprint
