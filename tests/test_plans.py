@@ -142,3 +142,30 @@ def test_vocabulary_two_level_agg(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     assert shuffle_count(vocabulary(docs, "doc_id", "text")) == 2
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """Chunking is a per-document fan-out: it must stay entirely
+    map-side (no Exchange), so it pipelines with the scan at 100 TB."""
+    from harmony_energy_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs, "doc_id", "text")
+    assert shuffle_count(chunks) == 0, physical_plan(chunks)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set rides a broadcast; the corpus side's
+    only Exchange is the final per-doc overlap agg — the match itself
+    must not shuffle the corpus."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    flagged = decontaminate(corpus, bench, "doc_id", "text")
+    assert uses_broadcast_join(flagged)
+    # corpus-side shuffles: 1 (the doc_id agg). The benchmark side's
+    # distinct adds its own small exchange pair; the corpus explode
+    # stream must not add more.
+    assert shuffle_count(flagged) <= 3, physical_plan(flagged)
