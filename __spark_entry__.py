@@ -3037,6 +3037,32 @@ def q_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.robust_outliers(ev, "event_type", "value", k_num=7, k_den=2)
 
 
+# --- training-pipeline: incremental batch-vs-corpus dedup -------------------
+# Corpus = every 5th doc_id (the already-ingested store); batch = the
+# rest. The batch drops internal digest-dupes (keep smallest id) then
+# anti-joins the corpus digest set.
+
+@_q("incremental_dedup_docs", f"""
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+fresh AS (
+  SELECT doc_id, text, lang, source, n_chars, dg FROM (
+    SELECT *, md5({_NORM}) AS dg,
+           row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+    FROM batch
+  ) WHERE rn = 1
+),
+seen AS (SELECT DISTINCT md5({_NORM}) AS dg FROM corpus)
+SELECT doc_id, text, lang, source, n_chars
+FROM fresh WHERE dg NOT IN (SELECT dg FROM seen)
+""")
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_dedup(batch, corpus, "doc_id", "text", normalize=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -553,8 +553,44 @@ def decontaminate(
     return hits
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus —
+    the continuous-ingest shape: every new crawl/delivery must drop
+    (a) its own internal duplicates and (b) anything the corpus
+    already holds, without ever rewriting the corpus.
+
+    Both gates key on the content digest, never the text: the batch
+    dedups internally with a min-id window (one shuffle on the
+    16-byte digest), then anti-joins the corpus's digest *projection*
+    — the corpus scan prunes to the single text column it needs to
+    hash, and only digests shuffle. At 100 TB the right deployment
+    stores the corpus digest set as its own bucketed table (one
+    16-byte column, bucketed by digest) so the anti-join co-locates
+    with zero corpus-side exchange; this operator takes any corpus
+    DataFrame and lets AQE pick sort-merge vs broadcast by the
+    digest-set size.
+    """
+    content = (
+        normalize_text(text_col) if normalize else F.col(text_col)
+    )
+    fresh = exact_dedup(batch, id_col, text_col, normalize=normalize)
+    seen = corpus.select(F.md5(content).alias("__digest")).distinct()
+    return (
+        fresh.withColumn("__digest", F.md5(content))
+        .join(seen, "__digest", "left_anti")
+        .drop("__digest")
+    )
+
+
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
     "connected_components", "dedup_by_clusters", "decontaminate",
+    "incremental_dedup",
 ]

@@ -130,3 +130,23 @@ def test_robust_outliers_median_mad(spark):
     # group b: median=6, MAD=1 -> no deviation exceeds 3.5
     assert [(r["g"], r["id"]) for r in out] == [("a", 9)]
     assert out[0]["med"] == 10.0 and out[0]["mad"] == 0.0
+
+
+def test_incremental_dedup_batch_and_corpus_gates(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "Already ingested!")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already   INGESTED"),   # normalizes to a corpus dupe
+            (11, "brand new content"),
+            (12, "brand-new content!"),   # internal dupe of 11 (normalized)
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            incremental_dedup(batch, corpus, "doc_id", "text").collect()}
+    assert kept == {11, 13}  # 10 dropped vs corpus; 12 loses to 11 in-batch
