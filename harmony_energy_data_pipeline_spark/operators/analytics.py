@@ -369,40 +369,48 @@ def robust_outliers(
 
     Median here is the *lower* median (the element at rank ⌊(n+1)/2⌋
     of the sorted group) — single-element, no interpolation, hence
-    bit-identical across engines on the cents-integer scale. Both
-    medians come from a ``row_number`` window over the group: an
-    exact, fully distributed formulation (no ``collect_list`` — a
-    group never has to fit in one task's memory beyond the sort spill
-    path Spark already handles).
+    bit-identical across engines on the cents-integer scale.
 
-    Shuffles: the two rank windows hash-partition on the group key —
-    the second reuses the first's partitioning — and the two
-    median/MAD lookup tables are tiny (one row per group) broadcast
-    joins. Output: (group, id-preserving passthrough of ``df``'s
-    columns) for flagged rows only, plus med/mad context columns.
+    Scale shape — histogram medians, not rank windows: a
+    ``row_number`` window per group sorts each group's FULL row set in
+    one task, so parallelism collapses to the number of groups (a
+    5-group, 100 TB table would sort 20 TB per task). Instead the rows
+    reduce to per-(group, value) counts — that shuffle keys on the
+    well-distributed composite, with map-side partial aggregation —
+    and the median comes from a cumulative-count window over the
+    DISTINCT values of each group (bounded by the value domain, not
+    the row count: cents of a physical measure have ~10⁴ distinct
+    values regardless of row count). Same again for the MAD over the
+    deviation histogram. The two median/MAD lookup tables are one row
+    per group and ride broadcast joins back onto the row stream.
+
+    Output: ``df``'s columns for flagged rows only, plus med/mad
+    context columns.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.withColumn("__v", cents)
-    w_rank = Window.partitionBy(group_col).orderBy("__v")
-    w_grp = Window.partitionBy(group_col)
-    ranked = base.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
-        "__n", F.count("*").over(w_grp)
-    )
-    med = (
-        ranked.filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
-        .select(F.col(group_col), F.col("__v").alias("__med"))
-    )
+
+    def hist_lower_median(rows: DataFrame, val: str, out: str) -> DataFrame:
+        counts = rows.groupBy(group_col, val).agg(F.count("*").alias("__c"))
+        w_cum = (
+            Window.partitionBy(group_col)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_grp = Window.partitionBy(group_col)
+        cum = counts.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+            "__mid", F.floor((F.sum("__c").over(w_grp) + 1) / 2)
+        )
+        return cum.filter(
+            (F.col("__cum") >= F.col("__mid"))
+            & (F.col("__cum") - F.col("__c") < F.col("__mid"))
+        ).select(F.col(group_col), F.col(val).alias(out))
+
+    med = hist_lower_median(base, "__v", "__med")
     dev = base.join(F.broadcast(med), group_col).withColumn(
         "__dev", F.abs(F.col("__v") - F.col("__med"))
     )
-    w_rank2 = Window.partitionBy(group_col).orderBy("__dev")
-    ranked2 = dev.withColumn("__rn", F.row_number().over(w_rank2)).withColumn(
-        "__n", F.count("*").over(w_grp)
-    )
-    mad = (
-        ranked2.filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
-        .select(F.col(group_col), F.col("__dev").alias("__mad"))
-    )
+    mad = hist_lower_median(dev, "__dev", "__mad")
     flagged = dev.join(F.broadcast(mad), group_col).filter(
         F.lit(k_den) * F.col("__dev") > F.lit(k_num) * F.col("__mad")
     )
