@@ -3063,6 +3063,31 @@ def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(batch, corpus, "doc_id", "text", normalize=True)
 
 
+# --- scale layout: Morton (z-order) clustering key --------------------------
+# The engine key and the SQL twin are generated from the same unroll
+# (sinks/layout.py), so the bit-interleave is provably identical.
+
+from harmony_energy_data_pipeline_spark.sinks.layout import zorder_key, zorder_key_sql
+
+@_q("zorder_events", f"""
+WITH b AS (
+  SELECT event_id,
+         user_id & 65535 AS u,
+         (CAST(round(value*100) AS BIGINT) & 65535) AS v
+  FROM events
+)
+SELECT event_id, CAST({zorder_key_sql(['u', 'v'], 16)} AS BIGINT) AS z FROM b
+""")
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("u"),
+        _cents("value").bitwiseAND(F.lit(65535)).alias("v"),
+    )
+    return b.select("event_id", zorder_key(["u", "v"], 16).cast("long").alias("z"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
