@@ -2278,6 +2278,397 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4 breadth: TPC-H Q2 shape (correlated-min subquery over suppliers) -----
+# Adapted: no partsupp table in this corpus, so the part-supplier cost
+# relation is derived from lineitem (min observed price per part+supplier);
+# the Q2 shape — "supplier achieving the minimum cost for each qualifying
+# part" — is intact. Correlated MIN becomes a partition window over the
+# aggregated (small) cost relation, and every dim join broadcasts.
+
+@_q("tpch_q2", """
+WITH pp AS (
+  SELECT p_partkey, p_type FROM part WHERE p_size = 15 AND p_type = 'SMALL'
+), ps AS (
+  SELECT l_partkey, p_type, l_suppkey,
+         MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost
+  FROM lineitem JOIN pp ON p_partkey = l_partkey
+  GROUP BY l_partkey, p_type, l_suppkey
+), r AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS best FROM ps
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_type,
+       CAST(cost AS DOUBLE)/100.0 AS supplycost
+FROM r
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE cost = best
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""")
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast the pruned part side BEFORE aggregating: the cost
+    # relation then only holds qualifying parts, so the window input is
+    # tiny. groupBy shuffles on (partkey, suppkey); the window re-keys
+    # on partkey alone over the already-reduced aggregate.
+    pp = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_type")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("__pc")
+    )
+    ps = (
+        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_type", "l_suppkey")
+        .agg(F.min("__pc").alias("cost"))
+    )
+    best = ps.withColumn(
+        "best", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("best"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            (F.col("cost").cast("double") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+# --- M4 breadth: TPC-H Q9 shape (product-type profit by nation and year) -----
+# Adapted: supplycost := p_retailprice (no partsupp), so
+# profit = extprice*(1-discount) - retailprice*quantity, computed in
+# 1e-4-dollar integer units for a deterministic cross-engine sum.
+
+@_q("tpch_q9", """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+       CAST(CAST(SUM(
+         CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+         - CAST(round(p_retailprice*100) AS BIGINT) * CAST(round(l_quantity*100) AS BIGINT)
+       ) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""")
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # name-filtered part and supplier join the lineitem spine without
+    # hints — at 100 TB neither is reliably broadcastable, so AQE picks
+    # the strategy per stats; only the 25-row nation dim is pinned
+    # broadcast. The profit expression folds to one codegen'd projection.
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", _cents("p_retailprice").alias("__rc"))
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    profit = (
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        - F.col("__rc") * _cents("l_quantity")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+            profit.alias("__pe4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("__pe4").cast("double") / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+# --- M4 breadth: TPC-H Q11 shape (scalar-subquery share threshold) -----------
+# Adapted: part value := lineitem revenue from suppliers of the chosen
+# nations (no partsupp). The threshold compare stays in integer cents
+# (value*1000 > total) — no float in the predicate on either engine.
+
+@_q("tpch_q11", """
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_0', 'NATION_1')
+  GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(value_c) AS BIGINT) AS t FROM val
+)
+SELECT ps_partkey, CAST(value_c AS DOUBLE)/100.0 AS part_value
+FROM val, tot
+WHERE value_c * 1000 > t
+""")
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_0", "NATION_1")
+    )
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("__ec")
+    )
+    val = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("__ec").alias("value_c"))
+    )
+    # the grand total is a one-row aggregate — broadcast cross join, the
+    # standard Spark shape for a scalar subquery
+    tot = val.agg(F.sum("value_c").alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.lit(1000) > F.col("__t"))
+        .select(
+            "ps_partkey",
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q16 shape (anti-join + count-distinct suppliers) ------
+# Adapted: the part-supplier relation is lineitem; "complaint" suppliers
+# are those with negative account balance (no s_comment in this corpus).
+
+@_q("tpch_q16", """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- M4 breadth: TPC-H Q19 shape (disjunction of conjunctive predicates) -----
+# Adapted to this corpus's brands/sizes (no p_container/l_shipmode). The
+# point of the shape: Catalyst extracts the common implied bounds
+# (size <= 15, quantity <= 30) from the OR and pushes them into BOTH
+# parquet scans; the residual disjunction evaluates post-join in one
+# codegen'd filter. The explicit per-side pre-filters below make the
+# pushdown deterministic rather than optimizer-dependent.
+
+@_q("tpch_q19", """
+SELECT CAST(CAST(SUM(
+  CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""")
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#15")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    arm = lambda brand, szhi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, szhi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#15", 15, 20, 30)
+        )
+        .agg(
+            (
+                (F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))))
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+    )
+
+
+# --- M4 breadth: TPC-H Q20 shape (aggregate-derived nested semi-join) --------
+# Adapted: "excess availability" := supplier shipped more than half of a
+# part's total 1995 volume (no partsupp.ps_availqty). The chain
+# lineitem-agg → share filter → part name filter → supplier semi-join
+# mirrors Q20's nested IN subqueries.
+
+@_q("tpch_q20", """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS total
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM shipped
+  JOIN tot ON pk = l_partkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%' AND qty * 2 > total
+)
+""")
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("qty")
+    )
+    # second-level agg and the join both key on l_partkey — the exchange
+    # introduced for `shipped` is reused, no extra shuffle
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total")).withColumnRenamed("l_partkey", "pk")
+    pn = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    cand = (
+        shipped.join(tot, F.col("l_partkey") == F.col("pk"))
+        .join(F.broadcast(pn), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") * F.lit(2) > F.col("total"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return s.join(
+        F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+# --- M4 breadth: TPC-H Q21 shape (double-correlated EXISTS / NOT EXISTS) -----
+# Adapted: "late" := shipped more than 90 days after the order date (no
+# l_commitdate/l_receiptdate). Q21's two correlated subqueries (another
+# supplier EXISTS on the order; another LATE supplier NOT EXISTS) are
+# re-expressed as one per-order aggregate — n_suppliers > 1 and
+# n_late_suppliers = 1 — which is the join-free equivalent and costs a
+# single extra keyed aggregation instead of two more lineitem joins.
+
+@_q("tpch_q21", """
+WITH lf AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS ok,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM lf GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait
+FROM lf
+JOIN per_order ON ok = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""")
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lf = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("late"),
+    )
+    # two-level plain aggregation instead of the oracle's double
+    # COUNT(DISTINCT ...): deduping to (order, supplier) first avoids
+    # Spark's Expand-based multi-distinct (which triples the shuffle
+    # volume), keeps map-side partial aggregation, and makes the final
+    # per-supplier count a plain COUNT(*) — after the n_late = 1 filter
+    # each surviving (order, supplier) row is already unique.
+    per_supp = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        per_supp.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 # --- W breadth: ntile / rank / percent_rank / cume_dist over a total order ---
 
 @_q("window_rank_customers", """

@@ -169,3 +169,41 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     # distinct adds its own small exchange pair; the corpus explode
     # stream must not add more.
     assert shuffle_count(flagged) <= 3, physical_plan(flagged)
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate's implied bounds must reach BOTH
+    parquet scans (brand/size on part, quantity on lineitem) — a plan
+    that evaluates the disjunction only post-join re-reads the full
+    fact table at 100 TB."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q19"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_pushed_filter(df, "l_quantity"), plan
+    assert has_pushed_filter(df, "p_brand"), plan
+    assert uses_broadcast_join(df)
+
+
+def test_tpch_q21_avoids_expand_distinct(spark, sf_dir):
+    """Q21's two correlated-distinct counts are computed by two plain
+    keyed aggregations, not Spark's Expand-based multi-distinct (which
+    triples shuffle volume); no Expand node may appear."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q21"](spark, sf_dir)
+    assert "Expand" not in physical_plan(df)
+
+
+def test_tpch_q2_prunes_before_aggregation(spark, sf_dir):
+    """The part filter must arrive as a broadcast join BELOW the
+    cost aggregation, so the window input holds qualifying parts only;
+    supplier/nation dims also broadcast — no shuffle carries a dim."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q2"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # shuffles: the (partkey, suppkey) agg, the partkey window re-key,
+    # and the top-k exchange — nothing else
+    assert "TakeOrderedAndProject" in plan, plan
