@@ -26,8 +26,10 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q9",
     "tpch_q13",
     "tpch_q18",
+    "tpch_q21",
     "brand_revenue",
     "region_revenue",
     "top3_orders_per_customer",
