@@ -1547,6 +1547,54 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+# --- M5+: temperature-weighted mixture + deterministic epoch shuffle ---------
+# temperature_mixture keeps each doc iff
+#   bucket · S · n_d < n_buckets · target · sq_d   (all-integer, see
+# operators/sampling.py) — the oracle states the identical inequality in
+# HUGEINT. α = 0.5 (√n weighting) because IEEE sqrt is correctly rounded
+# on every engine.
+
+@_q("mixture_sample_langs", """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+sq AS (SELECT lang, n, CAST(round(sqrt(n)*1000000) AS BIGINT) AS s FROM c),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM sq)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN sq ON d.lang = sq.lang
+CROSS JOIN tot
+WHERE CAST(CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS HUGEINT) * st * n
+    < CAST(10000 AS HUGEINT) * 250 * s
+""")
+def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return temperature_mixture(docs, "doc_id", "lang", target_rows=250)
+
+
+@_q("training_order_epoch1", """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#e1') AS sk
+FROM documents
+ORDER BY sk ASC
+LIMIT 100
+""")
+def q_training_order_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        epoch_shuffle_key,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # head of the epoch-1 training order — a top-k
+    # (TakeOrderedAndProject), never a global sort
+    return (
+        docs.select("doc_id", epoch_shuffle_key("doc_id", 1).alias("sk"))
+        .orderBy("sk")
+        .limit(100)
+    )
+
+
 # --- M5: text quality scoring -----------------------------------------------------
 
 @_q("text_quality", f"""

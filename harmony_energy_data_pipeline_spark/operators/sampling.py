@@ -128,7 +128,99 @@ def pack_sequences(
     return with_shard.groupBy("shard").applyInPandas(pack, schema)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    target_rows: int,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-weighted domain mixture (the multilingual-corpus
+    rebalance: sampling weight ∝ n_d^α with α = 0.5, the T5/mT5
+    temperature): downsample each domain so the expected output is
+    ``target_rows`` rows distributed ∝ √n_d, which up-weights small
+    domains relative to their natural share.
+
+    Exactness: the keep predicate is pure integer arithmetic on both
+    engines — √n_d is quantized to ``round(√n_d · 10⁶)`` (IEEE sqrt is
+    correctly rounded, so Spark and any SQL engine agree bit-for-bit),
+    and the per-row test is the cross-multiplied form
+
+        bucket(key) · S · n_d  <  n_buckets · target · sq_d,
+
+    (S = Σ sq_d) evaluated in DECIMAL(38,0) — no float, no division,
+    so the same row is kept everywhere, forever. Domains whose target
+    exceeds their size keep every row (the inequality saturates).
+
+    Scale shape: one tiny domain-count aggregate, a one-row grand
+    total, and a broadcast join back onto the corpus — the corpus
+    itself is never shuffled.
+    """
+    d38 = "decimal(38,0)"
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    sq = counts.withColumn(
+        "__sq", F.round(F.sqrt(F.col("__n")) * F.lit(1_000_000.0)).cast("long")
+    )
+    # grand total as an unpartitioned window over the (tiny) domain
+    # table — NOT a separate aggregate, which would re-scan the corpus
+    # for a second count; the single-partition exchange moves only
+    # #domains rows
+    from pyspark.sql import Window
+
+    dims = sq.withColumn("__S", F.sum("__sq").over(Window.partitionBy()))
+    lhs = (
+        split_bucket(key, n_buckets).cast(d38)
+        * F.col("__S").cast(d38)
+        * F.col("__n").cast(d38)
+    )
+    rhs = (
+        F.lit(n_buckets).cast(d38)
+        * F.lit(target_rows).cast(d38)
+        * F.col("__sq").cast(d38)
+    )
+    return (
+        df.join(F.broadcast(dims), domain_col)
+        .filter(lhs < rhs)
+        .drop("__n", "__sq", "__S")
+    )
+
+
+def epoch_shuffle_key(key_col: str | F.Column, epoch: int) -> F.Column:
+    """Deterministic per-epoch training order: the md5 of
+    ``key || '#e' || epoch``. Hex strings sort like the underlying
+    128-bit value, the order is uniform-random in aggregate yet fully
+    reproducible, and every engine computes the identical key — the
+    standard trick for a reshuffled-every-epoch corpus without any
+    stored permutation."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.md5(F.concat(c.cast("string"), F.lit(f"#e{epoch}")))
+
+
+def shuffled_write(
+    df: DataFrame,
+    key: str,
+    epoch: int,
+    path: str,
+    num_files: int | None = None,
+) -> None:
+    """Write the corpus in epoch-``epoch`` training order: rows are
+    range-partitioned on the epoch shuffle key (sampled boundaries →
+    balanced files) and sorted within each file, so reading files in
+    name order replays one global deterministic shuffle — no global
+    sort, no driver-side permutation, one range exchange total."""
+    keyed = df.withColumn("__sk", epoch_shuffle_key(key, epoch))
+    parted = (
+        keyed.repartitionByRange(num_files, "__sk")
+        if num_files
+        else keyed.repartitionByRange("__sk")
+    )
+    parted.sortWithinPartitions("__sk").drop("__sk").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 __all__ = [
     "split_bucket", "deterministic_split", "stratified_sample",
     "deterministic_stratified_cap", "pack_sequences",
+    "temperature_mixture", "epoch_shuffle_key", "shuffled_write",
 ]

@@ -207,3 +207,20 @@ def test_tpch_q2_prunes_before_aggregation(spark, sf_dir):
     # shuffles: the (partkey, suppkey) agg, the partkey window re-key,
     # and the top-k exchange — nothing else
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_temperature_mixture_never_shuffles_corpus(spark, sf_dir):
+    """The mixture filter rides a broadcast of the tiny domain-stats
+    table; the corpus side must stay map-side (its only exchanges are
+    the domain-count aggregate's own, over grouped data)."""
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    out = temperature_mixture(docs, "doc_id", "lang", 100)
+    plan = physical_plan(out)
+    assert uses_broadcast_join(out), plan
+    # exchanges: domain-count agg (1) + its grand-total agg (1); the
+    # corpus→output path itself must not repartition
+    assert shuffle_count(out) <= 2, plan
