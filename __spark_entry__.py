@@ -3502,6 +3502,35 @@ def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(batch, corpus, "doc_id", "text", normalize=True)
 
 
+# Bloom-pruned variant: the Bloom stage only prunes the anti-join's
+# probe side (false positives re-checked exactly, false negatives
+# impossible), so the result — and therefore the oracle — is the plain
+# incremental-dedup semantics. The bloom math itself is pinned by
+# tests/test_dedup_extensions.py.
+
+@_q("bloom_incremental_dedup", f"""
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+fresh AS (
+  SELECT doc_id, text, lang, source, n_chars, dg FROM (
+    SELECT *, md5({_NORM}) AS dg,
+           row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+    FROM batch
+  ) WHERE rn = 1
+),
+seen AS (SELECT DISTINCT md5({_NORM}) AS dg FROM corpus)
+SELECT doc_id, text, lang, source, n_chars
+FROM fresh WHERE dg NOT IN (SELECT dg FROM seen)
+""")
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_dedup_bloom(
+        batch, corpus, "doc_id", "text", normalize=True, m_bits=1 << 16
+    )
+
+
 # --- scale layout: Morton (z-order) clustering key --------------------------
 # The engine key and the SQL twin are generated from the same unroll
 # (sinks/layout.py), so the bit-interleave is provably identical.

@@ -588,9 +588,115 @@ def incremental_dedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-pruned incremental dedup (broadcast-bitmap membership join)
+# ---------------------------------------------------------------------------
+
+def _bloom_probes(digest: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic probe positions in [0, m_bits): the first 12 hex
+    chars (48 bits) of md5(digest ':' i) mod m — portable (identical in
+    any engine with md5+conv) and independent per probe."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(digest, F.lit(f":{i}"))), 1, 12), 16, 10
+        ).cast("long")
+        % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    digests: DataFrame, digest_col: str, m_bits: int, k: int = 7
+) -> DataFrame:
+    """Build a Bloom filter OF the digest set AS a DataFrame:
+    ``(word_id, bits)`` — bit p lives in word ``p div 64``. The build is
+    one ``bit_or`` aggregation with map-side partial combine (never a
+    driver-side bitmap): each corpus partition ORs its own probe bits,
+    and only ≤ m/64 sparse words shuffle. At ~10 bits/element the word
+    table is an order of magnitude smaller than the digest set itself,
+    which is what makes it broadcastable when the digest set is not."""
+    probes = F.array(*_bloom_probes(F.col(digest_col), m_bits, k))
+    pos = digests.select(F.explode(probes).alias("__p"))
+    # shiftleft with a COLUMN shift count is SQL-only (the pyspark
+    # wrapper insists on an int literal)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))")
+    return pos.groupBy(F.expr("__p div 64").alias("word_id")).agg(
+        F.bit_or(mask).alias("bits")
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame, digest_col: str, words: DataFrame, m_bits: int, k: int = 7
+) -> DataFrame:
+    """Adds ``__maybe`` — true iff every probe bit is set (the classic
+    no-false-negative membership test). The probe is a broadcast
+    equi-join on word_id plus a bitwise AND: no UDF, no driver data
+    path, whole-stage codegen throughout."""
+    probes = F.array(*_bloom_probes(F.col(digest_col), m_bits, k))
+    exploded = df.select(
+        F.col(digest_col), F.posexplode(probes).alias("__i", "__p")
+    ).select(
+        digest_col,
+        F.expr("__p div 64").alias("word_id"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__mask"),
+    )
+    hits = (
+        exploded.join(F.broadcast(words), "word_id", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("bits").bitwiseAND(F.col("__mask")) != 0, F.lit(False)),
+        )
+        .groupBy(digest_col)
+        .agg(F.min("__hit").alias("__maybe"))
+    )
+    return df.join(hits, digest_col)
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """`incremental_dedup` with a Bloom pre-filter: identical output
+    (the filter only PRUNES the anti-join's probe side — false
+    positives are re-checked exactly, false negatives cannot occur),
+    but rows the corpus has definitely never seen skip the corpus
+    anti-join entirely.
+
+    Why it matters at 100 TB: a daily batch anti-joining a petabyte
+    corpus digest set pays a massive shuffle even when overlap is ~0.
+    The word table costs ~``m_bits/8`` bytes broadcast (size m at ~10
+    bits per corpus element for ~1% false positives) and cuts the
+    anti-join input to (overlap + fp·batch) rows. Both arms reuse one
+    persisted digest projection; the corpus digest scan still prunes
+    to the text column only.
+    """
+    content = normalize_text(text_col) if normalize else F.col(text_col)
+    fresh = (
+        exact_dedup(batch, id_col, text_col, normalize=normalize)
+        .withColumn("__digest", F.md5(content))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seen = corpus.select(F.md5(content).alias("__digest")).distinct()
+    words = bloom_build(seen, "__digest", m_bits, k)
+    flagged = bloom_maybe_contains(fresh, "__digest", words, m_bits, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    definitely_new = flagged.filter(~F.col("__maybe"))
+    rechecked = flagged.filter(F.col("__maybe")).join(
+        seen, "__digest", "left_anti"
+    )
+    return definitely_new.unionByName(rechecked).drop("__digest", "__maybe")
+
+
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
     "connected_components", "dedup_by_clusters", "decontaminate",
-    "incremental_dedup",
+    "incremental_dedup", "bloom_build", "bloom_maybe_contains",
+    "incremental_dedup_bloom",
 ]

@@ -150,3 +150,60 @@ def test_incremental_dedup_batch_and_corpus_gates(spark):
     kept = {r["doc_id"] for r in
             incremental_dedup(batch, corpus, "doc_id", "text").collect()}
     assert kept == {11, 13}  # 10 dropped vs corpus; 12 loses to 11 in-batch
+
+
+def test_bloom_incremental_matches_plain(spark, sf_dir):
+    """The Bloom stage is a pure pruning device: output must be
+    row-identical to incremental_dedup on real data."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    want = {r["doc_id"] for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()}
+    got = {
+        r["doc_id"]
+        for r in incremental_dedup_bloom(
+            batch, corpus, "doc_id", "text", m_bits=1 << 14
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every corpus member must test maybe=True (no false negative —
+    the correctness-critical half), and with a well-sized filter most
+    non-members test maybe=False (the pruning half)."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.range(500).select(F.md5(F.col("id").cast("string")).alias("dg"))
+    others = spark.range(500, 1500).select(F.md5(F.col("id").cast("string")).alias("dg"))
+    m_bits = 1 << 13  # ~16 bits/element
+    words = bloom_build(members, "dg", m_bits)
+    in_flags = bloom_maybe_contains(members, "dg", words, m_bits)
+    assert in_flags.filter(~F.col("__maybe")).count() == 0
+    fp = bloom_maybe_contains(others, "dg", words, m_bits).filter(F.col("__maybe")).count()
+    assert fp < 100, fp  # <10% false positives at this sizing
+
+
+def test_bloom_probe_is_broadcast_no_udf(spark, sf_dir):
+    """The membership test must be broadcast-join + bitwise AND —
+    no Python evaluation anywhere in the plan."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    digests = spark.range(100).select(F.md5(F.col("id").cast("string")).alias("dg"))
+    words = bloom_build(digests, "dg", 1 << 12)
+    flagged = bloom_maybe_contains(digests, "dg", words, 1 << 12)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
