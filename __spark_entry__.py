@@ -3531,6 +3531,55 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-global span dedup (C4/RefinedWeb line-dedup family) --------------
+# The synthetic corpus is single-line, so the gate query runs the SAME
+# operator at token granularity (split on ' ', min_len 4); multi-line
+# semantics are pinned by tests/test_text_extensions.py.
+
+@_q("span_dedup_docs", """
+WITH parts AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(l))) - 1 AS pos,
+         unnest(l) AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+flagged AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM parts
+)
+SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+FROM flagged
+WHERE length(span) < 4 OR rn = 1
+GROUP BY doc_id
+""")
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.text import span_dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return span_dedup(docs, "doc_id", "text", split_re=" ", join_delim=" ", min_len=4)
+
+
+# --- corpus-global quantile band filter --------------------------------------
+
+@_q("quality_band_docs", """
+WITH th AS (
+  SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
+         round(quantile_cont(n_chars, 0.95), 6) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, th
+WHERE n_chars >= lo AND n_chars <= hi
+""")
+def q_quality_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        quantile_band_filter,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return quantile_band_filter(docs, "n_chars", 0.05, 0.95)
+
+
 # --- scale layout: Morton (z-order) clustering key --------------------------
 # The engine key and the SQL twin are generated from the same unroll
 # (sinks/layout.py), so the bit-interleave is provably identical.

@@ -303,10 +303,38 @@ def transform_generation(
     return dedup_two_phase(filled)
 
 
+def quantile_band_filter(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``col`` lies within the corpus-global
+    [P(lo), P(hi)] band — the standard outlier trim before training
+    (drop the truncated fragments AND the concatenation monsters).
+
+    Two passes by construction: an exact-percentile aggregate (one
+    reduction to a single row) and a broadcast of the two thresholds
+    back over the corpus — the corpus itself never shuffles. The
+    thresholds are rounded to 6 dp so every engine computes the
+    identical cut (exact interpolated percentiles agree cross-engine
+    at that precision; the band moves by ≤1e-6 which no real filter
+    cares about)."""
+    th = df.agg(
+        F.round(F.percentile(col, F.lit(lo)), 6).alias("__lo"),
+        F.round(F.percentile(col, F.lit(hi)), 6).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(th))
+        .filter((F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
 __all__ = [
     "FUEL_COLS", "REPAIR_FUEL_ORDER", "align_schema", "parse_timestamp",
     "lenient_cast", "parse_and_cast", "repaired_perc", "repair_percentages",
     "count_inconsistent", "null_row_filter", "handle_missing_values",
     "dedup_keep_last", "dedup_two_phase", "quality_summary",
-    "transform_generation",
+    "transform_generation", "quantile_band_filter",
 ]

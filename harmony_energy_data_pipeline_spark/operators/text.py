@@ -519,10 +519,64 @@ def chunk_documents(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_re: str = "\n",
+    join_delim: str = "\n",
+    min_len: int = 15,
+) -> DataFrame:
+    """Corpus-global span-level dedup (the C4/RefinedWeb line-dedup
+    family): split every document into spans, keep each distinct span
+    only at its FIRST global occurrence (ordered by ``(doc id,
+    position)``), and rebuild documents from their surviving spans —
+    boilerplate that repeats across pages (nav bars, cookie banners,
+    license headers) vanishes corpus-wide in one pass.
+
+    Spans shorter than ``min_len`` pass through untouched (deduping
+    "the" would shred the corpus) AND skip the dedup shuffle entirely —
+    only long spans pay the global window. Scale shape: explode is
+    map-side; the keep-first window shuffles on ``md5(span)`` (16-byte
+    key, never multi-KB text); the rebuild regroups by doc id. Two
+    keyed shuffles total, both on well-distributed keys.
+
+    Documents whose text is NULL are dropped (split yields no rows) —
+    run after null-handling, like the rest of the cleaning chain.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_re, -1)).alias(
+            "__pos", "__span"
+        ),
+    )
+    long_spans = parts.filter(F.length("__span") >= min_len)
+    short_spans = parts.filter(F.length("__span") < min_len)
+    w = Window.partitionBy(F.md5("__span")).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept_long = (
+        long_spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("__pos", "__span")))
+    return (
+        kept_long.unionByName(short_spans)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda x: x["__span"]), join_delim
+            ).alias(text_col)
+        )
+    )
+
+
 __all__ = [
     "STOPWORDS", "PII_PATTERNS", "token_count", "bpe_ish_token_count",
     "stopword_hits", "detect_language", "punct_ratio", "mean_word_length",
     "quality_score", "fingerprint", "text_stats", "text_stats_full",
     "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
     "redact_pii", "repetition_ratio", "url_domain_stats", "chunk_documents",
+    "span_dedup",
 ]

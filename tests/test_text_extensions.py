@@ -132,3 +132,56 @@ def test_chunk_hash_is_deterministic_fingerprint(spark):
     rows = chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=5).collect()
     hashes = {r["chunk_hash"] for r in rows}
     assert len(rows) == 2 and len(hashes) == 1  # same text -> same fingerprint
+
+
+def test_span_dedup_multiline_boilerplate(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import span_dedup
+
+    banner = "accept our cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique first article body"),
+            (2, f"{banner}\nanother distinct article"),
+            (3, f"ok\n{banner}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           span_dedup(docs, "doc_id", "text", min_len=10).collect()}
+    # banner survives only at its first global occurrence (doc 1)
+    assert out[1] == f"{banner}\nunique first article body"
+    assert out[2] == "another distinct article"
+    # short spans ("ok") always pass through
+    assert out[3] == "ok"
+
+
+def test_span_dedup_keeps_first_by_doc_then_pos(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import span_dedup
+
+    dup = "repeated span of text"
+    docs = spark.createDataFrame(
+        [(5, f"{dup}\nmiddle line here\n{dup}")],
+        "doc_id long, text string",
+    )
+    out = span_dedup(docs, "doc_id", "text", min_len=10).collect()[0]["text"]
+    # intra-doc repeat: only position 0 survives
+    assert out == f"{dup}\nmiddle line here"
+
+
+def test_quantile_band_filter_trims_tails(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        quantile_band_filter,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    n = docs.count()
+    kept = quantile_band_filter(docs, "n_chars", 0.05, 0.95)
+    k = kept.count()
+    # ~90% survives; both tails trimmed
+    assert 0.85 * n <= k <= 0.95 * n, (k, n)
+    lo_all = docs.agg(F.min("n_chars")).first()[0]
+    hi_all = docs.agg(F.max("n_chars")).first()[0]
+    lo_k = kept.agg(F.min("n_chars")).first()[0]
+    hi_k = kept.agg(F.max("n_chars")).first()[0]
+    assert lo_k > lo_all and hi_k < hi_all
