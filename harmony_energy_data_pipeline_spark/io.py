@@ -25,6 +25,11 @@ _REQUIRED_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # Testdata written as timestamp[us] with no zone would otherwise
+    # infer TIMESTAMP_NTZ, which streaming watermarks reject
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). With the session TZ pinned
+    # to UTC above, reading it as TIMESTAMP is value-identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -35,6 +35,10 @@ ENGINE_CONF: dict[str, str] = {
     # an Arrow-native writer); Spark has no nanos timestamp, so read
     # them as long and convert in io.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # No-zone parquet timestamps read as TIMESTAMP (not NTZ): the
+    # session TZ is UTC so values are identical, and streaming
+    # watermarks require TimestampType.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Local default; a real cluster would size this to ~2-3x total
     # cores (AQE coalesces the excess back down).
     "spark.sql.shuffle.partitions": "32",
