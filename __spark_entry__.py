@@ -1763,6 +1763,110 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
 
 
+# --- SemDeDup: cluster-sharded semantic near-duplicate pruning --------------------
+# Same portable quantizer as ivf_topk (cells/centroids reproduced in
+# SQL), then within-cell cosine pairs and the keep-first drop rule —
+# the survivor set is fully deterministic, so the oracle is exact.
+
+def _semdedup_oracle(dim: int = 64, n_cells: int = 8, threshold: float = 0.3) -> str:
+    return f"""
+WITH pe AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+),
+cent AS (
+  SELECT vec_id % {n_cells} AS cell, pos,
+         CAST(round(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pe GROUP BY 1, 2
+),
+dist AS (
+  SELECT pe.vec_id, c.cell, SUM((pe.vm - c.cm) * (pe.vm - c.cm)) AS d2
+  FROM pe JOIN cent c ON pe.pos = c.pos GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b USING (cell)
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id AND {_cos_sql("ea", "eb")} >= {threshold}
+)
+SELECT vec_id, cell FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+@_q("semdedup_keep", _semdedup_oracle())
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.semdedup(emb, threshold=0.3, n_cells=8)
+
+
+# --- A-ES deterministic weighted sampling -----------------------------------------
+# Priorities come from md5(salt:key), not rand(), so the drawn sample
+# is identical on every run/engine; ranking is in log-space and only
+# ORDERS rows (never hashed), so libm-vs-JVM ulp differences cannot
+# surface — distinct keys give well-separated priorities.
+
+@_q("weighted_sample_docs", """
+WITH pri AS (
+  SELECT doc_id, lang,
+         ln((CAST(CONCAT('0x', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+            / 1152921504606846976.0) / CAST(length(text) AS DOUBLE) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY rk DESC, doc_id ASC) AS rn
+  FROM pri
+) WHERE rn <= 25
+""")
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = weighted_sample(
+        docs, key="doc_id", weight_col=F.length("text"), k=25, group_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+# --- hashed-feature linear quality classifier -------------------------------------
+# Integer token weights (md5-derived) fold exactly on both engines;
+# the single final sigmoid is rounded to 6 dp, and the keep decision
+# compares the INTEGER weight total so no float boundary exists.
+
+@_q("quality_classifier_docs", f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5('qw:' || tok), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+  FROM t WHERE tok <> ''
+),
+s AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS total, COUNT(*) AS n FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(CASE WHEN s.n > 0 THEN CAST(s.total AS DOUBLE) / (s.n * 1000.0) ELSE 0.0 END))), 6) AS score,
+       COALESCE(s.total, 0) >= 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+""")
+def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(text.hashed_linear_score("text"), 6).alias("score"),
+        (text.hashed_linear_total("text") >= 0).alias("keep"),
+    )
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

@@ -42,6 +42,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_dedup",
     "cosine_topk",
+    "semdedup_keep",
+    "quality_classifier_docs",
 ]
 
 

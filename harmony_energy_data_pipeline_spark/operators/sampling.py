@@ -11,7 +11,7 @@ is expressible in any engine (it is this repo's DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,6 +73,58 @@ def deterministic_stratified_cap(
             (F.col(strata_col) == F.lit(stratum)) & (bucket < int(frac * n_buckets))
         )
     return df.filter(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str | F.Column,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each row gets
+    priority ``u^(1/w)`` with ``u`` a deterministic uniform derived
+    from ``md5(salt:key)``; the top-k priorities per group are the
+    sample. P(row in sample) rises with weight, the draw is exact
+    A-ES, and — because ``u`` comes from the key, not ``rand()`` — the
+    same rows are chosen on every run, partition layout, and engine.
+
+    Ranking happens in log-space (``ln(u)/w``, monotone in the
+    priority) to avoid underflow for large weights. Ties (impossible
+    for distinct keys) break by key.
+
+    Scale shape: one window top-k per group — a single shuffle on the
+    group key; no collect, no iteration. With no group, a global
+    top-k plans as TakeOrderedAndProject (no full sort).
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # 60-bit md5 prefix -> uniform in (0,1); +0.5 keeps u strictly >0
+    hex60 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("double")
+    u = (hex60 + F.lit(0.5)) / F.lit(float(1 << 60))
+    rank_key = F.log(u) / wcol.cast("double")
+    if group_col is None:
+        # global top-k as sort+limit: plans TakeOrderedAndProject
+        # (per-partition heaps, no single-partition window funnel)
+        return (
+            df.withColumn("__rk", rank_key)
+            .orderBy(F.col("__rk").desc(), F.col(key).asc())
+            .limit(k)
+            .drop("__rk")
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__rk").desc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rk", rank_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rk", "__rn")
+    )
 
 
 def pack_sequences(

@@ -272,6 +272,87 @@ def ivf_topk_portable(
     )
 
 
+def portable_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic coarse-quantizer cell assignment: seed partition
+    ``cell = id % n_cells``, one Lloyd M-step, nearest centroid by
+    EXACT integer distance over ``round(x·scale)`` quantized vectors —
+    the same engine-portable quantizer ``ivf_topk_portable`` uses
+    (kept in sync with its inline twin; both are oracle-checked).
+
+    Returns (id_col, cell). Scale shape: centroid table (n_cells × dim)
+    broadcasts; the only shuffle is the per-id distance agg.
+    """
+    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    pe = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).select(id_col, "pos", vm.alias("vm"))
+    cent = (
+        pe.withColumn("cell", F.col(id_col) % n_cells)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.sum("vm").cast("double") / F.count("*")).cast("long").alias("cm"))
+    )
+    d = F.col("vm") - F.col("cm")
+    dist = (
+        pe.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(d * d).alias("__d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("cell").asc())
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning. Cluster embeddings with a coarse quantizer,
+    compare cosine ONLY within a cluster, and drop every row whose
+    similarity to a lower-id row in the same cell meets the threshold
+    (keep-first rule — the same convention ``minhash_dedup`` uses, so
+    the survivor set is deterministic and engine-portable).
+
+    Scale shape: the paper's O(n²) similarity matrix is sharded by
+    cell — the pair join is a cell-keyed self-join, so cost is
+    Σ|cell|², never |corpus|²; skewed (over-large) cells re-plan under
+    AQE, and n_cells is the dial that bounds the largest shard. The
+    quantizer is ``portable_cells`` (broadcast centroids, exact integer
+    distances). Returns KEPT rows as (id_col, cell).
+    """
+    assigned = portable_cells(df, id_col, vec_col, n_cells, scale)
+    sides = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
+        assigned.withColumnRenamed(id_col, "__id"), "__id"
+    )
+    a = sides.select(
+        F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    b = sides.select(
+        F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("__va", "__vb") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

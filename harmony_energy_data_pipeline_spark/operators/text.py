@@ -382,6 +382,55 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def hashed_linear_score(
+    text_col: Column | str,
+    salt: str = "qw",
+    resolution: int = 1000,
+) -> Column:
+    """fastText-style linear quality classifier over HASHED token
+    features (Joulin et al. 2016, arXiv:1607.01759 — the model family
+    behind CCNet/RedPajama quality filters): each token maps to an
+    integer weight in [-resolution, +resolution] derived from
+    ``md5(salt:token)``, the document logit is the mean token weight
+    (÷resolution), and the score is ``sigmoid(logit)``.
+
+    The md5-derived weight table is a deterministic stand-in for
+    learned weights (production swaps in a broadcast map-lookup of a
+    trained vector; the plumbing — tokenize, per-token weight, mean,
+    sigmoid — is identical). Everything is a Catalyst expression: the
+    per-token fold is exact INTEGER arithmetic, so engines agree
+    bit-for-bit up to the single final sigmoid. Empty documents score
+    sigmoid(0) = 0.5.
+    """
+    total = hashed_linear_total(text_col, salt, resolution)
+    n = F.size(tokens(text_col))
+    logit = F.when(n > 0, total.cast("double") / (n * F.lit(float(resolution)))).otherwise(
+        F.lit(0.0)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def hashed_linear_total(
+    text_col: Column | str,
+    salt: str = "qw",
+    resolution: int = 1000,
+) -> Column:
+    """The exact-integer logit numerator of ``hashed_linear_score``
+    (sum of token weights). ``total >= 0 ⇔ score >= 0.5``, so keep
+    decisions can be made on integers — no float boundary."""
+    span = 2 * resolution + 1
+
+    def wt(tk: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), tk)), 1, 15), 16, 10
+        ).cast("long")
+        return h % span - resolution
+
+    return F.aggregate(
+        tokens(text_col), F.lit(0).cast("long"), lambda acc, tk: acc + wt(tk)
+    )
+
+
 def redact_pii(
     df: DataFrame,
     id_col: str,

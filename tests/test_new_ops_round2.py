@@ -1,0 +1,127 @@
+"""Tests for the round-2 additions: SemDeDup, A-ES weighted sampling,
+and the hashed-feature linear quality classifier."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.operators import similarity, text
+from harmony_energy_data_pipeline_spark.operators.sampling import weighted_sample
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_drops_near_identical_keeps_first(spark):
+    # ids 0 and 8 land in the same seed cell (id % 8); give them
+    # near-identical vectors and everyone else orthogonal-ish ones
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base),
+        (8, [0.999, 0.001, 0.0, 0.0]),   # ~cos 1.0 with id 0
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r["vec_id"] for r in similarity.semdedup(df, threshold=0.9, n_cells=8).collect()}
+    assert 0 in kept and 8 not in kept        # keep-first: lower id wins
+    assert {1, 2, 3} <= kept                  # dissimilar rows untouched
+
+
+def test_semdedup_invariant_no_kept_pair_above_threshold(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    t = 0.3
+    kept = similarity.semdedup(emb, threshold=t, n_cells=8)
+    a = kept.join(emb, "vec_id").select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("__va")
+    )
+    b = kept.join(emb, "vec_id").select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("__vb")
+    )
+    from harmony_energy_data_pipeline_spark.functions.vector import cosine_similarity
+
+    offenders = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("__va", "__vb") >= F.lit(t))
+        .count()
+    )
+    assert offenders == 0
+
+
+# --- A-ES weighted sampling -------------------------------------------------
+
+
+def _aes_rank(key: str, weight: float, salt: str = "aes") -> float:
+    h = int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+    u = (float(h) + 0.5) / float(1 << 60)
+    return math.log(u) / weight
+
+
+def test_weighted_sample_matches_python_model(spark):
+    rows = [(i, "g", float(1 + (i * 7) % 13)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, g string, w double")
+    got = {r["k"] for r in weighted_sample(df, key="k", weight_col="w", k=10, group_col="g").collect()}
+    want = {
+        k for k, _, _ in sorted(rows, key=lambda r: -_aes_rank(str(r[0]), r[2]))[:10]
+    }
+    assert got == want
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    rows = [(i, float(1 + i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    s1 = {r["k"] for r in weighted_sample(df, "k", "w", k=20).collect()}
+    s2 = {r["k"] for r in weighted_sample(df.repartition(13), "k", "w", k=20).collect()}
+    assert s1 == s2 and len(s1) == 20
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row with overwhelming weight must always be drawn
+    rows = [(i, 1.0) for i in range(50)] + [(99, 1e9)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = {r["k"] for r in weighted_sample(df, "k", "w", k=5).collect()}
+    assert 99 in got
+
+
+# --- hashed linear classifier ----------------------------------------------
+
+
+def _py_score(text_str: str, salt: str = "qw", res: int = 1000) -> float:
+    import re
+
+    norm = re.sub(r"[^a-z0-9]+", " ", text_str.lower()).strip()
+    toks = norm.split(" ") if norm else []
+    total = 0
+    for t in toks:
+        h = int(hashlib.md5(f"{salt}:{t}".encode()).hexdigest()[:15], 16)
+        total += h % (2 * res + 1) - res
+    logit = total / (len(toks) * res) if toks else 0.0
+    return 1.0 / (1.0 + math.exp(-logit))
+
+
+@pytest.mark.parametrize(
+    "s",
+    ["the quick brown fox", "", "  ", "Hello, World! 123", "aaa aaa aaa"],
+)
+def test_hashed_linear_score_matches_python_model(spark, s):
+    df = spark.createDataFrame([(s,)], "text string")
+    got = df.select(text.hashed_linear_score("text").alias("sc")).first()["sc"]
+    assert abs(got - _py_score(s)) < 1e-12
+
+
+def test_hashed_linear_keep_boundary_is_integer(spark):
+    df = spark.createDataFrame([("x y z",), ("",)], "text string")
+    rows = df.select(
+        text.hashed_linear_total("text").alias("total"),
+        text.hashed_linear_score("text").alias("sc"),
+    ).collect()
+    for r in rows:
+        assert (r["total"] >= 0) == (r["sc"] >= 0.5)
