@@ -1867,6 +1867,98 @@ def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- blocked fuzzy matching (record linkage) --------------------------------------
+# The pair set is grouped to (dist, n_pairs, id_checksum): the checksum
+# folds every pair identity into the value hash, so the oracle verifies
+# the full pair computation without shipping 30k+ rows.
+
+@_q("fuzzy_pairs_part", """
+WITH n AS (
+  SELECT p_partkey AS id, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS nm
+  FROM part
+),
+b AS (
+  SELECT id, nm, substr(nm, 1, 4) || '|' || CAST(length(nm) // 8 AS VARCHAR) AS blk FROM n
+),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b, CAST(levenshtein(a.nm, b2.nm) AS BIGINT) AS dist
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+  WHERE levenshtein(a.nm, b2.nm) <= 3
+)
+SELECT dist, COUNT(*) AS n_pairs,
+       CAST(SUM(id_a * 100000 + id_b) AS BIGINT) AS id_checksum
+FROM pairs GROUP BY dist ORDER BY dist
+""")
+def q_fuzzy_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, "part", sf_dir)
+    pairs = dedup.fuzzy_match_pairs(parts, "p_partkey", "p_name", max_edit=3)
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("id_a") * 100000 + F.col("id_b")).cast("long").alias("id_checksum"),
+        )
+        .orderBy("dist")
+    )
+
+
+# --- unigram-LM perplexity signal -------------------------------------------------
+# Log-probs quantized to integer micro-nats make the per-doc sums exact
+# integer arithmetic; one rounded division produces the final double.
+
+@_q("unigram_nll_docs", f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tt AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM t WHERE tok <> '' GROUP BY doc_id, tok
+),
+v AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tt GROUP BY tok),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM v),
+li AS (
+  SELECT tok, CAST(round(ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS li
+  FROM v, tot
+)
+SELECT tt.doc_id, CAST(SUM(tt.tf) AS BIGINT) AS n_tokens,
+       round(-CAST(SUM(li.li * tt.tf) AS DOUBLE) / (1000000.0 * CAST(SUM(tt.tf) AS DOUBLE)), 6) AS nll
+FROM tt JOIN li USING (tok)
+GROUP BY tt.doc_id
+""")
+def q_unigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = text.unigram_nll(docs, "doc_id", "text")
+    return out.select("doc_id", "n_tokens", F.round("nll", 6).alias("nll"))
+
+
+# --- deterministic quantile sketch ------------------------------------------------
+# Bottom-k-hash sample (same portable 60-bit hash as the KMV sketch) +
+# exact interpolated percentiles over the sample; identical on any
+# engine/partitioning, so the approximation passes an exact oracle.
+
+_QS_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+@_q("value_quantile_sketch", f"""
+WITH s AS (
+  SELECT value FROM (
+    SELECT value, event_id,
+           CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % {1 << 60} AS BIGINT) AS h
+    FROM events
+  ) ORDER BY h ASC, event_id ASC LIMIT 1000
+),
+q AS (SELECT quantile_cont(value, {_QS_PROBS}) AS qs FROM s)
+SELECT {_QS_PROBS}[i] AS p, round(qs[i], 6) AS value
+FROM q, (SELECT unnest(range(1, {len(_QS_PROBS) + 1})) AS i) idx
+""")
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hash_sample_quantiles,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    out = hash_sample_quantiles(ev, "event_id", "value", _QS_PROBS, k=1000)
+    return out.select("p", F.round("value", 6).alias("value"))
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

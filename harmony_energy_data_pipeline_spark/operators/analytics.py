@@ -316,6 +316,49 @@ def kmv_distinct(
     )
 
 
+def hash_sample_quantiles(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list[float],
+    k: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles from a BOTTOM-k-HASH sample: the k rows
+    with the smallest portable 60-bit key hashes form a uniform,
+    deterministic, mergeable sample (the KMV idea applied to
+    sampling); exact interpolated percentiles over that sample
+    estimate the population quantiles with error O(1/√k).
+
+    Unlike ``approx_percentile``'s KLL sketch, the sample — and hence
+    the estimate — is identical on any engine and partition layout,
+    so the sketch passes an exact-equality oracle. Output:
+    ``(p, value)``, one row per requested quantile.
+
+    Scale shape: the bottom-k-by-hash is TakeOrderedAndProject
+    (per-partition heaps of size k, no shuffle of the data itself);
+    the final exact percentile runs on k rows. Merging shards =
+    union + re-take-k, which is how a 1000-executor run combines.
+    """
+    from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
+
+    sample = (
+        df.select(F.col(value_col), F.col(key), portable_hash60(F.col(key)).alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col(key).asc())
+        .limit(k)
+    )
+    pct = sample.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("__q")
+    )
+    return pct.select(
+        F.posexplode("__q").alias("__i", "value")
+    ).select(
+        F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("__i") + 1).alias("p"),
+        "value",
+    )
+
+
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column data profile: null count, exact distinct count, and
     min/max (computed on the native type, then rendered as strings so

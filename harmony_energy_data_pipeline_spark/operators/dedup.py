@@ -504,6 +504,50 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 2,
+    prefix: int = 4,
+    len_band: int = 8,
+) -> DataFrame:
+    """Blocked fuzzy matching (classic record-linkage blocking, e.g.
+    Christen 2012): candidate pairs share a BLOCK KEY — the first
+    ``prefix`` chars of the normalized name plus a length band — and a
+    pair survives iff ``levenshtein(a, b) <= max_edit``. Output
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    Contract: names differing inside the prefix or across a length
+    boundary are never candidates — the standard blocking
+    recall/cost trade-off; run a second pass with a different key
+    (e.g. suffix) and union when higher recall matters.
+
+    Scale shape: block-keyed equi-self-join, cost Σ|block|² instead of
+    |table|²; the edit-distance verify runs JVM-side on candidates
+    only, and AQE's skew-join splits hot blocks.
+    """
+    nm = normalize_text(name_col)
+    blk = F.concat_ws(
+        "|",
+        F.substring(nm, 1, prefix),
+        F.floor(F.length(nm) / len_band).cast("string"),
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), nm.alias("__na"), blk.alias("__blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), nm.alias("__nb"), blk.alias("__blk")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__na", "__nb").cast("long"))
+        .filter(F.col("dist") <= max_edit)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -382,6 +382,56 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def unigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood — the
+    perplexity-style quality signal of CCNet (Wenzek et al. 2020,
+    arXiv:1911.00359) and the Gopher filters, with the unigram model
+    trained on the corpus itself: ``p(tok) = tf/total`` over all
+    token occurrences, document score = mean ``-ln p(tok)``. High NLL
+    = improbable token stream (gibberish, boilerplate soup); low =
+    repetitive/common text. Output: (doc_id, n_tokens, nll).
+
+    Exactness: per-token log-probs are quantized to integer
+    MICRO-NATS (``round(ln(tf/total)·10⁶)``), so the per-document
+    aggregation is exact integer arithmetic on any engine and only
+    one rounded division produces the final double.
+
+    Shape at scale: token tf is one (token)-keyed agg over rows
+    already collapsed per (doc, token); the corpus total joins in as
+    a broadcast 1-row cross join (no driver collect); scoring joins
+    doc-tokens to the vocab on token (broadcastable for bounded
+    vocabularies) and re-aggregates per document.
+    """
+    per_doc = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("__tf"))
+    )
+    vocab = per_doc.groupBy("token").agg(F.sum("__tf").alias("__cf"))
+    total = vocab.agg(F.sum("__cf").alias("__total"))
+    li = F.round(
+        F.log(F.col("__cf").cast("double") / F.col("__total").cast("double"))
+        * F.lit(float(quantum))
+    ).cast("long")
+    scored = (
+        per_doc.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "__tf", li.alias("__li"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("__tf").cast("long").alias("n_tokens"),
+        (
+            -F.sum(F.col("__li") * F.col("__tf")).cast("double")
+            / (F.lit(float(quantum)) * F.sum("__tf").cast("double"))
+        ).alias("nll"),
+    )
+
+
 def hashed_linear_score(
     text_col: Column | str,
     salt: str = "qw",

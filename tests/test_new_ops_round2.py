@@ -125,3 +125,80 @@ def test_hashed_linear_keep_boundary_is_integer(spark):
     ).collect()
     for r in rows:
         assert (r["total"] >= 0) == (r["sc"] >= 0.5)
+
+
+# --- blocked fuzzy matching -------------------------------------------------
+
+
+def test_fuzzy_match_pairs_finds_near_misses_within_block(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    rows = [
+        (1, "golden widget"),
+        (2, "golden widgets"),   # dist 1, same block
+        (3, "golden wadget"),    # dist 1 to id1
+        (4, "silver widget"),    # different prefix -> never a candidate
+        (5, "golden bolt extra long name"),  # different length band
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_match_pairs(df, "id", "name", max_edit=2).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+# --- unigram NLL ------------------------------------------------------------
+
+
+def test_unigram_nll_matches_hand_model(spark):
+    import math
+
+    from harmony_energy_data_pipeline_spark.operators.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    li = {
+        t: round(math.log(cf / 5.0) * 1e6)
+        for t, cf in {"a": 2, "b": 2, "c": 1}.items()
+    }
+    want1 = -(2 * li["a"] + li["b"]) / (1e6 * 3)
+    want2 = -(li["b"] + li["c"]) / (1e6 * 2)
+    got = {r["doc_id"]: r for r in unigram_nll(docs, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["nll"] - want1) < 1e-12
+    assert got[2]["n_tokens"] == 2 and abs(got[2]["nll"] - want2) < 1e-12
+    # rarer tokens -> higher NLL
+    assert got[2]["nll"] > got[1]["nll"]
+
+
+# --- hash-sample quantile sketch -------------------------------------------
+
+
+def test_hash_sample_quantiles_exact_when_k_covers_all(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hash_sample_quantiles,
+    )
+
+    rows = [(i, float(i)) for i in range(101)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["p"]: r["value"]
+        for r in hash_sample_quantiles(df, "k", "v", [0.25, 0.5, 0.75], k=1000).collect()
+    }
+    # k >= n: the "sample" is the whole population -> exact quantiles
+    assert got == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0}
+
+
+def test_hash_sample_quantiles_stable_under_repartition(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hash_sample_quantiles,
+    )
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    a = sorted(hash_sample_quantiles(df, "k", "v", [0.5, 0.9], k=200).collect())
+    b = sorted(hash_sample_quantiles(df.repartition(17), "k", "v", [0.5, 0.9], k=200).collect())
+    assert a == b
