@@ -176,6 +176,74 @@ def stateful_running_total(
     )
 
 
+def streaming_first_seen(
+    stream: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming FIRST-OCCURRENCE filter: emit one row per key the
+    first micro-batch that key appears in — ``(key, first_ts,
+    n_in_batch)`` with ``first_ts`` the min event time among that
+    batch's rows — and drop every later occurrence. This is exact
+    streaming dedup with an explicit state-retention dial: ``ttl_ms``
+    evicts a key's seen-marker after that much processing-time
+    silence, bounding the state (the watermark-free alternative to
+    ``dropDuplicates``, whose state either grows forever or needs an
+    event-time watermark).
+
+    Implementation: ``applyInPandasWithState`` with a one-boolean
+    state per key and a processing-time timeout as the TTL. (Spark
+    4's ``transformWithStateInPandas`` expresses the same operator
+    with native per-state TTL, but its state-server protocol needs
+    ``protobuf``, which this environment cannot assume; the GroupState
+    API is dependency-free.) At 100 TB the seen-set lives in the
+    state store, partitioned by the grouping key like any keyed
+    state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_dt = stream.schema[key].dataType
+    ts_dt = stream.schema[ts_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key, key_dt),
+        T.StructField("first_ts", ts_dt),
+        T.StructField("n_in_batch", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def first_seen(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: the key may re-emit later
+            return
+        already = state.exists
+        if not already:
+            first_ts, n = None, 0
+            for pdf in pdfs:
+                n += len(pdf)
+                if len(pdf):
+                    batch_min = pdf[ts_col].min()
+                    first_ts = (
+                        batch_min if first_ts is None else min(first_ts, batch_min)
+                    )
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "first_ts": [first_ts], "n_in_batch": [n]}
+            )
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return stream.groupBy(key).applyInPandasWithState(
+        first_seen, out_schema, state_schema, "update", timeout
+    )
+
+
 def start_merge_sink(
     stream: DataFrame,
     spark: SparkSession,

@@ -187,3 +187,70 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_first_seen_matches_batch(spark, tmp_path, sf_dir):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        streaming_first_seen,
+    )
+
+    stream = _events_stream(spark, tmp_path, sf_dir)
+    firsts = streaming_first_seen(stream, "user_id", "ts")
+    q = (
+        firsts.writeStream.format("memory").queryName("firsts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (str(r["first_ts"]), r["n_in_batch"])
+        for r in spark.table("firsts").collect()
+    }
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n"))
+    )
+    want = {r["user_id"]: (str(r["first_ts"]), r["n"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_transform_with_state_first_seen_suppresses_later_batches(spark, tmp_path, sf_dir):
+    import shutil
+    import time
+
+    from harmony_energy_data_pipeline_spark.io import convert_nano_timestamps
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        streaming_first_seen,
+    )
+
+    # two files, one per micro-batch (maxFilesPerTrigger=1): the same
+    # user ids appear in both; only the first batch may emit them
+    src = tmp_path / "two_batch_src"
+    src.mkdir()
+    ev = load_table(spark, "events", sf_dir)
+    first = ev.filter(F.col("event_id") < 200)
+    second = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400))
+    first.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    second.coalesce(1).write.parquet(str(tmp_path / "f2"))
+    for i, d in enumerate(["f1", "f2"]):
+        pq = next((tmp_path / d).glob("*.parquet"))
+        shutil.copy(pq, src / f"{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    raw_schema = spark.read.parquet(str(src)).schema
+    stream = convert_nano_timestamps(
+        file_stream(spark, str(src), raw_schema, max_files_per_trigger=1), "events"
+    )
+    firsts = streaming_first_seen(stream, "user_id", "ts")
+    q = (
+        firsts.writeStream.format("memory").queryName("firsts2")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("firsts2").collect()
+    # every user emitted exactly once, despite appearing in both files
+    users = [r["user_id"] for r in out]
+    assert len(users) == len(set(users))
+    both = first.select("user_id").intersect(second.select("user_id")).count()
+    assert both > 0  # the dedup was actually exercised
