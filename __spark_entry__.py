@@ -1805,7 +1805,10 @@ WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 @_q("semdedup_keep", _semdedup_oracle())
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.semdedup(emb, threshold=0.3, n_cells=8)
+    # vectorized=False: the per-pair Catalyst path is bit-identical to
+    # the SQL oracle (the BLAS kernel differs in the last ulp); the
+    # two modes are equivalence-tested in tests/test_new_ops_round2.py
+    return similarity.semdedup(emb, threshold=0.3, n_cells=8, vectorized=False)
 
 
 # --- A-ES deterministic weighted sampling -----------------------------------------

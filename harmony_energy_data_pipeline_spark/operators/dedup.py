@@ -511,6 +511,7 @@ def fuzzy_match_pairs(
     max_edit: int = 2,
     prefix: int = 4,
     len_band: int = 8,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy matching (classic record-linkage blocking, e.g.
     Christen 2012): candidate pairs share a BLOCK KEY — the first
@@ -524,8 +525,14 @@ def fuzzy_match_pairs(
     (e.g. suffix) and union when higher recall matters.
 
     Scale shape: block-keyed equi-self-join, cost Σ|block|² instead of
-    |table|²; the edit-distance verify runs JVM-side on candidates
-    only, and AQE's skew-join splits hot blocks.
+    |table|². A block shared by b rows makes b·(b−1)/2 candidates, so
+    one popular name (or a low-entropy name domain) turns quadratic —
+    ``max_block`` is the guard: blocks larger than the cap are dropped
+    from matching entirely (same playbook as the hot-shingle df-cap in
+    ``ngram_jaccard_pairs``; a block that big is almost always a
+    constant/boilerplate name, and a keyed exact-dup pass catches it
+    far cheaper than edit distance). The block census is one cheap
+    pre-agg broadcast against the main stream.
     """
     nm = normalize_text(name_col)
     blk = F.concat_ws(
@@ -539,6 +546,15 @@ def fuzzy_match_pairs(
     b = df.select(
         F.col(id_col).alias("id_b"), nm.alias("__nb"), blk.alias("__blk")
     )
+    if max_block is not None:
+        hot = (
+            a.groupBy("__blk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("__blk")
+        )
+        a = a.join(F.broadcast(hot), "__blk", "left_anti")
+        b = b.join(F.broadcast(hot), "__blk", "left_anti")
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))

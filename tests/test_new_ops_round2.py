@@ -202,3 +202,35 @@ def test_hash_sample_quantiles_stable_under_repartition(spark):
     a = sorted(hash_sample_quantiles(df, "k", "v", [0.5, 0.9], k=200).collect())
     b = sorted(hash_sample_quantiles(df.repartition(17), "k", "v", [0.5, 0.9], k=200).collect())
     assert a == b
+
+
+def test_fuzzy_match_pairs_max_block_drops_hot_blocks(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    # 10 identical names (one hot block) + 2 near-miss names elsewhere
+    rows = [(i, "common name") for i in range(10)] + [
+        (100, "rare widget"),
+        (101, "rare widgets"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    unguarded = fuzzy_match_pairs(df, "id", "name", max_edit=2)
+    assert unguarded.count() == 45 + 1  # C(10,2) hot pairs + the rare pair
+    guarded = fuzzy_match_pairs(df, "id", "name", max_edit=2, max_block=5)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got == {(100, 101)}  # hot block dropped entirely, rare pair kept
+
+
+def test_semdedup_vectorized_matches_exact(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    for t in (0.25, 0.3, 0.4):
+        fast = {
+            r["vec_id"]
+            for r in similarity.semdedup(emb, threshold=t, vectorized=True).collect()
+        }
+        exact = {
+            r["vec_id"]
+            for r in similarity.semdedup(emb, threshold=t, vectorized=False).collect()
+        }
+        assert fast == exact
