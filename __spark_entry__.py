@@ -1962,6 +1962,56 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p", F.round("value", 6).alias("value"))
 
 
+# --- fixed-point PageRank over the customer<->supplier trade graph ----------------
+# Pure-integer power iteration (micro-unit ranks, integer division)
+# makes 3 unrolled rounds bit-identical in SQL — an iterative operator
+# with an EXACT oracle, no float convergence fuzz.
+
+def _pagerank_round(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node, CAST((15000000 + 85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM({prev}.r // deg.d) AS s
+    FROM e JOIN deg USING (src) JOIN {prev} ON {prev}.node = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)"""
+
+
+@_q("pagerank_cust_supp", f"""
+WITH raw AS (
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+{_pagerank_round("r0", "r1")},
+{_pagerank_round("r1", "r2")},
+{_pagerank_round("r2", "r3")}
+SELECT node, r AS rank_micro FROM r3
+""")
+def q_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

@@ -234,3 +234,31 @@ def test_semdedup_vectorized_matches_exact(spark, sf_dir):
             for r in similarity.semdedup(emb, threshold=t, vectorized=False).collect()
         }
         assert fast == exact
+
+
+# --- fixed-point PageRank ---------------------------------------------------
+
+
+def test_pagerank_fixed_point_matches_python_model(spark):
+    from harmony_energy_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # star: 1->2, 1->3, 2->1, 3->1  (hub node 1)
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_fixed_point(df, n_iter=3).collect()
+    }
+
+    unit, d = 1_000_000, 85
+    deg = {1: 2, 2: 1, 3: 1}
+    r = {1: unit, 2: unit, 3: unit}
+    for _ in range(3):
+        contrib = {1: 0, 2: 0, 3: 0}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {v: ((100 - d) * unit + d * contrib[v]) // 100 for v in r}
+    assert got == r
+    assert got[1] > got[2] == got[3]  # the hub outranks the leaves
