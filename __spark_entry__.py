@@ -2012,6 +2012,65 @@ def q_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_iter=3)
 
 
+# --- WordPiece subword tokenization -----------------------------------------------
+# Greedy longest-match is reproduced in SQL as a recursive CTE whose
+# step picks the longest matching piece via a LATERAL top-1 — at any
+# cursor the longest match is unique, so Spark's pandas-UDF loop and
+# the CTE agree exactly. Single-char pieces guarantee termination.
+
+_WP_VOCAB = (
+    list("abcdefghijklmnopqrstuvwxyz0123456789")
+    + ["##" + ch for ch in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [
+        "join", "hash", "row", "batch", "scan", "small", "merge", "slow",
+        "order", "line", "data", "agg", "key", "spark", "part", "big",
+        "sort", "fast", "the", "dup",
+        # split stems + continuations: customer/column/filter/value/
+        # vector/table/stream/window/group/query
+        "cust", "##omer", "col", "##umn", "fil", "##ter", "val", "##ue",
+        "vec", "##tor", "tab", "##le", "str", "##eam", "win", "##dow",
+        "gr", "##oup", "qu", "##ery",
+    ]
+)
+
+
+def _wp_vocab_sql() -> str:
+    return ", ".join("'" + p + "'" for p in _WP_VOCAB)
+
+
+@_q("wordpiece_counts", f"""
+WITH RECURSIVE vocab(piece) AS (
+  SELECT unnest([{_wp_vocab_sql()}])
+),
+t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+w AS (SELECT tok AS word, COUNT(*) AS n FROM t WHERE tok <> '' GROUP BY tok),
+step(word, off, piece) AS (
+  SELECT word, 0, CAST(NULL AS VARCHAR) FROM w
+  UNION ALL
+  SELECT s.word, s.off + m.adv, m.out_piece
+  FROM step s, LATERAL (
+    SELECT v.piece AS out_piece,
+           CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2 ELSE length(v.piece) END AS adv
+    FROM vocab v
+    WHERE (s.off = 0 AND v.piece NOT LIKE '##%'
+           AND substr(s.word, 1, length(v.piece)) = v.piece)
+       OR (s.off > 0 AND v.piece LIKE '##%'
+           AND substr(s.word, s.off + 1, length(v.piece) - 2) = substr(v.piece, 3))
+    ORDER BY adv DESC, v.piece ASC
+    LIMIT 1
+  ) m
+  WHERE s.off < length(s.word)
+)
+SELECT p.piece, CAST(SUM(w.n) AS BIGINT) AS n
+FROM (SELECT word, piece FROM step WHERE piece IS NOT NULL) p
+JOIN w USING (word)
+GROUP BY p.piece
+""")
+def q_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.wordpiece_token_counts(docs, "doc_id", "text", _WP_VOCAB)
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

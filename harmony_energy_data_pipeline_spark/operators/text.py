@@ -382,6 +382,109 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def wordpiece_udf(vocab: list[str], unk: str = "[UNK]"):
+    """Arrow-vectorized greedy WordPiece tokenizer over a broadcast
+    vocabulary (Wu et al. 2016, arXiv:1609.08144 — BERT's subword
+    scheme): per word, repeatedly take the LONGEST vocab piece that
+    matches at the cursor; continuation pieces carry the ``##``
+    prefix; a word with no match at some cursor becomes one ``unk``.
+
+    Returns a ``pandas_udf`` mapping a word column to its
+    ``array<string>`` of pieces. Per-position greedy matching is a
+    data-dependent loop — the legitimate pandas-UDF case (HOFs can't
+    express it, and they don't codegen anyway); matching itself is
+    O(max_piece_len) set probes per emitted piece, and at a given
+    cursor the longest match is UNIQUE (the substring determines the
+    piece), so the greedy result is deterministic on any engine.
+    """
+    import pandas as pd
+
+    start = {p for p in vocab if not p.startswith("##")}
+    cont = {p[2:] for p in vocab if p.startswith("##")}
+    max_start = max((len(p) for p in start), default=0)
+    max_cont = max((len(p) for p in cont), default=0)
+
+    def split_word(w: str) -> list[str]:
+        out: list[str] = []
+        off = 0
+        n = len(w)
+        while off < n:
+            table, cap, pre = (
+                (start, max_start, "") if off == 0 else (cont, max_cont, "##")
+            )
+            match = None
+            for adv in range(min(cap, n - off), 0, -1):
+                sub = w[off : off + adv]
+                if sub in table:
+                    match = (sub, adv)
+                    break
+            if match is None:
+                return [unk]
+            out.append(pre + match[0])
+            off += match[1]
+        return out
+
+    @F.pandas_udf("array<string>")
+    def pieces(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        return words.map(lambda w: cache.setdefault(w, split_word(w)))
+
+    return pieces
+
+
+def wordpiece_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Corpus-wide subword histogram: ``(piece, n)`` — total
+    occurrences of each WordPiece across all documents.
+
+    Scale shape: tokenization runs over DISTINCT words only (natural
+    language vocabularies are millions of words vs trillions of
+    occurrences), then the per-word piece lists explode and join back
+    to the word occurrence counts — the expensive Python loop touches
+    |vocabulary| rows, not |corpus| rows. Two shuffles (word agg,
+    piece agg); the UDF additionally memoizes within each Arrow batch.
+    """
+    words = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("__n"))
+    )
+    pieces = wordpiece_udf(vocab, unk)
+    return (
+        words.withColumn("__p", pieces(F.col("token")))
+        .select(F.explode("__p").alias("piece"), "__n")
+        .groupBy("piece")
+        .agg(F.sum("__n").cast("long").alias("n"))
+    )
+
+
+def wordpiece_tokenize_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Per-document subword stream: ``(doc_id, widx, pidx, piece)`` —
+    word index and piece-within-word index give the loader a total
+    order. Tokenization is map-side (explode + UDF + explode, no
+    shuffle); use ``wordpiece_token_counts`` when only the histogram
+    is needed."""
+    pieces = wordpiece_udf(vocab, unk)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("widx", "__w"),
+    ).filter(F.col("__w") != "")
+    return toks.select(
+        "doc_id", "widx", F.posexplode(pieces(F.col("__w"))).alias("pidx", "piece")
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     id_col: str,

@@ -262,3 +262,49 @@ def test_pagerank_fixed_point_matches_python_model(spark):
         r = {v: ((100 - d) * unit + d * contrib[v]) // 100 for v in r}
     assert got == r
     assert got[1] > got[2] == got[3]  # the hub outranks the leaves
+
+
+# --- WordPiece tokenizer ----------------------------------------------------
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        wordpiece_tokenize_docs,
+    )
+
+    vocab = ["un", "break", "##able", "##break", "a", "b", "##a", "##b", "un##"]
+    docs = spark.createDataFrame(
+        [(1, "unbreakable abba zzz")], "doc_id long, text string"
+    )
+    rows = wordpiece_tokenize_docs(docs, "doc_id", "text", vocab).collect()
+    by_word = {}
+    for r in rows:
+        by_word.setdefault(r["widx"], []).append((r["pidx"], r["piece"]))
+    seq = lambda w: [p for _, p in sorted(by_word[w])]
+    # greedy: 'un' + '##break' (longest continuation) + '##able'
+    assert seq(0) == ["un", "##break", "##able"]
+    assert seq(1) == ["a", "##b", "##b", "##a"]
+    assert seq(2) == ["[UNK]"]  # no 'z' piece -> whole word UNK
+
+
+def test_wordpiece_counts_match_doc_stream(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        wordpiece_token_counts,
+        wordpiece_tokenize_docs,
+    )
+    import __spark_entry__ as entry
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = entry._WP_VOCAB
+    hist = {
+        r["piece"]: r["n"]
+        for r in wordpiece_token_counts(docs, "doc_id", "text", vocab).collect()
+    }
+    stream = (
+        wordpiece_tokenize_docs(docs, "doc_id", "text", vocab)
+        .groupBy("piece")
+        .count()
+        .collect()
+    )
+    assert {r["piece"]: r["count"] for r in stream} == hist
