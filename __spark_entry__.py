@@ -2071,6 +2071,61 @@ def q_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.wordpiece_token_counts(docs, "doc_id", "text", _WP_VOCAB)
 
 
+# --- table digest + expectations gate ---------------------------------------------
+# Digest columns restricted to ints/strings: float->string formatting
+# is not engine-portable (the operator docstring mandates fixed-point
+# canonicalization first, which is the engine's cents convention).
+
+@_q("table_digest_orders", f"""
+WITH h AS (
+  SELECT CAST(md5_number_lower(
+           COALESCE(chr(1) || CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
+           COALESCE(chr(1) || CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+           COALESCE(chr(1) || o_orderstatus, chr(0)) || chr(31) ||
+           COALESCE(chr(1) || o_orderpriority, chr(0))
+         ) % {1 << 60} AS BIGINT) AS hv
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       bit_xor(hv) AS digest_xor,
+       CAST(SUM(hv) % {1 << 60} AS BIGINT) AS digest_sum
+FROM h
+""")
+def q_table_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.expectations import table_digest
+
+    orders = load_table(spark, "orders", sf_dir)
+    return table_digest(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@_q("expectations_orders", """
+SELECT 'not_null:o_custkey' AS check, CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'matches:o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(extra), 0) AS BIGINT) FROM (
+  SELECT COUNT(*) - 1 AS extra FROM orders GROUP BY o_orderkey
+)
+""")
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators import expectations as X
+
+    orders = load_table(spark, "orders", sf_dir)
+    return X.expect(
+        orders,
+        [
+            X.not_null("o_custkey"),
+            X.in_range("o_totalprice", 0, 1_000_000),
+            X.matches("o_orderpriority", "^[1-5]-"),
+            X.unique("o_orderkey"),
+        ],
+    )
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

@@ -308,3 +308,57 @@ def test_wordpiece_counts_match_doc_stream(spark, sf_dir):
         .collect()
     )
     assert {r["piece"]: r["count"] for r in stream} == hist
+
+
+# --- table digest + expectations -------------------------------------------
+
+
+def test_table_digest_detects_any_change(spark):
+    from harmony_energy_data_pipeline_spark.operators.expectations import (
+        table_digest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+    )
+    d0 = table_digest(base).first()
+    # order/partitioning invariant
+    d_shuf = table_digest(base.repartition(5)).first()
+    assert tuple(d0) == tuple(d_shuf)
+    # a changed value, a dropped row, and a duplicated row all flip it
+    changed = spark.createDataFrame([(1, "a"), (2, "X"), (3, None)], "id long, v string")
+    dropped = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    duped = base.union(spark.createDataFrame([(2, "b")], "id long, v string"))
+    for other in (changed, dropped, duped):
+        d1 = table_digest(other).first()
+        assert tuple(d1) != tuple(d0)
+    # null vs the string sentinel are distinct rows
+    sentinel = spark.createDataFrame([(1, "a"), (2, "b"), (3, "\x00")], "id long, v string")
+    assert tuple(table_digest(sentinel).first()) != tuple(d0)
+
+
+def test_expectations_counts_violations(spark):
+    from harmony_energy_data_pipeline_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "1-HIGH"), (2, -5.0, "9-BAD"), (None, 20.0, "2-MED"), (2, 999.0, None)],
+        "k long, price double, prio string",
+    )
+    got = {
+        r["check"]: r["violations"]
+        for r in X.expect(
+            df,
+            [
+                X.not_null("k"),
+                X.in_range("price", 0, 100),
+                X.matches("prio", "^[1-5]-"),
+                X.unique("k"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "not_null:k": 1,
+        "in_range:price": 2,      # -5 and 999
+        "matches:prio": 2,        # 9-BAD and NULL
+        "unique:k": 1,            # k=2 twice
+    }
