@@ -1811,6 +1811,15 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, threshold=0.3, n_cells=8, vectorized=False)
 
 
+@_q("semdedup_fast", _semdedup_oracle())
+def q_semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (GEMM-kernel) mode against the SAME oracle: the
+    survivor set is threshold-robust on this corpus (no pair sits
+    within BLAS-rounding distance of 0.3), so both modes hash-match."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.semdedup(emb, threshold=0.3, n_cells=8, vectorized=True)
+
+
 # --- A-ES deterministic weighted sampling -----------------------------------------
 # Priorities come from md5(salt:key), not rand(), so the drawn sample
 # is identical on every run/engine; ranking is in log-space and only

@@ -42,8 +42,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_dedup",
     "cosine_topk",
-    "semdedup_keep",
+    "semdedup_fast",
     "quality_classifier_docs",
+    "wordpiece_counts",
+    "pagerank_cust_supp",
 ]
 
 
@@ -64,11 +66,15 @@ def main() -> None:
     for name in HEADLINE:
         try:
             # best-of-2: the first run pays one-off costs (UDF worker
-            # spin-up, codegen, file listing); report the steady state
+            # spin-up, codegen, file listing); report the steady state.
+            # Timing covers CONSTRUCTION + write: iterative operators
+            # (pagerank, connected components) materialize eager
+            # checkpoints while the DataFrame is being built, so
+            # timing only the final write would miss their real cost.
             best = None
             for _ in range(2):
-                df = qs[name](spark, SF_DIR)
                 t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
