@@ -2135,6 +2135,58 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- event analytics: funnel / transitions / cohort retention ---------------------
+
+@_q("funnel_view_click_purchase", """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+""")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@_q("event_transitions", """
+SELECT prev_type, next_type, COUNT(*) AS n FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS next_type
+  FROM events
+) WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""")
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@_q("cohort_retention_weekly", """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+first AS (SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('second', f.cohort_week, weeks.w) / 604800.0) AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM weeks JOIN first f USING (user_id)
+GROUP BY 1, 2
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return analytics.cohort_retention(ev, "user_id", "ts")
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

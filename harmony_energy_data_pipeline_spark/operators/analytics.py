@@ -359,6 +359,113 @@ def hash_sample_quantiles(
     )
 
 
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis (ClickHouse ``windowFunnel`` family,
+    unbounded window): a user reaches step i when events matching
+    ``steps[0..i]`` exist at strictly increasing timestamps. Output:
+    ``(step_idx, step, n_users)``, 1-based, cumulative-ordered.
+
+    Earliest-first greedy (min ts of step 1, then min ts of step 2
+    after it, …) decides existence optimally for the unbounded case,
+    so the whole funnel is a CHAIN of filtered per-user min-aggs —
+    one user-keyed shuffle per step on an already user-collapsed
+    frame (step 2+ aggregates |users| rows, not |events|), never a
+    per-user sort or session reconstruction.
+    """
+    base = df.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    )
+    reached: list[tuple[str, DataFrame]] = []
+    cur = None
+    for step in steps:
+        ev = base.filter(F.col("__t") == step)
+        if cur is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__at"))
+        else:
+            cur = (
+                ev.join(cur.select("__u", F.col("__at").alias("__prev")), "__u")
+                .filter(F.col("__ts") > F.col("__prev"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__at"))
+            )
+        reached.append((step, cur))
+    parts = [
+        c.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+        )
+        for i, (s, c) in enumerate(reached)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts between event types:
+    ``(prev_type, next_type, n)`` over each user's event sequence
+    ordered by (ts, id) — the id tiebreak makes the sequence (and so
+    the counts) deterministic under timestamp collisions.
+
+    One user-keyed window (lag), one pair-keyed agg — the standard
+    two-shuffle shape; no session state or per-user collect."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week offset — ``(cohort_week, week_offset, n_users)``.
+
+    Two user-keyed aggs (first week, then distinct user-week pairs)
+    and one (cohort, offset) agg; weeks via ``date_trunc`` so cohort
+    boundaries are calendar-stable across engines."""
+    weeks = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("week", F.col(ts_col)).alias("__w"),
+    ).distinct()
+    first = weeks.groupBy("__u").agg(F.min("__w").alias("cohort_week"))
+    return (
+        weeks.join(first, "__u")
+        .select(
+            "cohort_week",
+            F.floor(
+                (F.col("__w").cast("long") - F.col("cohort_week").cast("long"))
+                / (7 * 86400)
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column data profile: null count, exact distinct count, and
     min/max (computed on the native type, then rendered as strings so

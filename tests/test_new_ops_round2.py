@@ -362,3 +362,68 @@ def test_expectations_counts_violations(spark):
         "matches:prio": 2,        # 9-BAD and NULL
         "unique:k": 1,            # k=2 twice
     }
+
+
+# --- event analytics: funnel / transitions / cohort ------------------------
+
+
+def test_funnel_requires_strict_order(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import funnel
+
+    rows = [
+        # u1 completes a->b->c in order
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        # u2 has b BEFORE a: reaches step a only
+        (2, 5, "b"), (2, 6, "a"),
+        # u3 reaches a,b but c precedes b
+        (3, 1, "c"), (3, 2, "a"), (3, 3, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows], "user long, t double, s string"
+    ).select("user", F.col("t").cast("timestamp").alias("ts"), "s")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, "user", "ts", "s", ["a", "b", "c"]).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_transition_counts_with_ts_ties(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        transition_counts,
+    )
+
+    rows = [(1, 1.0, 10, "a"), (1, 1.0, 11, "b"), (1, 2.0, 12, "a")]
+    df = spark.createDataFrame(rows, "u long, t double, id long, s string").select(
+        "u", F.col("t").cast("timestamp").alias("ts"), "id", "s"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_counts(df, "u", "ts", "s", "id").collect()
+    }
+    # tie at t=1.0 resolved by id: a(10) -> b(11) -> a(12)
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-08"), (1, "2024-01-22"),
+        (2, "2024-01-08"),
+    ]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.col("d").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df, "u", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 1,
+        ("2024-01-01 00:00:00", 1): 1,
+        ("2024-01-01 00:00:00", 3): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+    }
