@@ -224,3 +224,58 @@ def test_temperature_mixture_never_shuffles_corpus(spark, sf_dir):
     # exchanges: domain-count agg (1) + its grand-total agg (1); the
     # corpus→output path itself must not repartition
     assert shuffle_count(out) <= 2, plan
+
+
+def test_weighted_sample_global_plans_take_ordered(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = physical_plan(weighted_sample(docs, "doc_id", F.length("text"), k=10))
+    assert "TakeOrdered" in plan, plan[:500]
+    # and no single-partition window funnel
+    assert "Window" not in plan
+
+
+def test_fuzzy_block_guard_is_broadcast_anti(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    parts = load_table(spark, "part", sf_dir)
+    plan = physical_plan(
+        fuzzy_match_pairs(parts, "p_partkey", "p_name", max_edit=2, max_block=100)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+
+
+def test_funnel_later_steps_aggregate_users_not_events(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.analytics import funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    out = funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    plan = physical_plan(out)
+    # no cartesian/nested-loop anywhere in the chain
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_semdedup_vectorized_is_one_cell_shuffle(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = physical_plan(similarity.semdedup(emb, vectorized=True))
+    assert "FlatMapGroupsInPandas" in plan, plan[:500]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_table_digest_is_single_scan_partial_agg(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.expectations import table_digest
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = table_digest(orders, ["o_orderkey", "o_orderstatus"])
+    # partial (map-side) + final agg over ONE exchange of 3 values
+    assert shuffle_count(out) == 1
+    plan = physical_plan(out)
+    # exactly one scan node (formatted explain repeats each node once
+    # in the details section, so a single scan appears twice)
+    import re
+
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:400]
