@@ -2187,6 +2187,74 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cohort_retention(ev, "user_id", "ts")
 
 
+# --- distributed Gram matrix (the PCA reduction) ----------------------------------
+# Integer-quantized partial GEMMs merge exactly; the oracle recomputes
+# the same upper triangle from an unnest self-join.
+
+@_q("embedding_gram", """
+WITH pe AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+)
+SELECT a.pos - 1 AS i, b.pos - 1 AS j, CAST(SUM(a.vm * b.vm) AS BIGINT) AS s
+FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+""")
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.gram_matrix(emb, "embedding")
+
+
+# --- quantile binning + repeat suppression ----------------------------------------
+# Bin edges quantize to cents on BOTH sides, so ulp-level cutpoint
+# differences between engines cannot flip a bin.
+
+_QB_PROBS = [0.25, 0.5, 0.75, 0.9]
+
+@_q("value_quantile_bins", f"""
+WITH s AS (
+  SELECT value FROM (
+    SELECT value, event_id,
+           CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % {1 << 60} AS BIGINT) AS h
+    FROM events
+  ) ORDER BY h ASC, event_id ASC LIMIT 1000
+),
+cuts AS (
+  SELECT list_sort(list_transform(quantile_cont(value, {_QB_PROBS}),
+                                  c -> CAST(round(c * 100) AS BIGINT))) AS cs
+  FROM s
+)
+SELECT bin, COUNT(*) AS n FROM (
+  SELECT len(list_filter(cuts.cs, c -> CAST(round(e.value * 100) AS BIGINT) >= c)) AS bin
+  FROM events e, cuts
+) GROUP BY bin
+""")
+def q_value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    binned = analytics.quantile_bins(ev, "event_id", "value", _QB_PROBS, k=1000)
+    return binned.groupBy("bin").agg(F.count("*").alias("n"))
+
+
+@_q("suppress_repeats_events", """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+) WHERE prev IS NULL OR date_diff('second', prev, ts) > 3600
+""")
+def q_suppress_repeats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        suppress_repeats_within,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    out = suppress_repeats_within(
+        ev, ["user_id", "event_type"], "ts", "event_id", horizon_seconds=3600
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

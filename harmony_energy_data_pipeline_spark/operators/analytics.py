@@ -359,6 +359,40 @@ def hash_sample_quantiles(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list[float],
+    k: int = 1000,
+) -> DataFrame:
+    """Sketch-driven quantile discretization (feature binning): compute
+    deterministic cutpoints with ``hash_sample_quantiles``, broadcast
+    them, and label every row with ``bin`` = number of cutpoints at or
+    below its value (0..len(probs)).
+
+    The comparison quantizes BOTH sides to cents, so the bin edge is
+    an integer test — engines that differ in the last ulp of the
+    interpolated cutpoint still bin identically. One TakeOrdered pass
+    for the sketch, then a map-side broadcast fold per row; nothing
+    shuffles the data itself.
+    """
+    cuts = (
+        hash_sample_quantiles(df, key, value_col, probs, k)
+        .select(F.round(F.col("value") * 100).cast("long").alias("__cut"))
+        .agg(F.sort_array(F.collect_list("__cut")).alias("__cuts"))
+    )
+    vc = F.round(F.col(value_col) * 100).cast("long")
+    return df.crossJoin(F.broadcast(cuts)).select(
+        F.col(key),
+        F.aggregate(
+            "__cuts",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.when(vc >= c, 1).otherwise(0),
+        ).alias("bin"),
+    )
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

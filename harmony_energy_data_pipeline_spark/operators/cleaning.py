@@ -240,6 +240,33 @@ def dedup_keep_last(
     )
 
 
+def suppress_repeats_within(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    horizon_seconds: int,
+) -> DataFrame:
+    """Rate-limit duplicates in time: keep a row iff the PREVIOUS
+    same-key row (by ts, id-tiebroken) is older than
+    ``horizon_seconds`` — the 'suppress repeated alerts/events within
+    N minutes' semantic. Lag-based (measured against the previous raw
+    row, not the previous kept row), which one window expresses
+    exactly and deterministically; chained suppression is a session
+    recurrence — use ``streaming.sessionized_agg`` gaps for that.
+
+    One key-partitioned window shuffle; no state, no iteration.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(F.col(ts_col)).over(w)
+    keep = prev.isNull() | (
+        F.col(ts_col).cast("long") - prev.cast("long") > horizon_seconds
+    )
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
 def dedup_two_phase(
     df: DataFrame,
     id_col: str = "_id",

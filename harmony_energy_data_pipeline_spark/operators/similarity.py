@@ -272,6 +272,88 @@ def ivf_topk_portable(
     )
 
 
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Gram matrix Σ xᵀx over an embedding column — the
+    reduction at the heart of PCA/whitening (e.g. SemDeDup's
+    preprocessing): output ``(i, j, s)`` for the upper triangle
+    (i ≤ j), where ``s = Σ_rows vmᵢ·vmⱼ`` over vectors quantized to
+    ``round(x·scale)`` integers — EXACT integer sums, so any engine
+    agrees bit-for-bit. Mean-center / normalize by n driver-side
+    (d×d is tiny) before the eigensolve.
+
+    Scale shape: each Arrow batch contributes one d×d partial via a
+    numpy GEMM in ``mapInPandas`` (the batch never leaves the
+    executor; only d·(d+1)/2 partial sums per batch are emitted), and
+    one (i,j)-keyed agg merges partials — shuffle volume is
+    |batches|·d²/2 rows of 3 longs, independent of corpus size.
+    """
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
+            ).astype("int64")
+            g = m.T @ m  # object-free int64 GEMM; d bounded, no overflow risk
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame({"i": iu, "j": ju, "s": g[iu, ju]})
+
+    part = df.select(vec_col).mapInPandas(partials, "i long, j long, s long")
+    return part.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal directions.
+
+    The Gram matrix reduces distributed (``gram_matrix``, exact
+    integers); the d×d eigensolve runs on the DRIVER (d is model
+    dimension — trivial); the projection is a broadcast matrix
+    multiply back over the corpus via ``mapInPandas``. This is the
+    standard big-n/small-d PCA split: nothing quadratic in rows ever
+    shuffles. Signs are fixed (first nonzero component positive) so
+    output is reproducible. Output: ``(id_col, pc array<double>)``.
+    """
+    import pandas as pd
+
+    tri = gram_matrix(df, vec_col, scale).collect()  # d(d+1)/2 rows - tiny
+    d = max(r["j"] for r in tri) + 1
+    g = np.zeros((d, d))
+    for r in tri:
+        g[r["i"], r["j"]] = r["s"]
+        g[r["j"], r["i"]] = r["s"]
+    g /= float(scale) * scale
+    _, vecs = np.linalg.eigh(g)
+    comps = vecs[:, ::-1][:, :k]  # descending eigenvalue order
+    for c in range(comps.shape[1]):  # deterministic sign convention
+        nz = np.flatnonzero(comps[:, c])
+        if len(nz) and comps[nz[0], c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            p = m @ comps
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, pc array<double>"
+    )
+
+
 def portable_cells(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -427,3 +427,96 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01 00:00:00", 3): 1,
         ("2024-01-08 00:00:00", 0): 1,
     }
+
+
+# --- Gram matrix / PCA ------------------------------------------------------
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from harmony_energy_data_pipeline_spark.operators.similarity import gram_matrix
+
+    rng = [[0.5, -0.25, 0.125], [1.0, 0.0, -1.0], [0.1, 0.2, 0.3], [0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    got = {(r["i"], r["j"]): r["s"] for r in gram_matrix(df).collect()}
+    m = np.rint(np.array(rng, dtype="float32").astype("float64") * 1_000_000).astype(
+        "int64"
+    )
+    g = m.T @ m
+    want = {
+        (i, j): int(g[i, j]) for i in range(3) for j in range(3) if i <= j
+    }
+    assert got == want
+
+
+def test_gram_matrix_stable_under_repartition(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = {(r["i"], r["j"]): r["s"] for r in gram_matrix(emb).collect()}
+    b = {
+        (r["i"], r["j"]): r["s"]
+        for r in gram_matrix(emb.repartition(13)).collect()
+    }
+    assert a == b  # integer partial GEMMs merge exactly, any layout
+
+
+def test_pca_project_recovers_dominant_direction(spark):
+    import numpy as np
+
+    from harmony_energy_data_pipeline_spark.operators.similarity import pca_project
+
+    # points hugging the (1,1,0)/sqrt2 axis + small noise off-axis
+    rng = np.random.RandomState(7)
+    t = rng.uniform(-1, 1, 200)
+    pts = np.stack([t, t, 0.01 * rng.uniform(-1, 1, 200)], axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["pc"] for r in pca_project(df, k=1).collect()}
+    # pc1 should be ~ t*sqrt(2): correlation with t is ~1
+    pc1 = np.array([out[i][0] for i in range(200)])
+    corr = np.corrcoef(pc1, t)[0, 1]
+    assert abs(corr) > 0.999
+
+
+# --- quantile binning + repeat suppression ---------------------------------
+
+
+def test_quantile_bins_exact_small(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import quantile_bins
+
+    rows = [(i, float(i)) for i in range(101)]  # values 0..100
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r["k"]: r["bin"] for r in quantile_bins(df, "k", "v", [0.25, 0.5, 0.75]).collect()}
+    # k >= n: cuts are exact (25, 50, 75)
+    assert got[0] == 0 and got[24] == 0
+    assert got[25] == 1 and got[49] == 1
+    assert got[50] == 2 and got[75] == 3 and got[100] == 3
+
+
+def test_suppress_repeats_keeps_first_and_spaced(spark):
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        suppress_repeats_within,
+    )
+
+    rows = [
+        (1, 1, "a", 0.0),     # kept (first)
+        (2, 1, "a", 1800.0),  # suppressed: 30min after previous raw row
+        (3, 1, "a", 3601.0 + 1800.0),  # kept: >1h after row 2 (lag semantics)
+        (4, 1, "b", 60.0),    # kept: different key
+        (5, 2, "a", 10.0),    # kept: different user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t string, sec double").select(
+        "event_id", "user_id", "t", F.col("sec").cast("timestamp").alias("ts")
+    )
+    kept = {
+        r["event_id"]
+        for r in suppress_repeats_within(df, ["user_id", "t"], "ts", "event_id", 3600).collect()
+    }
+    assert kept == {1, 3, 4, 5}
