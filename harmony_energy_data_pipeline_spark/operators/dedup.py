@@ -564,6 +564,57 @@ def fuzzy_match_pairs(
     )
 
 
+def fuzzy_match_pairs_multipass(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 2,
+    prefix: int = 4,
+    len_band: int = 8,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Two-pass blocked fuzzy matching: the PREFIX block of
+    ``fuzzy_match_pairs`` plus a second pass blocked on the name
+    SUFFIX, unioned and de-duplicated. A single blocking key misses
+    any pair that differs inside that key (an edit in the first
+    ``prefix`` chars escapes the prefix block); multi-pass blocking
+    with complementary keys is the standard recall fix (Christen
+    2012, ch. 4) — a pair with ≤ ``max_edit`` edits clears at least
+    one of the two keys unless its edits span BOTH ends of the name.
+
+    Cost is two block joins (each guarded by ``max_block``) and one
+    dropDuplicates on the (small) verified pair set.
+    """
+    first = fuzzy_match_pairs(
+        df, id_col, name_col, max_edit, prefix, len_band, max_block
+    )
+    nm = normalize_text(name_col)
+    suffix_blk = F.concat_ws(
+        "|",
+        F.substring(nm, -prefix, prefix),
+        F.floor(F.length(nm) / len_band).cast("string"),
+    )
+    a = df.select(F.col(id_col).alias("id_a"), nm.alias("__na"), suffix_blk.alias("__blk"))
+    b = df.select(F.col(id_col).alias("id_b"), nm.alias("__nb"), suffix_blk.alias("__blk"))
+    if max_block is not None:
+        hot = (
+            a.groupBy("__blk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("__blk")
+        )
+        a = a.join(F.broadcast(hot), "__blk", "left_anti")
+        b = b.join(F.broadcast(hot), "__blk", "left_anti")
+    second = (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__na", "__nb").cast("long"))
+        .filter(F.col("dist") <= max_edit)
+        .select("id_a", "id_b", "dist")
+    )
+    return first.unionByName(second).dropDuplicates(["id_a", "id_b"])
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

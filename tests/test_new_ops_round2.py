@@ -520,3 +520,27 @@ def test_suppress_repeats_keeps_first_and_spaced(spark):
         for r in suppress_repeats_within(df, ["user_id", "t"], "ts", "event_id", 3600).collect()
     }
     assert kept == {1, 3, 4, 5}
+
+
+def test_fuzzy_multipass_recovers_prefix_edits(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        fuzzy_match_pairs,
+        fuzzy_match_pairs_multipass,
+    )
+
+    rows = [
+        (1, "golden widget"),
+        (2, "Golden widget"),   # same after normalize -> prefix block
+        (3, "folden widget"),   # edit in char 1: escapes the prefix block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    single = {
+        (r["id_a"], r["id_b"]) for r in fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs_multipass(df, "id", "name").collect()
+    }
+    assert (1, 3) not in single            # prefix block misses it
+    assert (1, 3) in multi and (2, 3) in multi  # suffix block recovers it
+    assert single <= multi
