@@ -2255,6 +2255,26 @@ def q_suppress_repeats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+# --- key-skew profile (join-strategy diagnosis) -----------------------------------
+
+@_q("skew_profile_lineitem_suppkey", """
+WITH c AS (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+li AS (
+  SELECT c.c, t.n,
+         CAST(round(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS li
+  FROM c, t
+)
+SELECT MAX(n) AS n_rows, COUNT(*) AS n_keys,
+       CAST(round(CAST(MAX(c) AS DOUBLE) * 1000000.0 / CAST(MAX(n) AS DOUBLE)) AS BIGINT) AS max_share_ppm,
+       CAST(round(-CAST(SUM(li * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)) AS BIGINT) AS entropy_micro_nats
+FROM li
+""")
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return analytics.key_skew_profile(li, "l_suppkey")
+
+
 # --- multimodal: decode/feature plumbing over binary payloads ---------------------
 # The payload is the UTF-8 encoding of `text`, and DuckDB hashes
 # VARCHARs over their UTF-8 bytes — so the deterministic fake codec

@@ -11,6 +11,8 @@ from harmony_energy_data_pipeline_spark.operators import (  # noqa: F401
     analytics,
     cleaning,
     dedup,
+    expectations,
+    graph,
     joins,
     multimodal,
     sampling,

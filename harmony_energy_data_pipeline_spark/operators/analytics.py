@@ -359,6 +359,45 @@ def hash_sample_quantiles(
     )
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Skew diagnosis for a prospective join/agg key — the measurement
+    behind choosing plain hash partitioning vs ``salted_join`` vs
+    relying on AQE skew-split. One row:
+
+    - ``n_rows``, ``n_keys``
+    - ``max_share_ppm``: heaviest key's row share in parts-per-million
+    - ``entropy_micro_nats``: Shannon entropy of the key distribution
+      ×10⁶ (max = ln(n_keys)·10⁶ when uniform; low = concentrated)
+
+    Exactness: per-key entropy terms quantize ``ln(c/N)`` to integer
+    micro-nats BEFORE the weighted sum (the ``unigram_nll`` trick), so
+    the aggregation is exact integers and engines agree bit-for-bit.
+    Two shuffles: the key-count agg, then a 4-value reduce.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__n"))
+    li = F.round(
+        F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("__c", "__n", li.alias("__li"))
+        .agg(
+            F.max("__n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.round(
+                F.max("__c").cast("double") * 1_000_000.0
+                / F.max("__n").cast("double")
+            ).cast("long").alias("max_share_ppm"),
+            F.round(
+                -F.sum(F.col("__li") * F.col("__c")).cast("double")
+                / F.max("__n").cast("double")
+            ).cast("long").alias("entropy_micro_nats"),
+        )
+    )
+
+
 def quantile_bins(
     df: DataFrame,
     key: str,

@@ -544,3 +544,24 @@ def test_fuzzy_multipass_recovers_prefix_edits(spark):
     assert (1, 3) not in single            # prefix block misses it
     assert (1, 3) in multi and (2, 3) in multi  # suffix block recovers it
     assert single <= multi
+
+
+def test_key_skew_profile_uniform_vs_skewed(spark):
+    import math
+
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        key_skew_profile,
+    )
+
+    uniform = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    skewed = spark.createDataFrame(
+        [(0,)] * 991 + [(i,) for i in range(1, 10)], "k long"
+    )
+    u = key_skew_profile(uniform, "k").first()
+    s = key_skew_profile(skewed, "k").first()
+    assert u["n_keys"] == 10 == s["n_keys"]
+    assert u["max_share_ppm"] == 100_000          # 10% each
+    assert s["max_share_ppm"] == 991_000          # one hot key
+    # uniform entropy = ln(10) in micro-nats; skewed far below
+    assert abs(u["entropy_micro_nats"] - round(math.log(10) * 1e6)) <= 5
+    assert s["entropy_micro_nats"] < u["entropy_micro_nats"] / 10
