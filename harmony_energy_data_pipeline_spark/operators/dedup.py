@@ -540,6 +540,19 @@ def fuzzy_match_pairs(
         F.substring(nm, 1, prefix),
         F.floor(F.length(nm) / len_band).cast("string"),
     )
+    return _blocked_pairs(df, id_col, nm, blk, max_edit, max_block)
+
+
+def _blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    nm: Column,
+    blk: Column,
+    max_edit: int,
+    max_block: int | None,
+) -> DataFrame:
+    """Shared body of the blocked fuzzy passes: block self-join with
+    the optional hot-block census guard, then the levenshtein verify."""
     a = df.select(
         F.col(id_col).alias("id_a"), nm.alias("__na"), blk.alias("__blk")
     )
@@ -594,24 +607,7 @@ def fuzzy_match_pairs_multipass(
         F.substring(nm, -prefix, prefix),
         F.floor(F.length(nm) / len_band).cast("string"),
     )
-    a = df.select(F.col(id_col).alias("id_a"), nm.alias("__na"), suffix_blk.alias("__blk"))
-    b = df.select(F.col(id_col).alias("id_b"), nm.alias("__nb"), suffix_blk.alias("__blk"))
-    if max_block is not None:
-        hot = (
-            a.groupBy("__blk")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_block)
-            .select("__blk")
-        )
-        a = a.join(F.broadcast(hot), "__blk", "left_anti")
-        b = b.join(F.broadcast(hot), "__blk", "left_anti")
-    second = (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__na", "__nb").cast("long"))
-        .filter(F.col("dist") <= max_edit)
-        .select("id_a", "id_b", "dist")
-    )
+    second = _blocked_pairs(df, id_col, nm, suffix_blk, max_edit, max_block)
     return first.unionByName(second).dropDuplicates(["id_a", "id_b"])
 
 

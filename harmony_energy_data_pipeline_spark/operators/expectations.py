@@ -103,9 +103,11 @@ def expect(df: DataFrame, checks: list[Check]) -> DataFrame:
     row_checks = [c for c in checks if c.predicate is not None]
     parts: list[DataFrame] = []
     if row_checks:
+        # coalesce: SUM over zero rows is NULL, and an empty table must
+        # report 0 violations, not an indistinguishable NULL
         agg = df.agg(
             *[
-                F.sum(c.predicate.cast("long")).alias(c.name)
+                F.coalesce(F.sum(c.predicate.cast("long")), F.lit(0)).alias(c.name)
                 for c in row_checks
             ]
         )

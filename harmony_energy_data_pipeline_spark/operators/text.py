@@ -427,7 +427,15 @@ def wordpiece_udf(vocab: list[str], unk: str = "[UNK]"):
     @F.pandas_udf("array<string>")
     def pieces(words: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
-        return words.map(lambda w: cache.setdefault(w, split_word(w)))
+
+        def lookup(w: str) -> list[str]:
+            # NOT setdefault(w, split_word(w)): that would evaluate the
+            # split eagerly on every occurrence and void the memo
+            if w not in cache:
+                cache[w] = split_word(w)
+            return cache[w]
+
+        return words.map(lookup)
 
     return pieces
 

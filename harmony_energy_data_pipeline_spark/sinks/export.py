@@ -70,8 +70,12 @@ def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
     size and line count — what a training loader stripes over. Counts
     are computed distributed (one text-scan with an input-file
     grouping), not by reading files on the driver."""
+    from urllib.parse import unquote, urlparse
+
+    # input_file_name() yields a percent-encoded URI; key counts by the
+    # decoded basename so paths with spaces/special chars still match
     counts = {
-        r["file"]: r["n"]
+        os.path.basename(unquote(urlparse(r["file"]).path)): r["n"]
         for r in (
             spark.read.text(os.path.join(path, "part-*"))
             .groupBy(F.input_file_name().alias("file"))
@@ -84,18 +88,24 @@ def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
         if not fname.startswith("part-"):
             continue
         full = os.path.join(path, fname)
-        uri = "file://" + full
-        n = counts.get(uri, counts.get(full, 0))
+        if fname not in counts:
+            raise ValueError(f"no line count resolved for shard {fname}")
         entries.append(
-            {"file": fname, "bytes": os.path.getsize(full), "n_records": int(n)}
+            {
+                "file": fname,
+                "bytes": os.path.getsize(full),
+                "n_records": int(counts[fname]),
+            }
         )
     return entries
 
 
 def write_manifest(spark: SparkSession, path: str) -> str:
-    """Write ``manifest.json`` next to the shards; returns its path."""
+    """Write ``_manifest.json`` next to the shards; returns its path.
+    The underscore prefix keeps Spark (and most loaders) from listing
+    the manifest as a data file on a later read of the directory."""
     manifest = jsonl_manifest(spark, path)
-    out = os.path.join(path, "manifest.json")
+    out = os.path.join(path, "_manifest.json")
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=1)
     return out

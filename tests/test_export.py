@@ -63,3 +63,14 @@ def test_manifest_written(spark, tmp_path, sf_dir):
     entries = json.load(open(p))
     assert sum(e["n_records"] for e in entries) == 50
     assert all(e["bytes"] > 0 for e in entries)
+
+
+def test_manifest_does_not_pollute_reads(spark, tmp_path, sf_dir):
+    docs = _docs(spark, sf_dir).limit(40)
+    out = str(tmp_path / "mp")
+    write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
+    write_manifest(spark, out)
+    back = spark.read.json(out)
+    # the underscore-prefixed manifest is invisible to the reader
+    assert back.count() == 40
+    assert "_corrupt_record" not in back.columns

@@ -565,3 +565,16 @@ def test_key_skew_profile_uniform_vs_skewed(spark):
     # uniform entropy = ln(10) in micro-nats; skewed far below
     assert abs(u["entropy_micro_nats"] - round(math.log(10) * 1e6)) <= 5
     assert s["entropy_micro_nats"] < u["entropy_micro_nats"] / 10
+
+
+def test_expectations_empty_table_reports_zero(spark):
+    from harmony_energy_data_pipeline_spark.operators import expectations as X
+
+    empty = spark.createDataFrame([], "k long, price double")
+    got = {
+        r["check"]: r["violations"]
+        for r in X.expect(
+            empty, [X.not_null("k"), X.in_range("price", 0, 1), X.unique("k")]
+        ).collect()
+    }
+    assert got == {"not_null:k": 0, "in_range:price": 0, "unique:k": 0}
