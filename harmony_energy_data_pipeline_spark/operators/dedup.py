@@ -436,30 +436,34 @@ def connected_components(
     Execution: an iterative loop of (edge ⋈ label → min per node)
     shuffles, converging in O(graph diameter) rounds — near-dup
     graphs are shallow (duplicate sets are near-cliques), so 2-4
-    rounds is typical. Each round persists its labels and drops the
-    previous ones, keeping lineage constant; the convergence probe is
-    an aggregated count, not a collect. This is the standard Pregel
-    shape (cf. GraphX/GraphFrames connectedComponents); for
-    pathological chain graphs raise ``max_iter`` (rounds, not data,
-    is the cost: every round is one shuffle of |V| labels).
+    rounds is typical. Each round ``persist()``-s its labels (the
+    convergence probe materializes them; an aggregated count, not a
+    collect) and unpersists the previous round's; ``persist`` keeps
+    lineage, so executor loss recomputes from the last reliable
+    checkpoint — which ``operators.iterative.truncate_every`` writes
+    every few rounds to keep plans shallow on pathological chain
+    graphs. This is the standard Pregel shape (cf. GraphX/GraphFrames
+    connectedComponents); for pathological chain graphs raise
+    ``max_iter`` (rounds, not data, is the cost: every round is one
+    shuffle of |V| labels).
     """
+    from .iterative import ensure_checkpoint_dir, truncate_every
+
+    ensure_checkpoint_dir(pairs.sparkSession)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    # eager localCheckpoint each round: materializes AND truncates
-    # lineage, so round N's plan doesn't re-derive (or re-broadcast)
-    # rounds 1..N-1 — without it the nested-plan depth grows linearly
-    # and AQE re-materializes the whole history every iteration.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    for _ in range(max_iter):
+    prev = labels
+    for i in range(max_iter):
         # smallest label among each node's neighbors (and itself)
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -477,9 +481,14 @@ def connected_components(
                 .cast("int")
                 .alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        merged = truncate_every(merged, i, every=5)
+        merged = merged.persist()
+        # materializes this round's labels (and populates the cache),
+        # after which the previous round's blocks are dead weight
         changed = merged.agg(F.sum("__changed")).first()[0] or 0
+        prev.unpersist()
+        prev = merged
         labels = merged.select("node", "component")
         if changed == 0:
             break

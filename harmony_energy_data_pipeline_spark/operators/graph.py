@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterative import DEFAULT_CHECKPOINT_EVERY, ensure_checkpoint_dir, truncate_every
+
 
 def pagerank_fixed_point(
     edges: DataFrame,
@@ -26,6 +28,7 @@ def pagerank_fixed_point(
     n_iter: int = 3,
     damping_pct: int = 85,
     unit: int = 1_000_000,
+    checkpoint_every: int = DEFAULT_CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Fixed-point PageRank: ``n_iter`` synchronous power-iteration
     rounds with pure-INTEGER arithmetic —
@@ -44,24 +47,34 @@ def pagerank_fixed_point(
 
     Output: ``(node, rank_micro)`` for every node with an edge.
 
-    Scale shape: the edge list joins its out-degree once and is
-    persisted via an eager ``localCheckpoint`` — each round is then
-    ONE shuffle (contrib agg on dst) plus a broadcast-size rank join,
-    and checkpointed labels keep lineage flat (same pattern as
-    ``connected_components``; rounds, not data volume, are the cost).
+    Scale shape: the edge list joins its out-degree once and both it
+    and the node set are ``persist()``-ed (fault-tolerant: lineage is
+    kept, so an executor loss recomputes from the source scan) — each
+    round is then ONE shuffle (contrib agg on dst) plus a
+    broadcast-size rank join. Rounds between reliable checkpoints
+    stay LAZY: a ``checkpoint_every``-round window compiles into a
+    single job, and every ``checkpoint_every`` rounds the rank frame
+    is reliably ``checkpoint()``-ed to the checkpoint dir (HDFS/S3 on
+    a cluster), truncating lineage without the executor-loss
+    fragility of ``localCheckpoint``. Short loops (the default
+    n_iter=3) run as one job with zero checkpoint writes.
     """
+    ensure_checkpoint_dir(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    e_deg = e.join(deg, "src").persist()
+    # node set from the CACHED e_deg (same node universe: the join on
+    # out-degree keeps every edge), so the edge distinct isn't
+    # recomputed for a second scan subtree
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_micro"))
     teleport = (100 - damping_pct) * unit
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
@@ -79,6 +92,6 @@ def pagerank_fixed_point(
                     f"({teleport} + {damping_pct} * coalesce(__in, 0)) div 100"
                 ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = truncate_every(ranks, i, n_rounds=n_iter, every=checkpoint_every)
     return ranks
