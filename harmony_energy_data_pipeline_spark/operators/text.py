@@ -477,19 +477,41 @@ def wordpiece_tokenize_docs(
     text_col: str,
     vocab: list[str],
     unk: str = "[UNK]",
+    broadcast_words: bool = True,
 ) -> DataFrame:
     """Per-document subword stream: ``(doc_id, widx, pidx, piece)`` —
     word index and piece-within-word index give the loader a total
-    order. Tokenization is map-side (explode + UDF + explode, no
-    shuffle); use ``wordpiece_token_counts`` when only the histogram
-    is needed."""
+    order.
+
+    Scale shape: the Python UDF tokenizes the DISTINCT-word table
+    only (same first stage as ``wordpiece_token_counts`` — natural
+    language vocabularies are millions of words vs trillions of
+    occurrences), then the piece lists equi-join back onto the
+    exploded occurrence stream. With ``broadcast_words`` (default)
+    the word→pieces map rides a broadcast, so the corpus side stays
+    entirely map-side — the per-occurrence cost is a hash probe, not
+    a Python call. Set ``broadcast_words=False`` for vocabularies too
+    large for executor memory (a shuffle join on the word key).
+
+    Use ``wordpiece_token_counts`` when only the histogram is needed.
+    """
     pieces = wordpiece_udf(vocab, unk)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("widx", "__w"),
     ).filter(F.col("__w") != "")
-    return toks.select(
-        "doc_id", "widx", F.posexplode(pieces(F.col("__w"))).alias("pidx", "piece")
+    word_pieces = toks.select("__w").distinct().select(
+        "__w", pieces(F.col("__w")).alias("__p")
+    )
+    if broadcast_words:
+        word_pieces = F.broadcast(word_pieces)
+    # posexplode_OUTER: the piece list is never empty (split_word
+    # yields >=1 piece), so outer is semantically identical — but the
+    # plain explode lets Catalyst infer `size(__p)>0` and push a
+    # UDF-evaluating filter BELOW the distinct, which would re-run the
+    # tokenizer per occurrence (the exact cost this join removes)
+    return toks.join(word_pieces, "__w").select(
+        "doc_id", "widx", F.posexplode_outer("__p").alias("pidx", "piece")
     )
 
 

@@ -279,3 +279,32 @@ def test_table_digest_is_single_scan_partial_agg(spark, sf_dir):
 
     scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
     assert len(scans) == 1, plan[:400]
+
+
+def test_wordpiece_stream_udf_runs_on_distinct_words(spark, sf_dir):
+    """wordpiece_tokenize_docs must tokenize the DISTINCT-word
+    aggregate (one Python call per vocabulary word), broadcast the
+    word->pieces map, and keep the occurrence stream UDF-free — at
+    corpus scale the per-occurrence cost must be a hash probe, not a
+    Python call (mirrors wordpiece_token_counts' first stage)."""
+    import re
+
+    import __spark_entry__ as entry
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        wordpiece_tokenize_docs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = wordpiece_tokenize_docs(docs, "doc_id", "text", entry._WP_VOCAB)
+    assert uses_broadcast_join(out)
+    plan = physical_plan(out)
+    # exactly one UDF node (formatted explain repeats each node in the
+    # details section, so count distinct node ids)
+    udf_nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(udf_nodes) == 1, plan[:600]
+    # and its subtree is the distinct-word aggregate: in the tree
+    # section the UDF's child line is the final HashAggregate
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    (udf_at,) = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    assert "HashAggregate" in lines[udf_at + 1], tree
