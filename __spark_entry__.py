@@ -1831,7 +1831,7 @@ WITH pri AS (
   SELECT doc_id, lang,
          ln((CAST(CONCAT('0x', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
             / 1152921504606846976.0) / CAST(length(text) AS DOUBLE) AS rk
-  FROM documents
+  FROM documents WHERE length(text) > 0
 )
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY rk DESC, doc_id ASC) AS rn
@@ -2088,10 +2088,10 @@ def q_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("table_digest_orders", f"""
 WITH h AS (
   SELECT CAST(md5_number_lower(
-           COALESCE(chr(1) || CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
-           COALESCE(chr(1) || CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
-           COALESCE(chr(1) || o_orderstatus, chr(0)) || chr(31) ||
-           COALESCE(chr(1) || o_orderpriority, chr(0))
+           COALESCE(chr(1) || replace(replace(CAST(o_orderkey AS VARCHAR), chr(2), chr(2) || chr(2)), chr(31), chr(2) || chr(31)), chr(0)) || chr(31) ||
+           COALESCE(chr(1) || replace(replace(CAST(o_custkey AS VARCHAR), chr(2), chr(2) || chr(2)), chr(31), chr(2) || chr(31)), chr(0)) || chr(31) ||
+           COALESCE(chr(1) || replace(replace(o_orderstatus, chr(2), chr(2) || chr(2)), chr(31), chr(2) || chr(31)), chr(0)) || chr(31) ||
+           COALESCE(chr(1) || replace(replace(o_orderpriority, chr(2), chr(2) || chr(2)), chr(31), chr(2) || chr(31)), chr(0))
          ) % {1 << 60} AS BIGINT) AS hv
   FROM orders
 )

@@ -390,8 +390,14 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
                 F.max("__c").cast("double") * 1_000_000.0
                 / F.max("__n").cast("double")
             ).cast("long").alias("max_share_ppm"),
+            # DECIMAL(38,0) accumulator: |__li|·__c can reach
+            # ~4e19 (> int64) for trillion-row tables with spread
+            # keys — exactly the tables this operator profiles; a
+            # BIGINT sum would wrap silently with ANSI off (the
+            # digest_sum trick from expectations.table_digest)
             F.round(
-                -F.sum(F.col("__li") * F.col("__c")).cast("double")
+                -F.sum(F.col("__li").cast("decimal(38,0)") * F.col("__c"))
+                .cast("double")
                 / F.max("__n").cast("double")
             ).cast("long").alias("entropy_micro_nats"),
         )

@@ -44,13 +44,22 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """
     cols = cols or df.columns
     # presence prefix (\x01 = value, \x00 = NULL) so NULL is distinct
-    # from EVERY string, including one spelling the sentinel itself
+    # from EVERY string; values additionally ESCAPE the separator
+    # (\x02 as escape char, itself escaped first) so a value
+    # containing \x1f cannot forge a field boundary — without this,
+    # ("a\x1f\x01b", NULL) and ("a", "b\x1f\x00") would canonicalize
+    # identically and a changed row could go undetected
+    def _esc(c: Column) -> Column:
+        return F.replace(
+            F.replace(c.cast("string"), F.lit("\x02"), F.lit("\x02\x02")),
+            F.lit("\x1f"),
+            F.lit("\x02\x1f"),
+        )
+
     canon = F.concat_ws(
         "\x1f",
         *[
-            F.coalesce(
-                F.concat(F.lit("\x01"), F.col(c).cast("string")), F.lit("\x00")
-            )
+            F.coalesce(F.concat(F.lit("\x01"), _esc(F.col(c))), F.lit("\x00"))
             for c in cols
         ],
     )

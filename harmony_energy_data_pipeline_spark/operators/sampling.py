@@ -98,8 +98,15 @@ def weighted_sample(
     Scale shape: one window top-k per group — a single shuffle on the
     group key; no collect, no iteration. With no group, a global
     top-k plans as TakeOrderedAndProject (no full sort).
+
+    Precondition: weights must be > 0 (A-ES is undefined otherwise).
+    Rows with NULL or non-positive weight are DROPPED before ranking —
+    silently keeping them would be worse: w == 0 makes the priority
+    -Infinity (never sampled but still ranked) and w < 0 INVERTS the
+    order so the least-weighted rows win.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    df = df.filter(wcol > 0)
     # 60-bit md5 prefix -> uniform in (0,1); +0.5 keeps u strictly >0
     hex60 = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))), 1, 15),

@@ -300,12 +300,21 @@ def gram_matrix(
             m = np.rint(
                 np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
             ).astype("int64")
-            g = m.T @ m  # object-free int64 GEMM; d bounded, no overflow risk
+            # int64 GEMM is safe PER BATCH (|batch| · scale² / d);
+            # the global merge is not — see the decimal sum below
+            g = m.T @ m
             iu, ju = np.triu_indices(g.shape[0])
             yield pd.DataFrame({"i": iu, "j": ju, "s": g[iu, ju]})
 
     part = df.select(vec_col).mapInPandas(partials, "i long, j long, s long")
-    return part.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+    # DECIMAL(38,0) accumulator for the cross-batch merge: diagonal
+    # entries grow ~n_rows·scale²/d (~1.6e10 per row at scale=1e6,
+    # d=64), so a BIGINT sum wraps silently past ~6e8 rows with ANSI
+    # off. The final cast keeps the public column BIGINT; past int64
+    # range it nulls out loudly instead of wrapping.
+    return part.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("long").alias("s")
+    )
 
 
 def pca_project(

@@ -63,6 +63,19 @@ def write_jsonl_shards(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(path)
+    if n_shards is not None:
+        # The exactly-N contract rests on RangePartitioner putting one
+        # bucket value per partition — but its boundaries come from a
+        # SAMPLE, so two buckets can share a partition (and an empty
+        # bucket writes no file). Verify loudly instead of letting the
+        # loader contract break silently.
+        n_files = sum(1 for f in os.listdir(path) if f.startswith("part-"))
+        if n_files != n_shards:
+            raise RuntimeError(
+                f"exactly-N shard contract violated: wrote {n_files} part "
+                f"files, expected {n_shards} (range boundaries are sampled; "
+                "two buckets shared a partition or a bucket was empty)"
+            )
 
 
 def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:

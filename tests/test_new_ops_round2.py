@@ -578,3 +578,32 @@ def test_expectations_empty_table_reports_zero(spark):
         ).collect()
     }
     assert got == {"not_null:k": 0, "in_range:price": 0, "unique:k": 0}
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    # w == 0 -> -inf priority; w < 0 inverts the order: both must be
+    # dropped, never silently ranked
+    rows = [(1, 5.0), (2, 0.0), (3, -4.0), (4, 1.0), (5, None)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = {r["k"] for r in weighted_sample(df, "k", "w", k=10).collect()}
+    assert got == {1, 4}
+    grouped = weighted_sample(
+        df.withColumn("g", F.lit("x")), "k", "w", k=10, group_col="g"
+    )
+    assert {r["k"] for r in grouped.collect()} == {1, 4}
+
+
+def test_table_digest_separator_in_value_not_ambiguous(spark):
+    # without escaping, ("a\x1f\x01b", NULL) and ("a", "b\x1f\x00")
+    # canonicalize to the same string and digest equal
+    from harmony_energy_data_pipeline_spark.operators.expectations import (
+        table_digest,
+    )
+
+    left = spark.createDataFrame([("a\x1f\x01b", None)], "x string, y string")
+    right = spark.createDataFrame([("a", "b\x1f\x00")], "x string, y string")
+    assert tuple(table_digest(left).first()) != tuple(table_digest(right).first())
+    # escape char itself round-trips distinctly too
+    esc1 = spark.createDataFrame([("a\x02", "b")], "x string, y string")
+    esc2 = spark.createDataFrame([("a", "\x02b")], "x string, y string")
+    assert tuple(table_digest(esc1).first()) != tuple(table_digest(esc2).first())
