@@ -61,25 +61,37 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap action
     qs["bounds"](spark, SF_DIR).collect()
 
+    # METHODOLOGY (frozen as of round 3 — keep rounds comparable):
+    # per query, best-of-2 attempts; each attempt times CONSTRUCTION
+    # (the queries() callable, which materializes eager checkpoints
+    # for iterative operators) and EXECUTION (noop-format write of
+    # the full plan) separately; `queries` reports the per-query
+    # TOTAL of the best attempt (same number rounds 2+ graded), and
+    # `construction`/`execution` report its split so deltas are
+    # attributable.
     timings: dict[str, float] = {}
+    build_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            # best-of-2: the first run pays one-off costs (UDF worker
-            # spin-up, codegen, file listing); report the steady state.
-            # Timing covers CONSTRUCTION + write: iterative operators
-            # (pagerank, connected components) materialize eager
-            # checkpoints while the DataFrame is being built, so
-            # timing only the final write would miss their real cost.
-            best = None
+            best = None  # (total, construction, execution)
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
+                t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+                t2 = time.perf_counter()
+                attempt = (t2 - t0, t1 - t0, t2 - t1)
+                best = attempt if best is None or attempt[0] < best[0] else best
+            timings[name] = round(best[0], 3)
+            build_s[name] = round(best[1], 3)
+            exec_s[name] = round(best[2], 3)
+            print(
+                f"# {name}: {timings[name]}s"
+                f" (build {build_s[name]}s + exec {exec_s[name]}s)",
+                file=sys.stderr,
+            )
         except Exception as exc:  # one broken query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -91,6 +103,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "construction": build_s,
+        "execution": exec_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
