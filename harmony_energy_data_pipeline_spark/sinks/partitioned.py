@@ -11,7 +11,11 @@ directories before any IO happens.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +61,139 @@ def overwrite_partitions_dynamic(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+# ---------------------------------------------------------------------------
+# Atomic multi-partition commit (staging + marker + swap + recovery)
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite commits partition directories one at a
+# time, so a crash mid-commit leaves a TORN table (day 1 new, day 2
+# old) with nothing recording the fact. The reference gets per-batch
+# atomicity from SQLite transactions (/root/reference/src/serve/
+# load.py:38-49); plain parquet needs an explicit protocol:
+#
+#   1. write ALL partitions of the batch to `<path>/.staging-<txid>/`
+#      (one Spark job; invisible to readers — dot-prefixed dirs are
+#      skipped by Spark's file listing);
+#   2. durably write the intent marker `_commit-<txid>.json` (tmp +
+#      fsync + rename + dir fsync) naming every affected partition;
+#   3. swap each partition (old -> .backup-<txid>/, staged -> live);
+#   4. remove the marker, then the backup/staging dirs.
+#
+# A crash anywhere leaves either (no marker) => the staged data is
+# garbage-collected and the table is untouched, or (marker present)
+# => `recover_partitions` rolls the swap FORWARD deterministically
+# (staging is always complete once the marker exists). Readers that
+# must never observe a torn table call `read_partitioned_committed`,
+# which runs recovery first — the moral equivalent of SQLite's
+# journal replay on open. Single-writer assumption, same as the
+# reference's SQLite file.
+
+#: Test hook: raise after this many partition swaps (simulates a kill
+#: in the torn window). None = disabled.
+_CRASH_AFTER_SWAPS: int | None = None
+
+
+def _write_marker_durable(marker_path: str, payload: dict) -> None:
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, marker_path)
+    dfd = os.open(os.path.dirname(marker_path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _swap_one(path: str, staging: str, backup: str, part_dir: str) -> None:
+    """Idempotent per-partition swap: safe to re-run from any crash
+    point (each state the two renames can crash in is recognized)."""
+    staged = os.path.join(staging, part_dir)
+    live = os.path.join(path, part_dir)
+    saved = os.path.join(backup, part_dir)
+    if not os.path.exists(staged):
+        return  # this partition's swap already completed
+    if os.path.exists(live):
+        os.makedirs(backup, exist_ok=True)
+        os.rename(live, saved)
+    os.rename(staged, live)
+
+
+def commit_partition_swap(
+    path: str, txid: str, partitions: list[str]
+) -> None:
+    """Steps 2-4 of the protocol: durable marker, per-partition swap
+    (honoring the crash-injection hook), marker removal, cleanup."""
+    staging = os.path.join(path, f".staging-{txid}")
+    backup = os.path.join(path, f".backup-{txid}")
+    marker = os.path.join(path, f"_commit-{txid}.json")
+    _write_marker_durable(marker, {"txid": txid, "partitions": partitions})
+    for n, part_dir in enumerate(partitions):
+        if _CRASH_AFTER_SWAPS is not None and n >= _CRASH_AFTER_SWAPS:
+            raise RuntimeError("simulated crash between partition swaps")
+        _swap_one(path, staging, backup, part_dir)
+    os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def recover_partitions(path: str) -> bool:
+    """Replay any interrupted commit at ``path``: roll marked swaps
+    FORWARD (the staged batch is complete by the time its marker
+    exists), then garbage-collect orphaned staging/backup dirs from
+    pre-marker or post-removal crashes. Idempotent — a crash during
+    recovery just re-runs it. Returns True if anything was repaired."""
+    acted = False
+    for marker in sorted(glob.glob(os.path.join(path, "_commit-*.json"))):
+        with open(marker, encoding="utf-8") as fh:
+            info = json.load(fh)
+        txid = info["txid"]
+        staging = os.path.join(path, f".staging-{txid}")
+        backup = os.path.join(path, f".backup-{txid}")
+        for part_dir in info["partitions"]:
+            _swap_one(path, staging, backup, part_dir)
+        os.remove(marker)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        acted = True
+    for d in glob.glob(os.path.join(path, ".staging-*")) + glob.glob(
+        os.path.join(path, ".backup-*")
+    ):
+        txid = d.rsplit("-", 1)[-1]
+        if not os.path.exists(os.path.join(path, f"_commit-{txid}.json")):
+            shutil.rmtree(d, ignore_errors=True)
+            acted = True
+    return acted
+
+
+def overwrite_partitions_atomic(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+) -> None:
+    """Replace exactly the partitions present in ``df`` via the
+    staging + marker + swap protocol — the atomic counterpart of
+    ``overwrite_partitions_dynamic``. Any interrupted earlier commit
+    is recovered first (single-writer assumption)."""
+    recover_partitions(path)
+    txid = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f".staging-{txid}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    partitions = sorted(
+        d for d in os.listdir(staging) if d.startswith(f"{part_col}=")
+    )
+    commit_partition_swap(path, txid, partitions)
+
+
+def read_partitioned_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``path`` with torn-commit protection: replay any
+    interrupted swap (roll forward) before listing files — a reader
+    can then never observe a half-applied batch."""
+    recover_partitions(path)
+    return spark.read.parquet(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -93,5 +230,7 @@ def compact_partitions(
 
 __all__ = [
     "with_date_partition", "write_partitioned",
-    "overwrite_partitions_dynamic", "compact_partitions",
+    "overwrite_partitions_dynamic", "overwrite_partitions_atomic",
+    "commit_partition_swap", "recover_partitions",
+    "read_partitioned_committed", "compact_partitions",
 ]

@@ -117,9 +117,17 @@ def upsert_partitioned(
     O(|table|) per merge; this rewrites O(|affected partitions|).
     The same logical plan is what Delta MERGE does with file-level
     pruning.
+
+    Commit is ATOMIC at batch granularity via the staging + marker +
+    swap protocol of ``sinks.partitioned`` (the parquet equivalent of
+    the reference's per-batch SQLite transaction, load.py:38-49): a
+    crash between partition swaps leaves a durable intent marker that
+    ``recover_partitions`` / ``read_partitioned_committed`` roll
+    forward, so committed readers never observe a half-applied batch.
     """
     from harmony_energy_data_pipeline_spark.sinks.partitioned import (
-        overwrite_partitions_dynamic,
+        overwrite_partitions_atomic,
+        recover_partitions,
         with_date_partition,
     )
 
@@ -127,6 +135,7 @@ def upsert_partitioned(
     if not os.path.exists(path):
         src.write.mode("overwrite").partitionBy(part_col).parquet(path)
         return
+    recover_partitions(path)  # replay any earlier interrupted commit
     days = [r[part_col] for r in src.select(part_col).distinct().collect()]
     target = spark.read.parquet(path)
     # partition-pruned read: only the affected days leave disk
@@ -134,7 +143,7 @@ def upsert_partitioned(
     merged = merge_upsert(
         affected, src.select(*affected.columns), key=key
     )
-    overwrite_partitions_dynamic(spark, merged, path, [part_col])
+    overwrite_partitions_atomic(merged, path, part_col)
 
 
 # Caveat: partition-local merge assumes a key's partition value is

@@ -176,3 +176,95 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_upsert_partitioned_atomic_under_kill(spark, sf_dir, tmp_path):
+    """Kill the writer BETWEEN partition swaps: the table is torn on
+    disk, but the intent marker survives, committed readers roll the
+    commit forward, and the next writer run recovers first — readers
+    through read_partitioned_committed never observe a half-applied
+    batch."""
+    import os
+
+    import pytest
+
+    from harmony_energy_data_pipeline_spark.sinks import partitioned as P
+    from harmony_energy_data_pipeline_spark.sinks.upsert import upsert_partitioned
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("_id"), F.col("ts").alias("DATETIME"), "value"
+    )
+    path = str(tmp_path / "events_atomic")
+    upsert_partitioned(spark, ev, path, key="_id", ts_col="DATETIME")
+    n = spark.read.parquet(path).count()
+    base_sum = spark.read.parquet(path).agg(F.sum("value")).first()[0]
+
+    # a batch touching EVERY day, all values x10
+    batch = ev.withColumn("value", F.col("value") * 10)
+    n_days = spark.read.parquet(path).select("dt").distinct().count()
+    assert n_days > 1
+
+    # crash after exactly one partition swap -> torn window on disk
+    P._CRASH_AFTER_SWAPS = 1
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            upsert_partitioned(spark, batch, path, key="_id", ts_col="DATETIME")
+    finally:
+        P._CRASH_AFTER_SWAPS = None
+
+    # the torn state is real: marker present, staging partitions remain
+    assert any(f.startswith("_commit-") for f in os.listdir(path))
+
+    # a committed reader recovers and sees the batch FULLY applied
+    # (roll-forward), never the mix
+    got = P.read_partitioned_committed(spark, path)
+    assert got.count() == n
+    got_sum = got.agg(F.sum("value")).first()[0]
+    assert abs(got_sum - 10 * base_sum) < 1e-6
+    # recovery cleaned the protocol droppings
+    leftovers = [
+        f for f in os.listdir(path)
+        if f.startswith(("_commit-", ".staging-", ".backup-"))
+    ]
+    assert leftovers == []
+
+    # idempotence: the next writer run applies cleanly on top
+    upsert_partitioned(spark, batch, path, key="_id", ts_col="DATETIME")
+    assert spark.read.parquet(path).count() == n
+
+
+def test_recover_partitions_rolls_forward_mid_rename(spark, sf_dir, tmp_path):
+    """Crash in the worst spot INSIDE one swap (old moved to backup,
+    staged not yet moved live): the partition is missing from the
+    table; recovery must still converge to the fully-new state."""
+    import os
+
+    from harmony_energy_data_pipeline_spark.sinks import partitioned as P
+
+    ev = with_date_partition(
+        load_table(spark, "events", sf_dir).select("event_id", "ts", "value"), "ts"
+    )
+    path = str(tmp_path / "events_midrename")
+    ev.write.mode("overwrite").partitionBy("dt").parquet(path)
+    want = spark.read.parquet(path).count()
+
+    # stage a same-content batch, then simulate: marker written, first
+    # partition's old dir moved to backup, then crash
+    txid = "deadbeef0123"
+    staging = os.path.join(path, f".staging-{txid}")
+    ev.write.mode("overwrite").partitionBy("dt").parquet(staging)
+    parts = sorted(d for d in os.listdir(staging) if d.startswith("dt="))
+    P._write_marker_durable(
+        os.path.join(path, f"_commit-{txid}.json"),
+        {"txid": txid, "partitions": parts},
+    )
+    backup = os.path.join(path, f".backup-{txid}")
+    os.makedirs(backup)
+    os.rename(os.path.join(path, parts[0]), os.path.join(backup, parts[0]))
+
+    assert P.recover_partitions(path)
+    assert spark.read.parquet(path).count() == want
+    assert not any(
+        f.startswith(("_commit-", ".staging-", ".backup-"))
+        for f in os.listdir(path)
+    )
