@@ -254,3 +254,71 @@ def test_transform_with_state_first_seen_suppresses_later_batches(spark, tmp_pat
     assert len(users) == len(set(users))
     both = first.select("user_id").intersect(second.select("user_id")).count()
     assert both > 0  # the dedup was actually exercised
+
+
+def test_merge_sink_restart_from_checkpoint_no_duplicates(spark, tmp_path, sf_dir):
+    """T5 end-to-end: stop the merge-sink stream mid-input, restart
+    from the SAME checkpoint dir, and prove (a) the restarted query
+    resumes from the recorded offsets instead of re-reading run-1
+    files, and (b) re-delivered keys stay deduplicated — the final
+    table has every key exactly once with the latest values."""
+    import os
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    m = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    src = tmp_path / "restart_src"
+    table = str(tmp_path / "restart_sink.parquet")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    # run 1: only the first half of the input exists; availableNow
+    # drains it and stops — a deterministic "stopped mid-input"
+    half1 = ev.filter(F.col("event_id") <= m)
+    half1.repartition(3).write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    q1 = start_merge_sink(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        spark, table, ckpt, key="event_id",
+    )
+    q1.awaitTermination(120)
+    n1 = half1.count()
+    assert spark.read.parquet(table).count() == n1
+    commits1 = len([f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")])
+    assert commits1 >= 3  # one per file: it really ran in micro-batches
+
+    # run 2: the rest arrives, OVERLAPPING the tail of run 1 with
+    # revised values (re-delivery across the restart)
+    overlap_lo = m - (m // 10)
+    half2 = ev.filter(F.col("event_id") > overlap_lo).withColumn(
+        "value", F.col("value") * 10
+    )
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = start_merge_sink(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        spark, table, ckpt, key="event_id",
+    )
+    q2.awaitTermination(120)
+
+    # offsets resumed: run-2 batch ids CONTINUE after run 1's (a fresh
+    # checkpoint would restart at 0 and re-read all four files), and
+    # the single new file needs at most 1 data batch (+1 finalization)
+    commits2 = len([f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")])
+    assert commits2 > commits1
+    run2_ids = [int(p["batchId"]) for p in q2.recentProgress]
+    assert run2_ids and min(run2_ids) >= commits1
+    assert commits2 - commits1 <= 2
+
+    # zero duplicates, source-wins on the re-delivered overlap
+    final = spark.read.parquet(table)
+    assert final.count() == ev.count()
+    assert final.select("event_id").distinct().count() == ev.count()
+    revised = final.filter(F.col("event_id") > overlap_lo)
+    want = ev.filter(F.col("event_id") > overlap_lo).agg(
+        F.sum(F.col("value") * 10)
+    ).first()[0]
+    assert abs(revised.agg(F.sum("value")).first()[0] - want) < 1e-6
+    # and rows outside the re-delivered range kept their run-1 values
+    keep = final.filter(F.col("event_id") <= overlap_lo)
+    want_keep = ev.filter(F.col("event_id") <= overlap_lo).agg(
+        F.sum("value")
+    ).first()[0]
+    assert abs(keep.agg(F.sum("value")).first()[0] - want_keep) < 1e-6
