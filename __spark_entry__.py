@@ -1332,6 +1332,48 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4b: profile-driven auto join strategy ------------------------------------
+# skew_aware_join measures the key distribution (key_skew_profile) and
+# picks broadcast/salted/plain; here the fixture key concentrates ~70%
+# of events on one hot key, the broadcast budget is zeroed out, so the
+# planner must take the SALTED branch — the oracle is the plain join
+# (all three branches share one result contract).
+
+_SKEW_KEY = "CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END"
+
+@_q("auto_skew_join_events", f"""
+WITH b AS (
+  SELECT {_SKEW_KEY} AS skew_key,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+d AS (SELECT skew_key, COUNT(*) AS n_key FROM b GROUP BY skew_key)
+SELECT b.skew_key AS skew_key, MAX(d.n_key) AS n_key,
+       CAST(SUM(b.vc) AS BIGINT) AS sum_value_cents
+FROM b JOIN d ON b.skew_key = d.skew_key
+GROUP BY b.skew_key
+""")
+def q_auto_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.joins import skew_aware_join
+
+    ev = load_table(spark, "events", sf_dir)
+    big = ev.select(
+        F.when((F.col("user_id") % 10) < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("skew_key"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    dim = big.groupBy("skew_key").agg(F.count("*").alias("n_key"))
+    joined = skew_aware_join(
+        big, dim, "skew_key", broadcast_max_rows=0, salt_share_ppm=100_000
+    )
+    return joined.groupBy("skew_key").agg(
+        F.max("n_key").alias("n_key"),
+        F.sum("vc").cast("long").alias("sum_value_cents"),
+    )
+
+
 # --- temporal: backward as-of join (DuckDB native ASOF JOIN as oracle) ---------
 
 _RATES_SQL = """

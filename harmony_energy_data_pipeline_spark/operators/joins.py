@@ -55,4 +55,76 @@ def salted_join(
     return joined.drop(small_fanned[on]).drop(small_fanned[_SALT]).drop(big_salted[_SALT])
 
 
-__all__ = ["salted_join"]
+def choose_join_strategy(
+    small_rows: int,
+    max_share_ppm: int,
+    parallelism: int,
+    broadcast_max_rows: int = 1_000_000,
+    salt_share_ppm: int | None = None,
+) -> str:
+    """Pure decision function behind ``skew_aware_join`` (unit-testable
+    without a cluster): ``'broadcast'`` when the small side fits the
+    broadcast budget (skew is then irrelevant — no shuffle of the big
+    side at all); else ``'salted'`` when the hottest key's row share
+    exceeds ``salt_share_ppm`` (default: 1/parallelism — the point
+    where one key's shuffle partition outweighs an even task's work);
+    else ``'plain'`` (hash/sort-merge + AQE's runtime skew split)."""
+    if small_rows <= broadcast_max_rows:
+        return "broadcast"
+    if salt_share_ppm is None:
+        salt_share_ppm = max(1, 1_000_000 // max(parallelism, 1))
+    return "salted" if max_share_ppm >= salt_share_ppm else "plain"
+
+
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    n_salts: int | None = None,
+    broadcast_max_rows: int = 1_000_000,
+    salt_share_ppm: int | None = None,
+    profile_row=None,
+) -> DataFrame:
+    """Equi-join that PICKS its physical strategy from measured key
+    statistics instead of hoping: probes the small side's size (bounded
+    count), consults ``analytics.key_skew_profile`` on the big side's
+    key (``profile_row``: pass a cached profile row to skip the
+    measurement pass — at 100 TB you profile once per table/key, not
+    per query), and routes through ``choose_join_strategy``:
+
+    - broadcast: small side under the budget — no big-side shuffle;
+    - salted: hot key beyond ``salt_share_ppm`` — ``salted_join``
+      spreads it over ``n_salts`` tasks;
+    - plain: stock join; AQE's skew split covers residual sort-merge
+      skew at runtime.
+
+    The result set is identical in all three branches; only the
+    physical plan changes. Cost of auto mode: one bounded count on the
+    small side + one two-shuffle profile pass on the big side.
+    """
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        key_skew_profile,
+    )
+
+    small_rows = small.select(on).limit(broadcast_max_rows + 1).count()
+    if small_rows <= broadcast_max_rows:
+        return big.join(F.broadcast(small), on, how)
+    if profile_row is None:
+        profile_row = key_skew_profile(big, on).first()
+    parallelism = big.sparkSession.sparkContext.defaultParallelism
+    strategy = choose_join_strategy(
+        small_rows,
+        int(profile_row["max_share_ppm"]),
+        parallelism,
+        broadcast_max_rows,
+        salt_share_ppm,
+    )
+    if strategy == "salted":
+        return salted_join(
+            big, small, on, n_salts=n_salts or min(64, parallelism), how=how
+        )
+    return big.join(small, on, how)
+
+
+__all__ = ["salted_join", "choose_join_strategy", "skew_aware_join"]

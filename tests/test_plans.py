@@ -308,3 +308,44 @@ def test_wordpiece_stream_udf_runs_on_distinct_words(spark, sf_dir):
     lines = tree.splitlines()
     (udf_at,) = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
     assert "HashAggregate" in lines[udf_at + 1], tree
+
+
+def test_skew_aware_join_picks_strategy_from_profile(spark, sf_dir):
+    """The auto planner must (a) broadcast when the small side fits
+    the budget, (b) salt when the measured hot-key share crosses the
+    threshold, (c) produce the identical result set either way."""
+    from harmony_energy_data_pipeline_spark.operators.joins import (
+        choose_join_strategy,
+        skew_aware_join,
+    )
+
+    # decision function: pure unit cases
+    assert choose_join_strategy(10, 900_000, 32) == "broadcast"
+    assert choose_join_strategy(10**9, 900_000, 32) == "salted"
+    assert choose_join_strategy(10**9, 100, 32) == "plain"
+
+    ev = load_table(spark, "events", sf_dir)
+    big = ev.select(
+        F.when((F.col("user_id") % 10) < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("skew_key"),
+        "value",
+    )
+    dim = big.groupBy("skew_key").agg(F.count("*").alias("n_key"))
+
+    # budget zeroed -> profile pass runs -> ~70% hot key -> salted plan
+    salted = skew_aware_join(
+        big, dim, "skew_key", broadcast_max_rows=0, salt_share_ppm=100_000
+    )
+    assert "__salt" in physical_plan(salted)
+    # small side within budget -> broadcast, no salt anywhere
+    bcast = skew_aware_join(big, dim, "skew_key")
+    assert uses_broadcast_join(bcast)
+    assert "__salt" not in physical_plan(bcast)
+    # one result contract across branches
+    plain = big.join(dim, "skew_key")
+    assert salted.count() == plain.count()
+    a = salted.agg(F.sum("n_key"), F.sum("value")).first()
+    b = plain.agg(F.sum("n_key"), F.sum("value")).first()
+    assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
