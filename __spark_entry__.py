@@ -4160,6 +4160,179 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sink evidence: each query below DRIVES a sink end-to-end (write to a
+# temp location, read back) and returns a digest the DuckDB oracle can
+# recompute from the source tables — so the driver's correctness gate
+# covers the write paths, not just the pure queries. Determinism:
+# shard routing, merge keys, and layout keys are all key-hash-derived
+# (no rand(), no wall clock).
+# ---------------------------------------------------------------------------
+
+@_q("jsonl_export_shard_counts", """
+SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+         AS shard,
+       COUNT(*) AS n_records
+FROM documents
+GROUP BY 1
+""")
+def q_jsonl_export_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N sharded JSONL export + manifest: write documents as 8
+    md5-routed shards, then report each shard's manifest line count —
+    the oracle recomputes the bucket histogram straight from the
+    table. Shard i is file i: repartitionByRange on the bucket value
+    puts one bucket per partition in ascending order (verified by the
+    writer's file-count check)."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks.export import (
+        jsonl_manifest,
+        write_jsonl_shards,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="jsonl_shards_")
+    write_jsonl_shards(docs, out, n_shards=8, shard_key="doc_id")
+    entries = jsonl_manifest(spark, out)
+    return spark.createDataFrame(
+        [(i, int(e["n_records"])) for i, e in enumerate(entries)],
+        "shard long, n_records long",
+    )
+
+
+@_q("upsert_partitioned_digest", """
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM d0)
+                THEN CAST(round(value * 10 * 100) AS BIGINT)
+                ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_vc
+FROM events
+GROUP BY 1
+""")
+def q_upsert_partitioned_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local upsert end-to-end: initial load of all events,
+    then a revision batch (first day's rows, values x10) merged via
+    the atomic staging+marker+swap commit; the digest is the per-day
+    count and cents-sum of the FINAL table read through the
+    torn-proof committed reader."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks.partitioned import (
+        read_partitioned_committed,
+    )
+    from harmony_energy_data_pipeline_spark.sinks.upsert import upsert_partitioned
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("_id"), F.col("ts").alias("DATETIME"), "value"
+    )
+    path = tempfile.mkdtemp(prefix="upsert_part_") + "/events"
+    upsert_partitioned(spark, ev, path, key="_id", ts_col="DATETIME")
+    d0 = ev.agg(F.min(F.to_date("DATETIME"))).first()[0]
+    batch = ev.filter(F.to_date("DATETIME") == F.lit(d0)).withColumn(
+        "value", F.col("value") * 10
+    )
+    upsert_partitioned(spark, batch, path, key="_id", ts_col="DATETIME")
+    final = read_partitioned_committed(spark, path)
+    return final.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+    )
+
+
+@_q("sqlite_upsert_digest", """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_id % 2 = 0
+                THEN CAST(round(value * 10 * 100) AS BIGINT)
+                ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_vc,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user
+FROM events WHERE event_id % 3 = 0 OR event_id % 2 = 0
+""")
+def q_sqlite_upsert_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SqliteUpsertWriter end-to-end: stage+commit two overlapping
+    batches through the DataSource sink (second batch revises the
+    even keys, INSERT OR REPLACE wins), read the final table back
+    through the DataSource scan, digest it. Oracle recomputes the
+    expected post-merge state from the source table."""
+    import os
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import (
+        SqliteTableDataSource,
+    )
+
+    spark.dataSource.register(SqliteTableDataSource)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    db = os.path.join(tempfile.mkdtemp(prefix="sqlite_upsert_"), "ev.db")
+    stage = tempfile.mkdtemp(prefix="sqlite_stage_")
+
+    def _write(df: DataFrame) -> None:
+        (
+            df.write.format("sqlite_table").mode("append")
+            .option("path", db).option("table", "ev")
+            .option("key", "event_id").option("stagedir", stage)
+            .save()
+        )
+
+    _write(ev.filter(F.col("event_id") % 3 == 0))
+    _write(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "value", F.col("value") * 10
+        )
+    )
+    back = (
+        spark.read.format("sqlite_table")
+        .schema("event_id long, user_id long, value double")
+        .option("path", db).option("table", "ev")
+        .load()
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+    )
+
+
+@_q("zorder_write_roundtrip", f"""
+WITH b AS (
+  SELECT event_id,
+         user_id & 255 AS b1,
+         (COALESCE(CAST(round(value * 100) AS BIGINT), 0) & 255) AS b2
+  FROM events
+),
+z AS (SELECT event_id, CAST({zorder_key_sql(['b1', 'b2'], 8)} AS BIGINT) AS z FROM b)
+SELECT COUNT(*) AS n_rows, bit_xor(z) AS z_xor,
+       CAST(SUM(z) AS BIGINT) AS z_sum, bit_xor(event_id) AS id_xor
+FROM z
+""")
+def q_zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zorder_write end-to-end: range-partition + sort + write the
+    events table clustered on (user-bucket, value-bucket), read the
+    files back, recompute the Morton key, and digest rows + keys —
+    proving the layout sink preserves content exactly and the key
+    matches its SQL twin after a disk roundtrip."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks.layout import (
+        zorder_key as _zk,
+        zorder_write,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("b1"),
+        F.coalesce(_cents("value"), F.lit(0)).bitwiseAND(F.lit(255)).alias("b2"),
+    )
+    out = tempfile.mkdtemp(prefix="zorder_") + "/events_z"
+    zorder_write(ev, ["b1", "b2"], out, bits=8, num_partitions=8)
+    back = spark.read.parquet(out).withColumn("z", _zk(["b1", "b2"], 8))
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(z)").alias("z_xor"),
+        F.sum("z").cast("long").alias("z_sum"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
