@@ -108,16 +108,32 @@ def _write_marker_durable(marker_path: str, payload: dict) -> None:
 
 def _swap_one(path: str, staging: str, backup: str, part_dir: str) -> None:
     """Idempotent per-partition swap: safe to re-run from any crash
-    point (each state the two renames can crash in is recognized)."""
+    point (each state the two renames can crash in is recognized).
+    ``part_dir`` may be a nested relative path (multi-level
+    partitioning, e.g. ``dt=2024-01-01/hour=3``)."""
     staged = os.path.join(staging, part_dir)
     live = os.path.join(path, part_dir)
     saved = os.path.join(backup, part_dir)
     if not os.path.exists(staged):
         return  # this partition's swap already completed
     if os.path.exists(live):
-        os.makedirs(backup, exist_ok=True)
+        os.makedirs(os.path.dirname(saved), exist_ok=True)
         os.rename(live, saved)
+    os.makedirs(os.path.dirname(live), exist_ok=True)
     os.rename(staged, live)
+
+
+def _leaf_partition_dirs(root: str, first_col: str) -> list[str]:
+    """Relative paths of the deepest ``col=value`` directories under
+    ``root`` (the unit the swap protocol moves)."""
+    leaves: list[str] = []
+    for dirpath, dirnames, _files in os.walk(root):
+        # only descend the partition hierarchy (col=value dirs)
+        dirnames[:] = [d for d in dirnames if "=" in d]
+        rel = os.path.relpath(dirpath, root)
+        if rel != "." and "=" in os.path.basename(dirpath) and not dirnames:
+            leaves.append(rel)
+    return sorted(p for p in leaves if p.startswith(f"{first_col}="))
 
 
 def commit_partition_swap(
@@ -170,19 +186,19 @@ def recover_partitions(path: str) -> bool:
 def overwrite_partitions_atomic(
     df: DataFrame,
     path: str,
-    part_col: str,
+    part_cols: str | list[str],
 ) -> None:
     """Replace exactly the partitions present in ``df`` via the
     staging + marker + swap protocol — the atomic counterpart of
     ``overwrite_partitions_dynamic``. Any interrupted earlier commit
-    is recovered first (single-writer assumption)."""
+    is recovered first (single-writer assumption). Multi-level
+    partitioning swaps at the LEAF directory level."""
+    cols = [part_cols] if isinstance(part_cols, str) else list(part_cols)
     recover_partitions(path)
     txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txid}")
-    df.write.mode("overwrite").partitionBy(part_col).parquet(staging)
-    partitions = sorted(
-        d for d in os.listdir(staging) if d.startswith(f"{part_col}=")
-    )
+    df.write.mode("overwrite").partitionBy(*cols).parquet(staging)
+    partitions = _leaf_partition_dirs(staging, cols[0])
     commit_partition_swap(path, txid, partitions)
 
 
@@ -210,6 +226,7 @@ def compact_partitions(
     The real-world cadence: compact daily partitions once the day is
     closed.
     """
+    recover_partitions(path)
     df = spark.read.parquet(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(dirpath, f))
@@ -217,15 +234,11 @@ def compact_partitions(
         for f in files if f.endswith(".parquet")
     )
     n_parts = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(n_parts, *partition_cols)
-            .write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # route through the atomic commit: a compaction that dies mid-way
+    # must never leave some partitions compacted and others torn
+    overwrite_partitions_atomic(
+        df.repartition(n_parts, *partition_cols), path, partition_cols
+    )
 
 
 __all__ = [
