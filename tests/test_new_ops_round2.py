@@ -607,3 +607,56 @@ def test_table_digest_separator_in_value_not_ambiguous(spark):
     esc1 = spark.createDataFrame([("a\x02", "b")], "x string, y string")
     esc2 = spark.createDataFrame([("a", "\x02b")], "x string, y string")
     assert tuple(table_digest(esc1).first()) != tuple(table_digest(esc2).first())
+
+
+def test_pagerank_reliable_checkpoint_branch(spark):
+    """n_iter past the checkpoint cadence exercises the reliable
+    checkpoint() path (the default-length tests never reach it): the
+    ranks must match the exact python model, and the checkpointed
+    plan must read from an RDD scan (lineage truncated to the
+    checkpoint files, not the source)."""
+    from harmony_energy_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_iter, every = 7, 3
+    out = pagerank_fixed_point(df, n_iter=n_iter, checkpoint_every=every)
+    got = {r["node"]: r["rank_micro"] for r in out.collect()}
+
+    unit, d = 1_000_000, 85
+    deg = {1: 2, 2: 2, 3: 1}
+    r = {1: unit, 2: unit, 3: unit}
+    for _ in range(n_iter):
+        contrib = {1: 0, 2: 0, 3: 0}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {v: ((100 - d) * unit + d * contrib[v]) // 100 for v in r}
+    assert got == r
+    # rounds 3 and 6 checkpointed: the final plan's lineage starts at
+    # the round-6 checkpoint RDD, not the createDataFrame source
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:500]
+
+
+def test_truncate_every_cadence(spark):
+    """Checkpoint exactly on window boundaries and never on the final
+    round of a fixed-length loop."""
+    from harmony_energy_data_pipeline_spark.operators.iterative import (
+        ensure_checkpoint_dir,
+        truncate_every,
+    )
+
+    ensure_checkpoint_dir(spark)
+    df = spark.range(10)
+
+    def is_ckpt(out):
+        p = out._jdf.queryExecution().optimizedPlan().toString()
+        return "LogicalRDD" in p or "ExistingRDD" in p
+
+    # 0-based rounds, every=3, n_rounds=7: boundaries after rounds
+    # 2 and 5; round 6 is last -> never checkpointed
+    want = {0: False, 1: False, 2: True, 3: False, 4: False, 5: True, 6: False}
+    for i, w in want.items():
+        assert is_ckpt(truncate_every(df, i, n_rounds=7, every=3)) is w, i
