@@ -851,6 +851,49 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+# Quality-aware representative selection (keep the BEST-scoring member
+# of each near-dup cluster, not the smallest id — the Dolma/FineWeb
+# keep-best pattern). Same recursive-CTE components as above, then a
+# per-component argmax on n_chars with id tiebreak.
+
+@_q("near_dup_keep_best", f"""
+WITH RECURSIVE {_NGRAM_GUARDED_CTES.format(cap=10)},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS comp FROM e
+  UNION
+  SELECT e.dst AS node, r.comp FROM reach r JOIN e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.node,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+""")
+def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5, max_doc_freq=10
+    )
+    kept = dedup.dedup_by_clusters_best(docs, pairs, "doc_id", "n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
 # --- M5: char-n-gram Jaccard (the char-level near-dup variant) --------------------
 
 @_q("char_jaccard_pairs", f"""
@@ -3571,6 +3614,40 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.5, min_tokens=5, max_tokens=1000,
     ).select(
         "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+
+
+# Composed flagship: the end-to-end training-corpus pipeline —
+# clean (language/quality/length gates + fingerprint dedup) →
+# deterministic split → per-split manifest digest. One registered
+# query proves the stages COMPOSE with oracle-checked semantics, not
+# just pass in isolation.
+
+@_q("corpus_pipeline_digest", f"""
+WITH kept AS ({{clean}})
+SELECT CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       bit_xor(doc_id) AS id_xor
+FROM kept
+GROUP BY 1
+""".format(clean=_clean_corpus_oracle()))
+def q_corpus_pipeline_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = text.clean_corpus(
+        docs, "doc_id", "text", lang="en",
+        min_quality=0.5, min_tokens=5, max_tokens=1000,
+    )
+    split = deterministic_split(kept, "doc_id", train_frac=0.8)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.expr("bit_xor(doc_id)").alias("id_xor"),
     )
 
 

@@ -513,6 +513,43 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_by_clusters_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup (the Dolma/FineWeb keep-best
+    pattern): one representative per near-dup cluster, chosen by
+    HIGHEST ``score_col`` (ties break on smallest id, so the choice is
+    deterministic on any engine) — rather than smallest id as in
+    ``dedup_by_clusters``. Near-dup sets usually mix a clean original
+    with mangled copies; keeping the best-scoring member preserves
+    corpus quality instead of whichever id sorted first.
+
+    Scale shape: the component table (nodes in the pair graph only —
+    tiny vs the corpus) joins the scores for just those rows, a
+    per-component argmax window ranks them, and the corpus is touched
+    by ONE anti-join against the loser set. ``df`` never shuffles.
+    """
+    comps = connected_components(pairs, a_col, b_col)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("node").asc()
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     id_col: str,

@@ -149,3 +149,23 @@ def test_connected_components_matches_union_find(spark):
     kept = {r["id"] for r in dedup_by_clusters(df, pairs, "id").collect()}
     expected_losers = {n for n, c in want_min.items() if n != c}
     assert kept == set(ids) - expected_losers
+
+
+def test_dedup_by_clusters_best_keeps_highest_score(spark):
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        dedup_by_clusters,
+        dedup_by_clusters_best,
+    )
+
+    # cluster {1,2,3} (chain), cluster {10,11}, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 1.0), (11, 1.0), (20, 0.0)],
+        "doc_id long, score double",
+    )
+    best = {r["doc_id"] for r in dedup_by_clusters_best(df, pairs, "doc_id", "score").collect()}
+    assert best == {2, 10, 20}  # argmax per cluster; tie -> smallest id
+    smallest = {r["doc_id"] for r in dedup_by_clusters(df, pairs, "doc_id").collect()}
+    assert smallest == {1, 10, 20}
