@@ -43,39 +43,64 @@ def write_jsonl_shards(
     At 100 TB use the first mode for ingest-order corpora and the
     second when the loader contract fixes the shard count.
     """
-    writer = df.write.mode("overwrite")
     if n_shards is not None:
-        key = shard_key or df.columns[0]
-        from harmony_energy_data_pipeline_spark.operators.sampling import split_bucket
-
-        # repartitionByRange, not repartition: hash partitioning re-hashes
-        # the bucket VALUE, so two of N buckets can land in one partition
-        # (and leave another empty); range partitioning on the N distinct
-        # bucket values puts exactly one bucket per partition
-        df = (
-            df.withColumn("__shard", split_bucket(key, n_shards))
-            .repartitionByRange(n_shards, F.col("__shard"))
-            .drop("__shard")
-        )
-        writer = df.write.mode("overwrite")
+        _write_exact_shards(df, path, n_shards, shard_key, compression)
+        return
+    writer = df.write.mode("overwrite")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(path)
-    if n_shards is not None:
-        # The exactly-N contract rests on RangePartitioner putting one
-        # bucket value per partition — but its boundaries come from a
-        # SAMPLE, so two buckets can share a partition (and an empty
-        # bucket writes no file). Verify loudly instead of letting the
-        # loader contract break silently.
-        n_files = sum(1 for f in os.listdir(path) if f.startswith("part-"))
-        if n_files != n_shards:
-            raise RuntimeError(
-                f"exactly-N shard contract violated: wrote {n_files} part "
-                f"files, expected {n_shards} (range boundaries are sampled; "
-                "two buckets shared a partition or a bucket was empty)"
-            )
+
+
+def _write_exact_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str | None,
+    compression: str | None,
+) -> None:
+    """Exactly-N routing that cannot tear: ``partitionBy`` on the
+    bucket value writes each bucket to its own directory as EXACTLY
+    one file (a bucket's rows all hash to one task), then the files
+    flatten to ``part-<shard>`` names. RangePartitioner was the
+    previous mechanism and is NOT sufficient — its boundaries come
+    from a sample, so two buckets could share a partition and the
+    export silently lost a shard (caught at sf0.1: 7 files of 8).
+    The one remaining unroutable case — a bucket with zero rows —
+    still raises loudly."""
+    import glob as _glob
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.operators.sampling import split_bucket
+
+    key = shard_key or df.columns[0]
+    staging = path.rstrip("/") + ".__shards_tmp"
+    writer = (
+        df.withColumn("__shard", split_bucket(key, n_shards))
+        .repartition(n_shards, "__shard")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+    )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(staging)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    try:
+        for k in range(n_shards):
+            files = sorted(_glob.glob(os.path.join(staging, f"__shard={k}", "part-*")))
+            if len(files) != 1:
+                raise RuntimeError(
+                    f"exactly-N shard contract violated: bucket {k} produced "
+                    f"{len(files)} files (zero rows in the bucket, or a "
+                    "partial write); refusing to emit a torn export"
+                )
+            ext = os.path.basename(files[0]).split(".", 1)[1]
+            os.rename(files[0], os.path.join(path, f"part-{k:05d}.{ext}"))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
