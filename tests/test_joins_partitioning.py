@@ -268,3 +268,40 @@ def test_recover_partitions_rolls_forward_mid_rename(spark, sf_dir, tmp_path):
         f.startswith(("_commit-", ".staging-", ".backup-"))
         for f in os.listdir(path)
     )
+
+
+def test_overwrite_partitions_atomic_nested_layout(spark, tmp_path):
+    """Multi-level partitioning swaps at leaf col=value dirs: replace
+    one (dt, bucket) leaf, leave every other leaf untouched."""
+    import os
+
+    from harmony_energy_data_pipeline_spark.sinks import partitioned as P
+
+    df = spark.createDataFrame(
+        [(d, b, i, float(i)) for d in ("a", "b") for b in (0, 1) for i in range(5)],
+        "dt string, bkt int, k int, v double",
+    )
+    path = str(tmp_path / "nested")
+    df.write.mode("overwrite").partitionBy("dt", "bkt").parquet(path)
+    before = spark.read.parquet(path)
+    assert before.count() == 20
+
+    patch = spark.createDataFrame(
+        [("a", 1, i, float(i) * 100) for i in range(5)],
+        "dt string, bkt int, k int, v double",
+    )
+    P.overwrite_partitions_atomic(patch, path, ["dt", "bkt"])
+    after = spark.read.parquet(path)
+    assert after.count() == 20
+    got = after.filter((F.col("dt") == "a") & (F.col("bkt") == 1)).agg(
+        F.sum("v")
+    ).first()[0]
+    assert got == sum(i * 100 for i in range(5))
+    untouched = after.filter(~((F.col("dt") == "a") & (F.col("bkt") == 1))).agg(
+        F.sum("v")
+    ).first()[0]
+    assert untouched == 3 * sum(range(5))
+    assert not any(
+        f.startswith(("_commit-", ".staging-", ".backup-"))
+        for f in os.listdir(path)
+    )
