@@ -86,8 +86,11 @@ def _write_exact_shards(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(staging)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    # flatten into a sibling, then ONE directory swap — a reader never
+    # lists a half-flattened export
+    final = path.rstrip("/") + ".__final_tmp"
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(final)
     try:
         for k in range(n_shards):
             files = sorted(_glob.glob(os.path.join(staging, f"__shard={k}", "part-*")))
@@ -98,9 +101,16 @@ def _write_exact_shards(
                     "partial write); refusing to emit a torn export"
                 )
             ext = os.path.basename(files[0]).split(".", 1)[1]
-            os.rename(files[0], os.path.join(path, f"part-{k:05d}.{ext}"))
+            os.rename(files[0], os.path.join(final, f"part-{k:05d}.{ext}"))
+        old = path.rstrip("/") + ".__old_tmp"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(final, path)
+        shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
 
 
 def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:

@@ -84,16 +84,30 @@ def zorder_write(
     One range shuffle (sampled boundaries — balanced even when the
     key space is sparse), the sort is partition-local, and the key
     column is dropped before write (it is a layout device, not data).
+
+    The rewrite lands via a temp-sibling + directory swap (the
+    ``upsert_parquet`` pattern): re-clustering a live table must not
+    expose readers to a half-written layout.
     """
+    import os
+    import shutil
+    import uuid
+
     keyed = df.withColumn("__z", zorder_key(cols, bits))
     parted = (
         keyed.repartitionByRange(num_partitions, "__z")
         if num_partitions
         else keyed.repartitionByRange("__z")
     )
+    tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex[:8]}"
     parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(
         fmt
-    ).save(path)
+    ).save(tmp)
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 __all__ = ["zorder_key", "zorder_key_sql", "scale_to_bits", "zorder_write"]
