@@ -432,10 +432,35 @@ def semdedup(
     evaluates per-pair Catalyst expressions — bit-identical to the
     SQL oracle (BLAS sum order differs in the last ulp), so the
     driver-checked query uses it; both modes are equivalence-tested.
+
+    EXACT-DUPLICATE PREPASS (always on; provably result-identical):
+    byte-identical vectors share a cell (the cell is a function of
+    the vector), their cosine is 1, and the keep-first rule drops
+    every copy but the min-id one — so copies collapse to that rep
+    BEFORE the quadratic stage, and the rep inherits exactly the
+    original's survival condition (any lower-id similar row implies a
+    lower-id similar REP, since a group's rep id is its minimum).
+    The pair cost then scales with DISTINCT vectors, not rows — on a
+    duplicate-heavy corpus (the replication fixture is 99% copies)
+    this removes the only superlinear term SCALING.md found. Zero and
+    NaN vectors bypass the grouping: their normalized cosine is 0/NaN
+    (never ≥ threshold), so the original semantics keep every copy.
     """
     assigned = portable_cells(df, id_col, vec_col, n_cells, scale)
     sides = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
         assigned.withColumnRenamed(id_col, "__id"), "__id"
+    )
+    groupable = F.exists("__v", lambda x: x != 0.0) & ~F.exists(
+        "__v", lambda x: F.isnan(x)
+    )
+    reps = (
+        sides.filter(groupable)
+        .groupBy("cell", "__v")
+        .agg(F.min("__id").alias("__id"))
+        .select("__id", "__v", "cell")
+    )
+    sides = reps.unionByName(
+        sides.filter(~groupable).select("__id", "__v", "cell")
     )
     if vectorized:
         def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -468,7 +493,10 @@ def semdedup(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-    return assigned.join(drops, id_col, "left_anti")
+    # survivors are exactly the undropped prepass rows (every non-rep
+    # copy is dominated by its rep, so it can never survive)
+    kept = sides.select(F.col("__id").alias(id_col), "cell")
+    return kept.join(drops, id_col, "left_anti")
 
 
 def embedding_near_dup_pairs(

@@ -660,3 +660,26 @@ def test_truncate_every_cadence(spark):
     want = {0: False, 1: False, 2: True, 3: False, 4: False, 5: True, 6: False}
     for i, w in want.items():
         assert is_ckpt(truncate_every(df, i, n_rounds=7, every=3)) is w, i
+
+
+def test_semdedup_exact_prepass_equivalence(spark):
+    """Exact copies collapse to the min-id rep before the quadratic
+    stage with NO result change: copies of a surviving vector keep
+    only the min id; zero vectors (cosine 0 to everything, including
+    their own copies) all survive in both modes."""
+    base = [0.6, 0.8] + [0.0] * 6
+    ortho = [1.0, 0.0] + [0.0] * 6
+    rows = (
+        [(1, base), (9, base), (17, base)]        # copies: keep id 1
+        + [(2, ortho), (10, ortho)]               # copies: keep id 2
+        + [(3, [0.0] * 8), (11, [0.0] * 8)]       # zero vectors: keep BOTH
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for vectorized in (True, False):
+        kept = {
+            r["vec_id"]
+            for r in similarity.semdedup(
+                df, threshold=0.95, n_cells=2, vectorized=vectorized
+            ).collect()
+        }
+        assert kept == {1, 2, 3, 11}, (vectorized, kept)
