@@ -2165,6 +2165,57 @@ def q_wordpiece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.wordpiece_token_counts(docs, "doc_id", "text", _WP_VOCAB)
 
 
+# --- text breadth: BPE merge training ----------------------------------------
+# First-3 byte-pair-encoding merge rules learned from the corpus word
+# histogram. Wrapped-symbol strings make literal replace() exact (no
+# cross-boundary matches) and left-to-right greedy in BOTH engines;
+# the oracle unrolls the 3 rounds with list_zip adjacent pairs and
+# scalar-subquery rewrites.
+
+def _bpe_round(r: int) -> str:
+    prev = f"h{r - 1}"
+    return f"""
+p{r} AS (
+  SELECT u.pr[1] AS l, u.pr[2] AS r, CAST(SUM(h.wc) AS BIGINT) AS cnt
+  FROM {prev} h, LATERAL (
+    SELECT unnest(list_zip(regexp_extract_all(h.seq, '<[^<>]*>'),
+                           regexp_extract_all(h.seq, '<[^<>]*>')[2:])) AS pr) u
+  WHERE u.pr[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+m{r} AS (
+  SELECT {r} AS merge_round, l, r,
+         '<' || substring(l, 2, length(l) - 2) || substring(r, 2, length(r) - 2) || '>' AS merged,
+         cnt
+  FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+h{r} AS (
+  SELECT replace(h.seq, (SELECT l || r FROM m{r}), (SELECT merged FROM m{r})) AS seq, h.wc
+  FROM {prev} h
+)"""
+
+
+@_q("bpe_merges", f"""
+WITH h0 AS (
+  SELECT list_aggregate(list_transform(regexp_extract_all(word, '.'),
+                                       c -> '<' || c || '>'),
+                        'string_agg', '') AS seq,
+         COUNT(*) AS wc
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+{_bpe_round(1)},
+{_bpe_round(2)},
+{_bpe_round(3)}
+SELECT merge_round, l AS left_sym, r AS right_sym, merged, cnt AS pair_count
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+""")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.bpe_learn(docs, "doc_id", "text", n_merges=3)
+
+
 # --- table digest + expectations gate ---------------------------------------------
 # Digest columns restricted to ints/strings: float->string formatting
 # is not engine-portable (the operator docstring mandates fixed-point
@@ -3689,6 +3740,57 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("label", "assigned_label").agg(
         F.count("*").alias("n_vecs")
+    )
+
+
+# --- embedding breadth: full Lloyd K-means, fixed-point ----------------------
+# Iterative clustering with an EXACTLY-unrolled oracle (the PageRank
+# discipline applied to Lloyd's algorithm): integer micro-unit vectors,
+# deterministic id%k seeding, exact integer E-step distances, one
+# rounded division per M-step cell. 2 unrolled rounds.
+
+def _kmeans_round(prev_cent: str, n: int) -> str:
+    return f"""
+d{n} AS (
+  SELECT pe.id, {prev_cent}.cell,
+         SUM((pe.vm - {prev_cent}.cm) * (pe.vm - {prev_cent}.cm)) AS d2
+  FROM pe JOIN {prev_cent} USING (pos) GROUP BY 1, 2
+),
+a{n} AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+),
+c{n} AS (
+  SELECT a{n}.cell, pe.pos,
+         CAST(round(CAST(SUM(pe.vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pe JOIN a{n} USING (id) GROUP BY 1, 2
+)"""
+
+
+@_q("kmeans_clusters", f"""
+WITH pe AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings
+),
+c0 AS (
+  SELECT id % 8 AS cell, pos,
+         CAST(round(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pe GROUP BY 1, 2
+),
+{_kmeans_round("c0", 1)},
+{_kmeans_round("c1", 2)}
+SELECT c2.cell, c2.pos, c2.cm, cnt.n_members
+FROM c2 JOIN (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell) cnt
+  USING (cell)
+""")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_fixed_point(
+        emb, id_col="vec_id", vec_col="embedding", k=8, n_iter=2
     )
 
 

@@ -596,7 +596,92 @@ def assign_nearest_centroid(
     )
 
 
+def kmeans_fixed_point(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Full Lloyd's K-means with ``n_iter`` fixed synchronous rounds
+    and ENGINE-PORTABLE arithmetic — the iterative generalization of
+    ``portable_cells`` (which is exactly the r=0 seed + one M-step).
+
+    Determinism contract (every step exact or single-rounded):
+
+    * vectors quantize to ``round(x·scale)`` BIGINT micro-units;
+    * seed partition is ``id % k`` (no RNG — reproducible anywhere);
+    * E-step distances are exact integer sums of squared deltas,
+      tie-break to the smallest cell id;
+    * M-step centroid = ``round(sum/count)`` with the sum carried in
+      DECIMAL(38,0) (an int64 sum wraps at ~1e12 members × 1e6
+      micro-units — the exact corpus sizes this engine targets) and
+      ONE double division before the round.
+
+    Clusters that lose every member simply drop out of the centroid
+    table (both engines shrink identically).
+
+    Output: final centroids ``(cell, pos, cm, n_members)`` — k×dim
+    rows after the last M-step, with the member count of the final
+    assignment.
+
+    Scale shape: the exploded (id, pos, vm) frame is ``persist()``-ed
+    once (lineage kept — executor-loss safe) and every round is ONE
+    shuffle: the (id, cell) distance agg; the centroid table (k×dim)
+    stays broadcast-size on the probe side of each join. Rounds
+    between reliable checkpoints stay lazy; long loops truncate
+    lineage through ``iterative.truncate_every`` like PageRank
+    (operators/graph.py) rather than fault-fragile localCheckpoint.
+    """
+    from .iterative import ensure_checkpoint_dir, truncate_every
+
+    ensure_checkpoint_dir(df.sparkSession)
+    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    pe = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v"))
+        .select("id", "pos", vm.alias("vm"))
+        .persist()
+    )
+    mean_cm = (
+        F.round(
+            F.sum(F.col("vm").cast("decimal(38,0)")).cast("double") / F.count("*")
+        ).cast("long").alias("cm")
+    )
+    cent = (
+        pe.withColumn("cell", F.col("id") % k)
+        .groupBy("cell", "pos")
+        .agg(mean_cm)
+    )
+    d = F.col("vm") - F.col("cm")
+    w = Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+    assign = None
+    for r in range(n_iter):
+        dist = (
+            pe.join(F.broadcast(cent), "pos")
+            .groupBy("id", "cell")
+            .agg(F.sum(d * d).alias("__d2"))
+        )
+        assign = (
+            dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "cell")
+        )
+        cent = (
+            pe.join(assign, "id")
+            .groupBy("cell", "pos")
+            .agg(mean_cm)
+        )
+        cent = truncate_every(cent, r, n_rounds=n_iter, every=checkpoint_every)
+    counts = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return cent.join(F.broadcast(counts), "cell").select(
+        "cell", "pos", "cm", "n_members"
+    )
+
+
 __all__ = [
     "cosine_topk", "lsh_topk", "ivf_topk", "ivf_topk_portable",
     "embedding_near_dup_pairs", "assign_nearest_centroid",
+    "kmeans_fixed_point",
 ]

@@ -804,11 +804,106 @@ def span_dedup(
     )
 
 
+def bpe_learn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 3,
+) -> DataFrame:
+    """Byte-Pair-Encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — learn the first ``n_merges`` merge rules from
+    the corpus, entirely in Catalyst expressions (no Python UDF).
+
+    Symbols are wrapped as ``<sym>`` so a literal string ``replace``
+    is exact: the pattern ``<a><b>`` can never match across symbol
+    boundaries, and left-to-right non-overlapping replacement (the
+    semantics of both Spark's and ANSI ``replace``) is precisely
+    BPE's greedy application order. Tokenization is the engine's
+    standard ``[a-z0-9]+`` word stream, so ``<`` / ``>`` cannot occur
+    inside a symbol.
+
+    Per round, on the DISTINCT-word histogram (never the occurrence
+    stream): count adjacent symbol pairs weighted by word frequency,
+    pick the top pair (count desc, then lexicographic — deterministic
+    under ties), rewrite every word's symbol sequence with one
+    ``replace``. Output: ``(merge_round, left_sym, right_sym, merged,
+    pair_count)`` — one row per learned rule.
+
+    Scale shape: the corpus collapses to the word histogram with one
+    map-side-combined agg; every subsequent round touches only
+    |distinct words| rows — pair counting is an explode + one agg,
+    the 1-row winner cross-joins back as a broadcast. The histogram
+    is ``persist()``-ed per round (lineage kept, executor-loss safe)
+    so round r's winner does not recompute rounds 0..r-1.
+    """
+    wrap = F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
+        ),
+    )
+    hist = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count("*").alias("wc"))
+        .select(wrap.alias("seq"), "wc")
+        .persist()
+    )
+    syms = F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
+    inner = lambda c: F.substring(c, 2, F.length(c) - 2)  # noqa: E731
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            hist.select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .select("wc", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat(F.lit("<"), inner(F.col("l")), inner(F.col("r")), F.lit(">")).alias("merged"),
+                "pair_count",
+            )
+        )
+        merges.append(top)
+        nxt = (
+            hist.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat("left_sym", "right_sym"),
+                    F.col("merged"),
+                ).alias("seq"),
+                "wc",
+            )
+            .persist()
+        )
+        hist = nxt
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 __all__ = [
     "STOPWORDS", "PII_PATTERNS", "token_count", "bpe_ish_token_count",
     "stopword_hits", "detect_language", "punct_ratio", "mean_word_length",
     "quality_score", "fingerprint", "text_stats", "text_stats_full",
     "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
     "redact_pii", "repetition_ratio", "url_domain_stats", "chunk_documents",
-    "span_dedup",
+    "span_dedup", "bpe_learn",
 ]

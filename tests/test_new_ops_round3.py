@@ -1,0 +1,139 @@
+"""Round-3 operators: fixed-point K-means and BPE merge training.
+
+Both operators carry exact-arithmetic determinism contracts, so the
+tests check hand-computable answers bit-for-bit, plus the reliable-
+checkpoint branch for the iterative loop.
+"""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.operators.similarity import (
+    kmeans_fixed_point,
+)
+from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fixed_point
+# ---------------------------------------------------------------------------
+
+def _kmeans_rows(spark):
+    # two tight 2-d blobs; ids chosen so id % 2 seeding starts MIXED
+    # (each seed cell holds one point of each blob) and Lloyd must
+    # actually move centroids to separate them.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [0.0, 0.1]),
+        (3, [1.0, 1.0]),
+        (4, [0.9, 1.0]),
+        (5, [1.0, 0.9]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_blobs(spark):
+    out = kmeans_fixed_point(
+        _kmeans_rows(spark), id_col="vec_id", vec_col="embedding",
+        k=2, n_iter=2,
+    )
+    rows = {(r.cell, r.pos): (r.cm, r.n_members) for r in out.collect()}
+    # Every surviving cell has both dims; membership covers all 6 points.
+    cells = {c for c, _ in rows}
+    counts = {c: rows[(c, 0)][1] for c in cells}
+    assert sum(counts.values()) == 6
+    # After 2 Lloyd rounds the blobs must be separated: 3 + 3.
+    assert sorted(counts.values()) == [3, 3]
+    # Centroids are the exact integer means of the blobs in micro-units:
+    # blob A mean = (0.033333.., 0.033333..) -> 33333; blob B -> 966667.
+    cms = sorted(rows[(c, 0)][0] for c in cells)
+    assert cms == [33333, 966667]
+
+
+def test_kmeans_checkpoint_branch(spark, tmp_path):
+    """checkpoint_every=1 forces the reliable-checkpoint branch every
+    round; result must be identical to the lazy run."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    lazy = kmeans_fixed_point(
+        _kmeans_rows(spark), id_col="vec_id", vec_col="embedding",
+        k=2, n_iter=3,
+    )
+    ck = kmeans_fixed_point(
+        _kmeans_rows(spark), id_col="vec_id", vec_col="embedding",
+        k=2, n_iter=3, checkpoint_every=1,
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, ck.collect()))
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    # k=4 over 2 distinct points: at most 2 cells can keep members;
+    # empty cells must vanish rather than emit null centroids.
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [0.0]), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_fixed_point(df, k=4, n_iter=2).collect()
+    cells = {r.cell for r in out}
+    assert len(cells) <= 2
+    assert sum({r.cell: r.n_members for r in out}.values()) == 4
+    assert all(r.cm is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn
+# ---------------------------------------------------------------------------
+
+def test_bpe_learn_textbook(spark):
+    """Classic BPE example: corpus where 'ab' is the most frequent
+    adjacent pair, then the merged symbol pairs with its neighbor."""
+    docs = spark.createDataFrame(
+        [(1, "abab abc abd"), (2, "abab xy")],
+        "doc_id long, text string",
+    )
+    out = bpe_learn(docs, "doc_id", "text", n_merges=2).orderBy("merge_round")
+    rows = out.collect()
+    assert [r.merge_round for r in rows] == [1, 2]
+    r1 = rows[0]
+    # 'a'+'b': abab contributes 2 pairs x 2 occurrences, abc 1, abd 1 -> 6
+    assert (r1.left_sym, r1.right_sym, r1.merged, r1.pair_count) == (
+        "<a>", "<b>", "<ab>", 6
+    )
+    r2 = rows[1]
+    # after merge: '<ab><ab>' x2 (count 2), '<ab><c>' 1, '<ab><d>' 1
+    assert (r2.left_sym, r2.right_sym, r2.merged, r2.pair_count) == (
+        "<ab>", "<ab>", "<abab>", 2
+    )
+
+
+def test_bpe_no_cross_boundary_match(spark):
+    """The wrapped representation must prevent a merge pattern from
+    matching across symbol boundaries: after merging 'a'+'b', a word
+    'xab' (symbols <x><ab> once <ab> exists... actually <x><a><b>)
+    must not let a later 'b'+'a' rule touch the inside of <ab>."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ba ba xaby")],
+        "doc_id long, text string",
+    )
+    rows = (
+        bpe_learn(docs, "doc_id", "text", n_merges=2)
+        .orderBy("merge_round").collect()
+    )
+    assert (rows[0].left_sym, rows[0].right_sym) == ("<a>", "<b>")
+    # round 2's top pair is counted over sequences where every a+b is
+    # already fused: 'ba' words are <b><a> (count 2) and that pair must
+    # NOT pick up phantom matches inside '<ab>' symbols.
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == (
+        "<b>", "<a>", 2
+    )
+
+
+def test_bpe_single_char_words_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a")], "doc_id long, text string"
+    )
+    # no adjacent pairs exist anywhere -> top-1 of an empty agg = no rows
+    out = bpe_learn(docs, "doc_id", "text", n_merges=1)
+    assert out.count() == 0
