@@ -2027,6 +2027,66 @@ def q_unigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("nll", 6).alias("nll"))
 
 
+# --- text breadth: bigram-LM NLL (conditional-probability quality signal) ----
+# Same micro-nat integer discipline as unigram_nll_docs; the model is
+# p(w2|w1) over the corpus's adjacent-token stream, so word-salad text
+# (common words, improbable order) scores high where unigram can't see it.
+
+@_q("bigram_nll_docs", f"""
+WITH bg AS (
+  SELECT d.doc_id, u.pr[1] AS w1, u.pr[2] AS w2
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) d,
+  LATERAL (SELECT unnest(list_zip(d.t, d.t[2:])) AS pr) u
+  WHERE u.pr[2] IS NOT NULL AND u.pr[1] <> '' AND u.pr[2] <> ''
+),
+per_doc AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+cf2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM per_doc GROUP BY 1, 2),
+cf1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cf2 GROUP BY 1),
+sc AS (
+  SELECT per_doc.doc_id, per_doc.tf,
+         CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS li
+  FROM per_doc JOIN cf2 USING (w1, w2) JOIN cf1 USING (w1)
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       round(-CAST(SUM(li * tf) AS DOUBLE) / (1000000.0 * CAST(SUM(tf) AS DOUBLE)), 6) AS nll
+FROM sc GROUP BY doc_id
+""")
+def q_bigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = text.bigram_nll(docs, "doc_id", "text")
+    return out.select("doc_id", "n_bigrams", F.round("nll", 6).alias("nll"))
+
+
+# --- M5: int8-quantized dot-product top-k (compressed ANN) -------------------
+# Pure-integer scoring over clamp(round(x*127)) vectors: the 4x-smaller
+# storage path with a bit-exact oracle (no float rounding anywhere).
+
+@_q("quantized_topk", """
+WITH q8 AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) * 127))) AS BIGINT)) AS e8
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e8 AS qe FROM q8 WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                                      i -> q.qe[i] * c.e8[i])) AS BIGINT) AS dot_q
+  FROM q CROSS JOIN q8 c
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, dot_q, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""")
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.quantized_dot_topk(
+        emb.filter(F.col("vec_id") % 97 == 0), emb, k=10,
+    )
+
+
 # --- deterministic quantile sketch ------------------------------------------------
 # Bottom-k-hash sample (same portable 60-bit hash as the KMV sketch) +
 # exact interpolated percentiles over the sample; identical on any

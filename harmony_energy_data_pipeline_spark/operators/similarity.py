@@ -25,7 +25,7 @@ import random
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.functions.vector import (
@@ -596,6 +596,69 @@ def assign_nearest_centroid(
     )
 
 
+def quantized_dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    qscale: int = 127,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by INT8-quantized dot product — the
+    storage-compression ANN path: vectors quantize per-dimension to
+    ``clamp(round(x·qscale), ±qscale)`` (int8 range at the default
+    127 → 4× smaller than float32 at rest and on the wire), and
+    scoring is a pure-integer dot product — bit-identical on any
+    engine, no float accumulation order to worry about. For
+    unit-normalized embeddings the integer dot is a monotone proxy
+    for cosine; ``dot_q / qscale²`` recovers the approximate cosine.
+
+    Output: ``(query_id, neighbor_id, dot_q, rank)`` — ``dot_q`` the
+    raw integer score, rank 1..k, ties broken by neighbor_id.
+
+    Scale shape: identical to ``cosine_topk`` — the (small) quantized
+    query side broadcasts, the corpus streams through one map-side
+    ``zip_with``/``aggregate`` fold (JVM-side, no explode, no
+    shuffle of the corpus), and only the per-query top-k heap
+    shuffles. The int64 accumulator is exact: |dot| ≤ dim·qscale²
+    (~1e6 per 64 dims), nowhere near overflow.
+    """
+    def q8(vc: str) -> Column:
+        return F.transform(
+            F.col(vc),
+            lambda x: F.greatest(
+                F.lit(-qscale),
+                F.least(F.lit(qscale), F.round(x.cast("double") * qscale)),
+            ).cast("long"),
+        )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), q8(query_vec).alias("__q8")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), q8(corpus_vec).alias("__c8")
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("__q8", "__c8", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = scored.select("query_id", "neighbor_id", dot.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def kmeans_fixed_point(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -683,5 +746,5 @@ def kmeans_fixed_point(
 __all__ = [
     "cosine_topk", "lsh_topk", "ivf_topk", "ivf_topk_portable",
     "embedding_near_dup_pairs", "assign_nearest_centroid",
-    "kmeans_fixed_point",
+    "kmeans_fixed_point", "quantized_dot_topk",
 ]

@@ -804,6 +804,71 @@ def span_dedup(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the
+    conditional-probability upgrade of ``unigram_nll``: the model is
+    ``p(w2 | w1) = cf(w1,w2) / cf(w1,·)`` trained on the corpus's own
+    adjacent-token stream (MLE, no smoothing — every observed bigram
+    has positive probability by construction), document score = mean
+    ``-ln p`` over its bigram occurrences. Catches word-salad text
+    that unigram NLL misses: common words in improbable ORDER.
+
+    Same exactness contract as ``unigram_nll``: per-bigram log-probs
+    quantize to integer micro-nats, per-doc sums are exact integers,
+    one rounded division at the end. Documents with fewer than two
+    tokens emit no row (they have no bigram stream).
+
+    Output: ``(doc_id, n_bigrams, nll)``.
+
+    Scale shape: bigrams explode map-side from the token array (no
+    shuffle); the model is two keyed aggs (pair cf, then left-context
+    cf); scoring joins doc-pairs to the pair model on (w1, w2) —
+    broadcastable for bounded vocabularies — and re-aggregates per
+    document. All log-model rows are |distinct bigrams|, not corpus
+    occurrences.
+    """
+    t = tokens(F.col(text_col))
+    bg = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("__tf"))
+    pair_cf = per_doc.groupBy("w1", "w2").agg(
+        F.sum("__tf").cast("long").alias("__cf2")
+    )
+    left_cf = pair_cf.groupBy("w1").agg(F.sum("__cf2").cast("long").alias("__cf1"))
+    li = F.round(
+        F.log(F.col("__cf2").cast("double") / F.col("__cf1").cast("double"))
+        * F.lit(float(quantum))
+    ).cast("long")
+    scored = (
+        per_doc.join(pair_cf, ["w1", "w2"])
+        .join(left_cf, "w1")
+        .select("doc_id", "__tf", li.alias("__li"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("__tf").cast("long").alias("n_bigrams"),
+        (
+            -F.sum(F.col("__li") * F.col("__tf")).cast("double")
+            / (F.lit(float(quantum)) * F.sum("__tf").cast("double"))
+        ).alias("nll"),
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     id_col: str,
@@ -905,5 +970,5 @@ __all__ = [
     "quality_score", "fingerprint", "text_stats", "text_stats_full",
     "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
     "redact_pii", "repetition_ratio", "url_domain_stats", "chunk_documents",
-    "span_dedup", "bpe_learn",
+    "span_dedup", "bpe_learn", "bigram_nll",
 ]

@@ -137,3 +137,53 @@ def test_bpe_single_char_words_no_pairs(spark):
     # no adjacent pairs exist anywhere -> top-1 of an empty agg = no rows
     out = bpe_learn(docs, "doc_id", "text", n_merges=1)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram_nll
+# ---------------------------------------------------------------------------
+
+def test_bigram_nll_hand_computed(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "only")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_nll(docs, "doc_id", "text").collect()}
+    # model: cf(a,b)=2 cf(b,a)=1 cf(a,c)=1; cf(a,.)=3 cf(b,.)=1
+    # doc1 = -(ln(2/3) + ln(1/1) + ln(1/3)) / 3, micro-nat quantized
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].nll - 0.501359) < 1e-6
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].nll - 0.405465) < 1e-6
+    # a single-token document has no bigram stream -> no row
+    assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# quantized_dot_topk
+# ---------------------------------------------------------------------------
+
+def test_quantized_dot_exact_and_clamped(spark):
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),     # query
+            (1, [1.0, 0.0]),     # identical -> dot 127*127
+            (2, [0.0, 1.0]),     # orthogonal -> 0
+            (3, [2.0, 0.0]),     # out of range -> clamped to 127
+            (4, [-1.0, 0.0]),    # opposite -> -127*127
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = quantized_dot_topk(
+        vecs.filter(F.col("vec_id") == 0), vecs, k=10
+    ).orderBy("rank").collect()
+    got = [(r.neighbor_id, r.dot_q) for r in out]
+    # ids 1 and 3 tie at 16129 (clamp!), tie-break by neighbor id
+    assert got == [(1, 16129), (3, 16129), (2, 0), (4, -16129)]
+    assert [r.rank for r in out] == [1, 2, 3, 4]
