@@ -349,3 +349,45 @@ def test_skew_aware_join_picks_strategy_from_profile(spark, sf_dir):
     a = salted.agg(F.sum("n_key"), F.sum("value")).first()
     b = plain.agg(F.sum("n_key"), F.sum("value")).first()
     assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
+
+
+def test_quantized_topk_corpus_never_shuffles(spark, sf_dir):
+    """The int8 scoring join must be a broadcast nested loop (query side
+    broadcast) with the corpus streaming map-side; the only exchange is
+    the per-query top-k window."""
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = quantized_dot_topk(emb.filter(F.col("vec_id") % 97 == 0), emb, k=10)
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_count(out) <= 1, physical_plan(out)
+
+
+def test_kmeans_round_is_one_shuffle_plus_broadcast(spark, sf_dir):
+    """One Lloyd round = the (id, cell) distance agg shuffle; the
+    centroid table must join back as a broadcast, never shuffle the
+    exploded vector frame twice per round."""
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = kmeans_fixed_point(emb, k=8, n_iter=1)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bpe_counts_pairs_on_distinct_words(spark, sf_dir):
+    """BPE pair counting must run over the word HISTOGRAM (distinct
+    words), i.e. the plan aggregates tokens into words before any pair
+    explode — the occurrence stream is collapsed by the first agg."""
+    from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bpe_learn(docs, "doc_id", "text", n_merges=1)
+    plan = physical_plan(out)
+    # the winner row comes back as a broadcast to the rewrite join
+    assert "TakeOrderedAndProject" in plan, plan
