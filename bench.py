@@ -46,6 +46,12 @@ HEADLINE = [
     "quality_classifier_docs",
     "wordpiece_counts",
     "pagerank_cust_supp",
+    # round-3 additions (appended — the 29 queries above keep their
+    # positions so rounds stay comparable line-for-line)
+    "kmeans_clusters",
+    "bpe_merges",
+    "bigram_nll_docs",
+    "quantized_topk",
 ]
 
 
