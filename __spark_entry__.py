@@ -2276,6 +2276,33 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn(docs, "doc_id", "text", n_merges=3)
 
 
+# --- text breadth: BPE encode (learn + apply, subword vocabulary head) -------
+
+@_q("bpe_vocab", f"""
+WITH h0 AS (
+  SELECT list_aggregate(list_transform(regexp_extract_all(word, '.'),
+                                       c -> '<' || c || '>'),
+                        'string_agg', '') AS seq,
+         COUNT(*) AS wc
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+{_bpe_round(1)},
+{_bpe_round(2)},
+{_bpe_round(3)}
+SELECT substring(sym, 2, length(sym) - 2) AS token,
+       CAST(SUM(wc) AS BIGINT) AS token_count
+FROM (SELECT unnest(regexp_extract_all(seq, '<[^<>]*>')) AS sym, wc FROM h3)
+GROUP BY 1
+ORDER BY token_count DESC, token ASC
+LIMIT 50
+""")
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.bpe_token_counts(docs, "doc_id", "text", n_merges=3, top_k=50)
+
+
 # --- table digest + expectations gate ---------------------------------------------
 # Digest columns restricted to ints/strings: float->string formatting
 # is not engine-portable (the operator docstring mandates fixed-point

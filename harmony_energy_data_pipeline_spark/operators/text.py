@@ -964,11 +964,86 @@ def bpe_learn(
     return out
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 3,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Apply ``bpe_learn``'s merge rules back to the corpus and count
+    the resulting subword tokens — learn + encode as one lazy plan
+    (the encode reuses the same wrapped-symbol histogram, so merges
+    rewrite |distinct words| sequences, never the occurrence stream).
+
+    Output: ``(token, token_count)`` — unwrapped symbols, weighted by
+    word frequency; ``top_k`` keeps the head of the vocabulary
+    (count desc, token asc — deterministic), None keeps all.
+    """
+    wrap = F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
+        ),
+    )
+    hist = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count("*").alias("wc"))
+        .select(wrap.alias("seq"), "wc")
+        .persist()
+    )
+    syms = F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
+    inner = lambda c: F.substring(c, 2, F.length(c) - 2)  # noqa: E731
+    for _ in range(n_merges):
+        pairs = (
+            hist.select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .select("wc", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").cast("long").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+        )
+        hist = (
+            hist.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat("l", "r"),
+                    F.concat(F.lit("<"), inner(F.col("l")), inner(F.col("r")), F.lit(">")),
+                ).alias("seq"),
+                "wc",
+            )
+            .persist()
+        )
+    out = (
+        hist.select(F.explode(syms).alias("sym"), "wc")
+        .groupBy(inner(F.col("sym")).alias("token"))
+        .agg(F.sum("wc").cast("long").alias("token_count"))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("token_count").desc(), F.col("token").asc()
+        ).limit(top_k)
+    return out
+
+
 __all__ = [
     "STOPWORDS", "PII_PATTERNS", "token_count", "bpe_ish_token_count",
     "stopword_hits", "detect_language", "punct_ratio", "mean_word_length",
     "quality_score", "fingerprint", "text_stats", "text_stats_full",
     "winnowing_fingerprints", "vocabulary", "tf_idf", "clean_corpus",
     "redact_pii", "repetition_ratio", "url_domain_stats", "chunk_documents",
-    "span_dedup", "bpe_learn", "bigram_nll",
+    "span_dedup", "bpe_learn", "bpe_token_counts", "bigram_nll",
 ]

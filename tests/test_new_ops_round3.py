@@ -187,3 +187,17 @@ def test_quantized_dot_exact_and_clamped(spark):
     # ids 1 and 3 tie at 16129 (clamp!), tie-break by neighbor id
     assert got == [(1, 16129), (3, 16129), (2, 0), (4, -16129)]
     assert [r.rank for r in out] == [1, 2, 3, 4]
+
+
+def test_bpe_token_counts_applies_merges(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc abd"), (2, "abab xy")],
+        "doc_id long, text string",
+    )
+    out = {r.token: r.token_count for r in
+           bpe_token_counts(docs, "doc_id", "text", n_merges=2, top_k=None).collect()}
+    # merges: a+b -> ab, ab+ab -> abab; words become
+    # abab->[abab]x2, abc->[ab,c], abd->[ab,d], xy->[x,y]
+    assert out == {"abab": 2, "ab": 2, "c": 1, "d": 1, "x": 1, "y": 1}
