@@ -4465,6 +4465,53 @@ def q_jsonl_export_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_time_travel", """
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(o_orderkey) AS key_xor
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT 1, COUNT(*),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       bit_xor(o_orderkey)
+FROM orders WHERE o_orderkey % 4 IN (0, 1)
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       bit_xor(o_orderkey)
+FROM orders WHERE o_orderkey % 4 = 2
+""")
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC snapshot sink end-to-end: three commits (overwrite,
+    append, overwrite) against a fresh table, then TIME TRAVEL back
+    through every version and digest each — the oracle recomputes all
+    three version states straight from ``orders``. Exercises manifest
+    CAS publish, immutable data files, and frozen-file-list reads."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="snap_tbl_")
+    snap.snapshot_write(od.filter(F.col("o_orderkey") % 4 == 0), path)
+    snap.snapshot_write(
+        od.filter(F.col("o_orderkey") % 4 == 1), path, mode="append"
+    )
+    snap.snapshot_write(
+        od.filter(F.col("o_orderkey") % 4 == 2), path, mode="overwrite"
+    )
+    digest = None
+    for v in (0, 1, 2):
+        part = snap.read_snapshot(spark, path, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("sum_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        ).select("version", "n_rows", "sum_cents", "key_xor")
+        digest = part if digest is None else digest.unionByName(part)
+    return digest
+
+
 @_q("upsert_partitioned_digest", """
 WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, COUNT(*) AS n,

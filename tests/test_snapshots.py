@@ -1,0 +1,105 @@
+"""Snapshot log: atomic manifest commits, time travel, CAS, vacuum."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _keys(spark, path, version=None):
+    return sorted(
+        r.k for r in snap.read_snapshot(spark, path, version).collect()
+    )
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = snap.snapshot_write(_df(spark, 0, 5), path, mode="overwrite")
+    v1 = snap.snapshot_write(_df(spark, 5, 8), path, mode="append")
+    v2 = snap.snapshot_write(_df(spark, 100, 102), path, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    # latest = the overwrite
+    assert _keys(spark, path) == [100, 101]
+    # time travel to every prior version
+    assert _keys(spark, path, 0) == [0, 1, 2, 3, 4]
+    assert _keys(spark, path, 1) == [0, 1, 2, 3, 4, 5, 6, 7]
+    hist = snap.snapshot_history(path)
+    assert [(h["version"], h["parent"], h["operation"]) for h in hist] == [
+        (0, None, "overwrite"), (1, 0, "append"), (2, 1, "overwrite"),
+    ]
+
+
+def test_reader_is_frozen_across_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    frozen = snap.read_snapshot(spark, path)  # resolve latest NOW
+    snap.snapshot_write(_df(spark, 10, 20), path, mode="overwrite")
+    # the old DataFrame still sees its version's file list
+    assert sorted(r.k for r in frozen.collect()) == [0, 1, 2]
+    assert _keys(spark, path) == list(range(10, 20))
+
+
+def test_orphaned_data_invisible_without_manifest(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    # simulate a crash BEFORE manifest publish: data files exist,
+    # no manifest references them
+    _df(spark, 50, 60).write.parquet(os.path.join(path, "data", "deadbeef"))
+    assert _keys(spark, path) == [0, 1, 2]
+    # vacuum sweeps the orphan
+    removed = snap.vacuum(path, keep_last=1)
+    assert removed > 0
+    assert not glob.glob(os.path.join(path, "data", "deadbeef", "*.parquet"))
+    assert _keys(spark, path) == [0, 1, 2]
+
+
+def test_cas_collision_retries_to_next_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    # an adversary claims version 1 out from under the writer
+    snap._publish_manifest(path, 1, {
+        "version": 1, "parent": 0, "operation": "overwrite",
+        "txid": "adversary", "committed_at_unix": 0,
+        "files": snap._read_manifest(path, 0)["files"],
+    })
+    v = snap.snapshot_write(_df(spark, 7, 9), path, mode="overwrite")
+    assert v == 2  # retried, did not overwrite the adversary's commit
+    assert _keys(spark, path, 2) == [7, 8]
+
+
+def test_publish_is_exclusive(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 2), path)
+    with pytest.raises(FileExistsError):
+        snap._publish_manifest(path, 0, {"version": 0, "parent": None,
+                                         "operation": "overwrite",
+                                         "txid": "x", "committed_at_unix": 0,
+                                         "files": []})
+
+
+def test_vacuum_expires_versions_keeps_latest(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 4), path)
+    snap.snapshot_write(_df(spark, 4, 6), path, mode="append")
+    snap.snapshot_write(_df(spark, 9, 12), path, mode="overwrite")
+    removed = snap.vacuum(path, keep_last=1)
+    assert removed > 0
+    assert _keys(spark, path) == [9, 10, 11]
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, path, 0)
+    # append chains share files: vacuum keeping an append version must
+    # keep its inherited parent files too
+    path2 = str(tmp_path / "tbl2")
+    snap.snapshot_write(_df(spark, 0, 4), path2)
+    snap.snapshot_write(_df(spark, 4, 6), path2, mode="append")
+    snap.vacuum(path2, keep_last=1)
+    assert _keys(spark, path2) == [0, 1, 2, 3, 4, 5]
