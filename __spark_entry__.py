@@ -4512,6 +4512,34 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digest
 
 
+@_q("snapshot_changes_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor
+FROM events WHERE event_id % 3 IN (1, 2)
+""")
+def q_snapshot_changes_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental read: three append commits, then consume
+    exactly the rows added after v0 via the manifest file-set diff —
+    the exactly-once resume primitive for downstream incremental
+    consumers. Oracle recomputes the (v0, v2] delta from ``events``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_cdc_")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 0), path)
+    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 1), path, mode="append")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 2), path, mode="append")
+    delta = snap.read_snapshot_changes(spark, path, 0, 2)
+    return delta.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+    )
+
+
 @_q("upsert_partitioned_digest", """
 WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, COUNT(*) AS n,

@@ -103,3 +103,30 @@ def test_vacuum_expires_versions_keeps_latest(spark, tmp_path):
     snap.snapshot_write(_df(spark, 4, 6), path2, mode="append")
     snap.vacuum(path2, keep_last=1)
     assert _keys(spark, path2) == [0, 1, 2, 3, 4, 5]
+
+
+def test_incremental_read_between_versions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)                    # v0
+    snap.snapshot_write(_df(spark, 3, 7), path, mode="append")     # v1
+    snap.snapshot_write(_df(spark, 7, 9), path, mode="append")     # v2
+    delta = snap.read_snapshot_changes(spark, path, 0, 2)
+    assert sorted(r.k for r in delta.collect()) == [3, 4, 5, 6, 7, 8]
+    # consuming (1, 2] yields only v2's batch
+    d2 = snap.read_snapshot_changes(spark, path, 1, 2)
+    assert sorted(r.k for r in d2.collect()) == [7, 8]
+    # empty range -> zero rows with the table schema
+    d0 = snap.read_snapshot_changes(spark, path, 2, 2)
+    assert d0.count() == 0 and d0.columns == ["k"]
+
+
+def test_incremental_read_refuses_overwrite_in_range(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)                    # v0
+    snap.snapshot_write(_df(spark, 10, 12), path, mode="overwrite")  # v1
+    snap.snapshot_write(_df(spark, 12, 14), path, mode="append")   # v2
+    with pytest.raises(ValueError, match="overwrite"):
+        snap.read_snapshot_changes(spark, path, 0, 2)
+    # but the post-overwrite append range is fine
+    d = snap.read_snapshot_changes(spark, path, 1, 2)
+    assert sorted(r.k for r in d.collect()) == [12, 13]
