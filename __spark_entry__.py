@@ -2250,7 +2250,12 @@ m{r} AS (
   FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ),
 h{r} AS (
-  SELECT replace(h.seq, (SELECT l || r FROM m{r}), (SELECT merged FROM m{r})) AS seq, h.wc
+  -- coalesce guards the pair-free round: replacing a never-occurring
+  -- sentinel char leaves the histogram unchanged (mirrors the
+  -- engine's empty-safe left-join rewrite)
+  SELECT replace(h.seq,
+                 coalesce((SELECT l || r FROM m{r}), chr(1)),
+                 coalesce((SELECT merged FROM m{r}), '')) AS seq, h.wc
   FROM {prev} h
 )"""
 

@@ -110,8 +110,16 @@ def skew_aware_join(
     small_rows = small.select(on).limit(broadcast_max_rows + 1).count()
     if small_rows <= broadcast_max_rows:
         return big.join(F.broadcast(small), on, how)
+    if how not in ("inner", "left"):
+        # salting can't express right/full/semi joins; route them plain
+        # UNCONDITIONALLY rather than crashing the day the data skews
+        # (AQE's runtime skew split still covers sort-merge skew)
+        return big.join(small, on, how)
     if profile_row is None:
         profile_row = key_skew_profile(big, on).first()
+    if profile_row is None or profile_row["max_share_ppm"] is None:
+        # empty big side (no rows / NULL profile): nothing to skew
+        return big.join(small, on, how)
     parallelism = big.sparkSession.sparkContext.defaultParallelism
     strategy = choose_join_strategy(
         small_rows,

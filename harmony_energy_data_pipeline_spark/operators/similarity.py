@@ -719,7 +719,10 @@ def kmeans_fixed_point(
     )
     d = F.col("vm") - F.col("cm")
     w = Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
-    assign = None
+    # n_iter=0 = "seed centroids only": membership is the id%k seed
+    assign = pe.select("id").distinct().select(
+        "id", (F.col("id") % k).alias("cell")
+    )
     for r in range(n_iter):
         dist = (
             pe.join(F.broadcast(cent), "pos")

@@ -832,14 +832,20 @@ def bigram_nll(
     document. All log-model rows are |distinct bigrams|, not corpus
     occurrences.
     """
-    t = tokens(F.col(text_col))
     bg = (
         df.select(
-            F.col(id_col).alias("doc_id"),
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+        )
+        # documents with <2 tokens have no bigram stream; filtering
+        # BEFORE the slices also keeps slice lengths non-negative
+        # (slice with length -1 throws on empty/punctuation-only text)
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
             F.explode(
                 F.arrays_zip(
-                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
-                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                    F.slice("__t", 1, F.size("__t") - 1).alias("w1"),
+                    F.slice("__t", 2, F.size("__t") - 1).alias("w2"),
                 )
             ).alias("b"),
         )
@@ -869,6 +875,90 @@ def bigram_nll(
     )
 
 
+def _bpe_wrapped_hist(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """DISTINCT-word histogram with each word as a wrapped-symbol
+    sequence ``<c><a><t>`` — the shared first stage of BPE learn and
+    encode. Wrapping makes literal ``replace`` both exact (a pattern
+    cannot match across symbol boundaries) and greedy left-to-right,
+    i.e. precisely BPE's application order."""
+    wrap = F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
+        ),
+    )
+    return (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count("*").alias("wc"))
+        .select(wrap.alias("seq"), "wc")
+    )
+
+
+def _bpe_syms():
+    # built lazily: Column construction requires an active SparkContext
+    return F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
+
+
+def _bpe_inner(c):
+    return F.substring(c, 2, F.length(c) - 2)
+
+
+def _bpe_top_pair(hist: DataFrame) -> DataFrame:
+    """The round's winning merge: top adjacent symbol pair by summed
+    word frequency (count desc, then lexicographic — deterministic
+    under ties). 1 row, or 0 rows when no word has ≥2 symbols left."""
+    pairs = (
+        hist.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(_bpe_syms(), 1, F.size(_bpe_syms()) - 1).alias("l"),
+                    F.slice(_bpe_syms(), 2, F.size(_bpe_syms()) - 1).alias("r"),
+                )
+            ).alias("pr"),
+        )
+        .select("wc", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+    )
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(1)
+        .select(
+            "l", "r",
+            F.concat(
+                F.lit("<"), _bpe_inner(F.col("l")), _bpe_inner(F.col("r")), F.lit(">")
+            ).alias("merged"),
+            "pair_count",
+        )
+    )
+
+
+def _bpe_apply(hist: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every sequence with the winning merge — EMPTY-SAFE: a
+    0-row winner (pair-free round) leaves the histogram unchanged via
+    a constant-key left join (a crossJoin would annihilate it)."""
+    keyed = F.broadcast(
+        top.select(
+            F.lit(1).alias("__k"),
+            F.concat("l", "r").alias("__pat"),
+            F.col("merged").alias("__rep"),
+        )
+    )
+    return (
+        hist.withColumn("__k", F.lit(1))
+        .join(keyed, "__k", "left")
+        .select(
+            F.when(F.col("__pat").isNull(), F.col("seq"))
+            .otherwise(F.replace(F.col("seq"), F.col("__pat"), F.col("__rep")))
+            .alias("seq"),
+            "wc",
+        )
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     id_col: str,
@@ -879,85 +969,36 @@ def bpe_learn(
     arXiv:1508.07909) — learn the first ``n_merges`` merge rules from
     the corpus, entirely in Catalyst expressions (no Python UDF).
 
-    Symbols are wrapped as ``<sym>`` so a literal string ``replace``
-    is exact: the pattern ``<a><b>`` can never match across symbol
-    boundaries, and left-to-right non-overlapping replacement (the
-    semantics of both Spark's and ANSI ``replace``) is precisely
-    BPE's greedy application order. Tokenization is the engine's
-    standard ``[a-z0-9]+`` word stream, so ``<`` / ``>`` cannot occur
-    inside a symbol.
-
     Per round, on the DISTINCT-word histogram (never the occurrence
     stream): count adjacent symbol pairs weighted by word frequency,
     pick the top pair (count desc, then lexicographic — deterministic
     under ties), rewrite every word's symbol sequence with one
-    ``replace``. Output: ``(merge_round, left_sym, right_sym, merged,
-    pair_count)`` — one row per learned rule.
+    ``replace``. A round with no remaining pairs yields no rule and
+    leaves the histogram unchanged. Output: ``(merge_round, left_sym,
+    right_sym, merged, pair_count)`` — one row per learned rule.
 
     Scale shape: the corpus collapses to the word histogram with one
     map-side-combined agg; every subsequent round touches only
     |distinct words| rows — pair counting is an explode + one agg,
-    the 1-row winner cross-joins back as a broadcast. The histogram
-    is ``persist()``-ed per round (lineage kept, executor-loss safe)
-    so round r's winner does not recompute rounds 0..r-1.
+    the 1-row winner joins back as a broadcast. The histogram is
+    ``persist()``-ed per round (lineage kept, executor-loss safe) so
+    round r's winner does not recompute rounds 0..r-1; the cached
+    copies are |vocabulary|-sized and MEMORY_AND_DISK (evictable).
     """
-    wrap = F.concat_ws(
-        "",
-        F.transform(
-            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
-            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
-        ),
-    )
-    hist = (
-        _doc_tokens(df, id_col, text_col)
-        .groupBy(F.col("token").alias("word"))
-        .agg(F.count("*").alias("wc"))
-        .select(wrap.alias("seq"), "wc")
-        .persist()
-    )
-    syms = F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
-    inner = lambda c: F.substring(c, 2, F.length(c) - 2)  # noqa: E731
+    hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
     merges = []
     for r in range(1, n_merges + 1):
-        pairs = (
-            hist.select(
-                "wc",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(syms, 1, F.size(syms) - 1).alias("l"),
-                        F.slice(syms, 2, F.size(syms) - 1).alias("r"),
-                    )
-                ).alias("pr"),
-            )
-            .select("wc", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-        )
-        top = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("wc").cast("long").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .select(
+        top = _bpe_top_pair(hist)
+        merges.append(
+            top.select(
                 F.lit(r).alias("merge_round"),
                 F.col("l").alias("left_sym"),
                 F.col("r").alias("right_sym"),
-                F.concat(F.lit("<"), inner(F.col("l")), inner(F.col("r")), F.lit(">")).alias("merged"),
+                "merged",
                 "pair_count",
             )
         )
-        merges.append(top)
-        nxt = (
-            hist.crossJoin(F.broadcast(top))
-            .select(
-                F.replace(
-                    F.col("seq"),
-                    F.concat("left_sym", "right_sym"),
-                    F.col("merged"),
-                ).alias("seq"),
-                "wc",
-            )
-            .persist()
-        )
-        hist = nxt
+        hist = _bpe_apply(hist, top).persist()
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -980,56 +1021,12 @@ def bpe_token_counts(
     word frequency; ``top_k`` keeps the head of the vocabulary
     (count desc, token asc — deterministic), None keeps all.
     """
-    wrap = F.concat_ws(
-        "",
-        F.transform(
-            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
-            lambda c: F.concat(F.lit("<"), c, F.lit(">")),
-        ),
-    )
-    hist = (
-        _doc_tokens(df, id_col, text_col)
-        .groupBy(F.col("token").alias("word"))
-        .agg(F.count("*").alias("wc"))
-        .select(wrap.alias("seq"), "wc")
-        .persist()
-    )
-    syms = F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
-    inner = lambda c: F.substring(c, 2, F.length(c) - 2)  # noqa: E731
+    hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
     for _ in range(n_merges):
-        pairs = (
-            hist.select(
-                "wc",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(syms, 1, F.size(syms) - 1).alias("l"),
-                        F.slice(syms, 2, F.size(syms) - 1).alias("r"),
-                    )
-                ).alias("pr"),
-            )
-            .select("wc", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-        )
-        top = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("wc").cast("long").alias("__cnt"))
-            .orderBy(F.col("__cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-        )
-        hist = (
-            hist.crossJoin(F.broadcast(top))
-            .select(
-                F.replace(
-                    F.col("seq"),
-                    F.concat("l", "r"),
-                    F.concat(F.lit("<"), inner(F.col("l")), inner(F.col("r")), F.lit(">")),
-                ).alias("seq"),
-                "wc",
-            )
-            .persist()
-        )
+        hist = _bpe_apply(hist, _bpe_top_pair(hist)).persist()
     out = (
-        hist.select(F.explode(syms).alias("sym"), "wc")
-        .groupBy(inner(F.col("sym")).alias("token"))
+        hist.select(F.explode(_bpe_syms()).alias("sym"), "wc")
+        .groupBy(_bpe_inner(F.col("sym")).alias("token"))
         .agg(F.sum("wc").cast("long").alias("token_count"))
     )
     if top_k is not None:
@@ -1037,6 +1034,7 @@ def bpe_token_counts(
             F.col("token_count").desc(), F.col("token").asc()
         ).limit(top_k)
     return out
+
 
 
 __all__ = [

@@ -44,6 +44,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Quiet progress bars in test/bench output.
     "spark.ui.showConsoleProgress": "false",
+    # Reliable-checkpoint files from iterative operators (PageRank,
+    # connected components, K-means) are deleted once their DataFrame
+    # is GC'd — without this, long-lived sessions accumulate
+    # checkpoint data in the checkpoint dir unboundedly.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

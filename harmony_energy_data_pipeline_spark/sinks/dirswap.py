@@ -1,0 +1,78 @@
+"""Crash-safe whole-directory swap (shared by the JSONL-export
+flatten and the z-order rewrite).
+
+A two-rename swap (``path`` → old, staged → ``path``) has a window
+where ``path`` does not exist; a crash there strands the only copy of
+the data under a temp name with nothing recording the fact. Same
+medicine as the partition-swap protocol (``sinks.partitioned``): a
+durable intent marker written BEFORE the first rename makes every
+crash state mechanically recognizable and rolled FORWARD:
+
+* marker + staged + live   → crash before rename 1: redo both renames
+* marker + staged, no live → crash between renames: finish rename 2
+* marker, no staged        → crash after rename 2: clean up only
+
+Single writer per target path (the swap itself is not concurrent-
+writer-safe — same contract as the reference's one SQLite file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def _marker(path: str) -> str:
+    return path.rstrip("/") + ".__swap.json"
+
+
+def _old(path: str) -> str:
+    return path.rstrip("/") + ".__old_tmp"
+
+
+def swap_dir_commit(path: str, staged: str) -> None:
+    """Atomically-recoverable replace of directory ``path`` with
+    ``staged``: durable marker, rename current → ``.__old_tmp``,
+    rename staged → live, remove marker, drop the old copy."""
+    recover_dir_swap(path)  # finish any earlier interrupted swap first
+    marker = _marker(path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"staged": staged}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, marker)
+    dfd = os.open(os.path.dirname(os.path.abspath(marker)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    _roll_forward(path, staged)
+
+
+def _roll_forward(path: str, staged: str) -> None:
+    old = _old(path)
+    if os.path.exists(staged):
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        os.rename(staged, path)
+    os.remove(_marker(path))
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_dir_swap(path: str) -> bool:
+    """Replay an interrupted ``swap_dir_commit`` at ``path`` (called
+    by writers before a new swap and by readers before listing).
+    Returns True if a swap was rolled forward."""
+    marker = _marker(path)
+    if not os.path.exists(marker):
+        return False
+    with open(marker, encoding="utf-8") as fh:
+        staged = json.load(fh)["staged"]
+    _roll_forward(path, staged)
+    return True
+
+
+__all__ = ["swap_dir_commit", "recover_dir_swap"]

@@ -102,12 +102,13 @@ def _write_exact_shards(
                 )
             ext = os.path.basename(files[0]).split(".", 1)[1]
             os.rename(files[0], os.path.join(final, f"part-{k:05d}.{ext}"))
-        old = path.rstrip("/") + ".__old_tmp"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(final, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # marker-protected swap: a crash mid-swap rolls FORWARD on the
+        # next write or manifest read instead of stranding the export
+        from harmony_energy_data_pipeline_spark.sinks.dirswap import (
+            swap_dir_commit,
+        )
+
+        swap_dir_commit(path, final)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
@@ -119,6 +120,10 @@ def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
     are computed distributed (one text-scan with an input-file
     grouping), not by reading files on the driver."""
     from urllib.parse import unquote, urlparse
+
+    from harmony_energy_data_pipeline_spark.sinks.dirswap import recover_dir_swap
+
+    recover_dir_swap(path)  # never list a half-swapped export
 
     # input_file_name() yields a percent-encoded URI; key counts by the
     # decoded basename so paths with spaces/special chars still match

@@ -103,11 +103,14 @@ def zorder_write(
     parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(
         fmt
     ).save(tmp)
-    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # marker-protected swap (shared with the JSONL export): a crash
+    # mid-swap rolls forward instead of stranding the rewrite
+    from harmony_energy_data_pipeline_spark.sinks.dirswap import swap_dir_commit
+
+    try:
+        swap_dir_commit(path, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 __all__ = ["zorder_key", "zorder_key_sql", "scale_to_bits", "zorder_write"]

@@ -154,12 +154,20 @@ def commit_partition_swap(
     shutil.rmtree(backup, ignore_errors=True)
 
 
-def recover_partitions(path: str) -> bool:
+def recover_partitions(path: str, gc_unmarked: bool = False) -> bool:
     """Replay any interrupted commit at ``path``: roll marked swaps
     FORWARD (the staged batch is complete by the time its marker
-    exists), then garbage-collect orphaned staging/backup dirs from
-    pre-marker or post-removal crashes. Idempotent — a crash during
-    recovery just re-runs it. Returns True if anything was repaired."""
+    exists). With ``gc_unmarked=True`` — WRITER paths only — also
+    garbage-collect staging/backup dirs that have no marker.
+
+    Readers must keep the default ``gc_unmarked=False``: an unmarked
+    ``.staging-<txid>`` may be a CONCURRENT writer's in-flight Spark
+    job (minutes long at scale), not a crash leftover — deleting it
+    from a read path would destroy that commit. A pre-marker crash's
+    orphan is invisible to readers anyway (dot-prefixed dirs are
+    skipped by file listing) and is swept by the next writer.
+    Idempotent — a crash during recovery just re-runs it. Returns
+    True if anything was repaired."""
     acted = False
     for marker in sorted(glob.glob(os.path.join(path, "_commit-*.json"))):
         with open(marker, encoding="utf-8") as fh:
@@ -173,13 +181,14 @@ def recover_partitions(path: str) -> bool:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(backup, ignore_errors=True)
         acted = True
-    for d in glob.glob(os.path.join(path, ".staging-*")) + glob.glob(
-        os.path.join(path, ".backup-*")
-    ):
-        txid = d.rsplit("-", 1)[-1]
-        if not os.path.exists(os.path.join(path, f"_commit-{txid}.json")):
-            shutil.rmtree(d, ignore_errors=True)
-            acted = True
+    if gc_unmarked:
+        for d in glob.glob(os.path.join(path, ".staging-*")) + glob.glob(
+            os.path.join(path, ".backup-*")
+        ):
+            txid = d.rsplit("-", 1)[-1]
+            if not os.path.exists(os.path.join(path, f"_commit-{txid}.json")):
+                shutil.rmtree(d, ignore_errors=True)
+                acted = True
     return acted
 
 
@@ -194,7 +203,7 @@ def overwrite_partitions_atomic(
     is recovered first (single-writer assumption). Multi-level
     partitioning swaps at the LEAF directory level."""
     cols = [part_cols] if isinstance(part_cols, str) else list(part_cols)
-    recover_partitions(path)
+    recover_partitions(path, gc_unmarked=True)  # writer path: GC crash leftovers
     txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txid}")
     df.write.mode("overwrite").partitionBy(*cols).parquet(staging)
@@ -226,7 +235,7 @@ def compact_partitions(
     The real-world cadence: compact daily partitions once the day is
     closed.
     """
-    recover_partitions(path)
+    recover_partitions(path, gc_unmarked=True)  # compaction is a writer
     df = spark.read.parquet(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(dirpath, f))

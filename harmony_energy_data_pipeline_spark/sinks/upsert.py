@@ -135,7 +135,8 @@ def upsert_partitioned(
     if not os.path.exists(path):
         src.write.mode("overwrite").partitionBy(part_col).parquet(path)
         return
-    recover_partitions(path)  # replay any earlier interrupted commit
+    # writer path: replay any interrupted commit AND sweep crash leftovers
+    recover_partitions(path, gc_unmarked=True)
     days = [r[part_col] for r in src.select(part_col).distinct().collect()]
     target = spark.read.parquet(path)
     # partition-pruned read: only the affected days leave disk

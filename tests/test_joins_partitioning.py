@@ -305,3 +305,51 @@ def test_overwrite_partitions_atomic_nested_layout(spark, tmp_path):
         f.startswith(("_commit-", ".staging-", ".backup-"))
         for f in os.listdir(path)
     )
+
+
+def test_skew_aware_join_routes_unsupported_how_plain(spark, sf_dir):
+    """right/full/semi joins must route to the plain branch (salting
+    can't express them) instead of crashing when the data skews."""
+    from harmony_energy_data_pipeline_spark.operators.joins import skew_aware_join
+
+    ev = load_table(spark, "events", sf_dir)
+    small = ev.select("user_id").distinct()
+    out = skew_aware_join(
+        ev, small, "user_id", how="full",
+        broadcast_max_rows=0,          # force past the broadcast branch
+        salt_share_ppm=0,              # everything counts as skewed
+    )
+    assert out.count() == ev.count()
+
+
+def test_skew_aware_join_empty_big_side(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.joins import skew_aware_join
+
+    ev = load_table(spark, "events", sf_dir)
+    empty = ev.filter(F.lit(False))
+    out = skew_aware_join(empty, ev.select("user_id").distinct(), "user_id",
+                          broadcast_max_rows=0)
+    assert out.count() == 0
+
+
+def test_reader_recovery_leaves_inflight_staging_alone(spark, sf_dir, tmp_path):
+    """A reader's recover_partitions must NOT delete an unmarked
+    .staging dir (it may be a concurrent writer's in-flight commit);
+    a writer's (gc_unmarked=True) sweeps it."""
+    import os
+
+    from harmony_energy_data_pipeline_spark.sinks import partitioned as P
+
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, "events", sf_dir).limit(100)
+    P.write_partitioned(
+        P.with_date_partition(ev, "ts"), path, ["dt"], mode="overwrite"
+    )
+    staging = os.path.join(path, ".staging-inflight1")
+    os.makedirs(os.path.join(staging, "dt=2024-01-01"))
+    # reader path: staging survives
+    P.read_partitioned_committed(spark, path)
+    assert os.path.exists(staging)
+    # writer path: staging swept
+    P.recover_partitions(path, gc_unmarked=True)
+    assert not os.path.exists(staging)

@@ -201,3 +201,38 @@ def test_bpe_token_counts_applies_merges(spark):
     # merges: a+b -> ab, ab+ab -> abab; words become
     # abab->[abab]x2, abc->[ab,c], abd->[ab,d], xy->[x,y]
     assert out == {"abab": 2, "ab": 2, "c": 1, "d": 1, "x": 1, "y": 1}
+
+
+def test_bigram_nll_survives_empty_and_punct_docs(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "!!!"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in bigram_nll(docs, "doc_id", "text").collect()}
+    assert out == {1}  # degenerate docs are skipped, never crash the job
+
+
+def test_bpe_pair_free_round_keeps_histogram(spark):
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        bpe_learn, bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a b")], "doc_id long, text string"
+    )
+    # no multi-symbol words at all: zero rules, but the encode must
+    # still return the per-character histogram (not an empty frame)
+    assert bpe_learn(docs, "doc_id", "text", n_merges=3).count() == 0
+    out = {r.token: r.token_count for r in
+           bpe_token_counts(docs, "doc_id", "text", n_merges=3, top_k=None).collect()}
+    assert out == {"a": 3, "b": 2, "c": 1}
+
+
+def test_kmeans_n_iter_zero_returns_seed_centroids(spark):
+    out = kmeans_fixed_point(_kmeans_rows(spark), k=2, n_iter=0).collect()
+    # seed cells: even ids {0,2,4} and odd ids {1,3,5} -> 3 members each
+    counts = {r.cell: r.n_members for r in out}
+    assert counts == {0: 3, 1: 3}
+    assert all(r.cm is not None for r in out)

@@ -36,12 +36,46 @@ TABLES: list[tuple[str, list[str]]] = [
 ]
 
 
-def replicate(df: DataFrame, id_cols: list[str], factor: int, table: str) -> DataFrame:
+#: Key-domain owner per column: a foreign key's offset stride MUST be
+#: its owning entity's stride (max PK + 1), not the referencing
+#: table's own max — max(FK) < max(PK) whenever some dimension keys go
+#: unreferenced (standard TPC-H: a third of customers have no orders),
+#: and a per-table stride would then dangle every replica's FKs.
+DOMAIN_OF = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def domain_strides(load, spark, src: str) -> dict[tuple[str, str], int]:
+    """max(PK)+1 per key domain, computed once from the OWNING table."""
+    strides: dict[tuple[str, str], int] = {}
+    for dom in set(DOMAIN_OF.values()):
+        tbl, col = dom
+        strides[dom] = load(spark, tbl, src).agg(F.max(col)).first()[0] + 1
+    return strides
+
+
+def replicate(
+    df: DataFrame,
+    id_cols: list[str],
+    factor: int,
+    table: str,
+    strides_by_domain: dict[tuple[str, str], int],
+) -> DataFrame:
     if not id_cols:
         return df
-    strides = {
-        c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols
-    }
+    strides = {c: strides_by_domain[DOMAIN_OF[c]] for c in id_cols}
     parts = []
     for i in range(factor):
         rep = df
@@ -69,9 +103,10 @@ def main() -> None:
     spark = get_spark("scale-fixture")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
+    strides = domain_strides(load_table, spark, src)
     for table, id_cols in TABLES:
         df = load_table(spark, table, src)
-        rep = replicate(df, id_cols, factor, table)
+        rep = replicate(df, id_cols, factor, table, strides)
         target = os.path.join(out_dir, f"{table}.parquet")
         rep.write.mode("overwrite").parquet(target)
         print(f"{table}: {rep.count()} rows -> {target}")
