@@ -2535,6 +2535,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     variant is Spark's built-in approx_count_distinct, error-bound-tested
 #     in pytest) ---------------------------------------------------------------
 
+# --- Count-Min sketch heavy hitters -----------------------------------------
+# Fixed width*depth counter grid, portable md5 hashing -> the sketch
+# and every min-of-counters estimate are bit-identical in SQL; CMS
+# guarantees est >= exact, so heavy-hitter mode returns a superset.
+
+@_q("cms_heavy_users", f"""
+WITH ex AS (
+  SELECT user_id, j
+  FROM events, (SELECT unnest([0, 1, 2]) AS j) js
+),
+b AS (
+  SELECT j,
+         CAST(md5_number_lower(CONCAT(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR)))
+              % {1 << 60} % 256 AS BIGINT) AS bucket
+  FROM ex
+),
+sketch AS (SELECT j, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+keys AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1),
+est AS (
+  SELECT k.user_id, k.exact_count, MIN(s.c) AS est_count
+  FROM keys k, (SELECT unnest([0, 1, 2]) AS j) js
+  JOIN sketch s
+    ON s.j = js.j
+   AND s.bucket = CAST(md5_number_lower(CONCAT(CAST(js.j AS VARCHAR), ':', CAST(k.user_id AS VARCHAR)))
+                       % {1 << 60} % 256 AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(est_count AS BIGINT) AS est_count, exact_count
+FROM est WHERE est_count >= 25
+""")
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.analytics import cms_estimates
+
+    ev = load_table(spark, "events", sf_dir)
+    return cms_estimates(ev, "user_id", width=256, depth=3, min_est=25)
+
+
 @_q("approx_distinct_users", f"""
 WITH h AS (
   SELECT DISTINCT event_type,

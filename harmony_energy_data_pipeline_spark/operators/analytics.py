@@ -171,7 +171,7 @@ def max_version(df: DataFrame, col: str = "_id"):
 __all__ = [
     "FIXED_INTERVALS", "CALENDAR_INTERVALS", "downsample", "filter_range",
     "unpivot_long", "derived_carbon", "top_k", "bounds", "max_version",
-    "grouped_trend", "kmv_distinct", "histogram",
+    "grouped_trend", "kmv_distinct", "histogram", "cms_estimates",
 ]
 
 
@@ -648,3 +648,61 @@ def robust_outliers(
         (F.col("__med").cast("double") / 100).alias("med"),
         (F.col("__mad").cast("double") / 100).alias("mad"),
     )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+    min_est: int | None = None,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows of ``width`` counters; a key's estimate
+    is the MIN of its counters — never an underestimate, over by at
+    most the collision mass of its buckets. Hashes are the engine's
+    portable 60-bit md5 (``functions.hashx``), so the sketch — and
+    therefore every estimate — is bit-identical in the SQL oracle.
+
+    Output: ``(key, est_count, exact_count)``, optionally filtered to
+    ``est_count >= min_est`` (heavy-hitter mode; CMS guarantees the
+    result is a SUPERSET of the true heavy hitters).
+
+    Scale shape: the sketch build is one map-side ×``depth`` explode
+    into a ``width·depth``-cell agg — the shuffle carries CELLS, not
+    keys, and the sketch table then broadcasts to the estimate join.
+    ``exact_count`` (one keyed agg) is included for error visibility
+    at test scale; at 100 TB the whole point is to DROP that column
+    and keep only the fixed-size sketch, estimating just a candidate
+    key set (the distinct-key estimate here doubles as the oracle
+    surface).
+    """
+    from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
+
+    key_s = F.col("__key").cast("string")
+    js = F.array(*[F.lit(i) for i in range(depth)])
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.col("__j").cast("string"), F.lit(":"), key_s)),
+        F.lit(width),
+    )
+    ex = (
+        df.select(F.col(key_col).alias("__key"))
+        .select("__key", F.explode(js).alias("__j"))
+    )
+    sketch = ex.groupBy("__j", bucket.alias("__b")).agg(
+        F.count("*").alias("__c")
+    )
+    keys = df.groupBy(F.col(key_col).alias("__key")).agg(
+        F.count("*").alias("exact_count")
+    )
+    est = (
+        keys.select("__key", "exact_count", F.explode(js).alias("__j"))
+        .withColumn("__b", bucket)
+        .join(F.broadcast(sketch), ["__j", "__b"])
+        .groupBy("__key", "exact_count")
+        .agg(F.min("__c").cast("long").alias("est_count"))
+        .select(F.col("__key").alias(key_col), "est_count", "exact_count")
+    )
+    if min_est is not None:
+        est = est.filter(F.col("est_count") >= min_est)
+    return est

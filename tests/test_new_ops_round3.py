@@ -236,3 +236,18 @@ def test_kmeans_n_iter_zero_returns_seed_centroids(spark):
     counts = {r.cell: r.n_members for r in out}
     assert counts == {0: 3, 1: 3}
     assert all(r.cm is not None for r in out)
+
+
+def test_cms_never_underestimates_and_flags_superset(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import cms_estimates
+
+    rows = [(i, f"u{i % 7}") for i in range(200)] + [(1000 + i, "hot") for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string")
+    out = cms_estimates(df, "user_id", width=8, depth=2).collect()
+    assert all(r.est_count >= r.exact_count for r in out)  # CMS invariant
+    by_key = {r.user_id: r for r in out}
+    assert by_key["hot"].exact_count == 50
+    # heavy-hitter mode returns a superset of the true heavy keys
+    hh = {r.user_id for r in
+          cms_estimates(df, "user_id", width=8, depth=2, min_est=50).collect()}
+    assert "hot" in hh
