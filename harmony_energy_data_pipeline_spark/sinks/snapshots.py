@@ -105,6 +105,7 @@ def snapshot_write(
     path: str,
     mode: str = "overwrite",
     max_retries: int = 10,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -138,6 +139,7 @@ def snapshot_write(
             "txid": txid,
             "committed_at_unix": int(time.time()),
             "files": files,
+            **(extra or {}),
         }
         try:
             _publish_manifest(path, version, payload)
@@ -195,6 +197,18 @@ def read_snapshot_changes(
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*new_files)
+
+
+def committed_marker_values(path: str, key: str) -> set:
+    """All values of manifest field ``key`` across live snapshots —
+    e.g. the stream batch ids already committed, for exactly-once
+    foreachBatch sinks (``streaming.start_snapshot_append_sink``)."""
+    out = set()
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        if key in m:
+            out.add(m[key])
+    return out
 
 
 def snapshot_history(path: str) -> list[dict]:
@@ -255,4 +269,5 @@ def vacuum(path: str, keep_last: int = 1) -> int:
 __all__ = [
     "snapshot_write", "read_snapshot", "read_snapshot_changes",
     "snapshot_history", "latest_version", "vacuum",
+    "committed_marker_values",
 ]

@@ -273,3 +273,47 @@ def start_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_snapshot_append_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """writeStream → foreachBatch APPEND commits into an MVCC snapshot
+    table (``sinks.snapshots``): every micro-batch becomes one
+    versioned append whose manifest records the stream batch id, so
+
+    - **exactly-once across restarts**: Structured Streaming replays
+      the last in-flight batch after a crash; the sink consults the
+      already-committed batch ids (``committed_marker_values``) and
+      skips re-delivered batches — the replayed data never lands
+      twice (same T5 contract as the keyed merge sink, achieved by
+      commit-log dedup instead of key dedup, so it also covers
+      APPEND-ONLY streams with no natural key);
+    - **downstream incremental consumers** read each commit exactly
+      once via ``read_snapshot_changes`` — streaming ingest and CDC
+      hand-off through one table;
+    - readers stay snapshot-isolated while the stream commits.
+    """
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in snap.committed_marker_values(table_path, "stream_batch_id"):
+            return  # re-delivered after restart: already durably committed
+        snap.snapshot_write(
+            batch_df, table_path, mode="append",
+            extra={"stream_batch_id": batch_id},
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -130,3 +130,61 @@ def test_incremental_read_refuses_overwrite_in_range(spark, tmp_path):
     # but the post-overwrite append range is fine
     d = snap.read_snapshot_changes(spark, path, 1, 2)
     assert sorted(r.k for r in d.collect()) == [12, 13]
+
+
+def test_streaming_snapshot_sink_exactly_once_across_restart(spark, tmp_path, sf_dir):
+    """Append-only stream → versioned snapshot commits, one per
+    micro-batch, exactly-once across a restart: re-delivered batch ids
+    are skipped via the manifest commit log (no natural key needed)."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        start_snapshot_append_sink,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    src = tmp_path / "snap_stream_src"
+    table = str(tmp_path / "snap_stream_tbl")
+    ckpt = str(tmp_path / "snap_stream_ckpt")
+
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half1.repartition(2).write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    q1 = start_snapshot_append_sink(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        table, ckpt,
+    )
+    q1.awaitTermination(120)
+    assert snap.read_snapshot(spark, table).count() == half1.count()
+    v_after_run1 = snap.latest_version(table)
+
+    # the commit log records every stream batch id durably — the
+    # foreachBatch replay guard keys off this set
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        committed_marker_values,
+    )
+
+    assert 0 in committed_marker_values(table, "stream_batch_id")
+
+    # run 2: second half arrives; restart from the same checkpoint
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = start_snapshot_append_sink(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        table, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    final = snap.read_snapshot(spark, table)
+    assert final.count() == ev.count()
+    assert final.select("event_id").distinct().count() == ev.count()
+    # versions advanced (new commits), run-1 versions untouched
+    assert snap.latest_version(table) > v_after_run1
+    # every commit is consumable incrementally, exactly once
+    total = 0
+    for v in range(0, snap.latest_version(table) + 1):
+        if v == 0:
+            total += snap.read_snapshot(spark, table, 0).count()
+        else:
+            total += snap.read_snapshot_changes(spark, table, v - 1, v).count()
+    assert total == ev.count()
