@@ -52,6 +52,10 @@ HEADLINE = [
     "bpe_merges",
     "bigram_nll_docs",
     "quantized_topk",
+    "bpe_vocab",
+    "cms_heavy_users",
+    "snapshot_time_travel",
+    "snapshot_changes_digest",
 ]
 
 

@@ -668,14 +668,16 @@ def cms_estimates(
     ``est_count >= min_est`` (heavy-hitter mode; CMS guarantees the
     result is a SUPERSET of the true heavy hitters).
 
-    Scale shape: the sketch build is one map-side ×``depth`` explode
-    into a ``width·depth``-cell agg — the shuffle carries CELLS, not
-    keys, and the sketch table then broadcasts to the estimate join.
-    ``exact_count`` (one keyed agg) is included for error visibility
-    at test scale; at 100 TB the whole point is to DROP that column
-    and keep only the fixed-size sketch, estimating just a candidate
-    key set (the distinct-key estimate here doubles as the oracle
-    surface).
+    Scale shape: raw rows are touched by ONE plain keyed agg (no
+    hashing); the md5 bucket expression — ~8× the cost of a native
+    hash, the price of oracle portability — runs on the DISTINCT-key
+    table only, ×``depth``, and the sketch is that frame re-aggregated
+    with count weights (identical cell values to hashing every row).
+    The ``width·depth``-cell sketch broadcasts to the estimate join.
+    ``exact_count`` is included for error visibility at test scale; at
+    100 TB the point is to DROP it and keep only the fixed-size
+    sketch, estimating just a candidate key set (the distinct-key
+    estimate here doubles as the oracle surface).
     """
     from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
 
@@ -685,20 +687,18 @@ def cms_estimates(
         portable_hash60(F.concat(F.col("__j").cast("string"), F.lit(":"), key_s)),
         F.lit(width),
     )
-    ex = (
-        df.select(F.col(key_col).alias("__key"))
-        .select("__key", F.explode(js).alias("__j"))
-    )
-    sketch = ex.groupBy("__j", bucket.alias("__b")).agg(
-        F.count("*").alias("__c")
-    )
     keys = df.groupBy(F.col(key_col).alias("__key")).agg(
         F.count("*").alias("exact_count")
     )
-    est = (
+    hashed = (
         keys.select("__key", "exact_count", F.explode(js).alias("__j"))
         .withColumn("__b", bucket)
-        .join(F.broadcast(sketch), ["__j", "__b"])
+    )
+    sketch = hashed.groupBy("__j", "__b").agg(
+        F.sum("exact_count").cast("long").alias("__c")
+    )
+    est = (
+        hashed.join(F.broadcast(sketch), ["__j", "__b"])
         .groupBy("__key", "exact_count")
         .agg(F.min("__c").cast("long").alias("est_count"))
         .select(F.col("__key").alias(key_col), "est_count", "exact_count")
