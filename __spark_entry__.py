@@ -2405,7 +2405,7 @@ WITH weeks AS (
 ),
 first AS (SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id)
 SELECT f.cohort_week,
-       CAST(floor(date_diff('second', f.cohort_week, weeks.w) / 604800.0) AS BIGINT) AS week_offset,
+       CAST(date_diff('day', f.cohort_week, weeks.w) // 7 AS BIGINT) AS week_offset,
        COUNT(*) AS n_users
 FROM weeks JOIN first f USING (user_id)
 GROUP BY 1, 2
@@ -4315,7 +4315,7 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k=3.5 threshold compares as 2*dev > 7*mad.
 
 @_q("robust_outliers_events", """
-WITH c AS (SELECT *, CAST(round(value*100) AS BIGINT) AS v FROM events),
+WITH c AS (SELECT *, CAST(round(value*100) AS BIGINT) AS v FROM events WHERE value IS NOT NULL),
 r AS (SELECT event_type, v,
              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n

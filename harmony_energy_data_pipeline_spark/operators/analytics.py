@@ -19,9 +19,13 @@ FIXED_INTERVALS: dict[str, str] = {
     "30m": "30 minutes",
     "1h": "1 hour",
     "1d": "1 day",
-    "1w": "1 week",
 }
+# "1w" is CALENDAR, not fixed: F.window's tumbling origin is the epoch
+# (1970-01-01, a THURSDAY), so a 1-week tumbling window would bucket
+# Thu->Thu — Polars group_by_dynamic and date_trunc('week') both use
+# Monday-started calendar weeks, so weekly goes through date_trunc.
 CALENDAR_INTERVALS: dict[str, str] = {
+    "1w": "week",
     "1mo": "month",
     "1y": "year",
 }
@@ -209,6 +213,13 @@ def grouped_trend(
         # BIGINT: DuckDB's BIGINT→DOUBLE cast is correctly rounded but
         # its HUGEINT→DOUBLE cast is NOT, so magnitudes must stay
         # < 2^63 for cross-engine equality.
+        # null ts/value rows carry no signal and would poison the
+        # integer stats (NaN → int raises, NaT → garbage epoch)
+        pdf = pdf.dropna(subset=[time_col, value_col])
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {key: pdf[key], "slope_per_hour": [], "intercept": [], "n": []}
+            )
         x = (pdf[time_col].astype("int64") // 1_000_000_000).tolist()  # ns → s
         t = pdf[value_col].to_numpy(dtype="float64") * 100.0
         # half-away-from-zero, matching SQL round() (np.round is half-even)
@@ -525,7 +536,10 @@ def cohort_retention(
 
     Two user-keyed aggs (first week, then distinct user-week pairs)
     and one (cohort, offset) agg; weeks via ``date_trunc`` so cohort
-    boundaries are calendar-stable across engines."""
+    boundaries are calendar-stable across engines. The offset is a
+    calendar-DAY difference div 7 — DST-immune (epoch-second division
+    misbuckets by one week in DST session timezones, where consecutive
+    date_trunc('week') boundaries are 604800±3600 s apart)."""
     weeks = df.select(
         F.col(user_col).alias("__u"),
         F.date_trunc("week", F.col(ts_col)).alias("__w"),
@@ -535,10 +549,8 @@ def cohort_retention(
         weeks.join(first, "__u")
         .select(
             "cohort_week",
-            F.floor(
-                (F.col("__w").cast("long") - F.col("cohort_week").cast("long"))
-                / (7 * 86400)
-            ).cast("long").alias("week_offset"),
+            F.expr("datediff(__w, cohort_week) div 7")
+            .cast("long").alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
@@ -617,7 +629,10 @@ def robust_outliers(
     context columns.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
-    base = df.withColumn("__v", cents)
+    # NULL values carry no deviation signal and would otherwise enter
+    # the median rank count (nulls-first sort → median skewed low, or
+    # selected as a NULL median that silently flags nothing)
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("__v", cents)
 
     def hist_lower_median(rows: DataFrame, val: str, out: str) -> DataFrame:
         counts = rows.groupBy(group_col, val).agg(F.count("*").alias("__c"))

@@ -141,6 +141,13 @@ def minhash_candidate_pairs(
         F.col(id_col),
         minhash_signature(shingle_hashes(text_col, shingle_size), num_hashes, seed).alias("__sig"),
     )
+    # Null/empty-shingle docs all share the sentinel signature (every
+    # value = p), so they'd collide in EVERY band and the self-join
+    # would materialize a d²/2 candidate clique that the Jaccard
+    # verify then rejects pair by pair (empty-set Jaccard = 0) — the
+    # exact skew case a crawl corpus hits. A real minimum is always
+    # < p, so one element_at probe excludes them with no recompute.
+    sigs = sigs.filter(F.element_at("__sig", 1) != F.lit(_MERSENNE_P))
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -363,6 +370,13 @@ def simhash_near_pairs(
     portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: Hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Degenerate-corpus note: token-free documents all hash to signature
+    0 and are emitted as pairs (they ARE identical after
+    normalization) — like any pair-based dedup, run ``exact_dedup``
+    first so identical-document cliques collapse to one representative
+    before the quadratic pair stage (the SemDeDup prepass lesson,
+    SCALING.md).
 
     Pigeonhole band trick: split the ``nbits``-bit signature into
     ``blocks`` equal blocks; any pair within Hamming d < blocks must
@@ -784,7 +798,17 @@ def bloom_maybe_contains(
     """Adds ``__maybe`` — true iff every probe bit is set (the classic
     no-false-negative membership test). The probe is a broadcast
     equi-join on word_id plus a bitwise AND: no UDF, no driver data
-    path, whole-stage codegen throughout."""
+    path, whole-stage codegen throughout.
+
+    NULL digests (null-text rows) can't be bloom members — they get
+    ``__maybe = false`` directly rather than flowing through the
+    equi-join, where NULL = NULL would silently DROP them (the bloom
+    variant must keep row-for-row parity with ``incremental_dedup``,
+    whose anti-join keeps null keys)."""
+    null_part = df.filter(F.col(digest_col).isNull()).withColumn(
+        "__maybe", F.lit(False)
+    )
+    df = df.filter(F.col(digest_col).isNotNull())
     probes = F.array(*_bloom_probes(F.col(digest_col), m_bits, k))
     exploded = df.select(
         F.col(digest_col), F.posexplode(probes).alias("__i", "__p")
@@ -802,7 +826,7 @@ def bloom_maybe_contains(
         .groupBy(digest_col)
         .agg(F.min("__hit").alias("__maybe"))
     )
-    return df.join(hits, digest_col)
+    return df.join(hits, digest_col).unionByName(null_part)
 
 
 def incremental_dedup_bloom(

@@ -203,7 +203,10 @@ def decode_features(
                     np.frombuffer(px, dtype=np.uint8) >> 4, minlength=FEATURE_DIM
                 )
                 return (hist / max(len(px), 1)).astype("float32").tolist()
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, zlib.error, struct.error, IndexError):
+                # corrupt payloads (PNG magic, bad body) must not kill
+                # the stage in lenient mode: Spark retries a failing
+                # task deterministically, so one bad file = dead job
                 if strict:
                     raise
         elif strict:
@@ -250,8 +253,8 @@ def resize_images(
             try:
                 w, h, ch, px = decode_png(b)
                 return encode_png(width, height, ch, _resize_nearest(px, w, h, ch, width, height))
-            except NotImplementedError:
-                if strict:
+            except (NotImplementedError, ValueError, zlib.error, struct.error, IndexError):
+                if strict:  # lenient mode: corrupt PNG falls back to the fake
                     raise
         elif strict:
             raise NotImplementedError("only the PNG codec is available in this container")

@@ -146,12 +146,23 @@ def records_to_df(
     """JSON records → DataFrame with a declared schema
     (transform.py:35 — schema override instead of inference).
 
-    Values are passed through Row construction leniently: anything the
-    declared type can't hold is left to the cleaning layer's
-    try_cast/try_to_timestamp, so the raw schema should be string-typed
-    for dirty fields (schemas.GENERATION_RAW_SCHEMA).
+    Values are passed through Row construction leniently: for
+    STRING-typed fields, non-string JSON values (a CKAN page can emit
+    ``25000.5`` where the raw schema says string) are stringified here
+    rather than tripping ``createDataFrame``'s type verifier — the
+    actual parse/repair stays with the cleaning layer's
+    try_cast/try_to_timestamp, so the raw schema should be
+    string-typed for dirty fields (schemas.GENERATION_RAW_SCHEMA).
     """
-    rows = [tuple(r.get(f.name) for f in schema.fields) for r in records]
+    def lenient(v, dt):
+        if v is not None and isinstance(dt, T.StringType) and not isinstance(v, str):
+            return str(v)
+        return v
+
+    rows = [
+        tuple(lenient(r.get(f.name), f.dataType) for f in schema.fields)
+        for r in records
+    ]
     return spark.createDataFrame(rows, schema)
 
 

@@ -138,7 +138,16 @@ class SqliteUpsertWriter(DataSourceWriter):
     therefore atomic (all-or-nothing across partitions) and idempotent
     (rerunning replaces the same keys) — the reference's S4 upsert
     contract (/root/reference/src/serve/load.py:14-51) against its own
-    store, expressed as a Spark sink commit protocol."""
+    store, expressed as a Spark sink commit protocol.
+
+    Deployment constraint (inherited from SQLite itself): the staging
+    directory must be visible to BOTH executors and driver — local
+    mode or a shared filesystem. ``commit`` fails loudly with the
+    offending path if a staged file is unreachable, instead of
+    applying a partial batch. (A multi-node deployment without shared
+    storage should write to parquet and export, or point ``stagedir``
+    at network storage — SQLite as the TARGET already implies a
+    single-machine serving boundary, exactly the reference's.)"""
 
     def __init__(self, options, schema: StructType):
         self.path = options["path"]
@@ -149,17 +158,40 @@ class SqliteUpsertWriter(DataSourceWriter):
             "stagedir", os.path.join(tempfile.gettempdir(), "sqlite_stage")
         )
 
+    @staticmethod
+    def _jsonable(v):
+        """SQLite-compatible JSON staging for non-JSON row types:
+        datetime/date → ISO-8601 text (how SQLite stores DATETIME —
+        and how the reference's ORM round-trips it), Decimal → str
+        (exact), bytes → hex text."""
+        import datetime
+        import decimal
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return v
+
     def write(self, rows) -> StagedFile:
         os.makedirs(self.stage_dir, exist_ok=True)
         path = os.path.join(self.stage_dir, f"stage_{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(path, "w") as fh:
             for row in rows:
-                fh.write(json.dumps(list(row)) + "\n")
+                fh.write(json.dumps([self._jsonable(v) for v in row]) + "\n")
                 n += 1
         return StagedFile(path=path, n_rows=n)
 
     def commit(self, messages) -> None:
+        missing = [m.path for m in messages if not os.path.exists(m.path)]
+        if missing:
+            raise FileNotFoundError(
+                "staged partition files unreachable from the driver "
+                f"(stagedir must be on a driver-visible filesystem): {missing[:3]}"
+            )
         qt = _quote_ident(self.table)
         cols = ", ".join(_quote_ident(c) for c in self.fields)
         col_defs = ", ".join(

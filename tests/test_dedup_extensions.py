@@ -207,3 +207,46 @@ def test_bloom_probe_is_broadcast_no_udf(spark, sf_dir):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_null_and_empty_docs_generate_no_candidates(spark):
+    """Null/empty-shingle docs share the sentinel signature; they must
+    be excluded from banding (not explode into a rejected clique) and
+    survive dedup untouched."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_dedup,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, None), (4, None), (5, ""), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(df, "doc_id", "text").collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    # NULL-text docs never band; empty-STRING docs legitimately pair
+    # (identical after normalization) and dedup keep-first applies
+    assert ids_in_pairs <= {1, 2, 5, 6}
+    assert not ids_in_pairs & {3, 4}
+    kept = {r.doc_id for r in minhash_dedup(df, "doc_id", "text").collect()}
+    assert {3, 4} <= kept          # null docs are never doomed
+    assert kept & {1, 2} == {1}    # the true dup pair collapses
+    assert kept & {5, 6} == {5}    # so does the empty-string pair
+
+
+def test_bloom_incremental_keeps_null_text_rows(spark):
+    """Row-for-row parity with incremental_dedup on null-text rows
+    (the bloom equi-join must not silently drop NULL digests)."""
+    from harmony_energy_data_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    corpus = spark.createDataFrame([(1, "seen before")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, None)],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()}
+    bloom = {r.doc_id for r in incremental_dedup_bloom(batch, corpus, "doc_id", "text").collect()}
+    assert plain == bloom == {11, 12}

@@ -202,3 +202,24 @@ def test_real_png_path_through_spark_operators(spark):
         w2, h2, ch2, px2 = decode_png(bytes(resized[i]["resized"]))
         assert (w2, h2, ch2) == (4, 3, 3)
         assert len(px2) == 4 * 3 * 3
+
+
+def test_corrupt_png_falls_back_in_lenient_mode(spark):
+    """A payload with valid PNG magic but a garbage body must not kill
+    the stage when strict=False — it takes the deterministic fallback."""
+    from harmony_energy_data_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_features,
+        resize_images,
+    )
+
+    bad = PNG_MAGIC + b"\x00\x01garbage-not-a-chunk-stream"
+    df = spark.createDataFrame([(1, bytearray(bad))], "id long, media binary")
+    feats = decode_features(df, "id", "media", strict=False).collect()
+    assert len(feats) == 1 and feats[0].feature is not None
+    resized = resize_images(df, "id", "media", width=4, height=4, strict=False).collect()
+    assert len(resized) == 1 and len(resized[0].resized) == 16
+    # strict mode still surfaces the corruption
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_features(df, "id", "media", strict=True).collect()

@@ -251,3 +251,33 @@ def test_cms_never_underestimates_and_flags_superset(spark):
     hh = {r.user_id for r in
           cms_estimates(df, "user_id", width=8, depth=2, min_est=50).collect()}
     assert "hot" in hh
+
+
+def test_downsample_weekly_is_monday_aligned(spark):
+    from harmony_energy_data_pipeline_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [("2024-01-03 12:00:00", 1.0), ("2024-01-07 12:00:00", 3.0),
+         ("2024-01-08 00:00:00", 10.0)],
+        "DATETIME string, v double",
+    ).select(F.to_timestamp("DATETIME").alias("DATETIME"), "v")
+    out = {str(r.DATETIME): r.v for r in
+           analytics.downsample(df, "1w", agg_cols=["v"]).collect()}
+    # 2024-01-01 is a Monday: Jan 3 + Jan 7 share its week, Jan 8 starts the next
+    assert out == {"2024-01-01 00:00:00": 2.0, "2024-01-08 00:00:00": 10.0}
+
+
+def test_grouped_trend_ignores_null_rows(spark):
+    from harmony_energy_data_pipeline_spark.operators.analytics import grouped_trend
+
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1.0),
+         ("u1", "2024-01-01 01:00:00", 2.0),
+         ("u1", None, 99.0),
+         ("u1", "2024-01-01 02:00:00", None)],
+        "k string, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    rows = grouped_trend(df, "k", "ts", "v").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n == 2 and abs(r.slope_per_hour - 1.0) < 1e-9

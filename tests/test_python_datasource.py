@@ -182,3 +182,46 @@ def test_sqlite_sink_upsert_atomic_and_idempotent(spark, tmp_path):
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
     import os
     assert not os.listdir(stage)  # staged files cleaned up on commit
+
+
+def test_sqlite_upsert_writes_timestamps_and_decimals(spark, tmp_path):
+    """The GENERATION table's DATETIME column is TimestampType: the
+    writer must stage datetime (and other non-JSON types) as SQLite-
+    compatible text instead of crashing in json.dumps."""
+    import sqlite3
+
+    from harmony_energy_data_pipeline_spark.sources.sqlitedb import (
+        SqliteTableDataSource,
+    )
+
+    spark.dataSource.register(SqliteTableDataSource)
+    db = str(tmp_path / "ts.db")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 12:30:00", 2.5), (2, "2024-03-01 13:00:00", 3.5)],
+        "_id long, DATETIME string, v double",
+    ).select("_id", F.to_timestamp("DATETIME").alias("DATETIME"), "v")
+    (df.write.format("sqlite_table")
+       .option("path", db).option("table", "generation").option("key", "_id")
+       .mode("append").save())
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT _id, DATETIME, v FROM generation ORDER BY _id").fetchall()
+    con.close()
+    assert rows == [(1, "2024-03-01 12:30:00", 2.5), (2, "2024-03-01 13:00:00", 3.5)]
+
+
+def test_records_to_df_stringifies_numbers_for_string_fields(spark):
+    """A CKAN page can deliver JSON numbers where the raw schema says
+    string — lenient ingest stringifies instead of raising."""
+    from pyspark.sql import types as T
+
+    from harmony_energy_data_pipeline_spark.sources.keyset import records_to_df
+
+    schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("GENERATION", T.StringType()),
+    ])
+    out = records_to_df(spark, [{"_id": 7, "GENERATION": 25000.5},
+                                {"_id": 8, "GENERATION": "123"},
+                                {"_id": 9}], schema).collect()
+    got = {r._id: r.GENERATION for r in out}
+    assert got == {7: "25000.5", 8: "123", 9: None}
