@@ -21,7 +21,7 @@ from harmony_energy_data_pipeline_spark.logging_utils import get_logger, timed_s
 from harmony_energy_data_pipeline_spark.operators.cleaning import transform_generation
 from harmony_energy_data_pipeline_spark.schemas import GENERATION_RAW_SCHEMA
 from harmony_energy_data_pipeline_spark.sinks.upsert import RunHistory, upsert_parquet
-from harmony_energy_data_pipeline_spark.sources.keyset import paginate, records_to_df
+from harmony_energy_data_pipeline_spark.sources.keyset import records_to_df
 
 logger = get_logger(__name__)
 
@@ -51,22 +51,35 @@ def run_pipeline(
             row = spark.read.parquet(table_path).agg(F.max("_id").alias("m")).first()
             last_id = int(row["m"] or 0)
 
-        # 2. Keyset fetch loop (driver-side, fetch_neso.py:42-97).
-        with timed_stage(logger, "fetch", last_id=last_id):
-            records = paginate(fetch_page, last_id=last_id,
-                               batch_size=batch_size, max_records=max_records)
-        metrics["total_fetched"] = len(records)
-        if records:
-            # 3+4. Transform (one lazy plan, transform.py:14-88) and
-            # idempotent merge (load.py:14-51) — one job, timed like
-            # the reference's transform wall-clock line.
-            with timed_stage(logger, "transform+load", n_records=len(records)):
-                raw = records_to_df(spark, records, GENERATION_RAW_SCHEMA)
+        # 2-4. Keyset fetch loop (fetch_neso.py:42-97), processed PER
+        # PAGE: each page becomes one transform+merge, so the driver
+        # holds at most one page of raw dicts at a time — a backfill
+        # of any size streams through in bounded memory instead of
+        # accumulating the whole fetch before the first Spark job.
+        cursor = last_id
+        n_fetched = 0
+        with timed_stage(logger, "fetch+transform+load", last_id=last_id):
+            while True:
+                limit = batch_size
+                if max_records is not None:
+                    limit = min(limit, max_records - n_fetched)
+                    if limit <= 0:
+                        break
+                page = fetch_page(cursor, limit)
+                if not page:
+                    break
+                n_fetched += len(page)
+                cursor = int(page[-1]["_id"])
+                raw = records_to_df(spark, page, GENERATION_RAW_SCHEMA)
                 clean = transform_generation(raw)
                 upsert_parquet(spark, clean, table_path, key="_id")
+                if len(page) < limit:
+                    break
+        metrics["total_fetched"] = n_fetched
+        if n_fetched:
             metrics["valid_records"] = spark.read.parquet(table_path).filter(
                 F.col("_id") > last_id).count()
-            metrics["last_fetched_id"] = int(records[-1]["_id"])
+            metrics["last_fetched_id"] = cursor
         else:
             metrics["last_fetched_id"] = last_id or None
         if history:

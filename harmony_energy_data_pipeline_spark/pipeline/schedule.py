@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 
 logger = logging.getLogger(__name__)
 
@@ -27,10 +28,25 @@ class IntervalScheduler:
         self.run_count = 0
 
     def _loop(self) -> None:
+        # FIXED-RATE schedule (APScheduler interval-trigger semantics):
+        # fire times are anchor + k*interval, so job duration does not
+        # drift the schedule (fixed-DELAY would fire at interval +
+        # duration). A run that overshoots its slot skips straight to
+        # the next future slot rather than firing a burst.
+        anchor = time.monotonic()
         if self._immediate and not self._stop.is_set():
             self._fire()
-        while not self._stop.wait(self._interval):
+        k = 1
+        while True:
+            next_at = anchor + k * self._interval
+            now = time.monotonic()
+            if next_at <= now:
+                k += 1
+                continue
+            if self._stop.wait(next_at - now):
+                return
             self._fire()
+            k += 1
 
     def _fire(self) -> None:
         try:

@@ -6,9 +6,12 @@ Mirrors the reference dashboard's data path
 chart projections). Rendering is out of engine scope; each chart
 function returns the DataFrame the chart consumes.
 
-Scale shape: the version probe is a single-column max over the key —
-with a parquet/Delta table that's a metadata/statistics read, not a
-scan. The cached DataFrame is ``.cache()``-pinned until the version
+Scale shape: the version probe is a single-column max over the key.
+The engine session enables ``spark.sql.parquet.aggregatePushdown``,
+so for plain parquet the max resolves from row-group statistics
+(footer metadata), not a data scan — the same cheap probe Delta gets
+from its log; snapshot tables can answer it even cheaper via
+``sinks.snapshots.latest_version`` (one directory listing). The cached DataFrame is ``.cache()``-pinned until the version
 moves, so repeated UI interactions hit executor block storage, not
 the source files.
 """
@@ -48,8 +51,15 @@ class VersionedCache:
 # --- the four chart projections (charts.py:22-141) -------------------------
 
 def fuel_mix_long(df: DataFrame, dt_col: str, fuel_cols: list[str]) -> DataFrame:
-    """Chart 1 (charts.py:22-23): absolute generation, wide→long."""
+    """Chart 1 (charts.py:22-23): absolute generation, wide→long.
+    Schema drift to ZERO matching columns renders an empty chart
+    frame rather than raising (unpivot requires ≥1 value column)."""
     present = [c for c in fuel_cols if c in df.columns]
+    if not present:
+        return df.sparkSession.createDataFrame(
+            [], f"`{dt_col}` {df.schema[dt_col].dataType.simpleString()}, "
+                "Fuel string, value double",
+        )
     return df.select(dt_col, *present).unpivot(
         ids=[dt_col], values=present, variableColumnName="Fuel", valueColumnName="value"
     )
@@ -59,6 +69,11 @@ def fuel_share_long(df: DataFrame, dt_col: str, perc_cols: list[str]) -> DataFra
     """Chart 2 (charts.py:55-58): % shares, wide→long, Fuel name without
     the ``_perc`` suffix."""
     present = [c for c in perc_cols if c in df.columns]
+    if not present:
+        return df.sparkSession.createDataFrame(
+            [], f"`{dt_col}` {df.schema[dt_col].dataType.simpleString()}, "
+                "Fuel string, value double",
+        )
     long = df.select(dt_col, *present).unpivot(
         ids=[dt_col], values=present, variableColumnName="Fuel", valueColumnName="value"
     )

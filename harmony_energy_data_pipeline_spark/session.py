@@ -44,6 +44,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Quiet progress bars in test/bench output.
     "spark.ui.showConsoleProgress": "false",
+    # max/min/count version probes (serve.VersionedCache) resolve from
+    # parquet row-group statistics instead of scanning the column.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Reliable-checkpoint files from iterative operators (PageRank,
     # connected components, K-means) are deleted once their DataFrame
     # is GC'd — without this, long-lived sessions accumulate

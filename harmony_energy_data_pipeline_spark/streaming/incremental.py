@@ -44,9 +44,22 @@ def dedup_with_watermark(
     time_col: str,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """In-stream exact dedup on the key with bounded state: rows later
-    than the watermark horizon are dropped from state tracking."""
-    return stream.withWatermark(time_col, watermark).dropDuplicates([key])
+    """In-stream exact dedup on the key — keep-FIRST re-delivery
+    suppression with genuinely bounded state:
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes it. (Plain ``dropDuplicates([key])`` would track
+    every key ever seen FOREVER — the event-time watermark only evicts
+    dedup state when the time column is part of the dedup subset.)
+
+    Semantics note: this is re-delivery suppression, not revision
+    resolution — the first arrival of a key wins within the watermark
+    horizon. For sources that send REVISED rows under the same key,
+    feed the merge sink directly (its keyed merge is last-writer-wins
+    per batch) instead of deduping upstream.
+    """
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
 
 
 def windowed_mean(
@@ -73,9 +86,16 @@ def enrich_with_static(
     how: str = "left",
 ) -> DataFrame:
     """Stream-static join: enrich each micro-batch with a dimension
-    table. The static side is re-resolved per micro-batch (so a
-    refreshed dim parquet is picked up) and, being small, arrives as a
-    broadcast — no streaming state is kept for this join."""
+    table; the small side arrives as a broadcast and no streaming
+    state is kept for this join.
+
+    Refresh caveat: for PLAIN-PARQUET static sides the file listing is
+    resolved once at DataFrame construction, so an in-place refresh of
+    the dim directory is NOT picked up (and a swap that deletes the
+    old files fails the next micro-batch). Table formats with
+    per-batch snapshot resolution (Delta) refresh transparently; for
+    parquet, rebuild the dim DataFrame inside a ``foreachBatch``
+    callback when live refresh is required."""
     return stream.join(F.broadcast(dim), on, how)
 
 
@@ -287,27 +307,45 @@ def start_snapshot_append_sink(
 
     - **exactly-once across restarts**: Structured Streaming replays
       the last in-flight batch after a crash; the sink consults the
-      already-committed batch ids (``committed_marker_values``) and
-      skips re-delivered batches — the replayed data never lands
-      twice (same T5 contract as the keyed merge sink, achieved by
-      commit-log dedup instead of key dedup, so it also covers
-      APPEND-ONLY streams with no natural key);
+      already-committed commit ids and skips re-delivered batches —
+      the replayed data never lands twice (same T5 contract as the
+      keyed merge sink, achieved by commit-log dedup instead of key
+      dedup, so it also covers APPEND-ONLY streams with no natural
+      key);
+    - **query-scoped commit ids**: the marker is
+      ``<md5(checkpoint_dir)>:<batch_id>`` — stable across restarts of
+      the SAME query (same checkpoint), distinct for a different query
+      writing the same table (whose batch ids also start at 0) and for
+      a deliberate fresh-checkpoint reprocess, so neither silently
+      loses batches to another query's markers;
     - **downstream incremental consumers** read each commit exactly
       once via ``read_snapshot_changes`` — streaming ingest and CDC
       hand-off through one table;
     - readers stay snapshot-isolated while the stream commits.
+
+    The committed-id set is loaded from the manifests ONCE at sink
+    start and maintained in memory after (this sink is the only writer
+    for its query id), so the per-batch check is O(1), not a
+    re-parse of every manifest per micro-batch.
     """
+    import hashlib as _hashlib
+
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    query_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    committed = snap.committed_marker_values(table_path, "stream_commit_id")
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id in snap.committed_marker_values(table_path, "stream_batch_id"):
+        commit_id = f"{query_tag}:{batch_id}"
+        if commit_id in committed:
             return  # re-delivered after restart: already durably committed
         snap.snapshot_write(
             batch_df, table_path, mode="append",
-            extra={"stream_batch_id": batch_id},
+            extra={"stream_commit_id": commit_id, "stream_batch_id": batch_id},
         )
+        committed.add(commit_id)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -93,3 +93,38 @@ def test_default_date_range_per_interval():
     assert default_date_range(lo, hi, "1mo") == (lo, hi)
     assert default_date_range(lo, hi, "1y") == (lo, hi)
     assert default_date_range(lo, hi, "whatever") == (lo, hi)
+
+
+def test_interval_scheduler_is_fixed_rate():
+    """Fire times anchor to start + k*interval: a slow job must not
+    push the next slot back (fixed-rate, not fixed-delay)."""
+    import time
+
+    from harmony_energy_data_pipeline_spark.pipeline.schedule import (
+        IntervalScheduler,
+    )
+
+    times = []
+
+    def slow_job():
+        times.append(time.monotonic())
+        time.sleep(0.25)  # job takes longer than half the interval
+
+    s = IntervalScheduler(slow_job, interval_seconds=0.4,
+                          run_immediately=True).start()
+    time.sleep(1.7)
+    s.stop()
+    assert len(times) >= 4  # fixed-DELAY (0.65s period) would fire only ~2-3
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    # every gap tracks the interval, not interval + job duration
+    assert all(g < 0.6 for g in gaps), gaps
+
+
+def test_unpivot_helpers_handle_zero_matching_columns(spark):
+    from harmony_energy_data_pipeline_spark import serve
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "DATETIME string")
+    out = serve.fuel_mix_long(df, "DATETIME", ["SOLAR", "GAS"])
+    assert out.count() == 0 and out.columns == ["DATETIME", "Fuel", "value"]
+    out2 = serve.fuel_share_long(df, "DATETIME", ["SOLAR_perc"])
+    assert out2.count() == 0 and out2.columns == ["DATETIME", "Fuel", "value"]

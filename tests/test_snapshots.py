@@ -188,3 +188,30 @@ def test_streaming_snapshot_sink_exactly_once_across_restart(spark, tmp_path, sf
         else:
             total += snap.read_snapshot_changes(spark, table, v - 1, v).count()
     assert total == ev.count()
+
+
+def test_streaming_snapshot_sink_commit_ids_are_query_scoped(spark, tmp_path, sf_dir):
+    """Two different queries (distinct checkpoints, batch ids both
+    starting at 0) appending to the SAME table must not skip each
+    other's batches."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        start_snapshot_append_sink,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    table = str(tmp_path / "shared_tbl")
+    for name, part in (("a", a), ("b", b)):
+        src = str(tmp_path / f"src_{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = start_snapshot_append_sink(
+            file_stream(spark, src, schema),
+            table, str(tmp_path / f"ckpt_{name}"),
+        )
+        q.awaitTermination(120)
+    # query B's batch 0 must have landed despite A's batch 0 marker
+    assert snap.read_snapshot(spark, table).count() == ev.count()
