@@ -46,7 +46,7 @@ def in_wholestage_codegen(df: DataFrame, operator: str) -> bool:
     codegen'd operators with ``*``."""
     plan = physical_plan(df)
     return any(
-        line.strip().lstrip("+-").strip().startswith(f"* {operator}")
+        line.strip().lstrip(":+- ").startswith(f"* {operator}")
         for line in plan.splitlines()
     )
 

@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
-# Generation fact table — 34 columns: int PK, event-time timestamp,
-# 32 double measures (/root/reference/src/db/models.py:6-45).
+# Generation fact table — 35 columns: int PK, event-time timestamp,
+# 33 double measures (/root/reference/src/db/models.py:6-45).
 # ---------------------------------------------------------------------------
 
 FUEL_COLS: list[str] = [

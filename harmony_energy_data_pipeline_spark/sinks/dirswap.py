@@ -58,6 +58,17 @@ def _roll_forward(path: str, staged: str) -> None:
             shutil.rmtree(old, ignore_errors=True)
             os.rename(path, old)
         os.rename(staged, path)
+    elif not os.path.exists(path) and os.path.exists(old):
+        # staged is gone (e.g. the writer's cleanup removed it after a
+        # failed second rename) and live is gone too: the backup is
+        # the ONLY surviving copy — restore it rather than deleting it
+        os.rename(old, path)
+    if not os.path.exists(path):
+        # never conclude a swap that would leave no table at `path`
+        raise RuntimeError(
+            f"dir swap at {path!r}: neither staged, live, nor backup "
+            "copy exists — refusing to remove the marker"
+        )
     os.remove(_marker(path))
     shutil.rmtree(old, ignore_errors=True)
 

@@ -92,6 +92,15 @@ def _write_exact_shards(
     shutil.rmtree(final, ignore_errors=True)
     os.makedirs(final)
     try:
+        # NULL shard keys hash to a NULL bucket and would land in
+        # __HIVE_DEFAULT_PARTITION__ — outside every part-<k> slot, so
+        # the flatten would silently drop them while the per-shard
+        # count check still passes. Detect and refuse.
+        if _glob.glob(os.path.join(staging, "__shard=__HIVE_DEFAULT_PARTITION__")):
+            raise ValueError(
+                f"shard key {key!r} contains NULLs — exactly-N routing "
+                "requires a non-null key (coalesce or filter first)"
+            )
         for k in range(n_shards):
             files = sorted(_glob.glob(os.path.join(staging, f"__shard={k}", "part-*")))
             if len(files) != 1:

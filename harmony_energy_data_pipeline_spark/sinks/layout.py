@@ -30,9 +30,19 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     cents-clamping) — the key only sees small ints.
 
     2 cols × 16 bits → a 32-bit key; 3 × 16 → 48 bits (still a long).
+    ``len(cols) * bits`` must stay ≤ 63: position 63 is the BIGINT
+    sign bit (negative keys invert the range-sort order) and shifts
+    ≥ 64 wrap mod 64 on the JVM, aliasing high bits onto low
+    positions — either way the locality the layout exists for breaks
+    silently, so over-wide configurations are rejected here.
     """
     ncols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(ncols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key width {n}*{bits}={n * bits} exceeds 63 usable "
+            f"BIGINT bits; lower bits to <= {63 // n} for {n} columns"
+        )
     terms = [
         F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j)
         for i in range(bits)
@@ -64,7 +74,15 @@ def scale_to_bits(
     values outside clamp to the edge buckets."""
     c = F.col(col) if isinstance(col, str) else col
     n = 1 << bits
-    bucket = F.floor((c - F.lit(lo)) * F.lit(n) / F.lit(hi - lo + 1))
+    # Integer-inclusive domains use span hi-lo+1 (each of the hi-lo+1
+    # values gets an equal bucket run); REAL-valued domains must use
+    # span hi-lo — the +1 would waste the top fraction of the bucket
+    # range whenever the span is small (e.g. a [0, 0.1] discount maps
+    # into only 1/11th of the buckets, zeroing the dimension's high
+    # bits and degrading the interleave to a sort on the other cols).
+    is_integral = float(lo).is_integer() and float(hi).is_integer()
+    span = (hi - lo + 1) if is_integral else (hi - lo)
+    bucket = F.floor((c - F.lit(lo)) * F.lit(n) / F.lit(span))
     return F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1)).cast("long")
 
 

@@ -214,7 +214,15 @@ def overwrite_partitions_atomic(
 def read_partitioned_committed(spark: SparkSession, path: str) -> DataFrame:
     """Read ``path`` with torn-commit protection: replay any
     interrupted swap (roll forward) before listing files — a reader
-    can then never observe a half-applied batch."""
+    can then never observe a half-applied batch.
+
+    Concurrency contract: recovery assumes the marker belongs to a
+    CRASHED writer — a reader racing a LIVE writer mid-commit would
+    replay the same renames (single-writer, reader-after-crash model;
+    the same contract as SQLite journal replay on open). Deployments
+    needing readers concurrent with active commits should read
+    through ``sinks.snapshots`` instead, whose manifest CAS isolates
+    readers from in-flight writers by construction."""
     recover_partitions(path)
     return spark.read.parquet(path)
 
@@ -242,12 +250,23 @@ def compact_partitions(
         for dirpath, _dirs, files in os.walk(path)
         for f in files if f.endswith(".parquet")
     )
-    n_parts = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    n_values = max(1, df.select(*partition_cols).distinct().count())
+    # Repartitioning by the partition columns ALONE would hash each
+    # partition value into ONE task → one (possibly enormous) file per
+    # value, ignoring target_file_mb entirely. A per-row salt bounded
+    # by files-per-value spreads each value over ~that many tasks, so
+    # partitionBy emits ~right-sized files within every partition dir.
+    per_value = max(1, round(n_files / n_values))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_value))
+    )
+    compacted = salted.repartition(
+        max(n_files, n_values), *partition_cols, "__salt"
+    ).drop("__salt")
     # route through the atomic commit: a compaction that dies mid-way
     # must never leave some partitions compacted and others torn
-    overwrite_partitions_atomic(
-        df.repartition(n_parts, *partition_cols), path, partition_cols
-    )
+    overwrite_partitions_atomic(compacted, path, partition_cols)
 
 
 __all__ = [

@@ -193,7 +193,8 @@ def read_snapshot_changes(
                 "incremental read undefined, re-read the full snapshot"
             )
         v = m["parent"]
-    new_files = [f for f in hi["files"] if f not in set(lo["files"])]
+    old_files = set(lo["files"])
+    new_files = [f for f in hi["files"] if f not in old_files]
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*new_files)
@@ -241,9 +242,12 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     """
     vs = _versions(path)
     keep = vs[-keep_last:] if keep_last > 0 else []
+    # liveness compares ABSOLUTE paths: manifests may have been written
+    # from a different cwd than this vacuum call — a raw string compare
+    # would then mark every live file dead and delete the table
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        live.update(os.path.abspath(f) for f in _read_manifest(path, v)["files"])
     removed = 0
     for v in vs:
         if v not in keep:
@@ -251,10 +255,11 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     data_root = os.path.join(path, "data")
     for dp, _dirs, files in os.walk(data_root, topdown=False):
         dir_has_live = any(
-            os.path.join(dp, g) in live for g in files if g.endswith(".parquet")
+            os.path.abspath(os.path.join(dp, g)) in live
+            for g in files if g.endswith(".parquet")
         )
         for f in files:
-            full = os.path.join(dp, f)
+            full = os.path.abspath(os.path.join(dp, f))
             if f.endswith(".parquet"):
                 if full not in live:
                     os.remove(full)

@@ -82,10 +82,20 @@ def upsert_parquet(
     key: str = "_id",
 ) -> None:
     """Materialized idempotent upsert into a parquet table at ``path``
-    (create-if-absent). Writes to a temp sibling then swaps, so a
-    failed job never truncates the target — the moral equivalent of
-    the reference's per-batch transaction commit (load.py:47-49).
+    (create-if-absent). Writes to a temp sibling then swaps through
+    the marker-protected protocol (``sinks.dirswap``): a crash in the
+    swap window rolls FORWARD on the next call instead of leaving the
+    table under an unrecorded temp name — a bare two-rename swap
+    would make the next upsert recreate the table from only the
+    incoming batch (silent total history loss). The moral equivalent
+    of the reference's per-batch transaction commit (load.py:47-49).
     """
+    from harmony_energy_data_pipeline_spark.sinks.dirswap import (
+        recover_dir_swap,
+        swap_dir_commit,
+    )
+
+    recover_dir_swap(path)
     if not os.path.exists(path):
         source.write.mode("overwrite").parquet(path)
         return
@@ -93,10 +103,10 @@ def upsert_parquet(
     merged = merge_upsert(target, source, key=key)
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    try:
+        swap_dir_commit(path, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def upsert_partitioned(

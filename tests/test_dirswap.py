@@ -79,3 +79,26 @@ def test_recover_noop_without_marker(tmp_path):
     _mkdir_with(live, "a", "x")
     assert recover_dir_swap(live) is False
     assert _read(live) == "x"
+
+
+def test_recover_restores_backup_when_staged_and_live_are_gone(tmp_path):
+    """Crash state: marker present, staged cleaned up, live renamed
+    away — the .__old_tmp backup is the ONLY copy and recovery must
+    restore it, not delete it."""
+    live = str(tmp_path / "t")
+    _mkdir_with(live + ".__old_tmp", "a", "only-copy")
+    _marker(live, str(tmp_path / "gone.stage"))
+    assert recover_dir_swap(live)
+    assert _read(live) == "only-copy"
+    assert not os.path.exists(live + ".__old_tmp")
+    assert not os.path.exists(live + ".__swap.json")
+
+
+def test_recover_refuses_when_no_copy_survives(tmp_path):
+    import pytest as _pytest
+
+    live = str(tmp_path / "t")
+    _marker(live, str(tmp_path / "gone.stage"))
+    with _pytest.raises(RuntimeError, match="refusing"):
+        recover_dir_swap(live)
+    assert os.path.exists(live + ".__swap.json")  # marker kept for the operator

@@ -69,3 +69,22 @@ def test_zorder_write_tightens_both_dimensions(spark, sf_dir):
         assert mean_sv < 0.7 * g["sv"], (mean_sv, g["sv"])
         # layout column must not leak into the data
         assert "__z" not in back.columns
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.sinks.layout import zorder_key
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits: sign-bit
+
+
+def test_scale_to_bits_uses_full_range_for_float_spans(spark):
+    from harmony_energy_data_pipeline_spark.sinks.layout import scale_to_bits
+
+    df = spark.createDataFrame([(0.0,), (0.05,), (0.1,)], "d double")
+    out = [r.b for r in df.select(
+        scale_to_bits("d", 0.0, 0.1, bits=4).alias("b")).collect()]
+    # full 4-bit range: max value clamps to bucket 15, midpoint to 8
+    assert out == [0, 8, 15]

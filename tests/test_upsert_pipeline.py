@@ -179,3 +179,43 @@ def test_scd2_merge_idempotent_on_reapply(spark):
         "k", "seg", "CAST('2001-01-01 00:00:00' AS TIMESTAMP) AS effective_ts"
     )
     assert snapshot(scd2_merge(once, later, "k", ["seg"])) == snapshot(once)
+
+
+def test_upsert_parquet_swap_crash_recovers_history(spark, tmp_path):
+    """A crash between the swap renames must not let the next upsert
+    recreate the table from only the incoming batch: the marker rolls
+    the swap forward and history survives."""
+    import os
+
+    from harmony_energy_data_pipeline_spark.sinks.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl.parquet")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "_id long, v string")
+    upsert_parquet(spark, df1, path)
+    # simulate the torn window: live moved to backup, staged published
+    # as marker+dir but the final rename 'crashed' before happening
+    staged = str(tmp_path / "staged_new")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                          "_id long, v string").write.parquet(staged)
+    from harmony_energy_data_pipeline_spark.sinks import dirswap
+
+    os.rename(path, path + ".__old_tmp")
+    with open(path + ".__swap.json", "w") as fh:
+        import json
+        json.dump({"staged": staged}, fh)
+    # next upsert first recovers (roll forward to staged), then merges
+    upsert_parquet(spark, spark.createDataFrame([(4, "d")], "_id long, v string"), path)
+    got = {r._id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3, 4}  # history + staged + new batch all present
+
+
+def test_exact_shards_refuse_null_shard_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.sinks.export import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (3, "z")], "k long, text string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        write_jsonl_shards(df, str(tmp_path / "out"), n_shards=2, shard_key="k")
