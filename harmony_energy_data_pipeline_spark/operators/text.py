@@ -861,11 +861,10 @@ def bigram_nll(
         F.log(F.col("__cf2").cast("double") / F.col("__cf1").cast("double"))
         * F.lit(float(quantum))
     ).cast("long")
-    scored = (
-        per_doc.join(pair_cf, ["w1", "w2"])
-        .join(left_cf, "w1")
-        .select("doc_id", "__tf", li.alias("__li"))
-    )
+    # assemble the log-prob MODEL first (|bigram types| rows), so the
+    # big per-doc frame shuffles through ONE join instead of two
+    model = pair_cf.join(left_cf, "w1").select("w1", "w2", li.alias("__li"))
+    scored = per_doc.join(model, ["w1", "w2"]).select("doc_id", "__tf", "__li")
     return scored.groupBy("doc_id").agg(
         F.sum("__tf").cast("long").alias("n_bigrams"),
         (
