@@ -8,10 +8,23 @@ the way Iceberg/Delta provide it, reduced to its load-bearing core:
 * data files are IMMUTABLE — every commit writes new parquet files
   under ``<path>/data/<txid>/`` and never touches existing ones;
 * a snapshot is a JSON manifest ``<path>/_snapshots/v<N>.json``
-  listing exactly the live files of version N; publishing the
-  manifest IS the commit, and it is a true compare-and-swap
-  (``os.link`` of a fsync'd temp file — fails if v<N> already
-  exists, so two racing writers cannot both claim a version);
+  listing exactly the live files of version N as paths RELATIVE to
+  the table root (so a table can be relocated — copy the directory,
+  read from the new location); publishing the manifest IS the
+  commit, via one of two protocols (``protocol=`` on the writers):
+
+  - ``"link"`` (default, POSIX fast path): ``os.link`` of a fsync'd
+    temp file — a true compare-and-swap, fails with EEXIST if
+    another writer claimed v<N> first (unlike rename, which
+    silently overwrites);
+  - ``"rename"`` (object-store shape): write
+    ``v<N>.json.tmp-<uuid>``, check v<N> absent, rename, then read
+    BACK the published manifest and verify the txid is ours — a
+    lost race surfaces as FileExistsError and the commit retries at
+    v<N+1>. On a real object store the read-back step maps to a
+    conditional PUT (``If-None-Match: *``), which closes the small
+    rename/verify window this emulation still has; use it where
+    ``os.link`` is unavailable (FUSE mounts, object-store gateways);
 * readers resolve a manifest ONCE and then read a frozen file list —
   a reader is never torn across a concurrent commit, and reading an
   old version (time travel) is the same code path;
@@ -37,8 +50,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Manifest keys the snapshot machinery itself writes; anything else in a
+#: manifest is caller metadata (e.g. a streaming sink's commit marker) and
+#: must survive vacuum via the compacted commit log.
+_STANDARD_KEYS = frozenset(
+    {"version", "parent", "operation", "txid", "committed_at_unix", "files"}
+)
+
+
 def _snap_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
+
+
+def _commit_log_path(path: str) -> str:
+    return os.path.join(_snap_dir(path), "commit-log.json")
+
+
+def _rel_file(path: str, f: str) -> str:
+    """Store form: table-root-relative. Absolute inputs (fresh writes,
+    legacy manifests) are relativized; already-relative pass through."""
+    return os.path.relpath(f, path) if os.path.isabs(f) else f
+
+
+def _abs_file(path: str, f: str) -> str:
+    """Read form: join relative entries to the table root; legacy
+    absolute entries pass through unchanged."""
+    return f if os.path.isabs(f) else os.path.join(path, f)
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -68,22 +105,58 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish_manifest(path: str, version: int, payload: dict) -> None:
-    """Durable compare-and-swap publish: fsync a temp file, then
-    ``os.link`` it to the version name — link fails with EEXIST if
-    another writer claimed the version first (unlike rename, which
-    silently overwrites), then fsync the directory so the commit
-    survives power loss."""
+def _publish_manifest(
+    path: str, version: int, payload: dict, protocol: str = "link"
+) -> None:
+    """Durable publish of manifest v<N>; raises FileExistsError when
+    another writer claimed the version first (the caller retries).
+
+    ``protocol="link"``: fsync a temp file then ``os.link`` it to the
+    version name — a true POSIX compare-and-swap (link fails with
+    EEXIST; rename would silently overwrite).
+
+    ``protocol="rename"``: the object-store-shaped path for
+    filesystems without hard links — ``v<N>.json.tmp-<uuid>`` +
+    existence check + rename + READ-BACK verify that the published
+    txid is ours. Rename is last-writer-wins, so the read-back is
+    what detects a lost race; on a real object store this whole step
+    is a conditional PUT (If-None-Match), which has no race window
+    at all. The emulation's residual window (both racers rename, the
+    later read-back sees its own overwrite) is narrower than the
+    full commit and acceptable for the low-contention single-table
+    writer this sink targets; deployments needing hard CAS use
+    "link" or a store with conditional writes.
+    """
+    if protocol not in ("link", "rename"):
+        raise ValueError(f"protocol must be link|rename, got {protocol!r}")
     os.makedirs(_snap_dir(path), exist_ok=True)
-    tmp = os.path.join(_snap_dir(path), f".tmp-{uuid.uuid4().hex}")
+    final = _manifest_path(path, version)
+    tmp = (
+        final + f".tmp-{uuid.uuid4().hex}"
+        if protocol == "rename"
+        else os.path.join(_snap_dir(path), f".tmp-{uuid.uuid4().hex}")
+    )
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(payload, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    try:
-        os.link(tmp, _manifest_path(path, version))
-    finally:
-        os.unlink(tmp)
+    if protocol == "link":
+        try:
+            os.link(tmp, final)
+        finally:
+            os.unlink(tmp)
+    else:
+        try:
+            if os.path.exists(final):
+                raise FileExistsError(final)
+            os.rename(tmp, final)
+            with open(final, encoding="utf-8") as fh:
+                published = json.load(fh)
+            if published.get("txid") != payload.get("txid"):
+                raise FileExistsError(final)  # lost the race post-rename
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     dfd = os.open(_snap_dir(path), os.O_RDONLY)
     try:
         os.fsync(dfd)
@@ -106,6 +179,7 @@ def snapshot_write(
     mode: str = "overwrite",
     max_retries: int = 10,
     extra: dict | None = None,
+    protocol: str = "link",
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -125,13 +199,18 @@ def snapshot_write(
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
-    new_files = _data_files(data_dir)
+    # stored table-root-relative so the table survives relocation and
+    # vacuum/readers are cwd-independent
+    new_files = [_rel_file(path, f) for f in _data_files(data_dir)]
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         if mode == "append" and parent is not None:
-            files = _read_manifest(path, parent)["files"] + files
+            parent_files = [
+                _rel_file(path, f) for f in _read_manifest(path, parent)["files"]
+            ]
+            files = parent_files + files
         payload = {
             "version": version,
             "parent": parent,
@@ -142,7 +221,7 @@ def snapshot_write(
             **(extra or {}),
         }
         try:
-            _publish_manifest(path, version, payload)
+            _publish_manifest(path, version, payload, protocol=protocol)
             return version
         except FileExistsError:
             continue  # lost the race; recompute against new latest
@@ -159,7 +238,7 @@ def read_snapshot(
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = _read_manifest(path, v)["files"]
+    files = [_abs_file(path, f) for f in _read_manifest(path, v)["files"]]
     if not files:
         raise FileNotFoundError(f"snapshot v{v} at {path} lists no files")
     return spark.read.parquet(*files)
@@ -193,23 +272,56 @@ def read_snapshot_changes(
                 "incremental read undefined, re-read the full snapshot"
             )
         v = m["parent"]
-    old_files = set(lo["files"])
-    new_files = [f for f in hi["files"] if f not in old_files]
+    # compare on the normalized (relative) form so a legacy absolute
+    # manifest diffs correctly against a relative one
+    old_files = {_rel_file(path, f) for f in lo["files"]}
+    new_files = [
+        _abs_file(path, f)
+        for f in hi["files"]
+        if _rel_file(path, f) not in old_files
+    ]
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*new_files)
 
 
 def committed_marker_values(path: str, key: str) -> set:
-    """All values of manifest field ``key`` across live snapshots —
-    e.g. the stream batch ids already committed, for exactly-once
-    foreachBatch sinks (``streaming.start_snapshot_append_sink``)."""
+    """All values of manifest field ``key`` across live snapshots AND
+    the compacted commit log ``vacuum`` leaves behind for expired
+    ones — e.g. the stream batch ids already committed, for
+    exactly-once foreachBatch sinks
+    (``streaming.start_snapshot_append_sink``). Without the compacted
+    log, expiring a query's last committed manifest would make its
+    replayed batch after restart look uncommitted and double-commit."""
     out = set()
     for v in _versions(path):
         m = _read_manifest(path, v)
         if key in m:
             out.add(m[key])
+    clog = _read_commit_log(path)
+    for val in clog.get("markers", {}).get(key, []):
+        out.add(val)
     return out
+
+
+def _read_commit_log(path: str) -> dict:
+    cp = _commit_log_path(path)
+    if not os.path.exists(cp):
+        return {}
+    with open(cp, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_commit_log(path: str, payload: dict) -> None:
+    """Atomic replace (tmp + rename); single-writer-vacuum contract,
+    same as the rest of the maintenance surface."""
+    cp = _commit_log_path(path)
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, cp)
 
 
 def snapshot_history(path: str) -> list[dict]:
@@ -242,16 +354,38 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     """
     vs = _versions(path)
     keep = vs[-keep_last:] if keep_last > 0 else []
-    # liveness compares ABSOLUTE paths: manifests may have been written
-    # from a different cwd than this vacuum call — a raw string compare
-    # would then mark every live file dead and delete the table
+    # liveness is computed from the TABLE ROOT, not the process cwd:
+    # manifests store root-relative paths, and each is joined to
+    # ``path`` here — vacuum from any working directory (or after the
+    # table was relocated) resolves the same live set. Legacy absolute
+    # entries pass through _abs_file unchanged.
     live: set[str] = set()
     for v in keep:
-        live.update(os.path.abspath(f) for f in _read_manifest(path, v)["files"])
+        live.update(
+            os.path.abspath(_abs_file(path, f))
+            for f in _read_manifest(path, v)["files"]
+        )
+    # Fold the expired manifests' caller metadata (commit markers such
+    # as a streaming query's batch id) into the compacted commit log
+    # BEFORE dropping them — committed_marker_values reads both, so
+    # expiring a query's last committed snapshot cannot reopen its
+    # exactly-once window.
+    expired = [v for v in vs if v not in keep]
+    if expired:
+        clog = _read_commit_log(path)
+        markers: dict[str, list] = clog.setdefault("markers", {})
+        for v in expired:
+            m = _read_manifest(path, v)
+            for k, val in m.items():
+                if k in _STANDARD_KEYS:
+                    continue
+                vals = markers.setdefault(k, [])
+                if val not in vals:
+                    vals.append(val)
+        _write_commit_log(path, clog)
     removed = 0
-    for v in vs:
-        if v not in keep:
-            os.remove(_manifest_path(path, v))
+    for v in expired:
+        os.remove(_manifest_path(path, v))
     data_root = os.path.join(path, "data")
     for dp, _dirs, files in os.walk(data_root, topdown=False):
         dir_has_live = any(

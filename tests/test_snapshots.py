@@ -215,3 +215,112 @@ def test_streaming_snapshot_sink_commit_ids_are_query_scoped(spark, tmp_path, sf
         q.awaitTermination(120)
     # query B's batch 0 must have landed despite A's batch 0 marker
     assert snap.read_snapshot(spark, table).count() == ev.count()
+
+
+def test_manifest_paths_are_relative_and_table_relocates(spark, tmp_path):
+    """Round-4 hardening: manifests store table-root-relative paths, so
+    copying the table directory relocates it wholesale."""
+    import json
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 4), path)
+    snap.snapshot_write(_df(spark, 4, 6), path, mode="append")
+    m = snap._read_manifest(path, 1)
+    assert m["files"], "manifest lists files"
+    assert all(not os.path.isabs(f) for f in m["files"]), m["files"]
+    # relocate: plain directory copy, read from the new root
+    moved = str(tmp_path / "tbl_moved")
+    shutil.copytree(path, moved)
+    shutil.rmtree(path)  # the old root is gone — nothing may resolve to it
+    assert _keys(spark, moved) == [0, 1, 2, 3, 4, 5]
+    assert _keys(spark, moved, 0) == [0, 1, 2, 3]
+    # maintenance works at the new root too
+    snap.snapshot_write(_df(spark, 9, 11), moved, mode="overwrite")
+    removed = snap.vacuum(moved, keep_last=1)
+    assert removed > 0
+    assert _keys(spark, moved) == [9, 10]
+
+
+def test_vacuum_is_cwd_independent(spark, tmp_path, monkeypatch):
+    """ADVICE r3: vacuum used abspath against the CALLER's cwd; with
+    relative manifests it must resolve the same live set from any
+    working directory (a wrong resolution deletes every live file)."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 5), path)
+    snap.snapshot_write(_df(spark, 5, 7), path, mode="append")
+    elsewhere = tmp_path / "unrelated_cwd"
+    elsewhere.mkdir()
+    monkeypatch.chdir(elsewhere)
+    snap.vacuum(path, keep_last=1)
+    assert _keys(spark, path) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_rename_protocol_write_read_vacuum(spark, tmp_path):
+    """The object-store-shaped publish path (tmp + check + rename +
+    read-back verify) supports the full lifecycle."""
+    path = str(tmp_path / "tbl")
+    v0 = snap.snapshot_write(_df(spark, 0, 3), path, protocol="rename")
+    v1 = snap.snapshot_write(
+        _df(spark, 3, 5), path, mode="append", protocol="rename"
+    )
+    assert (v0, v1) == (0, 1)
+    assert _keys(spark, path) == [0, 1, 2, 3, 4]
+    assert _keys(spark, path, 0) == [0, 1, 2]
+    snap.snapshot_write(_df(spark, 8, 9), path, protocol="rename")
+    assert snap.vacuum(path, keep_last=1) > 0
+    assert _keys(spark, path) == [8]
+
+
+def test_rename_protocol_detects_lost_race(spark, tmp_path):
+    """Rename is last-writer-wins; the read-back verify must surface a
+    lost race as FileExistsError so snapshot_write retries at N+1."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 2), path)
+    # version 1 already claimed by an adversary
+    snap._publish_manifest(path, 1, {
+        "version": 1, "parent": 0, "operation": "overwrite",
+        "txid": "adversary", "committed_at_unix": 0,
+        "files": snap._read_manifest(path, 0)["files"],
+    })
+    with pytest.raises(FileExistsError):
+        snap._publish_manifest(path, 1, {
+            "version": 1, "parent": 0, "operation": "overwrite",
+            "txid": "loser", "committed_at_unix": 0, "files": [],
+        }, protocol="rename")
+    # and the writer-level retry lands on v2
+    v = snap.snapshot_write(_df(spark, 7, 9), path, protocol="rename")
+    assert v == 2
+
+
+def test_vacuum_preserves_commit_markers(spark, tmp_path):
+    """ADVICE r3 (medium): expiring a manifest must not forget its
+    stream commit marker — otherwise a restarted query's replayed
+    batch looks uncommitted and commits twice. vacuum folds expired
+    markers into the compacted commit log."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(
+        _df(spark, 0, 3), path, extra={"stream_commit_id": "qA-0"}
+    )
+    snap.snapshot_write(
+        _df(spark, 3, 5), path, mode="append",
+        extra={"stream_commit_id": "qB-0"},
+    )
+    snap.snapshot_write(
+        _df(spark, 5, 6), path, mode="append",
+        extra={"stream_commit_id": "qA-1"},
+    )
+    before = snap.committed_marker_values(path, "stream_commit_id")
+    assert before == {"qA-0", "qB-0", "qA-1"}
+    snap.vacuum(path, keep_last=1)
+    after = snap.committed_marker_values(path, "stream_commit_id")
+    assert after == {"qA-0", "qB-0", "qA-1"}
+    # idempotent across repeated vacuums and survives further commits
+    snap.snapshot_write(
+        _df(spark, 6, 7), path, mode="append",
+        extra={"stream_commit_id": "qB-1"},
+    )
+    snap.vacuum(path, keep_last=1)
+    assert snap.committed_marker_values(path, "stream_commit_id") == {
+        "qA-0", "qB-0", "qA-1", "qB-1"
+    }
