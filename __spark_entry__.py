@@ -4695,6 +4695,7 @@ def q_zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from harmony_energy_data_pipeline_spark.sinks.layout import (
+        read_zorder,
         zorder_key as _zk,
         zorder_write,
     )
@@ -4706,7 +4707,7 @@ def q_zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="zorder_") + "/events_z"
     zorder_write(ev, ["b1", "b2"], out, bits=8, num_partitions=8)
-    back = spark.read.parquet(out).withColumn("z", _zk(["b1", "b2"], 8))
+    back = read_zorder(spark, out).withColumn("z", _zk(["b1", "b2"], 8))
     return back.agg(
         F.count("*").alias("n_rows"),
         F.expr("bit_xor(z)").alias("z_xor"),

@@ -53,23 +53,35 @@ def swap_dir_commit(path: str, staged: str) -> None:
 
 def _roll_forward(path: str, staged: str) -> None:
     old = _old(path)
-    if os.path.exists(staged):
-        if os.path.exists(path):
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(path, old)
-        os.rename(staged, path)
-    elif not os.path.exists(path) and os.path.exists(old):
-        # staged is gone (e.g. the writer's cleanup removed it after a
-        # failed second rename) and live is gone too: the backup is
-        # the ONLY surviving copy — restore it rather than deleting it
-        os.rename(old, path)
+    try:
+        if os.path.exists(staged):
+            if os.path.exists(path):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(path, old)
+            os.rename(staged, path)
+        elif not os.path.exists(path) and os.path.exists(old):
+            # staged is gone (e.g. the writer's cleanup removed it after
+            # a failed second rename) and live is gone too: the backup
+            # is the ONLY surviving copy — restore, don't delete
+            os.rename(old, path)
+    except FileNotFoundError:
+        # a concurrent recover (reader replaying the same marker, or
+        # the writer itself) completed a rename between our existence
+        # check and the call — fine as long as the final state below
+        # holds; re-raising would turn a completed swap into a
+        # spurious commit failure (ADVICE r3)
+        pass
     if not os.path.exists(path):
         # never conclude a swap that would leave no table at `path`
         raise RuntimeError(
             f"dir swap at {path!r}: neither staged, live, nor backup "
             "copy exists — refusing to remove the marker"
         )
-    os.remove(_marker(path))
+    # missing_ok: the concurrent completer may have removed the marker
+    try:
+        os.remove(_marker(path))
+    except FileNotFoundError:
+        pass
     shutil.rmtree(old, ignore_errors=True)
 
 

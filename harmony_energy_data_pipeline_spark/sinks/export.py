@@ -69,11 +69,24 @@ def _write_exact_shards(
     from a sample, so two buckets could share a partition and the
     export silently lost a shard (caught at sf0.1: 7 files of 8).
     The one remaining unroutable case — a bucket with zero rows —
-    still raises loudly."""
+    still raises loudly.
+
+    Publication is a SNAPSHOT-LOG commit (round 4; previously a
+    directory swap): the flattened shards land under
+    ``<path>/data/<txid>/part-<k>.json`` and a manifest publish makes
+    them live atomically — a concurrent reader resolves a manifest
+    once and streams a frozen file list, so re-exports never tear or
+    FileNotFound a reader mid-swap. Old flat exports (pre-snapshot)
+    remain readable via the legacy path in :func:`jsonl_manifest`.
+    """
     import glob as _glob
     import shutil
+    import uuid as _uuid
 
     from harmony_energy_data_pipeline_spark.operators.sampling import split_bucket
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        snapshot_publish_staged,
+    )
 
     key = shard_key or df.columns[0]
     staging = path.rstrip("/") + ".__shards_tmp"
@@ -86,10 +99,8 @@ def _write_exact_shards(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(staging)
-    # flatten into a sibling, then ONE directory swap — a reader never
-    # lists a half-flattened export
-    final = path.rstrip("/") + ".__final_tmp"
-    shutil.rmtree(final, ignore_errors=True)
+    txid = _uuid.uuid4().hex[:12]
+    final = os.path.join(path, "data", txid)
     os.makedirs(final)
     try:
         # NULL shard keys hash to a NULL bucket and would land in
@@ -111,45 +122,75 @@ def _write_exact_shards(
                 )
             ext = os.path.basename(files[0]).split(".", 1)[1]
             os.rename(files[0], os.path.join(final, f"part-{k:05d}.{ext}"))
-        # marker-protected swap: a crash mid-swap rolls FORWARD on the
-        # next write or manifest read instead of stranding the export
-        from harmony_energy_data_pipeline_spark.sinks.dirswap import (
-            swap_dir_commit,
+        snapshot_publish_staged(
+            path, txid,
+            extra={"format": "json", "n_shards": n_shards},
         )
-
-        swap_dir_commit(path, final)
+    except BaseException:
+        # a failed staging must not leave an orphan txid dir readers
+        # could be confused by in listings (it was never published)
+        shutil.rmtree(final, ignore_errors=True)
+        raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(final, ignore_errors=True)
 
 
 def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
     """Manifest of a JSONL export: one entry per shard file with its
     size and line count — what a training loader stripes over. Counts
     are computed distributed (one text-scan with an input-file
-    grouping), not by reading files on the driver."""
+    grouping), not by reading files on the driver.
+
+    Snapshot-log exports (``n_shards`` mode) resolve the latest
+    manifest ONCE and scan that frozen file list — a concurrent
+    re-export publishes a new version and never perturbs this reader.
+    Legacy flat exports (``max_records_per_file`` mode, or tables
+    written before round 4) fall back to a directory listing; that
+    path replays any interrupted pre-snapshot swap first, which
+    mutates the directory — safe only under the documented
+    reader-after-crash contract (no LIVE legacy writer concurrently
+    swapping), the same contract ``read_partitioned_committed``
+    states. New exports never hit it."""
     from urllib.parse import unquote, urlparse
 
-    from harmony_energy_data_pipeline_spark.sinks.dirswap import recover_dir_swap
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as _snap
 
-    recover_dir_swap(path)  # never list a half-swapped export
+    if os.path.isdir(os.path.join(path, "_snapshots")):
+        v = _snap.latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no committed export at {path}")
+        files = sorted(
+            _snap._abs_file(path, f)
+            for f in _snap._read_manifest(path, v)["files"]
+        )
+    else:  # legacy flat layout
+        from harmony_energy_data_pipeline_spark.sinks.dirswap import (
+            recover_dir_swap,
+        )
+
+        recover_dir_swap(path)  # never list a half-swapped export
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        )
+    if not files:
+        return []
 
     # input_file_name() yields a percent-encoded URI; key counts by the
     # decoded basename so paths with spaces/special chars still match
     counts = {
         os.path.basename(unquote(urlparse(r["file"]).path)): r["n"]
         for r in (
-            spark.read.text(os.path.join(path, "part-*"))
+            spark.read.text(files)
             .groupBy(F.input_file_name().alias("file"))
             .agg(F.count("*").alias("n"))
             .collect()
         )
     }
     entries = []
-    for fname in sorted(os.listdir(path)):
-        if not fname.startswith("part-"):
-            continue
-        full = os.path.join(path, fname)
+    for full in files:
+        fname = os.path.basename(full)
         if fname not in counts:
             raise ValueError(f"no line count resolved for shard {fname}")
         entries.append(

@@ -93,6 +93,7 @@ def zorder_write(
     bits: int = 16,
     num_partitions: int | None = None,
     fmt: str = "parquet",
+    snapshot_log: bool = True,
 ) -> None:
     """Range-partition on the Morton key, sort within partitions, and
     write: each output file then covers a compact hyper-rectangle of
@@ -103,9 +104,15 @@ def zorder_write(
     key space is sparse), the sort is partition-local, and the key
     column is dropped before write (it is a layout device, not data).
 
-    The rewrite lands via a temp-sibling + directory swap (the
-    ``upsert_parquet`` pattern): re-clustering a live table must not
-    expose readers to a half-written layout.
+    By default (round 4) the rewrite lands as a SNAPSHOT-LOG commit:
+    new files under ``<path>/data/<txid>/``, one manifest publish, so
+    a concurrent reader holding the previous version's frozen file
+    list is never torn or FileNotFound'd mid-rewrite — read back with
+    ``sinks.snapshots.read_zorder``/``read_snapshot`` (and re-cluster
+    a live table as often as compaction policy wants). Pass
+    ``snapshot_log=False`` for a flat directory readable by plain
+    ``spark.read.parquet(path)``, which lands via the marker-protected
+    directory swap (single-writer, reader-retry contract).
     """
     import os
     import shutil
@@ -117,12 +124,25 @@ def zorder_write(
         if num_partitions
         else keyed.repartitionByRange("__z")
     )
+    sorted_df = parted.sortWithinPartitions("__z").drop("__z")
+    if snapshot_log:
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_publish_staged,
+        )
+
+        txid = uuid.uuid4().hex[:12]
+        sorted_df.write.mode("error").format(fmt).save(
+            os.path.join(path, "data", txid)
+        )
+        snapshot_publish_staged(
+            path, txid,
+            extra={"format": fmt, "layout": {"zorder": True, "bits": bits}},
+        )
+        return
     tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex[:8]}"
-    parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(
-        fmt
-    ).save(tmp)
-    # marker-protected swap (shared with the JSONL export): a crash
-    # mid-swap rolls forward instead of stranding the rewrite
+    sorted_df.write.mode("overwrite").format(fmt).save(tmp)
+    # marker-protected swap (shared with the legacy JSONL export): a
+    # crash mid-swap rolls forward instead of stranding the rewrite
     from harmony_energy_data_pipeline_spark.sinks.dirswap import swap_dir_commit
 
     try:
@@ -131,4 +151,22 @@ def zorder_write(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-__all__ = ["zorder_key", "zorder_key_sql", "scale_to_bits", "zorder_write"]
+def read_zorder(spark, path: str, fmt: str = "parquet"):
+    """Read a ``zorder_write`` table regardless of which publication
+    mode produced it: snapshot-log tables resolve the latest manifest
+    (frozen file list), flat tables read the directory."""
+    import os
+
+    if os.path.isdir(os.path.join(path, "_snapshots")):
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            read_snapshot,
+        )
+
+        return read_snapshot(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
+__all__ = [
+    "zorder_key", "zorder_key_sql", "scale_to_bits", "zorder_write",
+    "read_zorder",
+]

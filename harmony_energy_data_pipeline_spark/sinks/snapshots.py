@@ -164,12 +164,19 @@ def _publish_manifest(
         os.close(dfd)
 
 
+def _is_data_file(name: str) -> bool:
+    """Data files are anything not hidden/metadata (``_SUCCESS``,
+    ``.crc``, …) — the log hosts parquet tables and staged exports
+    (e.g. JSONL shards) with the same manifest mechanics."""
+    return not name.startswith(("_", "."))
+
+
 def _data_files(data_dir: str) -> list[str]:
     return sorted(
         os.path.join(dp, f)
         for dp, _dirs, files in os.walk(data_dir)
         for f in files
-        if f.endswith(".parquet")
+        if _is_data_file(f)
     )
 
 
@@ -199,9 +206,35 @@ def snapshot_write(
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
+    return snapshot_publish_staged(
+        path, txid, mode=mode, max_retries=max_retries,
+        extra=extra, protocol=protocol,
+    )
+
+
+def snapshot_publish_staged(
+    path: str,
+    txid: str,
+    mode: str = "overwrite",
+    max_retries: int = 10,
+    extra: dict | None = None,
+    protocol: str = "link",
+) -> int:
+    """Commit files already staged under ``<path>/data/<txid>/`` as a
+    new snapshot — the publish half of :func:`snapshot_write`, exposed
+    for sinks whose staging step is not a plain ``df.write.parquet``
+    (the exactly-N JSONL export's flatten, the z-order rewrite). A
+    crash before this call leaves only an orphaned txid dir no
+    manifest references — invisible to readers, swept by ``vacuum``.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    data_dir = os.path.join(path, "data", txid)
     # stored table-root-relative so the table survives relocation and
     # vacuum/readers are cwd-independent
     new_files = [_rel_file(path, f) for f in _data_files(data_dir)]
+    if not new_files:
+        raise FileNotFoundError(f"no staged data files under {data_dir}")
     for _ in range(max_retries):
         parent = latest_version(path)
         version = 0 if parent is None else parent + 1
@@ -238,10 +271,13 @@ def read_snapshot(
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = [_abs_file(path, f) for f in _read_manifest(path, v)["files"]]
+    m = _read_manifest(path, v)
+    files = [_abs_file(path, f) for f in m["files"]]
     if not files:
         raise FileNotFoundError(f"snapshot v{v} at {path} lists no files")
-    return spark.read.parquet(*files)
+    # staged exports record their format in the manifest (e.g. "json"
+    # for JSONL shards); plain snapshot_write tables default to parquet
+    return spark.read.format(m.get("format", "parquet")).load(files)
 
 
 def read_snapshot_changes(
@@ -282,7 +318,7 @@ def read_snapshot_changes(
     ]
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
-    return spark.read.parquet(*new_files)
+    return spark.read.format(hi.get("format", "parquet")).load(new_files)
 
 
 def committed_marker_values(path: str, key: str) -> set:
@@ -390,11 +426,11 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     for dp, _dirs, files in os.walk(data_root, topdown=False):
         dir_has_live = any(
             os.path.abspath(os.path.join(dp, g)) in live
-            for g in files if g.endswith(".parquet")
+            for g in files if _is_data_file(g)
         )
         for f in files:
             full = os.path.abspath(os.path.join(dp, f))
-            if f.endswith(".parquet"):
+            if _is_data_file(f):
                 if full not in live:
                     os.remove(full)
                     removed += 1
@@ -406,7 +442,7 @@ def vacuum(path: str, keep_last: int = 1) -> int:
 
 
 __all__ = [
-    "snapshot_write", "read_snapshot", "read_snapshot_changes",
-    "snapshot_history", "latest_version", "vacuum",
-    "committed_marker_values",
+    "snapshot_write", "snapshot_publish_staged", "read_snapshot",
+    "read_snapshot_changes", "snapshot_history", "latest_version",
+    "vacuum", "committed_marker_values",
 ]

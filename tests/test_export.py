@@ -45,7 +45,11 @@ def test_jsonl_fixed_shards_deterministic(spark, tmp_path, sf_dir):
     # identical shard contents regardless of input partitioning: a
     # given doc routes to the same shard index both times
     def shard_sets(out):
-        df = spark.read.json(out).withColumn("f", F.input_file_name())
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            read_snapshot,
+        )
+
+        df = read_snapshot(spark, out).withColumn("f", F.input_file_name())
         return {
             frozenset(
                 r["doc_id"] for r in df.filter(F.col("f") == f).collect()
@@ -66,11 +70,43 @@ def test_manifest_written(spark, tmp_path, sf_dir):
 
 
 def test_manifest_does_not_pollute_reads(spark, tmp_path, sf_dir):
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import read_snapshot
+
     docs = _docs(spark, sf_dir).limit(40)
     out = str(tmp_path / "mp")
     write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
     write_manifest(spark, out)
-    back = spark.read.json(out)
-    # the underscore-prefixed manifest is invisible to the reader
+    back = read_snapshot(spark, out)
+    # the snapshot metadata (and `_manifest.json`) are invisible to the
+    # reader — only the manifest's frozen shard list is scanned
     assert back.count() == 40
     assert "_corrupt_record" not in back.columns
+
+
+def test_reexport_never_tears_a_reader(spark, tmp_path, sf_dir):
+    """Round-4 contract: a reader resolved BEFORE a concurrent
+    re-export keeps its frozen shard list (old snapshot-log versions
+    stay readable until vacuum); there is no mid-swap window at all."""
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import read_snapshot
+
+    docs = _docs(spark, sf_dir).limit(60)
+    out = str(tmp_path / "re")
+    write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
+    frozen = read_snapshot(spark, out)  # resolve version 0 now
+    # the "concurrent" re-export (new version published atomically)
+    write_jsonl_shards(docs.limit(10), out, n_shards=2, shard_key="doc_id")
+    assert frozen.count() == 60          # reader untorn
+    assert read_snapshot(spark, out).count() == 10  # new readers see v1
+    m = jsonl_manifest(spark, out)
+    assert sum(e["n_records"] for e in m) == 10
+
+
+def test_jsonl_manifest_reads_legacy_flat_exports(spark, tmp_path, sf_dir):
+    """Pre-round-4 exports are plain directories of part files; the
+    manifest reader must still serve them."""
+    docs = _docs(spark, sf_dir).limit(30)
+    out = str(tmp_path / "legacy")
+    docs.coalesce(1).write.mode("overwrite").json(out)
+    m = jsonl_manifest(spark, out)
+    assert sum(e["n_records"] for e in m) == 30
+    assert all(e["file"].startswith("part-") for e in m)

@@ -50,7 +50,8 @@ def test_zorder_write_tightens_both_dimensions(spark, sf_dir):
     with tempfile.TemporaryDirectory() as out:
         path = f"{out}/z"
         zorder_write(ev, ["u", "v"], path, bits=8, num_partitions=n_files)
-        back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+        from harmony_energy_data_pipeline_spark.sinks.layout import read_zorder
+        back = read_zorder(spark, path).withColumn("__f", F.input_file_name())
         spans = back.groupBy("__f").agg(
             (F.max("u") - F.min("u")).alias("su"),
             (F.max("v") - F.min("v")).alias("sv"),
