@@ -222,37 +222,10 @@ def ivf_topk_portable(
     the assignment agg (one shuffle on id), and candidate scoring is a
     cell-keyed equi-join — the corpus is never all-pairs scanned.
     """
-    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
-    pe_c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.posexplode(corpus_vec).alias("pos", "v"),
-    ).select("neighbor_id", "pos", vm.alias("vm"))
-    cent = (
-        pe_c.withColumn("cell", F.col("neighbor_id") % n_centroids)
-        .groupBy("cell", "pos")
-        .agg(F.round(F.sum("vm").cast("double") / F.count("*")).cast("long").alias("cm"))
+    probes, assigned = _portable_cell_probes(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        n_centroids, n_probe, scale,
     )
-    d = F.col("vm") - F.col("cm")
-
-    def nearest_cells(pe: DataFrame, idc: str, n_keep: int) -> DataFrame:
-        dist = (
-            pe.join(F.broadcast(cent), "pos")
-            .groupBy(idc, "cell")
-            .agg(F.sum(d * d).alias("__d2"))
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("__d2").asc(), F.col("cell").asc())
-        return (
-            dist.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n_keep)
-            .select(idc, "cell")
-        )
-
-    assigned = nearest_cells(pe_c, "neighbor_id", 1)
-    pe_q = queries.select(
-        F.col(query_id).alias("query_id"), F.posexplode(query_vec).alias("pos", "v")
-    ).select("query_id", "pos", vm.alias("vm"))
-    probes = nearest_cells(pe_q, "query_id", n_probe)
-
     qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
     # each corpus vector lives in exactly one cell and probes are
@@ -410,6 +383,7 @@ def semdedup(
     n_cells: int = 8,
     scale: int = 1_000_000,
     vectorized: bool = True,
+    max_cell_rows: int = 16_384,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning. Cluster embeddings with a coarse quantizer,
@@ -445,6 +419,18 @@ def semdedup(
     this removes the only superlinear term SCALING.md found. Zero and
     NaN vectors bypass the grouping: their normalized cosine is 0/NaN
     (never ≥ threshold), so the original semantics keep every copy.
+
+    MEMORY CONTRACT (``max_cell_rows``, vectorized path): one cell's
+    DISTINCT vectors must fit a single Python worker — the GEMM
+    builds a |cell|×|cell| float64 similarity matrix (≈2 GiB at the
+    16 384 default). A cell over the cap raises with the remedy
+    (raise ``n_cells`` so |distinct vectors|/n_cells fits, or raise
+    the cap on big-memory workers) instead of OOM-killing the
+    executor mid-job — the same census-and-refuse playbook as
+    ``fuzzy_match_pairs``' ``max_block``, except refusal here is an
+    error: silently dropping a cell would change the survivor set.
+    The expression path (``vectorized=False``) streams pairs through
+    a join and needs no cap.
     """
     assigned = portable_cells(df, id_col, vec_col, n_cells, scale)
     sides = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
@@ -464,6 +450,13 @@ def semdedup(
     )
     if vectorized:
         def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > max_cell_rows:
+                raise ValueError(
+                    f"semdedup cell {pdf['cell'].iloc[0]} holds {len(pdf)} "
+                    f"distinct vectors > max_cell_rows={max_cell_rows}; its "
+                    "similarity matrix would not fit one worker — increase "
+                    "n_cells (or max_cell_rows on big-memory executors)"
+                )
             pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
             m = np.stack(pdf["__v"].to_numpy()).astype("float64")
             norms = np.linalg.norm(m, axis=1)
@@ -596,6 +589,72 @@ def assign_nearest_centroid(
     )
 
 
+def _portable_cell_probes(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    n_centroids: int,
+    n_probe: int,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF candidate structure shared by
+    ``ivf_topk_portable`` and ``quantized_dot_topk``'s bucketed
+    route: one Lloyd M-step over the ``id % n_centroids`` seed on
+    ``round(x·scale)`` integer vectors, then exact-integer nearest
+    cells. Returns ``(probes, assigned)`` — ``(query_id, cell)`` for
+    each query's ``n_probe`` nearest cells and ``(neighbor_id,
+    cell)`` for each corpus row's single nearest cell. Broadcast
+    centroid joins only; the corpus shuffles once, by id."""
+    vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    pe_c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.posexplode(corpus_vec).alias("pos", "v"),
+    ).select("neighbor_id", "pos", vm.alias("vm"))
+    cent = (
+        pe_c.withColumn("cell", F.col("neighbor_id") % n_centroids)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.sum("vm").cast("double") / F.count("*")).cast("long").alias("cm"))
+    )
+    d = F.col("vm") - F.col("cm")
+
+    def nearest_cells(pe: DataFrame, idc: str, n_keep: int) -> DataFrame:
+        dist = (
+            pe.join(F.broadcast(cent), "pos")
+            .groupBy(idc, "cell")
+            .agg(F.sum(d * d).alias("__d2"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__d2").asc(), F.col("cell").asc())
+        return (
+            dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_keep)
+            .select(idc, "cell")
+        )
+
+    assigned = nearest_cells(pe_c, "neighbor_id", 1)
+    pe_q = queries.select(
+        F.col(query_id).alias("query_id"), F.posexplode(query_vec).alias("pos", "v")
+    ).select("query_id", "pos", vm.alias("vm"))
+    probes = nearest_cells(pe_q, "query_id", n_probe)
+    return probes, assigned
+
+
+def topk_route(
+    n_queries: int, max_broadcast_queries: int | None
+) -> str:
+    """Pure routing decision for query-side top-k scoring (unit-
+    tested like ``joins.choose_join_strategy``): ``"broadcast"``
+    while the query side fits the driver/executor broadcast budget —
+    the corpus then never shuffles — else ``"bucketed"``, the
+    IVF-candidate path whose cost is |q|·|corpus|·(n_probe/n_cells)
+    instead of the full cross product."""
+    if max_broadcast_queries is None or n_queries <= max_broadcast_queries:
+        return "broadcast"
+    return "bucketed"
+
+
 def quantized_dot_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -606,6 +665,9 @@ def quantized_dot_topk(
     corpus_vec: str = "embedding",
     qscale: int = 127,
     include_self: bool = False,
+    max_broadcast_queries: int | None = 50_000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Exact top-k by INT8-quantized dot product — the
     storage-compression ANN path: vectors quantize per-dimension to
@@ -619,12 +681,28 @@ def quantized_dot_topk(
     Output: ``(query_id, neighbor_id, dot_q, rank)`` — ``dot_q`` the
     raw integer score, rank 1..k, ties broken by neighbor_id.
 
-    Scale shape: identical to ``cosine_topk`` — the (small) quantized
-    query side broadcasts, the corpus streams through one map-side
-    ``zip_with``/``aggregate`` fold (JVM-side, no explode, no
-    shuffle of the corpus), and only the per-query top-k heap
-    shuffles. The int64 accumulator is exact: |dot| ≤ dim·qscale²
-    (~1e6 per 64 dims), nowhere near overflow.
+    Scale shape (MEASURED-PROBE ROUTED, round 4 — the same playbook
+    as ``joins.skew_aware_join``): a cheap ``count()`` of the query
+    side picks the plan via :func:`topk_route`.
+
+    * ``broadcast`` (|q| ≤ ``max_broadcast_queries``): identical to
+      ``cosine_topk`` — the quantized query side broadcasts, the
+      corpus streams through one map-side ``zip_with``/``aggregate``
+      fold (JVM-side, no explode, no shuffle of the corpus), and only
+      the per-query top-k heap shuffles. EXACT.
+    * ``bucketed`` (|q| above the dial — SCALING.md measured the
+      registered |q|≈|corpus| configuration at 24× wall at 30×):
+      candidates restrict to each query's ``n_probe`` nearest of
+      ``n_centroids`` deterministic IVF cells (the
+      ``ivf_topk_portable`` quantizer), scored with the same integer
+      dot — cost falls by ~n_probe/n_centroids; approximate unless
+      ``n_probe == n_centroids`` (then provably identical to
+      broadcast, which the unit test asserts).
+
+    ``max_broadcast_queries=None`` skips the probe and forces the
+    broadcast plan (the oracle-registered query does this implicitly
+    at test SFs). The int64 accumulator is exact either way: |dot| ≤
+    dim·qscale² (~1e6 per 64 dims), nowhere near overflow.
     """
     def q8(vc: str) -> Column:
         return F.transform(
@@ -641,14 +719,28 @@ def quantized_dot_topk(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), q8(corpus_vec).alias("__c8")
     )
-    scored = F.broadcast(q).crossJoin(c)
-    if not include_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
         F.zip_with("__q8", "__c8", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    route = "broadcast"
+    if max_broadcast_queries is not None:
+        route = topk_route(queries.count(), max_broadcast_queries)
+    if route == "bucketed":
+        probes, assigned = _portable_cell_probes(
+            queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+            n_centroids, n_probe,
+        )
+        scored = (
+            probes.join(assigned, "cell")
+            .join(q, "query_id")
+            .join(c, "neighbor_id")
+        )
+    else:
+        scored = F.broadcast(q).crossJoin(c)
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select("query_id", "neighbor_id", dot.alias("dot_q"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("neighbor_id").asc()
@@ -667,6 +759,7 @@ def kmeans_fixed_point(
     n_iter: int = 2,
     scale: int = 1_000_000,
     checkpoint_every: int = 5,
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """Full Lloyd's K-means with ``n_iter`` fixed synchronous rounds
     and ENGINE-PORTABLE arithmetic — the iterative generalization of
@@ -697,11 +790,30 @@ def kmeans_fixed_point(
     between reliable checkpoints stay lazy; long loops truncate
     lineage through ``iterative.truncate_every`` like PageRank
     (operators/graph.py) rather than fault-fragile localCheckpoint.
+
+    ``assign_mode`` picks the E-step's physical form (round 4):
+
+    * ``"expr"`` (default, the oracle twin): exploded exact-integer
+      Catalyst expressions — the broadcast centroid join fans each
+      (id, pos) row ×k before the partial agg, so shuffle rows are
+      n·k after map-side combine; fine for small k, superlinear in k.
+    * ``"gemm"``: the assignment runs as one ``mapInPandas`` pass
+      over the un-exploded vectors — centroids (k×dim, collected per
+      round, broadcast in the closure) against each Arrow batch via
+      the int64 expansion ``|x|² + |c|² − 2·X@Cᵀ``; NO join fanout,
+      no E-step shuffle at all, cost linear in n with a k×dim GEMM
+      per batch — the production path for large k (the same
+      exact-vs-GEMM split SemDeDup uses). All arithmetic stays
+      integer (HALF_UP quantization mirrors ``F.round``), so the two
+      modes are bit-identical — parity-tested on real embeddings.
     """
     from .iterative import ensure_checkpoint_dir, truncate_every
 
+    if assign_mode not in ("expr", "gemm"):
+        raise ValueError(f"assign_mode must be expr|gemm, got {assign_mode!r}")
     ensure_checkpoint_dir(df.sparkSession)
     vm = F.round(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
     pe = (
         df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v"))
         .select("id", "pos", vm.alias("vm"))
@@ -724,16 +836,19 @@ def kmeans_fixed_point(
         "id", (F.col("id") % k).alias("cell")
     )
     for r in range(n_iter):
-        dist = (
-            pe.join(F.broadcast(cent), "pos")
-            .groupBy("id", "cell")
-            .agg(F.sum(d * d).alias("__d2"))
-        )
-        assign = (
-            dist.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "cell")
-        )
+        if assign_mode == "gemm":
+            assign = _kmeans_assign_gemm(src, cent, scale)
+        else:
+            dist = (
+                pe.join(F.broadcast(cent), "pos")
+                .groupBy("id", "cell")
+                .agg(F.sum(d * d).alias("__d2"))
+            )
+            assign = (
+                dist.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("id", "cell")
+            )
         cent = (
             pe.join(assign, "id")
             .groupBy("cell", "pos")
@@ -746,8 +861,46 @@ def kmeans_fixed_point(
     )
 
 
+def _kmeans_assign_gemm(
+    src: DataFrame, cent: DataFrame, scale: int
+) -> DataFrame:
+    """GEMM E-step: collect the (k×dim) centroid table — per-round
+    driver traffic of k·dim longs, trivially small — and assign every
+    vector in one ``mapInPandas`` pass. Exact-integer throughout:
+    vectors quantize with HALF_UP (mirroring Spark's ``F.round``),
+    distances expand as ``|x|² + |c|² − 2·X@Cᵀ`` in int64 (|terms| ≤
+    dim·scale²·max|x|² ≈ 1e14 — far from overflow), and ties argmin
+    to the smallest cell id exactly like the expression path's
+    ``ORDER BY __d2, cell``."""
+    rows = cent.collect()
+    if not rows:
+        raise ValueError("kmeans: empty centroid table")
+    cells = sorted({r["cell"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((len(cells), dim), dtype=np.int64)
+    cell_index = {c: i for i, c in enumerate(cells)}
+    for r in rows:
+        C[cell_index[r["cell"]], r["pos"]] = r["cm"]
+    cells_arr = np.asarray(cells, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            y = np.stack(pdf["__vec"].to_numpy()).astype("float64") * float(scale)
+            xq = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            x2 = (xq * xq).sum(axis=1)
+            d2 = x2[:, None] + c2[None, :] - 2 * (xq @ C.T)
+            # argmin returns the FIRST minimum; cells_arr is ascending,
+            # so ties break to the smallest cell id
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell": cells_arr[np.argmin(d2, axis=1)]}
+            )
+
+    return src.mapInPandas(assign_batches, "id long, cell long")
+
+
 __all__ = [
     "cosine_topk", "lsh_topk", "ivf_topk", "ivf_topk_portable",
     "embedding_near_dup_pairs", "assign_nearest_centroid",
-    "kmeans_fixed_point", "quantized_dot_topk",
+    "kmeans_fixed_point", "quantized_dot_topk", "topk_route",
 ]

@@ -979,15 +979,24 @@ def bpe_learn(
     Scale shape: the corpus collapses to the word histogram with one
     map-side-combined agg; every subsequent round touches only
     |distinct words| rows — pair counting is an explode + one agg,
-    the 1-row winner joins back as a broadcast. The histogram is
-    ``persist()``-ed per round (lineage kept, executor-loss safe) so
-    round r's winner does not recompute rounds 0..r-1; the cached
-    copies are |vocabulary|-sized and MEMORY_AND_DISK (evictable).
+    the 1-row winner joins back as a broadcast. Rounds step EAGERLY
+    with the ``operators.iterative`` discipline (round 4): each
+    round's ≤1-row winner is reliably checkpointed (truncating its
+    lineage off the histogram), the child histogram materializes
+    under ``persist()`` while its parent is still cached, and the
+    parent is unpersisted immediately after — so a session training
+    many vocabularies holds at most TWO |vocabulary|-sized cached
+    histograms at any instant instead of one per round forever.
     """
+    from harmony_energy_data_pipeline_spark.operators.iterative import (
+        ensure_checkpoint_dir,
+    )
+
+    ensure_checkpoint_dir(df.sparkSession)
     hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
     merges = []
     for r in range(1, n_merges + 1):
-        top = _bpe_top_pair(hist)
+        top = _bpe_top_pair(hist).checkpoint(eager=True)
         merges.append(
             top.select(
                 F.lit(r).alias("merge_round"),
@@ -997,7 +1006,13 @@ def bpe_learn(
                 "pair_count",
             )
         )
-        hist = _bpe_apply(hist, top).persist()
+        if r < n_merges:
+            new_hist = _bpe_apply(hist, top).persist()
+            new_hist.count()  # materialize child while parent is cached
+            hist.unpersist()
+            hist = new_hist
+        else:
+            hist.unpersist()  # winners are checkpointed; nothing needs it
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1020,9 +1035,21 @@ def bpe_token_counts(
     word frequency; ``top_k`` keeps the head of the vocabulary
     (count desc, token asc — deterministic), None keeps all.
     """
+    from harmony_energy_data_pipeline_spark.operators.iterative import (
+        ensure_checkpoint_dir,
+    )
+
+    ensure_checkpoint_dir(df.sparkSession)
     hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
     for _ in range(n_merges):
-        hist = _bpe_apply(hist, _bpe_top_pair(hist)).persist()
+        top = _bpe_top_pair(hist).checkpoint(eager=True)
+        new_hist = _bpe_apply(hist, top).persist()
+        new_hist.count()  # materialize child while parent is cached
+        hist.unpersist()
+        hist = new_hist
+    # the FINAL histogram stays persisted — the returned (lazy) encode
+    # plan reads it; it is the caller's to evict, and it is one
+    # |vocabulary|-sized block, not a per-round chain
     out = (
         hist.select(F.explode(_bpe_syms()).alias("sym"), "wc")
         .groupBy(_bpe_inner(F.col("sym")).alias("token"))

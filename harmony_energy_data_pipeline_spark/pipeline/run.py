@@ -33,6 +33,7 @@ def run_pipeline(
     history_path: str | None = None,
     batch_size: int = 30_000,
     max_records: int | None = None,
+    merge_chunk_rows: int = 240_000,
 ) -> dict:
     """One pipeline run (run.py:13-51). Returns the metrics dict the
     reference returns: total_fetched / valid_records / last_fetched_id.
@@ -51,13 +52,29 @@ def run_pipeline(
             row = spark.read.parquet(table_path).agg(F.max("_id").alias("m")).first()
             last_id = int(row["m"] or 0)
 
-        # 2-4. Keyset fetch loop (fetch_neso.py:42-97), processed PER
-        # PAGE: each page becomes one transform+merge, so the driver
-        # holds at most one page of raw dicts at a time — a backfill
-        # of any size streams through in bounded memory instead of
-        # accumulating the whole fetch before the first Spark job.
+        # 2-4. Keyset fetch loop (fetch_neso.py:42-97), processed in
+        # CHUNKS of up to ``merge_chunk_rows``: each page's raw dicts
+        # move into a (JVM-side) local-relation DataFrame immediately,
+        # and one transform+merge fires per chunk. This bounds driver
+        # memory to a chunk (not the whole backfill) WITHOUT paying a
+        # full-table merge rewrite per page — per-page merging makes a
+        # K-page backfill cost O(K × table size) I/O, quadratic in the
+        # fetched rows (ADVICE r3).
         cursor = last_id
         n_fetched = 0
+        pending: list = []
+        pending_rows = 0
+
+        def flush() -> None:
+            nonlocal pending, pending_rows
+            if not pending:
+                return
+            raw = pending[0]
+            for df in pending[1:]:
+                raw = raw.unionByName(df)
+            upsert_parquet(spark, transform_generation(raw), table_path, key="_id")
+            pending, pending_rows = [], 0
+
         with timed_stage(logger, "fetch+transform+load", last_id=last_id):
             while True:
                 limit = batch_size
@@ -70,11 +87,13 @@ def run_pipeline(
                     break
                 n_fetched += len(page)
                 cursor = int(page[-1]["_id"])
-                raw = records_to_df(spark, page, GENERATION_RAW_SCHEMA)
-                clean = transform_generation(raw)
-                upsert_parquet(spark, clean, table_path, key="_id")
+                pending.append(records_to_df(spark, page, GENERATION_RAW_SCHEMA))
+                pending_rows += len(page)
+                if pending_rows >= merge_chunk_rows:
+                    flush()
                 if len(page) < limit:
                     break
+            flush()
         metrics["total_fetched"] = n_fetched
         if n_fetched:
             metrics["valid_records"] = spark.read.parquet(table_path).filter(

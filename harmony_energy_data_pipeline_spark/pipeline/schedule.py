@@ -20,6 +20,13 @@ logger = logging.getLogger(__name__)
 
 class IntervalScheduler:
     def __init__(self, job, interval_seconds: float, run_immediately: bool = True):
+        if not interval_seconds > 0:
+            # a non-positive interval would make every slot already in
+            # the past — the loop would spin at 100% CPU advancing k
+            # one slot at a time and never check _stop (ADVICE r3)
+            raise ValueError(
+                f"interval_seconds must be > 0, got {interval_seconds!r}"
+            )
         self._job = job
         self._interval = interval_seconds
         self._immediate = run_immediately
@@ -38,11 +45,12 @@ class IntervalScheduler:
             self._fire()
         k = 1
         while True:
-            next_at = anchor + k * self._interval
             now = time.monotonic()
-            if next_at <= now:
-                k += 1
-                continue
+            # jump straight to the next FUTURE slot (no one-slot-at-a-
+            # time catch-up loop): a run that overshot s slots resumes
+            # at slot floor(elapsed/interval)+1
+            k = max(k, int((now - anchor) // self._interval) + 1)
+            next_at = anchor + k * self._interval
             if self._stop.wait(next_at - now):
                 return
             self._fire()

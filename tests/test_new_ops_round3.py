@@ -281,3 +281,117 @@ def test_grouped_trend_ignores_null_rows(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.n == 2 and abs(r.slope_per_hour - 1.0) < 1e-9
+
+
+def test_bpe_round_chain_is_unpersisted(spark, sf_dir):
+    """Round-4 fix: bpe_learn must not leave one cached histogram per
+    merge round — at most the in-flight pair (parent+child) during a
+    round, and ZERO of its own blocks after it returns (winners are
+    checkpointed, histograms unpersisted)."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    before = n_persistent()
+    out = bpe_learn(docs, "doc_id", "text", n_merges=5)
+    assert out.count() == 5
+    assert n_persistent() - before <= 0, (
+        f"bpe_learn leaked {n_persistent() - before} persisted RDDs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 hardening: semdedup cell guard, topk routing, kmeans GEMM E-step
+# ---------------------------------------------------------------------------
+
+def test_semdedup_refuses_oversized_cell(spark, sf_dir):
+    """A cell whose distinct vectors exceed max_cell_rows must refuse
+    loudly (the |cell|^2 similarity matrix would OOM a worker), naming
+    the n_cells remedy — never silently drop the cell."""
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(40)
+    squeezed = semdedup(emb, n_cells=1, max_cell_rows=10)
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        squeezed.count()
+    # same data under the default cap is fine
+    assert semdedup(emb, n_cells=1).count() > 0
+
+
+def test_topk_route_decision():
+    from harmony_energy_data_pipeline_spark.operators.similarity import topk_route
+
+    assert topk_route(10, 100) == "broadcast"
+    assert topk_route(100, 100) == "broadcast"   # inclusive bound
+    assert topk_route(101, 100) == "bucketed"
+    assert topk_route(10**9, None) == "broadcast"  # probe disabled
+
+
+def test_quantized_topk_bucketed_full_probe_matches_broadcast(spark, sf_dir):
+    """Routing sanity: with n_probe == n_centroids the bucketed path
+    scores every (query, corpus) pair, so it must equal the broadcast
+    plan EXACTLY (integer scores, deterministic ranks)."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(60)
+    qs = emb.limit(12)
+    exact = quantized_dot_topk(qs, emb, k=5, max_broadcast_queries=None)
+    routed = quantized_dot_topk(
+        qs, emb, k=5, max_broadcast_queries=1,  # force the bucketed route
+        n_centroids=4, n_probe=4,
+    )
+    cols = ["query_id", "neighbor_id", "dot_q", "rank"]
+    assert sorted(map(tuple, exact.select(cols).collect())) == sorted(
+        map(tuple, routed.select(cols).collect())
+    )
+
+
+def test_quantized_topk_bucketed_partial_probe_is_subset(spark, sf_dir):
+    """n_probe < n_centroids restricts candidates: every returned pair
+    must also appear in the exact scoring (no invented scores), with
+    identical dot values."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(60)
+    qs = emb.limit(8)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["dot_q"]
+        for r in quantized_dot_topk(
+            qs, emb, k=1000, max_broadcast_queries=None
+        ).collect()
+    }
+    routed = quantized_dot_topk(
+        qs, emb, k=5, max_broadcast_queries=1, n_centroids=4, n_probe=2
+    ).collect()
+    assert routed, "bucketed route returned nothing"
+    for r in routed:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["dot_q"]
+
+
+def test_kmeans_gemm_assign_parity(spark, sf_dir):
+    """The mapInPandas GEMM E-step must be bit-identical to the
+    exploded exact-integer expression E-step on real embeddings."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = kmeans_fixed_point(emb, k=5, n_iter=2, assign_mode="expr")
+    b = kmeans_fixed_point(emb, k=5, n_iter=2, assign_mode="gemm")
+    cols = ["cell", "pos", "cm", "n_members"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )

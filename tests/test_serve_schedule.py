@@ -128,3 +128,64 @@ def test_unpivot_helpers_handle_zero_matching_columns(spark):
     assert out.count() == 0 and out.columns == ["DATETIME", "Fuel", "value"]
     out2 = serve.fuel_share_long(df, "DATETIME", ["SOLAR_perc"])
     assert out2.count() == 0 and out2.columns == ["DATETIME", "Fuel", "value"]
+
+
+def test_scheduler_rejects_non_positive_interval():
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.pipeline.schedule import (
+        IntervalScheduler,
+    )
+
+    for bad in (0, -1, -0.5):
+        with _pytest.raises(ValueError, match="interval_seconds"):
+            IntervalScheduler(lambda: None, bad)
+
+
+def test_pipeline_chunked_merge_single_upsert_for_small_backfill(spark, tmp_path):
+    """A multi-page backfill under merge_chunk_rows must land via ONE
+    merge (not one per page) and still produce exact keyed content."""
+    from harmony_energy_data_pipeline_spark.pipeline.run import run_pipeline
+    from harmony_energy_data_pipeline_spark.sinks import upsert as upsert_mod
+
+    rows = [
+        {"_id": i, "DATETIME": f"2024-01-{1 + i // 24:02d}T{i % 24:02d}:00:00",
+         "GAS": "1.0", "COAL": "2.0", "NUCLEAR": "3.0", "WIND": "0.5",
+         "HYDRO": "0.1", "IMPORTS": "0.2", "BIOMASS": "0.3",
+         "OTHER": "0.4", "SOLAR": "0.6", "STORAGE": "0.0",
+         "GENERATION": "8.1", "CARBON_INTENSITY": "100",
+         "LOW_CARBON": "4.5", "ZERO_CARBON": "4.2", "RENEWABLE": "1.2",
+         "FOSSIL": "3.0", "GAS_perc": "12.3", "COAL_perc": "24.7",
+         "NUCLEAR_perc": "37.0", "WIND_perc": "6.2", "HYDRO_perc": "1.2",
+         "IMPORTS_perc": "2.5", "BIOMASS_perc": "3.7", "OTHER_perc": "4.9",
+         "SOLAR_perc": "7.4", "STORAGE_perc": "0.0",
+         "LOW_CARBON_perc": "55.6", "ZERO_CARBON_perc": "51.9",
+         "RENEWABLE_perc": "14.8", "FOSSIL_perc": "37.0"}
+        for i in range(1, 91)
+    ]
+
+    def fetch(last_id, limit):
+        tail = [r for r in rows if r["_id"] > last_id]
+        return tail[:limit]
+
+    calls = {"n": 0}
+    real = upsert_mod.upsert_parquet
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    import harmony_energy_data_pipeline_spark.pipeline.run as run_mod
+
+    orig = run_mod.upsert_parquet
+    run_mod.upsert_parquet = counting
+    try:
+        m = run_pipeline(
+            spark, fetch, str(tmp_path / "tbl"), batch_size=30,
+            merge_chunk_rows=240_000,
+        )
+    finally:
+        run_mod.upsert_parquet = orig
+    assert m["total_fetched"] == 90
+    assert calls["n"] == 1, f"expected one chunked merge, got {calls['n']}"
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == 90
