@@ -22,6 +22,8 @@ import json
 import os
 import shutil
 
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
+
 
 def _marker(path: str) -> str:
     return path.rstrip("/") + ".__swap.json"
@@ -31,6 +33,7 @@ def _old(path: str) -> str:
     return path.rstrip("/") + ".__old_tmp"
 
 
+@normalizes_paths('path', 'staged')
 def swap_dir_commit(path: str, staged: str) -> None:
     """Atomically-recoverable replace of directory ``path`` with
     ``staged``: durable marker, rename current → ``.__old_tmp``,
@@ -85,6 +88,7 @@ def _roll_forward(path: str, staged: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+@normalizes_paths('path')
 def recover_dir_swap(path: str) -> bool:
     """Replay an interrupted ``swap_dir_commit`` at ``path`` (called
     by writers before a new swap and by readers before listing).

@@ -20,7 +20,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 
+
+@normalizes_paths('path')
 def write_jsonl_shards(
     df: DataFrame,
     path: str,
@@ -135,6 +138,7 @@ def _write_exact_shards(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+@normalizes_paths('path')
 def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
     """Manifest of a JSONL export: one entry per shard file with its
     size and line count — what a training loader stripes over. Counts
@@ -203,6 +207,7 @@ def jsonl_manifest(spark: SparkSession, path: str) -> list[dict]:
     return entries
 
 
+@normalizes_paths('path')
 def write_manifest(spark: SparkSession, path: str) -> str:
     """Write ``_manifest.json`` next to the shards; returns its path.
     The underscore prefix keeps Spark (and most loaders) from listing

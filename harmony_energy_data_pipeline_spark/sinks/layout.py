@@ -21,6 +21,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
+
 
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of each (non-negative
@@ -86,6 +88,7 @@ def scale_to_bits(
     return F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1)).cast("long")
 
 
+@normalizes_paths('path')
 def zorder_write(
     df: DataFrame,
     cols: list[Column | str],
@@ -151,6 +154,7 @@ def zorder_write(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@normalizes_paths('path')
 def read_zorder(spark, path: str, fmt: str = "parquet"):
     """Read a ``zorder_write`` table regardless of which publication
     mode produced it: snapshot-log tables resolve the latest manifest

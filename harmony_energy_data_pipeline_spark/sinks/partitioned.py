@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
+
 
 def with_date_partition(df: DataFrame, ts_col: str, part_col: str = "dt") -> DataFrame:
     """Derive the partition column (calendar date of the event-time).
@@ -29,6 +31,7 @@ def with_date_partition(df: DataFrame, ts_col: str, part_col: str = "dt") -> Dat
     return df.withColumn(part_col, F.to_date(F.col(ts_col)))
 
 
+@normalizes_paths('path')
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -43,6 +46,7 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+@normalizes_paths('path')
 def overwrite_partitions_dynamic(
     spark: SparkSession,
     df: DataFrame,
@@ -136,6 +140,7 @@ def _leaf_partition_dirs(root: str, first_col: str) -> list[str]:
     return sorted(p for p in leaves if p.startswith(f"{first_col}="))
 
 
+@normalizes_paths('path')
 def commit_partition_swap(
     path: str, txid: str, partitions: list[str]
 ) -> None:
@@ -154,6 +159,7 @@ def commit_partition_swap(
     shutil.rmtree(backup, ignore_errors=True)
 
 
+@normalizes_paths('path')
 def recover_partitions(path: str, gc_unmarked: bool = False) -> bool:
     """Replay any interrupted commit at ``path``: roll marked swaps
     FORWARD (the staged batch is complete by the time its marker
@@ -192,6 +198,7 @@ def recover_partitions(path: str, gc_unmarked: bool = False) -> bool:
     return acted
 
 
+@normalizes_paths('path')
 def overwrite_partitions_atomic(
     df: DataFrame,
     path: str,
@@ -211,6 +218,7 @@ def overwrite_partitions_atomic(
     commit_partition_swap(path, txid, partitions)
 
 
+@normalizes_paths('path')
 def read_partitioned_committed(spark: SparkSession, path: str) -> DataFrame:
     """Read ``path`` with torn-commit protection: replay any
     interrupted swap (roll forward) before listing files — a reader
@@ -227,6 +235,7 @@ def read_partitioned_committed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@normalizes_paths('path')
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -49,6 +49,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
+
 
 #: Manifest keys the snapshot machinery itself writes; anything else in a
 #: manifest is caller metadata (e.g. a streaming sink's commit marker) and
@@ -89,6 +91,7 @@ def _versions(path: str) -> list[int]:
     )
 
 
+@normalizes_paths('path')
 def latest_version(path: str) -> int | None:
     vs = _versions(path)
     return vs[-1] if vs else None
@@ -180,6 +183,7 @@ def _data_files(data_dir: str) -> list[str]:
     )
 
 
+@normalizes_paths('path')
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -212,6 +216,7 @@ def snapshot_write(
     )
 
 
+@normalizes_paths('path')
 def snapshot_publish_staged(
     path: str,
     txid: str,
@@ -261,6 +266,7 @@ def snapshot_publish_staged(
     raise RuntimeError(f"snapshot commit lost the CAS race {max_retries} times")
 
 
+@normalizes_paths('path')
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -280,6 +286,7 @@ def read_snapshot(
     return spark.read.format(m.get("format", "parquet")).load(files)
 
 
+@normalizes_paths('path')
 def read_snapshot_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -321,6 +328,7 @@ def read_snapshot_changes(
     return spark.read.format(hi.get("format", "parquet")).load(new_files)
 
 
+@normalizes_paths('path')
 def committed_marker_values(path: str, key: str) -> set:
     """All values of manifest field ``key`` across live snapshots AND
     the compacted commit log ``vacuum`` leaves behind for expired
@@ -360,6 +368,7 @@ def _write_commit_log(path: str, payload: dict) -> None:
     os.rename(tmp, cp)
 
 
+@normalizes_paths('path')
 def snapshot_history(path: str) -> list[dict]:
     """Commit log, oldest first: (version, parent, operation, n_files)
     per snapshot — the audit surface ``pipeline_run_history`` gives
@@ -378,6 +387,7 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
+@normalizes_paths('path')
 def vacuum(path: str, keep_last: int = 1) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no

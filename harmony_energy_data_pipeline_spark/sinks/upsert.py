@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.schemas import RUN_HISTORY_SCHEMA
+from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 
 # Below this many incoming rows, broadcast the source side of the
 # anti-join so the target never shuffles (incremental pages are ≤30k
@@ -75,6 +76,7 @@ def merge_upsert(
     return survivors.unionByName(src)
 
 
+@normalizes_paths('path')
 def upsert_parquet(
     spark: SparkSession,
     source: DataFrame,
@@ -109,6 +111,7 @@ def upsert_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@normalizes_paths('path')
 def upsert_partitioned(
     spark: SparkSession,
     source: DataFrame,
@@ -252,7 +255,7 @@ class RunHistory:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
+        self.path = os.path.abspath(path)  # cwd-independent audit sink
 
     def _read(self) -> DataFrame:
         if os.path.exists(self.path):

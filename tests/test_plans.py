@@ -383,11 +383,22 @@ def test_kmeans_round_is_one_shuffle_plus_broadcast(spark, sf_dir):
 def test_bpe_counts_pairs_on_distinct_words(spark, sf_dir):
     """BPE pair counting must run over the word HISTOGRAM (distinct
     words), i.e. the plan aggregates tokens into words before any pair
-    explode — the occurrence stream is collapsed by the first agg."""
-    from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+    explode — the occurrence stream is collapsed by the first agg.
+
+    Since round 4 ``bpe_learn``'s returned frame reads CHECKPOINTED
+    winners (lineage deliberately truncated so round histograms can
+    unpersist), so the assertion targets the round's winner plan as
+    built — the same plan the loop checkpoints."""
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        _bpe_top_pair,
+        _bpe_wrapped_hist,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
-    out = bpe_learn(docs, "doc_id", "text", n_merges=1)
-    plan = physical_plan(out)
-    # the winner row comes back as a broadcast to the rewrite join
+    top = _bpe_top_pair(_bpe_wrapped_hist(docs, "doc_id", "text"))
+    plan = physical_plan(top)
+    # global argmax runs as a remote top-1, not a full sort
     assert "TakeOrderedAndProject" in plan, plan
+    # and the pair explode sits ABOVE the word-histogram aggregation:
+    # the occurrence stream is collapsed before any pair work
+    assert "HashAggregate" in plan, plan
