@@ -980,23 +980,26 @@ def bpe_learn(
     map-side-combined agg; every subsequent round touches only
     |distinct words| rows — pair counting is an explode + one agg,
     the 1-row winner joins back as a broadcast. Rounds step EAGERLY
-    with the ``operators.iterative`` discipline (round 4): each
-    round's ≤1-row winner is reliably checkpointed (truncating its
-    lineage off the histogram), the child histogram materializes
-    under ``persist()`` while its parent is still cached, and the
-    parent is unpersisted immediately after — so a session training
-    many vocabularies holds at most TWO |vocabulary|-sized cached
-    histograms at any instant instead of one per round forever.
+    (round 4): each round's ≤1-row winner is COLLECTED and re-created
+    as a driver-local relation — one-row driver traffic, and the
+    winner's lineage is cut off the histogram chain, so each parent
+    histogram unpersists as soon as the next round's collect has
+    materialized its child. A session training many vocabularies thus
+    holds at most TWO |vocabulary|-sized cached histograms at any
+    instant instead of one per round forever, and the returned frame
+    is a union of local relations (re-evaluating it recomputes
+    nothing).
     """
-    from harmony_energy_data_pipeline_spark.operators.iterative import (
-        ensure_checkpoint_dir,
-    )
-
-    ensure_checkpoint_dir(df.sparkSession)
+    spark = df.sparkSession
     hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
+    parent = None  # materialized-child's predecessor, pending unpersist
     merges = []
     for r in range(1, n_merges + 1):
-        top = _bpe_top_pair(hist).checkpoint(eager=True)
+        tp = _bpe_top_pair(hist)
+        top = spark.createDataFrame(tp.collect(), tp.schema)
+        if parent is not None:  # the collect materialized its child
+            parent.unpersist()
+            parent = None
         merges.append(
             top.select(
                 F.lit(r).alias("merge_round"),
@@ -1008,11 +1011,9 @@ def bpe_learn(
         )
         if r < n_merges:
             new_hist = _bpe_apply(hist, top).persist()
-            new_hist.count()  # materialize child while parent is cached
-            hist.unpersist()
-            hist = new_hist
+            parent, hist = hist, new_hist
         else:
-            hist.unpersist()  # winners are checkpointed; nothing needs it
+            hist.unpersist()  # winners are local; nothing needs it
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1035,18 +1036,20 @@ def bpe_token_counts(
     word frequency; ``top_k`` keeps the head of the vocabulary
     (count desc, token asc — deterministic), None keeps all.
     """
-    from harmony_energy_data_pipeline_spark.operators.iterative import (
-        ensure_checkpoint_dir,
-    )
-
-    ensure_checkpoint_dir(df.sparkSession)
+    spark = df.sparkSession
     hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
+    parent = None
     for _ in range(n_merges):
-        top = _bpe_top_pair(hist).checkpoint(eager=True)
+        tp = _bpe_top_pair(hist)
+        top = spark.createDataFrame(tp.collect(), tp.schema)
+        if parent is not None:  # the collect materialized its child
+            parent.unpersist()
+            parent = None
         new_hist = _bpe_apply(hist, top).persist()
-        new_hist.count()  # materialize child while parent is cached
-        hist.unpersist()
-        hist = new_hist
+        parent, hist = hist, new_hist
+    if parent is not None:
+        hist.count()  # materialize the final rewrite off the cached parent
+        parent.unpersist()
     # the FINAL histogram stays persisted — the returned (lazy) encode
     # plan reads it; it is the caller's to evict, and it is one
     # |vocabulary|-sized block, not a per-round chain
