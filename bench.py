@@ -132,8 +132,11 @@ def main() -> None:
     if len(line) > 1800:  # stay inside the driver's tail window
         out["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(out)
-    print(line)
+    # stop FIRST, print LAST: the JVM shares stdout and can emit
+    # unified-logging warnings under load; the JSON line must be the
+    # final thing on stdout for the driver's tail parse
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -192,6 +192,7 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    exact_prepass: bool = True,
 ) -> DataFrame:
     """Near-dedup: LSH candidates → exact-Jaccard verify → drop the
     larger id of each confirmed pair (keep-first representative).
@@ -200,13 +201,42 @@ def minhash_dedup(
     components: any doc that is the *larger* id in some confirmed pair
     is removed. (Full transitive closure needs iterative joins —
     GraphFrames CC at real scale.)
+
+    EXACT-DUPLICATE PREPASS (round 4; provably result-identical, the
+    same argument as ``semdedup``'s): byte-identical texts have
+    identical shingle sets, hence identical signatures and bands, so
+    every copy beyond the min-id representative is (a) guaranteed to
+    be LSH-caught and Jaccard-1-confirmed against its rep — dropped
+    either way — and (b) interchangeable with its rep in any
+    confirmed pair against a third doc (a group's rep id is its
+    minimum, so "some lower-id copy confirms against x" iff "the rep
+    confirms against x"). Collapsing copies to reps BEFORE the band
+    self-join makes LSH bucket membership — and the candidate-pair
+    mass, the only quadratic term (measured exponent 1.25 at 30×
+    replication) — scale with DISTINCT texts, not rows. Exactly the
+    standard 100 TB pipeline order: exact dedup, then near-dedup.
+    NULL texts bypass the grouping (their empty shingle set is
+    sentinel-excluded from LSH, so the original semantics keep every
+    copy).
     """
+    keep_cols = [F.col(id_col), F.col(text_col)]
+    if exact_prepass:
+        groupable = F.col(text_col).isNotNull()
+        reps = (
+            df.filter(groupable)
+            .groupBy(F.md5(text_col).alias("__dig"))
+            .agg(F.min(F.struct(*keep_cols)).alias("__s"))
+            .select(f"__s.{id_col}", f"__s.{text_col}")
+        )
+        sides = reps.unionByName(df.filter(~groupable).select(*keep_cols))
+    else:
+        sides = df.select(*keep_cols)
     pairs = minhash_candidate_pairs(
-        df, id_col, text_col, shingle_size, num_hashes, bands, seed
+        sides, id_col, text_col, shingle_size, num_hashes, bands, seed
     )
     # Hashed shingle sets for the exact-Jaccard verify: 8-byte set
     # elements (same Jaccard w.h.p.), computed once for both join sides.
-    sh = df.select(
+    sh = sides.select(
         F.col(id_col), shingle_hashes(text_col, shingle_size).alias("__sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     confirmed = (
@@ -215,6 +245,15 @@ def minhash_dedup(
         .filter(jaccard("__sh_a", "__sh_b") >= F.lit(threshold))
     )
     doomed = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_prepass:
+        # every non-rep copy is dominated by its (lower-id, Jaccard-1)
+        # rep: doomed regardless of the rep's own fate
+        non_reps = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(id_col)
+            .join(sides.select(id_col), id_col, "left_anti")
+        )
+        doomed = doomed.unionByName(non_reps).distinct()
     return df.join(doomed, on=id_col, how="left_anti")
 
 

@@ -70,11 +70,21 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
         builder = builder.master(master)
     if master.startswith("local"):
         # In local mode the driver JVM is also the executor; Spark's 1g
-        # default heap starves 32 concurrent tasks. No effect when a
-        # JVM already exists (driver-harness sessions) or on a real
-        # cluster (spark-submit sizes executors there).
+        # default heap starves 32 concurrent tasks (the 100x scale
+        # fixture showed GCLocker retry pressure at 12g, hence 24g).
+        # No effect when a JVM already exists (driver-harness sessions)
+        # or on a real cluster (spark-submit sizes executors there).
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
+        # JVM unified-logging warnings (e.g. [warning][gc,alloc]
+        # GCLocker retries under memory pressure) default to STDOUT and
+        # would interleave with programs whose stdout is a machine-read
+        # protocol (bench.py's one-line JSON contract); route them to
+        # stderr.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:all=warning:stderr:uptime,level,tags",
         )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)

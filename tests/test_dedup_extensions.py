@@ -250,3 +250,33 @@ def test_bloom_incremental_keeps_null_text_rows(spark):
     plain = {r.doc_id for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()}
     bloom = {r.doc_id for r in incremental_dedup_bloom(batch, corpus, "doc_id", "text").collect()}
     assert plain == bloom == {11, 12}
+
+
+def test_minhash_exact_prepass_is_result_identical(spark, sf_dir):
+    """Round-4: the exact-duplicate prepass must leave the survivor
+    set bit-identical to the direct LSH path — including under
+    injected exact copies (higher ids, so reps keep) and NULL texts
+    (never dropped)."""
+    from pyspark.sql import functions as F
+
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(300)
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    copies = base.limit(50).select(
+        (F.col("doc_id") + hi).alias("doc_id"), "text"
+    )
+    nulls = spark.createDataFrame(
+        [(hi * 3, None), (hi * 3 + 1, None)], "doc_id long, text string"
+    )
+    docs = base.unionByName(copies).unionByName(nulls)
+    with_pre = minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    without = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, exact_prepass=False
+    )
+    a = sorted(r["doc_id"] for r in with_pre.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in without.select("doc_id").collect())
+    assert a == b
+    # NULL-text docs survive in both
+    assert hi * 3 in a and hi * 3 + 1 in a
