@@ -395,3 +395,29 @@ def test_kmeans_gemm_assign_parity(spark, sf_dir):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_quantized_topk_gemm_scorer_matches_expr(spark, sf_dir):
+    """The GEMM broadcast scorer must be bit-identical to the
+    zip_with/aggregate expression fold — ranks, ties, and self-pair
+    exclusion included."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.limit(15)
+    cols = ["query_id", "neighbor_id", "dot_q", "rank"]
+    for include_self in (False, True):
+        a = quantized_dot_topk(
+            qs, emb, k=7, scorer="expr", include_self=include_self,
+            max_broadcast_queries=None,
+        )
+        b = quantized_dot_topk(
+            qs, emb, k=7, scorer="gemm", include_self=include_self,
+            max_broadcast_queries=None,
+        )
+        assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+            map(tuple, b.select(cols).collect())
+        ), f"include_self={include_self}"
