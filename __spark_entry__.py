@@ -4582,6 +4582,45 @@ def q_snapshot_changes_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_compact_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor,
+       CAST(1 AS BOOLEAN) AS fewer_files
+FROM events
+""")
+def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (`sinks/snapshots.py:
+    snapshot_compact` — the Iceberg rewrite_data_files maintenance
+    action): three multi-file append commits, compact the live set to
+    ~target-size files as a new overwrite version, digest the
+    READ-BACK — proving the rewrite preserves content exactly while
+    shrinking the file count (asserted in-query). Oracle recomputes
+    the digest straight from ``events``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_compact_")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 0).repartition(4), path)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 == 1).repartition(4), path, mode="append"
+    )
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 == 2).repartition(4), path, mode="append"
+    )
+    before = len(snap._read_manifest(path, snap.latest_version(path))["files"])
+    v = snap.snapshot_compact(spark, path, target_file_mb=128)
+    after = len(snap._read_manifest(path, v)["files"])
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+        F.lit(after < before).alias("fewer_files"),
+    )
+
+
 @_q("upsert_partitioned_digest", """
 WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, COUNT(*) AS n,

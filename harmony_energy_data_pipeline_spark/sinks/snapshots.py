@@ -388,6 +388,47 @@ def snapshot_history(path: str) -> list[dict]:
 
 
 @normalizes_paths('path')
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    protocol: str = "link",
+) -> int:
+    """Rewrite the LATEST snapshot's data into ~``target_file_mb``
+    files and commit the result as a new OVERWRITE version — the
+    Iceberg ``rewrite_data_files`` maintenance action for this log.
+    A table fed by a streaming append sink accrues one small file set
+    per micro-batch commit; scan cost then grows with file count, not
+    data volume (driver listing, task scheduling, parquet footer
+    reads). Compaction restores O(data/target) files while MVCC
+    semantics keep every concurrent reader on its already-resolved
+    version; old versions stay time-travelable until ``vacuum``.
+
+    Returns the committed version. File sizing derives from the live
+    set's total bytes (driver-side ``os.path.getsize`` over the
+    manifest list — |files| entries, the same bounded listing vacuum
+    does); the rewrite is one ``coalesce`` (no shuffle).
+    """
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, v)
+    if m.get("format", "parquet") != "parquet":
+        raise ValueError(
+            f"snapshot_compact only rewrites parquet tables; {path} is "
+            f"{m['format']!r} (JSONL exports are already exactly-N shaped)"
+        )
+    files = [_abs_file(path, f) for f in m["files"]]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(*files)
+    return snapshot_write(
+        df.coalesce(n_files), path, mode="overwrite", protocol=protocol,
+        extra={"compacted_from": v},
+    )
+
+
+@normalizes_paths('path')
 def vacuum(path: str, keep_last: int = 1) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no
@@ -454,5 +495,5 @@ def vacuum(path: str, keep_last: int = 1) -> int:
 __all__ = [
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "snapshot_history", "latest_version",
-    "vacuum", "committed_marker_values",
+    "vacuum", "committed_marker_values", "snapshot_compact",
 ]

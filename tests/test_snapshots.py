@@ -324,3 +324,43 @@ def test_vacuum_preserves_commit_markers(spark, tmp_path):
     assert snap.committed_marker_values(path, "stream_commit_id") == {
         "qA-0", "qB-0", "qA-1", "qB-1"
     }
+
+
+def test_snapshot_compact_preserves_content_and_history(spark, tmp_path):
+    """Round-4: compaction rewrites many small append files into few,
+    commits as a new overwrite version, keeps old versions readable
+    (MVCC), and survives a vacuum."""
+    path = str(tmp_path / "tbl")
+    # 6 appends × multi-partition writes = a small-file pile
+    for i in range(6):
+        snap.snapshot_write(
+            _df(spark, i * 10, i * 10 + 10).repartition(4), path,
+            mode="append" if i else "overwrite",
+        )
+    v_before = snap.latest_version(path)
+    n_files_before = len(snap._read_manifest(path, v_before)["files"])
+    assert n_files_before >= 20
+    v = snap.snapshot_compact(spark, path, target_file_mb=128)
+    assert v == v_before + 1
+    m = snap._read_manifest(path, v)
+    assert len(m["files"]) < n_files_before / 4
+    assert m["compacted_from"] == v_before
+    assert _keys(spark, path) == list(range(60))
+    # pre-compaction version still time-travels
+    assert _keys(spark, path, v_before) == list(range(60))
+    # vacuum drops the small files; content intact
+    snap.vacuum(path, keep_last=1)
+    assert _keys(spark, path) == list(range(60))
+
+
+def test_snapshot_compact_refuses_jsonl_tables(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.sinks.export import write_jsonl_shards
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(20)
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
+    with _pytest.raises(ValueError, match="parquet"):
+        snap.snapshot_compact(spark, out)
