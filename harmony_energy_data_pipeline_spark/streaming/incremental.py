@@ -300,6 +300,8 @@ def start_snapshot_append_sink(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    vacuum_keep: int | None = None,
 ):
     """writeStream → foreachBatch APPEND commits into an MVCC snapshot
     table (``sinks.snapshots``): every micro-batch becomes one
@@ -327,6 +329,19 @@ def start_snapshot_append_sink(
     start and maintained in memory after (this sink is the only writer
     for its query id), so the per-batch check is O(1), not a
     re-parse of every manifest per micro-batch.
+
+    INLINE MAINTENANCE (round 4, opt-in): a long-running append
+    stream accrues one small file set per micro-batch — unbounded
+    file-count growth is the classic streaming-lake failure mode.
+    ``compact_every=N`` runs ``snapshot_compact`` after every N of
+    this sink's commits and ``vacuum_keep=K`` expires all but the
+    last K versions after each maintenance pass, both inline on the
+    single writer thread (no second writer racing the log; commit
+    markers survive vacuum via the compacted commit log). NOTE:
+    compaction is an OVERWRITE version, so ``read_snapshot_changes``
+    ranges crossing it raise by contract — incremental consumers
+    must either keep pace within a maintenance window or handle the
+    rewrite with a full re-read (the Delta/Iceberg CDC contract).
     """
     import hashlib as _hashlib
 
@@ -334,8 +349,10 @@ def start_snapshot_append_sink(
 
     query_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     committed = snap.committed_marker_values(table_path, "stream_commit_id")
+    n_committed = 0
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_committed
         if batch_df.isEmpty():
             return
         commit_id = f"{query_tag}:{batch_id}"
@@ -346,6 +363,11 @@ def start_snapshot_append_sink(
             extra={"stream_commit_id": commit_id, "stream_batch_id": batch_id},
         )
         committed.add(commit_id)
+        n_committed += 1
+        if compact_every and n_committed % compact_every == 0:
+            snap.snapshot_compact(batch_df.sparkSession, table_path)
+            if vacuum_keep:
+                snap.vacuum(table_path, keep_last=vacuum_keep)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)
