@@ -352,18 +352,26 @@ def test_skew_aware_join_picks_strategy_from_profile(spark, sf_dir):
 
 
 def test_quantized_topk_corpus_never_shuffles(spark, sf_dir):
-    """The int8 scoring join must be a broadcast nested loop (query side
-    broadcast) with the corpus streaming map-side; the only exchange is
-    the per-query top-k window."""
+    """Default (GEMM) scorer: the corpus streams through one
+    mapInPandas pass — NO join at all, and the only exchange is the
+    per-query top-k merge window over |q|·k·n_batches rows. The expr
+    oracle twin keeps the broadcast-nested-loop shape (query side
+    broadcast, corpus map-side)."""
     from harmony_energy_data_pipeline_spark.operators.similarity import (
         quantized_dot_topk,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    out = quantized_dot_topk(emb.filter(F.col("vec_id") % 97 == 0), emb, k=10)
-    plan = physical_plan(out)
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    gemm = quantized_dot_topk(qs, emb, k=10)
+    plan = physical_plan(gemm)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(gemm) <= 1, plan
+    expr = quantized_dot_topk(qs, emb, k=10, scorer="expr")
+    plan = physical_plan(expr)
     assert "BroadcastNestedLoopJoin" in plan
-    assert shuffle_count(out) <= 1, physical_plan(out)
+    assert shuffle_count(expr) <= 1, plan
 
 
 def test_kmeans_round_is_one_shuffle_plus_broadcast(spark, sf_dir):

@@ -364,3 +364,42 @@ def test_snapshot_compact_refuses_jsonl_tables(spark, tmp_path, sf_dir):
     write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
     with _pytest.raises(ValueError, match="parquet"):
         snap.snapshot_compact(spark, out)
+
+
+def test_snapshot_log_random_lifecycle_preserves_content(spark, tmp_path):
+    """Property-style: any interleaving of append/overwrite/compact/
+    vacuum must keep read_snapshot() equal to the model (a plain set
+    the test maintains), and maintenance must never lose markers."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        path = str(tmp_path / f"tbl{trial}")
+        model: list[int] = []
+        nxt = 0
+        markers = set()
+        ops = []
+        for step in range(8):
+            op = rng.choice(["append", "append", "overwrite", "compact", "vacuum"])
+            if op in ("append", "overwrite") or snap.latest_version(path) is None:
+                if snap.latest_version(path) is None:
+                    op = "overwrite"
+                lo, hi = nxt, nxt + rng.randint(1, 12)
+                nxt = hi
+                marker = f"m{trial}-{step}"
+                snap.snapshot_write(
+                    _df(spark, lo, hi).repartition(rng.randint(1, 3)),
+                    path, mode=op, extra={"stream_commit_id": marker},
+                )
+                markers.add(marker)
+                if op == "overwrite":
+                    model = list(range(lo, hi))
+                else:
+                    model.extend(range(lo, hi))
+            elif op == "compact":
+                snap.snapshot_compact(spark, path, target_file_mb=64)
+            else:
+                snap.vacuum(path, keep_last=rng.randint(1, 2))
+            ops.append(op)
+            assert _keys(spark, path) == sorted(model), (trial, step, ops)
+        assert snap.committed_marker_values(path, "stream_commit_id") >= markers, ops
