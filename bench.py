@@ -56,6 +56,9 @@ HEADLINE = [
     "cms_heavy_users",
     "snapshot_time_travel",
     "snapshot_changes_digest",
+    # round-4 additions (appended; prior positions unchanged)
+    "auto_skew_join_events",
+    "snapshot_compact_digest",
 ]
 
 

@@ -43,18 +43,41 @@ def cosine_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     include_self: bool = False,
+    scorer: str = "expr",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force).
 
     Output: (query_id, neighbor_id, score, rank), rank 1..k, ties
     broken by neighbor_id ascending (deterministic).
+
+    ``scorer="expr"`` (default): the pure-Catalyst fold — the DuckDB
+    oracle twin, bit-stable across engines for the hash gate.
+    ``scorer="gemm"`` (opt-in production path for large corpora):
+    one float64 BLAS matmul per corpus Arrow batch against the whole
+    query matrix (collected into the closure — the query side is the
+    small side by this operator's contract), per-batch exact top-k
+    (score-boundary ties fully expanded before an id-tiebreak sort),
+    then a |q|·k·n_batches global merge window. Same neighbors; the
+    float SCORE can differ from the expr fold in the last ulp (BLAS
+    summation order), which is why it is not the oracle default.
     """
+    if scorer not in ("expr", "gemm"):
+        raise ValueError(f"scorer must be expr|gemm, got {scorer!r}")
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if scorer == "gemm":
+        prebatch = _cosine_gemm_topk(q, c, k, include_self)
+        return (
+            prebatch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -63,12 +86,71 @@ def cosine_topk(
         "neighbor_id",
         cosine_similarity("__qv", "__cv").alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _cosine_gemm_topk(
+    q: DataFrame, c: DataFrame, k: int, include_self: bool
+) -> DataFrame:
+    """Float twin of ``_quantized_gemm_topk``: normalized query matrix
+    in the closure, one GEMM per corpus batch, exact per-batch top-k
+    under (score desc, neighbor_id asc) — boundary score ties are
+    expanded to the full tie class before the id-tiebreak sort, so the
+    global merge reproduces brute force over THESE float scores."""
+    qrows = q.collect()
+    if len(qrows) == 0:
+        return q.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qn = Q / qn[:, None]
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            scores = (C / cn[:, None]) @ Qn.T  # n×m
+            n, m = scores.shape
+            out_q, out_n, out_s = [], [], []
+            for j in range(m):
+                s = scores[:, j].copy()
+                if include_self is False:
+                    s[nids == qids[j]] = -np.inf
+                k_eff = min(k, n)
+                part = np.argpartition(-s, k_eff - 1)[:k_eff]
+                thr = s[part].min()
+                if thr == -np.inf:
+                    cand = np.flatnonzero(s > -np.inf)
+                    if cand.size == 0:
+                        continue
+                else:
+                    cand = np.flatnonzero(s >= thr)  # all boundary ties
+                order = np.lexsort((nids[cand], -s[cand]))[:k_eff]
+                sel = cand[order]
+                out_q.append(np.full(sel.size, qids[j], dtype=np.int64))
+                out_n.append(nids[sel])
+                out_s.append(scores[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return c.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
     )
 
 

@@ -170,3 +170,26 @@ def test_tfidf_default_log_score_matches_math(spark):
     # cherry: df=1, doc 2 tf=1
     r = got[(2, "cherry")]
     assert abs(r["score"] - 1 * math.log((n + 1) / (1 + 1))) < 1e-12
+
+
+def test_cosine_topk_gemm_matches_expr_neighbors(spark, sf_dir):
+    """Opt-in GEMM scorer: identical neighbor sets and ranks on real
+    embeddings (scores agree to float tolerance; the last-ulp BLAS
+    difference is why gemm is not the oracle default)."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.limit(10)
+    for include_self in (False, True):
+        a = cosine_topk(qs, emb, k=6, include_self=include_self)
+        b = cosine_topk(qs, emb, k=6, include_self=include_self, scorer="gemm")
+        ra = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 9))
+            for r in a.collect()
+        )
+        rb = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 9))
+            for r in b.collect()
+        )
+        assert ra == rb, f"include_self={include_self}"
