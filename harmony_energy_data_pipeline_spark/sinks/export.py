@@ -129,6 +129,16 @@ def _write_exact_shards(
             path, txid,
             extra={"format": "json", "n_shards": n_shards},
         )
+        # A re-export ONTO a legacy flat export (pre-round-4 layout)
+        # leaves its superseded top-level part files behind — the old
+        # API overwrote the directory wholesale, so remove them once
+        # the snapshot commit is durable (manifest readers already
+        # prefer the snapshot; this keeps directory listings honest).
+        for fname in os.listdir(path):
+            if fname.startswith("part-") and os.path.isfile(
+                os.path.join(path, fname)
+            ):
+                os.remove(os.path.join(path, fname))
     except BaseException:
         # a failed staging must not leave an orphan txid dir readers
         # could be confused by in listings (it was never published)

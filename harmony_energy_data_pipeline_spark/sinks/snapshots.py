@@ -438,9 +438,19 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     Readers holding an already-resolved DataFrame for an expired
     version still stream their frozen file list until those files go;
     the single-writer-vacuum assumption matches the swap protocol's.
+
+    ``keep_last`` must be ≥ 1: zero would expire EVERY manifest and
+    delete every data file — silent whole-table destruction from a
+    maintenance call. Dropping a table is an explicit ``rmtree`` by
+    the owner, not a vacuum parameter.
     """
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}); vacuum never "
+            "deletes the whole table"
+        )
     vs = _versions(path)
-    keep = vs[-keep_last:] if keep_last > 0 else []
+    keep = vs[-keep_last:]
     # liveness is computed from the TABLE ROOT, not the process cwd:
     # manifests store root-relative paths, and each is joined to
     # ``path`` here — vacuum from any working directory (or after the

@@ -110,3 +110,25 @@ def test_jsonl_manifest_reads_legacy_flat_exports(spark, tmp_path, sf_dir):
     m = jsonl_manifest(spark, out)
     assert sum(e["n_records"] for e in m) == 30
     assert all(e["file"].startswith("part-") for e in m)
+
+
+def test_reexport_onto_legacy_flat_layout_supersedes_it(spark, tmp_path, sf_dir):
+    """A snapshot-log export over a pre-round-4 flat directory must
+    remove the superseded top-level part files (the old API's
+    overwrite semantics) once the commit is durable."""
+    import os
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import read_snapshot
+
+    docs = _docs(spark, sf_dir).limit(30)
+    out = str(tmp_path / "mix")
+    docs.coalesce(1).write.mode("overwrite").json(out)  # legacy flat
+    assert any(f.startswith("part-") for f in os.listdir(out))
+    write_jsonl_shards(docs.limit(12), out, n_shards=2, shard_key="doc_id")
+    assert not any(
+        f.startswith("part-")
+        for f in os.listdir(out)
+        if os.path.isfile(os.path.join(out, f))
+    )
+    assert read_snapshot(spark, out).count() == 12
+    assert sum(e["n_records"] for e in jsonl_manifest(spark, out)) == 12

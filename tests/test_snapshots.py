@@ -403,3 +403,50 @@ def test_snapshot_log_random_lifecycle_preserves_content(spark, tmp_path):
             ops.append(op)
             assert _keys(spark, path) == sorted(model), (trial, step, ops)
         assert snap.committed_marker_values(path, "stream_commit_id") >= markers, ops
+
+
+def test_concurrent_writers_all_commit_distinct_versions(spark, tmp_path):
+    """Real-thread CAS exercise: N writers racing the same table must
+    each commit (retrying through lost races) with distinct versions
+    and no lost updates, for both publish protocols."""
+    import threading
+
+    for protocol in ("link", "rename"):
+        path = str(tmp_path / f"tbl_{protocol}")
+        snap.snapshot_write(_df(spark, 0, 2), path, protocol=protocol)
+        results: list[int] = []
+        errors: list[Exception] = []
+        lock = threading.Lock()
+
+        def writer(i: int) -> None:
+            try:
+                v = snap.snapshot_write(
+                    _df(spark, 100 + i * 10, 100 + i * 10 + 3), path,
+                    mode="append", max_retries=50, protocol=protocol,
+                )
+                with lock:
+                    results.append(v)
+            except Exception as exc:  # surfaced below
+                with lock:
+                    errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+        assert sorted(results) == [1, 2, 3, 4], (protocol, results)
+        # all four appends landed exactly once
+        keys = _keys(spark, path)
+        assert keys == [0, 1] + sorted(
+            k for i in range(4) for k in range(100 + i * 10, 100 + i * 10 + 3)
+        ), (protocol, keys)
+
+
+def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    with pytest.raises(ValueError, match="keep_last"):
+        snap.vacuum(path, keep_last=0)
+    assert _keys(spark, path) == [0, 1, 2]
