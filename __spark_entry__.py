@@ -149,16 +149,20 @@ WITH base AS (
   SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type, value, props
   FROM events WHERE event_id % 7 = 0
   UNION ALL
-  SELECT event_id + 1000000 AS event_id, ts, user_id, event_type, value, props
+  SELECT event_id + 1000000000 AS event_id, ts, user_id, event_type, value, props
   FROM events WHERE event_id % 11 = 0
 ),
 p1 AS (
   SELECT event_id, ts, user_id, event_type, value, props FROM (
-    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn FROM base
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC NULLS LAST,
+      user_id DESC NULLS LAST, event_type DESC NULLS LAST,
+      value DESC NULLS LAST, props DESC NULLS LAST) AS rn FROM base
   ) WHERE rn = 1
 )
 SELECT event_id, ts, user_id, event_type, value, props FROM (
-  SELECT *, row_number() OVER (PARTITION BY ts ORDER BY event_id DESC) AS rn FROM p1
+  SELECT *, row_number() OVER (PARTITION BY ts ORDER BY event_id DESC NULLS LAST,
+    user_id DESC NULLS LAST, event_type DESC NULLS LAST,
+    value DESC NULLS LAST, props DESC NULLS LAST) AS rn FROM p1
 ) WHERE rn = 1
 """)
 def q_dedup_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,9 +171,12 @@ def q_dedup_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 7 == 0)
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
+    # offset must clear every fixture's REAL id range (the 100x sweep
+    # caught +1e6 colliding with genuine ids at 10M events, creating
+    # (event_id, ts) ties each engine tie-broke differently)
     dup_id = (
         ev.filter(F.col("event_id") % 11 == 0)
-        .withColumn("event_id", F.col("event_id") + F.lit(1000000))
+        .withColumn("event_id", F.col("event_id") + F.lit(1000000000))
     )
     base = ev.unionByName(dup_ts).unionByName(dup_id)
     return dedup_two_phase(base, id_col="event_id", time_col="ts")

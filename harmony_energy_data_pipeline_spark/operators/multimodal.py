@@ -6,12 +6,14 @@ The Spark-side contract is fully real and tested — schemas, batch
 iteration, partitioning, UDF signatures. Codecs: PNG has a REAL
 pure-stdlib decoder/encoder below (zlib inflate + scanline
 unfiltering per the PNG spec, RFC 2083) covering 8-bit gray/RGB/RGBA
-non-interlaced images — payloads carrying the PNG magic are actually
-decoded, resized, and featurized from pixels. Other formats (JPEG,
-audio, video) have no stdlib codec in this container: they raise
-NotImplementedError under ``strict=True`` or produce a deterministic
-bytes-derived fake (default) so the distributed plumbing is exercised
-end-to-end either way.
+non-interlaced images, and WAV audio has a REAL stdlib decoder/
+encoder (``wave`` module, PCM 8/16-bit) — payloads carrying the PNG
+or RIFF/WAVE magic are actually decoded and featurized from
+pixels/samples. Remaining formats (JPEG, MP3, video) have no stdlib
+codec in this container: they raise NotImplementedError under
+``strict=True`` or produce a deterministic bytes-derived fake
+(default) so the distributed plumbing is exercised end-to-end either
+way.
 
 Scale notes: binary payloads ride in their own column so Parquet
 column pruning skips them unless the query touches them; mapInPandas
@@ -143,6 +145,74 @@ def _resize_nearest(
     cols = (np.arange(new_w) * w) // new_w
     return arr[rows][:, cols].tobytes()
 
+WAV_MAGIC = b"RIFF"
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PCM WAV (8/16-bit) to ``(sample_rate, n_channels,
+    sample_width_bytes, samples)`` using only the stdlib ``wave``
+    module — samples as an ``(n_frames, n_channels)`` int16 array
+    (8-bit unsigned is centered to signed int16 range ×256)."""
+    import io
+    import wave
+
+    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate, nch, width = (
+                wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            )
+            if width not in (1, 2):
+                raise NotImplementedError(
+                    f"unsupported WAV sample width {width}"
+                )
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error as exc:  # corrupt container → lenient-mode fallback
+        raise ValueError(f"bad WAV payload: {exc}") from exc
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+    else:  # 8-bit WAV is unsigned
+        samples = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256)
+    if nch > 1:
+        samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch)
+    else:
+        samples = samples.reshape(-1, 1)
+    return rate, nch, width, samples
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Minimal PCM16 WAV encoder (inverse of ``decode_wav`` for
+    round-trip tests): ``samples`` is (n_frames, n_channels) int16."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_feature(payload: bytes) -> list[float]:
+    """REAL audio feature from decoded PCM: the per-segment RMS
+    envelope — samples (channel-averaged) split into ``FEATURE_DIM``
+    equal segments, RMS of each, normalized to [0, 1] by int16
+    full-scale. Deterministic, decode-backed, and shape-compatible
+    with the image histogram feature."""
+    _rate, _nch, _width, samples = decode_wav(payload)
+    mono = samples.astype(np.float64).mean(axis=1)
+    if mono.size == 0:
+        return [0.0] * FEATURE_DIM
+    segs = np.array_split(mono, FEATURE_DIM)
+    return [
+        float(np.sqrt(np.mean(s * s)) / 32768.0) if s.size else 0.0
+        for s in segs
+    ]
+
+
 # Typed metadata struct carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),   # image | audio | video
@@ -209,9 +279,18 @@ def decode_features(
                 # task deterministically, so one bad file = dead job
                 if strict:
                     raise
+        elif b[:4] == WAV_MAGIC and b[8:12] == b"WAVE":
+            try:
+                # REAL decode: per-segment RMS envelope of the PCM
+                return _wav_feature(b)
+            except (NotImplementedError, ValueError, EOFError, struct.error):
+                if strict:
+                    raise
         elif strict:
-            # non-PNG codecs (JPEG / audio / video) unavailable here
-            raise NotImplementedError("only the PNG codec is available in this container")
+            # remaining codecs (JPEG / MP3 / video) unavailable here
+            raise NotImplementedError(
+                "only the PNG and WAV codecs are available in this container"
+            )
         return _fake_feature(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,7 +388,7 @@ def sample_frames(
 
 
 __all__ = [
-    "MEDIA_META_SCHEMA", "FEATURE_DIM", "PNG_MAGIC", "attach_media_meta",
-    "decode_png", "encode_png", "decode_features", "resize_images",
-    "sample_frames",
+    "MEDIA_META_SCHEMA", "FEATURE_DIM", "PNG_MAGIC", "WAV_MAGIC",
+    "attach_media_meta", "decode_png", "encode_png", "decode_wav",
+    "encode_wav", "decode_features", "resize_images", "sample_frames",
 ]

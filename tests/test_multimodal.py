@@ -223,3 +223,82 @@ def test_corrupt_png_falls_back_in_lenient_mode(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         decode_features(df, "id", "media", strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# round 4: REAL WAV codec path
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.25, channels=1, amp=0.5):
+    import math
+
+    import numpy as np
+
+    from harmony_energy_data_pipeline_spark.operators.multimodal import encode_wav
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    mono = (np.sin(2 * math.pi * freq * t) * amp * 32767).astype(np.int16)
+    samples = np.stack([mono] * channels, axis=1)
+    return encode_wav(rate, samples)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from harmony_energy_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    payload = _wav_bytes(channels=2)
+    rate, nch, width, samples = decode_wav(payload)
+    assert (rate, nch, width) == (8000, 2, 2)
+    assert samples.shape == (2000, 2)
+    again = encode_wav(rate, samples)
+    assert decode_wav(again)[3].tolist() == samples.tolist()
+    # re-encode is byte-identical for PCM16
+    assert again == payload
+
+
+def test_decode_features_real_wav_rms_envelope(spark):
+    """WAV payloads take the REAL path: the feature is the decoded
+    PCM's per-segment RMS envelope — a loud sine scores ~amp/sqrt(2)
+    in every segment, silence scores 0; the fake hash feature would
+    match neither."""
+    import numpy as np
+
+    from harmony_energy_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        encode_wav,
+    )
+
+    loud = _wav_bytes(amp=0.5)
+    silent = encode_wav(8000, np.zeros((2000, 1), dtype=np.int16))
+    df = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(silent))], "id long, media binary"
+    )
+    rows = {r["id"]: r for r in decode_features(df, "id", "media").collect()}
+    f_loud, f_silent = rows[1]["feature"], rows[2]["feature"]
+    assert len(f_loud) == FEATURE_DIM == len(f_silent)
+    expected = 0.5 / (2 ** 0.5)
+    assert all(abs(v - expected) < 0.02 for v in f_loud), f_loud
+    assert all(v == 0.0 for v in f_silent)
+
+
+def test_decode_features_corrupt_wav_lenient_and_strict(spark):
+    import pytest as _pytest
+
+    from harmony_energy_data_pipeline_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    corrupt = b"RIFF\x00\x00\x00\x00WAVEgarbage-not-a-real-container"
+    df = spark.createDataFrame([(1, bytearray(corrupt))], "id long, media binary")
+    # lenient: falls back to the deterministic fake instead of dying
+    out = decode_features(df, "id", "media").collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 16
+    # strict: surfaces the decode error
+    with _pytest.raises(Exception):
+        decode_features(df, "id", "media", strict=True).collect()
