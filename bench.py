@@ -71,6 +71,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
+    # Optional subset (scale rehearsals at big fixtures): comma list in
+    # $SPARK_GRAFT_BENCH_ONLY restricts the headline set; default runs all.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
+
     # warm the JVM + parquet footers with one cheap action
     qs["bounds"](spark, SF_DIR).collect()
 
@@ -86,7 +93,7 @@ def main() -> None:
     build_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         try:
             best = None  # (total, construction, execution)
             for _ in range(2):
@@ -125,11 +132,12 @@ def main() -> None:
     # execution splits inline) and recorded "parsed": null. Keep the stdout
     # line minimal; the full split goes to stderr + BENCH_DETAIL.json.
     detail = dict(out, construction=build_s, execution=exec_s)
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    if not only:  # subset runs must not clobber the full-set record
+        try:
+            with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass
     print("# detail: " + json.dumps(detail), file=sys.stderr)
     line = json.dumps(out)
     if len(line) > 1800:  # stay inside the driver's tail window
