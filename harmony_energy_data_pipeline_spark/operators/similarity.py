@@ -110,6 +110,7 @@ def _cosine_gemm_topk(
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0.0] = 1.0
     Qn = Q / qn[:, None]
+    block = int(_GEMM_QUERY_BLOCK)  # driver-side capture (see above)
 
     def score_batches(batches):
         for pdf in batches:
@@ -119,35 +120,41 @@ def _cosine_gemm_topk(
             nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cn = np.linalg.norm(C, axis=1)
             cn[cn == 0.0] = 1.0
-            scores = (C / cn[:, None]) @ Qn.T  # n×m
-            n, m = scores.shape
-            out_q, out_n, out_s = [], [], []
-            for j in range(m):
-                s = scores[:, j].copy()
-                if include_self is False:
-                    s[nids == qids[j]] = -np.inf
-                k_eff = min(k, n)
-                part = np.argpartition(-s, k_eff - 1)[:k_eff]
-                thr = s[part].min()
-                if thr == -np.inf:
-                    cand = np.flatnonzero(s > -np.inf)
-                    if cand.size == 0:
-                        continue
-                else:
-                    cand = np.flatnonzero(s >= thr)  # all boundary ties
-                order = np.lexsort((nids[cand], -s[cand]))[:k_eff]
-                sel = cand[order]
-                out_q.append(np.full(sel.size, qids[j], dtype=np.int64))
-                out_n.append(nids[sel])
-                out_s.append(scores[sel, j])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "score": np.concatenate(out_s),
-                    }
-                )
+            Cn = C / cn[:, None]
+            # query-block loop bounds per-worker memory (see
+            # _GEMM_QUERY_BLOCK); blocks are disjoint queries, exactness
+            # unchanged
+            for lo in range(0, len(qids), block):
+                qb = qids[lo:lo + block]
+                scores = Cn @ Qn[lo:lo + block].T  # n×block
+                n, m = scores.shape
+                out_q, out_n, out_s = [], [], []
+                for j in range(m):
+                    s = scores[:, j].copy()
+                    if include_self is False:
+                        s[nids == qb[j]] = -np.inf
+                    k_eff = min(k, n)
+                    part = np.argpartition(-s, k_eff - 1)[:k_eff]
+                    thr = s[part].min()
+                    if thr == -np.inf:
+                        cand = np.flatnonzero(s > -np.inf)
+                        if cand.size == 0:
+                            continue
+                    else:
+                        cand = np.flatnonzero(s >= thr)  # all boundary ties
+                    order = np.lexsort((nids[cand], -s[cand]))[:k_eff]
+                    sel = cand[order]
+                    out_q.append(np.full(sel.size, qb[j], dtype=np.int64))
+                    out_n.append(nids[sel])
+                    out_s.append(scores[sel, j])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "score": np.concatenate(out_s),
+                        }
+                    )
 
     return c.mapInPandas(
         score_batches, "query_id long, neighbor_id long, score double"
@@ -859,6 +866,13 @@ def quantized_dot_topk(
     )
 
 
+#: Query-block width for the GEMM scorers: per-worker peak memory is
+#: ~3 × arrow_batch_rows × block × 8 bytes (dot + key + mask), so at the
+#: default 10k-row Arrow batches a 1024 block holds each of local[32]'s
+#: concurrent Python workers to ~250 MB. Raise on big-memory executors.
+_GEMM_QUERY_BLOCK = 1024
+
+
 def _quantized_gemm_topk(
     q: DataFrame, c: DataFrame, k: int, include_self: bool
 ) -> DataFrame:
@@ -875,12 +889,15 @@ def _quantized_gemm_topk(
     brute force bit-for-bit. |dot| ≤ dim·qscale² < 2⁴³ keeps the
     composite exact in int64."""
     qrows = q.collect()
-    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qids_all = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     if len(qrows) == 0:
         return q.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, dot_q long"
         )
-    Q = np.stack([np.asarray(r["__q8"], dtype=np.int64) for r in qrows])
+    Q_all = np.stack([np.asarray(r["__q8"], dtype=np.int64) for r in qrows])
+    # captured driver-side so the executor closure sees the value (a
+    # module-global read would re-resolve against a fresh worker import)
+    block = int(_GEMM_QUERY_BLOCK)
 
     def score_batches(batches):
         for pdf in batches:
@@ -891,27 +908,36 @@ def _quantized_gemm_topk(
             )
             C = np.stack(pdf["__c8"].to_numpy()).astype(np.int64)
             nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            dots = C @ Q.T  # n×m exact int64
-            # composite per-batch order key: dot major, id-rank minor
-            key = dots * (1 << 20) - np.arange(len(pdf), dtype=np.int64)[:, None]
-            if include_self is False:
-                key = np.where(nids[:, None] == qids[None, :], np.int64(-(1 << 62)), key)
-            k_eff = min(k, len(pdf))
-            top = np.argpartition(-key, k_eff - 1, axis=0)[:k_eff]  # k×m
-            m = len(qids)
-            qcol = np.repeat(qids[None, :], k_eff, axis=0).ravel()
-            ncol = nids[top.ravel()]
-            dcol = dots[top.ravel(), np.tile(np.arange(m), k_eff)]
-            mask = np.ones(len(qcol), dtype=bool)
-            if include_self is False:
-                mask = ncol != qcol  # drop masked self rows that slipped into k
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol[mask],
-                    "neighbor_id": ncol[mask],
-                    "dot_q": dcol[mask],
-                }
-            )
+            # query-BLOCK loop: the dot/key matrices are batch×block, so
+            # per-worker peak memory is bounded by the block dial, not
+            # |q| — the 300× rehearsal OOM-killed the JVM when a 6k-query
+            # unchunked matrix met 32 concurrent workers. Blocks are
+            # disjoint queries, so per-block top-k is globally exact.
+            for lo in range(0, len(qids_all), block):
+                qids = qids_all[lo:lo + block]
+                dots = C @ Q_all[lo:lo + block].T  # n×block int64
+                # composite per-batch order key: dot major, id-rank minor
+                key = dots * (1 << 20) - np.arange(len(pdf), dtype=np.int64)[:, None]
+                if include_self is False:
+                    key = np.where(
+                        nids[:, None] == qids[None, :], np.int64(-(1 << 62)), key
+                    )
+                k_eff = min(k, len(pdf))
+                top = np.argpartition(-key, k_eff - 1, axis=0)[:k_eff]  # k×block
+                m = len(qids)
+                qcol = np.repeat(qids[None, :], k_eff, axis=0).ravel()
+                ncol = nids[top.ravel()]
+                dcol = dots[top.ravel(), np.tile(np.arange(m), k_eff)]
+                mask = np.ones(len(qcol), dtype=bool)
+                if include_self is False:
+                    mask = ncol != qcol  # drop masked self rows in the k
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol[mask],
+                        "neighbor_id": ncol[mask],
+                        "dot_q": dcol[mask],
+                    }
+                )
 
     return c.mapInPandas(
         score_batches, "query_id long, neighbor_id long, dot_q long"

@@ -39,9 +39,15 @@ ENGINE_CONF: dict[str, str] = {
     # session TZ is UTC so values are identical, and streaming
     # watermarks require TimestampType.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Local default; a real cluster would size this to ~2-3x total
-    # cores (AQE coalesces the excess back down).
-    "spark.sql.shuffle.partitions": "32",
+    # Local default, overridable for deployment sizing. The 300x
+    # rehearsal A/B'd 32 vs 128 on 180M-row shuffles: 32 + AQE
+    # coalescing won on this box (window-heavy queries pay fixed
+    # per-task sort overhead at 128), so the knob exists for real
+    # clusters where partition count tracks executor count, not as a
+    # local tuning.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     # Quiet progress bars in test/bench output.
     "spark.ui.showConsoleProgress": "false",
     # max/min/count version probes (serve.VersionedCache) resolve from

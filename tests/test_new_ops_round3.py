@@ -421,3 +421,31 @@ def test_quantized_topk_gemm_scorer_matches_expr(spark, sf_dir):
         assert sorted(map(tuple, a.select(cols).collect())) == sorted(
             map(tuple, b.select(cols).collect())
         ), f"include_self={include_self}"
+
+
+def test_gemm_query_block_seams_are_exact(spark, sf_dir, monkeypatch):
+    """The per-worker memory bound chunks the query matrix; block
+    seams must not change results. Forced tiny blocks exercise many
+    seams on real embeddings for both GEMM scorers."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.limit(20)
+    base_q = sim.quantized_dot_topk(qs, emb, k=5, scorer="expr",
+                                    max_broadcast_queries=None)
+    base_c = sim.cosine_topk(qs, emb, k=5)
+    want_q = sorted(map(tuple, base_q.select("query_id", "neighbor_id", "dot_q", "rank").collect()))
+    want_c = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in base_c.collect()
+    )
+    monkeypatch.setattr(sim, "_GEMM_QUERY_BLOCK", 7)
+    got_q = sorted(map(tuple, sim.quantized_dot_topk(
+        qs, emb, k=5, scorer="gemm", max_broadcast_queries=None
+    ).select("query_id", "neighbor_id", "dot_q", "rank").collect()))
+    got_c = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.cosine_topk(qs, emb, k=5, scorer="gemm").collect()
+    )
+    assert got_q == want_q
+    assert got_c == want_c
