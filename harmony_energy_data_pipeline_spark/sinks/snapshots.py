@@ -388,6 +388,40 @@ def snapshot_history(path: str) -> list[dict]:
 
 
 @normalizes_paths('path')
+def snapshot_restore(
+    path: str, version: int, protocol: str = "link", max_retries: int = 10
+) -> int:
+    """Roll the table back to ``version`` by committing that
+    snapshot's file list as a NEW version (the Iceberg
+    ``rollback_to_snapshot`` shape): history is preserved — nothing
+    is deleted, the bad commits stay inspectable until ``vacuum``,
+    and concurrent readers keep their resolved versions. Pure
+    metadata (no data rewrite). Returns the committed version."""
+    src = _read_manifest(path, version)  # raises if expired/unknown
+    txid = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        parent = latest_version(path)
+        new_version = 0 if parent is None else parent + 1
+        payload = {
+            "version": new_version,
+            "parent": parent,
+            "operation": "overwrite",
+            "txid": txid,
+            "committed_at_unix": int(time.time()),
+            "files": [_rel_file(path, f) for f in src["files"]],
+            "restored_from": version,
+        }
+        if "format" in src:
+            payload["format"] = src["format"]
+        try:
+            _publish_manifest(path, new_version, payload, protocol=protocol)
+            return new_version
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"snapshot restore lost the CAS race {max_retries} times")
+
+
+@normalizes_paths('path')
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -506,4 +540,5 @@ __all__ = [
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",
+    "snapshot_restore",
 ]

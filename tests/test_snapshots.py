@@ -450,3 +450,34 @@ def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         snap.vacuum(path, keep_last=0)
     assert _keys(spark, path) == [0, 1, 2]
+
+
+def test_snapshot_restore_rolls_back_without_deleting_history(spark, tmp_path):
+    """Restore = a new overwrite commit pointing at an old version's
+    files: metadata-only, history intact, vacuum-safe afterward."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 5), path)                     # v0 good
+    snap.snapshot_write(_df(spark, 100, 103), path, mode="append")  # v1 bad
+    snap.snapshot_write(_df(spark, 200, 201), path, mode="append")  # v2 bad
+    v = snap.snapshot_restore(path, 0)
+    assert v == 3
+    assert _keys(spark, path) == [0, 1, 2, 3, 4]
+    # the bad history is still inspectable (time travel) until vacuum
+    assert _keys(spark, path, 2) == [0, 1, 2, 3, 4, 100, 101, 102, 200]
+    m = snap._read_manifest(path, v)
+    assert m["restored_from"] == 0 and m["operation"] == "overwrite"
+    # vacuum keeps only the restore; shared files with v0 survive
+    snap.vacuum(path, keep_last=1)
+    assert _keys(spark, path) == [0, 1, 2, 3, 4]
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, path, 1)
+    # append after restore continues the chain
+    snap.snapshot_write(_df(spark, 50, 52), path, mode="append")
+    assert _keys(spark, path) == [0, 1, 2, 3, 4, 50, 51]
+
+
+def test_snapshot_restore_unknown_version_raises(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 2), path)
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_restore(path, 7)
