@@ -4628,6 +4628,42 @@ def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_restore_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor
+FROM events WHERE event_id % 2 = 0
+""")
+def q_snapshot_restore_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback end-to-end (`sinks/snapshots.py: snapshot_restore`):
+    commit the good half of events, append a corrupting batch, roll
+    back to v0 as a new metadata-only commit, digest the read-back —
+    the oracle recomputes the good half straight from ``events``
+    (proving the bad batch is gone from the live view while history
+    stayed intact for the in-query time-travel assertion)."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_restore_")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 2 == 0), path)      # v0
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value", F.col("value") * 1000),                      # bad
+        path, mode="append",
+    )
+    v = snap.snapshot_restore(path, 0)
+    assert v == 2
+    # history intact: the bad commit still time-travels until vacuum
+    assert snap.read_snapshot(spark, path, 1).count() == ev.count()
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+    )
+
+
 @_q("upsert_partitioned_digest", """
 WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events)
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, COUNT(*) AS n,
