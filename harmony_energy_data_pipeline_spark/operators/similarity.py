@@ -21,12 +21,14 @@ rank):
 from __future__ import annotations
 
 import random
+import warnings
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from harmony_energy_data_pipeline_spark.functions.vector import (
     cosine_similarity,
@@ -758,6 +760,7 @@ def quantized_dot_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     scorer: str = "auto",
+    approximate: bool | None = None,
 ) -> DataFrame:
     """Exact top-k by INT8-quantized dot product — the
     storage-compression ANN path: vectors quantize per-dimension to
@@ -810,9 +813,34 @@ def quantized_dot_topk(
       ·dim interpreted ops; keep for oracle parity and no-numpy
       deployments. Both scorers are bit-identical (integer
       arithmetic; parity-tested).
+
+    ``scorer="auto"`` requires integral id columns on BOTH sides (the
+    GEMM path materializes ids as an int64 ndarray); non-integral ids
+    (string doc ids, …) auto-fall back to the ``expr`` scorer, while
+    an EXPLICIT ``scorer="gemm"`` raises with the remedy named.
+
+    ``approximate`` governs the route downgrade when |q| exceeds
+    ``max_broadcast_queries``: ``None`` (default) takes the bucketed
+    IVF route but emits a ``UserWarning`` — the result is then
+    approximate (n_probe of n_centroids cells) despite this
+    function's exact headline; ``True`` opts in silently; ``False``
+    raises instead of ever returning approximate neighbors.
     """
     if scorer not in ("auto", "gemm", "expr"):
         raise ValueError(f"scorer must be auto|gemm|expr, got {scorer!r}")
+    integral_ids = all(
+        isinstance(df.schema[col].dataType,
+                   (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        for df, col in ((queries, query_id), (corpus, corpus_id))
+    )
+    if not integral_ids:
+        if scorer == "gemm":
+            raise TypeError(
+                "scorer='gemm' requires integral query/corpus id columns "
+                "(ids ride an int64 ndarray through the GEMM batches); "
+                "use scorer='expr' for non-integer ids"
+            )
+        scorer = "expr"  # silent exact fallback from 'auto'
     def q8(vc: str) -> Column:
         return F.transform(
             F.col(vc),
@@ -836,6 +864,26 @@ def quantized_dot_topk(
     route = "broadcast"
     if max_broadcast_queries is not None:
         route = topk_route(queries.count(), max_broadcast_queries)
+    if route == "bucketed" and n_probe < n_centroids:
+        if approximate is False:
+            raise ValueError(
+                f"query side exceeds max_broadcast_queries="
+                f"{max_broadcast_queries} and approximate=False — the "
+                "bucketed IVF route returns approximate neighbors; raise "
+                "the broadcast budget (max_broadcast_queries=None forces "
+                "the exact plan) or pass approximate=True"
+            )
+        if approximate is None:
+            warnings.warn(
+                "quantized_dot_topk: query side exceeds "
+                f"max_broadcast_queries={max_broadcast_queries}; routing to "
+                f"the bucketed IVF path (n_probe={n_probe} of "
+                f"{n_centroids} cells) — results are APPROXIMATE. Pass "
+                "approximate=True to silence, approximate=False to refuse, "
+                "or max_broadcast_queries=None to force the exact plan.",
+                UserWarning,
+                stacklevel=2,
+            )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("neighbor_id").asc()
     )
@@ -873,6 +921,20 @@ def quantized_dot_topk(
 _GEMM_QUERY_BLOCK = 1024
 
 
+def _check_gemm_batch_len(n: int) -> None:
+    """The GEMM scorers' composite order key ``dot·2²⁰ − row_rank``
+    reserves 20 bits for the within-batch id-rank; an Arrow batch of
+    ≥ 2²⁰ rows would overlap the dot term and silently corrupt the
+    per-batch top-k selection — fail loudly with the config remedy."""
+    if n >= (1 << 20):
+        raise ValueError(
+            f"GEMM scorer received an Arrow batch of {n} rows; the "
+            "exact-order composite key requires < 2^20 rows per batch — "
+            "lower spark.sql.execution.arrow.maxRecordsPerBatch (and "
+            "never set it to 0/unlimited) for this operator"
+        )
+
+
 def _quantized_gemm_topk(
     q: DataFrame, c: DataFrame, k: int, include_self: bool
 ) -> DataFrame:
@@ -903,6 +965,7 @@ def _quantized_gemm_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            _check_gemm_batch_len(len(pdf))
             pdf = pdf.sort_values("neighbor_id", kind="mergesort").reset_index(
                 drop=True
             )

@@ -129,23 +129,32 @@ def _write_exact_shards(
             path, txid,
             extra={"format": "json", "n_shards": n_shards},
         )
-        # A re-export ONTO a legacy flat export (pre-round-4 layout)
-        # leaves its superseded top-level part files behind — the old
-        # API overwrote the directory wholesale, so remove them once
-        # the snapshot commit is durable (manifest readers already
-        # prefer the snapshot; this keeps directory listings honest).
-        for fname in os.listdir(path):
-            if fname.startswith("part-") and os.path.isfile(
-                os.path.join(path, fname)
-            ):
-                os.remove(os.path.join(path, fname))
     except BaseException:
         # a failed staging must not leave an orphan txid dir readers
-        # could be confused by in listings (it was never published)
+        # could be confused by in listings (it was never published).
+        # Scope: pre-publish ONLY — once snapshot_publish_staged
+        # returns, the manifest references this txid dir and deleting
+        # it would destroy committed data.
         shutil.rmtree(final, ignore_errors=True)
         raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    # A re-export ONTO a legacy flat export (pre-round-4 layout)
+    # leaves its superseded top-level part files behind — the old
+    # API overwrote the directory wholesale, so remove them once
+    # the snapshot commit is durable (manifest readers already
+    # prefer the snapshot; this keeps directory listings honest).
+    # Deliberately OUTSIDE the try above: the commit is published, so
+    # a cleanup failure here must never delete committed data — and a
+    # concurrently-removed file is simply tolerated.
+    for fname in os.listdir(path):
+        if fname.startswith("part-") and os.path.isfile(
+            os.path.join(path, fname)
+        ):
+            try:
+                os.remove(os.path.join(path, fname))
+            except FileNotFoundError:
+                pass
 
 
 @normalizes_paths('path')

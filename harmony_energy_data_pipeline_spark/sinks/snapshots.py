@@ -60,6 +60,20 @@ _STANDARD_KEYS = frozenset(
 )
 
 
+class SnapshotConflictError(RuntimeError):
+    """A commit's ``expected_parent`` validation failed: another writer
+    committed between the caller's manifest read and its publish.
+    Rebasing blindly would drop that concurrent commit's effect (an
+    append's rows would vanish from the maintenance rewrite), so the
+    caller must re-read the new latest and redo its work — the Iceberg
+    ``ValidationException`` shape for maintenance operations."""
+
+
+#: Sentinel for "no parent validation requested" (``None`` is a real
+#: expected parent: it asserts the table has no snapshots yet).
+_ANY_PARENT: "int | None" = -1
+
+
 def _snap_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
@@ -124,11 +138,18 @@ def _publish_manifest(
     txid is ours. Rename is last-writer-wins, so the read-back is
     what detects a lost race; on a real object store this whole step
     is a conditional PUT (If-None-Match), which has no race window
-    at all. The emulation's residual window (both racers rename, the
-    later read-back sees its own overwrite) is narrower than the
-    full commit and acceptable for the low-contention single-table
-    writer this sink targets; deployments needing hard CAS use
-    "link" or a store with conditional writes.
+    at all.
+
+    IMPORTANT — rename is NOT a true CAS. Two racers can BOTH return
+    success for the same version: A renames and read-back-verifies its
+    own txid, then B (whose exists-check raced before A's rename)
+    renames over it and verifies its own txid — A's commit is silently
+    lost even though its publish returned. The double read-back below
+    (re-stat + re-read after the first verify) shrinks that window to
+    the microseconds between the two reads but cannot close it; the
+    rename protocol is only SAFE under a single-writer-per-table
+    assumption. Deployments needing hard multi-writer CAS use "link"
+    (POSIX) or an object store with conditional writes.
     """
     if protocol not in ("link", "rename"):
         raise ValueError(f"protocol must be link|rename, got {protocol!r}")
@@ -153,10 +174,16 @@ def _publish_manifest(
             if os.path.exists(final):
                 raise FileExistsError(final)
             os.rename(tmp, final)
-            with open(final, encoding="utf-8") as fh:
-                published = json.load(fh)
-            if published.get("txid") != payload.get("txid"):
-                raise FileExistsError(final)  # lost the race post-rename
+            # Double read-back: verify our txid, then stat + re-read
+            # once more — catches a racer that renamed over us between
+            # our rename and the first verify (see docstring; the
+            # residual window is now just the gap between the reads).
+            for _verify in range(2):
+                os.stat(final)
+                with open(final, encoding="utf-8") as fh:
+                    published = json.load(fh)
+                if published.get("txid") != payload.get("txid"):
+                    raise FileExistsError(final)  # lost the race post-rename
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -191,6 +218,7 @@ def snapshot_write(
     max_retries: int = 10,
     extra: dict | None = None,
     protocol: str = "link",
+    expected_parent: "int | None" = _ANY_PARENT,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -204,6 +232,13 @@ def snapshot_write(
     commit retries against the new latest — the data files are
     already written and file-list reuse makes the retry metadata-only
     (optimistic concurrency, the Iceberg model).
+
+    ``expected_parent``: when passed, the commit VALIDATES instead of
+    rebasing — if the table's latest version is not exactly this value
+    at publish time, :class:`SnapshotConflictError` is raised and
+    nothing is committed (the staged files become vacuum-able
+    orphans). Maintenance rewrites (compact, restore) use this so a
+    concurrent append can never be silently dropped.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -212,7 +247,7 @@ def snapshot_write(
     df.write.mode("error").parquet(data_dir)
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
-        extra=extra, protocol=protocol,
+        extra=extra, protocol=protocol, expected_parent=expected_parent,
     )
 
 
@@ -224,6 +259,7 @@ def snapshot_publish_staged(
     max_retries: int = 10,
     extra: dict | None = None,
     protocol: str = "link",
+    expected_parent: "int | None" = _ANY_PARENT,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -231,6 +267,10 @@ def snapshot_publish_staged(
     (the exactly-N JSONL export's flatten, the z-order rewrite). A
     crash before this call leaves only an orphaned txid dir no
     manifest references — invisible to readers, swept by ``vacuum``.
+
+    ``expected_parent``: when passed, a latest-version mismatch at
+    publish time raises :class:`SnapshotConflictError` instead of
+    rebasing onto the interloper — see :func:`snapshot_write`.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -242,6 +282,12 @@ def snapshot_publish_staged(
         raise FileNotFoundError(f"no staged data files under {data_dir}")
     for _ in range(max_retries):
         parent = latest_version(path)
+        if expected_parent != _ANY_PARENT and parent != expected_parent:
+            raise SnapshotConflictError(
+                f"commit to {path} expected parent version "
+                f"{expected_parent}, but latest is {parent} — a concurrent "
+                "writer committed; re-read the table and redo the operation"
+            )
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         if mode == "append" and parent is not None:
@@ -396,29 +442,41 @@ def snapshot_restore(
     ``rollback_to_snapshot`` shape): history is preserved — nothing
     is deleted, the bad commits stay inspectable until ``vacuum``,
     and concurrent readers keep their resolved versions. Pure
-    metadata (no data rewrite). Returns the committed version."""
+    metadata (no data rewrite). Returns the committed version.
+
+    The rollback is VALIDATED against the latest version observed at
+    call entry: if another writer commits between that read and the
+    publish, :class:`SnapshotConflictError` is raised instead of
+    silently discarding the interloper's rows — the caller decides
+    (inspect the new commit, then re-issue the restore if rollback is
+    still wanted). Discarding commits made BEFORE the call is the
+    point of a rollback; discarding ones the caller never saw is not.
+    """
     src = _read_manifest(path, version)  # raises if expired/unknown
+    expected = latest_version(path)
     txid = uuid.uuid4().hex[:12]
-    for _ in range(max_retries):
-        parent = latest_version(path)
-        new_version = 0 if parent is None else parent + 1
-        payload = {
-            "version": new_version,
-            "parent": parent,
-            "operation": "overwrite",
-            "txid": txid,
-            "committed_at_unix": int(time.time()),
-            "files": [_rel_file(path, f) for f in src["files"]],
-            "restored_from": version,
-        }
-        if "format" in src:
-            payload["format"] = src["format"]
-        try:
-            _publish_manifest(path, new_version, payload, protocol=protocol)
-            return new_version
-        except FileExistsError:
-            continue
-    raise RuntimeError(f"snapshot restore lost the CAS race {max_retries} times")
+    parent = expected
+    new_version = 0 if parent is None else parent + 1
+    payload = {
+        "version": new_version,
+        "parent": parent,
+        "operation": "overwrite",
+        "txid": txid,
+        "committed_at_unix": int(time.time()),
+        "files": [_rel_file(path, f) for f in src["files"]],
+        "restored_from": version,
+    }
+    if "format" in src:
+        payload["format"] = src["format"]
+    try:
+        _publish_manifest(path, new_version, payload, protocol=protocol)
+        return new_version
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"restore of {path} to v{version} expected latest "
+            f"v{expected}, but a concurrent commit claimed v{new_version} — "
+            "inspect the new commit and re-issue the restore if still wanted"
+        ) from None
 
 
 @normalizes_paths('path')
@@ -427,6 +485,7 @@ def snapshot_compact(
     path: str,
     target_file_mb: int = 128,
     protocol: str = "link",
+    max_redo: int = 3,
 ) -> int:
     """Rewrite the LATEST snapshot's data into ~``target_file_mb``
     files and commit the result as a new OVERWRITE version — the
@@ -442,24 +501,40 @@ def snapshot_compact(
     set's total bytes (driver-side ``os.path.getsize`` over the
     manifest list — |files| entries, the same bounded listing vacuum
     does); the rewrite is one ``coalesce`` (no shuffle).
+
+    The commit VALIDATES that the table is still at the version whose
+    files were rewritten (``expected_parent``) — a concurrent append
+    landing mid-rewrite can no longer be silently dropped. On
+    conflict the whole rewrite is redone against the new latest, up
+    to ``max_redo`` times, then :class:`SnapshotConflictError`
+    propagates (the Iceberg ``rewrite_data_files`` retry shape); each
+    abandoned attempt leaves only a vacuum-able orphan txid dir.
     """
-    v = latest_version(path)
-    if v is None:
-        raise FileNotFoundError(f"no snapshots at {path}")
-    m = _read_manifest(path, v)
-    if m.get("format", "parquet") != "parquet":
-        raise ValueError(
-            f"snapshot_compact only rewrites parquet tables; {path} is "
-            f"{m['format']!r} (JSONL exports are already exactly-N shaped)"
-        )
-    files = [_abs_file(path, f) for f in m["files"]]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(*files)
-    return snapshot_write(
-        df.coalesce(n_files), path, mode="overwrite", protocol=protocol,
-        extra={"compacted_from": v},
-    )
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"snapshot_compact only rewrites parquet tables; {path} is "
+                f"{m['format']!r} (JSONL exports are already exactly-N shaped)"
+            )
+        files = [_abs_file(path, f) for f in m["files"]]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(*files)
+        try:
+            return snapshot_write(
+                df.coalesce(n_files), path, mode="overwrite",
+                protocol=protocol, extra={"compacted_from": v},
+                expected_parent=v,
+            )
+        except SnapshotConflictError as e:
+            last_err = e
+            continue  # a commit landed mid-rewrite; redo against new latest
+    raise last_err
 
 
 @normalizes_paths('path')
@@ -540,5 +615,5 @@ __all__ = [
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",
-    "snapshot_restore",
+    "snapshot_restore", "SnapshotConflictError",
 ]

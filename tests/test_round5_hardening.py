@@ -1,0 +1,325 @@
+"""Round-5 hardening: validated maintenance commits (compact/restore
+vs concurrent appends), publish-protocol race narrowing, export
+cleanup scoping, and the quantized-top-k routing/typing contracts
+flagged by the round-4 review."""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _keys(spark, path, version=None):
+    return sorted(
+        r.k for r in snap.read_snapshot(spark, path, version).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# expected-parent validation (snapshot_write / publish_staged)
+# ---------------------------------------------------------------------------
+
+def test_expected_parent_mismatch_refuses_commit(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)  # v0
+    with pytest.raises(snap.SnapshotConflictError, match="expected parent"):
+        snap.snapshot_write(
+            _df(spark, 3, 6), path, mode="append", expected_parent=5
+        )
+    # nothing was committed; table unchanged
+    assert snap.latest_version(path) == 0
+    assert _keys(spark, path) == [0, 1, 2]
+
+
+def test_expected_parent_match_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)  # v0
+    v = snap.snapshot_write(
+        _df(spark, 3, 6), path, mode="append", expected_parent=0
+    )
+    assert v == 1
+    assert _keys(spark, path) == list(range(6))
+    # expected_parent=None asserts an EMPTY table — a real parent fails it
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.snapshot_write(_df(spark, 0, 1), path, expected_parent=None)
+
+
+# ---------------------------------------------------------------------------
+# append during compact: the rewrite must redo, never drop the append
+# ---------------------------------------------------------------------------
+
+def test_append_during_compact_is_not_lost(spark, tmp_path, monkeypatch):
+    """A concurrent append landing between compact's manifest read and
+    its publish used to be silently dropped (the commit rebased onto
+    the interloper with the STALE file list). Now the validated commit
+    conflicts and the rewrite redoes against the new latest."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 10).repartition(4), path)
+    snap.snapshot_write(
+        _df(spark, 10, 20).repartition(4), path, mode="append"
+    )  # v1, 8 small files
+    real_data_files = snap._data_files
+    state = {"injected": False}
+
+    def inject(data_dir):
+        # fires inside snapshot_publish_staged, i.e. AFTER compact read
+        # the v1 manifest and staged its rewrite, BEFORE the CAS loop
+        if not state["injected"]:
+            state["injected"] = True
+            snap.snapshot_write(_df(spark, 20, 25), path, mode="append")
+        return real_data_files(data_dir)
+
+    monkeypatch.setattr(snap, "_data_files", inject)
+    v = snap.snapshot_compact(spark, path, target_file_mb=128)
+    assert state["injected"], "race was never exercised"
+    # v1 appends, v2 = injected append, v3 = redone compact
+    assert v == 3
+    # ALL 25 rows survive — including the concurrently appended 20..24
+    assert _keys(spark, path) == list(range(25))
+    m = snap._read_manifest(path, v)
+    assert m["compacted_from"] == 2  # the redo rebased on the append
+
+
+def test_compact_conflict_exhaustion_raises(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 5), path)
+    real_data_files = snap._data_files
+    state = {"n": 0, "next": 100, "busy": False}
+
+    def always_inject(data_dir):
+        # every compact attempt loses to a fresh append ("busy" guards
+        # against the injected append's own _data_files re-entering)
+        if not state["busy"] and state["n"] < 10:
+            state["busy"] = True
+            try:
+                state["n"] += 1
+                lo = state["next"]
+                state["next"] += 2
+                snap.snapshot_write(
+                    _df(spark, lo, lo + 2), path, mode="append"
+                )
+            finally:
+                state["busy"] = False
+        return real_data_files(data_dir)
+
+    monkeypatch.setattr(snap, "_data_files", always_inject)
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.snapshot_compact(spark, path, target_file_mb=128, max_redo=2)
+    # no rows lost: the base 5 plus every injected append are live
+    assert len(_keys(spark, path)) == 5 + 2 * state["n"]
+
+
+# ---------------------------------------------------------------------------
+# restore vs concurrent append: refuse, never silently discard
+# ---------------------------------------------------------------------------
+
+def test_restore_conflicts_with_concurrent_append(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 5), path)                   # v0
+    snap.snapshot_write(_df(spark, 5, 8), path, mode="append")    # v1
+    real_latest = snap.latest_version
+    state = {"injected": False}
+
+    def latest_then_append(p):
+        v = real_latest(p)
+        if not state["injected"]:
+            state["injected"] = True
+            # lands between restore's latest-read and its publish
+            snap.snapshot_write(_df(spark, 100, 103), p, mode="append")
+        return v
+
+    monkeypatch.setattr(snap, "latest_version", latest_then_append)
+    with pytest.raises(snap.SnapshotConflictError, match="concurrent commit"):
+        snap.snapshot_restore(path, 0)
+    # the interloper's rows are intact; no rollback was committed
+    assert _keys(spark, path) == list(range(8)) + [100, 101, 102]
+    # a re-issued restore (caller saw the new commit) succeeds
+    v = snap.snapshot_restore(path, 0)
+    assert _keys(spark, path, v) == list(range(5))
+
+
+def test_restore_without_contention_still_works(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 4), path)
+    snap.snapshot_write(_df(spark, 50, 55), path, mode="overwrite")
+    v = snap.snapshot_restore(path, 0)
+    assert v == 2
+    assert _keys(spark, path) == list(range(4))
+    assert snap._read_manifest(path, v)["restored_from"] == 0
+
+
+# ---------------------------------------------------------------------------
+# export: post-publish cleanup failure must not destroy committed data
+# ---------------------------------------------------------------------------
+
+def test_legacy_cleanup_failure_preserves_committed_export(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.sinks import export as ex
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text").limit(20)
+    )
+    out = str(tmp_path / "e")
+    os.makedirs(out)
+    # a pre-round-4 legacy leftover the cleanup loop will try to remove
+    legacy = os.path.join(out, "part-99999.json")
+    with open(legacy, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1}\n')
+    real_remove = os.remove
+
+    def boom(p):
+        if os.path.dirname(p) == out and os.path.basename(p).startswith(
+            "part-"
+        ):
+            raise PermissionError(p)
+        return real_remove(p)
+
+    monkeypatch.setattr(ex.os, "remove", boom)
+    with pytest.raises(PermissionError):
+        ex.write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
+    monkeypatch.setattr(ex.os, "remove", real_remove)
+    # the snapshot commit SURVIVED the failed cleanup: manifest resolves
+    # and every exported row reads back
+    assert snap.latest_version(out) == 0
+    got = snap.read_snapshot(spark, out)
+    assert got.count() == 20
+
+
+def test_legacy_cleanup_tolerates_concurrent_removal(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.sinks import export as ex
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text").limit(10)
+    )
+    out = str(tmp_path / "e2")
+    os.makedirs(out)
+    legacy = os.path.join(out, "part-88888.json")
+    with open(legacy, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1}\n')
+    real_remove = os.remove
+
+    def vanish(p):
+        if p == legacy:
+            # simulate another process removing it first
+            real_remove(p)
+            raise FileNotFoundError(p)
+        return real_remove(p)
+
+    monkeypatch.setattr(ex.os, "remove", vanish)
+    ex.write_jsonl_shards(docs, out, n_shards=2, shard_key="doc_id")
+    assert snap.read_snapshot(spark, out).count() == 10
+    assert not os.path.exists(legacy)
+
+
+# ---------------------------------------------------------------------------
+# quantized_dot_topk: routing transparency + id typing + batch invariant
+# ---------------------------------------------------------------------------
+
+def _tiny_vecs(spark, n=6, ids_as_str=False):
+    rows = [
+        (f"d{i}" if ids_as_str else i, [float(i % 3), float((i + 1) % 2)])
+        for i in range(n)
+    ]
+    t = "string" if ids_as_str else "long"
+    return spark.createDataFrame(rows, f"vec_id {t}, embedding array<double>")
+
+
+def test_bucketed_downgrade_warns_by_default(spark):
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    vecs = _tiny_vecs(spark)
+    with pytest.warns(UserWarning, match="APPROXIMATE"):
+        quantized_dot_topk(
+            vecs, vecs, k=2, max_broadcast_queries=1,
+            n_centroids=4, n_probe=2,
+        ).collect()
+
+
+def test_bucketed_downgrade_refused_when_exact_required(spark):
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    vecs = _tiny_vecs(spark)
+    with pytest.raises(ValueError, match="approximate=False"):
+        quantized_dot_topk(
+            vecs, vecs, k=2, max_broadcast_queries=1,
+            n_centroids=4, n_probe=2, approximate=False,
+        )
+
+
+def test_bucketed_downgrade_optin_is_silent(spark, recwarn):
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    vecs = _tiny_vecs(spark)
+    out = quantized_dot_topk(
+        vecs, vecs, k=2, max_broadcast_queries=1,
+        n_centroids=4, n_probe=2, approximate=True,
+    )
+    assert out.count() > 0
+    assert not [w for w in recwarn if "APPROXIMATE" in str(w.message)]
+
+
+def test_full_probe_downgrade_is_exact_and_silent(spark, recwarn):
+    # n_probe == n_centroids scores every pair: exact, so no warning
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    vecs = _tiny_vecs(spark)
+    quantized_dot_topk(
+        vecs, vecs, k=2, max_broadcast_queries=1,
+        n_centroids=4, n_probe=4,
+    ).collect()
+    assert not [w for w in recwarn if "APPROXIMATE" in str(w.message)]
+
+
+def test_string_ids_fall_back_to_expr_scorer(spark):
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    lv = _tiny_vecs(spark, ids_as_str=False)
+    sv = _tiny_vecs(spark, ids_as_str=True)
+    # auto: silent exact fallback — same scores as the integer-id GEMM run
+    got = {
+        (r.query_id, r.neighbor_id): r.dot_q
+        for r in quantized_dot_topk(sv, sv, k=3).collect()
+    }
+    want = {
+        (f"d{r.query_id}", f"d{r.neighbor_id}"): r.dot_q
+        for r in quantized_dot_topk(lv, lv, k=3, scorer="expr").collect()
+    }
+    assert got == want
+    # explicit gemm with string ids: loud, with the remedy named
+    with pytest.raises(TypeError, match="scorer='expr'"):
+        quantized_dot_topk(sv, sv, k=3, scorer="gemm")
+
+
+def test_gemm_batch_length_invariant_fails_loudly():
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        _check_gemm_batch_len,
+    )
+
+    _check_gemm_batch_len((1 << 20) - 1)  # fine
+    with pytest.raises(ValueError, match="maxRecordsPerBatch"):
+        _check_gemm_batch_len(1 << 20)
