@@ -10,6 +10,8 @@ deliberately arithmetic: token filters + ratios, no model inference.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 
@@ -900,6 +902,62 @@ def _bpe_syms():
     return F.regexp_extract_all(F.col("seq"), F.lit("<[^<>]*>"), 0)
 
 
+#: Histogram-size dial for the driver-local BPE trainer: when the
+#: DISTINCT-word histogram fits under this many rows it is collected
+#: once and the merge loop runs locally (the shape every production
+#: BPE trainer uses — merge learning is vocabulary-bound, not
+#: corpus-bound); above it, the fully-lazy distributed chain runs.
+_BPE_LOCAL_MAX_VOCAB = 500_000
+
+_BPE_SYM_RE = _re.compile(r"<[^<>]*>")
+
+
+def _bpe_collect_small_hist(
+    hist: DataFrame, max_rows: int | None
+) -> list[tuple[str, int]] | None:
+    """One-job probe-and-fetch: pull up to ``max_rows + 1`` histogram
+    rows; a result within budget IS the full histogram (return it),
+    an overflow returns None (caller takes the distributed path)."""
+    if max_rows is None:
+        return None
+    rows = hist.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    return [(r["seq"], r["wc"]) for r in rows]
+
+
+def _bpe_local_plan(
+    rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str, str, int]], list[str], list[int]]:
+    """Driver-local merge trainer over the collected histogram —
+    EXACTLY the distributed semantics: per round, count adjacent
+    wrapped-symbol pairs weighted by word count (overlaps counted,
+    as ``arrays_zip`` does), pick the winner by (count desc, left
+    asc, right asc), rewrite every sequence with one left-to-right
+    non-overlapping literal replace (``str.replace`` ==
+    ``F.replace``). Returns (merges, final_seqs, word_counts)."""
+    seqs = [s for s, _ in rows]
+    wcs = [w for _, w in rows]
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s, w in zip(seqs, wcs):
+            syms = _BPE_SYM_RE.findall(s)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + w
+        if not counts:
+            break  # no word has >= 2 symbols left: no further rules
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = "<" + left[1:-1] + right[1:-1] + ">"
+        merges.append((left, right, merged, int(c)))
+        pat = left + right
+        seqs = [s.replace(pat, merged) for s in seqs]
+    return merges, seqs, wcs
+
+
 def _bpe_inner(c):
     return F.substring(c, 2, F.length(c) - 2)
 
@@ -963,6 +1021,7 @@ def bpe_learn(
     id_col: str,
     text_col: str,
     n_merges: int = 3,
+    local_max_vocab: int | None = _BPE_LOCAL_MAX_VOCAB,
 ) -> DataFrame:
     """Byte-Pair-Encoding merge training (Sennrich et al. 2016,
     arXiv:1508.07909) — learn the first ``n_merges`` merge rules from
@@ -976,30 +1035,47 @@ def bpe_learn(
     leaves the histogram unchanged. Output: ``(merge_round, left_sym,
     right_sym, merged, pair_count)`` — one row per learned rule.
 
-    Scale shape: the corpus collapses to the word histogram with one
-    map-side-combined agg; every subsequent round touches only
-    |distinct words| rows — pair counting is an explode + one agg,
-    the 1-row winner joins back as a broadcast. Rounds step EAGERLY
-    (round 4): each round's ≤1-row winner is COLLECTED and re-created
-    as a driver-local relation — one-row driver traffic, and the
-    winner's lineage is cut off the histogram chain, so each parent
-    histogram unpersists as soon as the next round's collect has
-    materialized its child. A session training many vocabularies thus
-    holds at most TWO |vocabulary|-sized cached histograms at any
-    instant instead of one per round forever, and the returned frame
-    is a union of local relations (re-evaluating it recomputes
-    nothing).
+    Scale shape (MEASURED-PROBE ROUTED, round 5 — the same playbook
+    as ``topk_route``): the corpus collapses to the DISTINCT-word
+    histogram with one map-side-combined agg — merge learning is then
+    VOCABULARY-bound, never corpus-bound.
+
+    * ``local`` (|histogram| ≤ ``local_max_vocab``): the histogram is
+      collected ONCE (a single job; the ``limit(n+1)`` fetch is the
+      size probe) and the merge loop runs on the driver — the shape
+      every production BPE trainer uses; at the registered corpus the
+      vocabulary is a few thousand rows, so per-round Spark jobs
+      (round 4's eager collects: ×2.9 on the sf0.1 bench) and their
+      cached histograms (round 3's leak) both disappear. Results are
+      returned as a driver-local relation — re-evaluation recomputes
+      nothing.
+    * ``distributed`` (above the dial, or ``local_max_vocab=None``):
+      the fully-lazy broadcast-join chain — round r's histogram is
+      round r−1's with the winner's ``replace`` applied via a 1-row
+      broadcast join, and one action evaluates every round; nothing
+      is persisted (no cache to leak) and nothing is collected
+      per round. Both paths are exact and tie-break identically
+      (count desc, left asc, right asc).
     """
     spark = df.sparkSession
-    hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
-    parent = None  # materialized-child's predecessor, pending unpersist
+    hist = _bpe_wrapped_hist(df, id_col, text_col)
+    schema = (
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count long"
+    )
+    local = _bpe_collect_small_hist(hist, local_max_vocab)
+    if local is not None:
+        planned, _seqs, _wcs = _bpe_local_plan(local, n_merges)
+        return spark.createDataFrame(
+            [
+                (r + 1, left, right, merged, c)
+                for r, (left, right, merged, c) in enumerate(planned)
+            ],
+            schema,
+        )
     merges = []
     for r in range(1, n_merges + 1):
-        tp = _bpe_top_pair(hist)
-        top = spark.createDataFrame(tp.collect(), tp.schema)
-        if parent is not None:  # the collect materialized its child
-            parent.unpersist()
-            parent = None
+        top = _bpe_top_pair(hist)
         merges.append(
             top.select(
                 F.lit(r).alias("merge_round"),
@@ -1010,10 +1086,7 @@ def bpe_learn(
             )
         )
         if r < n_merges:
-            new_hist = _bpe_apply(hist, top).persist()
-            parent, hist = hist, new_hist
-        else:
-            hist.unpersist()  # winners are local; nothing needs it
+            hist = _bpe_apply(hist, top)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1026,6 +1099,7 @@ def bpe_token_counts(
     text_col: str,
     n_merges: int = 3,
     top_k: int | None = 50,
+    local_max_vocab: int | None = _BPE_LOCAL_MAX_VOCAB,
 ) -> DataFrame:
     """Apply ``bpe_learn``'s merge rules back to the corpus and count
     the resulting subword tokens — learn + encode as one lazy plan
@@ -1035,24 +1109,33 @@ def bpe_token_counts(
     Output: ``(token, token_count)`` — unwrapped symbols, weighted by
     word frequency; ``top_k`` keeps the head of the vocabulary
     (count desc, token asc — deterministic), None keeps all.
+
+    Routed like :func:`bpe_learn` (round 5): a histogram under
+    ``local_max_vocab`` rows trains AND encodes on the driver from
+    one collected copy (a single Spark job end-to-end); above the
+    dial the fully-lazy distributed chain runs — no per-round
+    collects or caches on either path.
     """
     spark = df.sparkSession
-    hist = _bpe_wrapped_hist(df, id_col, text_col).persist()
-    parent = None
+    hist = _bpe_wrapped_hist(df, id_col, text_col)
+    local = _bpe_collect_small_hist(hist, local_max_vocab)
+    if local is not None:
+        _planned, seqs, wcs = _bpe_local_plan(local, n_merges)
+        counts: dict[str, int] = {}
+        for s, w in zip(seqs, wcs):
+            for sym in _BPE_SYM_RE.findall(s):
+                tok = sym[1:-1]
+                counts[tok] = counts.get(tok, 0) + w
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if top_k is not None:
+            items = items[:top_k]
+        return spark.createDataFrame(
+            [(t, int(c)) for t, c in items],
+            "token string, token_count long",
+        )
     for _ in range(n_merges):
-        tp = _bpe_top_pair(hist)
-        top = spark.createDataFrame(tp.collect(), tp.schema)
-        if parent is not None:  # the collect materialized its child
-            parent.unpersist()
-            parent = None
-        new_hist = _bpe_apply(hist, top).persist()
-        parent, hist = hist, new_hist
-    if parent is not None:
-        hist.count()  # materialize the final rewrite off the cached parent
-        parent.unpersist()
-    # the FINAL histogram stays persisted — the returned (lazy) encode
-    # plan reads it; it is the caller's to evict, and it is one
-    # |vocabulary|-sized block, not a per-round chain
+        top = _bpe_top_pair(hist)
+        hist = _bpe_apply(hist, top)
     out = (
         hist.select(F.explode(_bpe_syms()).alias("sym"), "wc")
         .groupBy(_bpe_inner(F.col("sym")).alias("token"))

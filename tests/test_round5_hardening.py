@@ -323,3 +323,67 @@ def test_gemm_batch_length_invariant_fails_loudly():
     _check_gemm_batch_len((1 << 20) - 1)  # fine
     with pytest.raises(ValueError, match="maxRecordsPerBatch"):
         _check_gemm_batch_len(1 << 20)
+
+
+# ---------------------------------------------------------------------------
+# BPE round-5 routing: local trainer vs distributed chain parity
+# ---------------------------------------------------------------------------
+
+def test_bpe_local_and_distributed_routes_agree(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(150)
+    cols = ["merge_round", "left_sym", "right_sym", "merged", "pair_count"]
+    local = bpe_learn(docs, "doc_id", "text", n_merges=4)
+    dist = bpe_learn(docs, "doc_id", "text", n_merges=4, local_max_vocab=None)
+    assert sorted(map(tuple, local.select(cols).collect())) == sorted(
+        map(tuple, dist.select(cols).collect())
+    )
+    assert [f.dataType.simpleString() for f in local.schema.fields] == [
+        f.dataType.simpleString() for f in dist.schema.fields
+    ]
+    vc = ["token", "token_count"]
+    lv = bpe_token_counts(docs, "doc_id", "text", n_merges=3, top_k=25)
+    dv = bpe_token_counts(
+        docs, "doc_id", "text", n_merges=3, top_k=25, local_max_vocab=None
+    )
+    assert sorted(map(tuple, lv.select(vc).collect())) == sorted(
+        map(tuple, dv.select(vc).collect())
+    )
+
+
+def test_bpe_vocab_overflow_takes_distributed_route(spark):
+    """local_max_vocab smaller than the histogram forces the lazy
+    distributed chain — results identical to the local trainer."""
+    from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc abd"), (2, "abab xy")],
+        "doc_id long, text string",
+    )
+    out = (
+        bpe_learn(docs, "doc_id", "text", n_merges=2, local_max_vocab=1)
+        .orderBy("merge_round").collect()
+    )
+    assert [(r.left_sym, r.right_sym, r.merged, r.pair_count) for r in out] == [
+        ("<a>", "<b>", "<ab>", 6),
+        ("<ab>", "<ab>", "<abab>", 2),
+    ]
+
+
+def test_bpe_distributed_route_leaks_no_cache(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.text import bpe_learn
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = load_table(spark, "documents", sf_dir).limit(100)
+    before = n_persistent()
+    out = bpe_learn(docs, "doc_id", "text", n_merges=3, local_max_vocab=None)
+    assert out.count() == 3
+    assert n_persistent() - before <= 0
