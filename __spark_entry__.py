@@ -202,6 +202,29 @@ def q_repair_percentages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Digest twin (round 5): per-row outputs are too big to collect at the
+# larger sweep fixtures, so full-surface sweeps compare this bounded
+# companion instead — count + keyspace XOR (l_linenumber < 8, so
+# orderkey*8+linenumber is injective) + fixed-point value sum.
+@_q("repair_percentages_digest", """
+SELECT COUNT(*) AS n_rows,
+       bit_xor(l_orderkey * 8 + l_linenumber) AS key_xor,
+       CAST(SUM(CAST(round((CASE WHEN abs(l_quantity / l_extendedprice * 100 - l_tax * 1000) > 1.0
+            THEN l_quantity / l_extendedprice * 100
+            ELSE l_tax * 1000 END) * 10000) AS BIGINT)) AS BIGINT) AS sum_u
+FROM lineitem
+""")
+def q_repair_percentages_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_repair_percentages(spark, sf_dir)
+    return base.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(l_orderkey * 8 + l_linenumber)").alias("key_xor"),
+        F.sum(
+            F.round(F.col("repaired_perc") * 10000).cast("long")
+        ).cast("long").alias("sum_u"),
+    )
+
+
 # --- P5-P7: null handling (drop null keys, zero-fill floats) ----------------
 
 _DIRTY_EVENTS_SQL = """
@@ -274,17 +297,22 @@ FROM events WHERE event_id > 400
 def q_keyset_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from harmony_energy_data_pipeline_spark.sources.pyds import (
-        KeysetPagesDataSource, write_pages,
+        KeysetPagesDataSource, write_pages_distributed,
     )
     ev = load_table(spark, "events", sf_dir)
-    records = [
-        {"_id": r["event_id"],
-         "DATETIME": r["ts"].strftime("%Y-%m-%dT%H:%M:%S"),
-         "GENERATION": r["value"]}
-        for r in ev.select("event_id", "ts", "value").collect()
-    ]
+    # fixture build is fully distributed (round 5): each executor
+    # partition writes its own page files — no driver-side collect,
+    # so the build scales with the table, not the driver heap
     pages_dir = tempfile.mkdtemp(prefix="keyset_pages_")
-    write_pages(records, pages_dir, page_size=100)
+    write_pages_distributed(
+        ev.select(
+            F.col("event_id").alias("_id"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("DATETIME"),
+            F.col("value").alias("GENERATION"),
+        ),
+        pages_dir,
+        page_size=100,
+    )
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KeysetPagesDataSource)
     df = (
@@ -385,6 +413,34 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Digest twin (round 5): one bounded row PER MEASURE — verifies the
+# wide->long routing (each measure's row count, keyspace, value sum)
+# without collecting 4x|lineitem| rows at sweep fixtures.
+@_q("unpivot_lineitem_digest", """
+SELECT measure,
+       COUNT(*) AS n_rows,
+       bit_xor(l_orderkey * 8 + l_linenumber) AS key_xor,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+) u
+GROUP BY measure
+""")
+def q_unpivot_lineitem_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_unpivot_lineitem(spark, sf_dir)
+    return base.groupBy("measure").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(l_orderkey * 8 + l_linenumber)").alias("key_xor"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+    )
+
+
 # --- P4/F3: derived computed projection --------------------------------------
 
 @_q("derived_charge", """
@@ -398,6 +454,26 @@ def q_derived_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
          * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+# Digest twin (round 5): micro-unit (1e-6) fixed-point sum over the
+# SAME per-row charge expression, so sweeps at any fixture compare one
+# row instead of |lineitem| rows.
+@_q("derived_charge_digest", """
+SELECT COUNT(*) AS n_rows,
+       bit_xor(l_orderkey * 8 + l_linenumber) AS key_xor,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_u
+FROM lineitem
+""")
+def q_derived_charge_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_derived_charge(spark, sf_dir)
+    return base.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(l_orderkey * 8 + l_linenumber)").alias("key_xor"),
+        F.sum(
+            F.round(F.col("charge") * 1000000).cast("long")
+        ).cast("long").alias("sum_u"),
     )
 
 
@@ -1091,6 +1167,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.8, exact=True
     )
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+# Digest twin (round 5): the brute-force oracle is O(n^2) in DuckDB and
+# infeasible beyond the gate SFs, so sweeps verify the exact path on a
+# DETERMINISTIC id-sampled subset (vec_id % 16 — every engine agrees on
+# membership) and compare one digest row. Pair key id_a*2^20+id_b is
+# injective while ids < 2^20 (true through the 300x fixture).
+@_q("embedding_near_dup_digest", """
+WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 16 = 0),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+)
+SELECT COUNT(*) AS n_pairs,
+       COALESCE(bit_xor(id_a * 1048576 + id_b), 0) AS pair_xor,
+       CAST(COALESCE(SUM(CAST(round(score * 1000000) AS BIGINT)), 0) AS BIGINT) AS sum_score_u
+FROM p WHERE score >= 0.8
+""")
+def q_embedding_near_dup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % 16 == 0
+    )
+    out = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.8, exact=True
+    )
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(
+            F.expr("bit_xor(id_a * 1048576 + id_b)"), F.lit(0)
+        ).cast("long").alias("pair_xor"),
+        F.coalesce(
+            F.sum(F.round(F.col("score") * 1000000).cast("long")), F.lit(0)
+        ).cast("long").alias("sum_score_u"),
+    )
 
 
 # --- P1/F1/F2: schema align + lenient parse/cast on dirty string records ----

@@ -53,6 +53,48 @@ def write_pages(records: list[dict], out_dir: str, page_size: int = 1000) -> lis
     return paths
 
 
+def write_pages_distributed(
+    df, out_dir: str, id_col: str = "_id", page_size: int = 1000
+) -> None:
+    """Scale-path page writer: range-partition ``df`` on the keyset
+    column, sort within partitions, and let EACH EXECUTOR PARTITION
+    write its own ``page_<min>_<max>.jsonl`` files — no driver
+    collect, so the fixture build scales with the table instead of
+    the driver's heap. Partition ranges are disjoint, so page files
+    never collide; page boundaries fall wherever partitions start,
+    which readers don't care about (skipping only needs accurate
+    per-file min/max). ``out_dir`` must be storage every executor
+    shares (true on local[*] and any cluster with a shared mount —
+    the same contract as a parquet write path)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    part = (
+        df.repartitionByRange(n_parts, id_col).sortWithinPartitions(id_col)
+    )
+
+    def write_partition(rows) -> None:
+        buf: list[dict] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            name = f"page_{buf[0][id_col]}_{buf[-1][id_col]}.jsonl"
+            tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "w") as fh:
+                for r in buf:
+                    fh.write(json.dumps(r) + "\n")
+            os.rename(tmp, os.path.join(out_dir, name))
+            buf.clear()
+
+        for row in rows:
+            buf.append(row.asDict())
+            if len(buf) >= page_size:
+                flush()
+        flush()
+
+    part.foreachPartition(write_partition)
+
+
 def _page_files(path: str) -> list[tuple[str, int, int]]:
     out = []
     for name in os.listdir(path):

@@ -225,3 +225,48 @@ def test_records_to_df_stringifies_numbers_for_string_fields(spark):
                                 {"_id": 9}], schema).collect()
     got = {r._id: r.GENERATION for r in out}
     assert got == {7: "25000.5", 8: "123", 9: None}
+
+
+def test_write_pages_distributed_matches_driver_writer(spark, tmp_path):
+    """Round-5: the executor-side page writer (no driver collect) must
+    produce a directory the reader sees identically to write_pages —
+    same rows, valid min/max page names, pushdown still skips files."""
+    from pyspark.sql.datasource import GreaterThan as GT
+
+    from harmony_energy_data_pipeline_spark.sources.pyds import (
+        KeysetPagesReader,
+        write_pages_distributed,
+    )
+
+    recs = _records(500)
+    df = spark.createDataFrame(recs, DDL)
+    d = str(tmp_path / "pages_dist")
+    write_pages_distributed(df, d, page_size=50)
+    spark.dataSource.register(KeysetPagesDataSource)
+    back = (
+        spark.read.format("keyset_pages").schema(DDL).option("path", d).load()
+    )
+    got = sorted(
+        (r["_id"], r["DATETIME"], r["GENERATION"]) for r in back.collect()
+    )
+    want = sorted((r["_id"], r["DATETIME"], r["GENERATION"]) for r in recs)
+    assert got == want
+    # every page name's min/max brackets its contents (keyset invariant)
+    import json as _json
+    import os as _os
+
+    for name in _os.listdir(d):
+        assert name.startswith("page_") and name.endswith(".jsonl"), name
+        _, lo, hi = name[:-6].split("_")
+        ids = [
+            _json.loads(line)["_id"]
+            for line in open(_os.path.join(d, name), encoding="utf-8")
+        ]
+        assert ids == sorted(ids)
+        assert ids[0] == int(lo) and ids[-1] == int(hi)
+    # cursor pushdown still skips whole files
+    schema = spark.createDataFrame([], DDL).schema
+    rdr = KeysetPagesReader(d, schema)
+    assert list(rdr.pushFilters([GT(("_id",), 250)])) == []
+    n_all = len(KeysetPagesReader(d, schema).partitions())
+    assert len(rdr.partitions()) < n_all
