@@ -64,16 +64,32 @@ ENGINE_CONF: dict[str, str] = {
 def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
-    real cluster the caller passes the cluster master / lets
-    spark-submit decide by passing ``master=""``.
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER`` if set, else
+    ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the caller passes
+    the cluster master / lets spark-submit decide by passing
+    ``master=""``. ``SPARK_GRAFT_MASTER=local-cluster[4,7,16384]``
+    runs the multi-JVM rehearsal topology (4 separate worker
+    processes, 7 cores / 16 GiB each) used by the SCALING.md
+    horizontal-scaling evidence; executor heaps there come from
+    ``$SPARK_GRAFT_EXECUTOR_MEM`` (default 14g, under the worker
+    grant).
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        master = os.environ.get("SPARK_GRAFT_MASTER", "")
+        if not master:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if master.startswith("local-cluster"):
+        # separate executor JVMs: size their heaps explicitly (the
+        # bracket's MiB figure is the WORKER grant; executors default
+        # to 1g without this)
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "14g"),
+        )
     if master.startswith("local"):
         # In local mode the driver JVM is also the executor; Spark's 1g
         # default heap starves 32 concurrent tasks (the 100x scale

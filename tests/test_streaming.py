@@ -367,3 +367,64 @@ def test_snapshot_sink_inline_maintenance(spark, tmp_path, sf_dir):
     # commit markers survived the vacuums
     marked = snap.committed_marker_values(table, "stream_commit_id")
     assert len(marked) >= 4
+
+
+def test_first_seen_state_bounded_multi_hundred_batch_soak(spark, tmp_path):
+    """Round-5 soak (VERDICT #7): drive the TTL-bounded first-seen
+    operator through 200+ micro-batches of EVER-NEW keys and assert
+    the state store stays bounded — without the processing-time TTL
+    the seen-set would grow by rowsPerBatch keys every batch forever.
+    Bounded = the second half of the run adds (almost) no net state
+    versus the first half, and the final size is a small fraction of
+    the total distinct keys streamed."""
+    import time as _time
+
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        streaming_first_seen,
+    )
+
+    rows_per_batch = 200
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(F.col("value").alias("k"), F.col("timestamp").alias("ts"))
+    )
+    out = streaming_first_seen(src, "k", "ts", ttl_ms=1000)
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    sizes: dict[int, int] = {}
+    target_batches = 220
+    try:
+        deadline = _time.monotonic() + 420
+        while _time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                sizes[p["batchId"]] = p["stateOperators"][0]["numRowsTotal"]
+                if p["batchId"] >= target_batches:
+                    break
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+    assert sizes, "no progress reported"
+    last_batch = max(sizes)
+    assert last_batch >= 200, f"soak only reached batch {last_batch}"
+    keys_streamed = (last_batch + 1) * rows_per_batch
+    final_state = sizes[last_batch]
+    # TTL eviction keeps only the recent horizon's keys alive
+    assert final_state < keys_streamed * 0.25, (
+        f"state {final_state} rows after {keys_streamed} distinct keys — "
+        "TTL eviction is not bounding the store"
+    )
+    # plateau: second half of the soak must not keep accumulating
+    mid = last_batch // 2
+    mid_size = sizes.get(mid) or sizes[min(sizes, key=lambda b: abs(b - mid))]
+    assert final_state <= mid_size * 1.5 + rows_per_batch * 10, (
+        f"state kept growing: {mid_size} rows @batch {mid} -> "
+        f"{final_state} @batch {last_batch}"
+    )
