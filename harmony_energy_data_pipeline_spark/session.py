@@ -39,12 +39,14 @@ ENGINE_CONF: dict[str, str] = {
     # session TZ is UTC so values are identical, and streaming
     # watermarks require TimestampType.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Local default, overridable for deployment sizing. The 300x
-    # rehearsal A/B'd 32 vs 128 on 180M-row shuffles: 32 + AQE
-    # coalescing won on this box (window-heavy queries pay fixed
-    # per-task sort overhead at 128), so the knob exists for real
-    # clusters where partition count tracks executor count, not as a
-    # local tuning.
+    # Local default, overridable for deployment sizing. Round-5
+    # finding (SCALING.md): the rule is VOLUME-based — size partitions
+    # so each shuffle-sort partition stays spill-free (~<=2M rows /
+    # ~200 MB). At sf0.1, 32+AQE wins (fixed per-task overhead); at
+    # the 300x fixture the same 32 puts 5.6M rows in every SMJ sort
+    # and q21 goes spill-bound (44-63s vs 17-22s at 112-256
+    # partitions, both topologies). Real clusters set this to track
+    # data volume and total cores via the env knob.
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
