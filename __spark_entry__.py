@@ -1571,6 +1571,41 @@ def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "ts", "rate")
 
 
+# --- temporal: batch sessionization (gaps-and-islands) -----------------------
+# The batch counterpart of streaming session_window: one shuffle + one
+# sort (both window passes and the per-session agg share the key
+# partitioning). Gap comparisons run on unix microseconds — exact
+# integers on both engines.
+
+@_q("sessionize_events", """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+    CAST(1 + SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM sess GROUP BY user_id, session_seq
+""")
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harmony_energy_data_pipeline_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, "events", sf_dir)
+    return sessionize(
+        ev, key="user_id", ts_col="ts", gap_seconds=1800,
+        tiebreak_col="event_id", value_col="value",
+    )
+
+
 # --- temporal: interval (range) join -------------------------------------------
 
 _BANDS_SQL = """

@@ -253,7 +253,75 @@ def time_weighted_avg(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a key's events whose
+    consecutive gaps are ≤ ``gap_seconds`` merge into one session —
+    the BATCH counterpart of ``streaming.sessionized_agg``'s
+    ``session_window`` (backfills and reprocessing run over the lake
+    table, not the stream). Output: one row per session —
+    ``(key, session_seq, session_start, session_end, n_events[,
+    sum_<value>_cents])`` with ``session_seq`` numbering a key's
+    sessions 1.. in time order.
+
+    Scale shape: ONE shuffle + one sort. Both window passes (the
+    lag-gap flag and the running session counter) share the same
+    ``(partitionBy key, orderBy ts, tiebreak)`` spec, and the final
+    per-session groupBy keys on a superset of the window partition
+    key, so Catalyst plans a single Exchange (plan-asserted in
+    tests). Gaps compare ``unix_micros`` — exact integers, so the
+    DuckDB oracle (``epoch_us``) agrees bit-for-bit with no
+    float/truncation ambiguity. ``tiebreak_col`` makes simultaneous
+    events a total order (required for a deterministic running sum).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = int(gap_seconds) * 1_000_000
+    is_new = (
+        F.when(
+            F.unix_micros(F.col(ts_col))
+            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            > F.lit(gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))  # first event: NULL lag -> 0 (session 1)
+        .alias("__new")
+    )
+    extra = [value_col] if value_col else []
+    tb = (
+        [tiebreak_col]
+        if tiebreak_col is not None and tiebreak_col not in (key, ts_col, value_col)
+        else []
+    )
+    flagged = df.select(key, ts_col, *extra, *tb, is_new)
+    sess = flagged.select(
+        key, ts_col, *extra,
+        (F.sum("__new").over(run) + F.lit(1)).cast("long").alias("session_seq"),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias(f"sum_{value_col}_cents")
+        )
+    return sess.groupBy(key, "session_seq").agg(*aggs)
+
+
 __all__ = [
     "asof_join", "interval_join", "bucketed_interval_join", "resample_with_fill",
-    "time_weighted_avg",
+    "time_weighted_avg", "sessionize",
 ]

@@ -114,3 +114,56 @@ def test_time_weighted_avg_weights_by_holding_interval(spark):
     r = out[1]
     assert abs(r["twa"] - (10 * 3600 + 20 * 1800) / 5400) < 1e-12
     assert r["n_intervals"] == 2 and r["span_seconds"] == 5400
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_hand_computed(spark):
+    from harmony_energy_data_pipeline_spark.operators.temporal import sessionize
+
+    rows = [
+        # user 1: 3 events within 30min -> one session; then a 2h gap
+        (1, 1, "2024-01-01 10:00:00", 10.0),
+        (2, 1, "2024-01-01 10:10:00", 20.0),
+        (3, 1, "2024-01-01 10:40:00", 30.0),   # 30min gap == threshold: SAME session
+        (4, 1, "2024-01-01 12:41:00", 40.0),   # > 30min: new session
+        # user 2: single event
+        (5, 2, "2024-01-01 00:00:00", 5.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in sessionize(
+            ev, key="user_id", ts_col="ts", gap_seconds=1800,
+            tiebreak_col="event_id", value_col="value",
+        ).collect()
+    }
+    assert len(out) == 3
+    s11 = out[(1, 1)]
+    assert s11.n_events == 3 and s11.sum_value_cents == 6000
+    assert str(s11.session_start).startswith("2024-01-01 10:00:00")
+    assert str(s11.session_end).startswith("2024-01-01 10:40:00")
+    s12 = out[(1, 2)]
+    assert s12.n_events == 1 and s12.sum_value_cents == 4000
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_single_shuffle_plan(spark, sf_dir):
+    """Both window passes and the per-session agg must share ONE
+    key-partitioned exchange — sessionization at 100 TB is a single
+    shuffle, not three."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.temporal import sessionize
+    from harmony_energy_data_pipeline_spark.plans.inspect import shuffle_count
+
+    ev = load_table(spark, "events", sf_dir)
+    out = sessionize(
+        ev, key="user_id", ts_col="ts", gap_seconds=1800,
+        tiebreak_col="event_id", value_col="value",
+    )
+    assert shuffle_count(out) == 1
+    assert out.count() > 0
