@@ -29,7 +29,7 @@ import shutil
 import uuid
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.schemas import RUN_HISTORY_SCHEMA
@@ -74,6 +74,55 @@ def merge_upsert(
         keys = source.select(key).distinct()
     survivors = target.join(keys, on=key, how="left_anti")
     return survivors.unionByName(src)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str = "_id",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+    broadcast_changes: bool | None = None,
+) -> DataFrame:
+    """CDC apply — the Delta ``MERGE WHEN MATCHED DELETE`` /
+    Debezium-consumer shape ``merge_upsert`` cannot express: a change
+    feed carrying inserts/updates AND deletes folds into the target.
+
+    ``changes`` rows with ``op_col == delete_op`` remove the key;
+    anything else upserts the row (column-complete, source-wins).
+    ``seq_col`` orders multiple changes for the same key (highest
+    wins, ties broken by preferring the delete — the deterministic
+    choice when a feed replays); without it, changes must be
+    key-unique, like ``merge_upsert``'s contract.
+
+    Scale shape: same as ``merge_upsert`` — one anti-join on the key
+    set (broadcast when the feed is small, probed the same way) plus a
+    union; the per-key latest-change fold is one window over the
+    CHANGE FEED only (feeds are deltas — orders of magnitude smaller
+    than the table they fold into).
+    """
+    ch = changes
+    if seq_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(),
+            (F.col(op_col) == delete_op).desc(),
+        )
+        ch = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if broadcast_changes is None:
+        probe = changes.select(key).limit(BROADCAST_SOURCE_MAX_ROWS + 1).count()
+        broadcast_changes = probe <= BROADCAST_SOURCE_MAX_ROWS
+    keys = ch.select(key).distinct()
+    if broadcast_changes:
+        keys = F.broadcast(keys)
+    survivors = target.join(keys, on=key, how="left_anti")
+    drop_cols = [op_col] + ([seq_col] if seq_col is not None else [])
+    upserts = ch.filter(F.col(op_col) != delete_op).drop(*drop_cols)
+    return survivors.unionByName(upserts)
 
 
 @normalizes_paths('path')
