@@ -1050,12 +1050,13 @@ def bpe_learn(
       returned as a driver-local relation — re-evaluation recomputes
       nothing.
     * ``distributed`` (above the dial, or ``local_max_vocab=None``):
-      the fully-lazy broadcast-join chain — round r's histogram is
-      round r−1's with the winner's ``replace`` applied via a 1-row
-      broadcast join, and one action evaluates every round; nothing
-      is persisted (no cache to leak) and nothing is collected
-      per round. Both paths are exact and tie-break identically
-      (count desc, left asc, right asc).
+      one aggregation job per round over the persisted base histogram;
+      each round collects its 1-ROW winner and stacks the rewrite as a
+      literal projection (a lazy chain would reference round r's
+      histogram twice from round r+1 — O(2^n) recompute; the per-round
+      driver state here is one merge rule, ~bytes). The persist is
+      released before return. Both paths are exact and tie-break
+      identically (count desc, left asc, right asc).
     """
     spark = df.sparkSession
     hist = _bpe_wrapped_hist(df, id_col, text_col)
@@ -1073,24 +1074,40 @@ def bpe_learn(
             ],
             schema,
         )
-    merges = []
-    for r in range(1, n_merges + 1):
-        top = _bpe_top_pair(hist)
-        merges.append(
-            top.select(
-                F.lit(r).alias("merge_round"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                "merged",
-                "pair_count",
+    # Distributed route (round 6): the fully-lazy broadcast-join chain
+    # referenced round r's histogram TWICE from round r+1 (once as the
+    # apply input, once inside the top-pair subquery) - evaluating
+    # round n recomputed the corpus-collapse aggregation O(2^n) times.
+    # Now the loop collects each round's 1-row winner (the textbook
+    # iterative-algorithm shape: per-round driver state is one merge
+    # rule, ~bytes) and stacks the rewrite as a LITERAL projection, so
+    # each round is exactly one aggregation job over the persisted base
+    # histogram - linear in n_merges. The persist is released before
+    # return, so no registered cache entry outlives the call.
+    merges_rows: list[tuple] = []
+    hist = hist.persist()
+    try:
+        cur = hist
+        for r in range(1, n_merges + 1):
+            top = _bpe_top_pair(cur).collect()
+            if not top:  # no word has >= 2 symbols left: no further rules
+                break
+            t = top[0]
+            merges_rows.append(
+                (r, t["l"], t["r"], t["merged"], int(t["pair_count"]))
             )
-        )
-        if r < n_merges:
-            hist = _bpe_apply(hist, top)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+            if r < n_merges:
+                cur = cur.select(
+                    F.replace(
+                        F.col("seq"),
+                        F.lit(t["l"] + t["r"]),
+                        F.lit(t["merged"]),
+                    ).alias("seq"),
+                    "wc",
+                )
+    finally:
+        hist.unpersist()
+    return spark.createDataFrame(merges_rows, schema)
 
 
 def bpe_token_counts(
@@ -1110,11 +1127,13 @@ def bpe_token_counts(
     word frequency; ``top_k`` keeps the head of the vocabulary
     (count desc, token asc — deterministic), None keeps all.
 
-    Routed like :func:`bpe_learn` (round 5): a histogram under
+    Routed like :func:`bpe_learn`: a histogram under
     ``local_max_vocab`` rows trains AND encodes on the driver from
     one collected copy (a single Spark job end-to-end); above the
-    dial the fully-lazy distributed chain runs — no per-round
-    collects or caches on either path.
+    dial the distributed chain runs one aggregation job per round
+    over the persisted base histogram, collecting only the 1-row
+    winner (linear in ``n_merges``; the persist is released before
+    return).
     """
     spark = df.sparkSession
     hist = _bpe_wrapped_hist(df, id_col, text_col)
@@ -1133,9 +1152,28 @@ def bpe_token_counts(
             [(t, int(c)) for t, c in items],
             "token string, token_count long",
         )
-    for _ in range(n_merges):
-        top = _bpe_top_pair(hist)
-        hist = _bpe_apply(hist, top)
+    # Same linearization as bpe_learn's distributed route (round 6):
+    # collect each round's 1-row winner and stack the rewrite as a
+    # literal projection over the persisted base histogram — one
+    # aggregation job per round, linear in n_merges. The persist is
+    # released before return; the caller's single action then
+    # recomputes the base collapse once (no double-reference remains,
+    # since the merge rules are literals, not lazy subplans).
+    base = hist.persist()
+    try:
+        for _ in range(n_merges):
+            top = _bpe_top_pair(hist).collect()
+            if not top:
+                break
+            t = top[0]
+            hist = hist.select(
+                F.replace(
+                    F.col("seq"), F.lit(t["l"] + t["r"]), F.lit(t["merged"])
+                ).alias("seq"),
+                "wc",
+            )
+    finally:
+        base.unpersist()
     out = (
         hist.select(F.explode(_bpe_syms()).alias("sym"), "wc")
         .groupBy(_bpe_inner(F.col("sym")).alias("token"))

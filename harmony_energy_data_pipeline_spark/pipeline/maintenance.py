@@ -34,6 +34,7 @@ import json
 import logging
 import os
 import time
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -58,29 +59,54 @@ def _lock_path(table_path: str) -> str:
 def acquire_maintenance_lock(table_path: str, stale_after_s: float = 3600.0) -> str:
     """Take the table's exclusive maintenance lock (``O_CREAT|O_EXCL``
     — atomic on POSIX and the same primitive the manifest "link"
-    protocol relies on). The lock records pid + timestamp; a lock
-    whose owner pid is dead, or older than ``stale_after_s``, is
-    broken and re-taken (crash recovery — a maintainer that died
-    mid-run must not wedge the table forever). Returns the lock path;
-    release with :func:`release_maintenance_lock`."""
+    protocol relies on). The lock records pid + timestamp + a random
+    token; a lock whose owner pid is dead, or older than
+    ``stale_after_s``, is broken and re-taken (crash recovery — a
+    maintainer that died mid-run must not wedge the table forever).
+
+    Stale-lock breaking is GUARDED, not a bare unlink (which is a
+    TOCTOU: two contenders observing the same stale lock could each
+    unlink-then-create, with B's unlink deleting A's freshly created
+    lock — the double-maintainer condition this class exists to
+    prevent). A contender that judges the lock stale must first win a
+    short-lived BREAKER sub-lock (``<lock>.breaker``, O_EXCL — at most
+    one breaker), then re-read the lock and verify it is still
+    byte-identical to the stale content it judged (a successor's fresh
+    lock never matches), and only then rename it to a unique tombstone
+    and delete that. Losers of the breaker race refuse
+    (:class:`MaintenanceLockHeld`). The one residual window — the
+    judged-stale owner racing its own release against the verified
+    rename — requires a dead-or-expired holder to act at that instant,
+    a contradiction of the staleness judgment.
+
+    Returns an ownership token; pass it to
+    :func:`release_maintenance_lock` so release can verify it still
+    owns the lock (an overrunning maintainer whose lock was broken
+    must not delete its successor's)."""
     lp = _lock_path(table_path)
     os.makedirs(os.path.dirname(lp), exist_ok=True)
-    payload = json.dumps({"pid": os.getpid(), "at_unix": time.time()})
-    for _attempt in range(2):
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {"pid": os.getpid(), "at_unix": time.time(), "token": token}
+    )
+    for _attempt in range(3):
         try:
             fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
                 os.write(fd, payload.encode())
             finally:
                 os.close(fd)
-            return lp
+            return token
         except FileExistsError:
             try:
-                with open(lp, encoding="utf-8") as fh:
-                    holder = json.load(fh)
+                with open(lp, "rb") as fh:
+                    raw = fh.read()
+                holder = json.loads(raw.decode("utf-8"))
                 pid, at = int(holder["pid"]), float(holder["at_unix"])
+            except FileNotFoundError:
+                continue  # released/broken between create and read
             except (OSError, ValueError, KeyError):
-                pid, at = None, 0.0  # torn/corrupt lock: treat as stale
+                pid, at, raw = None, 0.0, raw  # torn/corrupt: stale
             alive = False
             if pid is not None:
                 try:
@@ -96,20 +122,91 @@ def acquire_maintenance_lock(table_path: str, stale_after_s: float = 3600.0) -> 
                     f"since {time.time() - at:.0f}s ago ({lp}); a second "
                     "maintainer would race compaction/vacuum — run one"
                 ) from None
-            # stale: owner dead or expired — break and retry the O_EXCL
-            try:
-                os.unlink(lp)
-            except FileNotFoundError:
-                pass
+            if not _break_stale_lock(lp, raw):
+                raise MaintenanceLockHeld(
+                    f"maintenance lock on {table_path} is stale but another "
+                    "contender is breaking it — yield this slot"
+                ) from None
+            # broken by us: loop back and retry the O_EXCL create
     raise MaintenanceLockHeld(
         f"could not acquire maintenance lock {lp} after breaking a stale "
         "holder (another maintainer re-took it first)"
     )
 
 
-def release_maintenance_lock(table_path: str) -> None:
+def _break_stale_lock(lp: str, observed: bytes) -> bool:
+    """Remove a judged-stale lockfile safely: win the breaker sub-lock,
+    re-verify the lock's bytes still equal ``observed`` (so a
+    successor's FRESH lock is never stolen), then rename-to-tombstone
+    and delete. Returns True when the stale lock is gone (by us or
+    already), False when the caller must back off (breaker contended,
+    or the lock's content changed under us)."""
+    breaker = lp + ".breaker"
     try:
-        os.unlink(_lock_path(table_path))
+        fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # another contender is mid-break; clear an ancient breaker left
+        # by a crash (next caller then gets through)
+        try:
+            if time.time() - os.path.getmtime(breaker) > 60.0:
+                os.unlink(breaker)
+        except OSError:
+            pass
+        return False
+    try:
+        try:
+            with open(lp, "rb") as fh:
+                if fh.read() != observed:
+                    return False  # replaced by a fresh lock: not ours to break
+        except FileNotFoundError:
+            return True  # already gone
+        tomb = f"{lp}.stale-{uuid.uuid4().hex}"
+        try:
+            os.rename(lp, tomb)
+        except FileNotFoundError:
+            return True
+        try:
+            os.unlink(tomb)
+        except FileNotFoundError:
+            pass
+        return True
+    finally:
+        try:
+            os.unlink(breaker)
+        except FileNotFoundError:
+            pass
+
+
+def release_maintenance_lock(table_path: str, token: str | None = None) -> None:
+    """Release the maintenance lock — but only if we still own it.
+    ``token`` (from :func:`acquire_maintenance_lock`) is compared to
+    the lockfile's recorded token; without a token, ownership falls
+    back to a pid match. A maintainer that overran ``stale_after_s``
+    and had its lock broken finds someone else's lock here and leaves
+    it alone (logging instead of unlinking the successor's lock)."""
+    lp = _lock_path(table_path)
+    try:
+        with open(lp, encoding="utf-8") as fh:
+            holder = json.load(fh)
+    except FileNotFoundError:
+        return
+    except (OSError, ValueError):
+        holder = {}
+    owns = (
+        holder.get("token") == token
+        if token is not None
+        else holder.get("pid") == os.getpid()
+    )
+    if not owns:
+        logger.warning(
+            "not releasing %s: lock owned by pid %s token %s (ours was "
+            "broken as stale — the successor owns the table now)",
+            lp, holder.get("pid"), holder.get("token"),
+        )
+        return
+    try:
+        os.unlink(lp)
     except FileNotFoundError:
         pass
 
@@ -122,6 +219,7 @@ def run_maintenance(
     vacuum_keep: int | None = None,
     min_files: int = 2,
     stale_after_s: float = 3600.0,
+    orphan_grace_s: float | None = None,
 ) -> dict:
     """One locked maintenance pass: compact the latest snapshot when
     it holds ≥ ``min_files`` data files (skip when already compact —
@@ -129,8 +227,14 @@ def run_maintenance(
     to the last ``vacuum_keep`` versions (None = keep history).
     Returns a summary dict (the audit-record shape ``pipeline.run``
     uses): ``{compacted, version, files_before, files_after,
-    vacuum_removed, skipped_reason}``."""
-    acquire_maintenance_lock(table_path, stale_after_s=stale_after_s)
+    vacuum_removed, skipped_reason}``.
+
+    ``orphan_grace_s`` (default: ``stale_after_s``) gates vacuum's
+    sweep of never-referenced data files — a LIVE writer between its
+    parquet stage and manifest publish must not have its stage deleted
+    out from under it (concurrent DATA writers are part of this
+    module's contract). See :func:`sinks.snapshots.vacuum`."""
+    token = acquire_maintenance_lock(table_path, stale_after_s=stale_after_s)
     try:
         out: dict = {
             "compacted": False,
@@ -161,11 +265,14 @@ def run_maintenance(
             out["files_after"] = files_before
         if vacuum_keep is not None:
             out["vacuum_removed"] = snap.vacuum(
-                table_path, keep_last=vacuum_keep
+                table_path, keep_last=vacuum_keep,
+                orphan_grace_s=(
+                    stale_after_s if orphan_grace_s is None else orphan_grace_s
+                ),
             )
         return out
     finally:
-        release_maintenance_lock(table_path)
+        release_maintenance_lock(table_path, token=token)
 
 
 def schedule_maintenance(

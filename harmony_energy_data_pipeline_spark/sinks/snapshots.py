@@ -510,6 +510,11 @@ def snapshot_compact(
     propagates (the Iceberg ``rewrite_data_files`` retry shape); each
     abandoned attempt leaves only a vacuum-able orphan txid dir.
     """
+    if max_redo < 1:
+        raise ValueError(
+            f"max_redo must be >= 1 (got {max_redo}); a compaction that "
+            "never attempts a commit has no meaningful result"
+        )
     last_err: Exception | None = None
     for _ in range(max_redo):
         v = latest_version(path)
@@ -538,11 +543,25 @@ def snapshot_compact(
 
 
 @normalizes_paths('path')
-def vacuum(path: str, keep_last: int = 1) -> int:
+def vacuum(
+    path: str, keep_last: int = 1, orphan_grace_s: float = 600.0
+) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no
     surviving snapshot references — including orphans from crashed
     pre-publish writers. Returns the number of files deleted.
+
+    ORPHAN GRACE: a data file referenced by NO manifest at all (kept
+    or expired) may belong to a LIVE writer between its parquet stage
+    and its manifest publish, not a crashed one — deleting it would
+    let the writer's subsequent publish commit a manifest pointing at
+    vanished files (silent data loss). Such never-referenced files are
+    only swept once older than ``orphan_grace_s`` seconds (mtime; the
+    Iceberg ``remove_orphan_files older_than`` shape). Files that ARE
+    referenced by an expired manifest were durably committed — no
+    writer is mid-publish on them — and delete immediately. Pass
+    ``orphan_grace_s=0.0`` to force-sweep (tests, known-quiesced
+    tables).
 
     Readers holding an already-resolved DataFrame for an expired
     version still stream their frozen file list until those files go;
@@ -589,25 +608,61 @@ def vacuum(path: str, keep_last: int = 1) -> int:
                 if val not in vals:
                     vals.append(val)
         _write_commit_log(path, clog)
+    # files referenced by the EXPIRED manifests were durably committed:
+    # immediate deletion is safe. Anything else unreferenced is a
+    # potential in-flight stage — grace-gated below.
+    expired_refs: set[str] = set()
+    for v in expired:
+        expired_refs.update(
+            os.path.abspath(_abs_file(path, f))
+            for f in _read_manifest(path, v)["files"]
+        )
     removed = 0
     for v in expired:
         os.remove(_manifest_path(path, v))
+    now = time.time()
+
+    def _age(p: str) -> float:
+        try:
+            return now - os.path.getmtime(p)
+        except OSError:
+            return 0.0  # raced with its writer / just recreated: young
+
     data_root = os.path.join(path, "data")
     for dp, _dirs, files in os.walk(data_root, topdown=False):
-        dir_has_live = any(
-            os.path.abspath(os.path.join(dp, g)) in live
-            for g in files if _is_data_file(g)
-        )
+        kept_data = False
         for f in files:
             full = os.path.abspath(os.path.join(dp, f))
-            if _is_data_file(f):
-                if full not in live:
-                    os.remove(full)
-                    removed += 1
-            elif not dir_has_live:  # _SUCCESS/.crc of a fully-expired commit
+            if not _is_data_file(f):
+                continue
+            if full in live:
+                kept_data = True
+            elif full in expired_refs:
                 os.remove(full)
+                removed += 1
+            elif _age(full) >= orphan_grace_s:
+                os.remove(full)
+                removed += 1
+            else:  # never-referenced but young: a live writer's stage
+                kept_data = True
+        if not kept_data:
+            # _SUCCESS/.crc of a fully-expired commit — but a YOUNG one
+            # may be a live writer's committer scaffolding (a .crc can
+            # precede its parquet file), so the grace applies here too.
+            for f in files:
+                if not _is_data_file(f):
+                    full = os.path.join(dp, f)
+                    if os.path.exists(full) and _age(full) >= orphan_grace_s:
+                        os.remove(full)
         if dp != data_root and not os.listdir(dp):
-            os.rmdir(dp)
+            # empty-dir sweep is ALSO grace-gated: the committer mkdirs
+            # its _temporary attempt dirs before any file exists in
+            # them — rmdir'ing a young empty dir races that mkdir.
+            if _age(dp) >= orphan_grace_s:
+                try:
+                    os.rmdir(dp)
+                except OSError:
+                    pass  # a writer recreated/claimed it: leave it
     return removed
 
 

@@ -104,9 +104,16 @@ def apply_changes(
     """
     ch = changes
     if seq_col is not None:
+        # Final tiebreak: two NON-delete changes for the same key with
+        # equal seq would otherwise tie and row_number would pick one
+        # nondeterministically (run-to-run divergence on the same
+        # feed). A content hash over every column makes the fold a
+        # pure function of the feed's row SET; rows that still tie are
+        # byte-identical, so the pick is immaterial.
         w = Window.partitionBy(key).orderBy(
             F.col(seq_col).desc(),
             (F.col(op_col) == delete_op).desc(),
+            F.xxhash64(*[F.col(c) for c in changes.columns]).desc(),
         )
         ch = (
             ch.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,237 @@
+"""Round-6 hardening: the round-5 review's ADVICE items, each with a
+test that fails on the pre-fix behavior.
+
+1 (high)  vacuum orphan grace — maintenance running CONCURRENTLY with
+          a live streaming writer must not delete the writer's
+          staged-but-unpublished files (the silent-data-loss window
+          between parquet stage and manifest publish).
+2 (med)   stale maintenance-lock breaking is rename-first (no unlink
+          TOCTOU — two contenders can never both hold the lock);
+          release verifies ownership before unlinking.
+3 (low)   snapshot_compact(max_redo<1) raises ValueError up front
+          instead of `raise None`.
+4 (low)   apply_changes folds equal-seq non-delete ties
+          deterministically (content-hash tiebreak).
+"""
+
+import glob
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import load_table
+from harmony_energy_data_pipeline_spark.pipeline import maintenance as mnt
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+from harmony_energy_data_pipeline_spark.sinks.upsert import apply_changes
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# 1. vacuum orphan grace + maintenance concurrent with a live writer
+# ---------------------------------------------------------------------------
+
+def test_vacuum_grace_spares_young_stage_sweeps_old_orphan(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    stage = os.path.join(path, "data", "inflight-txid")
+    _df(spark, 50, 55).write.parquet(stage)
+    # young + never-referenced: could be a live writer mid-commit
+    assert snap.vacuum(path, keep_last=1) == 0
+    staged = glob.glob(os.path.join(stage, "*.parquet"))
+    assert staged
+    # backdate the stage past the grace period: now it is a crash orphan
+    old = time.time() - 7200
+    for f in staged:
+        os.utime(f, (old, old))
+    assert snap.vacuum(path, keep_last=1, orphan_grace_s=3600) >= len(staged)
+    assert not glob.glob(os.path.join(stage, "*.parquet"))
+
+
+def test_maintenance_concurrent_with_streaming_append_loses_nothing(
+    spark, tmp_path, sf_dir
+):
+    """The ADVICE-high scenario: scheduled compact+vacuum passes run
+    WHILE the snapshot append sink is actively committing micro-batches.
+    Pre-fix, vacuum would sweep the sink's staged txid dir between its
+    parquet stage and manifest publish; the publish then committed a
+    manifest referencing deleted files. Post-fix every kept manifest's
+    files must exist and the final table must hold every source row."""
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        start_snapshot_append_sink,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    src = str(tmp_path / "src")
+    for i in range(8):
+        ev.filter(F.col("event_id") % 8 == i).repartition(2).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "tbl")
+    # maintenance starts FIRST and keeps firing while the stream commits
+    sched = mnt.schedule_maintenance(
+        spark, table, interval_seconds=0.2, vacuum_keep=1, min_files=2,
+    )
+    try:
+        q = start_snapshot_append_sink(
+            file_stream(spark, src, schema, max_files_per_trigger=1),
+            table, str(tmp_path / "ckpt"),
+            compact_every=None, vacuum_keep=None,
+        )
+        q.awaitTermination(180)
+        # let at least one more maintenance pass land after the stream
+        runs = sched.run_count
+        deadline = time.monotonic() + 30
+        while sched.run_count <= runs and time.monotonic() < deadline:
+            time.sleep(0.1)
+    finally:
+        sched.stop()
+    # no kept manifest references a vanished file
+    for v in snap.snapshot_history(table):
+        for f in snap._read_manifest(table, v["version"])["files"]:
+            full = f if os.path.isabs(f) else os.path.join(table, f)
+            assert os.path.exists(full), (
+                f"manifest v{v['version']} references deleted file {f}"
+            )
+    # and every source row survived ingest + concurrent maintenance
+    final = snap.read_snapshot(spark, table)
+    assert final.count() == ev.count()
+    assert final.select("event_id").distinct().count() == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# 2. stale-lock break exclusivity + release ownership
+# ---------------------------------------------------------------------------
+
+def _plant_stale_lock(table_path, age_s=7200):
+    """A lock whose owner pid is dead and whose timestamp is ancient."""
+    lp = mnt._lock_path(table_path)
+    os.makedirs(os.path.dirname(lp), exist_ok=True)
+    # a pid that cannot be alive: fork-and-reap gives a dead child pid,
+    # but pid reuse makes that flaky — use one beyond pid_max instead.
+    with open(lp, "w", encoding="utf-8") as fh:
+        json.dump(
+            {"pid": 2 ** 22 + 1, "at_unix": time.time() - age_s,
+             "token": "stale"},
+            fh,
+        )
+    return lp
+
+
+def test_stale_lock_broken_by_exactly_one_contender(tmp_path):
+    path = str(tmp_path / "tbl")
+    _plant_stale_lock(path)
+    won, lost, errs = [], [], []
+    barrier = threading.Barrier(8)
+
+    def contend():
+        barrier.wait()
+        try:
+            won.append(mnt.acquire_maintenance_lock(path))
+        except mnt.MaintenanceLockHeld:
+            lost.append(1)
+        except Exception as e:  # noqa: BLE001 - fail loudly below
+            errs.append(e)
+
+    ts = [threading.Thread(target=contend) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert len(won) == 1, f"{len(won)} contenders hold 'exclusive' locks"
+    assert len(lost) == 7
+    lp = mnt._lock_path(path)
+    assert os.path.exists(lp)  # the winner's lock survived every loser
+    with open(lp, encoding="utf-8") as fh:
+        assert json.load(fh)["token"] == won[0]
+    # no stale tombstones left behind
+    assert not glob.glob(lp + ".stale-*")
+
+
+def test_release_verifies_ownership(tmp_path):
+    path = str(tmp_path / "tbl")
+    token = mnt.acquire_maintenance_lock(path)
+    lp = mnt._lock_path(path)
+    # wrong token: not ours any more (e.g. we overran and were broken)
+    mnt.release_maintenance_lock(path, token="someone-elses")
+    assert os.path.exists(lp)
+    # right token releases
+    mnt.release_maintenance_lock(path, token=token)
+    assert not os.path.exists(lp)
+    # tokenless release falls back to pid ownership (same process: ours)
+    mnt.acquire_maintenance_lock(path)
+    mnt.release_maintenance_lock(path)
+    assert not os.path.exists(lp)
+    # a successor's lock (other pid, no token given) is left alone
+    _plant_stale_lock(path, age_s=0)
+    mnt.release_maintenance_lock(path)
+    assert os.path.exists(lp)
+    os.unlink(lp)
+
+
+def test_overrunning_maintainer_cannot_delete_successor_lock(tmp_path):
+    """A maintainer that overruns stale_after_s has its lock broken and
+    re-taken; its deferred release must not unlink the successor's."""
+    path = str(tmp_path / "tbl")
+    old_token = mnt.acquire_maintenance_lock(path)
+    # successor judges it stale (simulate by planting its own lock)
+    lp = mnt._lock_path(path)
+    os.unlink(lp)
+    new_token = mnt.acquire_maintenance_lock(path)
+    # the overrunner finally finishes and releases with ITS token
+    mnt.release_maintenance_lock(path, token=old_token)
+    assert os.path.exists(lp), "overrunner deleted the successor's lock"
+    mnt.release_maintenance_lock(path, token=new_token)
+    assert not os.path.exists(lp)
+
+
+# ---------------------------------------------------------------------------
+# 3. snapshot_compact max_redo validation
+# ---------------------------------------------------------------------------
+
+def test_compact_rejects_nonpositive_max_redo(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_df(spark, 0, 3), path)
+    with pytest.raises(ValueError, match="max_redo"):
+        snap.snapshot_compact(spark, path, max_redo=0)
+    with pytest.raises(ValueError, match="max_redo"):
+        snap.snapshot_compact(spark, path, max_redo=-2)
+
+
+# ---------------------------------------------------------------------------
+# 4. apply_changes equal-seq determinism
+# ---------------------------------------------------------------------------
+
+def test_apply_changes_equal_seq_tie_is_deterministic(spark):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "_id int, val string"
+    )
+    rows = [(1, "U", 5, "aaa"), (1, "U", 5, "bbb")]
+    schema = "_id int, op string, seq int, val string"
+
+    def fold(ordering):
+        ch = spark.createDataFrame(ordering, schema).select(
+            "_id", "op", "seq", "val"
+        )
+        out = apply_changes(target, ch, key="_id", seq_col="seq")
+        return {(r["_id"], r["val"]) for r in out.collect()}
+
+    a = fold(rows)
+    b = fold(list(reversed(rows)))
+    assert a == b, "equal-seq tie folded differently across runs"
+    assert (2, "keep") in a and len(a) == 2
+    # delete still wins an equal-seq tie against an upsert
+    ch = spark.createDataFrame(
+        [(1, "U", 5, "zzz"), (1, "D", 5, None)], schema
+    )
+    out = apply_changes(target, ch, key="_id", seq_col="seq")
+    assert {r["_id"] for r in out.collect()} == {2}

@@ -55,8 +55,12 @@ def test_orphaned_data_invisible_without_manifest(spark, tmp_path):
     # no manifest references them
     _df(spark, 50, 60).write.parquet(os.path.join(path, "data", "deadbeef"))
     assert _keys(spark, path) == [0, 1, 2]
-    # vacuum sweeps the orphan
-    removed = snap.vacuum(path, keep_last=1)
+    # round 6: a YOUNG never-referenced file may be a live writer's
+    # in-flight stage — default vacuum leaves it for the grace period
+    assert snap.vacuum(path, keep_last=1) == 0
+    assert glob.glob(os.path.join(path, "data", "deadbeef", "*.parquet"))
+    # past the grace period (here: forced to zero) it is a crash orphan
+    removed = snap.vacuum(path, keep_last=1, orphan_grace_s=0.0)
     assert removed > 0
     assert not glob.glob(os.path.join(path, "data", "deadbeef", "*.parquet"))
     assert _keys(spark, path) == [0, 1, 2]
