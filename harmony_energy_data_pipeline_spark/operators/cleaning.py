@@ -215,20 +215,47 @@ def dedup_keep_last(
     key: str = "_id",
     order: str = "DATETIME",
     tiebreak: list[str] | None = None,
+    strategy: str = "window",
 ) -> DataFrame:
     """Per ``key``, keep the row with the greatest ``order`` value.
 
-    The window form (row_number over PARTITION BY key ORDER BY order
-    DESC) — NOT ``dropDuplicates``, which keeps an arbitrary row.
-    Polars' ``keep="last"`` resolves exact (key, order) ties by
-    physical row position; Spark has no stable row order, so ties get
-    a deterministic tiebreak: explicit ``tiebreak`` columns if given,
-    else all remaining columns descending (nulls last). Oracle SQL
-    must state the same ORDER BY.
+    Two strategies, identical semantics (argmax of the same ordering —
+    NOT ``dropDuplicates``, which keeps an arbitrary row; ties resolve
+    by explicit ``tiebreak`` columns if given, else all remaining
+    columns ``DESC NULLS LAST``):
+
+    * ``"window"`` (default): ``row_number`` over PARTITION BY key —
+      one exchange, one sort per partition, rows stream through
+      whole-stage codegen.
+    * ``"agg"``: ``groupBy(key).agg(max_by(struct(<all>),
+      struct(order, tiebreak...)))`` — gets PARTIAL (map-side) combine
+      before the exchange, so shuffle bytes shrink when keys repeat
+      heavily. The argmax struct compares ascending with NULLS
+      SMALLEST per field — i.e. exactly ``DESC NULLS LAST``.
+
+    Round-6 A/B at the 300× fixture (30M-row events, both local[28]
+    and local-cluster[4,7], 32 and 128 shuffle partitions,
+    interleaved best-of-2): the window form won every configuration by
+    20–35% — ``max_by`` over a full-row struct plans as SortAggregate
+    (struct buffers are not hash-agg mutable), paying TWO sorts per
+    phase, and on a near-unique key the partial combine removes almost
+    nothing. Round 5's reported 2–3× cross-JVM window penalty did NOT
+    reproduce (window on 4×7: 4.1–5.6 s vs the 12.7–15.3 s recorded —
+    measurement contamination, see SCALING.md round 6). ``"agg"``
+    stays available for heavily-repeated keys, where map-side combine
+    is a real bytes win.
     """
     tb = tiebreak if tiebreak is not None else [
         c for c in df.columns if c not in (key, order)
     ]
+    if strategy == "agg":
+        best = F.max_by(
+            F.struct(*[F.col(c) for c in df.columns]),
+            F.struct(F.col(order), *[F.col(c) for c in tb]),
+        )
+        return df.groupBy(key).agg(best.alias("__best")).select("__best.*")
+    if strategy != "window":
+        raise ValueError(f"strategy must be 'window' or 'agg', got {strategy!r}")
     ordering = [F.col(order).desc_nulls_last()] + [
         F.col(c).desc_nulls_last() for c in tb
     ]

@@ -235,3 +235,25 @@ def test_apply_changes_equal_seq_tie_is_deterministic(spark):
     )
     out = apply_changes(target, ch, key="_id", seq_col="seq")
     assert {r["_id"] for r in out.collect()} == {2}
+
+
+# ---------------------------------------------------------------------------
+# 5. dedup_keep_last strategies agree (round-6 A/B kept both forms)
+# ---------------------------------------------------------------------------
+
+def test_dedup_keep_last_agg_strategy_matches_window(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        dedup_keep_last,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "ts", "user_id", "value")
+        .limit(2000)
+    )
+    win = dedup_keep_last(ev, key="user_id", order="ts")
+    agg = dedup_keep_last(ev, key="user_id", order="ts", strategy="agg")
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+    assert win.schema == agg.schema
+    with pytest.raises(ValueError, match="strategy"):
+        dedup_keep_last(ev, strategy="bogus")
