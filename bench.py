@@ -67,6 +67,9 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # Publish the fixture dir so the session factory can derive its
+    # volume-based initialPartitionNum from the data actually benched.
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()

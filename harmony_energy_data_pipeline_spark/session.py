@@ -39,14 +39,11 @@ ENGINE_CONF: dict[str, str] = {
     # session TZ is UTC so values are identical, and streaming
     # watermarks require TimestampType.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Local default, overridable for deployment sizing. Round-5
-    # finding (SCALING.md): the rule is VOLUME-based — size partitions
-    # so each shuffle-sort partition stays spill-free (~<=2M rows /
-    # ~200 MB). At sf0.1, 32+AQE wins (fixed per-task overhead); at
-    # the 300x fixture the same 32 puts 5.6M rows in every SMJ sort
-    # and q21 goes spill-bound (44-63s vs 17-22s at 112-256
-    # partitions, both topologies). Real clusters set this to track
-    # data volume and total cores via the env knob.
+    # Fallback for non-AQE paths (e.g. streaming stateful ops, where
+    # partition count is pinned by the state store layout) and the
+    # parallelism floor AQE coalesces toward; env-overridable. The
+    # AQE initialPartitionNum is sized from input VOLUME in
+    # get_spark() — see auto_initial_partitions().
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
@@ -61,6 +58,60 @@ ENGINE_CONF: dict[str, str] = {
     # checkpoint data in the checkpoint dir unboundedly.
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
+
+
+#: Parquet-bytes → shuffled-row-bytes growth factor for the initial
+#: partition estimate: columnar compression undoes to roughly 3-5x in
+#: row form, and a join can carry both sides. Deliberately coarse —
+#: AQE coalescing absorbs overestimates; only the ORDER of magnitude
+#: must be right so the map side does not start 30x too narrow.
+_SHUFFLE_EXPLODE = 4
+
+#: Spill-free sort-partition target (round-5 rule: ≲200 MB per sort;
+#: 64 MB leaves headroom for AQE's advisory-size coalescing, which
+#: also defaults to 64 MB).
+_TARGET_PARTITION_BYTES = 64 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dp, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dp, f))
+            except OSError:
+                pass
+    return total
+
+
+def auto_initial_partitions(
+    data_dir: str | None = None, floor: int = 32, cap: int = 4096
+) -> int:
+    """VOLUME-derived AQE ``initialPartitionNum`` (round 6, closing
+    round 5's top action item): round 5 proved a fixed partition dial
+    spill-collapses exactly one decade after it is tuned (q21 at the
+    300x fixture: 44-63 s at 32 partitions = 5.6M rows per SMJ sort,
+    vs 17-22 s at 112-256), while starting every shuffle maximally
+    wide costs real map-side bucket overhead at small scale (a flat
+    1024 regressed the sf0.1 headline 27.8 -> 39.4 s, the iterative
+    PageRank 6x). So the initial count TRACKS INPUT VOLUME:
+    ``bytes(data_dir) * explode / 64 MB``, clamped to [floor, cap] —
+    sf0.1 (17.5 MB parquet) lands on the floor (today's tuned 32) and
+    the 300x fixture (4.9 GB) lands at ~300, inside the measured
+    112-256-plus sweet band; AQE's coalescing then trims per-query, so
+    a small query on a big corpus still runs at core-count
+    partitions. ``$SPARK_GRAFT_INITIAL_PARTITIONS`` overrides (real
+    clusters size this from planned shuffle volume / executor count);
+    no ``data_dir`` (library embedders that never touch the fixture
+    layout) keeps the floor and relies on the env knob.
+    """
+    env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if env:
+        return int(env)
+    if data_dir and os.path.isdir(data_dir):
+        est = _dir_bytes(data_dir) * _SHUFFLE_EXPLODE // _TARGET_PARTITION_BYTES
+        return max(floor, min(cap, int(est)))
+    return floor
 
 
 def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None) -> SparkSession:
@@ -112,6 +163,13 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
         )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
+    # Volume-based shuffle sizing: the fixture dir (when the caller
+    # works against one) gives the input-bytes estimate.
+    initial = auto_initial_partitions(os.environ.get("SPARK_GRAFT_SF_DIR"))
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(initial),
+    )
     spark = builder.getOrCreate()
     # getOrCreate may return a pre-existing session whose conf differs;
     # re-assert the semantic knobs that are runtime-settable.
@@ -119,4 +177,8 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
               "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
               "spark.sql.python.filterPushdown.enabled"):
         spark.conf.set(k, ENGINE_CONF[k])
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(initial),
+    )
     return spark

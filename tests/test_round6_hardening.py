@@ -257,3 +257,36 @@ def test_dedup_keep_last_agg_strategy_matches_window(spark, sf_dir):
     assert win.schema == agg.schema
     with pytest.raises(ValueError, match="strategy"):
         dedup_keep_last(ev, strategy="bogus")
+
+
+# ---------------------------------------------------------------------------
+# 6. volume-derived shuffle-partition sizing (round-5 top action item)
+# ---------------------------------------------------------------------------
+
+def test_auto_initial_partitions_tracks_volume(tmp_path, monkeypatch):
+    from harmony_energy_data_pipeline_spark.session import (
+        auto_initial_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS", raising=False)
+    # tiny fixture: floor (the sf0.1-tuned 32)
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert auto_initial_partitions(str(small)) == 32
+    # the real sf0.1 fixture also lands on the floor (17.5 MB * 4 < 64 MB*32)
+    assert auto_initial_partitions("/root/testdata/sf0.1") == 32
+    # a big fixture scales: bytes * explode / 64 MB
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as fh:
+        fh.truncate(5 << 30)  # sparse 5 GiB
+    n = auto_initial_partitions(str(big))
+    assert 250 <= n <= 400, n
+    # cap and env override
+    assert auto_initial_partitions(str(big), cap=64) == 64
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "777")
+    assert auto_initial_partitions(str(big)) == 777
+    # no dir: floor (library embedders rely on the env knob)
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS")
+    assert auto_initial_partitions(None) == 32
