@@ -11,7 +11,7 @@ the way Iceberg/Delta provide it, reduced to its load-bearing core:
   listing exactly the live files of version N as paths RELATIVE to
   the table root (so a table can be relocated — copy the directory,
   read from the new location); publishing the manifest IS the
-  commit, via one of two protocols (``protocol=`` on the writers):
+  commit, via one of three protocols (``protocol=`` on the writers):
 
   - ``"link"`` (default, POSIX fast path): ``os.link`` of a fsync'd
     temp file — a true compare-and-swap, fails with EEXIST if
@@ -24,7 +24,12 @@ the way Iceberg/Delta provide it, reduced to its load-bearing core:
     v<N+1>. On a real object store the read-back step maps to a
     conditional PUT (``If-None-Match: *``), which closes the small
     rename/verify window this emulation still has; use it where
-    ``os.link`` is unavailable (FUSE mounts, object-store gateways);
+    ``os.link`` is unavailable (FUSE mounts, object-store gateways)
+    and only under a single writer;
+  - ``"cas"`` (object-store multi-writer): delegates the install to
+    a deployment-registered conditional PUT
+    (:func:`register_cas_publish` — S3/GCS/Azure If-None-Match),
+    which has no race window at all;
 * readers resolve a manifest ONCE and then read a frozen file list —
   a reader is never torn across a concurrent commit, and reading an
   old version (time travel) is the same code path;
@@ -122,11 +127,42 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+#: Injectable conditional-PUT publisher for ``protocol="cas"``:
+#: ``fn(tmp_path, final_path) -> bool`` must atomically install
+#: ``tmp_path``'s bytes at ``final_path`` IFF ``final_path`` does not
+#: exist, returning False on a lost race (version already claimed) —
+#: the If-None-Match/x-amz-if-none-match contract object stores
+#: provide natively. Registered per-deployment via
+#: :func:`register_cas_publish`; with it, multi-writer safety is a
+#: deployment property instead of the rename protocol's documented
+#: single-writer caveat.
+_CAS_PUBLISH = None
+
+
+def register_cas_publish(fn) -> None:
+    """Install (or clear, with ``None``) the deployment's conditional-
+    PUT hook enabling ``protocol="cas"`` on every snapshot writer.
+    The callable receives ``(tmp_path, final_path)`` and must be a
+    true compare-and-swap: exactly one concurrent caller for the same
+    ``final_path`` may return True. POSIX ``os.link`` already is one
+    (that's ``protocol="link"``); this hook exists for object-store
+    gateways where neither hard links nor atomic rename exist but a
+    conditional PUT does (S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``)."""
+    global _CAS_PUBLISH
+    _CAS_PUBLISH = fn
+
+
 def _publish_manifest(
     path: str, version: int, payload: dict, protocol: str = "link"
 ) -> None:
     """Durable publish of manifest v<N>; raises FileExistsError when
     another writer claimed the version first (the caller retries).
+
+    ``protocol="cas"``: delegate the install step to the hook
+    registered via :func:`register_cas_publish` — a conditional PUT
+    with no race window, the multi-writer-safe path for object
+    stores (see the rename caveat below).
 
     ``protocol="link"``: fsync a temp file then ``os.link`` it to the
     version name — a true POSIX compare-and-swap (link fails with
@@ -151,8 +187,14 @@ def _publish_manifest(
     assumption. Deployments needing hard multi-writer CAS use "link"
     (POSIX) or an object store with conditional writes.
     """
-    if protocol not in ("link", "rename"):
-        raise ValueError(f"protocol must be link|rename, got {protocol!r}")
+    if protocol not in ("link", "rename", "cas"):
+        raise ValueError(f"protocol must be link|rename|cas, got {protocol!r}")
+    if protocol == "cas" and _CAS_PUBLISH is None:
+        raise ValueError(
+            "protocol='cas' requires a conditional-PUT hook — call "
+            "register_cas_publish(fn) with the deployment's "
+            "If-None-Match publisher first"
+        )
     os.makedirs(_snap_dir(path), exist_ok=True)
     final = _manifest_path(path, version)
     tmp = (
@@ -169,6 +211,13 @@ def _publish_manifest(
             os.link(tmp, final)
         finally:
             os.unlink(tmp)
+    elif protocol == "cas":
+        try:
+            if not _CAS_PUBLISH(tmp, final):
+                raise FileExistsError(final)  # version claimed first
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     else:
         try:
             if os.path.exists(final):
@@ -670,5 +719,6 @@ __all__ = [
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",
+    "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError",
 ]

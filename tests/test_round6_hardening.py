@@ -290,3 +290,63 @@ def test_auto_initial_partitions_tracks_volume(tmp_path, monkeypatch):
     # no dir: floor (library embedders rely on the env knob)
     monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS")
     assert auto_initial_partitions(None) == 32
+
+
+# ---------------------------------------------------------------------------
+# 7. pluggable conditional-PUT CAS publish (multi-writer safety hook)
+# ---------------------------------------------------------------------------
+
+def test_cas_protocol_contended_commits_lose_nothing(spark, tmp_path):
+    """Eight threads append concurrently through protocol='cas' with an
+    atomic fake conditional-PUT (lock + create-if-absent). Every
+    thread's rows must land in the final table and versions must be a
+    contiguous chain — the property the rename emulation can only
+    promise under single-writer."""
+    lock = threading.Lock()
+
+    def fake_cas(tmp, final):
+        with lock:  # the object store's atomicity, emulated
+            if os.path.exists(final):
+                return False
+            os.rename(tmp, final)
+            return True
+
+    snap.register_cas_publish(fake_cas)
+    try:
+        path = str(tmp_path / "tbl")
+        snap.snapshot_write(_df(spark, 0, 1), path, protocol="cas")
+        errs = []
+        barrier = threading.Barrier(8)
+
+        def writer(i):
+            barrier.wait()
+            try:
+                snap.snapshot_write(
+                    _df(spark, 100 * (i + 1), 100 * (i + 1) + 3), path,
+                    mode="append", protocol="cas",
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        vs = [h["version"] for h in snap.snapshot_history(path)]
+        assert vs == list(range(9)), vs  # contiguous: no overwrites
+        rows = {r["k"] for r in snap.read_snapshot(spark, path).collect()}
+        expect = {0} | {
+            100 * (i + 1) + d for i in range(8) for d in range(3)
+        }
+        assert rows == expect  # zero lost commits
+    finally:
+        snap.register_cas_publish(None)
+
+
+def test_cas_protocol_requires_registered_hook(spark, tmp_path):
+    snap.register_cas_publish(None)
+    with pytest.raises(ValueError, match="register_cas_publish"):
+        snap.snapshot_write(_df(spark, 0, 2), str(tmp_path / "t"),
+                            protocol="cas")
