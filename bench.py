@@ -76,10 +76,17 @@ def main() -> None:
 
     # Optional subset (scale rehearsals at big fixtures): comma list in
     # $SPARK_GRAFT_BENCH_ONLY restricts the headline set; default runs all.
+    # $SPARK_GRAFT_BENCH_FULL=1 instead benches EVERY registered query
+    # (the once-per-round full-surface record, BENCH_FULL_SF01.json) —
+    # same frozen methodology, so new operator families get perf history
+    # the headline set does not carry.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
-    )
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        headline = sorted(qs)
+    elif only:
+        headline = [q for q in HEADLINE if q in set(only.split(","))]
+    else:
+        headline = HEADLINE
 
     # warm the JVM + parquet footers with one cheap action
     qs["bounds"](spark, SF_DIR).collect()

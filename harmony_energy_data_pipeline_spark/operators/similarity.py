@@ -593,17 +593,35 @@ def embedding_near_dup_pairs(
     tables: int = 6,
     seed: int = 42,
     exact: bool = False,
+    max_exact_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     id_a < id_b and cosine ≥ threshold.
 
-    ``exact=True`` does the all-pairs join (small corpora / oracle
-    checks); default is LSH-bucketed candidates — the 100 TB path.
+    ``exact=True`` is brute force over every pair (small corpora /
+    oracle checks); default is LSH-bucketed candidates — the 100 TB
+    path.
+
+    Round 6: the exact route is GEMM-PREFILTERED. The first full-
+    surface bench caught the old expression-join form at 101 s for a
+    2 000-vector corpus — 2M interpreted higher-order-function cosine
+    folds (~50 µs each) — versus milliseconds of BLAS for the same
+    arithmetic. Now the normalized corpus matrix rides in the closure
+    (guarded by ``max_exact_rows`` — the exact route's documented
+    contract is small corpora), one blocked float64 matmul per Arrow
+    batch emits CANDIDATE pairs at ``threshold − 1e-9`` (BLAS-vs-fold
+    error is ~1e-15, so no true pair can sit outside the margin), and
+    only the surviving candidates — the sparse near-dup set — are
+    RESCORED with the same Catalyst fold the DuckDB oracle mirrors.
+    Final scores and the threshold cut are therefore bit-identical to
+    the old form; only the O(n²) interpreted work is gone.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if exact:
-        cand = a.join(b, on=F.col("id_a") < F.col("id_b"))
+        cand = _exact_pair_candidates(
+            df, id_col, vec_col, threshold, max_exact_rows
+        ).join(a, "id_a").join(b, "id_b")
     else:
         assert dim is not None, "dim required for LSH mode"
 
@@ -625,6 +643,69 @@ def embedding_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("score"))
         .filter(F.col("score") >= F.lit(threshold))
+    )
+
+
+def _exact_pair_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_exact_rows: int,
+) -> DataFrame:
+    """(id_a, id_b) candidates with GEMM cosine ≥ threshold − 1e-9 and
+    id_a < id_b: the corpus matrix (collected once, L2-normalized;
+    zero vectors score 0 and can never pass a positive threshold, the
+    same outcome as the fold's null) is broadcast in the closure, and
+    each Arrow batch runs one blocked float64 matmul against it —
+    per-worker peak is batch × 2048 column-block doubles, the same
+    memory contract as the quantized top-k scorer."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .limit(max_exact_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_exact_rows:
+        raise ValueError(
+            f"exact near-dup is quadratic: corpus exceeds max_exact_rows="
+            f"{max_exact_rows}; use the LSH route (exact=False) or raise "
+            "the guard deliberately"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = 1.0
+    N = M / norms[:, None]
+    thr = float(threshold) - 1e-9
+    col_block = 2048
+    spark = df.sparkSession
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(B, axis=1)
+            bn[bn == 0.0] = 1.0
+            Bn = B / bn[:, None]
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            outs_a, outs_b = [], []
+            for s in range(0, len(ids), col_block):
+                S = Bn @ N[s:s + col_block].T
+                bi, cj = np.nonzero(S >= thr)
+                ia, ib = bids[bi], ids[s + cj]
+                keep = ia < ib
+                outs_a.append(ia[keep])
+                outs_b.append(ib[keep])
+            yield pd.DataFrame({
+                "id_a": np.concatenate(outs_a) if outs_a else
+                np.array([], dtype=np.int64),
+                "id_b": np.concatenate(outs_b) if outs_b else
+                np.array([], dtype=np.int64),
+            })
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "id_a long, id_b long"
     )
 
 

@@ -350,3 +350,52 @@ def test_cas_protocol_requires_registered_hook(spark, tmp_path):
     with pytest.raises(ValueError, match="register_cas_publish"):
         snap.snapshot_write(_df(spark, 0, 2), str(tmp_path / "t"),
                             protocol="cas")
+
+
+# ---------------------------------------------------------------------------
+# 8. GEMM-prefiltered exact near-dup (101s -> ms full-surface bench find)
+# ---------------------------------------------------------------------------
+
+def test_exact_near_dup_gemm_prefilter_matches_expression_join(spark):
+    """Planted near-duplicates: the GEMM candidate prefilter + expr
+    rescore must reproduce the old all-pairs expression join exactly —
+    including pairs sitting right at the threshold."""
+    import random as _random
+
+    from harmony_energy_data_pipeline_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from harmony_energy_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = _random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # planted: exact dup, near dup (tiny perturbation), negated vector
+    for j, (src, eps) in enumerate([(3, 0.0), (5, 0.01), (9, 0.03)]):
+        base = rows[src][1]
+        rows.append((1000 + j, [v + eps * rng.gauss(0, 1) for v in base]))
+    rows.append((2000, [0.0] * 16))  # zero vector: never a pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("__vb"))
+    old = (
+        a.join(b, on=F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine_similarity("__va", "__vb").alias("score"))
+        .filter(F.col("score") >= 0.9)
+    )
+    old_set = {(r["id_a"], r["id_b"], round(r["score"], 9))
+               for r in old.collect()}
+    new = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, exact=True
+    )
+    new_set = {(r["id_a"], r["id_b"], round(r["score"], 9))
+               for r in new.collect()}
+    assert len(old_set) >= 3  # the planted dups are found at all
+    assert new_set == old_set
