@@ -656,31 +656,45 @@ def repetition_ratio(
 ) -> DataFrame:
     """Repetition quality signal: fraction of duplicated word n-grams,
     ``1 − distinct/total`` (0 = no repetition; → 1 for loop spam).
-    The classic Gopher-style rep filter. Map-side expressions only;
-    counting runs over the n-gram array without materializing strings
-    off-JVM.
+    The classic Gopher-style rep filter.
+
+    Round 6: Arrow-batched pandas UDF, replacing the interpreted
+    higher-order-function form the first full-surface bench caught at
+    11.4 s for 60k docs (per-gram ``slice``+``concat_ws`` lambdas run
+    on the interpreted expression path — the same finding as the
+    shingle/minhash family, README "Declarative first" caveat).
+    Tokenization replicates :func:`functions.textx.tokens` exactly
+    (lowercase, collapse non-alphanumerics, split), the ratio is the
+    same float64 arithmetic, and the 6-decimal rounding stays in
+    Spark so the DuckDB oracle remains bit-identical. Still a
+    map-side projection — zero shuffle.
 
     Output: (id, n_ngrams, rep_ratio) — docs shorter than n tokens
     have 0 n-grams and ratio 0.0.
     """
-    t = tokens(text_col)
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    ratio = F.when(
-        total > 0,
-        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
-    ).otherwise(F.lit(0.0))
-    return df.select(
+    nonword = _re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf("struct<n_ngrams: long, rep_raw: double>")
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        totals = np.zeros(len(texts), dtype=np.int64)
+        raws = np.zeros(len(texts), dtype=np.float64)
+        for j, txt in enumerate(texts):
+            if txt is None:
+                continue
+            toks = nonword.sub(" ", txt.lower()).split()
+            total = len(toks) - n + 1
+            if total <= 0:
+                continue
+            grams = {tuple(toks[i:i + n]) for i in range(total)}
+            totals[j] = total
+            raws[j] = 1.0 - len(grams) / total
+        return pd.DataFrame({"n_ngrams": totals, "rep_raw": raws})
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.select(F.col(id_col), _rep(c).alias("__r")).select(
         F.col(id_col),
-        total.cast("long").alias("n_ngrams"),
-        F.round(ratio, 6).alias("rep_ratio"),
+        F.col("__r.n_ngrams").alias("n_ngrams"),
+        F.round(F.col("__r.rep_raw"), 6).alias("rep_ratio"),
     )
 
 
