@@ -112,13 +112,18 @@ def _page_files(path: str) -> list[tuple[str, int, int]]:
 
 @dataclass
 class PagePartition(InputPartition):
-    file: str
+    files: tuple  # page files bundled into one task
 
 
 class KeysetPagesReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.fields = [f.name for f in schema.fields]
+        # resolved eagerly (driver-side) so executors need no pyspark
+        # type machinery at read time
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
         self.cursor: int | None = None  # exclusive lower bound on _id
 
     def pushFilters(self, filters):
@@ -135,21 +140,50 @@ class KeysetPagesReader(DataSourceReader):
             else:
                 yield f  # not ours — Spark evaluates it post-scan
 
+    #: Max input partitions per scan: keyset pages are SMALL by design
+    #: (a page is one HTTP fetch), so one-Python-task-per-page drowns
+    #: the read in per-task overhead (measured: 1000 hundred-row pages
+    #: = 5.5 s vs 0.5 s for the same rows in 20 pages). Bundling keeps
+    #: task count bounded while cursor pushdown still skips at FILE
+    #: granularity inside each bundle.
+    MAX_PARTITIONS = 128
+
     def partitions(self):
-        parts = []
+        live = []
         for file, _lo, hi in _page_files(self.path):
             if self.cursor is not None and hi <= self.cursor:
                 continue  # whole page below the cursor: never opened
-            parts.append(PagePartition(file))
-        return parts
+            live.append(file)
+        if not live:
+            return [PagePartition(files=())]
+        per = max(1, -(-len(live) // self.MAX_PARTITIONS))
+        return [
+            PagePartition(files=tuple(live[i:i + per]))
+            for i in range(0, len(live), per)
+        ]
 
     def read(self, partition: PagePartition):
-        with open(partition.file) as fh:
-            for line in fh:
-                row = json.loads(line)
-                if self.cursor is not None and row.get("_id", 0) <= self.cursor:
-                    continue
-                yield tuple(row.get(c) for c in self.fields)
+        """Round 6: yield ARROW RECORD BATCHES, not per-row tuples.
+        Spark 4's Python DataSource accepts ``pyarrow.RecordBatch``
+        from ``read`` and ships it over the Arrow channel — the first
+        full-surface bench measured the row path at ~5 s for 60k rows
+        (every row a pickled tuple through the Python worker); the
+        batch path parses each page with pyarrow's native JSONL reader
+        straight into the declared schema. The cursor residue (a page
+        straddling the pushed bound) is applied as one vectorized
+        compute filter."""
+        import pyarrow.compute as pc
+        import pyarrow.json as pj
+
+        opts = pj.ParseOptions(
+            explicit_schema=self._arrow_schema,
+            unexpected_field_behavior="ignore",
+        )
+        for file in partition.files:
+            tbl = pj.read_json(file, parse_options=opts)
+            if self.cursor is not None:
+                tbl = tbl.filter(pc.greater(pc.field("_id"), self.cursor))
+            yield from tbl.to_batches()
 
 
 class KeysetPagesStreamReader(SimpleDataSourceStreamReader):
