@@ -611,6 +611,8 @@ def fuzzy_match_pairs(
     prefix: int = 4,
     len_band: int = 8,
     max_block: int | None = None,
+    strategy: str = "auto",
+    dup_ratio: float = 1.5,
 ) -> DataFrame:
     """Blocked fuzzy matching (classic record-linkage blocking, e.g.
     Christen 2012): candidate pairs share a BLOCK KEY — the first
@@ -632,26 +634,79 @@ def fuzzy_match_pairs(
     constant/boilerplate name, and a keyed exact-dup pass catches it
     far cheaper than edit distance). The block census is one cheap
     pre-agg broadcast against the main stream.
+
+    ``strategy`` picks the physical shape of the verify:
+
+    - ``"direct"``: the row-level block self-join above — right when
+      names are (near-)unique, since any factorization would just
+      add shuffles.
+    - ``"factorize"``: DISTINCT-NAME factorization — run blocking +
+      levenshtein over the distinct-name table only, then expand the
+      surviving name pairs back to id pairs by group membership
+      (identical names ⇒ dist 0, always within one block, never
+      touch levenshtein). Row-identical output, but the edit-distance
+      work drops from Σ|row-block|² to Σ|name-block|² — decisive on
+      low-entropy name domains where duplicate names dominate the
+      candidate mass AND collapse join-key cardinality (a 12-key
+      self-join can't parallelize past 12 tasks).
+    - ``"auto"`` (default): one cheap name census (same eager
+      census-and-decide playbook as ``semdedup``'s cell census)
+      chooses: factorize iff rows ≥ ``dup_ratio`` × distinct names.
     """
     nm = normalize_text(name_col)
-    blk = F.concat_ws(
-        "|",
-        F.substring(nm, 1, prefix),
-        F.floor(F.length(nm) / len_band).cast("string"),
+
+    def blk_of(col: Column) -> Column:
+        return F.concat_ws(
+            "|",
+            F.substring(col, 1, prefix),
+            F.floor(F.length(col) / len_band).cast("string"),
+        )
+
+    return _blocked_pairs(
+        df, id_col, nm, blk_of, max_edit, max_block, strategy, dup_ratio
     )
-    return _blocked_pairs(df, id_col, nm, blk, max_edit, max_block)
 
 
 def _blocked_pairs(
     df: DataFrame,
     id_col: str,
     nm: Column,
-    blk: Column,
+    blk_of,
     max_edit: int,
     max_block: int | None,
+    strategy: str = "auto",
+    dup_ratio: float = 1.5,
 ) -> DataFrame:
     """Shared body of the blocked fuzzy passes: block self-join with
-    the optional hot-block census guard, then the levenshtein verify."""
+    the optional hot-block census guard, then the levenshtein verify.
+    ``blk_of`` is a Column→Column function so the block key can be
+    recomputed over the distinct-name table in the factorized path."""
+    if strategy not in ("auto", "direct", "factorize"):
+        raise ValueError(f"unknown fuzzy-match strategy: {strategy!r}")
+
+    if strategy != "direct":
+        # Distinct-name census: one scan of the name column. In
+        # "auto" mode it decides the route; in "factorize" it is the
+        # first step anyway. The grouped table is persisted because
+        # the factorized plan reads it from four subtrees.
+        groups = (
+            df.select(nm.alias("__nm"))
+            .groupBy("__nm")
+            .agg(F.count("*").alias("__c"))
+            .withColumn("__blk", blk_of(F.col("__nm")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tot_rows, n_names = groups.agg(
+            F.sum("__c"), F.count(F.lit(1))
+        ).first()
+        if strategy == "factorize" or (
+            tot_rows is not None and tot_rows >= dup_ratio * n_names
+        ):
+            return _factorized_pairs(df, id_col, nm, groups, max_edit, max_block)
+        groups.unpersist()
+
+    # Direct row-level path.
+    blk = blk_of(nm)
     a = df.select(
         F.col(id_col).alias("id_a"), nm.alias("__na"), blk.alias("__blk")
     )
@@ -688,6 +743,77 @@ def _blocked_pairs(
     )
 
 
+def _factorized_pairs(
+    df: DataFrame,
+    id_col: str,
+    nm: Column,
+    groups: DataFrame,
+    max_edit: int,
+    max_block: int | None,
+) -> DataFrame:
+    """Distinct-name expansion of the blocked verify. Exactly the
+    direct join's row set, derived in three output-bounded pieces:
+
+    1. hot-block guard over NAME GROUPS (block size = Σ group counts —
+       identical to the direct row census, so the same blocks drop);
+    2. levenshtein over distinct-name pairs sharing a block (names
+       are distinct ⇒ dist ≥ 1; equal-name pairs are case 3);
+    3. expansion: surviving name pairs × member ids (cross groups,
+       ``least/greatest`` restores the id_a < id_b canon), plus the
+       within-group all-pairs at dist 0 (equal names always share a
+       block, so blocking never separates them).
+
+    Each expansion join is bounded by the OUTPUT pair count — the
+    irreducible cost of enumerating the answer — instead of the
+    Σ|block|² candidate mass.
+    """
+    if max_block is not None:
+        hot = (
+            groups.groupBy("__blk")
+            .agg(F.sum("__c").alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("__blk")
+        )
+        groups = groups.join(F.broadcast(hot), "__blk", "left_anti")
+
+    ids = df.select(F.col(id_col).alias("__id"), nm.alias("__nm"))
+
+    # Cross-name: levenshtein on distinct names only, then expand.
+    ga = groups.select(F.col("__nm").alias("__nm_a"), "__blk")
+    gb = groups.select(F.col("__nm").alias("__nm_b"), "__blk")
+    qual = (
+        ga.join(gb, "__blk")
+        .filter(F.col("__nm_a") < F.col("__nm_b"))
+        .withColumn(
+            "dist", F.levenshtein("__nm_a", "__nm_b", int(max_edit)).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
+        .select("__nm_a", "__nm_b", "dist")
+    )
+    e1 = ids.join(qual, ids["__nm"] == qual["__nm_a"]).select(
+        F.col("__id").alias("__ia"), "__nm_b", "dist"
+    )
+    e2 = ids.select(F.col("__id").alias("__ib"), F.col("__nm").alias("__nmb"))
+    cross = e1.join(e2, e1["__nm_b"] == e2["__nmb"]).select(
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "dist",
+    )
+
+    # Within-group (equal normalized names): all id pairs at dist 0.
+    multi = groups.filter(F.col("__c") >= 2).select("__nm")
+    member = ids.join(multi, "__nm", "left_semi")
+    xa = member.select("__nm", F.col("__id").alias("id_a"))
+    xb = member.select("__nm", F.col("__id").alias("id_b"))
+    within = (
+        xa.join(xb, "__nm")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
+    )
+
+    return cross.unionByName(within).select("id_a", "id_b", "dist")
+
+
 def fuzzy_match_pairs_multipass(
     df: DataFrame,
     id_col: str,
@@ -696,6 +822,7 @@ def fuzzy_match_pairs_multipass(
     prefix: int = 4,
     len_band: int = 8,
     max_block: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Two-pass blocked fuzzy matching: the PREFIX block of
     ``fuzzy_match_pairs`` plus a second pass blocked on the name
@@ -710,15 +837,20 @@ def fuzzy_match_pairs_multipass(
     dropDuplicates on the (small) verified pair set.
     """
     first = fuzzy_match_pairs(
-        df, id_col, name_col, max_edit, prefix, len_band, max_block
+        df, id_col, name_col, max_edit, prefix, len_band, max_block, strategy
     )
     nm = normalize_text(name_col)
-    suffix_blk = F.concat_ws(
-        "|",
-        F.substring(nm, -prefix, prefix),
-        F.floor(F.length(nm) / len_band).cast("string"),
+
+    def suffix_blk_of(col: Column) -> Column:
+        return F.concat_ws(
+            "|",
+            F.substring(col, -prefix, prefix),
+            F.floor(F.length(col) / len_band).cast("string"),
+        )
+
+    second = _blocked_pairs(
+        df, id_col, nm, suffix_blk_of, max_edit, max_block, strategy
     )
-    second = _blocked_pairs(df, id_col, nm, suffix_blk, max_edit, max_block)
     return first.unionByName(second).dropDuplicates(["id_a", "id_b"])
 
 

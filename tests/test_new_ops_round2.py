@@ -220,6 +220,42 @@ def test_fuzzy_match_pairs_max_block_drops_hot_blocks(spark):
     assert got == {(100, 101)}  # hot block dropped entirely, rare pair kept
 
 
+def test_fuzzy_match_pairs_factorized_route_parity(spark):
+    # factorize and direct must produce the identical pair set on a
+    # mixed domain (dup groups + near-misses + a hot block), with and
+    # without the max_block guard.
+    from harmony_energy_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    rows = (
+        [(i, "common name") for i in range(8)]
+        + [(20, "rare widget"), (21, "rare widgets"), (22, "rare widget")]
+        + [(30, "other thing"), (31, "other thang")]
+    )
+    df = spark.createDataFrame(rows, "id long, name string")
+    for mb in (None, 5):
+        direct = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_match_pairs(
+                df, "id", "name", max_edit=2, max_block=mb, strategy="direct"
+            ).collect()
+        }
+        fact = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_match_pairs(
+                df, "id", "name", max_edit=2, max_block=mb, strategy="factorize"
+            ).collect()
+        }
+        assert fact == direct, (mb, fact ^ direct)
+    # sanity on the unguarded content: dup-group pairs at dist 0,
+    # near-misses at their edit distance
+    unguarded = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_match_pairs(df, "id", "name", max_edit=2).collect()
+    }
+    assert (20, 22, 0) in unguarded and (20, 21, 1) in unguarded
+    assert (30, 31, 1) in unguarded
+
+
 def test_semdedup_vectorized_matches_exact(spark, sf_dir):
     from harmony_energy_data_pipeline_spark.io import load_table
 
