@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from harmony_energy_data_pipeline_spark.functions.vector import (
     cosine_similarity,
@@ -475,6 +476,7 @@ def semdedup(
     scale: int = 1_000_000,
     vectorized: bool = True,
     max_cell_rows: int = 16_384,
+    prefilter: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning. Cluster embeddings with a coarse quantizer,
@@ -521,7 +523,23 @@ def semdedup(
     ``fuzzy_match_pairs``' ``max_block``, except refusal here is an
     error: silently dropping a cell would change the survivor set.
     The expression path (``vectorized=False``) streams pairs through
-    a join and needs no cap.
+    a join and needs no cap — unless ``prefilter`` (below) is on.
+
+    GEMM PREFILTER for the expression path (``prefilter=True``, the
+    default; round 6): the pure per-pair Catalyst fold is bit-
+    identical to the SQL oracle but interprets every within-cell pair
+    (~50 µs each — 6 s at sf0.1 vs 1.4 s for the GEMM mode). Same
+    cure as ``embedding_near_dup_pairs``' exact route: one per-cell
+    float64 GEMM emits CANDIDATE pairs at ``threshold − 1e-9``
+    (BLAS-vs-fold error is ~1e-15, so no true pair can sit outside
+    the margin), and only the sparse candidate set is rescored with
+    the exact Catalyst fold that decides ``≥ threshold`` — final
+    drop set bit-identical to the pure fold, O(pairs-interpreted)
+    reduced to the near-dup density. The prefilter shares the GEMM
+    path's ``max_cell_rows`` memory contract; it auto-disables for
+    ``threshold ≤ 0`` (a zero vector's GEMM score is 0 but the
+    fold's is null — only equivalent when the threshold is
+    positive), falling back to the uncapped pure-expression join.
     """
     assigned = portable_cells(df, id_col, vec_col, n_cells, scale)
     sides = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
@@ -538,7 +556,11 @@ def semdedup(
     )
     sides = reps.unionByName(
         sides.filter(~groupable).select("__id", "__v", "cell")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the quantizer chain (posexplode + centroid join +
+    # per-id window) feeds two subtrees in the GEMM mode and four in
+    # the prefiltered expression mode; recomputing it per subtree
+    # dominated the expression route's wall clock at sf0.1.
     if vectorized:
         def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) > max_cell_rows:
@@ -562,6 +584,38 @@ def semdedup(
             sides.groupBy("cell")
             .applyInPandas(drop_ids, "__drop long")
             .withColumnRenamed("__drop", id_col)
+        )
+    elif prefilter and threshold > 0:
+        def cand_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > max_cell_rows:
+                raise ValueError(
+                    f"semdedup cell {pdf['cell'].iloc[0]} holds {len(pdf)} "
+                    f"distinct vectors > max_cell_rows={max_cell_rows}; its "
+                    "similarity matrix would not fit one worker — increase "
+                    "n_cells (or max_cell_rows on big-memory executors), or "
+                    "pass prefilter=False for the streaming expression join"
+                )
+            pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
+            m = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            m /= norms[:, None]
+            sims = m @ m.T
+            i, j = np.nonzero(np.triu(sims, k=1) >= threshold - 1e-9)
+            ids_ = pdf["__id"].to_numpy()
+            return pd.DataFrame({"id_a": ids_[i], "id_b": ids_[j]})
+
+        cand = sides.groupBy("cell").applyInPandas(
+            cand_pairs, "id_a long, id_b long"
+        )
+        a = sides.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = sides.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        drops = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(cosine_similarity("__va", "__vb") >= F.lit(threshold))
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
         )
     else:
         a = sides.select(
