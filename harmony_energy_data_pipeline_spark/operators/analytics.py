@@ -184,16 +184,72 @@ def grouped_trend(
     key: str,
     time_col: str,
     value_col: str,
+    method: str = "expr",
 ) -> DataFrame:
-    """Per-key OLS trend fit (slope per hour, intercept, n) via
-    ``applyInPandas`` — the grouped-batch pattern for per-entity model
-    fits that no built-in aggregate expresses.
+    """Per-key OLS trend fit (slope per hour, intercept, n).
 
-    Scale shape: one shuffle on the key; each group arrives as a
-    single pandas frame, so the per-key cardinality must fit an
-    executor (true for per-user event streams; for giant keys,
-    pre-aggregate to per-interval sufficient statistics first).
+    ``method="expr"`` (default; round 6): OLS is fully expressible
+    over SUFFICIENT STATISTICS — one groupBy computing exact-integer
+    (n, min x, Σx, Σy, Σxy, Σx²) in DECIMAL(38,0), then the closed
+    form on min-centered stats derived algebraically
+    (Σ(x−x₀)y = Σxy − x₀Σy, etc. — exact integer identities). ONE
+    shuffle with map-side partial aggregation, no Python workers, and
+    no per-key cardinality limit. num/den are re-narrowed
+    decimal→BIGINT→DOUBLE in the same order as the DuckDB oracle
+    (both casts correctly rounded), so results stay bit-identical to
+    the oracle and to the pandas route.
+
+    ``method="pandas"``: the original ``applyInPandas`` grouped-batch
+    form — kept as the template for per-entity fits that genuinely
+    are NOT sufficient-statistics-expressible (regularized/iterative
+    models). Each group must fit one executor.
     """
+    if method == "expr":
+        dec = "decimal(38,0)"
+        x = F.col(time_col).cast("long").cast(dec)   # epoch seconds (floor)
+        y = F.round(F.col(value_col) * 100).cast("long").cast(dec)  # cents
+        # null ts/value rows carry no signal: dropped entirely (same
+        # contract as the pandas route's dropna — n counts kept rows)
+        base = df.filter(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(F.col(key), x.alias("__x"), y.alias("__y"))
+        g = base.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__x").alias("__x0"),
+            F.sum("__x").alias("__sxr"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__sxyr"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxxr"),
+        )
+        n_d = F.col("n").cast(dec)
+        x0, sxr, sy = F.col("__x0"), F.col("__sxr"), F.col("__sy")
+        sx = sxr - n_d * x0                      # Σ(x−x₀)
+        sxy = F.col("__sxyr") - x0 * sy          # Σ(x−x₀)y
+        sxx = F.col("__sxxr") - F.lit(2).cast(dec) * x0 * sxr + n_d * x0 * x0
+        num = n_d * sxy - sx * sy
+        den = n_d * sxx - sx * sx
+        # decimal→long→double narrows exactly like the oracle's
+        # HUGEINT→BIGINT→DOUBLE (min-centering keeps num/den < 2⁶³)
+        num_f = num.cast("long").cast("double")
+        den_f = den.cast("long").cast("double")
+        degenerate = (F.col("n") < 2) | (den == F.lit(0).cast(dec))
+        ybar = sy.cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
+        slope = F.when(degenerate, F.lit(0.0)).otherwise(
+            num_f / den_f * F.lit(3600.0) / F.lit(100.0)
+        )
+        intercept = F.when(degenerate, ybar).otherwise(
+            ybar
+            - (num_f / den_f / F.lit(100.0))
+            * (sx.cast("long").cast("double") / F.col("n").cast("double"))
+        )
+        return g.select(
+            key,
+            slope.alias("slope_per_hour"),
+            intercept.alias("intercept"),
+            F.col("n"),
+        )
+    if method != "pandas":
+        raise ValueError(f"unknown grouped_trend method: {method!r}")
     import numpy as np
     import pandas as pd
 

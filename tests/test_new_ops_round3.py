@@ -283,6 +283,37 @@ def test_grouped_trend_ignores_null_rows(spark):
     assert r.n == 2 and abs(r.slope_per_hour - 1.0) < 1e-9
 
 
+def test_grouped_trend_expr_matches_pandas_route(spark, sf_dir):
+    # sufficient-statistics expression route must be BIT-identical to
+    # the grouped pandas fit, including degenerate groups (n=1, and
+    # den=0 from repeated timestamps)
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.operators.analytics import grouped_trend
+
+    ev = load_table(spark, "events", sf_dir)
+    expr_rows = {
+        r["user_id"]: (r["slope_per_hour"], r["intercept"], r["n"])
+        for r in grouped_trend(ev, "user_id", "ts", "value").collect()
+    }
+    pandas_rows = {
+        r["user_id"]: (r["slope_per_hour"], r["intercept"], r["n"])
+        for r in grouped_trend(ev, "user_id", "ts", "value", method="pandas").collect()
+    }
+    assert expr_rows == pandas_rows
+
+    edge = spark.createDataFrame(
+        [("solo", "2024-01-01 00:00:00", 5.0),
+         ("flat", "2024-01-01 00:00:00", 1.0),
+         ("flat", "2024-01-01 00:00:00", 3.0)],
+        "k string, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    e = {r["k"]: tuple(r)[1:] for r in grouped_trend(edge, "k", "ts", "v").collect()}
+    p = {r["k"]: tuple(r)[1:] for r in grouped_trend(edge, "k", "ts", "v", method="pandas").collect()}
+    assert e == p
+    assert e["solo"][0] == 0.0 and e["solo"][1] == 5.0  # degenerate: ybar
+    assert e["flat"][0] == 0.0 and e["flat"][1] == 2.0  # den=0: ybar
+
+
 def test_bpe_round_chain_is_unpersisted(spark, sf_dir):
     """Round-4 fix: bpe_learn must not leave one cached histogram per
     merge round — at most the in-flight pair (parent+child) during a
