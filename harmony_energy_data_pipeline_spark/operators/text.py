@@ -124,14 +124,28 @@ def winnowing_fingerprints(
     fingerprints locate copied PASSAGES, where whole-document digests
     only catch exact dupes).
 
-    Arrow-batched pandas UDF: the rolling hash is a per-row sequential
-    recurrence, exactly the case where vectorized Python beats
-    interpreted expression trees. Map-side until the final explode.
+    Arrow-batched pandas UDF with a fully VECTORIZED row kernel
+    (round 6 — the first form ran a per-character Python loop, ~4 s
+    at sf0.1): the k-gram hash mod M = 2⁶¹−1 is a sum of k per-
+    position lookup-table terms ``T_p[c] = c·B^p mod M`` (normalized
+    text is ASCII, so tables are 128-wide); each term is < M, so up
+    to 7 terms accumulate in uint64 without overflow (7·M < 2⁶⁴) —
+    larger k folds ``% M`` into the accumulation every 7 terms. The
+    residue is identical to the rolling-recurrence canonical value.
+    Window minima (rightmost on ties) come from one
+    ``sliding_window_view`` argmin. Map-side until the final explode.
     """
     import re
 
     norm_re = re.compile(r"[^a-z0-9]+")
     B, M = 257, (1 << 61) - 1
+    # T[j][c] = c · B^(k-1-j) mod M — term of the j-th k-gram char
+    T = np.stack([
+        np.array([(c * pow(B, k - 1 - j, M)) % M for c in range(128)],
+                 dtype=np.uint64)
+        for j in range(k)
+    ])
+    M_u = np.uint64(M)
 
     @F.pandas_udf("array<long>")
     def _fps(texts: pd.Series) -> pd.Series:
@@ -145,24 +159,23 @@ def winnowing_fingerprints(
             if n < k:
                 out.append(np.array([], dtype=np.int64))
                 continue
-            # rolling Rabin-Karp over k-grams
-            h = 0
-            top = pow(B, k - 1, M)
-            hashes = np.empty(n - k + 1, dtype=np.int64)
-            for i, ch in enumerate(s):
-                h = (h * B + ord(ch)) % M
-                if i >= k - 1:
-                    hashes[i - k + 1] = h
-                    h = (h - ord(s[i - k + 1]) * top) % M
+            arr = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+            m = n - k + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                acc += T[j][arr[j:j + m]]
+                if (j + 1) % 7 == 0:
+                    acc %= M_u
+            hashes = (acc % M_u).astype(np.int64)
             if len(hashes) <= window:
                 out.append(np.unique(hashes.min(keepdims=True)))
                 continue
-            # winnowing: min of each window, rightmost on ties
-            sel = set()
-            for w0 in range(len(hashes) - window + 1):
-                w = hashes[w0:w0 + window]
-                sel.add(int(w[::-1].argmin() * -1 + window - 1 + w0))
-            out.append(np.unique(hashes[sorted(sel)]))
+            # winnowing: min of each window, rightmost on ties —
+            # argmin over the reversed window axis
+            wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            idx = window - 1 - np.argmin(wins[:, ::-1], axis=1)
+            sel = np.unique(idx + np.arange(len(wins)))
+            out.append(np.unique(hashes[sel]))
         return pd.Series(out)
 
     return (
