@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from harmony_energy_data_pipeline_spark.functions.textx import (
@@ -476,6 +477,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    max_local_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the undirected pair graph by min-label
     propagation: every node's component becomes the smallest node id
@@ -499,6 +501,18 @@ def connected_components(
     connectedComponents); for pathological chain graphs raise
     ``max_iter`` (rounds, not data, is the cost: every round is one
     shuffle of |V| labels).
+
+    DRIVER-LOCAL ROUTE (round 6, the BPE-trainer playbook): near-dup
+    pair graphs are tiny relative to the corpus — the sf0.1 documents
+    graph is 256 edges, yet the Pregel loop paid ~8 scheduled jobs
+    for it. When the (deduplicated, undirected) edge count is at most
+    ``max_local_edges``, the edge list is collected and union-find
+    with path-halving labels components on the driver — same
+    min-label output, one collect instead of O(diameter) shuffle
+    rounds. The census count rides on the already-persisted edge
+    table the loop would materialize anyway; bigger graphs take the
+    distributed loop unchanged. Both routes are parity-tested against
+    a reference union-find.
     """
     from .iterative import ensure_checkpoint_dir, truncate_every
 
@@ -509,6 +523,30 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if max_local_edges is not None and edges.count() <= 2 * max_local_edges:
+        rows = edges.collect()  # symmetric dups are union no-ops;
+        parent: dict = {}       # self-edges still register the node
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-root unions keep every root the component minimum
+        out = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        id_type = pairs.schema[a_col].dataType
+        schema = T.StructType([
+            T.StructField("node", id_type),
+            T.StructField("component", id_type),
+        ])
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

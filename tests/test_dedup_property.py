@@ -6,6 +6,7 @@ deterministic tiebreak, SURVEY.md §7.3 item 1)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -90,7 +91,10 @@ def test_asof_join_matches_model(spark, left_rows, right_map):
     assert got == want
 
 
-def test_connected_components_matches_union_find(spark):
+@pytest.mark.parametrize("max_local_edges", [1_000_000, 0])
+def test_connected_components_matches_union_find(spark, max_local_edges):
+    # max_local_edges=1M exercises the driver union-find route,
+    # 0 forces the distributed min-label loop — identical output
     import random as _random
 
     from harmony_energy_data_pipeline_spark.operators.dedup import (
@@ -130,7 +134,9 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(
+            pairs, max_local_edges=max_local_edges
+        ).collect()
     }
     # canonicalize the union-find roots to min-of-component to compare
     comp_members: dict = {}
