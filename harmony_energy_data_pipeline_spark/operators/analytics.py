@@ -621,33 +621,43 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     Output: one row per profiled column —
     ``(col_name, n_nulls, n_distinct, min_str, max_str)``.
 
-    One full-scan aggregation; the n distinct-counts share the scan via
-    Spark's Expand (each input row fans out once per distinct
-    aggregate). For very wide tables at 100 TB prefer
+    Shape (round 6): one two-level aggregation branch PER COLUMN —
+    ``groupBy(col)`` reduces rows to per-value counts with map-side
+    partial aggregation, then a 1-row rollup derives the profile
+    (distinct = non-null key count, nulls = the null key's row count,
+    min/max native on the keys). The first form put all N exact
+    distinct-counts in ONE agg, which plans as Expand — every input
+    row fans out N+1 ways and the SHUFFLE carries rows, not values;
+    per-column branches shuffle only each column's distinct values
+    (bounded by the domain, not the row count — the thing that
+    matters at 100 TB), and each branch's parquet scan prunes to its
+    single column. For very wide tables prefer
     ``approx_count_distinct`` — exact distinct is the profile/audit
     variant.
     """
     cols = cols or df.columns
-    aggs = []
+    parts = []
     for c in cols:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
-        ]
-    row = df.agg(*aggs)
-    pairs = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col(f"__nn_{c}").alias("n_nulls"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
-            F.col(f"__mn_{c}").alias("min_str"),
-            F.col(f"__mx_{c}").alias("max_str"),
+        per_val = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
         )
-        for c in cols
-    ]
-    return row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")
+        parts.append(
+            per_val.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__v").isNull(), F.col("__c"))), F.lit(0)
+                ).alias("n_nulls"),
+                F.count("__v").alias("n_distinct"),
+                F.min("__v").cast("string").alias("min_str"),
+                F.max("__v").cast("string").alias("max_str"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n_nulls", "n_distinct", "min_str", "max_str",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def robust_outliers(
