@@ -1006,16 +1006,9 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
 """)
 def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from harmony_energy_data_pipeline_spark.functions.textx import char_ngrams, jaccard
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
-    sh = docs.select("doc_id", char_ngrams("text", 5).alias("__sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jaccard("__sa", "__sb"), 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.4)
-    )
+    pairs = dedup.char_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # --- F: typed JSON struct parse ---------------------------------------------------

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from harmony_energy_data_pipeline_spark.functions.textx import (
+    char_ngrams,
     jaccard,
     normalize_text,
     shingle_hashes,
@@ -295,6 +296,40 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), shingle_hashes(text_col, shingle_size).alias("__sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _jaccard_pairs_from_sets(sh, id_col, threshold, max_doc_freq)
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Character-n-gram Jaccard pairs — the char-level near-dup
+    variant of ``ngram_jaccard_pairs``, same inverted-index shape
+    (never an all-pairs cross join; round 6 replaced a brute-force
+    pairwise ``array_intersect`` form that interpreted O(pairs·set)
+    HOF folds). Join keys stay raw n-char substrings (already tiny)
+    rather than hashes, keeping counts provably collision-free
+    against a substring-joining oracle.
+    """
+    sh = df.select(
+        F.col(id_col), char_ngrams(text_col, n).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _jaccard_pairs_from_sets(sh, id_col, threshold, max_doc_freq)
+
+
+def _jaccard_pairs_from_sets(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared inverted-index Jaccard body over a persisted
+    (id, set-array ``__sh``) table: explode → self-join on element →
+    |A∩B| counts → size join → threshold filter."""
     inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     if max_doc_freq is not None:
         hot = (
