@@ -519,3 +519,66 @@ def test_bench_cms_heavy_users_broadcast_sketch(spark, sf_dir):
     plan = physical_plan(df)
     assert uses_broadcast_join(df), plan
     assert shuffle_count(df) <= 3, plan
+
+
+# ---- round-6 second wave: each "accepted cost" that was falsified gets a
+# plan invariant so the faster oracle-identical route can't silently revert.
+
+
+def test_bench_profile_orders_no_expand(spark, sf_dir):
+    """N exact distinct-counts must run as per-column value-count
+    branches, never the Expand plan that fans every row out N+1 ways."""
+    df = _q(spark, sf_dir, "profile_orders")
+    plan = physical_plan(df)
+    assert "Expand" not in plan, plan
+    assert shuffle_count(df) <= 12, plan  # one branch per column + rollup
+
+
+def test_bench_char_jaccard_is_inverted_index_join(spark, sf_dir):
+    """Char-n-gram Jaccard shares the inverted-index equi-join body —
+    the brute-force all-pairs non-equi join must never come back."""
+    df = _q(spark, sf_dir, "char_jaccard_pairs")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_bench_fuzzy_factorized_no_cartesian_bounded(spark, sf_dir):
+    """Blocked fuzzy matching runs levenshtein over DISTINCT names and
+    expands survivors back by group membership; the candidate join must
+    stay an equi-join on the block key."""
+    df = _q(spark, sf_dir, "fuzzy_pairs_part")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert shuffle_count(df) <= 12, plan
+
+
+def test_bench_grouped_trend_pure_expression_single_shuffle(spark, sf_dir):
+    """OLS trend is exact decimal sufficient statistics: one map-combined
+    group shuffle, zero Python workers in the plan."""
+    df = _q(spark, sf_dir, "grouped_trend")
+    plan = physical_plan(df)
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_bench_winnowing_vectorized_zero_shuffle(spark, sf_dir):
+    """The fingerprint kernel is one Arrow-batched projection — no
+    shuffle, no grouped-map repartitioning, no row-at-a-time Python."""
+    df = _q(spark, sf_dir, "winnowing_fingerprints")
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert "BatchEvalPython" not in plan, plan  # Arrow path only
+
+
+def test_bench_semdedup_keep_prefilter_no_cartesian(spark, sf_dir):
+    """The exact route rescores only GEMM-prefiltered candidates; the
+    within-cell pair join stays cell-keyed (no cross-product fallback)."""
+    spark.catalog.clearCache()
+    df = _q(spark, sf_dir, "semdedup_keep")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffle_count(df) <= 40, plan
