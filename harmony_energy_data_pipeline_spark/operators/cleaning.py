@@ -216,10 +216,11 @@ def dedup_keep_last(
     order: str = "DATETIME",
     tiebreak: list[str] | None = None,
     strategy: str = "window",
+    max_dup_keys: int = 4_000_000,
 ) -> DataFrame:
     """Per ``key``, keep the row with the greatest ``order`` value.
 
-    Two strategies, identical semantics (argmax of the same ordering —
+    Three strategies, identical semantics (argmax of the same ordering —
     NOT ``dropDuplicates``, which keeps an arbitrary row; ties resolve
     by explicit ``tiebreak`` columns if given, else all remaining
     columns ``DESC NULLS LAST``):
@@ -232,6 +233,22 @@ def dedup_keep_last(
       before the exchange, so shuffle bytes shrink when keys repeat
       heavily. The argmax struct compares ascending with NULLS
       SMALLEST per field — i.e. exactly ``DESC NULLS LAST``.
+    * ``"split"``: census-split for NEAR-UNIQUE keys — count-census
+      finds the keys that repeat, the dup-key set broadcasts, and only
+      duplicate rows pay the window; singletons pass through a
+      broadcast anti-join with no shuffle at all. Falls back to the
+      window plan when more than ``max_dup_keys`` keys repeat (the
+      broadcast would stop being small) or when duplicate rows exceed
+      20% of the input (most rows would pay the window anyway).
+
+      Measured and NOT made the default: at the 1000× fixture the
+      route lost 2–4× to the window on BOTH narrow (events, ~40 B)
+      and wide (documents, ~300 B) rows, single-JVM and
+      local-cluster[4,7] alike — its three extra input passes
+      (census, anti, semi) cost more than the one in-memory sort
+      shuffle they avoid (SCALING.md round 6). It remains available
+      for deployments where input re-scan is cheaper than shuffle
+      (hot object-store cache, shuffle-constrained network).
 
     Round-6 A/B at the 300× fixture (30M-row events, both local[28]
     and local-cluster[4,7], 32 and 128 shuffle partitions,
@@ -254,12 +271,62 @@ def dedup_keep_last(
             F.struct(F.col(order), *[F.col(c) for c in tb]),
         )
         return df.groupBy(key).agg(best.alias("__best")).select("__best.*")
-    if strategy != "window":
-        raise ValueError(f"strategy must be 'window' or 'agg', got {strategy!r}")
+    if strategy not in ("window", "split"):
+        raise ValueError(
+            f"strategy must be 'window', 'agg' or 'split', got {strategy!r}"
+        )
     ordering = [F.col(order).desc_nulls_last()] + [
         F.col(c).desc_nulls_last() for c in tb
     ]
     w = Window.partitionBy(key).orderBy(*ordering)
+    if strategy == "split":
+        # Census-split: the wide sort-shuffle only ever sees rows whose
+        # key actually repeats. The census shuffles (key, count) pairs —
+        # a key-pruned scan plus a map-combined narrow exchange — and the
+        # dup-key set broadcasts, so SINGLETON rows (the bulk of a
+        # near-unique corpus) pass through as a broadcast anti-join with
+        # zero shuffle. Only the duplicate subset pays the window. The
+        # extra full-width scan this costs is a read; the full-row sort
+        # shuffle it saves is a write+network+spill — at the 1000×
+        # fixture the window form's exponent was 1.37 for exactly that
+        # reason. Census-and-refuse: if more than ``max_dup_keys`` keys
+        # repeat (broadcast would not be small), fall back to the
+        # window plan for the whole input.
+        dup_census = (
+            df.groupBy(key).count().filter(F.col("count") > 1)
+        ).persist()
+        try:
+            stats = dup_census.agg(
+                F.count(F.lit(1)).alias("dup_keys"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("dup_rows"),
+            ).first()
+            n_dups, dup_rows = stats["dup_keys"], stats["dup_rows"]
+            total = df.count() if n_dups <= max_dup_keys else None
+        except Exception:
+            dup_census.unpersist()
+            raise
+        # Split pays off only when duplicate ROWS are rare: the route
+        # trades the full-row sort shuffle for a census plus an extra
+        # scan, which loses whenever most rows go through the window
+        # anyway (e.g. a key where every value repeats). Refuse unless
+        # dup rows are a small fraction of the input.
+        if n_dups > max_dup_keys or (total and dup_rows > 0.2 * total):
+            dup_census.unpersist()
+        else:
+            dups = dup_census.select(key)
+            # name-keyed joins surface the key column first; restore
+            # the caller's column order on both branches
+            singles = df.join(F.broadcast(dups), key, "left_anti").select(
+                *df.columns
+            )
+            dup_best = (
+                df.join(F.broadcast(dups), key, "left_semi")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .select(*df.columns)
+            )
+            return singles.unionByName(dup_best)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -298,19 +365,29 @@ def dedup_two_phase(
     df: DataFrame,
     id_col: str = "_id",
     time_col: str = "DATETIME",
+    strategy: str = "window",
 ) -> DataFrame:
     """Reference dedup (transform.py:206-220): phase 1 — per ``id_col``
     keep latest ``time_col``; phase 2 — per ``time_col`` keep largest
     ``id_col``. Phase order is semantic (phase 2 sees phase 1's
     survivors; tests/test_transform.py:184-204).
 
-    Two hash-shuffles (by id, then by time). At 100 TB with a
-    date-partitioned table, phase 2 becomes partition-local; phase 1's
-    key is near-unique so partial aggregation keeps shuffle volume
-    ≈ output volume.
+    Two hash-shuffles (by id, then by time) under the default window
+    strategy. At 100 TB with a date-partitioned table, phase 2 becomes
+    partition-local; phase 1's key is near-unique so partial
+    aggregation keeps shuffle volume ≈ output volume.
+    ``strategy="split"`` threads the census-split form through both
+    phases (each phase's census routes independently — the per-phase
+    fallback matters: at the scale fixtures phase 1 is near-unique but
+    phase 2's time key repeats ~N_replica times); see
+    ``dedup_keep_last`` for why window remains the measured default.
     """
-    phase1 = dedup_keep_last(df, key=id_col, order=time_col)
-    phase2 = dedup_keep_last(phase1, key=time_col, order=id_col)
+    phase1 = dedup_keep_last(df, key=id_col, order=time_col, strategy=strategy)
+    if strategy == "split":
+        # Phase 2's census + anti + semi branches would each recompute
+        # phase 1 from the scan; materialize it once (LRU-evictable).
+        phase1 = phase1.persist()
+    phase2 = dedup_keep_last(phase1, key=time_col, order=id_col, strategy=strategy)
     return phase2
 
 

@@ -246,17 +246,45 @@ def test_dedup_keep_last_agg_strategy_matches_window(spark, sf_dir):
         dedup_keep_last,
     )
 
+    # deterministic subset (NOT limit): the split route evaluates its
+    # input in several plan branches, which is only coherent for
+    # deterministic lineage — the same contract every multi-branch
+    # plan in the engine states.
     ev = (
         load_table(spark, "events", sf_dir)
         .select("event_id", "ts", "user_id", "value")
-        .limit(2000)
+        .filter(F.col("event_id") < 2000)
     )
     win = dedup_keep_last(ev, key="user_id", order="ts")
-    agg = dedup_keep_last(ev, key="user_id", order="ts", strategy="agg")
-    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
-    assert win.schema == agg.schema
+    expect = sorted(map(tuple, win.collect()))
+    for kwargs in (
+        {"strategy": "agg"},
+        {"strategy": "split"},               # broadcast census route
+        {"strategy": "split", "max_dup_keys": 0},  # census refuses -> window
+    ):
+        alt = dedup_keep_last(ev, key="user_id", order="ts", **kwargs)
+        assert sorted(map(tuple, alt.collect())) == expect, kwargs
+        assert alt.schema == win.schema, kwargs
     with pytest.raises(ValueError, match="strategy"):
         dedup_keep_last(ev, strategy="bogus")
+
+
+def test_dedup_two_phase_split_strategy_matches_window(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.cleaning import (
+        dedup_two_phase,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("_id"), F.col("ts").alias("DATETIME"), "value"
+    ).filter(F.col("_id") < 3000)
+    # plant duplicates on both phase keys (deterministic subset — see above)
+    dup = ev.filter(F.col("_id") < 50)
+    frame = ev.unionByName(dup).unionByName(
+        dup.withColumn("value", F.col("value") + 1)
+    )
+    win = dedup_two_phase(frame)
+    spl = dedup_two_phase(frame, strategy="split")
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, spl.collect()))
 
 
 # ---------------------------------------------------------------------------
