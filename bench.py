@@ -84,7 +84,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         headline = sorted(qs)
     elif only:
-        headline = [q for q in HEADLINE if q in set(only.split(","))]
+        # filter the FULL registry, not just HEADLINE — scale rehearsals
+        # need to time non-headline queries too
+        headline = [q for q in sorted(qs) if q in set(only.split(","))]
     else:
         headline = HEADLINE
 
