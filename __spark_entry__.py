@@ -4940,6 +4940,49 @@ def q_zorder_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- zone-map file pruning through the snapshot log -------------------------------
+
+@_q("snapshot_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 00:00:00'
+""")
+def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning end-to-end: commit events time-clustered
+    (range-partitioned on ts) with per-file min/max stats in the
+    manifest, then read a 4-day window through
+    ``read_snapshot(where=...)`` — planning-time file skipping plus
+    the residual filter. The oracle filters the raw table directly,
+    so the digest proves pruning never changes results; pytest
+    (`test_snapshot_stats.py`) asserts the file-skip actually
+    happens. At 100 TB this is the difference between scanning a
+    day's files and scanning the table."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_zonemap_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 14)
+    pruned = snap.read_snapshot(spark, path, where=[("ts", lo, hi)])
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

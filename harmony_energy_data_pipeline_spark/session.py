@@ -39,6 +39,11 @@ ENGINE_CONF: dict[str, str] = {
     # session TZ is UTC so values are identical, and streaming
     # watermarks require TimestampType.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as INT64 micros, not the deprecated INT96:
+    # INT96 columns carry NO parquet min/max statistics, which blinds
+    # the snapshot log's zone-map file pruning (sinks/filestats.py)
+    # and every other footer-stats consumer.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Fallback for non-AQE paths (e.g. streaming stateful ops, where
     # partition count is pinned by the state store layout) and the
     # parallelism floor AQE coalesces toward; env-overridable. The
@@ -175,7 +180,8 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
     # re-assert the semantic knobs that are runtime-settable.
     for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
               "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
-              "spark.sql.python.filterPushdown.enabled"):
+              "spark.sql.python.filterPushdown.enabled",
+              "spark.sql.parquet.outputTimestampType"):
         spark.conf.set(k, ENGINE_CONF[k])
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",

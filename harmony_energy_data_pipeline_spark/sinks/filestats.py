@@ -1,0 +1,145 @@
+"""Per-file column statistics (zone maps) for the snapshot log.
+
+At 100 TB the dominant scan cost is files you did not need to open.
+Iceberg and Delta both answer this with per-file min/max column
+statistics carried in table metadata, consulted at planning time to
+skip whole files before the engine schedules a single task. This
+module is that mechanism for the manifest-based snapshot log
+(``sinks.snapshots``):
+
+* at COMMIT time, the writer reads each new parquet file's FOOTER
+  (row-group statistics — metadata-only, no data pages) and records
+  ``{column: [min, max]}`` per file in the manifest;
+* at READ time, ``read_snapshot(..., where=[(col, lo, hi), ...])``
+  drops every file whose recorded interval cannot overlap the
+  predicate, then applies the same predicate as a residual DataFrame
+  filter — pruning is an optimization, never a semantics change.
+
+Conservatism contract: a file with no recorded stats for a predicate
+column (older commit, all-null column, unsupported type, non-parquet
+format) is always KEPT. Pruning can only ever skip files whose
+recorded bounds PROVE no row can match.
+
+Values are canonicalized to a JSON-stable, totally-ordered form:
+numbers stay numbers, booleans widen to ints, date/datetime become
+epoch microseconds, strings stay strings (parquet writers truncate
+string stats only in bound-preserving ways). Unsupported types
+(binary, nested) record no stats.
+
+Reference scope note: the reference's single SQLite table relies on
+B-tree indexes for selective reads (src/db/models.py); zone-map file
+skipping is the parquet-lake equivalent of that access path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from concurrent.futures import ThreadPoolExecutor
+
+
+def _canon(v):
+    """Canonical ordered form for a stat/predicate value, or None if
+    the type is unsupported (no stats recorded → file kept)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if v != v else v  # NaN bounds are meaningless
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((v - epoch) / _dt.timedelta(microseconds=1))
+    if isinstance(v, _dt.date):
+        return int(
+            (v - _dt.date(1970, 1, 1)) / _dt.timedelta(days=1)
+        ) * 86_400_000_000
+    if isinstance(v, str):
+        return v
+    # pandas.Timestamp & friends: duck-type via to_pydatetime
+    to_py = getattr(v, "to_pydatetime", None)
+    if to_py is not None:
+        return _canon(to_py())
+    return None
+
+
+def file_column_stats(fpath: str, cols: list[str]) -> dict:
+    """``{col: [min, max]}`` from ``fpath``'s parquet footer, for the
+    requested columns only. A column whose stats are absent in ANY
+    row group (or whose type is unsupported) gets no entry. Footer
+    read only — cost is O(row groups), independent of data size."""
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    out: dict[str, list | None] = {}
+    try:
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return {}  # not parquet / unreadable: no stats, file stays kept
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            name = c.path_in_schema
+            if name not in want or out.get(name, "") is None:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                out[name] = None  # this file is unprunable on `name`
+                continue
+            mn, mx = _canon(st.min), _canon(st.max)
+            if mn is None or mx is None:
+                out[name] = None
+                continue
+            cur = out.get(name)
+            if cur is None or cur == "":
+                out[name] = [mn, mx]
+            else:
+                out[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return {k: v for k, v in out.items() if v is not None}
+
+
+def collect_file_stats(files: list[str], cols: list[str]) -> dict:
+    """Footer stats for many files, keyed by path. Thread-parallel —
+    footer reads are I/O-bound; at commit time this touches only the
+    NEW files of the commit (appends carry parent stats forward in
+    the manifest), so cost tracks commit size, not table size."""
+    if not files or not cols:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        stats = list(ex.map(lambda f: file_column_stats(f, cols), files))
+    return {f: s for f, s in zip(files, stats) if s}
+
+
+def file_matches(
+    stats: dict | None, predicates: list[tuple]
+) -> bool:
+    """Could a file with these recorded stats contain a matching row?
+    ``predicates`` are inclusive intervals ``(col, lo, hi)`` (None =
+    open end), AND-combined. Missing stats for a column → True
+    (conservative); incomparable types → True (conservative)."""
+    if not stats:
+        return True
+    for col, lo, hi in predicates:
+        entry = stats.get(col)
+        if entry is None:
+            continue
+        mn, mx = entry
+        try:
+            if lo is not None:
+                clo = _canon(lo)
+                if clo is not None and mx < clo:
+                    return False
+            if hi is not None:
+                chi = _canon(hi)
+                if chi is not None and mn > chi:
+                    return False
+        except TypeError:
+            continue  # stats/predicate types don't compare: keep
+    return True
+
+
+__all__ = ["collect_file_stats", "file_column_stats", "file_matches"]

@@ -61,7 +61,8 @@ from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 #: manifest is caller metadata (e.g. a streaming sink's commit marker) and
 #: must survive vacuum via the compacted commit log.
 _STANDARD_KEYS = frozenset(
-    {"version", "parent", "operation", "txid", "committed_at_unix", "files"}
+    {"version", "parent", "operation", "txid", "committed_at_unix", "files",
+     "stats"}
 )
 
 
@@ -268,8 +269,14 @@ def snapshot_write(
     extra: dict | None = None,
     protocol: str = "link",
     expected_parent: "int | None" = _ANY_PARENT,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``stats_cols``: record per-file min/max for these columns in the
+    manifest (parquet footer read, metadata-only) so
+    ``read_snapshot(..., where=...)`` can skip files at planning time
+    — see ``sinks.filestats``.
 
     ``mode='overwrite'`` — the new version's live set is exactly this
     batch's files; ``mode='append'`` — the parent version's files
@@ -297,6 +304,7 @@ def snapshot_write(
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
         extra=extra, protocol=protocol, expected_parent=expected_parent,
+        stats_cols=stats_cols,
     )
 
 
@@ -309,6 +317,7 @@ def snapshot_publish_staged(
     extra: dict | None = None,
     protocol: str = "link",
     expected_parent: "int | None" = _ANY_PARENT,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -326,9 +335,21 @@ def snapshot_publish_staged(
     data_dir = os.path.join(path, "data", txid)
     # stored table-root-relative so the table survives relocation and
     # vacuum/readers are cwd-independent
-    new_files = [_rel_file(path, f) for f in _data_files(data_dir)]
+    staged = _data_files(data_dir)
+    new_files = [_rel_file(path, f) for f in staged]
     if not new_files:
         raise FileNotFoundError(f"no staged data files under {data_dir}")
+    new_stats: dict = {}
+    if stats_cols:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_file_stats,
+        )
+
+        # footer reads touch only THIS commit's files; appends inherit
+        # the parent's recorded stats below, so commit cost tracks
+        # commit size, not table size
+        abs_stats = collect_file_stats(staged, list(stats_cols))
+        new_stats = {_rel_file(path, f): s for f, s in abs_stats.items()}
     for _ in range(max_retries):
         parent = latest_version(path)
         if expected_parent != _ANY_PARENT and parent != expected_parent:
@@ -339,11 +360,17 @@ def snapshot_publish_staged(
             )
         version = 0 if parent is None else parent + 1
         files = list(new_files)
+        stats = dict(new_stats)
         if mode == "append" and parent is not None:
-            parent_files = [
-                _rel_file(path, f) for f in _read_manifest(path, parent)["files"]
-            ]
+            pm = _read_manifest(path, parent)
+            parent_files = [_rel_file(path, f) for f in pm["files"]]
             files = parent_files + files
+            # parent stats carry forward keyed on the normalized path;
+            # files the parent had no stats for simply stay unprunable
+            stats = {
+                **{_rel_file(path, f): s for f, s in pm.get("stats", {}).items()},
+                **new_stats,
+            }
         payload = {
             "version": version,
             "parent": parent,
@@ -351,6 +378,7 @@ def snapshot_publish_staged(
             "txid": txid,
             "committed_at_unix": int(time.time()),
             "files": files,
+            **({"stats": stats} if stats else {}),
             **(extra or {}),
         }
         try:
@@ -362,13 +390,49 @@ def snapshot_publish_staged(
 
 
 @normalizes_paths('path')
+def prune_files(
+    path: str, where: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """Resolve ``version``'s manifest and drop every file whose
+    recorded min/max interval (``stats_cols`` at commit time) proves
+    no row can satisfy the AND of ``(col, lo, hi)`` inclusive
+    intervals. Returns ``(kept absolute paths, total file count)``.
+    Files without stats for a predicate column are always kept —
+    pruning only ever skips provably-irrelevant files."""
+    from harmony_energy_data_pipeline_spark.sinks.filestats import file_matches
+
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, v)
+    stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+    kept = [
+        _abs_file(path, f)
+        for f in m["files"]
+        if file_matches(stats.get(_rel_file(path, f)), where)
+    ]
+    return kept, len(m["files"])
+
+
+@normalizes_paths('path')
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). The manifest
     is resolved once; the returned DataFrame scans a FROZEN file list,
     so concurrent commits (or vacuums of other versions) never tear
-    this reader. Time travel = pass an older version number."""
+    this reader. Time travel = pass an older version number.
+
+    ``where``: inclusive interval predicates ``[(col, lo, hi), ...]``
+    (None = open end), AND-combined. Files whose manifest-recorded
+    min/max cannot overlap are skipped at PLANNING time (zone-map
+    pruning — the Iceberg/Delta file-skipping shape); the same
+    predicate is then applied as a residual DataFrame filter, so the
+    result is identical to filtering an unpruned read — pruning is
+    purely a scan-cost optimization."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -376,9 +440,24 @@ def read_snapshot(
     files = [_abs_file(path, f) for f in m["files"]]
     if not files:
         raise FileNotFoundError(f"snapshot v{v} at {path} lists no files")
-    # staged exports record their format in the manifest (e.g. "json"
-    # for JSONL shards); plain snapshot_write tables default to parquet
-    return spark.read.format(m.get("format", "parquet")).load(files)
+    fmt = m.get("format", "parquet")
+    if not where:
+        # staged exports record their format in the manifest (e.g.
+        # "json" for JSONL shards); snapshot_write tables are parquet
+        return spark.read.format(fmt).load(files)
+    kept, _total = prune_files(path, where, version=v)
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, lo, hi in where:
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    if not kept:
+        # keep the schema without scanning data: one file, zero rows
+        return spark.read.format(fmt).load(files[:1]).filter(cond).limit(0)
+    return spark.read.format(fmt).load(kept).filter(cond)
 
 
 @normalizes_paths('path')
@@ -517,6 +596,8 @@ def snapshot_restore(
     }
     if "format" in src:
         payload["format"] = src["format"]
+    if "stats" in src:  # same files, same zone maps: prunability survives
+        payload["stats"] = src["stats"]
     try:
         _publish_manifest(path, new_version, payload, protocol=protocol)
         return new_version
@@ -579,11 +660,15 @@ def snapshot_compact(
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         df = spark.read.parquet(*files)
+        # a stats-tracked table stays prunable through compaction:
+        # recompute zone maps for the rewritten files over the same
+        # column set the live manifest recorded
+        stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
         try:
             return snapshot_write(
                 df.coalesce(n_files), path, mode="overwrite",
                 protocol=protocol, extra={"compacted_from": v},
-                expected_parent=v,
+                expected_parent=v, stats_cols=stat_cols or None,
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -720,5 +805,5 @@ __all__ = [
     "read_snapshot_changes", "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",
     "register_cas_publish",
-    "snapshot_restore", "SnapshotConflictError",
+    "snapshot_restore", "SnapshotConflictError", "prune_files",
 ]

@@ -1,0 +1,118 @@
+"""Zone-map file statistics: commit-time collection, planning-time
+pruning, conservatism, and survival through append/restore/compact."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _ranged(spark, lo, hi):
+    """Rows id in [lo, hi) laid out so each file holds a tight,
+    disjoint id range — the layout pruning exploits."""
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("u"), F.format_string("%05d", F.col("id"))).alias("s"),
+    )
+    return df.repartitionByRange(4, "k").sortWithinPartitions("k")
+
+
+def test_stats_recorded_and_pruned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_ranged(spark, 0, 1000), path, stats_cols=["k", "s"])
+    kept, total = snap.prune_files(path, [("k", 10, 20)])
+    assert total == 4 and len(kept) == 1
+    # pruned read == unpruned filter, exactly
+    pruned = snap.read_snapshot(spark, path, where=[("k", 10, 20)])
+    full = snap.read_snapshot(spark, path).filter(
+        (F.col("k") >= 10) & (F.col("k") <= 20)
+    )
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    # string-typed predicate prunes too
+    kept_s, _ = snap.prune_files(path, [("s", "u00990", None)])
+    assert len(kept_s) == 1
+    # disjoint predicate: zero files, empty result, schema intact
+    kept0, _ = snap.prune_files(path, [("k", 5000, None)])
+    assert kept0 == []
+    empty = snap.read_snapshot(spark, path, where=[("k", 5000, None)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "s"}
+
+
+def test_append_merges_stats_and_unstated_column_kept(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_ranged(spark, 0, 400), path, stats_cols=["k"])
+    snap.snapshot_write(
+        _ranged(spark, 400, 800), path, mode="append", stats_cols=["k"]
+    )
+    kept, total = snap.prune_files(path, [("k", 600, 650)])
+    assert total == 8 and len(kept) == 1
+    # column never given stats: every file kept (conservative)
+    kept_v, total_v = snap.prune_files(path, [("v", 0.0, 1.0)])
+    assert len(kept_v) == total_v
+    # append WITHOUT stats_cols: parent stats still carry forward
+    snap.snapshot_write(
+        _ranged(spark, 800, 900), path, mode="append"
+    )
+    kept2, total2 = snap.prune_files(path, [("k", 0, 50)])
+    assert total2 == 12
+    # the 8 old files prune to 1; the 4 stat-less new ones all stay
+    assert len(kept2) == 1 + 4
+
+
+def test_all_null_column_is_unprunable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("n")
+    )
+    snap.snapshot_write(df.coalesce(1), path, stats_cols=["k", "n"])
+    kept, total = snap.prune_files(path, [("n", 100, 200)])
+    assert len(kept) == total == 1  # no min/max recorded -> kept
+
+
+def test_timestamp_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 240).select(
+        F.col("id").alias("k"),
+        (F.lit(dt.datetime(2024, 1, 1)) + F.make_interval(
+            hours=F.col("id").cast("int"))).alias("ts"),
+    )
+    snap.snapshot_write(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    lo, hi = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 3, 12)
+    kept, total = snap.prune_files(path, [("ts", lo, hi)])
+    # a 12h window over a 10-day table: at most 2 of the 4 range-laid
+    # files can straddle it (sampled partitioner bounds are inexact)
+    assert total == 4 and 1 <= len(kept) <= 2
+    got = snap.read_snapshot(spark, path, where=[("ts", lo, hi)])
+    want = snap.read_snapshot(spark, path).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+
+
+def test_stats_survive_restore_and_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_ranged(spark, 0, 1000), path, stats_cols=["k"])
+    snap.snapshot_write(
+        _ranged(spark, 1000, 2000), path, mode="append", stats_cols=["k"]
+    )
+    # restore back to v0: v0's stats come along
+    snap.snapshot_restore(path, 0)
+    kept, total = snap.prune_files(path, [("k", 0, 10)])
+    assert total == 4 and len(kept) == 1
+    # compact recomputes zone maps for the rewritten files
+    snap.snapshot_compact(spark, path, target_file_mb=1)
+    keptc, totalc = snap.prune_files(path, [("k", 0, 10)])
+    assert len(keptc) <= totalc
+    got = snap.read_snapshot(spark, path, where=[("k", 0, 10)])
+    assert sorted(r.k for r in got.collect()) == list(range(0, 11))
