@@ -4983,6 +4983,47 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- schema evolution through the snapshot log ------------------------------------
+
+@_q("snapshot_schema_evolution_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN user_id ELSE 0 END) AS BIGINT)
+           AS sum_user,
+       COUNT(CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_user_nonnull
+FROM events
+""")
+def q_snapshot_schema_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution end-to-end: commit the even events
+    WITHOUT user_id, append the odd events WITH it, read the table
+    under the manifest's union schema — pre-evolution files backfill
+    the new column as null. The digest counts non-null user_id rows
+    (exactly the odd half) and sums it, proving null backfill and that
+    no pre-evolution row leaked a value."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir)
+    path = tempfile.mkdtemp(prefix="snap_schema_")
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value"), path
+    )
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "user_id"
+        ),
+        path, mode="append",
+    )
+    full = snap.read_snapshot(spark, path)
+    return full.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.sum(F.coalesce(F.col("user_id"), F.lit(0))).cast("long").alias("sum_user"),
+        F.count("user_id").alias("n_user_nonnull"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

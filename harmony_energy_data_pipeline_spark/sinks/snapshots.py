@@ -62,8 +62,44 @@ from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 #: must survive vacuum via the compacted commit log.
 _STANDARD_KEYS = frozenset(
     {"version", "parent", "operation", "txid", "committed_at_unix", "files",
-     "stats"}
+     "stats", "schema"}
 )
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's batch schema conflicts with the table schema: a
+    column of the same name has a different type. Add-column and
+    missing-column appends evolve cleanly; silent type changes do
+    not — rewrite (overwrite) the table to change a column's type."""
+
+
+def _merge_schema(parent: dict | None, batch: dict) -> dict:
+    """Union-by-name of two StructType JSON payloads: parent column
+    order is preserved, batch-only columns append at the end (the
+    Iceberg/Delta add-column shape), same-name columns must agree on
+    type exactly (no silent coercion), nullability unions. A column
+    the batch lacks stays in the schema — the batch's files read it
+    as null."""
+    if parent is None:
+        return batch
+    by_name = {f["name"]: f for f in batch.get("fields", [])}
+    fields = []
+    for pf in parent.get("fields", []):
+        bf = by_name.pop(pf["name"], None)
+        if bf is None:
+            fields.append(pf)
+            continue
+        if bf["type"] != pf["type"]:
+            raise SchemaEvolutionError(
+                f"append changes column {pf['name']!r} type from "
+                f"{pf['type']!r} to {bf['type']!r}; type changes require "
+                "an overwrite commit"
+            )
+        fields.append(
+            {**pf, "nullable": bool(pf.get("nullable")) or bool(bf.get("nullable"))}
+        )
+    fields.extend(f for f in batch.get("fields", []) if f["name"] in by_name)
+    return {**parent, "fields": fields}
 
 
 class SnapshotConflictError(RuntimeError):
@@ -304,7 +340,7 @@ def snapshot_write(
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
         extra=extra, protocol=protocol, expected_parent=expected_parent,
-        stats_cols=stats_cols,
+        stats_cols=stats_cols, schema=df.schema.jsonValue(),
     )
 
 
@@ -318,6 +354,7 @@ def snapshot_publish_staged(
     protocol: str = "link",
     expected_parent: "int | None" = _ANY_PARENT,
     stats_cols: list[str] | None = None,
+    schema: dict | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -361,6 +398,7 @@ def snapshot_publish_staged(
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         stats = dict(new_stats)
+        out_schema = schema
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
             parent_files = [_rel_file(path, f) for f in pm["files"]]
@@ -371,6 +409,16 @@ def snapshot_publish_staged(
                 **{_rel_file(path, f): s for f, s in pm.get("stats", {}).items()},
                 **new_stats,
             }
+            # schema evolution: union-by-name with the parent schema
+            # (add-column appends; type conflicts raise). A parent
+            # WITHOUT a tracked schema poisons tracking for the merged
+            # set too — claiming the batch schema covers the parent's
+            # files would silently drop their extra columns.
+            if schema is not None:
+                out_schema = (
+                    _merge_schema(pm["schema"], schema)
+                    if "schema" in pm else None
+                )
         payload = {
             "version": version,
             "parent": parent,
@@ -379,6 +427,7 @@ def snapshot_publish_staged(
             "committed_at_unix": int(time.time()),
             "files": files,
             **({"stats": stats} if stats else {}),
+            **({"schema": out_schema} if out_schema is not None else {}),
             **(extra or {}),
         }
         try:
@@ -432,7 +481,13 @@ def read_snapshot(
     pruning — the Iceberg/Delta file-skipping shape); the same
     predicate is then applied as a residual DataFrame filter, so the
     result is identical to filtering an unpruned read — pruning is
-    purely a scan-cost optimization."""
+    purely a scan-cost optimization.
+
+    Schema: manifests written by ``snapshot_write`` record the
+    TABLE schema (union-by-name across the append chain); the read
+    applies it explicitly, so files from before an add-column commit
+    read the new column as null, and a mixed-schema file list never
+    depends on which file's footer Spark happens to sample first."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -441,10 +496,19 @@ def read_snapshot(
     if not files:
         raise FileNotFoundError(f"snapshot v{v} at {path} lists no files")
     fmt = m.get("format", "parquet")
+
+    def _load(fs: list[str]):
+        reader = spark.read.format(fmt)
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        return reader.load(fs)
+
     if not where:
         # staged exports record their format in the manifest (e.g.
         # "json" for JSONL shards); snapshot_write tables are parquet
-        return spark.read.format(fmt).load(files)
+        return _load(files)
     kept, _total = prune_files(path, where, version=v)
     from pyspark.sql import functions as F
 
@@ -456,8 +520,8 @@ def read_snapshot(
             cond = cond & (F.col(col) <= F.lit(hi))
     if not kept:
         # keep the schema without scanning data: one file, zero rows
-        return spark.read.format(fmt).load(files[:1]).filter(cond).limit(0)
-    return spark.read.format(fmt).load(kept).filter(cond)
+        return _load(files[:1]).filter(cond).limit(0)
+    return _load(kept).filter(cond)
 
 
 @normalizes_paths('path')
@@ -499,7 +563,14 @@ def read_snapshot_changes(
     ]
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
-    return spark.read.format(hi.get("format", "parquet")).load(new_files)
+    reader = spark.read.format(hi.get("format", "parquet"))
+    if "schema" in hi:
+        from pyspark.sql.types import StructType
+
+        # delta files staged before an add-column commit in the range
+        # still read under the destination version's table schema
+        reader = reader.schema(StructType.fromJson(hi["schema"]))
+    return reader.load(new_files)
 
 
 @normalizes_paths('path')
@@ -598,6 +669,8 @@ def snapshot_restore(
         payload["format"] = src["format"]
     if "stats" in src:  # same files, same zone maps: prunability survives
         payload["stats"] = src["stats"]
+    if "schema" in src:  # same files, same table schema
+        payload["schema"] = src["schema"]
     try:
         _publish_manifest(path, new_version, payload, protocol=protocol)
         return new_version
@@ -659,7 +732,10 @@ def snapshot_compact(
         files = [_abs_file(path, f) for f in m["files"]]
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-        df = spark.read.parquet(*files)
+        # read through the tracked table schema (when present) so an
+        # evolved table compacts under its union schema, not whichever
+        # file footer the reader samples
+        df = read_snapshot(spark, path, version=v)
         # a stats-tracked table stays prunable through compaction:
         # recompute zone maps for the rewritten files over the same
         # column set the live manifest recorded
@@ -806,4 +882,5 @@ __all__ = [
     "vacuum", "committed_marker_values", "snapshot_compact",
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
+    "SchemaEvolutionError",
 ]
