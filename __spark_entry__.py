@@ -5024,6 +5024,47 @@ def q_snapshot_schema_evolution_digest(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+# --- incremental view maintenance over the snapshot log ---------------------------
+
+@_q("ivm_incremental_agg", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+FROM events GROUP BY event_type
+""")
+def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-type aggregate maintained INCREMENTALLY: the
+    source snapshot table grows in three commits (events split by
+    event_id % 3); the first refresh computes the view in full, the
+    next two fold only each append's CDC delta into the stored view
+    (pipeline/ivm.py). The oracle recomputes the aggregate over the
+    whole table from scratch — the hash match proves
+    view ⊕ delta-partials ≡ full recompute, at O(delta + view)
+    refresh cost instead of a table rescan."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_src_")
+    view = tempfile.mkdtemp(prefix="ivm_view_") + "/v"
+    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 0), src)
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], ["vc"])
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 == 1), src, mode="append"
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], ["vc"])
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 == 2), src, mode="append"
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], ["vc"])
+    return ivm.read_view(spark, view).select(
+        "event_type", "n", F.col("sum_vc").cast("long").alias("sum_vc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
