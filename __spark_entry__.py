@@ -5065,6 +5065,89 @@ def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog: portable integer-exact registers + merge ------------------------
+
+_HLL_ORACLE_BODY = """
+b AS (SELECT h % 512 AS idx, h // 512 AS w FROM h),
+reg AS (
+  SELECT idx, MAX(CASE WHEN w = 0 THEN 52
+                       ELSE 1 + bit_count((w & (-w)) - 1) END) AS r
+  FROM b GROUP BY idx
+),
+agg AS (
+  SELECT COUNT(*) AS n_registers, SUM((1::BIGINT) << (52 - r)) AS s FROM reg
+),
+e AS (
+  SELECT n_registers, 512 - n_registers AS v_zero,
+         CAST(s + (512 - n_registers) * ((1::BIGINT) << 52) AS BIGINT)
+             AS scaled_sum
+  FROM agg
+),
+r2 AS (
+  SELECT *, 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+            * 4503599627370496.0 / CAST(scaled_sum AS DOUBLE) AS raw
+  FROM e
+)
+SELECT n_registers, v_zero, scaled_sum,
+       round(CASE WHEN v_zero > 0 AND raw <= 2.5 * 512.0
+                  THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+                  ELSE raw END, 2) AS est
+FROM r2
+"""
+
+
+@_q("hll_distinct_events", f"""
+WITH h AS (
+  SELECT CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+              % {1 << 60} AS BIGINT) AS h
+  FROM events
+),
+{_HLL_ORACLE_BODY}
+""")
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch over event ids. Every
+    register value is PURE integer arithmetic (portable 60-bit md5
+    hash, trailing-zero rank via bit_count, shiftleft indicator
+    sums), so the register table — and hence the estimate — is
+    bit-identical on any engine: an approximate-cardinality sketch
+    that passes an exact-equality oracle. One map-combined groupBy
+    onto 512 rows regardless of input size."""
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return hll_estimate(hll_registers(ev, "event_id"))
+
+
+@_q("hll_merge_shards", f"""
+WITH h AS (
+  SELECT CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+              % {1 << 60} AS BIGINT) AS h
+  FROM events
+),
+{_HLL_ORACLE_BODY}
+""")
+def q_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability, checked literally: sketch the even and odd
+    event-id shards INDEPENDENTLY, merge by element-wise register
+    max, and estimate. The oracle sketches the whole table in one
+    pass — the hash match proves merge(shard sketches) ≡
+    sketch(union) exactly, the distributive contract that lets every
+    executor sketch locally and a 512-row union finish the job."""
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    evens = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "event_id")
+    odds = hll_registers(ev.filter(F.col("event_id") % 2 == 1), "event_id")
+    return hll_estimate(hll_merge(evens, odds))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
