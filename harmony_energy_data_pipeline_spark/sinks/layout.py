@@ -97,6 +97,7 @@ def zorder_write(
     num_partitions: int | None = None,
     fmt: str = "parquet",
     snapshot_log: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Range-partition on the Morton key, sort within partitions, and
     write: each output file then covers a compact hyper-rectangle of
@@ -137,9 +138,17 @@ def zorder_write(
         sorted_df.write.mode("error").format(fmt).save(
             os.path.join(path, "data", txid)
         )
+        # Z-order clusters EVERY keyed dimension into compact per-file
+        # ranges, so zone maps on the clustered columns (default) make
+        # the manifest prunable on any of them — layout and file
+        # skipping compose.
+        if stats_cols is None:
+            stats_cols = [c for c in cols if isinstance(c, str)]
         snapshot_publish_staged(
             path, txid,
             extra={"format": fmt, "layout": {"zorder": True, "bits": bits}},
+            stats_cols=stats_cols or None,
+            schema=sorted_df.schema.jsonValue(),
         )
         return
     tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex[:8]}"

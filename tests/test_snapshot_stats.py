@@ -116,3 +116,21 @@ def test_stats_survive_restore_and_compact(spark, tmp_path):
     assert len(keptc) <= totalc
     got = snap.read_snapshot(spark, path, where=[("k", 0, 10)])
     assert sorted(r.k for r in got.collect()) == list(range(0, 11))
+
+
+def test_zorder_write_records_prunable_stats(spark, tmp_path):
+    """Layout and file skipping compose: a z-ordered table prunes on
+    EITHER clustered dimension through the manifest zone maps."""
+    from harmony_energy_data_pipeline_spark.sinks.layout import zorder_write
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "z")
+    zorder_write(df, ["x", "y"], path, bits=6, num_partitions=8)
+    kept_x, total = snap.prune_files(path, [("x", 0, 3)])
+    kept_y, _ = snap.prune_files(path, [("y", 0, 3)])
+    assert total == 8
+    assert len(kept_x) < total and len(kept_y) < total
+    got = snap.read_snapshot(spark, path, where=[("x", 0, 3)])
+    assert got.count() == 4 * 64  # 4 x-values, 64 rows each
