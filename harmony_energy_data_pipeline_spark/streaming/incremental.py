@@ -302,6 +302,7 @@ def start_snapshot_append_sink(
     available_now: bool = True,
     compact_every: int | None = None,
     vacuum_keep: int | None = None,
+    stats_cols: list[str] | None = None,
 ):
     """writeStream → foreachBatch APPEND commits into an MVCC snapshot
     table (``sinks.snapshots``): every micro-batch becomes one
@@ -358,9 +359,14 @@ def start_snapshot_append_sink(
         commit_id = f"{query_tag}:{batch_id}"
         if commit_id in committed:
             return  # re-delivered after restart: already durably committed
+        # stats_cols: zone maps per micro-batch file (footer read over
+        # this batch's files only) — a streamed event table stays
+        # time-prunable for read_snapshot(where=...) consumers, and
+        # compaction recomputes the maps for the rewritten files.
         snap.snapshot_write(
             batch_df, table_path, mode="append",
             extra={"stream_commit_id": commit_id, "stream_batch_id": batch_id},
+            stats_cols=stats_cols,
         )
         committed.add(commit_id)
         n_committed += 1

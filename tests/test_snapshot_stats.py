@@ -134,3 +134,38 @@ def test_zorder_write_records_prunable_stats(spark, tmp_path):
     assert len(kept_x) < total and len(kept_y) < total
     got = snap.read_snapshot(spark, path, where=[("x", 0, 3)])
     assert got.count() == 4 * 64  # 4 x-values, 64 rows each
+
+
+def test_streaming_sink_records_stats(spark, tmp_path, sf_dir):
+    """A streamed event table stays prunable: each micro-batch append
+    records zone maps for its own files, and a time-window read skips
+    the batches whose event_id range cannot match."""
+    from harmony_energy_data_pipeline_spark.io import load_table
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        start_snapshot_append_sink,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    n = ev.count()
+    src = str(tmp_path / "src")
+    # four id-disjoint piles -> four micro-batches with tight ranges
+    for i in range(4):
+        ev.filter(
+            (F.col("event_id") >= i * n / 4) & (F.col("event_id") < (i + 1) * n / 4)
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "tbl")
+    q = start_snapshot_append_sink(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        table, str(tmp_path / "ckpt"),
+        stats_cols=["event_id"],
+    )
+    q.awaitTermination(120)
+    kept, total = snap.prune_files(table, [("event_id", 0, int(n / 4) - 1)])
+    assert total >= 4 and len(kept) < total
+    got = snap.read_snapshot(
+        spark, table, where=[("event_id", 0, int(n / 4) - 1)]
+    ).count()
+    want = ev.filter(F.col("event_id") <= n / 4 - 1).count()
+    assert got == want
