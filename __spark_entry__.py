@@ -5148,6 +5148,42 @@ def q_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(hll_merge(evens, odds))
 
 
+# --- membership-sketch (Bloom-style) equality pruning ------------------------------
+
+@_q("snapshot_member_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events WHERE event_type = 'purchase'
+""")
+def q_snapshot_member_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-predicate file skipping: commit events hash-clustered
+    by type with per-file membership bitmaps, then point-look-up one
+    type through ``read_snapshot(where=[(col, v, v)])`` — the sketch
+    skips every file whose bitmap proves the value absent, which zone
+    maps cannot do for unsorted domains. Oracle filters the raw
+    table; pytest (`test_member_sketch.py`) asserts the skip."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_member_")
+    snap.snapshot_write(
+        ev.repartition(8, "event_type"), path, member_cols=["event_type"]
+    )
+    pruned = snap.read_snapshot(
+        spark, path, where=[("event_type", "purchase", "purchase")]
+    )
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -142,4 +142,124 @@ def file_matches(
     return True
 
 
-__all__ = ["collect_file_stats", "file_column_stats", "file_matches"]
+# --- membership sketches: equality-predicate file skipping ------------------------
+#
+# Zone maps only skip files when the predicate column is CLUSTERED
+# (sorted/z-ordered layouts give tight per-file ranges). For point
+# lookups on an unclustered high-cardinality column — "this user",
+# "this order" — every file's [min, max] spans the domain and nothing
+# prunes. The lake answer is a per-file membership structure (Delta's
+# bloom filter index, Iceberg's bloom_filter write option): here a
+# 4096-bucket one-hash Bloom bitmap (512 bytes base64 in the
+# manifest) over the PORTABLE 60-bit md5 hash, whose Python twin lets
+# the planner test `col = v` membership driver-side with no Spark
+# job. A set bit the value lacks can only produce a conservative
+# keep (false positive), never a wrong skip; a file whose sketch
+# saturates past 75% records nothing (no pruning value).
+#
+# Collection reads the commit's new files ONCE (column-pruned scan) —
+# unlike zone maps it is not footer-only, which is why it is a
+# separate opt-in (``member_cols=``).
+
+import base64
+
+_MEMBER_BITS = 4096
+#: saturation cap: past this many distinct buckets the false-positive
+#: rate makes the sketch useless, so nothing is recorded
+_MEMBER_CAP = int(_MEMBER_BITS * 0.75)
+
+
+def portable_bucket(value) -> int | None:
+    """Driver-side twin of ``pmod(portable_hash60(v), 4096)``: the low
+    60 bits of the little-endian tail of md5(str(v)). Only int and
+    str values are supported (their Python ``str()`` form matches
+    Spark's CAST AS STRING); anything else returns None → the
+    membership check is skipped (conservative keep)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    s = str(value)
+    h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    return (h & ((1 << 60) - 1)) % _MEMBER_BITS
+
+
+def _pack_bits(buckets) -> str:
+    bits = bytearray(_MEMBER_BITS // 8)
+    for b in buckets:
+        bits[b >> 3] |= 1 << (b & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def sketch_contains(sketch_b64: str, bucket: int) -> bool:
+    bits = base64.b64decode(sketch_b64)
+    return bool(bits[bucket >> 3] & (1 << (bucket & 7)))
+
+
+def collect_member_sketches(spark, data_dir: str, cols: list[str]) -> dict:
+    """Per-file membership bitmaps for the staged files under
+    ``data_dir``: one column-pruned pass over the COMMIT's files (not
+    the table), aggregated map-side to ≤ one row per file. Returns
+    ``{abs_path: {col: b64bitmap}}``; saturated (or all-null)
+    columns record no entry."""
+    from pyspark.sql import functions as F
+
+    from harmony_energy_data_pipeline_spark.functions.hashx import (
+        portable_hash60,
+    )
+
+    if not cols:
+        return {}
+    df = spark.read.parquet(data_dir).select(
+        F.input_file_name().alias("__f"),
+        *[
+            F.pmod(portable_hash60(F.col(c).cast("string")),
+                   F.lit(_MEMBER_BITS)).alias(c)
+            for c in cols
+        ],
+    )
+    rows = df.groupBy("__f").agg(
+        *[F.collect_set(c).alias(c) for c in cols]
+    ).collect()
+    out: dict = {}
+    for r in rows:
+        f = r["__f"]
+        if f.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            f = unquote(urlparse(f).path)
+        entry = {
+            c: _pack_bits(r[c])
+            for c in cols
+            if r[c] and len(r[c]) <= _MEMBER_CAP
+        }
+        if entry:
+            out[f] = entry
+    return out
+
+
+def file_matches_members(
+    members: dict | None, predicates: list[tuple]
+) -> bool:
+    """Equality predicates (``lo == hi``) against the membership
+    sketches: False only when the sketch PROVES the value absent.
+    Missing sketch / unsupported value type → True (conservative)."""
+    if not members:
+        return True
+    for col, lo, hi in predicates:
+        if lo is None or lo != hi:
+            continue
+        sketch = members.get(col)
+        if sketch is None:
+            continue
+        b = portable_bucket(lo)
+        if b is not None and not sketch_contains(sketch, b):
+            return False
+    return True
+
+
+__all__ = [
+    "collect_file_stats", "file_column_stats", "file_matches",
+    "collect_member_sketches", "file_matches_members", "portable_bucket",
+    "sketch_contains",
+]

@@ -62,7 +62,7 @@ from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 #: must survive vacuum via the compacted commit log.
 _STANDARD_KEYS = frozenset(
     {"version", "parent", "operation", "txid", "committed_at_unix", "files",
-     "stats", "schema"}
+     "stats", "schema", "members"}
 )
 
 
@@ -306,6 +306,7 @@ def snapshot_write(
     protocol: str = "link",
     expected_parent: "int | None" = _ANY_PARENT,
     stats_cols: list[str] | None = None,
+    member_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -313,6 +314,11 @@ def snapshot_write(
     manifest (parquet footer read, metadata-only) so
     ``read_snapshot(..., where=...)`` can skip files at planning time
     — see ``sinks.filestats``.
+
+    ``member_cols``: additionally record a per-file membership bitmap
+    (Bloom-style) for these columns, so EQUALITY predicates
+    (``where=[(col, v, v)]``) skip files on unclustered columns too.
+    Costs one column-pruned re-read of this commit's files.
 
     ``mode='overwrite'`` — the new version's live set is exactly this
     batch's files; ``mode='append'`` — the parent version's files
@@ -337,10 +343,20 @@ def snapshot_write(
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
+    members = None
+    if member_cols:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_member_sketches,
+        )
+
+        members = collect_member_sketches(
+            df.sparkSession, data_dir, list(member_cols)
+        )
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
         extra=extra, protocol=protocol, expected_parent=expected_parent,
         stats_cols=stats_cols, schema=df.schema.jsonValue(),
+        members=members,
     )
 
 
@@ -355,6 +371,7 @@ def snapshot_publish_staged(
     expected_parent: "int | None" = _ANY_PARENT,
     stats_cols: list[str] | None = None,
     schema: dict | None = None,
+    members: dict | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -387,6 +404,9 @@ def snapshot_publish_staged(
         # commit size, not table size
         abs_stats = collect_file_stats(staged, list(stats_cols))
         new_stats = {_rel_file(path, f): s for f, s in abs_stats.items()}
+    new_members = {
+        _rel_file(path, f): s for f, s in (members or {}).items()
+    }
     for _ in range(max_retries):
         parent = latest_version(path)
         if expected_parent != _ANY_PARENT and parent != expected_parent:
@@ -398,6 +418,7 @@ def snapshot_publish_staged(
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         stats = dict(new_stats)
+        memb = dict(new_members)
         out_schema = schema
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
@@ -408,6 +429,11 @@ def snapshot_publish_staged(
             stats = {
                 **{_rel_file(path, f): s for f, s in pm.get("stats", {}).items()},
                 **new_stats,
+            }
+            memb = {
+                **{_rel_file(path, f): s
+                   for f, s in pm.get("members", {}).items()},
+                **new_members,
             }
             # schema evolution: union-by-name with the parent schema
             # (add-column appends; type conflicts raise). A parent
@@ -427,6 +453,7 @@ def snapshot_publish_staged(
             "committed_at_unix": int(time.time()),
             "files": files,
             **({"stats": stats} if stats else {}),
+            **({"members": memb} if memb else {}),
             **({"schema": out_schema} if out_schema is not None else {}),
             **(extra or {}),
         }
@@ -447,18 +474,28 @@ def prune_files(
     no row can satisfy the AND of ``(col, lo, hi)`` inclusive
     intervals. Returns ``(kept absolute paths, total file count)``.
     Files without stats for a predicate column are always kept —
-    pruning only ever skips provably-irrelevant files."""
-    from harmony_energy_data_pipeline_spark.sinks.filestats import file_matches
+    pruning only ever skips provably-irrelevant files.
+
+    Equality predicates (``lo == hi``) additionally consult the
+    per-file membership bitmaps recorded by ``member_cols=`` commits,
+    which prune point lookups on UNCLUSTERED columns that zone maps
+    cannot (every file's [min, max] spans the domain there)."""
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        file_matches,
+        file_matches_members,
+    )
 
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = _read_manifest(path, v)
     stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+    membs = {_rel_file(path, f): s for f, s in m.get("members", {}).items()}
     kept = [
         _abs_file(path, f)
         for f in m["files"]
         if file_matches(stats.get(_rel_file(path, f)), where)
+        and file_matches_members(membs.get(_rel_file(path, f)), where)
     ]
     return kept, len(m["files"])
 
@@ -669,6 +706,8 @@ def snapshot_restore(
         payload["format"] = src["format"]
     if "stats" in src:  # same files, same zone maps: prunability survives
         payload["stats"] = src["stats"]
+    if "members" in src:
+        payload["members"] = src["members"]
     if "schema" in src:  # same files, same table schema
         payload["schema"] = src["schema"]
     try:
@@ -740,11 +779,15 @@ def snapshot_compact(
         # recompute zone maps for the rewritten files over the same
         # column set the live manifest recorded
         stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
+        mem_cols = sorted(
+            {c for s in m.get("members", {}).values() for c in s}
+        )
         try:
             return snapshot_write(
                 df.coalesce(n_files), path, mode="overwrite",
                 protocol=protocol, extra={"compacted_from": v},
                 expected_parent=v, stats_cols=stat_cols or None,
+                member_cols=mem_cols or None,
             )
         except SnapshotConflictError as e:
             last_err = e
