@@ -5184,6 +5184,57 @@ def q_snapshot_member_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- row-level delete/update scoped to affected files ------------------------------
+
+@_q("snapshot_delete_update_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                      AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+                     THEN CAST(round(value * 10 * 100) AS BIGINT)
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-07 00:00:00')
+""")
+def q_snapshot_delete_update_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level operations end-to-end: commit events
+    time-clustered with zone maps, DELETE a 2-day window, then UPDATE
+    another window (value ×10) — each rewrite touches only the files
+    whose recorded stats can contain matching rows
+    (``snapshot_rewrite_matching``), the 100 TB cost model where a
+    targeted delete never means rewriting the lake. The oracle
+    recomputes the final state from the raw table; the digest covers
+    both the deletion (row set) and the update (scaled cents sum)."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="snap_rowops_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    snap.snapshot_delete_where(
+        spark, path,
+        [("ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 7))],
+    )
+    snap.snapshot_update_where(
+        spark, path,
+        [("ts", dt.datetime(2024, 1, 20), dt.datetime(2024, 1, 22))],
+        {"value": F.col("value") * 10},
+    )
+    final = snap.read_snapshot(spark, path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

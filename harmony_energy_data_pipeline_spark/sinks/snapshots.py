@@ -500,6 +500,21 @@ def prune_files(
     return kept, len(m["files"])
 
 
+def _cond_from_where(where: list[tuple]):
+    """The residual DataFrame predicate for a list of inclusive
+    interval triples — the exact row-level meaning the file-level
+    pruning conservatively approximates."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, lo, hi in where:
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return cond
+
+
 @normalizes_paths('path')
 def read_snapshot(
     spark: SparkSession,
@@ -547,14 +562,7 @@ def read_snapshot(
         # "json" for JSONL shards); snapshot_write tables are parquet
         return _load(files)
     kept, _total = prune_files(path, where, version=v)
-    from pyspark.sql import functions as F
-
-    cond = F.lit(True)
-    for col, lo, hi in where:
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
+    cond = _cond_from_where(where)
     if not kept:
         # keep the schema without scanning data: one file, zero rows
         return _load(files[:1]).filter(cond).limit(0)
@@ -796,6 +804,194 @@ def snapshot_compact(
 
 
 @normalizes_paths('path')
+def snapshot_rewrite_matching(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    transform,
+    operation: str = "rewrite_matching",
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """Copy-on-write row rewrite SCOPED TO AFFECTED FILES: commit a
+    new version where rows matching ``where`` (the same inclusive
+    interval triples ``read_snapshot`` takes; equality = ``(col, v,
+    v)``) are replaced by ``transform(matching_df)`` and every other
+    row is byte-identical — files the manifest's zone maps / member
+    sketches PROVE unaffected are carried into the new version
+    untouched (no read, no write, stats preserved). On a
+    stats-tracked table a targeted delete therefore rewrites
+    O(matching files), not O(table) — the row-level-operation cost
+    model Iceberg/Delta copy-on-write gives a 100 TB table, where
+    "delete this user's day" must not mean "rewrite the lake".
+
+    ``transform``: matching-rows DataFrame → replacement DataFrame
+    (same schema). :func:`snapshot_delete_where` passes "drop all";
+    :func:`snapshot_update_where` passes a column rewrite.
+
+    Commit semantics: an OVERWRITE version validated against the
+    version whose files were rewritten (``expected_parent``) — a
+    concurrent append cannot be dropped; on conflict the rewrite
+    redoes against the new latest up to ``max_redo`` times (the
+    :func:`snapshot_compact` retry shape). CDC ranges crossing it
+    raise by contract, as for any rewrite.
+    """
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    cond = _cond_from_where(where)
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"row rewrite requires a parquet table; {path} is "
+                f"{m['format']!r}"
+            )
+        affected, _total = prune_files(path, where, version=v)
+        if not affected:
+            return v  # provably nothing to rewrite
+        affected_rel = {_rel_file(path, f) for f in affected}
+        untouched_rel = [
+            f for f in m["files"] if _rel_file(path, f) not in affected_rel
+        ]
+        reader = spark.read.format("parquet")
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        df_aff = reader.load(affected)
+        replaced = transform(df_aff.filter(cond))
+        if set(replaced.columns) != set(df_aff.columns):
+            raise ValueError(
+                "transform changed the column set "
+                f"({sorted(replaced.columns)} vs {sorted(df_aff.columns)}); "
+                "schema changes go through snapshot_write commits"
+            )
+        new_df = df_aff.filter(~cond).unionByName(replaced)
+        txid = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(path, "data", txid)
+        new_df.write.mode("error").parquet(data_dir)
+        staged = _data_files(data_dir)
+        new_rel = [_rel_file(path, f) for f in staged]
+        files = [_rel_file(path, f) for f in untouched_rel] + new_rel
+        if not files:
+            raise ValueError(
+                "rewrite would leave the table with no files (every row "
+                "deleted); commit an explicit overwrite instead"
+            )
+        # metadata for the new version: untouched files keep their
+        # recorded stats/sketches; rewritten files recompute over the
+        # same tracked column sets
+        stats = {
+            _rel_file(path, f): s
+            for f, s in m.get("stats", {}).items()
+            if _rel_file(path, f) not in affected_rel
+        }
+        membs = {
+            _rel_file(path, f): s
+            for f, s in m.get("members", {}).items()
+            if _rel_file(path, f) not in affected_rel
+        }
+        stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
+        mem_cols = sorted(
+            {c for s in m.get("members", {}).values() for c in s}
+        )
+        if stat_cols and staged:
+            from harmony_energy_data_pipeline_spark.sinks.filestats import (
+                collect_file_stats,
+            )
+
+            stats.update({
+                _rel_file(path, f): s
+                for f, s in collect_file_stats(staged, stat_cols).items()
+            })
+        if mem_cols and staged:
+            from harmony_energy_data_pipeline_spark.sinks.filestats import (
+                collect_member_sketches,
+            )
+
+            membs.update({
+                _rel_file(path, f): s
+                for f, s in collect_member_sketches(
+                    spark, data_dir, mem_cols
+                ).items()
+            })
+        payload = {
+            "version": v + 1,
+            "parent": v,
+            "operation": "overwrite",
+            "txid": txid,
+            "committed_at_unix": int(time.time()),
+            "files": files,
+            "rewrite": {
+                "kind": operation,
+                "rewritten_files": len(affected),
+                "carried_files": len(untouched_rel),
+            },
+            **({"stats": stats} if stats else {}),
+            **({"members": membs} if membs else {}),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+        }
+        try:
+            _publish_manifest(path, v + 1, payload, protocol=protocol)
+            return v + 1
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"rewrite of {path} expected parent v{v}, but a concurrent "
+                "commit claimed the next version; redoing against the new "
+                "latest"
+            )
+            continue  # staged files become vacuum-able orphans
+    raise last_err
+
+
+@normalizes_paths('path')
+def snapshot_delete_where(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """DELETE rows matching ``where``, rewriting only the files that
+    can contain them — see :func:`snapshot_rewrite_matching`."""
+    return snapshot_rewrite_matching(
+        spark, path, where, lambda df: df.limit(0),
+        operation="delete_where", protocol=protocol, max_redo=max_redo,
+    )
+
+
+@normalizes_paths('path')
+def snapshot_update_where(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict,
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """UPDATE rows matching ``where``: each ``set_exprs[col]`` (a
+    Column or SQL string) replaces that column on matching rows only;
+    unaffected files are carried untouched — see
+    :func:`snapshot_rewrite_matching`."""
+    from pyspark.sql import functions as F
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for c, e in set_exprs.items():
+            out = out.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+        return out.select(*df.columns)
+
+    return snapshot_rewrite_matching(
+        spark, path, where, _apply,
+        operation="update_where", protocol=protocol, max_redo=max_redo,
+    )
+
+
+@normalizes_paths('path')
 def vacuum(
     path: str, keep_last: int = 1, orphan_grace_s: float = 600.0
 ) -> int:
@@ -925,5 +1121,6 @@ __all__ = [
     "vacuum", "committed_marker_values", "snapshot_compact",
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
-    "SchemaEvolutionError",
+    "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
+    "snapshot_rewrite_matching",
 ]
