@@ -62,8 +62,45 @@ from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 #: must survive vacuum via the compacted commit log.
 _STANDARD_KEYS = frozenset(
     {"version", "parent", "operation", "txid", "committed_at_unix", "files",
-     "stats", "schema", "members"}
+     "stats", "schema", "members", "constraints"}
 )
+
+
+class ConstraintViolationError(ValueError):
+    """A batch violated the table's CHECK constraints at commit time.
+    ``violations`` maps each failed constraint expression to its
+    violating-row count. Nothing was committed."""
+
+    def __init__(self, path: str, violations: dict):
+        self.violations = violations
+        detail = "; ".join(f"{k!r}: {v} rows" for k, v in violations.items())
+        super().__init__(
+            f"commit to {path} refused — CHECK constraint violations: "
+            f"{detail}"
+        )
+
+
+def _validate_constraints(df: DataFrame, constraints: list[str], path: str):
+    """One aggregation pass counting violators per constraint (NULL
+    results count as violations, the SQL CHECK convention inverted to
+    fail-closed for data quality gates)."""
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(c).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(f"c{i}")
+            for i, c in enumerate(constraints)
+        ]
+    ).first()
+    bad = {
+        c: int(counts[i] or 0)
+        for i, c in enumerate(constraints)
+        if (counts[i] or 0) > 0
+    }
+    if bad:
+        raise ConstraintViolationError(path, bad)
 
 
 class SchemaEvolutionError(ValueError):
@@ -307,8 +344,20 @@ def snapshot_write(
     expected_parent: "int | None" = _ANY_PARENT,
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
+    constraints: list[str] | None = None,
+    validate: bool = True,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``constraints``: SQL boolean expressions that must hold for every
+    row (the Delta CHECK-constraint shape). Passing a list SETS the
+    table's constraints from this commit onward; ``None`` inherits
+    the parent's. The BATCH is validated in one aggregation pass
+    BEFORE anything is staged — a violation raises
+    :class:`ConstraintViolationError` with per-constraint violator
+    counts and commits nothing. Appends validate only their own rows
+    (prior data holds by induction). ``validate=False`` skips the
+    pass for rewrites of already-validated data (compaction).
 
     ``stats_cols``: record per-file min/max for these columns in the
     manifest (parquet footer read, metadata-only) so
@@ -340,6 +389,13 @@ def snapshot_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    effective = constraints
+    if effective is None:
+        p = latest_version(path)
+        if p is not None:
+            effective = _read_manifest(path, p).get("constraints")
+    if effective and validate:
+        _validate_constraints(df, effective, path)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
@@ -356,7 +412,7 @@ def snapshot_write(
         path, txid, mode=mode, max_retries=max_retries,
         extra=extra, protocol=protocol, expected_parent=expected_parent,
         stats_cols=stats_cols, schema=df.schema.jsonValue(),
-        members=members,
+        members=members, constraints=effective,
     )
 
 
@@ -372,6 +428,7 @@ def snapshot_publish_staged(
     stats_cols: list[str] | None = None,
     schema: dict | None = None,
     members: dict | None = None,
+    constraints: list[str] | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -420,6 +477,11 @@ def snapshot_publish_staged(
         stats = dict(new_stats)
         memb = dict(new_members)
         out_schema = schema
+        out_constraints = constraints
+        if out_constraints is None and parent is not None:
+            # table constraints persist until explicitly replaced —
+            # staged publishes (exports, layout rewrites) carry them
+            out_constraints = _read_manifest(path, parent).get("constraints")
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
             parent_files = [_rel_file(path, f) for f in pm["files"]]
@@ -455,6 +517,7 @@ def snapshot_publish_staged(
             **({"stats": stats} if stats else {}),
             **({"members": memb} if memb else {}),
             **({"schema": out_schema} if out_schema is not None else {}),
+            **({"constraints": out_constraints} if out_constraints else {}),
             **(extra or {}),
         }
         try:
@@ -718,6 +781,8 @@ def snapshot_restore(
         payload["members"] = src["members"]
     if "schema" in src:  # same files, same table schema
         payload["schema"] = src["schema"]
+    if "constraints" in src:
+        payload["constraints"] = src["constraints"]
     try:
         _publish_manifest(path, new_version, payload, protocol=protocol)
         return new_version
@@ -796,6 +861,7 @@ def snapshot_compact(
                 protocol=protocol, extra={"compacted_from": v},
                 expected_parent=v, stats_cols=stat_cols or None,
                 member_cols=mem_cols or None,
+                validate=False,  # rows unchanged: already validated
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -870,6 +936,10 @@ def snapshot_rewrite_matching(
                 f"({sorted(replaced.columns)} vs {sorted(df_aff.columns)}); "
                 "schema changes go through snapshot_write commits"
             )
+        if m.get("constraints"):
+            # only the TRANSFORMED rows need checking: carried and
+            # non-matching rows hold by induction
+            _validate_constraints(replaced, m["constraints"], path)
         new_df = df_aff.filter(~cond).unionByName(replaced)
         txid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(path, "data", txid)
@@ -934,6 +1004,8 @@ def snapshot_rewrite_matching(
             **({"stats": stats} if stats else {}),
             **({"members": membs} if membs else {}),
             **({"schema": m["schema"]} if "schema" in m else {}),
+            **({"constraints": m["constraints"]}
+               if "constraints" in m else {}),
         }
         try:
             _publish_manifest(path, v + 1, payload, protocol=protocol)
@@ -1122,5 +1194,5 @@ __all__ = [
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
-    "snapshot_rewrite_matching",
+    "snapshot_rewrite_matching", "ConstraintViolationError",
 ]
