@@ -5235,6 +5235,55 @@ def q_snapshot_delete_update_digest(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- key-scoped MERGE INTO through membership sketches -----------------------------
+
+@_q("snapshot_merge_into_digest", """
+WITH final AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN value * 10 ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT event_id + 1000000, value FROM events WHERE event_id % 7 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM final
+""")
+def q_snapshot_merge_into_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end-to-end: commit events key-hashed with
+    membership sketches, then merge a source of revisions (every 5th
+    id, value ×10) plus inserts (every 7th id, shifted key) —
+    ``snapshot_merge_into`` rewrites only the files whose sketches
+    intersect the source keys' hash buckets (source-wins upsert, the
+    J1 contract at lake scale). The oracle recomputes the post-merge
+    state from the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_merge_")
+    snap.snapshot_write(
+        ev.repartition(8, "event_id"), path, member_cols=["event_id"]
+    )
+    updates = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") * 10
+    )
+    inserts = ev.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"), "value"
+    )
+    snap.snapshot_merge_into(
+        spark, path, updates.unionByName(inserts), key="event_id"
+    )
+    final = snap.read_snapshot(spark, path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -919,16 +919,7 @@ def snapshot_rewrite_matching(
         affected, _total = prune_files(path, where, version=v)
         if not affected:
             return v  # provably nothing to rewrite
-        affected_rel = {_rel_file(path, f) for f in affected}
-        untouched_rel = [
-            f for f in m["files"] if _rel_file(path, f) not in affected_rel
-        ]
-        reader = spark.read.format("parquet")
-        if "schema" in m:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(m["schema"]))
-        df_aff = reader.load(affected)
+        df_aff = _read_file_list(spark, affected, m)
         replaced = transform(df_aff.filter(cond))
         if set(replaced.columns) != set(df_aff.columns):
             raise ValueError(
@@ -941,75 +932,10 @@ def snapshot_rewrite_matching(
             # non-matching rows hold by induction
             _validate_constraints(replaced, m["constraints"], path)
         new_df = df_aff.filter(~cond).unionByName(replaced)
-        txid = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(path, "data", txid)
-        new_df.write.mode("error").parquet(data_dir)
-        staged = _data_files(data_dir)
-        new_rel = [_rel_file(path, f) for f in staged]
-        files = [_rel_file(path, f) for f in untouched_rel] + new_rel
-        if not files:
-            raise ValueError(
-                "rewrite would leave the table with no files (every row "
-                "deleted); commit an explicit overwrite instead"
-            )
-        # metadata for the new version: untouched files keep their
-        # recorded stats/sketches; rewritten files recompute over the
-        # same tracked column sets
-        stats = {
-            _rel_file(path, f): s
-            for f, s in m.get("stats", {}).items()
-            if _rel_file(path, f) not in affected_rel
-        }
-        membs = {
-            _rel_file(path, f): s
-            for f, s in m.get("members", {}).items()
-            if _rel_file(path, f) not in affected_rel
-        }
-        stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
-        mem_cols = sorted(
-            {c for s in m.get("members", {}).values() for c in s}
-        )
-        if stat_cols and staged:
-            from harmony_energy_data_pipeline_spark.sinks.filestats import (
-                collect_file_stats,
-            )
-
-            stats.update({
-                _rel_file(path, f): s
-                for f, s in collect_file_stats(staged, stat_cols).items()
-            })
-        if mem_cols and staged:
-            from harmony_energy_data_pipeline_spark.sinks.filestats import (
-                collect_member_sketches,
-            )
-
-            membs.update({
-                _rel_file(path, f): s
-                for f, s in collect_member_sketches(
-                    spark, data_dir, mem_cols
-                ).items()
-            })
-        payload = {
-            "version": v + 1,
-            "parent": v,
-            "operation": "overwrite",
-            "txid": txid,
-            "committed_at_unix": int(time.time()),
-            "files": files,
-            "rewrite": {
-                "kind": operation,
-                "rewritten_files": len(affected),
-                "carried_files": len(untouched_rel),
-            },
-            **({"stats": stats} if stats else {}),
-            **({"members": membs} if membs else {}),
-            **({"schema": m["schema"]} if "schema" in m else {}),
-            **({"constraints": m["constraints"]}
-               if "constraints" in m else {}),
-        }
         try:
-            _publish_manifest(path, v + 1, payload, protocol=protocol)
-            return v + 1
+            return _commit_partial_rewrite(
+                spark, path, v, m, affected, new_df, operation, protocol
+            )
         except FileExistsError:
             last_err = SnapshotConflictError(
                 f"rewrite of {path} expected parent v{v}, but a concurrent "
@@ -1018,6 +944,99 @@ def snapshot_rewrite_matching(
             )
             continue  # staged files become vacuum-able orphans
     raise last_err
+
+
+def _read_file_list(spark: SparkSession, files: list[str], m: dict) -> DataFrame:
+    reader = spark.read.format("parquet")
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.load(files)
+
+
+def _commit_partial_rewrite(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    m: dict,
+    affected: list[str],
+    new_df: DataFrame,
+    kind: str,
+    protocol: str,
+) -> int:
+    """Stage ``new_df`` and publish version v+1 whose file list is
+    (parent files − affected) + staged — the shared commit step of
+    every affected-files-only rewrite (delete/update/merge). Carried
+    files keep their recorded stats/sketches; staged files recompute
+    over the same tracked column sets. Raises FileExistsError on a
+    lost version race (caller redoes against the new latest)."""
+    affected_rel = {_rel_file(path, f) for f in affected}
+    untouched_rel = [
+        f for f in m["files"] if _rel_file(path, f) not in affected_rel
+    ]
+    txid = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", txid)
+    new_df.write.mode("error").parquet(data_dir)
+    staged = _data_files(data_dir)
+    new_rel = [_rel_file(path, f) for f in staged]
+    files = [_rel_file(path, f) for f in untouched_rel] + new_rel
+    if not files:
+        raise ValueError(
+            "rewrite would leave the table with no files (every row "
+            "deleted); commit an explicit overwrite instead"
+        )
+    stats = {
+        _rel_file(path, f): s
+        for f, s in m.get("stats", {}).items()
+        if _rel_file(path, f) not in affected_rel
+    }
+    membs = {
+        _rel_file(path, f): s
+        for f, s in m.get("members", {}).items()
+        if _rel_file(path, f) not in affected_rel
+    }
+    stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
+    mem_cols = sorted({c for s in m.get("members", {}).values() for c in s})
+    if stat_cols and staged:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_file_stats,
+        )
+
+        stats.update({
+            _rel_file(path, f): s
+            for f, s in collect_file_stats(staged, stat_cols).items()
+        })
+    if mem_cols and staged:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_member_sketches,
+        )
+
+        membs.update({
+            _rel_file(path, f): s
+            for f, s in collect_member_sketches(
+                spark, data_dir, mem_cols
+            ).items()
+        })
+    payload = {
+        "version": v + 1,
+        "parent": v,
+        "operation": "overwrite",
+        "txid": txid,
+        "committed_at_unix": int(time.time()),
+        "files": files,
+        "rewrite": {
+            "kind": kind,
+            "rewritten_files": len(affected),
+            "carried_files": len(untouched_rel),
+        },
+        **({"stats": stats} if stats else {}),
+        **({"members": membs} if membs else {}),
+        **({"schema": m["schema"]} if "schema" in m else {}),
+        **({"constraints": m["constraints"]} if "constraints" in m else {}),
+    }
+    _publish_manifest(path, v + 1, payload, protocol=protocol)
+    return v + 1
 
 
 @normalizes_paths('path')
@@ -1061,6 +1080,119 @@ def snapshot_update_where(
         spark, path, where, _apply,
         operation="update_where", protocol=protocol, max_redo=max_redo,
     )
+
+
+@normalizes_paths('path')
+def snapshot_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """MERGE (keyed upsert) into a snapshot table, REWRITING ONLY the
+    files that can contain a source key: rows whose ``key`` appears
+    in ``source`` are replaced by the source row (source-wins, the
+    J1 upsert contract), new keys insert, everything else is carried
+    byte-identical.
+
+    File scoping: the distinct hash buckets of the source keys (one
+    small aggregation, ≤4096 values) are intersected with each
+    file's membership sketch (``member_cols=[key]`` at write time) —
+    a file whose bitmap shares no bucket with the source PROVABLY
+    contains none of its keys and is carried untouched, so a
+    100-row merge into a million-file table rewrites only the files
+    those 100 keys hash into. Files without a sketch are
+    conservatively rewritten (correct, just not surgical).
+
+    Commit semantics mirror :func:`snapshot_rewrite_matching`:
+    expected-parent-validated overwrite, conflict redoes up to
+    ``max_redo``; table constraints validate the SOURCE rows only.
+    """
+    from pyspark.sql import functions as F
+
+    from harmony_energy_data_pipeline_spark.functions.hashx import (
+        portable_hash60,
+    )
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        _MEMBER_BITS,
+        sketch_contains,
+    )
+
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    src_buckets = {
+        r.b
+        for r in source.select(
+            F.pmod(portable_hash60(F.col(key).cast("string")),
+                   F.lit(_MEMBER_BITS)).alias("b")
+        ).distinct().collect()
+    }
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"merge requires a parquet table; {path} is {m['format']!r}"
+            )
+        membs = {
+            _rel_file(path, f): s for f, s in m.get("members", {}).items()
+        }
+
+        def _may_hold(rel: str) -> bool:
+            sketch = membs.get(rel, {}).get(key)
+            if sketch is None:
+                return True  # no sketch: must assume it holds keys
+            return any(sketch_contains(sketch, b) for b in src_buckets)
+
+        affected = [
+            _abs_file(path, f)
+            for f in m["files"]
+            if _may_hold(_rel_file(path, f))
+        ]
+        if m.get("constraints"):
+            _validate_constraints(source, m["constraints"], path)
+        table_cols = (
+            {f["name"] for f in m["schema"]["fields"]}
+            if "schema" in m else None
+        )
+        if table_cols is not None and set(source.columns) != table_cols:
+            raise ValueError(
+                f"merge source columns {sorted(source.columns)} != table "
+                f"columns {sorted(table_cols)}; align the source first "
+                "(schema changes go through snapshot_write)"
+            )
+        if not affected:
+            # no file can hold a source key: pure insert
+            new_df = source
+        else:
+            df_aff = _read_file_list(spark, affected, m)
+            if set(df_aff.columns) != set(source.columns):
+                raise ValueError(
+                    f"merge source columns {sorted(source.columns)} != table "
+                    f"columns {sorted(df_aff.columns)}; align the source "
+                    "first (schema changes go through snapshot_write)"
+                )
+            kept = df_aff.join(
+                source.select(F.col(key)).distinct(), on=key, how="left_anti"
+            )
+            new_df = kept.unionByName(source)
+        try:
+            return _commit_partial_rewrite(
+                spark, path, v, m, affected, new_df, "merge_into", protocol
+            )
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"merge into {path} expected parent v{v}, but a concurrent "
+                "commit claimed the next version; redoing against the new "
+                "latest"
+            )
+            continue
+    raise last_err
 
 
 @normalizes_paths('path')
@@ -1195,4 +1327,5 @@ __all__ = [
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
     "snapshot_rewrite_matching", "ConstraintViolationError",
+    "snapshot_merge_into",
 ]
