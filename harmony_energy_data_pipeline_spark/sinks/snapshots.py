@@ -722,6 +722,58 @@ def _write_commit_log(path: str, payload: dict) -> None:
 
 
 @normalizes_paths('path')
+def snapshot_table_info(path: str, version: int | None = None) -> dict:
+    """One-call operational summary of a snapshot table (the
+    ``DESCRIBE DETAIL`` surface): live file count and bytes, version
+    span, schema/constraints presence, and — the planning-relevant
+    part — what fraction of live files carry zone maps and membership
+    sketches per column, i.e. how prunable the table actually is.
+    Metadata-only (manifest read + one ``os.path.getsize`` per live
+    file, the same bounded listing vacuum does)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, v)
+    files = [_abs_file(path, f) for f in m["files"]]
+    total_bytes = 0
+    for f in files:
+        try:
+            total_bytes += os.path.getsize(f)
+        except OSError:
+            pass
+    n = len(files)
+    stats = m.get("stats", {})
+    membs = m.get("members", {})
+    stat_cov: dict[str, int] = {}
+    for s in stats.values():
+        for c in s:
+            stat_cov[c] = stat_cov.get(c, 0) + 1
+    memb_cov: dict[str, int] = {}
+    for s in membs.values():
+        for c in s:
+            memb_cov[c] = memb_cov.get(c, 0) + 1
+    vs = _versions(path)
+    return {
+        "version": v,
+        "versions": len(vs),
+        "oldest_version": vs[0] if vs else None,
+        "operation": m["operation"],
+        "format": m.get("format", "parquet"),
+        "n_files": n,
+        "total_bytes": total_bytes,
+        "avg_file_bytes": (total_bytes // n) if n else 0,
+        "has_schema": "schema" in m,
+        "constraints": m.get("constraints", []),
+        "stats_coverage": {
+            c: round(k / n, 4) for c, k in sorted(stat_cov.items())
+        },
+        "member_coverage": {
+            c: round(k / n, 4) for c, k in sorted(memb_cov.items())
+        },
+    }
+
+
+@normalizes_paths('path')
 def snapshot_history(path: str) -> list[dict]:
     """Commit log, oldest first: (version, parent, operation, n_files)
     per snapshot — the audit surface ``pipeline_run_history`` gives
@@ -1320,6 +1372,7 @@ def vacuum(
 
 
 __all__ = [
+    "snapshot_table_info",
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",

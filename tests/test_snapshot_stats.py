@@ -169,3 +169,21 @@ def test_streaming_sink_records_stats(spark, tmp_path, sf_dir):
     ).count()
     want = ev.filter(F.col("event_id") <= n / 4 - 1).count()
     assert got == want
+
+
+def test_table_info_reports_prunability(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(
+        _ranged(spark, 0, 400), path, stats_cols=["k"],
+        constraints=["k >= 0"],
+    )
+    snap.snapshot_write(
+        _ranged(spark, 400, 800), path, mode="append",
+        stats_cols=["k"], member_cols=["s"],
+    )
+    info = snap.snapshot_table_info(path)
+    assert info["version"] == 1 and info["versions"] == 2
+    assert info["n_files"] == 8 and info["total_bytes"] > 0
+    assert info["has_schema"] and info["constraints"] == ["k >= 0"]
+    assert info["stats_coverage"]["k"] == 1.0  # every live file mapped
+    assert 0 < info["member_coverage"]["s"] <= 0.5  # second commit only
