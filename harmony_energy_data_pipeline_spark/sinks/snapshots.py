@@ -1134,6 +1134,75 @@ def snapshot_update_where(
     )
 
 
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish commit was refused: one or more audits
+    returned falsy against the candidate table. ``failed`` lists
+    their names. The staged files were never published — readers
+    never saw them; vacuum sweeps the orphaned stage."""
+
+    def __init__(self, path: str, failed: list[str]):
+        self.failed = failed
+        super().__init__(
+            f"commit to {path} refused by audits: {failed} — staged data "
+            "was never published"
+        )
+
+
+@normalizes_paths('path')
+def snapshot_write_audited(
+    df: DataFrame,
+    path: str,
+    audits: dict,
+    mode: str = "overwrite",
+    protocol: str = "link",
+    stats_cols: list[str] | None = None,
+    member_cols: list[str] | None = None,
+) -> int:
+    """Write-audit-publish: stage ``df``'s files, assemble the
+    CANDIDATE table (staged files plus the parent's for an append),
+    run every audit against it, and only then publish the manifest —
+    the Iceberg WAP pattern. An audit is ``name -> callable`` taking
+    the candidate DataFrame and returning truthy to approve; dataset-
+    level checks (row-count drift vs the live table, key uniqueness,
+    aggregate sanity) belong here, while per-row invariants belong to
+    ``constraints=`` (validated pre-stage, cheaper). On any failure
+    :class:`AuditFailedError` raises, readers never observe the data,
+    and the orphaned stage is swept by ``vacuum``.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    txid = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", txid)
+    df.write.mode("error").parquet(data_dir)
+    candidate_files = _data_files(data_dir)
+    parent = latest_version(path)
+    m = {"schema": df.schema.jsonValue()}
+    if mode == "append" and parent is not None:
+        pm = _read_manifest(path, parent)
+        candidate_files = [
+            _abs_file(path, f) for f in pm["files"]
+        ] + candidate_files
+        if "schema" in pm:
+            m["schema"] = _merge_schema(pm["schema"], df.schema.jsonValue())
+    candidate = _read_file_list(spark, candidate_files, m)
+    failed = [name for name, fn in audits.items() if not fn(candidate)]
+    if failed:
+        raise AuditFailedError(path, failed)
+    members = None
+    if member_cols:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_member_sketches,
+        )
+
+        members = collect_member_sketches(spark, data_dir, list(member_cols))
+    return snapshot_publish_staged(
+        path, txid, mode=mode, protocol=protocol,
+        stats_cols=stats_cols, schema=df.schema.jsonValue(),
+        members=members,
+    )
+
+
 @normalizes_paths('path')
 def snapshot_merge_into(
     spark: SparkSession,
@@ -1380,5 +1449,5 @@ __all__ = [
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
     "snapshot_rewrite_matching", "ConstraintViolationError",
-    "snapshot_merge_into",
+    "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
 ]
