@@ -1318,12 +1318,19 @@ def snapshot_merge_into(
 
 @normalizes_paths('path')
 def vacuum(
-    path: str, keep_last: int = 1, orphan_grace_s: float = 600.0
+    path: str, keep_last: int = 1, orphan_grace_s: float = 600.0,
+    keep_newer_than_s: float | None = None,
 ) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no
     surviving snapshot references — including orphans from crashed
     pre-publish writers. Returns the number of files deleted.
+
+    ``keep_newer_than_s``: time-based retention on TOP of the count —
+    a snapshot committed within the last N seconds survives even
+    outside the ``keep_last`` window (the Iceberg ``expire_snapshots
+    older_than`` shape), so a retention policy can be "keep a day of
+    time travel" instead of a version count.
 
     ORPHAN GRACE: a data file referenced by NO manifest at all (kept
     or expired) may belong to a LIVE writer between its parquet stage
@@ -1353,6 +1360,16 @@ def vacuum(
         )
     vs = _versions(path)
     keep = vs[-keep_last:]
+    if keep_newer_than_s is not None:
+        cutoff = time.time() - keep_newer_than_s
+        keep = sorted(
+            set(keep)
+            | {
+                v for v in vs
+                if _read_manifest(path, v).get("committed_at_unix", 0)
+                >= cutoff
+            }
+        )
     # liveness is computed from the TABLE ROOT, not the process cwd:
     # manifests store root-relative paths, and each is joined to
     # ``path`` here — vacuum from any working directory (or after the

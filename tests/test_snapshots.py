@@ -485,3 +485,31 @@ def test_snapshot_restore_unknown_version_raises(spark, tmp_path):
     snap.snapshot_write(_df(spark, 0, 2), path)
     with pytest.raises(FileNotFoundError):
         snap.snapshot_restore(path, 7)
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """keep_newer_than_s keeps recent snapshots beyond the count
+    window; an aged commit log expires normally."""
+    import json
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        # overwrites: each version owns its files, so expiry frees data
+        snap.snapshot_write(_df(spark, 0, (i + 1) * 5), path)
+    # age the first two manifests artificially
+    for v in (0, 1):
+        mp = _os.path.join(path, "_snapshots", f"v{v:012d}.json")
+        m = json.load(open(mp))
+        m["committed_at_unix"] -= 7 * 86400
+        _os.remove(mp)
+        json.dump(m, open(mp, "w"))
+    # count window alone would keep only v3; the time window saves v2
+    removed = snap.vacuum(path, keep_last=1, orphan_grace_s=0.0,
+                          keep_newer_than_s=3600.0)
+    vs = [h["version"] for h in snap.snapshot_history(path)]
+    assert vs == [2, 3]
+    assert removed >= 1  # v0/v1's overwrite files freed
+    # survivors still read
+    assert len(_keys(spark, path, 3)) == 20
+    assert len(_keys(spark, path, 2)) == 15
