@@ -853,10 +853,20 @@ def snapshot_compact(
     target_file_mb: int = 128,
     protocol: str = "link",
     max_redo: int = 3,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite the LATEST snapshot's data into ~``target_file_mb``
     files and commit the result as a new OVERWRITE version — the
     Iceberg ``rewrite_data_files`` maintenance action for this log.
+
+    ``cluster_by``: range-partition + sort the rewrite on these
+    columns instead of the default ``coalesce``. A plain coalesce
+    merges arbitrary micro-batch files, which DEGRADES the zone maps
+    a time-clustered table was written with (each merged file spans
+    the union of its inputs' ranges); clustering the compaction
+    preserves — or restores — per-file range tightness, so pruning
+    keeps working after maintenance. Costs one range shuffle instead
+    of a shuffle-free coalesce.
     A table fed by a streaming append sink accrues one small file set
     per micro-batch commit; scan cost then grows with file count, not
     data volume (driver listing, task scheduling, parquet footer
@@ -907,9 +917,15 @@ def snapshot_compact(
         mem_cols = sorted(
             {c for s in m.get("members", {}).values() for c in s}
         )
+        if cluster_by:
+            df = df.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(n_files)
         try:
             return snapshot_write(
-                df.coalesce(n_files), path, mode="overwrite",
+                df, path, mode="overwrite",
                 protocol=protocol, extra={"compacted_from": v},
                 expected_parent=v, stats_cols=stat_cols or None,
                 member_cols=mem_cols or None,

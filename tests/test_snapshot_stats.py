@@ -187,3 +187,28 @@ def test_table_info_reports_prunability(spark, tmp_path):
     assert info["has_schema"] and info["constraints"] == ["k >= 0"]
     assert info["stats_coverage"]["k"] == 1.0  # every live file mapped
     assert 0 < info["member_coverage"]["s"] <= 0.5  # second commit only
+
+
+def test_clustered_compaction_preserves_prunability(spark, tmp_path):
+    """Default coalesce-compaction merges arbitrary files and widens
+    their zone maps; cluster_by compaction keeps ranges tight."""
+    path = str(tmp_path / "t")
+    # 6 appends arriving unsorted in k, as a streaming sink would;
+    # payload pads files past the 1 MB compaction target so the
+    # rewrite produces several output files
+    for i in range(6):
+        batch = spark.range(i, 120_000, 6).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        snap.snapshot_write(
+            batch.coalesce(1), path,
+            mode="append" if i else "overwrite", stats_cols=["k"],
+        )
+    kept_pre, total_pre = snap.prune_files(path, [("k", 0, 100)])
+    assert len(kept_pre) == total_pre == 6  # every file spans the domain
+    snap.snapshot_compact(spark, path, target_file_mb=1, cluster_by=["k"])
+    kept_post, total_post = snap.prune_files(path, [("k", 0, 100)])
+    assert total_post >= 2 and len(kept_post) < total_post  # tight again
+    got = snap.read_snapshot(spark, path, where=[("k", 0, 100)])
+    assert got.count() == 101
