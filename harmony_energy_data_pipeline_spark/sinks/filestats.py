@@ -164,44 +164,111 @@ def file_matches(
 import base64
 
 _MEMBER_BITS = 4096
-#: saturation cap: past this many distinct buckets the false-positive
-#: rate makes the sketch useless, so nothing is recorded
-_MEMBER_CAP = int(_MEMBER_BITS * 0.75)
 
 
-def portable_bucket(value) -> int | None:
-    """Driver-side twin of ``pmod(portable_hash60(v), 4096)``: the low
+def _h60(s: str) -> int:
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    return h & ((1 << 60) - 1)
+
+
+def portable_bucket(value, bits: int = _MEMBER_BITS) -> int | None:
+    """Driver-side twin of ``pmod(portable_hash60(v), bits)``: the low
     60 bits of the little-endian tail of md5(str(v)). Only int and
     str values are supported (their Python ``str()`` form matches
     Spark's CAST AS STRING); anything else returns None → the
     membership check is skipped (conservative keep)."""
-    import hashlib
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    return _h60(str(value)) % bits
 
+
+def portable_buckets_k(value, bits: int, k: int) -> list[int] | None:
+    """The k Bloom positions of ``value`` under double hashing
+    [Kirsch & Mitzenmacher 2006]: ``(h1 + i*h2) mod bits`` with
+    ``h2`` forced odd (coprime to the power-of-two ``bits``, so the
+    probe sequence never degenerates). Twin of the Spark expression
+    in :func:`collect_member_sketches`."""
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         return None
     s = str(value)
-    h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
-    return (h & ((1 << 60) - 1)) % _MEMBER_BITS
+    h1 = _h60(s) % bits
+    h2 = (_h60(s + "#") % bits) | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
 
 
-def _pack_bits(buckets) -> str:
-    bits = bytearray(_MEMBER_BITS // 8)
+def _pack_bits(buckets, bits: int) -> str:
+    arr = bytearray(bits // 8)
     for b in buckets:
-        bits[b >> 3] |= 1 << (b & 7)
-    return base64.b64encode(bytes(bits)).decode("ascii")
+        arr[b >> 3] |= 1 << (b & 7)
+    return base64.b64encode(bytes(arr)).decode("ascii")
 
 
-def sketch_contains(sketch_b64: str, bucket: int) -> bool:
-    bits = base64.b64decode(sketch_b64)
-    return bool(bits[bucket >> 3] & (1 << (bucket & 7)))
+def sketch_bits(sketch) -> int:
+    """A sketch's bucket count. Legacy entries are bare base64
+    strings of the 4096-bit default; sized entries are
+    ``{"bits": n, "k": h, "b64": ...}``."""
+    if isinstance(sketch, dict):
+        return int(sketch["bits"])
+    return _MEMBER_BITS
 
 
-def collect_member_sketches(spark, data_dir: str, cols: list[str]) -> dict:
+def sketch_hashes(sketch) -> int:
+    """Bloom hash count: 1 for legacy bare-b64 entries."""
+    if isinstance(sketch, dict):
+        return int(sketch.get("k", 1))
+    return 1
+
+
+def sketch_bytes(sketch) -> bytes:
+    """Decode the bitmap ONCE; callers probing many values against
+    one sketch must hold this instead of re-decoding per probe."""
+    b64 = sketch["b64"] if isinstance(sketch, dict) else sketch
+    return base64.b64decode(b64)
+
+
+def _bit(arr: bytes, bucket: int) -> bool:
+    return bool(arr[bucket >> 3] & (1 << (bucket & 7)))
+
+
+def sketch_contains(sketch, bucket: int) -> bool:
+    return _bit(sketch_bytes(sketch), bucket)
+
+
+def sketch_may_contain(sketch, value, _decoded: bytes | None = None) -> bool:
+    """Bloom membership of ``value``: True unless some probe position
+    is unset (all k must be set for a possible hit). Unsupported
+    value types are conservatively True. Pass ``_decoded`` (from
+    :func:`sketch_bytes`) when probing many values."""
+    arr = sketch_bytes(sketch) if _decoded is None else _decoded
+    ks = portable_buckets_k(value, sketch_bits(sketch), sketch_hashes(sketch))
+    if ks is None:
+        return True
+    return all(_bit(arr, b) for b in ks)
+
+
+def collect_member_sketches(
+    spark, data_dir: str, cols: list[str], bits: int = _MEMBER_BITS,
+    hashes: int = 1,
+) -> dict:
     """Per-file membership bitmaps for the staged files under
     ``data_dir``: one column-pruned pass over the COMMIT's files (not
     the table), aggregated map-side to ≤ one row per file. Returns
-    ``{abs_path: {col: b64bitmap}}``; saturated (or all-null)
-    columns record no entry."""
+    ``{abs_path: {col: sketch}}``; saturated (or all-null) columns
+    record no entry.
+
+    ``bits`` sizes the bitmap and ``hashes`` sets the Bloom probe
+    count (double hashing; a value may be present only when ALL its
+    probe positions are set). The sketch records nothing once a
+    file's set-bit count passes 75% of ``bits`` (no pruning value),
+    so SIZE TO THE FILE'S KEY CARDINALITY: the single-hash 4096-bit
+    default (512 B/file/column) suits ≲3 k distinct keys per file;
+    a 128 MB parquet file of ~1 M unique keys wants
+    ``bits=1<<23, hashes=5`` (1 MB — ~8 bits/key, per-key FPR
+    ~2 %, the Delta/Iceberg bloom scale). Non-default shapes store
+    ``{"bits": n, "k": h, "b64": ...}``; readers adapt per entry, so
+    mixed shapes coexist in one manifest across commits."""
     from pyspark.sql import functions as F
 
     from harmony_energy_data_pipeline_spark.functions.hashx import (
@@ -210,17 +277,31 @@ def collect_member_sketches(spark, data_dir: str, cols: list[str]) -> dict:
 
     if not cols:
         return {}
-    df = spark.read.parquet(data_dir).select(
-        F.input_file_name().alias("__f"),
-        *[
-            F.pmod(portable_hash60(F.col(c).cast("string")),
-                   F.lit(_MEMBER_BITS)).alias(c)
-            for c in cols
-        ],
-    )
-    rows = df.groupBy("__f").agg(
-        *[F.collect_set(c).alias(c) for c in cols]
-    ).collect()
+    if bits < 64 or bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two >= 64, got {bits}")
+    if hashes < 1:
+        raise ValueError(f"hashes must be >= 1, got {hashes}")
+    cap = int(bits * 0.75)
+    proj = [F.input_file_name().alias("__f")]
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        h1 = F.pmod(portable_hash60(s), F.lit(bits))
+        if hashes == 1:
+            proj.append(h1.alias(f"{c}__0"))
+            aggs.append(F.collect_set(f"{c}__0").alias(f"{c}__0"))
+            continue
+        # double hashing: h2 forced odd so every probe stride is
+        # coprime to the power-of-two table size
+        h2 = F.pmod(portable_hash60(F.concat(s, F.lit("#"))),
+                    F.lit(bits)).bitwiseOR(F.lit(1))
+        for i in range(hashes):
+            proj.append(
+                F.pmod(h1 + F.lit(i) * h2, F.lit(bits)).alias(f"{c}__{i}")
+            )
+            aggs.append(F.collect_set(f"{c}__{i}").alias(f"{c}__{i}"))
+    df = spark.read.parquet(data_dir).select(*proj)
+    rows = df.groupBy("__f").agg(*aggs).collect()
     out: dict = {}
     for r in rows:
         f = r["__f"]
@@ -228,11 +309,18 @@ def collect_member_sketches(spark, data_dir: str, cols: list[str]) -> dict:
             from urllib.parse import unquote, urlparse
 
             f = unquote(urlparse(f).path)
-        entry = {
-            c: _pack_bits(r[c])
-            for c in cols
-            if r[c] and len(r[c]) <= _MEMBER_CAP
-        }
+        entry = {}
+        for c in cols:
+            buckets: set[int] = set()
+            for i in range(hashes):
+                buckets.update(r[f"{c}__{i}"] or [])
+            if not buckets or len(buckets) > cap:
+                continue
+            packed = _pack_bits(buckets, bits)
+            entry[c] = (
+                packed if bits == _MEMBER_BITS and hashes == 1
+                else {"bits": bits, "k": hashes, "b64": packed}
+            )
         if entry:
             out[f] = entry
     return out
@@ -252,8 +340,7 @@ def file_matches_members(
         sketch = members.get(col)
         if sketch is None:
             continue
-        b = portable_bucket(lo)
-        if b is not None and not sketch_contains(sketch, b):
+        if not sketch_may_contain(sketch, lo):
             return False
     return True
 
@@ -261,5 +348,6 @@ def file_matches_members(
 __all__ = [
     "collect_file_stats", "file_column_stats", "file_matches",
     "collect_member_sketches", "file_matches_members", "portable_bucket",
-    "sketch_contains",
+    "portable_buckets_k", "sketch_contains", "sketch_bits",
+    "sketch_hashes", "sketch_bytes", "sketch_may_contain",
 ]

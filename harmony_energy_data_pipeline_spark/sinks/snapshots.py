@@ -344,6 +344,8 @@ def snapshot_write(
     expected_parent: "int | None" = _ANY_PARENT,
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
+    member_bits: int = 4096,
+    member_hashes: int = 1,
     constraints: list[str] | None = None,
     validate: bool = True,
 ) -> int:
@@ -368,6 +370,13 @@ def snapshot_write(
     (Bloom-style) for these columns, so EQUALITY predicates
     (``where=[(col, v, v)]``) skip files on unclustered columns too.
     Costs one column-pruned re-read of this commit's files.
+    ``member_bits``/``member_hashes`` shape the Bloom filter — size
+    to the per-file key cardinality (a sketch past 75% saturation
+    records nothing): the single-hash 4096 default suits ≲3k
+    distinct keys per file; a big file of ~1M unique keys wants
+    ``member_bits=1<<23, member_hashes=5`` (1 MB/file/column,
+    ~8 bits/key, the Delta/Iceberg bloom scale). Mixed shapes
+    coexist per manifest.
 
     ``mode='overwrite'`` — the new version's live set is exactly this
     batch's files; ``mode='append'`` — the parent version's files
@@ -406,7 +415,8 @@ def snapshot_write(
         )
 
         members = collect_member_sketches(
-            df.sparkSession, data_dir, list(member_cols)
+            df.sparkSession, data_dir, list(member_cols),
+            bits=member_bits, hashes=member_hashes,
         )
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
@@ -917,6 +927,7 @@ def snapshot_compact(
         mem_cols = sorted(
             {c for s in m.get("members", {}).values() for c in s}
         )
+        mem_bits, mem_hashes = _manifest_member_shape(m)
         if cluster_by:
             df = df.repartitionByRange(
                 n_files, *cluster_by
@@ -928,7 +939,8 @@ def snapshot_compact(
                 df, path, mode="overwrite",
                 protocol=protocol, extra={"compacted_from": v},
                 expected_parent=v, stats_cols=stat_cols or None,
-                member_cols=mem_cols or None,
+                member_cols=mem_cols or None, member_bits=mem_bits,
+                member_hashes=mem_hashes,
                 validate=False,  # rows unchanged: already validated
             )
         except SnapshotConflictError as e:
@@ -1014,6 +1026,24 @@ def snapshot_rewrite_matching(
     raise last_err
 
 
+def _manifest_member_shape(m: dict) -> tuple[int, int]:
+    """The Bloom shape maintenance rewrites should recompute sketches
+    at: the WIDEST (bits, hashes) any live sketch uses (shapes can
+    coexist across commits; recomputing at the widest keeps the best
+    one)."""
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        sketch_bits,
+        sketch_hashes,
+    )
+
+    shapes = [
+        (sketch_bits(s), sketch_hashes(s))
+        for entry in m.get("members", {}).values()
+        for s in entry.values()
+    ]
+    return max(shapes, default=(4096, 1))
+
+
 def _read_file_list(spark: SparkSession, files: list[str], m: dict) -> DataFrame:
     reader = spark.read.format("parquet")
     if "schema" in m:
@@ -1080,10 +1110,11 @@ def _commit_partial_rewrite(
             collect_member_sketches,
         )
 
+        rb, rk = _manifest_member_shape(m)
         membs.update({
             _rel_file(path, f): s
             for f, s in collect_member_sketches(
-                spark, data_dir, mem_cols
+                spark, data_dir, mem_cols, bits=rb, hashes=rk
             ).items()
         })
     payload = {
@@ -1173,6 +1204,7 @@ def snapshot_write_audited(
     protocol: str = "link",
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
+    member_bits: int = 4096,
 ) -> int:
     """Write-audit-publish: stage ``df``'s files, assemble the
     CANDIDATE table (staged files plus the parent's for an append),
@@ -1211,7 +1243,9 @@ def snapshot_write_audited(
             collect_member_sketches,
         )
 
-        members = collect_member_sketches(spark, data_dir, list(member_cols))
+        members = collect_member_sketches(
+            spark, data_dir, list(member_cols), bits=member_bits
+        )
     return snapshot_publish_staged(
         path, txid, mode=mode, protocol=protocol,
         stats_cols=stats_cols, schema=df.schema.jsonValue(),
@@ -1249,23 +1283,38 @@ def snapshot_merge_into(
     """
     from pyspark.sql import functions as F
 
-    from harmony_energy_data_pipeline_spark.functions.hashx import (
-        portable_hash60,
-    )
     from harmony_energy_data_pipeline_spark.sinks.filestats import (
-        _MEMBER_BITS,
-        sketch_contains,
+        portable_buckets_k,
+        sketch_bits,
+        sketch_bytes,
+        sketch_hashes,
     )
 
     if max_redo < 1:
         raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
-    src_buckets = {
-        r.b
-        for r in source.select(
-            F.pmod(portable_hash60(F.col(key).cast("string")),
-                   F.lit(_MEMBER_BITS)).alias("b")
-        ).distinct().collect()
-    }
+    # Bloom probing needs the source KEY VALUES driver-side (each key
+    # probes k positions; position sets alone cannot express "some key
+    # has ALL its positions set"). Bounded collect: a merge source
+    # past the cap skips sketch scoping and rewrites every file —
+    # correct, just not surgical (and at that batch size the rewrite
+    # is table-scale anyway).
+    _MAX_PROBE_KEYS = 200_000
+    key_rows = (
+        source.select(F.col(key)).distinct().limit(_MAX_PROBE_KEYS + 1).collect()
+    )
+    src_keys = None
+    if len(key_rows) <= _MAX_PROBE_KEYS:
+        src_keys = [r[0] for r in key_rows]
+    probe_cache: dict[tuple[int, int], list] = {}
+
+    def _probes(bits: int, k: int) -> list:
+        shape = (bits, k)
+        if shape not in probe_cache:
+            probe_cache[shape] = [
+                portable_buckets_k(v, bits, k) for v in src_keys
+            ]
+        return probe_cache[shape]
+
     last_err: Exception | None = None
     for _ in range(max_redo):
         v = latest_version(path)
@@ -1282,9 +1331,16 @@ def snapshot_merge_into(
 
         def _may_hold(rel: str) -> bool:
             sketch = membs.get(rel, {}).get(key)
-            if sketch is None:
-                return True  # no sketch: must assume it holds keys
-            return any(sketch_contains(sketch, b) for b in src_buckets)
+            if sketch is None or src_keys is None:
+                return True  # no sketch / oversized source: assume held
+            arr = sketch_bytes(sketch)  # decode ONCE per file
+            probes = _probes(sketch_bits(sketch), sketch_hashes(sketch))
+            for ks in probes:
+                if ks is None or all(
+                    arr[b >> 3] & (1 << (b & 7)) for b in ks
+                ):
+                    return True
+            return False
 
         affected = [
             _abs_file(path, f)

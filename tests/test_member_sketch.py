@@ -73,3 +73,78 @@ def test_members_survive_append_and_compact(spark, tmp_path):
     assert m.get("members")  # recomputed for the rewritten files
     got = snap.read_snapshot(spark, path, where=[("tag", "odd", "odd")])
     assert got.count() == 100
+
+
+def test_sized_sketches_prune_high_cardinality(spark, tmp_path):
+    """Default 4096-bit sketches saturate on files with many distinct
+    keys (everything kept); sizing the bitmap restores surgical
+    pruning — mixed sizes coexist across commits."""
+    path = str(tmp_path / "t")
+    # 4 files x ~8k distinct keys each: saturates the 4096 default
+    df = spark.range(0, 32768).select(F.col("id").alias("k"))
+    snap.snapshot_write(df.repartition(4, "k"), path, member_cols=["k"])
+    m0 = snap._read_manifest(path, 0)
+    assert "members" not in m0  # saturated: nothing recorded
+    # sized commit: 2^17 bits holds 8k keys at ~6% saturation
+    snap.snapshot_write(
+        df.repartition(4, "k"), path, member_cols=["k"],
+        member_bits=1 << 17,
+    )
+    kept, total = snap.prune_files(path, [("k", 5, 5)])
+    assert total == 4 and len(kept) < total
+    got = snap.read_snapshot(spark, path, where=[("k", 5, 5)])
+    assert got.count() == 1
+    # merge adapts its bucket set to the per-entry size
+    src = spark.createDataFrame([(5,), (40000,)], "k long")
+    v = snap.snapshot_merge_into(spark, path, src, key="k")
+    mm = snap._read_manifest(path, v)
+    assert mm["rewrite"]["carried_files"] >= 1
+    assert snap.read_snapshot(spark, path).count() == 32769
+
+
+def test_legacy_string_sketch_still_reads(spark, tmp_path):
+    """Bare-base64 entries (the pre-sized format) keep working."""
+    import json
+    import os as _os
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    snap.snapshot_write(df.coalesce(1), path, member_cols=["k"])
+    mp = _os.path.join(path, "_snapshots", f"v{0:012d}.json")
+    m = json.load(open(mp))
+    (entry,) = m["members"].values()
+    assert isinstance(entry["k"], str)  # default size stores bare b64
+    kept, total = snap.prune_files(path, [("k", 5, 5)])
+    assert len(kept) == total == 1
+    kept2, _ = snap.prune_files(path, [("k", 5000, 5000)])
+    assert kept2 == []
+
+
+def test_khash_bloom_survives_many_source_keys(spark, tmp_path):
+    """Single-hash FPR compounds over source keys (a 100-key merge
+    touches almost every file); the k-hash Bloom keeps file scoping
+    surgical. Twin check: Python probes equal Spark collection."""
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        sketch_hashes,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 32768).select(F.col("id").alias("k"))
+    snap.snapshot_write(
+        df.repartition(8, "k"), path,
+        member_cols=["k"], member_bits=1 << 17, member_hashes=5,
+    )
+    m = snap._read_manifest(path, 0)
+    (any_entry,) = list(m["members"].values())[:1]
+    assert sketch_hashes(any_entry["k"]) == 5
+    # 64 ABSENT keys: the blooms prove every file clean (the k-hash
+    # FPR at this fill is ~1e-4 per key; a false keep would rewrite)
+    src2 = spark.createDataFrame([(10**9 + i,) for i in range(64)], "k long")
+    v2 = snap.snapshot_merge_into(spark, path, src2, key="k")
+    m2 = snap._read_manifest(path, v2)
+    assert m2["rewrite"]["rewritten_files"] <= 1  # statistical bound
+    assert snap.read_snapshot(spark, path).count() == 32768 + 64
+    # 64 PRESENT keys: correctness regardless of scoping
+    src = spark.createDataFrame([(i * 512, ) for i in range(64)], "k long")
+    snap.snapshot_merge_into(spark, path, src, key="k")
+    assert snap.read_snapshot(spark, path).count() == 32768 + 64
