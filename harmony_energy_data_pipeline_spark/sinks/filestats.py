@@ -249,11 +249,12 @@ def sketch_may_contain(sketch, value, _decoded: bytes | None = None) -> bool:
 
 
 def collect_member_sketches(
-    spark, data_dir: str, cols: list[str], bits: int = _MEMBER_BITS,
-    hashes: int = 1,
+    spark, data_dir: "str | list[str]", cols: list[str],
+    bits: int = _MEMBER_BITS, hashes: int = 1,
 ) -> dict:
     """Per-file membership bitmaps for the staged files under
-    ``data_dir``: one column-pruned pass over the COMMIT's files (not
+    ``data_dir`` (a directory, or an explicit file list for
+    backfills): one column-pruned pass over the COMMIT's files (not
     the table), aggregated map-side to ≤ one row per file. Returns
     ``{abs_path: {col: sketch}}``; saturated (or all-null) columns
     record no entry.
@@ -300,7 +301,8 @@ def collect_member_sketches(
                 F.pmod(h1 + F.lit(i) * h2, F.lit(bits)).alias(f"{c}__{i}")
             )
             aggs.append(F.collect_set(f"{c}__{i}").alias(f"{c}__{i}"))
-    df = spark.read.parquet(data_dir).select(*proj)
+    src = data_dir if isinstance(data_dir, list) else [data_dir]
+    df = spark.read.parquet(*src).select(*proj)
     rows = df.groupBy("__f").agg(*aggs).collect()
     out: dict = {}
     for r in rows:

@@ -1181,6 +1181,112 @@ def snapshot_update_where(
     )
 
 
+@normalizes_paths('path')
+def snapshot_backfill_stats(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str] | None = None,
+    member_cols: list[str] | None = None,
+    member_bits: int = 4096,
+    member_hashes: int = 1,
+    protocol: str = "link",
+    max_retries: int = 3,
+) -> int:
+    """METADATA-ONLY commit that adds zone maps and/or membership
+    sketches to an EXISTING table's live files — no data rewrite, so
+    a table created before stats tracking (or by a writer that
+    skipped it) becomes prunable retroactively. Zone maps are footer
+    reads; sketches cost one column-pruned pass over the live files
+    (pass only the columns worth indexing).
+
+    The commit reuses the parent's exact file list under an
+    ``append`` operation, so incremental (CDC) consumers see an
+    EMPTY delta rather than a rewrite — backfilling never forces
+    downstream re-reads. Existing per-file entries for the requested
+    columns are replaced; other columns' entries carry unchanged.
+    """
+    if not stats_cols and not member_cols:
+        raise ValueError("nothing to backfill: pass stats_cols/member_cols")
+    v0 = latest_version(path)
+    if v0 is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m0 = _read_manifest(path, v0)
+    if m0.get("format", "parquet") != "parquet":
+        raise ValueError(
+            f"stats backfill requires a parquet table; {path} is "
+            f"{m0['format']!r}"
+        )
+    files = [_abs_file(path, f) for f in m0["files"]]
+    new_stats: dict = {}
+    if stats_cols:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_file_stats,
+        )
+
+        new_stats = {
+            _rel_file(path, f): s
+            for f, s in collect_file_stats(files, list(stats_cols)).items()
+        }
+    new_members: dict = {}
+    if member_cols:
+        from harmony_energy_data_pipeline_spark.sinks.filestats import (
+            collect_member_sketches,
+        )
+
+        new_members = {
+            _rel_file(path, f): s
+            for f, s in collect_member_sketches(
+                spark, files, list(member_cols),
+                bits=member_bits, hashes=member_hashes,
+            ).items()
+        }
+    for _ in range(max_retries):
+        v = latest_version(path)
+        m = _read_manifest(path, v)
+        if [_rel_file(path, f) for f in m["files"]] != [
+            _rel_file(path, f) for f in m0["files"]
+        ]:
+            raise SnapshotConflictError(
+                f"table {path} changed while backfilling (v{v0} -> v{v}); "
+                "re-run against the new live set"
+            )
+
+        def _merged(old: dict, new: dict) -> dict:
+            out = {_rel_file(path, f): dict(s) for f, s in old.items()}
+            for f, s in new.items():
+                out.setdefault(f, {}).update(s)
+            return out
+
+        payload = {
+            "version": v + 1,
+            "parent": v,
+            "operation": "append",  # same files: CDC delta is empty
+            "txid": uuid.uuid4().hex[:12],
+            "committed_at_unix": int(time.time()),
+            "files": m["files"],
+            "backfill": {
+                "stats_cols": sorted(stats_cols or []),
+                "member_cols": sorted(member_cols or []),
+            },
+            **({"stats": s} if (s := _merged(m.get("stats", {}), new_stats))
+               else {}),
+            **({"members": mm}
+               if (mm := _merged(m.get("members", {}), new_members))
+               else {}),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            **({"constraints": m["constraints"]}
+               if "constraints" in m else {}),
+        }
+        try:
+            _publish_manifest(path, v + 1, payload, protocol=protocol)
+            return v + 1
+        except FileExistsError:
+            continue  # raced a writer; revalidate the file list
+    raise SnapshotConflictError(
+        f"backfill of {path} lost the version race {max_retries} times"
+    )
+
+
 class AuditFailedError(RuntimeError):
     """A write-audit-publish commit was refused: one or more audits
     returned falsy against the candidate table. ``failed`` lists
@@ -1539,4 +1645,5 @@ __all__ = [
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
+    "snapshot_backfill_stats",
 ]

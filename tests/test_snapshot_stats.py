@@ -212,3 +212,33 @@ def test_clustered_compaction_preserves_prunability(spark, tmp_path):
     assert total_post >= 2 and len(kept_post) < total_post  # tight again
     got = snap.read_snapshot(spark, path, where=[("k", 0, 100)])
     assert got.count() == 101
+
+
+def test_backfill_makes_legacy_table_prunable(spark, tmp_path):
+    """A table written with NO stats gains zone maps and sketches via
+    a metadata-only commit: same files, empty CDC delta, pruning on."""
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_ranged(spark, 0, 500), path)  # no tracking
+    snap.snapshot_write(_ranged(spark, 500, 1000), path, mode="append")
+    kept0, total0 = snap.prune_files(path, [("k", 0, 10)])
+    assert len(kept0) == total0  # nothing prunable yet
+    v = snap.snapshot_backfill_stats(
+        spark, path, stats_cols=["k"], member_cols=["s"],
+    )
+    m = snap._read_manifest(path, v)
+    assert m["operation"] == "append"
+    assert m["files"] == snap._read_manifest(path, v - 1)["files"]
+    # zone maps prune now; membership sketch answers point lookups
+    kept1, total1 = snap.prune_files(path, [("k", 0, 10)])
+    assert len(kept1) < total1
+    keptm, _ = snap.prune_files(path, [("s", "u00007", "u00007")])
+    assert len(keptm) < total1
+    # CDC across the backfill: EMPTY delta, not a rewrite
+    delta = snap.read_snapshot_changes(spark, path, v - 1, v)
+    assert delta.count() == 0
+    # content untouched, pruned read exact
+    got = snap.read_snapshot(spark, path, where=[("k", 0, 10)])
+    assert sorted(r.k for r in got.collect()) == list(range(0, 11))
+    info = snap.snapshot_table_info(path)
+    assert info["stats_coverage"]["k"] == 1.0
+    assert info["member_coverage"]["s"] == 1.0
