@@ -5284,6 +5284,45 @@ def q_snapshot_merge_into_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- metadata-only stats backfill then pruned scan ---------------------------------
+
+@_q("snapshot_backfill_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-19 00:00:00'
+""")
+def q_snapshot_backfill_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retroactive prunability: commit events time-clustered WITHOUT
+    any stats tracking (a legacy table), then add zone maps via the
+    metadata-only ``snapshot_backfill_stats`` commit (same files,
+    empty CDC delta, no data rewrite) and read a 3-day window through
+    the pruned path. The oracle filters the raw table — proving the
+    backfilled maps change scan cost, never results."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="snap_backfill_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"), path
+    )
+    snap.snapshot_backfill_stats(spark, path, stats_cols=["ts"])
+    pruned = snap.read_snapshot(
+        spark, path,
+        where=[("ts", dt.datetime(2024, 1, 16), dt.datetime(2024, 1, 19))],
+    )
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
