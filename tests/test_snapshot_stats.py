@@ -242,3 +242,15 @@ def test_backfill_makes_legacy_table_prunable(spark, tmp_path):
     info = snap.snapshot_table_info(path)
     assert info["stats_coverage"]["k"] == 1.0
     assert info["member_coverage"]["s"] == 1.0
+
+
+def test_pruned_read_plans_fewer_input_files(spark, tmp_path):
+    """Plan-level pin: where= pruning changes the SCAN's file list
+    (inputFiles), not just the result — the planning-time skip is
+    real, not a post-scan filter."""
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_ranged(spark, 0, 1000), path, stats_cols=["k"])
+    full = snap.read_snapshot(spark, path)
+    pruned = snap.read_snapshot(spark, path, where=[("k", 10, 20)])
+    assert len(full.inputFiles()) == 4
+    assert len(pruned.inputFiles()) == 1
