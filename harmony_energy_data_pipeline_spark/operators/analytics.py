@@ -199,6 +199,16 @@ def grouped_trend(
     (both casts correctly rounded), so results stay bit-identical to
     the oracle and to the pandas route.
 
+    PRECISION CONTRACT (BOTH routes): y is quantized to 2 decimal
+    places (cents — ``round(value*100)``, half-away-from-zero), the
+    exact-integer convention this engine uses for monetary/percentage
+    columns. On data with more than 2 meaningful decimals both routes
+    therefore fit the line through the QUANTIZED values — a (slightly)
+    different slope/intercept than an unquantized float OLS would
+    give. Pre-scale such a column (e.g. ``value * 10**(d-2)``) to keep
+    d decimals of signal; the routes and the oracle stay bit-identical
+    to each other either way because they share the quantization.
+
     ``method="pandas"``: the original ``applyInPandas`` grouped-batch
     form — kept as the template for per-entity fits that genuinely
     are NOT sufficient-statistics-expressible (regularized/iterative
@@ -820,7 +830,12 @@ def hll_registers(df: DataFrame, value_col: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
 
     h = portable_hash60(F.col(value_col))
-    hashed = df.select(h.alias("__h")).select(
+    # Distinct-count semantics exclude NULL; hashing NULL would also
+    # yield a (idx=NULL, r=NULL) register row that inflates
+    # n_registers and skews the estimate downstream.
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        h.alias("__h")
+    ).select(
         F.pmod(F.col("__h"), F.lit(_HLL_M)).alias("idx"),
         F.expr(f"__h DIV {_HLL_M}").alias("__w"),
     )

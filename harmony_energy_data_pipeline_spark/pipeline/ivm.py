@@ -52,9 +52,18 @@ def _merge(old: DataFrame, part: DataFrame, keys: list[str],
     a key absent from the delta is untouched."""
     o, d = old.alias("o"), part.alias("d")
     measures = ["n"] + [f"sum_{c}" for c in sum_cols]
-    merged = o.join(d, on=keys, how="full")
+    # Null-safe key equality: groupBy puts all NULL keys in ONE group,
+    # but a plain equi-join never matches NULL = NULL — a NULL-key
+    # group present on both sides would come out as two split rows,
+    # diverging from a full recompute. eqNullSafe (<=>) restores the
+    # grouping semantics; the key columns are then coalesced back.
+    join_cond = F.lit(True)
+    for k in keys:
+        join_cond = join_cond & F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+    merged = o.join(d, on=join_cond, how="full")
     return merged.select(
-        *keys,
+        *[F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
+          for k in keys],
         *[
             (F.coalesce(F.col(f"o.{m}"), F.lit(0))
              + F.coalesce(F.col(f"d.{m}"), F.lit(0))).alias(m)

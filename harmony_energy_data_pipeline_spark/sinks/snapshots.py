@@ -53,6 +53,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 
@@ -1011,7 +1012,15 @@ def snapshot_rewrite_matching(
             # only the TRANSFORMED rows need checking: carried and
             # non-matching rows hold by induction
             _validate_constraints(replaced, m["constraints"], path)
-        new_df = df_aff.filter(~cond).unionByName(replaced)
+        # Null-safe complement: a row with NULL in a predicate column
+        # matches neither cond nor ~cond under SQL ternary logic — a
+        # plain ~cond filter would silently DROP it from the table.
+        # DELETE/UPDATE semantics (Delta/Iceberg alike) keep such rows
+        # untouched, so the "non-matching" side must be NOT(coalesce(
+        # cond, false)).
+        new_df = df_aff.filter(
+            ~F.coalesce(cond, F.lit(False))
+        ).unionByName(replaced)
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, operation, protocol
@@ -1326,11 +1335,20 @@ def snapshot_write_audited(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
+    parent = latest_version(path)
+    # The published manifest inherits the parent's CHECK constraints
+    # (snapshot_publish_staged copies them forward), and every other
+    # write path relies on "prior data holds by induction" — so the
+    # audited batch must be validated BEFORE staging, exactly like a
+    # plain snapshot_write append.
+    if parent is not None:
+        parent_constraints = _read_manifest(path, parent).get("constraints")
+        if parent_constraints:
+            _validate_constraints(df, parent_constraints, path)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
     candidate_files = _data_files(data_dir)
-    parent = latest_version(path)
     m = {"schema": df.schema.jsonValue()}
     if mode == "append" and parent is not None:
         pm = _read_manifest(path, parent)
