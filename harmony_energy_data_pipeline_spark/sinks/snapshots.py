@@ -63,8 +63,24 @@ from harmony_energy_data_pipeline_spark.sinks.pathnorm import normalizes_paths
 #: must survive vacuum via the compacted commit log.
 _STANDARD_KEYS = frozenset(
     {"version", "parent", "operation", "txid", "committed_at_unix", "files",
-     "stats", "schema", "members", "constraints"}
+     "stats", "schema", "members", "constraints",
+     # log-structured (delta) manifest fields — round 7
+     "adds", "removes", "n_live_files"}
 )
+
+#: A resolution walk longer than this persists its result as a
+#: checkpoint sidecar (``ckpt-v<N>.json``), so subsequent reads of that
+#: or any later version replay at most this many delta manifests — the
+#: Delta-log checkpoint shape, written LAZILY by readers so commits
+#: stay O(delta) unconditionally.
+_CHECKPOINT_INTERVAL = 20
+
+#: Bounded in-process cache of resolved states keyed by
+#: (table path, version, txid) — manifests are immutable once
+#: published, so a hit is always current; the txid guards against a
+#: same-path table being dropped and recreated.
+_RESOLVE_CACHE: dict = {}
+_RESOLVE_CACHE_MAX = 32
 
 
 class ConstraintViolationError(ValueError):
@@ -185,13 +201,56 @@ def _versions(path: str) -> list[int]:
     )
 
 
+def _hint_path(path: str) -> str:
+    # leading underscore keeps it out of the "v*.json" glob
+    return os.path.join(_snap_dir(path), "_latest_hint")
+
+
+def _write_latest_hint(path: str, version: int) -> None:
+    """Best-effort advisory written after each publish so
+    ``latest_version`` need not LIST the manifest directory (an
+    O(#versions) operation that turns every commit on a long-lived
+    streaming table quadratic). Losing the write is harmless — the
+    hint is only ever a starting point, verified against real
+    manifest files."""
+    try:
+        tmp = _hint_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, _hint_path(path))
+    except OSError:
+        pass
+
+
 @normalizes_paths('path')
 def latest_version(path: str) -> int | None:
+    """Latest committed version. Fast path: start from the advisory
+    hint and probe UPWARD until the next manifest is missing —
+    versions are contiguous (each commit is parent+1), so the walk is
+    O(commits since the hint), usually 0–1 stats. A missing/stale/
+    corrupt hint (dropped-and-recreated table, vacuumed version,
+    partial write) falls back to the directory listing, which remains
+    the ground truth."""
+    try:
+        with open(_hint_path(path), encoding="utf-8") as fh:
+            v = int(fh.read().strip())
+        if os.path.exists(_manifest_path(path, v)):
+            while os.path.exists(_manifest_path(path, v + 1)):
+                v += 1
+            return v
+    except (OSError, ValueError):
+        pass
     vs = _versions(path)
     return vs[-1] if vs else None
 
 
-def _read_manifest(path: str, version: int) -> dict:
+def _read_manifest_raw(path: str, version: int) -> dict:
+    """The manifest EXACTLY as committed — O(its own size). A FULL
+    manifest carries ``files`` (+ accumulated ``stats``/``members``);
+    a DELTA manifest carries ``adds``/``removes`` and stats/sketches
+    for its adds only. Writers that only need carried-resolved
+    metadata (schema, constraints, n_live_files) read this — the
+    O(delta) commit fast path."""
     mp = _manifest_path(path, version)
     if not os.path.exists(mp):
         raise FileNotFoundError(
@@ -200,6 +259,139 @@ def _read_manifest(path: str, version: int) -> dict:
         )
     with open(mp, encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def _ckpt_path(path: str, version: int) -> str:
+    # "ckpt-" prefix keeps checkpoint sidecars OUT of _versions()'s
+    # "v*.json" glob — they are derived state, not commits
+    return os.path.join(_snap_dir(path), f"ckpt-v{version:012d}.json")
+
+
+def _write_checkpoint(path: str, version: int, txid: str, state: dict):
+    """Persist a resolved state as a sidecar. Idempotent content (any
+    resolver of the same version computes identical state), so plain
+    tmp+rename last-writer-wins is safe even with concurrent readers."""
+    cp = _ckpt_path(path, version)
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    payload = {
+        "version": version, "txid": txid,
+        "files": state["files"],
+        **({"stats": state["stats"]} if state["stats"] else {}),
+        **({"members": state["members"]} if state["members"] else {}),
+    }
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, cp)
+
+
+def _norm_state(path: str, m: dict) -> dict:
+    """State dict (rel-path files / stats / members) from a FULL
+    manifest or checkpoint payload, normalizing legacy absolute
+    entries."""
+    return {
+        "files": [_rel_file(path, f) for f in m["files"]],
+        "stats": {_rel_file(path, f): s for f, s in m.get("stats", {}).items()},
+        "members": {
+            _rel_file(path, f): s for f, s in m.get("members", {}).items()
+        },
+    }
+
+
+def _cache_put(key: tuple, state: dict) -> None:
+    if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_MAX:
+        _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+    _RESOLVE_CACHE[key] = state
+
+
+def _resolve_state(path: str, version: int) -> dict:
+    """Materialize version's live state ``{files, stats, members}``
+    (all table-root-relative) by walking parent pointers back to the
+    nearest FULL manifest / checkpoint / cached state, then replaying
+    the delta manifests forward (removes, then adds — the Delta-log
+    replay rule). Cost: O(Σ |delta| over the walk), bounded by
+    ``_CHECKPOINT_INTERVAL`` because long walks persist a checkpoint
+    for their top version on the way out."""
+    chain: list[dict] = []  # delta manifests, newest first
+    v = version
+    state = None
+    while True:
+        m = _read_manifest_raw(path, v)
+        key = (path, v, m["txid"])
+        cached = _RESOLVE_CACHE.get(key)
+        if cached is not None:
+            state = cached
+            break
+        if "files" in m:  # full manifest (legacy table or overwrite)
+            state = _norm_state(path, m)
+            _cache_put(key, state)
+            break
+        cp = _ckpt_path(path, v)
+        if os.path.exists(cp):
+            with open(cp, encoding="utf-8") as fh:
+                ck = json.load(fh)
+            if ck.get("txid") == m["txid"]:  # stale-path guard
+                state = _norm_state(path, ck)
+                _cache_put(key, state)
+                break
+        chain.append(m)
+        if m.get("parent") is None:
+            raise ValueError(
+                f"snapshot v{m['version']} at {path} is a delta manifest "
+                "with no parent — corrupt chain"
+            )
+        v = m["parent"]
+    if chain:
+        # replay IN PLACE on one working copy — a per-step rebuild
+        # would make a k-delta walk O(k × table files); this is
+        # O(Σ|delta| + removes × list scans), linear for the
+        # append-dominated chains streaming tables actually grow
+        files = list(state["files"])
+        stats = dict(state["stats"])
+        members = dict(state["members"])
+        for m in reversed(chain):
+            removes = set(m.get("removes", []))
+            if removes:
+                files = [f for f in files if f not in removes]
+                for f in removes:
+                    stats.pop(f, None)
+                    members.pop(f, None)
+            files.extend(_rel_file(path, f) for f in m.get("adds", []))
+            stats.update(
+                {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+            )
+            members.update(
+                {_rel_file(path, f): s
+                 for f, s in m.get("members", {}).items()}
+            )
+        state = {"files": files, "stats": stats, "members": members}
+        _cache_put((path, version, chain[0]["txid"]), state)
+    if len(chain) >= _CHECKPOINT_INTERVAL:
+        _write_checkpoint(path, version, chain[0]["txid"], state)
+    return state
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    """The RESOLVED view of a manifest: ``files``/``stats``/``members``
+    materialized through the delta chain, every other committed key
+    passed through verbatim. Full (legacy/overwrite) manifests return
+    as-is; the pre-round-7 manifest shape is therefore exactly what
+    every consumer still sees."""
+    m = _read_manifest_raw(path, version)
+    if "files" in m:
+        return m
+    state = _resolve_state(path, version)
+    out = {
+        k: val for k, val in m.items()
+        if k not in ("adds", "removes", "stats", "members")
+    }
+    out["files"] = list(state["files"])
+    if state["stats"]:
+        out["stats"] = dict(state["stats"])
+    if state["members"]:
+        out["members"] = dict(state["members"])
+    return out
 
 
 #: Injectable conditional-PUT publisher for ``protocol="cas"``:
@@ -316,6 +508,7 @@ def _publish_manifest(
         os.fsync(dfd)
     finally:
         os.close(dfd)
+    _write_latest_hint(path, version)
 
 
 def _is_data_file(name: str) -> bool:
@@ -403,7 +596,8 @@ def snapshot_write(
     if effective is None:
         p = latest_version(path)
         if p is not None:
-            effective = _read_manifest(path, p).get("constraints")
+            # raw: constraints are carried resolved in every manifest
+            effective = _read_manifest_raw(path, p).get("constraints")
     if effective and validate:
         _validate_constraints(df, effective, path)
     txid = uuid.uuid4().hex[:12]
@@ -484,30 +678,26 @@ def snapshot_publish_staged(
                 "writer committed; re-read the table and redo the operation"
             )
         version = 0 if parent is None else parent + 1
-        files = list(new_files)
-        stats = dict(new_stats)
-        memb = dict(new_members)
         out_schema = schema
         out_constraints = constraints
         if out_constraints is None and parent is not None:
             # table constraints persist until explicitly replaced —
-            # staged publishes (exports, layout rewrites) carry them
-            out_constraints = _read_manifest(path, parent).get("constraints")
+            # staged publishes (exports, layout rewrites) carry them.
+            # RAW read: constraints are carried resolved in every
+            # manifest, so this never triggers a chain replay.
+            out_constraints = _read_manifest_raw(path, parent).get(
+                "constraints"
+            )
         if mode == "append" and parent is not None:
-            pm = _read_manifest(path, parent)
-            parent_files = [_rel_file(path, f) for f in pm["files"]]
-            files = parent_files + files
-            # parent stats carry forward keyed on the normalized path;
-            # files the parent had no stats for simply stay unprunable
-            stats = {
-                **{_rel_file(path, f): s for f, s in pm.get("stats", {}).items()},
-                **new_stats,
-            }
-            memb = {
-                **{_rel_file(path, f): s
-                   for f, s in pm.get("members", {}).items()},
-                **new_members,
-            }
+            # LOG-STRUCTURED append (round 7): the manifest records
+            # only this commit's adds + their stats/sketches — never
+            # the parent's file list. Commit metadata cost is
+            # O(|batch|) whatever the table's file count, which is
+            # what keeps a per-micro-batch streaming sink viable on a
+            # 100k-file table. schema / constraints / n_live_files
+            # are carried RESOLVED in every manifest (they're small),
+            # so this path reads exactly one parent manifest, raw.
+            pm = _read_manifest_raw(path, parent)
             # schema evolution: union-by-name with the parent schema
             # (add-column appends; type conflicts raise). A parent
             # WITHOUT a tracked schema poisons tracking for the merged
@@ -518,25 +708,56 @@ def snapshot_publish_staged(
                     _merge_schema(pm["schema"], schema)
                     if "schema" in pm else None
                 )
-        payload = {
-            "version": version,
-            "parent": parent,
-            "operation": mode,
-            "txid": txid,
-            "committed_at_unix": int(time.time()),
-            "files": files,
-            **({"stats": stats} if stats else {}),
-            **({"members": memb} if memb else {}),
-            **({"schema": out_schema} if out_schema is not None else {}),
-            **({"constraints": out_constraints} if out_constraints else {}),
-            **(extra or {}),
-        }
+            payload = {
+                "version": version,
+                "parent": parent,
+                "operation": mode,
+                "txid": txid,
+                "committed_at_unix": int(time.time()),
+                "adds": list(new_files),
+                "removes": [],
+                "n_live_files": _raw_n_files(pm) + len(new_files),
+                **({"stats": new_stats} if new_stats else {}),
+                **({"members": new_members} if new_members else {}),
+                **({"schema": out_schema} if out_schema is not None else {}),
+                **({"constraints": out_constraints} if out_constraints
+                   else {}),
+                **(extra or {}),
+            }
+        else:
+            # overwrite (or first commit): the full file list IS the
+            # delta — a full manifest, which doubles as a checkpoint
+            # for every later delta's resolution walk
+            payload = {
+                "version": version,
+                "parent": parent,
+                "operation": mode,
+                "txid": txid,
+                "committed_at_unix": int(time.time()),
+                "files": list(new_files),
+                "n_live_files": len(new_files),
+                **({"stats": new_stats} if new_stats else {}),
+                **({"members": new_members} if new_members else {}),
+                **({"schema": out_schema} if out_schema is not None else {}),
+                **({"constraints": out_constraints} if out_constraints
+                   else {}),
+                **(extra or {}),
+            }
         try:
             _publish_manifest(path, version, payload, protocol=protocol)
             return version
         except FileExistsError:
             continue  # lost the race; recompute against new latest
     raise RuntimeError(f"snapshot commit lost the CAS race {max_retries} times")
+
+
+def _raw_n_files(m: dict) -> int:
+    """Live file count from a RAW manifest: full manifests count their
+    list; delta manifests carry it (legacy deltas cannot exist — the
+    field ships with the format)."""
+    if "files" in m:
+        return len(m["files"])
+    return int(m["n_live_files"])
 
 
 @normalizes_paths('path')
@@ -661,34 +882,51 @@ def read_snapshot_changes(
     detect the rewrite and fall back to a full re-read (the same
     contract Delta's CDF/Iceberg's incremental scan expose).
     """
-    lo, hi = _read_manifest(path, from_version), _read_manifest(path, to_version)
+    hi_raw = _read_manifest_raw(path, to_version)
     v = to_version
+    range_raw: list[dict] = []  # raw manifests in (from, to], newest first
     while v is not None and v > from_version:
-        m = _read_manifest(path, v)
+        m = _read_manifest_raw(path, v)
         if m["operation"] != "append":
             raise ValueError(
                 f"snapshot v{v} is an {m['operation']!r} commit; the "
                 f"({from_version}, {to_version}] range is not append-only — "
                 "incremental read undefined, re-read the full snapshot"
             )
+        range_raw.append(m)
         v = m["parent"]
-    # compare on the normalized (relative) form so a legacy absolute
-    # manifest diffs correctly against a relative one
-    old_files = {_rel_file(path, f) for f in lo["files"]}
-    new_files = [
-        _abs_file(path, f)
-        for f in hi["files"]
-        if _rel_file(path, f) not in old_files
-    ]
+    if all("adds" in m for m in range_raw) and not any(
+        m.get("removes") for m in range_raw
+    ):
+        # log-structured fast path: every commit in range is a pure
+        # delta append, so the union of their adds IS the file delta —
+        # O(|range deltas|), no state resolution, no set-diff over the
+        # table's whole file list
+        new_files = [
+            _abs_file(path, f)
+            for m in reversed(range_raw)
+            for f in m["adds"]
+        ]
+    else:
+        # mixed chain (full-manifest appends: legacy tables, stats
+        # backfills): fall back to the resolved set difference
+        lo = _read_manifest(path, from_version)
+        hi = _read_manifest(path, to_version)
+        old_files = {_rel_file(path, f) for f in lo["files"]}
+        new_files = [
+            _abs_file(path, f)
+            for f in hi["files"]
+            if _rel_file(path, f) not in old_files
+        ]
     if not new_files:
         return read_snapshot(spark, path, to_version).limit(0)
-    reader = spark.read.format(hi.get("format", "parquet"))
-    if "schema" in hi:
+    reader = spark.read.format(hi_raw.get("format", "parquet"))
+    if "schema" in hi_raw:
         from pyspark.sql.types import StructType
 
         # delta files staged before an add-column commit in the range
         # still read under the destination version's table schema
-        reader = reader.schema(StructType.fromJson(hi["schema"]))
+        reader = reader.schema(StructType.fromJson(hi_raw["schema"]))
     return reader.load(new_files)
 
 
@@ -703,7 +941,7 @@ def committed_marker_values(path: str, key: str) -> set:
     replayed batch after restart look uncommitted and double-commit."""
     out = set()
     for v in _versions(path):
-        m = _read_manifest(path, v)
+        m = _read_manifest_raw(path, v)  # marker keys live on the raw commit
         if key in m:
             out.add(m[key])
     clog = _read_commit_log(path)
@@ -791,13 +1029,15 @@ def snapshot_history(path: str) -> list[dict]:
     the reference, derived here from the manifests themselves."""
     out = []
     for v in _versions(path):
-        m = _read_manifest(path, v)
+        m = _read_manifest_raw(path, v)
         out.append(
             {
                 "version": m["version"],
                 "parent": m["parent"],
                 "operation": m["operation"],
-                "n_files": len(m["files"]),
+                # carried on delta manifests; counted for full ones —
+                # history stays O(Σ manifest sizes), no chain replays
+                "n_files": _raw_n_files(m),
             }
         )
     return out
@@ -1072,74 +1312,69 @@ def _commit_partial_rewrite(
     kind: str,
     protocol: str,
 ) -> int:
-    """Stage ``new_df`` and publish version v+1 whose file list is
+    """Stage ``new_df`` and publish version v+1 whose live set is
     (parent files − affected) + staged — the shared commit step of
-    every affected-files-only rewrite (delete/update/merge). Carried
-    files keep their recorded stats/sketches; staged files recompute
-    over the same tracked column sets. Raises FileExistsError on a
-    lost version race (caller redoes against the new latest)."""
+    every affected-files-only rewrite (delete/update/merge). The
+    manifest is a DELTA: it records ``removes`` (the affected files)
+    and ``adds`` (the staged files, with freshly computed stats/
+    sketches over the same tracked column sets); carried files — and
+    their recorded metadata — are never re-listed, so commit metadata
+    cost is O(touched files), not O(table files). Raises
+    FileExistsError on a lost version race (caller redoes against the
+    new latest)."""
     affected_rel = {_rel_file(path, f) for f in affected}
-    untouched_rel = [
-        f for f in m["files"] if _rel_file(path, f) not in affected_rel
-    ]
+    n_untouched = len(m["files"]) - len(affected_rel)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     new_df.write.mode("error").parquet(data_dir)
     staged = _data_files(data_dir)
     new_rel = [_rel_file(path, f) for f in staged]
-    files = [_rel_file(path, f) for f in untouched_rel] + new_rel
-    if not files:
+    if not new_rel and not n_untouched:
         raise ValueError(
             "rewrite would leave the table with no files (every row "
             "deleted); commit an explicit overwrite instead"
         )
-    stats = {
-        _rel_file(path, f): s
-        for f, s in m.get("stats", {}).items()
-        if _rel_file(path, f) not in affected_rel
-    }
-    membs = {
-        _rel_file(path, f): s
-        for f, s in m.get("members", {}).items()
-        if _rel_file(path, f) not in affected_rel
-    }
     stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
     mem_cols = sorted({c for s in m.get("members", {}).values() for c in s})
+    add_stats: dict = {}
+    add_membs: dict = {}
     if stat_cols and staged:
         from harmony_energy_data_pipeline_spark.sinks.filestats import (
             collect_file_stats,
         )
 
-        stats.update({
+        add_stats = {
             _rel_file(path, f): s
             for f, s in collect_file_stats(staged, stat_cols).items()
-        })
+        }
     if mem_cols and staged:
         from harmony_energy_data_pipeline_spark.sinks.filestats import (
             collect_member_sketches,
         )
 
         rb, rk = _manifest_member_shape(m)
-        membs.update({
+        add_membs = {
             _rel_file(path, f): s
             for f, s in collect_member_sketches(
                 spark, data_dir, mem_cols, bits=rb, hashes=rk
             ).items()
-        })
+        }
     payload = {
         "version": v + 1,
         "parent": v,
         "operation": "overwrite",
         "txid": txid,
         "committed_at_unix": int(time.time()),
-        "files": files,
+        "adds": new_rel,
+        "removes": sorted(affected_rel),
+        "n_live_files": n_untouched + len(new_rel),
         "rewrite": {
             "kind": kind,
             "rewritten_files": len(affected),
-            "carried_files": len(untouched_rel),
+            "carried_files": n_untouched,
         },
-        **({"stats": stats} if stats else {}),
-        **({"members": membs} if membs else {}),
+        **({"stats": add_stats} if add_stats else {}),
+        **({"members": add_membs} if add_membs else {}),
         **({"schema": m["schema"]} if "schema" in m else {}),
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
     }
@@ -1342,7 +1577,9 @@ def snapshot_write_audited(
     # audited batch must be validated BEFORE staging, exactly like a
     # plain snapshot_write append.
     if parent is not None:
-        parent_constraints = _read_manifest(path, parent).get("constraints")
+        parent_constraints = _read_manifest_raw(path, parent).get(
+            "constraints"
+        )
         if parent_constraints:
             _validate_constraints(df, parent_constraints, path)
     txid = uuid.uuid4().hex[:12]
@@ -1562,7 +1799,7 @@ def vacuum(
             set(keep)
             | {
                 v for v in vs
-                if _read_manifest(path, v).get("committed_at_unix", 0)
+                if _read_manifest_raw(path, v).get("committed_at_unix", 0)
                 >= cutoff
             }
         )
@@ -1571,12 +1808,27 @@ def vacuum(
     # ``path`` here — vacuum from any working directory (or after the
     # table was relocated) resolves the same live set. Legacy absolute
     # entries pass through _abs_file unchanged.
+    #
+    # ⋃ resolved(kept) is computed WITHOUT resolving every kept
+    # version: a file live at kept version i was either alive at the
+    # OLDEST kept version (files have one birth commit and are never
+    # re-added, so alive-at-i ∧ born-before-oldest ⇒ alive at every
+    # version between, including the oldest kept) or born at a later
+    # version — which appears in that version's own adds/files list.
+    # One resolution + raw manifest scans: O(Σ manifest sizes), not
+    # O(versions × table files).
     live: set[str] = set()
-    for v in keep:
+    if keep:
         live.update(
             os.path.abspath(_abs_file(path, f))
-            for f in _read_manifest(path, v)["files"]
+            for f in _read_manifest(path, keep[0])["files"]
         )
+        for v in keep[1:]:
+            m = _read_manifest_raw(path, v)
+            live.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in (m["files"] if "files" in m else m.get("adds", []))
+            )
     # Fold the expired manifests' caller metadata (commit markers such
     # as a streaming query's batch id) into the compacted commit log
     # BEFORE dropping them — committed_marker_values reads both, so
@@ -1587,7 +1839,7 @@ def vacuum(
         clog = _read_commit_log(path)
         markers: dict[str, list] = clog.setdefault("markers", {})
         for v in expired:
-            m = _read_manifest(path, v)
+            m = _read_manifest_raw(path, v)
             for k, val in m.items():
                 if k in _STANDARD_KEYS:
                     continue
@@ -1597,16 +1849,36 @@ def vacuum(
         _write_commit_log(path, clog)
     # files referenced by the EXPIRED manifests were durably committed:
     # immediate deletion is safe. Anything else unreferenced is a
-    # potential in-flight stage — grace-gated below.
+    # potential in-flight stage — grace-gated below. Raw adds/files
+    # union suffices (no resolution): a file any expired version
+    # references was BORN in some manifest at or before it — if that
+    # birth commit is itself expired, the file is here; if the birth
+    # commit is kept, the file is alive at intervening kept versions
+    # and therefore in ``live`` already.
     expired_refs: set[str] = set()
     for v in expired:
+        m = _read_manifest_raw(path, v)
         expired_refs.update(
             os.path.abspath(_abs_file(path, f))
-            for f in _read_manifest(path, v)["files"]
+            for f in (m["files"] if "files" in m else m.get("adds", []))
         )
     removed = 0
+    if expired and keep:
+        # Kept delta manifests resolve by walking parent pointers into
+        # the versions being expired — materialize the OLDEST kept
+        # version's state as a checkpoint first (versions are
+        # contiguous, so every newer kept delta's walk stops there).
+        ov = keep[0]
+        om = _read_manifest_raw(path, ov)
+        if "files" not in om and not os.path.exists(_ckpt_path(path, ov)):
+            _write_checkpoint(
+                path, ov, om["txid"], _resolve_state(path, ov)
+            )
     for v in expired:
         os.remove(_manifest_path(path, v))
+        cp = _ckpt_path(path, v)
+        if os.path.exists(cp):
+            os.remove(cp)  # a checkpoint of an expired version is dead
     now = time.time()
 
     def _age(p: str) -> float:
