@@ -5235,6 +5235,48 @@ def q_snapshot_delete_update_digest(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- merge-on-read deletes (deletion vectors) --------------------------------------
+
+@_q("snapshot_delete_dv_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-07 00:00:00')
+""")
+def q_snapshot_delete_dv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end-to-end: commit events time-clustered
+    with zone maps, then ``snapshot_delete_where_dv`` a 2-day window —
+    no data file is rewritten; the commit records positional delete
+    vectors (file, row_index) that readers subtract with an anti join
+    (the Iceberg-v2/Delta-DV shape, write cost O(matched rows) instead
+    of O(touched file bytes)). The oracle recomputes the post-delete
+    state from the raw table, so the digest proves the DV read path
+    returns exactly the copy-on-write result."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="snap_dv_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    snap.snapshot_delete_where_dv(
+        spark, path,
+        [("ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 7))],
+    )
+    final = snap.read_snapshot(spark, path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- key-scoped MERGE INTO through membership sketches -----------------------------
 
 @_q("snapshot_merge_into_digest", """

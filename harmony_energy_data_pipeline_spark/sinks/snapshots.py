@@ -65,7 +65,9 @@ _STANDARD_KEYS = frozenset(
     {"version", "parent", "operation", "txid", "committed_at_unix", "files",
      "stats", "schema", "members", "constraints",
      # log-structured (delta) manifest fields — round 7
-     "adds", "removes", "n_live_files"}
+     "adds", "removes", "n_live_files",
+     # deletion vectors (merge-on-read) — round 7
+     "dvs", "dv_adds"}
 )
 
 #: A resolution walk longer than this persists its result as a
@@ -278,6 +280,7 @@ def _write_checkpoint(path: str, version: int, txid: str, state: dict):
         "files": state["files"],
         **({"stats": state["stats"]} if state["stats"] else {}),
         **({"members": state["members"]} if state["members"] else {}),
+        **({"dvs": state["dvs"]} if state.get("dvs") else {}),
     }
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(payload, fh)
@@ -295,6 +298,10 @@ def _norm_state(path: str, m: dict) -> dict:
         "stats": {_rel_file(path, f): s for f, s in m.get("stats", {}).items()},
         "members": {
             _rel_file(path, f): s for f, s in m.get("members", {}).items()
+        },
+        "dvs": {
+            _rel_file(path, f): list(d)
+            for f, d in m.get("dvs", {}).items()
         },
     }
 
@@ -350,6 +357,7 @@ def _resolve_state(path: str, version: int) -> dict:
         files = list(state["files"])
         stats = dict(state["stats"])
         members = dict(state["members"])
+        dvs = {f: list(d) for f, d in state.get("dvs", {}).items()}
         for m in reversed(chain):
             removes = set(m.get("removes", []))
             if removes:
@@ -357,6 +365,7 @@ def _resolve_state(path: str, version: int) -> dict:
                 for f in removes:
                     stats.pop(f, None)
                     members.pop(f, None)
+                    dvs.pop(f, None)  # a rewritten file's deletes die with it
             files.extend(_rel_file(path, f) for f in m.get("adds", []))
             stats.update(
                 {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
@@ -365,7 +374,10 @@ def _resolve_state(path: str, version: int) -> dict:
                 {_rel_file(path, f): s
                  for f, s in m.get("members", {}).items()}
             )
-        state = {"files": files, "stats": stats, "members": members}
+            for f, d in m.get("dv_adds", {}).items():
+                dvs.setdefault(_rel_file(path, f), []).extend(d)
+        state = {"files": files, "stats": stats, "members": members,
+                 "dvs": dvs}
         _cache_put((path, version, chain[0]["txid"]), state)
     if len(chain) >= _CHECKPOINT_INTERVAL:
         _write_checkpoint(path, version, chain[0]["txid"], state)
@@ -384,13 +396,15 @@ def _read_manifest(path: str, version: int) -> dict:
     state = _resolve_state(path, version)
     out = {
         k: val for k, val in m.items()
-        if k not in ("adds", "removes", "stats", "members")
+        if k not in ("adds", "removes", "stats", "members", "dv_adds")
     }
     out["files"] = list(state["files"])
     if state["stats"]:
         out["stats"] = dict(state["stats"])
     if state["members"]:
         out["members"] = dict(state["members"])
+    if state.get("dvs"):
+        out["dvs"] = {f: list(d) for f, d in state["dvs"].items()}
     return out
 
 
@@ -844,13 +858,21 @@ def read_snapshot(
         raise FileNotFoundError(f"snapshot v{v} at {path} lists no files")
     fmt = m.get("format", "parquet")
 
-    def _load(fs: list[str]):
+    def _load_plain(fs: list[str]):
         reader = spark.read.format(fmt)
         if "schema" in m:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(m["schema"]))
         return reader.load(fs)
+
+    def _load(fs: list[str]):
+        if not m.get("dvs"):
+            return _load_plain(fs)
+        # merge-on-read: subtract this version's positional deletes
+        # (only ever recorded on parquet tables) — split-scan so only
+        # the vectored files pay the anti join
+        return _split_load_with_dvs(spark, path, m, fs, _load_plain)
 
     if not where:
         # staged exports record their format in the manifest (e.g.
@@ -1082,6 +1104,8 @@ def snapshot_restore(
         payload["stats"] = src["stats"]
     if "members" in src:
         payload["members"] = src["members"]
+    if src.get("dvs"):  # same files, same live rows: vectors carry too
+        payload["dvs"] = src["dvs"]
     if "schema" in src:  # same files, same table schema
         payload["schema"] = src["schema"]
     if "constraints" in src:
@@ -1240,7 +1264,11 @@ def snapshot_rewrite_matching(
         affected, _total = prune_files(path, where, version=v)
         if not affected:
             return v  # provably nothing to rewrite
-        df_aff = _read_file_list(spark, affected, m)
+        # DV-applied read: rows already deleted merge-on-read must not
+        # resurrect through the copy-on-write rewrite (which also
+        # RETIRES the affected files' vectors — the rewrite
+        # materializes them)
+        df_aff = _load_live(spark, affected, m, path)
         replaced = transform(df_aff.filter(cond))
         if set(replaced.columns) != set(df_aff.columns):
             raise ValueError(
@@ -1300,6 +1328,149 @@ def _read_file_list(spark: SparkSession, files: list[str], m: dict) -> DataFrame
 
         reader = reader.schema(StructType.fromJson(m["schema"]))
     return reader.load(files)
+
+
+#: Schema of a positional-delete (deletion-vector) file: the table-
+#: root-relative data file and the 0-based row position within it —
+#: the Iceberg-v2 positional delete shape, stored as plain parquet so
+#: the vectors themselves are scanned distributed, never driver-held.
+_DV_SCHEMA = "file string, pos long"
+
+#: Up to this many vectored files, the reader plans one position-only
+#: anti join PER FILE (fast: no path-string matching, broadcast build
+#: side); past it, one combined scan with (file, pos) matching keeps
+#: the plan bounded.
+_DV_PER_FILE_MAX = 16
+
+
+def _rel_path_expr(root: str):
+    """Expression turning ``_metadata.file_path`` (a ``file:`` URI)
+    into a table-root-relative path: strip any scheme, then the root
+    prefix. Assumes URI-safe paths (no percent-encoding), which local
+    and object-store lake layouts satisfy."""
+    posix = F.regexp_replace(
+        F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+    )
+    return F.replace(posix, F.lit(root.rstrip("/") + "/"), F.lit(""))
+
+
+def _apply_dvs(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    dvs: dict,
+    loaded_files: list[str],
+) -> DataFrame:
+    """Subtract positional deletes from a freshly-loaded file scan:
+    LEFT ANTI join on (relative file, row position) against the union
+    of the delete files covering ``loaded_files``. ``df`` must come
+    straight from the parquet source (the hidden ``_metadata`` columns
+    are only resolvable there). The anti join's build side is the
+    delete set — AQE broadcasts it when small (the common case: DVs
+    hold matched rows, not table rows); at worst it is a shuffle on
+    (file, pos), still O(deletes), never O(table)."""
+    cols = df.columns
+    with_meta = df.select(
+        "*",
+        _rel_path_expr(path).alias("__rel"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    kept = _anti_join_dvs(spark, with_meta, path, dvs, loaded_files)
+    return kept.select(*cols)
+
+
+def _split_load_with_dvs(spark, path: str, m: dict, files: list[str], load):
+    """The merge-on-read scan shape: files WITHOUT vectors stay a
+    plain parquet scan (whole-stage codegen, no join in their path);
+    only the files a vector actually covers pay the anti join, then
+    the two halves union. On a petabyte table where deletes touch a
+    handful of files, the read tax is proportional to the VECTORED
+    bytes, not the table. ``load`` is the caller's file-list reader
+    (it owns format/schema decisions)."""
+    dvs = m.get("dvs") or {}
+    vectored = [f for f in files if dvs.get(_rel_file(path, f))]
+    if not vectored:
+        return load(files)
+    clean = [f for f in files if not dvs.get(_rel_file(path, f))]
+    if len(vectored) <= _DV_PER_FILE_MAX:
+        # per-file position joins: each vectored file anti-joins its
+        # OWN positions on row_index alone — the file identity is the
+        # scan itself, so no per-row path-string computation, and the
+        # (tiny) position set broadcasts. Plan size grows with the
+        # vectored-file count, hence the fallback below.
+        parts = []
+        for f in vectored:
+            rel = _rel_file(path, f)
+            dv_files = sorted({_abs_file(path, d) for d in dvs[rel]})
+            pos = (
+                spark.read.schema(_DV_SCHEMA).parquet(*dv_files)
+                .filter(F.col("file") == rel)  # pushed to the dv scan
+                .select(F.col("pos").alias("__dv_pos"))
+            )
+            one = load([f])
+            cols = one.columns
+            parts.append(
+                one.select(
+                    "*", F.col("_metadata.row_index").alias("__pos")
+                )
+                .join(
+                    F.broadcast(pos),
+                    F.col("__pos") == F.col("__dv_pos"),
+                    "left_anti",
+                )
+                .select(*cols)
+            )
+        vec_df = parts[0]
+        for p_df in parts[1:]:
+            vec_df = vec_df.unionByName(p_df)
+    else:
+        vec_df = _apply_dvs(spark, load(vectored), path, dvs, vectored)
+    if not clean:
+        return vec_df
+    return load(clean).unionByName(vec_df)
+
+
+def _anti_join_dvs(
+    spark: SparkSession,
+    df_pos: DataFrame,
+    path: str,
+    dvs: dict,
+    loaded_files: list[str],
+) -> DataFrame:
+    """The anti-join core: ``df_pos`` must already carry ``__rel``/
+    ``__pos`` position columns (projected while ``_metadata`` was
+    still resolvable — it isn't after any join). No-op when no vector
+    covers the loaded files."""
+    rel_loaded = {_rel_file(path, f) for f in loaded_files}
+    dv_files = sorted({
+        _abs_file(path, d)
+        for f, ds in dvs.items() if f in rel_loaded
+        for d in ds
+    })
+    if not dv_files:
+        return df_pos
+    dv = spark.read.schema(_DV_SCHEMA).parquet(*dv_files).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    return df_pos.join(
+        dv,
+        (F.col("__rel") == F.col("__dv_file"))
+        & (F.col("__pos") == F.col("__dv_pos")),
+        "left_anti",
+    )
+
+
+def _load_live(
+    spark: SparkSession, files: list[str], m: dict, path: str
+) -> DataFrame:
+    """File-list read with the version's deletion vectors applied —
+    what every consumer of 'the rows of these files at this version'
+    (rewrites, merges) must read, or DV-deleted rows resurrect."""
+    if not m.get("dvs"):
+        return _read_file_list(spark, files, m)
+    return _split_load_with_dvs(
+        spark, path, m, files, lambda fs: _read_file_list(spark, fs, m)
+    )
 
 
 def _commit_partial_rewrite(
@@ -1423,6 +1594,114 @@ def snapshot_update_where(
         spark, path, where, _apply,
         operation="update_where", protocol=protocol, max_redo=max_redo,
     )
+
+
+@normalizes_paths('path')
+def snapshot_delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """MERGE-ON-READ delete: record the matching rows as POSITIONAL
+    DELETE FILES (deletion vectors — the Iceberg-v2 / Delta-DV shape)
+    instead of rewriting any data file. Write cost is O(matched rows)
+    — one pruned scan projecting only the predicate columns plus the
+    hidden ``_metadata`` (file, row_index) pair, and a tiny (file,
+    pos) parquet per commit — where copy-on-write
+    (:func:`snapshot_delete_where`) pays a full rewrite of every
+    TOUCHED file's bytes however few rows matched.
+
+    Readers (:func:`read_snapshot` and every internal live-rows read)
+    subtract the vectors with a LEFT ANTI join on (file, position);
+    AQE broadcasts the delete set when small. Vectors ride the
+    manifest as ``dv_adds`` (delta-manifest metadata, O(commit));
+    any later copy-on-write of a file — compaction, row-level
+    rewrite, merge — MATERIALIZES its deletes and retires its
+    vectors automatically (the rewrite reads DV-applied rows, then
+    the file's removal drops its vectors at resolution). Time travel
+    sees each version's own vector set; CDC ranges crossing a DV
+    commit raise like any rewrite (operation ``overwrite``);
+    ``vacuum`` treats vectors as referenced files.
+
+    Returns the committed version (the parent version unchanged if
+    pruning proves no file can match). Commit is expected-parent
+    validated with the standard ``max_redo`` conflict retry.
+    """
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    cond = _cond_from_where(where)
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"deletion vectors require a parquet table; {path} is "
+                f"{m['format']!r}"
+            )
+        affected, _total = prune_files(path, where, version=v)
+        if not affected:
+            return v  # provably nothing to delete
+        # positions projected FIRST (hidden _metadata is only
+        # resolvable on the raw scan), then rows a PRIOR vector
+        # already deleted are anti-joined away so a vector never
+        # double-records a position (harmless for the read-side anti
+        # join, but it would distort O(matched) accounting and audits)
+        src = _read_file_list(spark, affected, m).select(
+            "*",
+            _rel_path_expr(path).alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if m.get("dvs"):
+            src = _anti_join_dvs(spark, src, path, m["dvs"], affected)
+        positions = src.filter(cond).select(
+            F.col("__rel").alias("file"), F.col("__pos").alias("pos")
+        )
+        if positions.isEmpty():
+            return v  # zone maps overlapped but no row matched: no-op
+        txid = uuid.uuid4().hex[:12]
+        dv_dir = os.path.join(path, "data", txid)
+        positions.write.mode("error").parquet(dv_dir)
+        dv_files = _data_files(dv_dir)
+        # group the vector under each affected data file it may cover —
+        # resolution drops a file's vectors when the file is rewritten,
+        # and readers scope vector loads to the files they scan
+        dv_rel = [_rel_file(path, f) for f in dv_files]
+        dv_adds = {_rel_file(path, f): dv_rel for f in affected}
+        payload = {
+            "version": v + 1,
+            "parent": v,
+            "operation": "overwrite",  # rows vanish: CDC must not diff
+            "txid": txid,
+            "committed_at_unix": int(time.time()),
+            "adds": [],
+            "removes": [],
+            "n_live_files": len(m["files"]),
+            "dv_adds": dv_adds,
+            "rewrite": {
+                "kind": "delete_where_dv",
+                "vector_files": len(dv_rel),
+                "covered_files": len(affected),
+            },
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            **({"constraints": m["constraints"]}
+               if "constraints" in m else {}),
+        }
+        try:
+            _publish_manifest(path, v + 1, payload, protocol=protocol)
+            return v + 1
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"DV delete on {path} expected parent v{v}, but a "
+                "concurrent commit claimed the next version; redoing "
+                "against the new latest"
+            )
+            continue  # orphaned vector files are vacuum-swept
+    raise last_err
 
 
 @normalizes_paths('path')
@@ -1594,7 +1873,11 @@ def snapshot_write_audited(
         ] + candidate_files
         if "schema" in pm:
             m["schema"] = _merge_schema(pm["schema"], df.schema.jsonValue())
-    candidate = _read_file_list(spark, candidate_files, m)
+        if pm.get("dvs"):
+            # audits must judge the candidate as READERS will see it:
+            # parent files minus their deletion vectors, plus the batch
+            m["dvs"] = pm["dvs"]
+    candidate = _load_live(spark, candidate_files, m, path)
     failed = [name for name, fn in audits.items() if not fn(candidate)]
     if failed:
         raise AuditFailedError(path, failed)
@@ -1724,7 +2007,7 @@ def snapshot_merge_into(
             # no file can hold a source key: pure insert
             new_df = source
         else:
-            df_aff = _read_file_list(spark, affected, m)
+            df_aff = _load_live(spark, affected, m, path)
             if set(df_aff.columns) != set(source.columns):
                 raise ValueError(
                     f"merge source columns {sorted(source.columns)} != table "
@@ -1819,15 +2102,25 @@ def vacuum(
     # O(versions × table files).
     live: set[str] = set()
     if keep:
+        oldest = _read_manifest(path, keep[0])
         live.update(
             os.path.abspath(_abs_file(path, f))
-            for f in _read_manifest(path, keep[0])["files"]
+            for f in oldest["files"]
+        )
+        live.update(
+            os.path.abspath(_abs_file(path, d))
+            for ds in oldest.get("dvs", {}).values() for d in ds
         )
         for v in keep[1:]:
             m = _read_manifest_raw(path, v)
             live.update(
                 os.path.abspath(_abs_file(path, f))
                 for f in (m["files"] if "files" in m else m.get("adds", []))
+            )
+            live.update(
+                os.path.abspath(_abs_file(path, d))
+                for ds in m.get("dv_adds", m.get("dvs", {})).values()
+                for d in ds
             )
     # Fold the expired manifests' caller metadata (commit markers such
     # as a streaming query's batch id) into the compacted commit log
@@ -1861,6 +2154,11 @@ def vacuum(
         expired_refs.update(
             os.path.abspath(_abs_file(path, f))
             for f in (m["files"] if "files" in m else m.get("adds", []))
+        )
+        expired_refs.update(
+            os.path.abspath(_abs_file(path, d))
+            for ds in m.get("dv_adds", m.get("dvs", {})).values()
+            for d in ds
         )
     removed = 0
     if expired and keep:
@@ -1933,6 +2231,7 @@ __all__ = [
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
+    "snapshot_delete_where_dv",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
     "snapshot_backfill_stats",
