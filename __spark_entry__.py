@@ -5065,6 +5065,71 @@ def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ivm_minmax_agg", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       MIN(CAST(round(value * 100) AS BIGINT)) AS min_vc,
+       MAX(CAST(round(value * 100) AS BIGINT)) AS max_vc,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS avg_vc
+FROM events
+WHERE NOT (event_id % 97 = 0)
+GROUP BY event_type
+""")
+def q_ivm_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM past COUNT/SUM (round 7): the view tracks MIN/MAX/AVG too.
+    The chain exercises BOTH maintenance regimes: two appends fold
+    incrementally (inserts only tighten extrema — least/greatest
+    merge; AVG re-derived from (n, sum) exactly), then a row-level
+    DELETE evicts rows including per-group extrema — a non-append
+    commit the CDC read refuses, so the refresh transparently falls
+    back to a per-group rescan (the standard MIN/MAX caveat, handled).
+    The oracle recomputes the final aggregate from scratch: the hash
+    match proves view ⊕ deltas ⊕ fallback ≡ recompute across an
+    insert+insert+delete chain."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_mm_src_")
+    view = tempfile.mkdtemp(prefix="ivm_mm_view_") + "/v"
+    kw = dict(sum_cols=["vc"], min_cols=["vc"], max_cols=["vc"],
+              avg_cols=["vc"])
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0).repartition(4, "event_id"),
+        src, stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1).repartition(4, "event_id"),
+        src, mode="append", stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    # row-level delete of every 97th id (hits per-group extrema at
+    # sf0.01): CDC refuses the rewrite, refresh recomputes
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        snapshot_rewrite_matching,
+    )
+
+    snapshot_rewrite_matching(
+        spark, src, [("event_id", 0, 10**12)],
+        lambda df: df.filter(~(F.col("event_id") % 97 == 0)),
+        operation="delete_mod97",
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    return ivm.read_view(spark, view).select(
+        "event_type", "n",
+        F.col("sum_vc").cast("long").alias("sum_vc"),
+        F.col("min_vc").cast("long").alias("min_vc"),
+        F.col("max_vc").cast("long").alias("max_vc"),
+        F.col("avg_vc").cast("double").alias("avg_vc"),
+    )
+
+
 # --- HyperLogLog: portable integer-exact registers + merge ------------------------
 
 _HLL_ORACLE_BODY = """

@@ -1,25 +1,37 @@
 """Incremental view maintenance over the snapshot log.
 
-A materialized per-key aggregate (COUNT + SUMs) of a snapshot table,
-refreshed from the CDC delta instead of a full rescan: each refresh
-reads only the rows appended since the source version the view last
-reflected (``read_snapshot_changes``), folds them into partial
-aggregates, and FULL-OUTER-merges those with the stored view — the
-standard self-maintainable-aggregate shape (COUNT/SUM are
-distributive, so view ⊕ delta-partials ≡ recompute) that Delta/
-Materialize-style incremental MVs use. Refresh cost is
+A materialized per-key aggregate (COUNT + SUM / MIN / MAX, with AVG
+derived) of a snapshot table, refreshed from the CDC delta instead of
+a full rescan: each refresh reads only the rows appended since the
+source version the view last reflected (``read_snapshot_changes``),
+folds them into partial aggregates, and FULL-OUTER-merges those with
+the stored view — the standard self-maintainable-aggregate shape
+(COUNT/SUM are distributive; MIN/MAX are distributive UNDER INSERTS,
+which is exactly what the append-only CDC fast path delivers) that
+Delta/Materialize-style incremental MVs use. Refresh cost is
 O(|delta| + |view|) regardless of how large the source table has
 grown — the property that matters at 100 TB, where the view is
 typically orders of magnitude smaller than the fact table.
+
+MIN/MAX caveat (the standard one): an insert can only tighten an
+extremum, so the fast path merges with least/greatest; a DELETION can
+evict the current extremum, which no stored aggregate can repair
+without rescanning the group. Every deletion in this log arrives as a
+non-append commit (overwrite / row-level rewrite / DV delete), which
+the CDC read REFUSES by contract — the refresh then falls back to a
+full recompute, so correctness never depends on the fast path.
+
+AVG is derived, not merged: the view stores (n, sum) and finalizes
+``avg_<c> = sum_<c> / n`` after each merge — exact under re-derivation
+where merging running averages would not be.
 
 The view is itself a snapshot table; its manifest records the exact
 source version it reflects (``ivm_source_version``), so refresh is
 idempotent (no new source commits → no-op) and crash-safe (a crashed
 refresh leaves the old view version live; the next refresh redoes the
-same delta). If the source chain had an OVERWRITE since the last
-refresh, file-set CDC cannot express the deletion, so the refresh
-transparently falls back to a full recompute — correctness never
-depends on the fast path being available.
+same delta). :func:`refresh_agg_views` maintains SEVERAL views of one
+source off a SINGLE persisted CDC read per distinct version range —
+the fan-out shape a real pipeline has (one fact stream, many rollups).
 
 Reference scope note: the reference recomputes its serve-side chart
 aggregates from the full SQLite table on every dashboard load
@@ -38,38 +50,83 @@ from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 SOURCE_VERSION_KEY = "ivm_source_version"
 
 
-def _aggregate(df: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
-    return df.groupBy(*keys).agg(
-        F.count("*").alias("n"),
-        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+def _measure_names(sum_cols, min_cols, max_cols) -> list[str]:
+    return (
+        ["n"]
+        + [f"sum_{c}" for c in sum_cols]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols]
     )
 
 
-def _merge(old: DataFrame, part: DataFrame, keys: list[str],
-           sum_cols: list[str]) -> DataFrame:
-    """view ⊕ delta-partials: full-outer on the keys, counts and sums
-    add with missing sides as zero. A key only in the delta appears;
-    a key absent from the delta is untouched."""
+def _aggregate(
+    df: DataFrame, keys: list[str], sum_cols, min_cols=(), max_cols=()
+) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+
+
+def _merge(
+    old: DataFrame, part: DataFrame, keys: list[str],
+    sum_cols, min_cols=(), max_cols=(),
+) -> DataFrame:
+    """view ⊕ delta-partials: full-outer on the keys; counts and sums
+    add with missing sides as zero; inserts can only TIGHTEN an
+    extremum, so min/max merge via least/greatest (both skip the
+    missing side's NULL). A key only in the delta appears; a key
+    absent from the delta is untouched.
+
+    Null-safe key equality: groupBy puts all NULL keys in ONE group,
+    but a plain equi-join never matches NULL = NULL — eqNullSafe (<=>)
+    restores the grouping semantics; the key columns are then
+    coalesced back."""
     o, d = old.alias("o"), part.alias("d")
-    measures = ["n"] + [f"sum_{c}" for c in sum_cols]
-    # Null-safe key equality: groupBy puts all NULL keys in ONE group,
-    # but a plain equi-join never matches NULL = NULL — a NULL-key
-    # group present on both sides would come out as two split rows,
-    # diverging from a full recompute. eqNullSafe (<=>) restores the
-    # grouping semantics; the key columns are then coalesced back.
     join_cond = F.lit(True)
     for k in keys:
         join_cond = join_cond & F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
     merged = o.join(d, on=join_cond, how="full")
-    return merged.select(
-        *[F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
-          for k in keys],
-        *[
+    cols = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    for m in ["n"] + [f"sum_{c}" for c in sum_cols]:
+        cols.append(
             (F.coalesce(F.col(f"o.{m}"), F.lit(0))
              + F.coalesce(F.col(f"d.{m}"), F.lit(0))).alias(m)
-            for m in measures
-        ],
-    )
+        )
+    for c in min_cols:
+        cols.append(F.least(F.col(f"o.min_{c}"), F.col(f"d.min_{c}"))
+                    .alias(f"min_{c}"))
+    for c in max_cols:
+        cols.append(F.greatest(F.col(f"o.max_{c}"), F.col(f"d.max_{c}"))
+                    .alias(f"max_{c}"))
+    return merged.select(*cols)
+
+
+def _finalize(df: DataFrame, avg_cols) -> DataFrame:
+    """Derived measures, recomputed exactly after every merge."""
+    for c in avg_cols:
+        df = df.withColumn(
+            f"avg_{c}", F.col(f"sum_{c}") / F.col("n")
+        )
+    return df
+
+
+def _norm_spec(
+    keys, sum_cols, min_cols, max_cols, avg_cols
+) -> tuple[list, list, list, list, list]:
+    sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    avg_cols = list(avg_cols or [])
+    # AVG derives from (n, sum): make sure the sum is stored
+    for c in avg_cols:
+        if c not in sum_cols:
+            sum_cols.append(c)
+    return list(keys), sum_cols, min_cols, max_cols, avg_cols
 
 
 def refresh_agg_view(
@@ -77,8 +134,11 @@ def refresh_agg_view(
     source_path: str,
     view_path: str,
     keys: list[str],
-    sum_cols: list[str],
+    sum_cols: list[str] | None = None,
     protocol: str = "link",
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
 ) -> int:
     """Refresh the materialized aggregate at ``view_path`` to reflect
     the LATEST version of the snapshot table at ``source_path``.
@@ -86,44 +146,118 @@ def refresh_agg_view(
 
     Fast path: only the appended delta is scanned and merged into the
     stored view. Fallbacks to a full recompute: first refresh, a view
-    without a recorded source version, or an overwrite in the source
-    chain since the last refresh (CDC undefined across rewrites).
+    without a recorded source version, or ANY non-append commit in the
+    source range (overwrite, row-level rewrite, DV delete — the cases
+    where a stored MIN/MAX could have lost its extremum).
     """
+    return _refresh(
+        spark, source_path,
+        [{
+            "view_path": view_path, "keys": keys, "sum_cols": sum_cols,
+            "min_cols": min_cols, "max_cols": max_cols,
+            "avg_cols": avg_cols,
+        }],
+        protocol,
+    )
+
+
+def refresh_agg_views(
+    spark: SparkSession,
+    source_path: str,
+    specs: list[dict],
+    protocol: str = "link",
+) -> int:
+    """Refresh SEVERAL materialized views of one source table,
+    sharing one persisted CDC read per distinct version range — N
+    rollups of a fact stream cost one delta scan, not N. Each spec is
+    ``{"view_path", "keys", "sum_cols"?, "min_cols"?, "max_cols"?,
+    "avg_cols"?}``. Returns the source version all views now
+    reflect."""
+    return _refresh(spark, source_path, specs, protocol)
+
+
+def _refresh(
+    spark: SparkSession, source_path: str, specs: list[dict], protocol: str
+) -> int:
     cur = snap.latest_version(source_path)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {source_path}")
 
-    last: int | None = None
-    view_version = snap.latest_version(view_path)
-    if view_version is not None:
-        m = snap._read_manifest(view_path, view_version)
-        last = m.get(SOURCE_VERSION_KEY)
+    # group pending views by the source version they last reflected,
+    # so one CDC read serves every view at the same position
+    by_last: dict[int | None, list[dict]] = {}
+    for spec in specs:
+        view_version = snap.latest_version(spec["view_path"])
+        last = None
+        if view_version is not None:
+            m = snap._read_manifest_raw(spec["view_path"], view_version)
+            last = m.get(SOURCE_VERSION_KEY)
+        if last == cur:
+            continue  # idempotent: this view is current
+        by_last.setdefault(last, []).append(
+            {**spec, "_view_version": view_version}
+        )
 
-    if last == cur:
-        return cur  # idempotent: nothing new to fold
-
-    if last is not None:
+    full_group: list[dict] = by_last.pop(None, [])
+    for last, group in by_last.items():
         try:
             delta = snap.read_snapshot_changes(spark, source_path, last, cur)
         except ValueError:
-            last = None  # overwrite in range: CDC undefined, recompute
-        else:
-            part = _aggregate(delta, keys, sum_cols)
-            old = snap.read_snapshot(spark, view_path, view_version)
-            merged = _merge(old, part, keys, sum_cols)
-            snap.snapshot_write(
-                merged, view_path, mode="overwrite", protocol=protocol,
-                extra={SOURCE_VERSION_KEY: cur},
-            )
-            return cur
+            # non-append commit in range (rewrite/delete): stored
+            # extrema may be stale — recompute these views
+            full_group.extend(group)
+            continue
+        many = len(group) > 1
+        if many:
+            delta = delta.persist()
+        try:
+            for spec in group:
+                keys, sums, mins, maxs, avgs = _norm_spec(
+                    spec["keys"], spec.get("sum_cols"),
+                    spec.get("min_cols"), spec.get("max_cols"),
+                    spec.get("avg_cols"),
+                )
+                old_df = snap.read_snapshot(
+                    spark, spec["view_path"], spec["_view_version"]
+                )
+                needed = keys + _measure_names(sums, mins, maxs)
+                if not set(needed) <= set(old_df.columns):
+                    # spec evolved (e.g. min/max added): the stored
+                    # view can't supply the new measures — recompute
+                    full_group.append(spec)
+                    continue
+                part = _aggregate(delta, keys, sums, mins, maxs)
+                old = old_df.select(needed)
+                merged = _merge(old, part, keys, sums, mins, maxs)
+                snap.snapshot_write(
+                    _finalize(merged, avgs), spec["view_path"],
+                    mode="overwrite", protocol=protocol,
+                    extra={SOURCE_VERSION_KEY: cur},
+                )
+        finally:
+            if many:
+                delta.unpersist()
 
-    full = _aggregate(
-        snap.read_snapshot(spark, source_path, cur), keys, sum_cols
-    )
-    snap.snapshot_write(
-        full, view_path, mode="overwrite", protocol=protocol,
-        extra={SOURCE_VERSION_KEY: cur},
-    )
+    if full_group:
+        src = snap.read_snapshot(spark, source_path, cur)
+        if len(full_group) > 1:
+            src = src.persist()
+        try:
+            for spec in full_group:
+                keys, sums, mins, maxs, avgs = _norm_spec(
+                    spec["keys"], spec.get("sum_cols"),
+                    spec.get("min_cols"), spec.get("max_cols"),
+                    spec.get("avg_cols"),
+                )
+                full = _aggregate(src, keys, sums, mins, maxs)
+                snap.snapshot_write(
+                    _finalize(full, avgs), spec["view_path"],
+                    mode="overwrite", protocol=protocol,
+                    extra={SOURCE_VERSION_KEY: cur},
+                )
+        finally:
+            if len(full_group) > 1:
+                src.unpersist()
     return cur
 
 
@@ -132,4 +266,7 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     return snap.read_snapshot(spark, view_path)
 
 
-__all__ = ["refresh_agg_view", "read_view", "SOURCE_VERSION_KEY"]
+__all__ = [
+    "refresh_agg_view", "refresh_agg_views", "read_view",
+    "SOURCE_VERSION_KEY",
+]

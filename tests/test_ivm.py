@@ -82,3 +82,146 @@ def test_overwrite_falls_back_to_full_recompute(spark, tmp_path):
     v = ivm.refresh_agg_view(spark, src, view, ["g"], ["v"])
     assert v == 1
     assert _got(spark, view) == _expect(spark, 30)
+
+
+# --- round 7: MIN/MAX/AVG + multi-view shared-CDC refresh --------------------------
+
+
+def _truth(spark, src):
+    return {
+        r.g: (r.n, r.sum_v, r.min_v, r.max_v, r.avg_v)
+        for r in snap.read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+            F.avg("v").alias("avg_v"),
+        )
+        .collect()
+    }
+
+
+def _got_full(spark, view):
+    return {
+        r.g: (r.n, r.sum_v, r.min_v, r.max_v, r.avg_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+
+
+def test_minmax_avg_incremental_matches_recompute(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+              avg_cols=["v"])
+    snap.snapshot_write(_batch(spark, 50, 150), src)
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # inserts that tighten the minimum AND the maximum, folded
+    # incrementally across two deltas
+    snap.snapshot_write(_batch(spark, 0, 50), src, mode="append")
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    snap.snapshot_write(_batch(spark, 150, 400), src, mode="append")
+    v = ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    assert _got_full(spark, view) == _truth(spark, src)
+    # idempotent
+    assert ivm.refresh_agg_view(spark, src, view, ["g"], **kw) == v
+
+
+def test_minmax_fallback_when_extremum_deleted(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+              avg_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 0, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # delete the rows holding every group's MAX (a row-level rewrite:
+    # non-append commit, CDC refuses, refresh must recompute)
+    snap.snapshot_delete_where(spark, src, [("v", 250, 299)])
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    got = _got_full(spark, view)
+    assert got == _truth(spark, src)
+    assert max(t[3] for t in got.values()) == 249  # extremum really moved
+
+
+def test_minmax_fallback_on_dv_delete(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 0, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    snap.snapshot_delete_where_dv(spark, src, [("v", 0, 29)])
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    got = {r.g: (r.n, r.min_v) for r in ivm.read_view(spark, view).collect()}
+    exp = {
+        r.g: (r.n, r.m)
+        for r in snap.read_snapshot(spark, src).groupBy("g")
+        .agg(F.count("*").alias("n"), F.min("v").alias("m")).collect()
+    }
+    assert got == exp
+    assert min(t[1] for t in got.values()) == 30
+
+
+def test_multi_view_refresh_shares_one_delta(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v_byg = str(tmp_path / "by_g")
+    v_bym = str(tmp_path / "by_m")
+    specs = [
+        {"view_path": v_byg, "keys": ["g"], "sum_cols": ["v"],
+         "min_cols": ["v"], "avg_cols": ["v"]},
+        {"view_path": v_bym, "keys": ["m"], "max_cols": ["v"]},
+    ]
+    base = _batch(spark, 0, 200).withColumn("m", F.col("v") % 7)
+    snap.snapshot_write(base, src)
+    ivm.refresh_agg_views(spark, src, specs)
+    more = _batch(spark, 200, 500).withColumn("m", F.col("v") % 7)
+    snap.snapshot_write(more, src, mode="append")
+    cur = ivm.refresh_agg_views(spark, src, specs)
+    assert cur == 1
+    got_g = {
+        r.g: (r.n, r.sum_v, r.min_v, r.avg_v)
+        for r in ivm.read_view(spark, v_byg).collect()
+    }
+    exp_g = {
+        r.g: (r.n, r.sum_v, r.min_v, r.avg_v)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"), F.avg("v").alias("avg_v"),
+        ).collect()
+    }
+    assert got_g == exp_g
+    got_m = {r.m: r.max_v for r in ivm.read_view(spark, v_bym).collect()}
+    exp_m = {
+        r.m: r.max_v
+        for r in snap.read_snapshot(spark, src).groupBy("m")
+        .agg(F.max("v").alias("max_v")).collect()
+    }
+    assert got_m == exp_m
+    # both views stamped to the same source version
+    for vp in (v_byg, v_bym):
+        m = snap._read_manifest_raw(vp, snap.latest_version(vp))
+        assert m[ivm.SOURCE_VERSION_KEY] == cur
+
+
+def test_spec_evolution_falls_back_to_recompute(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snap.snapshot_write(_batch(spark, 0, 100), src)
+    ivm.refresh_agg_view(spark, src, view, ["g"], ["v"])  # sums only
+    snap.snapshot_write(_batch(spark, 100, 200), src, mode="append")
+    # same view, now asking for min too: stored view lacks min_v
+    ivm.refresh_agg_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"]
+    )
+    got = {
+        r.g: (r.n, r.sum_v, r.min_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.s, r.m)
+        for r in _batch(spark, 0, 200).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("m"),
+        ).collect()
+    }
+    assert got == exp
