@@ -65,17 +65,41 @@ def convert_nano_timestamps(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+#: Per-session relation cache: ``spark.read.parquet`` pays an EAGER
+#: file listing + schema-inference footer read (~150-200 ms of driver
+#: time per call, measured at sf0.1) even for a table loaded moments
+#: ago. A DataFrame is an immutable plan object, so re-serving it is
+#: semantically identical — this is the resolved-relation cache every
+#: catalog-backed engine has, scoped per live SparkSession (weak keys:
+#: a stopped session's entries vanish with it). Fixture tables are
+#: static by contract; pass ``cache=False`` to force re-inference.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def load_table(
+    spark: SparkSession, name: str, sf_dir: str | None = None,
+    cache: bool = True,
+) -> DataFrame:
     """Load one testdata table (region/nation/.../embeddings) as a DataFrame.
 
     The testdata parquet stores TIMESTAMP(NANOS) which Spark lacks; with
     ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
     LongType nanos and are converted here to true timestamps.
     """
-    base = sf_dir or DEFAULT_SF_DIR
+    base = os.path.abspath(sf_dir or DEFAULT_SF_DIR)
+    if cache:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        hit = per_session.get((name, base))
+        if hit is not None:
+            return hit
     ensure_semantics(spark)
     df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
-    return convert_nano_timestamps(df, name)
+    df = convert_nano_timestamps(df, name)
+    if cache:
+        per_session[(name, base)] = df
+    return df
 
 
 def scan_ts_range(

@@ -150,16 +150,24 @@ def minhash_candidate_pairs(
     # exact skew case a crawl corpus hits. A real minimum is always
     # < p, so one element_at probe excludes them with no recompute.
     sigs = sigs.filter(F.element_at("__sig", 1) != F.lit(_MERSENNE_P))
+    # the band-hash array as ONE JVM-parsed SQL expression instead of
+    # ~bands×r py4j Column objects (each of which re-analyzes the
+    # growing plan): AST-identical, construction-time only — the same
+    # fold that took lsh_topk signature construction 6.5 → 0.9 s
+    band_sql = ", ".join(
+        "xxhash64(concat_ws(',', {parts}))".format(
+            parts=", ".join(
+                f"cast(element_at(__sig, {j * r + i + 1}) as string)"
+                for i in range(r)
+            )
+        )
+        for j in range(bands)
+    )
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("__sig", j * r + i + 1).cast("string") for i in range(r)
-                ]))
-                for j in range(bands)
-            ])
-        ).alias("__band", "__bhash"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias(
+            "__band", "__bhash"
+        ),
     )
     # Materialize band keys once: the self-join would otherwise
     # recompute shingling + signatures on BOTH sides. At cluster scale
