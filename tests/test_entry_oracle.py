@@ -8,6 +8,11 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle_util import compare, duckdb_conn
 
+#: slow lane: this module re-runs the whole-surface oracle sweep the
+#: probe_compare/driver gate already covers — essential for the round
+#: gate, not for per-change iteration
+pytestmark = pytest.mark.slow
+
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 

@@ -77,6 +77,7 @@ def feed(spark):
     return ids, fetch_page
 
 
+@pytest.mark.slow  # ~45 s scale rehearsal
 def test_pipeline_rehearsal_10x(spark, tmp_path, feed):
     ids, fetch_page = feed
     table = str(tmp_path / "generation")

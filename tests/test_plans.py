@@ -4,6 +4,8 @@ actual Catalyst output so they can't silently regress."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.io import load_table
@@ -74,6 +76,7 @@ def test_pivot_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) == 1, physical_plan(df)
 
 
+@pytest.mark.slow  # ~45 s: plans EVERY registered query
 def test_no_unplanned_cartesian_products(spark, sf_dir):
     """Sweep every driver-contract query: the physical plan must never
     contain a non-broadcast CartesianProduct (all-pairs shuffles are

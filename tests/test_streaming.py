@@ -377,6 +377,7 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+@pytest.mark.slow  # ~7 min per provider: the suite's dominant cost
 @pytest.mark.parametrize("provider", [None, _ROCKSDB_PROVIDER],
                          ids=["hdfs-default", "rocksdb"])
 def test_first_seen_state_bounded_multi_hundred_batch_soak(
