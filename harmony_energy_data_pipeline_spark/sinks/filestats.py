@@ -205,6 +205,65 @@ def _pack_bits(buckets, bits: int) -> str:
     return base64.b64encode(bytes(arr)).decode("ascii")
 
 
+#: Folding stops once the next halving would push the fill factor
+#: past this (FPR at fill f with k probes is f^k: 0.5^5 ≈ 3%, still a
+#: decisive pruning filter), or below this floor.
+_FOLD_MAX_FILL = 0.5
+_FOLD_MIN_BITS = 4096
+
+
+def _fold_to_fit(buckets: set, bits: int) -> tuple[set, int]:
+    """Shrink an over-provisioned bitmap by FOLDING: position p in the
+    half-size table collects every p' ≡ p (mod bits/2). For
+    power-of-two tables this is EXACT, not approximate — the double-
+    hash probe (h1 + i·h2) mod bits commutes with mod bits/2
+    (``x mod 2^k = (x mod 2^{k+1}) mod 2^k`` and the ``|1`` on h2
+    only touches bit 0, inside any table's low bits), so the folded
+    bitmap is bit-identical to one collected directly at the smaller
+    size. One table-wide ``member_bits`` sized for the LARGEST file
+    therefore no longer taxes every small file ~87 KB: each file's
+    sketch folds to its own cardinality."""
+    while (
+        bits // 2 >= _FOLD_MIN_BITS
+        and len(buckets) / (bits // 2) <= _FOLD_MAX_FILL
+    ):
+        bits //= 2
+        buckets = {b % bits for b in buckets}
+    return buckets, bits
+
+
+def _pack_sketch(buckets, bits: int, hashes: int):
+    """Manifest form of one bitmap: fold to the file's own cardinality
+    (see :func:`_fold_to_fit`), then store DEFLATE-compressed
+    (``zb64``) whenever that wins ≥ 25% — together typically 5-50×
+    smaller than the collection shape, which is what keeps
+    checkpoints of sketch-heavy tables readable at lake file counts.
+    Default-shape sketches keep the legacy bare-b64 form; readers
+    accept all three via :func:`sketch_bytes`."""
+    import zlib
+
+    if bits == _MEMBER_BITS and hashes == 1:
+        arr = bytearray(bits // 8)
+        for b in buckets:
+            arr[b >> 3] |= 1 << (b & 7)
+        return base64.b64encode(bytes(arr)).decode("ascii")  # legacy
+    buckets, bits = _fold_to_fit(set(buckets), bits)
+    arr = bytearray(bits // 8)
+    for b in buckets:
+        arr[b >> 3] |= 1 << (b & 7)
+    raw = bytes(arr)
+    comp = zlib.compress(raw, 6)
+    if len(comp) <= 0.75 * len(raw):
+        return {
+            "bits": bits, "k": hashes,
+            "zb64": base64.b64encode(comp).decode("ascii"),
+        }
+    return {
+        "bits": bits, "k": hashes,
+        "b64": base64.b64encode(raw).decode("ascii"),
+    }
+
+
 def sketch_bits(sketch) -> int:
     """A sketch's bucket count. Legacy entries are bare base64
     strings of the 4096-bit default; sized entries are
@@ -223,7 +282,13 @@ def sketch_hashes(sketch) -> int:
 
 def sketch_bytes(sketch) -> bytes:
     """Decode the bitmap ONCE; callers probing many values against
-    one sketch must hold this instead of re-decoding per probe."""
+    one sketch must hold this instead of re-decoding per probe.
+    Accepts legacy bare-b64, sized ``{"b64"}``, and compressed
+    ``{"zb64"}`` entries."""
+    if isinstance(sketch, dict) and "zb64" in sketch:
+        import zlib
+
+        return zlib.decompress(base64.b64decode(sketch["zb64"]))
     b64 = sketch["b64"] if isinstance(sketch, dict) else sketch
     return base64.b64decode(b64)
 
@@ -318,11 +383,7 @@ def collect_member_sketches(
                 buckets.update(r[f"{c}__{i}"] or [])
             if not buckets or len(buckets) > cap:
                 continue
-            packed = _pack_bits(buckets, bits)
-            entry[c] = (
-                packed if bits == _MEMBER_BITS and hashes == 1
-                else {"bits": bits, "k": hashes, "b64": packed}
-            )
+            entry[c] = _pack_sketch(buckets, bits, hashes)
         if entry:
             out[f] = entry
     return out

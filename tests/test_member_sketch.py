@@ -3,6 +3,8 @@ pruning on unclustered columns, saturation fallback, survival through
 append/compact."""
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
@@ -148,3 +150,60 @@ def test_khash_bloom_survives_many_source_keys(spark, tmp_path):
     src = spark.createDataFrame([(i * 512, ) for i in range(64)], "k long")
     snap.snapshot_merge_into(spark, path, src, key="k")
     assert snap.read_snapshot(spark, path).count() == 32768 + 64
+
+
+# --- round 7: per-file fold + DEFLATE compression ----------------------------------
+
+
+def test_fold_is_bit_identical_to_direct_collection():
+    """Folding a big-bits sketch to the file's own cardinality must be
+    EXACT: identical to collecting at the small size directly (the
+    double-hash probe commutes with mod 2^k), so no false negatives
+    can exist by construction."""
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        _pack_sketch, portable_buckets_k, sketch_bits, sketch_bytes,
+        sketch_may_contain,
+    )
+
+    vals = [f"key-{i * 7919}" for i in range(3000)]
+    big = set()
+    for v in vals:
+        big.update(portable_buckets_k(v, 1 << 19, 5))
+    sk = _pack_sketch(big, 1 << 19, 5)
+    assert sketch_bits(sk) < (1 << 19)  # folded
+    assert "zb64" in sk or "b64" in sk
+    assert all(sketch_may_contain(sk, v) for v in vals)
+    direct = set()
+    for v in vals:
+        direct.update(portable_buckets_k(v, sketch_bits(sk), 5))
+    arr = bytearray(sketch_bits(sk) // 8)
+    for b in direct:
+        arr[b >> 3] |= 1 << (b & 7)
+    assert bytes(arr) == sketch_bytes(sk)
+    # still a decisive filter after folding
+    fp = sum(
+        1 for i in range(5000) if sketch_may_contain(sk, f"absent-{i}")
+    )
+    assert fp / 5000 < 0.05
+
+
+def test_folded_sketches_shrink_manifest_and_still_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40_000).select(F.col("id").alias("k"))
+    snap.snapshot_write(
+        df.repartition(16, "k"), path,
+        member_cols=["k"], member_bits=1 << 19, member_hashes=5,
+    )
+    sz = os.path.getsize(snap._manifest_path(path, 0))
+    # 16 sketches; the unfolded 2^19 collection shape would be ~87 KB
+    # each (1.4 MB total) — folded+compressed must be at least 5x less
+    assert sz < 1_400_000 / 5, sz
+    kept, total = snap.prune_files(path, [("k", 123, 123)])
+    assert total == 16 and len(kept) == 1
+    assert snap.read_snapshot(
+        spark, path, where=[("k", 123, 123)]
+    ).count() == 1
