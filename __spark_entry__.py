@@ -5130,6 +5130,56 @@ def q_ivm_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ivm_cdf_delete_agg", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS avg_vc
+FROM events
+WHERE NOT (event_id >= 1000 AND event_id <= 4999)
+GROUP BY event_type
+""")
+def q_ivm_cdf_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM through a DELETE without recomputing (round 7): the source
+    chain is append ⊕ append ⊕ deletion-vector delete; the refresh
+    folds the DV commit's deleted rows — recovered row-level by the
+    change feed (``read_snapshot_changes_feed``) — as SIGNED
+    contributions into the stored COUNT/SUM/AVG view. The oracle
+    recomputes the post-delete aggregate from scratch: the hash match
+    proves view ⊕ inserts ⊖ deletes ≡ recompute, at O(|changes| +
+    |view|) cost while the source table only ever grows."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_cdf_src_")
+    view = tempfile.mkdtemp(prefix="ivm_cdf_view_") + "/v"
+    kw = dict(sum_cols=["vc"], avg_cols=["vc"])
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartitionByRange(4, "event_id"),
+        src, stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartitionByRange(4, "event_id"),
+        src, mode="append", stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    snap.snapshot_delete_where_dv(spark, src, [("event_id", 1000, 4999)])
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    return ivm.read_view(spark, view).select(
+        "event_type", "n",
+        F.col("sum_vc").cast("long").alias("sum_vc"),
+        F.col("avg_vc").cast("double").alias("avg_vc"),
+    )
+
+
 # --- HyperLogLog: portable integer-exact registers + merge ------------------------
 
 _HLL_ORACLE_BODY = """

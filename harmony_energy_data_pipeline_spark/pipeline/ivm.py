@@ -70,6 +70,25 @@ def _aggregate(
     )
 
 
+def _aggregate_signed(feed: DataFrame, keys: list[str], sum_cols) -> DataFrame:
+    """Partials from a ROW-LEVEL change feed: inserts contribute +1,
+    deletes −1 — COUNT and SUM are group-invertible, so a deletion
+    folds incrementally where MIN/MAX cannot (an evicted extremum
+    needs a rescan)."""
+    sign = F.when(
+        F.col("_change_type") == "delete", F.lit(-1)
+    ).otherwise(F.lit(1))
+    return feed.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        *[
+            # NULL values stay NULL through the sign multiply, so the
+            # sum skips them exactly as the plain aggregate does
+            F.sum(sign * F.col(c)).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
 def _merge(
     old: DataFrame, part: DataFrame, keys: list[str],
     sum_cols, min_cols=(), max_cols=(),
@@ -200,16 +219,40 @@ def _refresh(
 
     full_group: list[dict] = by_last.pop(None, [])
     for last, group in by_last.items():
+        feed = None
         try:
             delta = snap.read_snapshot_changes(spark, source_path, last, cur)
         except ValueError:
-            # non-append commit in range (rewrite/delete): stored
-            # extrema may be stale — recompute these views
-            full_group.extend(group)
-            continue
+            # non-append commit in range. A DELETION-VECTOR delete is
+            # still row-level expressible: the change feed recovers
+            # the deleted rows, and COUNT/SUM/AVG views fold them as
+            # SIGNED contributions — no recompute. MIN/MAX views (an
+            # evicted extremum needs a rescan) and feed-inexpressible
+            # rewrites (COW, compaction, merge) recompute as before.
+            delta = None
+            foldable = [
+                s for s in group
+                if not (s.get("min_cols") or s.get("max_cols"))
+            ]
+            if foldable:
+                try:
+                    feed = snap.read_snapshot_changes_feed(
+                        spark, source_path, last, cur
+                    )
+                except ValueError:
+                    feed = None
+            if feed is None:
+                full_group.extend(group)
+                continue
+            full_group.extend(
+                s for s in group
+                if s.get("min_cols") or s.get("max_cols")
+            )
+            group = foldable
+        src_df = delta if delta is not None else feed
         many = len(group) > 1
         if many:
-            delta = delta.persist()
+            src_df = src_df.persist()
         try:
             for spec in group:
                 keys, sums, mins, maxs, avgs = _norm_spec(
@@ -226,9 +269,16 @@ def _refresh(
                     # view can't supply the new measures — recompute
                     full_group.append(spec)
                     continue
-                part = _aggregate(delta, keys, sums, mins, maxs)
+                if delta is not None:
+                    part = _aggregate(src_df, keys, sums, mins, maxs)
+                else:
+                    part = _aggregate_signed(src_df, keys, sums)
                 old = old_df.select(needed)
                 merged = _merge(old, part, keys, sums, mins, maxs)
+                if delta is None:
+                    # a group whose rows were ALL deleted folds to
+                    # n = 0; a recompute would not emit it at all
+                    merged = merged.filter(F.col("n") > 0)
                 snap.snapshot_write(
                     _finalize(merged, avgs), spec["view_path"],
                     mode="overwrite", protocol=protocol,
@@ -236,7 +286,7 @@ def _refresh(
                 )
         finally:
             if many:
-                delta.unpersist()
+                src_df.unpersist()
 
     if full_group:
         src = snap.read_snapshot(spark, source_path, cur)

@@ -953,6 +953,96 @@ def read_snapshot_changes(
 
 
 @normalizes_paths('path')
+def read_snapshot_changes_feed(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """ROW-LEVEL change feed (the Delta CDF shape): every table row
+    changed in ``(from_version, to_version]`` with a ``_change_type``
+    column — ``'insert'`` for rows arriving via append commits,
+    ``'delete'`` for rows removed by DELETION-VECTOR commits, whose
+    full content is recovered by position-joining each vector against
+    its (still immutable, still present) data file. This is strictly
+    more expressive than :func:`read_snapshot_changes`: an
+    incremental consumer can maintain COUNT/SUM/AVG aggregates
+    through deletes by folding signed contributions instead of
+    falling back to a recompute.
+
+    Commits the feed CANNOT express row-level — overwrites,
+    copy-on-write rewrites, compactions, merges — raise ``ValueError``
+    exactly like the file-set CDC; the consumer re-reads. (A COW
+    rewrite mixes deletes, updates, and carried rows inside new files
+    with no recorded row mapping; Delta/Iceberg CDF impose the same
+    contract unless the writer materializes change files.)
+
+    Ordering: rows carry ``_commit_version``; within one version all
+    inserts/deletes are unordered (they commit atomically). Vacuum
+    caveat: the feed reads the RANGE's data files — consume the feed
+    before expiring the versions that wrote them.
+    """
+    out: DataFrame | None = None
+    v = to_version
+    chain: list[dict] = []
+    while v is not None and v > from_version:
+        m = _read_manifest_raw(path, v)
+        kind = m.get("rewrite", {}).get("kind")
+        if m["operation"] == "append" and "adds" in m and not m.get(
+            "removes"
+        ):
+            chain.append(m)
+        elif m["operation"] == "append" and "files" in m:
+            chain.append(m)  # full-manifest append (backfill): no adds
+        elif kind == "delete_where_dv":
+            chain.append(m)
+        else:
+            raise ValueError(
+                f"snapshot v{v} is an {m['operation']!r} commit the "
+                "change feed cannot express row-level; re-read the "
+                "full snapshot"
+            )
+        v = m["parent"]
+    hi_raw = _read_manifest_raw(path, to_version)
+    schema_m = {"schema": hi_raw["schema"]} if "schema" in hi_raw else {}
+    for m in reversed(chain):
+        ver = m["version"]
+        if m.get("rewrite", {}).get("kind") == "delete_where_dv":
+            dv_rel = sorted({d for ds in m["dv_adds"].values() for d in ds})
+            dv_files = [_abs_file(path, d) for d in dv_rel]
+            covered = [_abs_file(path, f) for f in m["dv_adds"]]
+            pos = spark.read.schema(_DV_SCHEMA).parquet(*dv_files).select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            )
+            rows = _read_file_list(spark, covered, schema_m).select(
+                "*",
+                _rel_path_expr(path).alias("__rel"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            deleted = rows.join(
+                pos,
+                (F.col("__rel") == F.col("__dv_file"))
+                & (F.col("__pos") == F.col("__dv_pos")),
+                "left_semi",
+            ).drop("__rel", "__pos")
+            part = deleted.withColumn(
+                "_change_type", F.lit("delete")
+            ).withColumn("_commit_version", F.lit(ver))
+        else:
+            adds = [_abs_file(path, f) for f in m.get("adds", [])]
+            if not adds:
+                continue  # metadata-only append (stats backfill)
+            part = _read_file_list(spark, adds, schema_m).withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(ver))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        base = read_snapshot(spark, path, to_version).limit(0)
+        return base.withColumn(
+            "_change_type", F.lit("insert")
+        ).withColumn("_commit_version", F.lit(to_version))
+    return out
+
+
+@normalizes_paths('path')
 def committed_marker_values(path: str, key: str) -> set:
     """All values of manifest field ``key`` across live snapshots AND
     the compacted commit log ``vacuum`` leaves behind for expired
@@ -2226,7 +2316,8 @@ def vacuum(
 __all__ = [
     "snapshot_table_info",
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
-    "read_snapshot_changes", "snapshot_history", "latest_version",
+    "read_snapshot_changes", "read_snapshot_changes_feed",
+    "snapshot_history", "latest_version",
     "vacuum", "committed_marker_values", "snapshot_compact",
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
