@@ -5392,6 +5392,48 @@ def q_snapshot_delete_dv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_update_mor_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                      AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+                     THEN CAST(round(value * 10 * 100) AS BIGINT)
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_snapshot_update_mor_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE end-to-end: one commit deletion-vectors
+    the matching rows and appends their transformed versions
+    (``snapshot_update_where_dv``, the Iceberg-v2 MOR shape) — write
+    cost O(matched rows), no touched-file rewrite. The oracle
+    recomputes the post-update state from the raw table; the digest
+    proves the vector-subtract ⊕ appended-rows read path equals a
+    copy-on-write update exactly."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="snap_mor_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    snap.snapshot_update_where_dv(
+        spark, path,
+        [("ts", dt.datetime(2024, 1, 20), dt.datetime(2024, 1, 22))],
+        {"value": F.col("value") * 10},
+    )
+    final = snap.read_snapshot(spark, path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- key-scoped MERGE INTO through membership sketches -----------------------------
 
 @_q("snapshot_merge_into_digest", """

@@ -825,11 +825,37 @@ def _cond_from_where(where: list[tuple]):
 
 
 @normalizes_paths('path')
+def version_at_timestamp(path: str, ts_unix: float) -> int:
+    """Timestamp time travel (the Delta ``TIMESTAMP AS OF`` shape):
+    the latest version committed at or before ``ts_unix``. Commit
+    times are nondecreasing along the chain (each commit stamps
+    wall-clock after winning the version race), so the scan stops at
+    the first newer commit. Raises ``ValueError`` when every retained
+    version is newer (the asked-for history was vacuumed or never
+    existed)."""
+    best = None
+    for v in _versions(path):
+        if _read_manifest_raw(path, v).get(
+            "committed_at_unix", 0
+        ) <= ts_unix:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} existed at unix time {ts_unix} "
+            "(history may have been vacuumed)"
+        )
+    return best
+
+
+@normalizes_paths('path')
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     where: list[tuple] | None = None,
+    as_of_unix: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). The manifest
     is resolved once; the returned DataFrame scans a FROZEN file list,
@@ -848,7 +874,15 @@ def read_snapshot(
     TABLE schema (union-by-name across the append chain); the read
     applies it explicitly, so files from before an add-column commit
     read the new column as null, and a mixed-schema file list never
-    depends on which file's footer Spark happens to sample first."""
+    depends on which file's footer Spark happens to sample first.
+
+    ``as_of_unix``: timestamp time travel — read the latest version
+    committed at or before that unix time (mutually exclusive with
+    ``version``)."""
+    if as_of_unix is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_unix, not both")
+        version = version_at_timestamp(path, as_of_unix)
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -991,7 +1025,9 @@ def read_snapshot_changes_feed(
             chain.append(m)
         elif m["operation"] == "append" and "files" in m:
             chain.append(m)  # full-manifest append (backfill): no adds
-        elif kind == "delete_where_dv":
+        elif kind in ("delete_where_dv", "update_where_mor"):
+            # both record their row-level effect exactly: vectors for
+            # the removed positions, adds for the (updated) new rows
             chain.append(m)
         else:
             raise ValueError(
@@ -1004,7 +1040,8 @@ def read_snapshot_changes_feed(
     schema_m = {"schema": hi_raw["schema"]} if "schema" in hi_raw else {}
     for m in reversed(chain):
         ver = m["version"]
-        if m.get("rewrite", {}).get("kind") == "delete_where_dv":
+        parts: list[DataFrame] = []
+        if m.get("dv_adds"):
             dv_rel = sorted({d for ds in m["dv_adds"].values() for d in ds})
             dv_files = [_abs_file(path, d) for d in dv_rel]
             covered = [_abs_file(path, f) for f in m["dv_adds"]]
@@ -1023,17 +1060,21 @@ def read_snapshot_changes_feed(
                 & (F.col("__pos") == F.col("__dv_pos")),
                 "left_semi",
             ).drop("__rel", "__pos")
-            part = deleted.withColumn(
-                "_change_type", F.lit("delete")
-            ).withColumn("_commit_version", F.lit(ver))
-        else:
-            adds = [_abs_file(path, f) for f in m.get("adds", [])]
-            if not adds:
-                continue  # metadata-only append (stats backfill)
-            part = _read_file_list(spark, adds, schema_m).withColumn(
-                "_change_type", F.lit("insert")
-            ).withColumn("_commit_version", F.lit(ver))
-        out = part if out is None else out.unionByName(part)
+            parts.append(
+                deleted.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(ver))
+            )
+        adds = [_abs_file(path, f) for f in m.get("adds", [])]
+        if adds:
+            # for an MOR update these are the post-update rows: the
+            # version's net effect reads as delete(old) ⊕ insert(new)
+            parts.append(
+                _read_file_list(spark, adds, schema_m)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(ver))
+            )
+        for part in parts:
+            out = part if out is None else out.unionByName(part)
     if out is None:
         base = read_snapshot(spark, path, to_version).limit(0)
         return base.withColumn(
@@ -1131,6 +1172,13 @@ def snapshot_table_info(path: str, version: int | None = None) -> dict:
         "member_coverage": {
             c: round(k / n, 4) for c, k in sorted(memb_cov.items())
         },
+        # merge-on-read debt: how many live files carry deletion
+        # vectors (their scans pay the anti join until compaction
+        # materializes them)
+        "dv_files": len(m.get("dvs", {})),
+        "dv_vector_files": len(
+            {d for ds in m.get("dvs", {}).values() for d in ds}
+        ),
     }
 
 
@@ -1684,6 +1732,124 @@ def snapshot_update_where(
         spark, path, where, _apply,
         operation="update_where", protocol=protocol, max_redo=max_redo,
     )
+
+
+@normalizes_paths('path')
+def snapshot_update_where_dv(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict,
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """MERGE-ON-READ update: one commit that deletion-vectors the
+    matching rows out of their files AND appends the transformed rows
+    as new files — the Iceberg-v2 MOR update shape. Write cost is
+    O(matched rows) (vector + rewritten rows only);
+    :func:`snapshot_update_where` (copy-on-write) pays the full bytes
+    of every TOUCHED file. Readers see the update atomically (the
+    manifest carries ``adds`` and ``dv_adds`` together); the
+    row-level change feed expresses it as delete ⊕ insert, so
+    COUNT/SUM/AVG incremental views fold an update without
+    recomputing. Compaction/later rewrites materialize and retire the
+    vectors exactly as for DV deletes.
+    """
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    cond = _cond_from_where(where)
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"deletion vectors require a parquet table; {path} is "
+                f"{m['format']!r}"
+            )
+        affected, _total = prune_files(path, where, version=v)
+        if not affected:
+            return v
+        src = _read_file_list(spark, affected, m).select(
+            "*",
+            _rel_path_expr(path).alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if m.get("dvs"):
+            src = _anti_join_dvs(spark, src, path, m["dvs"], affected)
+        matched = src.filter(cond).persist()
+        try:
+            if matched.isEmpty():
+                return v
+            table_cols = [c for c in matched.columns
+                          if c not in ("__rel", "__pos")]
+            updated = matched
+            for c, e in set_exprs.items():
+                updated = updated.withColumn(
+                    c, F.expr(e) if isinstance(e, str) else e
+                )
+            updated = updated.select(*table_cols)
+            if m.get("constraints"):
+                _validate_constraints(updated, m["constraints"], path)
+            txid = uuid.uuid4().hex[:12]
+            dv_dir = os.path.join(path, "data", txid, "dv")
+            rows_dir = os.path.join(path, "data", txid, "rows")
+            matched.select(
+                F.col("__rel").alias("file"), F.col("__pos").alias("pos")
+            ).write.mode("error").parquet(dv_dir)
+            updated.write.mode("error").parquet(rows_dir)
+        finally:
+            matched.unpersist()
+        dv_rel = [_rel_file(path, f) for f in _data_files(dv_dir)]
+        add_files = _data_files(rows_dir)
+        add_rel = [_rel_file(path, f) for f in add_files]
+        stat_cols = sorted(
+            {c for s in m.get("stats", {}).values() for c in s}
+        )
+        add_stats: dict = {}
+        if stat_cols and add_files:
+            from harmony_energy_data_pipeline_spark.sinks.filestats import (
+                collect_file_stats,
+            )
+
+            add_stats = {
+                _rel_file(path, f): s
+                for f, s in collect_file_stats(add_files, stat_cols).items()
+            }
+        payload = {
+            "version": v + 1,
+            "parent": v,
+            "operation": "overwrite",  # rows move: CDC must not diff
+            "txid": txid,
+            "committed_at_unix": int(time.time()),
+            "adds": add_rel,
+            "removes": [],
+            "n_live_files": len(m["files"]) + len(add_rel),
+            "dv_adds": {_rel_file(path, f): dv_rel for f in affected},
+            "rewrite": {
+                "kind": "update_where_mor",
+                "vector_files": len(dv_rel),
+                "covered_files": len(affected),
+                "added_files": len(add_rel),
+            },
+            **({"stats": add_stats} if add_stats else {}),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            **({"constraints": m["constraints"]}
+               if "constraints" in m else {}),
+        }
+        try:
+            _publish_manifest(path, v + 1, payload, protocol=protocol)
+            return v + 1
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"MOR update on {path} expected parent v{v}, but a "
+                "concurrent commit claimed the next version; redoing "
+                "against the new latest"
+            )
+            continue
+    raise last_err
 
 
 @normalizes_paths('path')
@@ -2317,12 +2483,12 @@ __all__ = [
     "snapshot_table_info",
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "read_snapshot_changes_feed",
-    "snapshot_history", "latest_version",
+    "snapshot_history", "latest_version", "version_at_timestamp",
     "vacuum", "committed_marker_values", "snapshot_compact",
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
-    "snapshot_delete_where_dv",
+    "snapshot_delete_where_dv", "snapshot_update_where_dv",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
     "snapshot_backfill_stats",

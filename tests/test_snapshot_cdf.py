@@ -120,3 +120,126 @@ def test_ivm_minmax_view_still_recomputes_on_dv(spark, tmp_path):
     }
     assert got == exp
     assert max(got.values()) == 249  # the evicted extremum moved
+
+
+# --- merge-on-read UPDATE (DV + append in one commit) ------------------------------
+
+
+def test_mor_update_matches_cow_update(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for p in (cow, mor):
+        _seed(spark, p)
+    where = [("v", 50, 149)]
+    upd = {"v": F.col("v") + 10_000}
+    snap.snapshot_update_where(spark, cow, where, upd)
+    v = snap.snapshot_update_where_dv(spark, mor, where, upd)
+    got = sorted((r.g, r.v) for r in snap.read_snapshot(spark, mor).collect())
+    exp = sorted((r.g, r.v) for r in snap.read_snapshot(spark, cow).collect())
+    assert got == exp
+    raw = snap._read_manifest_raw(mor, v)
+    assert raw["dv_adds"] and raw["adds"]  # one atomic MOR commit
+    assert raw["rewrite"]["kind"] == "update_where_mor"
+    # original files untouched (carried), update cost was O(matched)
+    assert set(snap._read_manifest(mor, 0)["files"]) <= set(
+        snap._read_manifest(mor, v)["files"]
+    )
+
+
+def test_feed_expresses_mor_update_as_delete_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    snap.snapshot_update_where_dv(
+        spark, path, [("v", 0, 9)], {"v": F.col("v") + 1000}
+    )
+    feed = snap.read_snapshot_changes_feed(spark, path, 0, 1)
+    rows = feed.collect()
+    dels = sorted(r.v for r in rows if r._change_type == "delete")
+    ins = sorted(r.v for r in rows if r._change_type == "insert")
+    assert dels == list(range(0, 10))
+    assert ins == list(range(1000, 1010))
+
+
+def test_ivm_folds_mor_update_without_recompute(spark, tmp_path, monkeypatch):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _seed(spark, src)
+    ivm.refresh_agg_view(spark, src, view, ["g"], sum_cols=["v"],
+                         avg_cols=["v"])
+    snap.snapshot_update_where_dv(
+        spark, src, [("v", 100, 199)], {"v": F.col("v") * 10}
+    )
+    real_read = snap.read_snapshot
+
+    def guarded(spark_, path_, *a, **k):
+        assert path_ != src, "fast path must not rescan the source"
+        return real_read(spark_, path_, *a, **k)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", guarded)
+    ivm.refresh_agg_view(spark, src, view, ["g"], sum_cols=["v"],
+                         avg_cols=["v"])
+    monkeypatch.undo()
+    got = {
+        r.g: (r.n, r.sum_v) for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.sum_v)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_mor_update_then_compact_materializes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    snap.snapshot_update_where_dv(
+        spark, path, [("v", 0, 99)], {"v": F.lit(-5).cast("long")}
+    )
+    v = snap.snapshot_compact(spark, path)
+    m = snap._read_manifest(path, v)
+    assert not m.get("dvs")
+    rows = [r.v for r in snap.read_snapshot(spark, path).collect()]
+    assert rows.count(-5) == 100 and len(rows) == 300
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    t_after_v0 = _time.time() + 0.5
+    # force distinct commit seconds without sleeping long
+    m = snap._read_manifest_raw(path, 0)
+    snap.snapshot_write(
+        spark.range(500, 510).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+        ),
+        path, mode="append",
+    )
+    # rewrite v1's committed_at to be clearly in the future so the
+    # boundary is deterministic (manifests are plain JSON)
+    import json as _json
+
+    mp = snap._manifest_path(path, 1)
+    m1 = _json.load(open(mp))
+    m1["committed_at_unix"] = int(_time.time()) + 3600
+    _json.dump(m1, open(mp, "w"))
+    assert snap.version_at_timestamp(path, t_after_v0) == 0
+    assert snap.read_snapshot(spark, path, as_of_unix=t_after_v0).count() == 300
+    assert snap.version_at_timestamp(path, _time.time() + 7200) == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        snap.version_at_timestamp(path, 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, path, version=0, as_of_unix=t_after_v0)
+
+
+def test_table_info_reports_dv_debt(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    info0 = snap.snapshot_table_info(path)
+    assert info0["dv_files"] == 0
+    snap.snapshot_delete_where_dv(spark, path, [("v", 0, 9)])
+    info1 = snap.snapshot_table_info(path)
+    assert info1["dv_files"] == 1 and info1["dv_vector_files"] >= 1
+    snap.snapshot_compact(spark, path)
+    assert snap.snapshot_table_info(path)["dv_files"] == 0
