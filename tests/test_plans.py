@@ -585,3 +585,27 @@ def test_bench_semdedup_keep_prefilter_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert shuffle_count(df) <= 40, plan
+
+
+def test_dv_read_splits_scan_clean_files_stay_joinless(spark, tmp_path):
+    """Merge-on-read planning contract: only files a vector covers pay
+    the anti join — clean files arrive as a plain parquet scan UNIONed
+    in, and the vector side is a BROADCAST build (no shuffle of the
+    fact scan for the position subtract)."""
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snap.snapshot_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path, stats_cols=["k"],
+    )
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 99)])
+    out = snap.read_snapshot(spark, path)
+    plan = physical_plan(out)
+    assert "Union" in plan, plan                       # split scan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan  # broadcast subtract
+    assert "SortMergeJoin" not in plan, plan           # never a shuffle join
+    assert shuffle_count(out) == 0, plan               # scans + union only
