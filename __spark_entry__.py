@@ -5350,6 +5350,61 @@ def q_snapshot_delete_update_digest(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- streaming FROM a snapshot table (the Delta streaming-source shape) ------------
+
+@_q("snapshot_stream_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_snapshot_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table→table streaming: events committed to a snapshot table in
+    two versions, then streamed OUT through the registered
+    ``snapshot_table`` DataSource (initial snapshot + version-tail
+    offsets, one distributed partition per added file) INTO a second
+    snapshot table via the exactly-once append sink. The oracle
+    recomputes the digest over the raw events — the hash match proves
+    the stream delivered every row exactly once through the full
+    source→sink handoff."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources.snapstream import (
+        SnapshotTableDataSource,
+    )
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", _cents("value").alias("vc")
+    )
+    base = tempfile.mkdtemp()
+    src = base + "/src"
+    dst = base + "/dst"
+    snap.snapshot_write(ev.filter(F.col("event_id") % 2 == 0), src)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
+    )
+    stream = (
+        spark.readStream.format("snapshot_table").option("path", src).load()
+    )
+    q = start_snapshot_append_sink(
+        stream, dst, base + "/ck", available_now=True
+    )
+    q.awaitTermination(180)
+    return snap.read_snapshot(spark, dst).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- merge-on-read deletes (deletion vectors) --------------------------------------
 
 @_q("snapshot_delete_dv_digest", """

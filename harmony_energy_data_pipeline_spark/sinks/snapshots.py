@@ -143,7 +143,9 @@ def _merge_schema(parent: dict | None, batch: dict) -> dict:
     for pf in parent.get("fields", []):
         bf = by_name.pop(pf["name"], None)
         if bf is None:
-            fields.append(pf)
+            # the BATCH's files lack this column: they read it as
+            # null, so the table schema must declare it nullable
+            fields.append({**pf, "nullable": True})
             continue
         if bf["type"] != pf["type"]:
             raise SchemaEvolutionError(
@@ -154,7 +156,14 @@ def _merge_schema(parent: dict | None, batch: dict) -> dict:
         fields.append(
             {**pf, "nullable": bool(pf.get("nullable")) or bool(bf.get("nullable"))}
         )
-    fields.extend(f for f in batch.get("fields", []) if f["name"] in by_name)
+    # batch-only columns: the PARENT's files lack them — nullable, or
+    # pre-evolution files would violate the declared schema (a
+    # non-null string null NPEs Spark's UnsafeProjection on the
+    # Python-source read path; the parquet reader merely tolerates it)
+    fields.extend(
+        {**f, "nullable": True}
+        for f in batch.get("fields", []) if f["name"] in by_name
+    )
     return {**parent, "fields": fields}
 
 

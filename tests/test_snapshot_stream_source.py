@@ -1,0 +1,142 @@
+"""Streaming source over snapshot tables (round 7): versions as
+offsets, distributed file reads, rewrite contract, table→table
+chaining."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+from harmony_energy_data_pipeline_spark.sources.snapstream import (
+    SnapshotTableDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SnapshotTableDataSource)
+    return spark
+
+
+def _write(spark, path, lo, hi, mode):
+    df = spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    ).coalesce(1)
+    snap.snapshot_write(df, path, mode=mode)
+
+
+def _drain(spark, path, name, **opts):
+    reader = spark.readStream.format("snapshot_table").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streams_all_versions_then_only_new_ones(registered, tmp_path):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    spark = registered
+    src, dst = str(tmp_path / "t"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    _write(spark, src, 0, 100, "overwrite")
+    _write(spark, src, 100, 250, "append")
+    stream = (
+        spark.readStream.format("snapshot_table").option("path", src).load()
+    )
+    q = start_snapshot_append_sink(stream, dst, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert snap.read_snapshot(spark, dst).count() == 250
+    # new commits become the NEXT batch off the same checkpoint
+    _write(spark, src, 250, 300, "append")
+    q2 = start_snapshot_append_sink(stream, dst, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got = sorted(r.v for r in snap.read_snapshot(spark, dst).collect())
+    assert got == list(range(300))  # exactly once, no replays
+
+
+def test_rewrite_fails_resumed_stream_unless_skipped(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    ck_f, ck_s = str(tmp_path / "ckf"), str(tmp_path / "cks")
+    _write(spark, path, 0, 100, "overwrite")
+
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    def drain(dst, ck, **opts):
+        reader = spark.readStream.format("snapshot_table").option(
+            "path", path
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = start_snapshot_append_sink(
+            reader.load(), str(tmp_path / dst), ck, available_now=True
+        )
+        q.awaitTermination(120)
+        return snap.read_snapshot(spark, str(tmp_path / dst))
+
+    # both streams consume the initial snapshot first
+    assert drain("out_f", ck_f).count() == 100
+    assert drain("out_s", ck_s, skip_rewrites="true").count() == 100
+    # a compaction lands mid-stream, then an append
+    snap.snapshot_compact(spark, path)
+    _write(spark, path, 100, 150, "append")
+    # strict resume refuses the rewrite version
+    with pytest.raises(Exception, match="cannot express|skip_rewrites"):
+        drain("out_f", ck_f)
+    # skip_rewrites resume: compaction's rewritten rows are NOT
+    # re-emitted; the genuine append is
+    got = drain("out_s", ck_s, skip_rewrites="true")
+    assert sorted(r.v for r in got.collect()) == list(range(150))
+
+
+def test_starting_version_and_schema_evolution(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 50, "overwrite")
+    _write(spark, path, 50, 80, "append")
+    # start after v0: only the second commit streams
+    got = _drain(spark, path, "snapstream_sv", starting_version="0")
+    assert sorted(r.v for r in got.collect()) == list(range(50, 80))
+    # add-column append: old files stream the new column as null
+    df = spark.range(80, 90).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v"),
+        F.lit("x").alias("tag"),
+    ).coalesce(1)
+    snap.snapshot_write(df, path, mode="append")
+    got2 = _drain(spark, path, "snapstream_ev")
+    rows = got2.collect()
+    assert {r.tag for r in rows if r.v >= 80} == {"x"}
+    assert all(r.tag is None for r in rows if r.v < 80)
+
+
+def test_table_to_table_chain(registered, tmp_path):
+    """The handoff shape: stream FROM one snapshot table INTO another
+    via the exactly-once append sink, then verify content parity."""
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    spark = registered
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    _write(spark, src, 0, 200, "overwrite")
+    _write(spark, src, 200, 350, "append")
+    stream = (
+        spark.readStream.format("snapshot_table").option("path", src).load()
+        .withColumn("v2", F.col("v") * 2)
+    )
+    q = start_snapshot_append_sink(stream, dst, ck, available_now=True)
+    q.awaitTermination(120)
+    out = snap.read_snapshot(spark, dst)
+    assert out.count() == 350
+    assert out.agg(F.sum("v2")).first()[0] == 2 * sum(range(350))
