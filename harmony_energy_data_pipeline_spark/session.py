@@ -148,6 +148,22 @@ def get_spark(app_name: str = "harmony-energy-spark", master: str | None = None)
             "spark.executor.memory",
             os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "14g"),
         )
+        # Executor PYTHON workers start in the worker's scratch dir,
+        # so driver-side sys.path entries don't exist for them — any
+        # pickled object referencing this package (a Python DataSource
+        # partition, a pandas UDF closure over package helpers) then
+        # dies with ModuleNotFoundError. Point them at the package's
+        # own parent directory; a real cluster ships a wheel via
+        # spark.submit.pyFiles instead (shared-FS assumption holds for
+        # the local-cluster rehearsal topology).
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{pkg_root}:{extra}" if extra else pkg_root,
+        )
     if master.startswith("local"):
         # In local mode the driver JVM is also the executor; Spark's 1g
         # default heap starves 32 concurrent tasks (the 100x scale
