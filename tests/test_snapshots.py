@@ -513,3 +513,77 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     # survivors still read
     assert len(_keys(spark, path, 3)) == 20
     assert len(_keys(spark, path, 2)) == 15
+
+
+def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
+    """Round-7 extension of the random-lifecycle property: interleave
+    COW deletes, DV deletes, and MOR updates with appends/overwrites/
+    compactions/vacuums — ``read_snapshot()`` must equal the model (a
+    plain dict k→v the test maintains) after EVERY step."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+
+    for trial in range(3):
+        path = str(tmp_path / f"tbl{trial}")
+        model: dict[int, int] = {}
+        nxt = 0
+        ops = []
+        for step in range(10):
+            op = rng.choice([
+                "append", "append", "overwrite", "compact", "vacuum",
+                "cow_delete", "dv_delete", "mor_update", "dv_delete",
+            ])
+            if snap.latest_version(path) is None:
+                op = "overwrite"
+            if op in ("append", "overwrite"):
+                lo, hi = nxt, nxt + rng.randint(3, 15)
+                nxt = hi
+                snap.snapshot_write(
+                    df(lo, hi).repartition(rng.randint(1, 3)),
+                    path, mode=op, stats_cols=["k"],
+                )
+                fresh = {k: k * 10 for k in range(lo, hi)}
+                model = fresh if op == "overwrite" else {**model, **fresh}
+            elif op == "compact":
+                snap.snapshot_compact(spark, path, target_file_mb=64)
+            elif op == "vacuum":
+                snap.vacuum(path, keep_last=rng.randint(1, 2),
+                            orphan_grace_s=0.0)
+            elif model:
+                ks = sorted(model)
+                a = rng.choice(ks)
+                b = a + rng.randint(0, 8)
+                where = [("k", a, b)]
+                if op == "cow_delete":
+                    try:
+                        snap.snapshot_delete_where(spark, path, where)
+                    except ValueError:
+                        continue  # would delete every row: refused
+                    model = {k: v for k, v in model.items()
+                             if not (a <= k <= b)}
+                elif op == "dv_delete":
+                    snap.snapshot_delete_where_dv(spark, path, where)
+                    model = {k: v for k, v in model.items()
+                             if not (a <= k <= b)}
+                else:
+                    snap.snapshot_update_where_dv(
+                        spark, path, where, {"v": F.col("v") + 1}
+                    )
+                    model = {
+                        k: (v + 1 if a <= k <= b else v)
+                        for k, v in model.items()
+                    }
+            ops.append(op)
+            got = {
+                r.k: r.v
+                for r in snap.read_snapshot(spark, path).collect()
+            }
+            assert got == model, (trial, step, ops)
