@@ -315,4 +315,89 @@ __all__ = [
     "release_maintenance_lock",
     "run_maintenance",
     "schedule_maintenance",
+    "auto_maintain",
 ]
+
+
+def auto_maintain(
+    spark: SparkSession,
+    table_path: str,
+    target_file_mb: int = 128,
+    small_file_ratio: float = 0.5,
+    max_dv_files: int = 0,
+    vacuum_keep: int | None = None,
+    keep_newer_than_s: float | None = None,
+    cluster_by: "list[str] | None" = None,
+    stale_after_s: float = 3600.0,
+    orphan_grace_s: float | None = None,
+) -> dict:
+    """POLICY-driven locked maintenance: act only when the table's
+    own metrics say it needs it, so the pass is cheap to schedule
+    aggressively on thousands of tables.
+
+    Compaction triggers (either):
+
+    * **fragmentation** — average live file size below
+      ``small_file_ratio × target_file_mb`` with more than one file
+      (the streaming micro-batch accretion pattern);
+    * **merge-on-read debt** — more than ``max_dv_files`` live files
+      carry deletion vectors (their scans pay the anti join;
+      compaction materializes and retires the vectors).
+
+    Then retention: ``vacuum_keep``/``keep_newer_than_s`` map to
+    ``vacuum(keep_last=, keep_newer_than_s=)``. All under the
+    breaker-guarded maintenance lock. Returns a decision record:
+    ``{compacted, reason, version, files_before, files_after,
+    dv_files_before, vacuum_removed}`` — the auditable shape an ops
+    loop logs."""
+    token = acquire_maintenance_lock(table_path, stale_after_s=stale_after_s)
+    try:
+        out: dict = {
+            "compacted": False, "reason": None, "version": None,
+            "files_before": None, "files_after": None,
+            "dv_files_before": None, "vacuum_removed": 0,
+        }
+        v = snap.latest_version(table_path)
+        if v is None:
+            out["reason"] = "no snapshots"
+            return out
+        info = snap.snapshot_table_info(table_path, version=v)
+        out["files_before"] = info["n_files"]
+        out["dv_files_before"] = info["dv_files"]
+        out["version"] = v
+        reason = None
+        threshold = small_file_ratio * target_file_mb * 1024 * 1024
+        if info["dv_files"] > max_dv_files:
+            reason = f"dv_debt ({info['dv_files']} vectored files)"
+        elif info["n_files"] > 1 and info["avg_file_bytes"] < threshold:
+            reason = (
+                f"fragmentation (avg {info['avg_file_bytes']} B "
+                f"< {int(threshold)} B over {info['n_files']} files)"
+            )
+        if reason is not None:
+            new_v = snap.snapshot_compact(
+                spark, table_path, target_file_mb=target_file_mb,
+                cluster_by=cluster_by,
+            )
+            out.update(
+                compacted=True, reason=reason, version=new_v,
+                files_after=len(
+                    snap._read_manifest(table_path, new_v)["files"]
+                ),
+            )
+        else:
+            out["reason"] = "healthy"
+            out["files_after"] = info["n_files"]
+        if vacuum_keep is not None or keep_newer_than_s is not None:
+            out["vacuum_removed"] = snap.vacuum(
+                table_path,
+                keep_last=vacuum_keep if vacuum_keep is not None else 1,
+                keep_newer_than_s=keep_newer_than_s,
+                orphan_grace_s=(
+                    stale_after_s if orphan_grace_s is None
+                    else orphan_grace_s
+                ),
+            )
+        return out
+    finally:
+        release_maintenance_lock(table_path, token=token)

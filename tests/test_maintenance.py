@@ -141,3 +141,32 @@ def test_streaming_ingest_with_background_maintenance(spark, tmp_path, sf_dir):
     assert len(snap.committed_marker_values(table, "stream_commit_id")) >= 4
     # the lock is not left behind
     assert not os.path.exists(mnt._lock_path(table))
+
+
+def test_auto_maintain_policy_decisions(spark, tmp_path):
+    from harmony_energy_data_pipeline_spark.pipeline.maintenance import (
+        auto_maintain,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # fragmented: 16 tiny files
+    snap.snapshot_write(df.repartition(16), path, stats_cols=["k"])
+    r1 = auto_maintain(spark, path, target_file_mb=64)
+    assert r1["compacted"] and "fragmentation" in r1["reason"]
+    assert r1["files_after"] < r1["files_before"]
+    # now healthy: second pass is a no-op
+    r2 = auto_maintain(spark, path, target_file_mb=64)
+    assert not r2["compacted"] and r2["reason"] == "healthy"
+    # merge-on-read debt triggers even on a compact table
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 9)])
+    r3 = auto_maintain(spark, path, target_file_mb=64)
+    assert r3["compacted"] and "dv_debt" in r3["reason"]
+    assert snap.snapshot_table_info(path)["dv_files"] == 0
+    assert snap.read_snapshot(spark, path).count() == 4990
+    # retention applies through the same pass
+    r4 = auto_maintain(spark, path, target_file_mb=64, vacuum_keep=1,
+                       orphan_grace_s=0.0)
+    assert len(snap._versions(path)) == 1
