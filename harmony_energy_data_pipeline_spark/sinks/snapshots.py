@@ -67,7 +67,9 @@ _STANDARD_KEYS = frozenset(
      # log-structured (delta) manifest fields — round 7
      "adds", "removes", "n_live_files",
      # deletion vectors (merge-on-read) — round 7
-     "dvs", "dv_adds"}
+     "dvs", "dv_adds",
+     # recorded change files for COW rewrites (CDF) — round 7
+     "cdf"}
 )
 
 #: A resolution walk longer than this persists its result as a
@@ -534,6 +536,63 @@ def _publish_manifest(
     _write_latest_hint(path, version)
 
 
+def _publish_or_rebase(
+    path: str, payload: dict, protocol: str, max_hops: int = 10
+) -> int:
+    """Publish a DELTA manifest computed against ``payload['parent']``;
+    on a lost version race, REBASE the already-staged commit over the
+    interloper(s) instead of redoing the data work — iff every
+    intervening commit is a pure log-structured APPEND that left the
+    table's schema and constraints unchanged. A pure append never
+    removes a file and never adds a deletion vector, so this commit's
+    ``removes``/``dv_adds`` targets are still live and its staged adds
+    cannot collide: committing the same delta against the new parent
+    is exactly the Iceberg/Delta optimistic-concurrency resolution
+    (the rewrite serializes BEFORE the concurrent append — Delta's
+    WriteSerializable ordering — so the append's rows are untouched by
+    this commit's predicate, as they would be had the append arrived a
+    moment later).
+
+    Anything non-commuting in between — an overwrite, another rewrite,
+    a DV commit, a schema evolution, a legacy full-manifest append —
+    re-raises ``FileExistsError`` and the caller redoes the whole
+    operation against the new latest (the pre-existing safe path).
+    Returns the committed version."""
+    for _ in range(max_hops):
+        version = payload["version"]
+        try:
+            _publish_manifest(path, version, payload, protocol=protocol)
+            return version
+        except FileExistsError:
+            latest = latest_version(path)
+            if latest is None or latest < version:
+                raise  # raced a vacuum/drop: caller re-reads
+            extra_adds = 0
+            for iv in range(version, latest + 1):
+                vm = _read_manifest_raw(path, iv)
+                if (
+                    vm.get("operation") != "append"
+                    or "adds" not in vm
+                    or vm.get("removes")
+                    or vm.get("dv_adds")
+                    or vm.get("schema") != payload.get("schema")
+                    or vm.get("constraints") != payload.get("constraints")
+                ):
+                    raise  # non-commuting interloper: full redo
+                extra_adds += len(vm["adds"])
+            payload = {
+                **payload,
+                "version": latest + 1,
+                "parent": latest,
+                "n_live_files": payload["n_live_files"] + extra_adds,
+                "committed_at_unix": int(time.time()),
+            }
+    raise FileExistsError(
+        f"rebase of commit onto {path} lost the version race "
+        f"{max_hops} times"
+    )
+
+
 def _is_data_file(name: str) -> bool:
     """Data files are anything not hidden/metadata (``_SUCCESS``,
     ``.crc``, …) — the log hosts parquet tables and staged exports
@@ -565,8 +624,24 @@ def snapshot_write(
     member_hashes: int = 1,
     constraints: list[str] | None = None,
     validate: bool = True,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``cluster_by``: range-partition + sort the batch on these columns
+    before writing, so each data file covers a tight, near-disjoint
+    value range — the layout that makes ``stats_cols`` zone maps
+    actually prune (an unclustered write gives every file the full
+    [min, max] domain and pruning keeps everything). Same contract as
+    ``snapshot_compact(cluster_by=)``, applied on first write instead
+    of waiting for a maintenance pass; costs one range shuffle.
+    Typically paired with ``stats_cols`` on the same columns.
+    ``cluster_files``: explicit output file count for the clustered
+    write; default lets AQE size the shuffle from data volume (small
+    batches coalesce to few files — at scale that's the right call,
+    but a test or a known layout can pin the count; an explicit
+    repartition count is exempt from AQE coalescing).
 
     ``constraints``: SQL boolean expressions that must hold for every
     row (the Delta CHECK-constraint shape). Passing a list SETS the
@@ -623,6 +698,12 @@ def snapshot_write(
             effective = _read_manifest_raw(path, p).get("constraints")
     if effective and validate:
         _validate_constraints(df, effective, path)
+    if cluster_by:
+        df = (
+            df.repartitionByRange(cluster_files, *cluster_by)
+            if cluster_files
+            else df.repartitionByRange(*cluster_by)
+        ).sortWithinPartitions(*cluster_by)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
     df.write.mode("error").parquet(data_dir)
@@ -1038,6 +1119,13 @@ def read_snapshot_changes_feed(
             # both record their row-level effect exactly: vectors for
             # the removed positions, adds for the (updated) new rows
             chain.append(m)
+        elif m.get("cdf"):
+            # a COW rewrite that staged change files (record_cdf=True):
+            # the files carry the exact row-level effect — deleted
+            # pre-images and inserted rows — so the rewrite's adds
+            # (whole rewritten files, carried rows included) are NOT
+            # read; only the change records are.
+            chain.append(m)
         else:
             raise ValueError(
                 f"snapshot v{v} is an {m['operation']!r} commit the "
@@ -1050,6 +1138,21 @@ def read_snapshot_changes_feed(
     for m in reversed(chain):
         ver = m["version"]
         parts: list[DataFrame] = []
+        if m.get("cdf"):
+            cdf_files = [_abs_file(path, f) for f in m["cdf"]]
+            reader = spark.read
+            if "schema" in hi_raw:
+                from pyspark.sql.types import StringType, StructType
+
+                st = StructType.fromJson(hi_raw["schema"]).add(
+                    "_change_type", StringType(), False
+                )
+                reader = reader.schema(st)
+            part = reader.parquet(*cdf_files).withColumn(
+                "_commit_version", F.lit(ver)
+            )
+            out = part if out is None else out.unionByName(part)
+            continue  # the rewrite's adds are NOT row-level inserts
         if m.get("dv_adds"):
             dv_rel = sorted({d for ds in m["dv_adds"].values() for d in ds})
             dv_files = [_abs_file(path, d) for d in dv_rel]
@@ -1370,6 +1473,7 @@ def snapshot_rewrite_matching(
     operation: str = "rewrite_matching",
     protocol: str = "link",
     max_redo: int = 3,
+    record_cdf: bool = False,
 ) -> int:
     """Copy-on-write row rewrite SCOPED TO AFFECTED FILES: commit a
     new version where rows matching ``where`` (the same inclusive
@@ -1389,10 +1493,20 @@ def snapshot_rewrite_matching(
 
     Commit semantics: an OVERWRITE version validated against the
     version whose files were rewritten (``expected_parent``) — a
-    concurrent append cannot be dropped; on conflict the rewrite
-    redoes against the new latest up to ``max_redo`` times (the
-    :func:`snapshot_compact` retry shape). CDC ranges crossing it
-    raise by contract, as for any rewrite.
+    concurrent append cannot be dropped; a lost race against PURE
+    APPENDS rebases metadata-only (the staged rewrite republishes
+    against the new parent — no data re-read, the Iceberg/Delta
+    optimistic-concurrency resolution), while a non-commuting
+    interloper redoes the rewrite against the new latest up to
+    ``max_redo`` times (the :func:`snapshot_compact` retry shape).
+
+    ``record_cdf``: additionally stage row-level CHANGE FILES (the
+    matched pre-image rows as ``_change_type='delete'``, the
+    transformed rows as ``'insert'``) so
+    :func:`read_snapshot_changes_feed` can express this rewrite
+    row-level — without it, CDC ranges crossing the commit raise by
+    contract, as for any rewrite. Costs one extra O(matched rows)
+    write.
     """
     if max_redo < 1:
         raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
@@ -1416,7 +1530,8 @@ def snapshot_rewrite_matching(
         # RETIRES the affected files' vectors — the rewrite
         # materializes them)
         df_aff = _load_live(spark, affected, m, path)
-        replaced = transform(df_aff.filter(cond))
+        matched = df_aff.filter(cond)
+        replaced = transform(matched)
         if set(replaced.columns) != set(df_aff.columns):
             raise ValueError(
                 "transform changed the column set "
@@ -1436,9 +1551,19 @@ def snapshot_rewrite_matching(
         new_df = df_aff.filter(
             ~F.coalesce(cond, F.lit(False))
         ).unionByName(replaced)
+        cdf_df = None
+        if record_cdf:
+            cdf_df = matched.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                replaced.select(*matched.columns).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
         try:
             return _commit_partial_rewrite(
-                spark, path, v, m, affected, new_df, operation, protocol
+                spark, path, v, m, affected, new_df, operation, protocol,
+                cdf_df=cdf_df,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(
@@ -1629,6 +1754,7 @@ def _commit_partial_rewrite(
     new_df: DataFrame,
     kind: str,
     protocol: str,
+    cdf_df: DataFrame | None = None,
 ) -> int:
     """Stage ``new_df`` and publish version v+1 whose live set is
     (parent files − affected) + staged — the shared commit step of
@@ -1637,15 +1763,35 @@ def _commit_partial_rewrite(
     and ``adds`` (the staged files, with freshly computed stats/
     sketches over the same tracked column sets); carried files — and
     their recorded metadata — are never re-listed, so commit metadata
-    cost is O(touched files), not O(table files). Raises
-    FileExistsError on a lost version race (caller redoes against the
-    new latest)."""
+    cost is O(touched files), not O(table files).
+
+    ``cdf_df``: optional row-level change records (table columns +
+    ``_change_type``) staged under ``data/<txid>/cdf/`` and listed in
+    the manifest's ``cdf`` key — the Delta change-data-file shape that
+    lets :func:`read_snapshot_changes_feed` express this rewrite
+    row-level instead of raising. Change files are commit artifacts:
+    vacuum keeps them while their commit's manifest is retained.
+
+    A lost version race rebases metadata-only over pure concurrent
+    appends (:func:`_publish_or_rebase`); a non-commuting interloper
+    raises FileExistsError (caller redoes against the new latest)."""
     affected_rel = {_rel_file(path, f) for f in affected}
     n_untouched = len(m["files"]) - len(affected_rel)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
-    new_df.write.mode("error").parquet(data_dir)
-    staged = _data_files(data_dir)
+    cdf_rel: list[str] = []
+    if cdf_df is not None:
+        # rows and change records share the txid dir but must not mix:
+        # adds are listed from rows/ only
+        rows_dir = os.path.join(data_dir, "rows")
+        cdf_dir = os.path.join(data_dir, "cdf")
+        new_df.write.mode("error").parquet(rows_dir)
+        cdf_df.write.mode("error").parquet(cdf_dir)
+        staged = _data_files(rows_dir)
+        cdf_rel = [_rel_file(path, f) for f in _data_files(cdf_dir)]
+    else:
+        new_df.write.mode("error").parquet(data_dir)
+        staged = _data_files(data_dir)
     new_rel = [_rel_file(path, f) for f in staged]
     if not new_rel and not n_untouched:
         raise ValueError(
@@ -1674,7 +1820,10 @@ def _commit_partial_rewrite(
         add_membs = {
             _rel_file(path, f): s
             for f, s in collect_member_sketches(
-                spark, data_dir, mem_cols, bits=rb, hashes=rk
+                spark,
+                os.path.join(data_dir, "rows") if cdf_df is not None
+                else data_dir,
+                mem_cols, bits=rb, hashes=rk,
             ).items()
         }
     payload = {
@@ -1691,13 +1840,13 @@ def _commit_partial_rewrite(
             "rewritten_files": len(affected),
             "carried_files": n_untouched,
         },
+        **({"cdf": cdf_rel} if cdf_rel else {}),
         **({"stats": add_stats} if add_stats else {}),
         **({"members": add_membs} if add_membs else {}),
         **({"schema": m["schema"]} if "schema" in m else {}),
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
     }
-    _publish_manifest(path, v + 1, payload, protocol=protocol)
-    return v + 1
+    return _publish_or_rebase(path, payload, protocol)
 
 
 @normalizes_paths('path')
@@ -1707,12 +1856,14 @@ def snapshot_delete_where(
     where: list[tuple],
     protocol: str = "link",
     max_redo: int = 3,
+    record_cdf: bool = False,
 ) -> int:
     """DELETE rows matching ``where``, rewriting only the files that
     can contain them — see :func:`snapshot_rewrite_matching`."""
     return snapshot_rewrite_matching(
         spark, path, where, lambda df: df.limit(0),
         operation="delete_where", protocol=protocol, max_redo=max_redo,
+        record_cdf=record_cdf,
     )
 
 
@@ -1724,6 +1875,7 @@ def snapshot_update_where(
     set_exprs: dict,
     protocol: str = "link",
     max_redo: int = 3,
+    record_cdf: bool = False,
 ) -> int:
     """UPDATE rows matching ``where``: each ``set_exprs[col]`` (a
     Column or SQL string) replaces that column on matching rows only;
@@ -1740,7 +1892,102 @@ def snapshot_update_where(
     return snapshot_rewrite_matching(
         spark, path, where, _apply,
         operation="update_where", protocol=protocol, max_redo=max_redo,
+        record_cdf=record_cdf,
     )
+
+
+@normalizes_paths('path')
+def snapshot_replace_where(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    df: DataFrame,
+    protocol: str = "link",
+    max_redo: int = 3,
+    record_cdf: bool = False,
+) -> int:
+    """Atomically REPLACE a predicate region: ONE commit whose effect
+    is DELETE every row matching ``where`` ⊕ INSERT ``df`` — the Delta
+    ``replaceWhere`` overwrite shape, i.e. the idempotent
+    date-range/partition backfill primitive: rerunning the same job
+    replaces the same region again instead of duplicating it, and a
+    reader never observes the deleted-but-not-yet-reinserted state a
+    two-commit delete+append would expose.
+
+    The batch is VALIDATED to satisfy the predicate first (a row
+    outside the region would silently survive the next backfill's
+    delete — Delta's replaceWhere raises for exactly this reason);
+    table CHECK constraints apply to the batch (kept rows hold by
+    induction). Files the zone maps / member sketches prove unaffected
+    are carried untouched, so cost is O(affected files + batch bytes),
+    not O(table). ``record_cdf`` stages row-level change files
+    (deleted pre-images + inserted batch) so the change feed and IVM
+    fold the backfill incrementally. NULL-predicate rows in affected
+    files are kept (they don't match the region). Conflict handling as
+    :func:`snapshot_rewrite_matching`: metadata-only rebase over pure
+    appends, full redo otherwise, ``max_redo`` attempts."""
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    cond = _cond_from_where(where)
+    stray = df.filter(~F.coalesce(cond, F.lit(False))).limit(1)
+    if stray.count() > 0:
+        raise ValueError(
+            "replace_where batch contains rows NOT matching the "
+            f"predicate {where!r}; such rows would escape the region's "
+            "delete on the next backfill — filter the batch or widen "
+            "the predicate"
+        )
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"replace_where requires a parquet table; {path} is "
+                f"{m['format']!r}"
+            )
+        if "schema" in m:
+            table_cols = {f["name"] for f in m["schema"]["fields"]}
+            if set(df.columns) != table_cols:
+                raise ValueError(
+                    f"replace_where batch columns {sorted(df.columns)} != "
+                    f"table columns {sorted(table_cols)}; schema changes "
+                    "go through snapshot_write commits"
+                )
+        if m.get("constraints"):
+            _validate_constraints(df, m["constraints"], path)
+        affected, _total = prune_files(path, where, version=v)
+        deleted = None
+        if affected:
+            df_aff = _load_live(spark, affected, m, path)
+            deleted = df_aff.filter(cond)
+            new_df = df_aff.filter(
+                ~F.coalesce(cond, F.lit(False))
+            ).unionByName(df.select(*df_aff.columns))
+        else:
+            new_df = df  # nothing can match: the replace is an insert
+        cdf_df = None
+        if record_cdf:
+            cdf_df = df.withColumn("_change_type", F.lit("insert"))
+            if deleted is not None:
+                cdf_df = deleted.select(*df.columns).withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(cdf_df)
+        try:
+            return _commit_partial_rewrite(
+                spark, path, v, m, affected, new_df, "replace_where",
+                protocol, cdf_df=cdf_df,
+            )
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"replace_where on {path} expected parent v{v}, but a "
+                "non-commuting concurrent commit claimed the next "
+                "version; redoing against the new latest"
+            )
+            continue
+    raise last_err
 
 
 @normalizes_paths('path')
@@ -1849,13 +2096,14 @@ def snapshot_update_where_dv(
                if "constraints" in m else {}),
         }
         try:
-            _publish_manifest(path, v + 1, payload, protocol=protocol)
-            return v + 1
+            # a lost race against pure appends rebases metadata-only
+            # (the vectors + new rows are already staged)
+            return _publish_or_rebase(path, payload, protocol)
         except FileExistsError:
             last_err = SnapshotConflictError(
                 f"MOR update on {path} expected parent v{v}, but a "
-                "concurrent commit claimed the next version; redoing "
-                "against the new latest"
+                "non-commuting concurrent commit claimed the next "
+                "version; redoing against the new latest"
             )
             continue
     raise last_err
@@ -1957,13 +2205,15 @@ def snapshot_delete_where_dv(
                if "constraints" in m else {}),
         }
         try:
-            _publish_manifest(path, v + 1, payload, protocol=protocol)
-            return v + 1
+            # a lost race against pure appends rebases metadata-only
+            # (the vector files are already staged and their covered
+            # files are still live under a pure append)
+            return _publish_or_rebase(path, payload, protocol)
         except FileExistsError:
             last_err = SnapshotConflictError(
                 f"DV delete on {path} expected parent v{v}, but a "
-                "concurrent commit claimed the next version; redoing "
-                "against the new latest"
+                "non-commuting concurrent commit claimed the next "
+                "version; redoing against the new latest"
             )
             continue  # orphaned vector files are vacuum-swept
     raise last_err
@@ -2376,6 +2626,10 @@ def vacuum(
             os.path.abspath(_abs_file(path, d))
             for ds in oldest.get("dvs", {}).values() for d in ds
         )
+        live.update(
+            os.path.abspath(_abs_file(path, f))
+            for f in oldest.get("cdf", [])
+        )
         for v in keep[1:]:
             m = _read_manifest_raw(path, v)
             live.update(
@@ -2386,6 +2640,12 @@ def vacuum(
                 os.path.abspath(_abs_file(path, d))
                 for ds in m.get("dv_adds", m.get("dvs", {})).values()
                 for d in ds
+            )
+            # change files are commit artifacts: live while their
+            # commit's manifest is retained (the feed reads them)
+            live.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in m.get("cdf", [])
             )
     # Fold the expired manifests' caller metadata (commit markers such
     # as a streaming query's batch id) into the compacted commit log
@@ -2424,6 +2684,10 @@ def vacuum(
             os.path.abspath(_abs_file(path, d))
             for ds in m.get("dv_adds", m.get("dvs", {})).values()
             for d in ds
+        )
+        expired_refs.update(
+            os.path.abspath(_abs_file(path, f))
+            for f in m.get("cdf", [])
         )
     removed = 0
     if expired and keep:
@@ -2497,6 +2761,7 @@ __all__ = [
     "register_cas_publish",
     "snapshot_restore", "SnapshotConflictError", "prune_files",
     "SchemaEvolutionError", "snapshot_delete_where", "snapshot_update_where",
+    "snapshot_replace_where",
     "snapshot_delete_where_dv", "snapshot_update_where_dv",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",

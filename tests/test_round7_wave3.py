@@ -1,0 +1,406 @@
+"""Round-7 third wave: replaceWhere, COW change files (CDF), and
+metadata-only commit rebase over concurrent appends.
+
+Covers the three lakehouse semantics this wave added to the snapshot
+log:
+
+* ``snapshot_replace_where`` — the Delta ``replaceWhere`` shape: one
+  atomic commit whose effect is DELETE-the-region ⊕ INSERT-the-batch,
+  with the batch validated against the predicate;
+* ``record_cdf=True`` on copy-on-write rewrites — staged change files
+  make the rewrite row-level-expressible, so
+  ``read_snapshot_changes_feed`` (and therefore IVM) folds COW
+  deletes/updates instead of recomputing;
+* ``_publish_or_rebase`` — a rewrite/DV commit that loses the version
+  race to PURE APPENDS republishes its already-staged delta against
+  the new parent (Iceberg/Delta optimistic-concurrency resolution);
+  any non-commuting interloper still forces the full redo.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.pipeline import ivm
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _tbl(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _rows(spark, path, version=None):
+    return sorted(
+        tuple(r) for r in snap.read_snapshot(spark, path, version)
+        .select("k", "g", "v").collect()
+    )
+
+
+def _batch(spark, lo, hi, g=99, v=-1):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(g).cast("long").alias("g"),
+        F.lit(v).cast("long").alias("v"),
+    )
+
+
+# --- replace_where ---------------------------------------------------------
+
+
+def test_replace_where_replaces_region_atomically(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    v = snap.snapshot_replace_where(
+        spark, path, [("k", 20, 29)], _batch(spark, 20, 30)
+    )
+    got = _rows(spark, path)
+    assert len(got) == 100
+    region = [r for r in got if 20 <= r[0] <= 29]
+    assert region == [(k, 99, -1) for k in range(20, 30)]
+    # outside the region: untouched
+    assert [r for r in got if r[0] == 5] == [(5, 5, 10)]
+    # one commit, delta-manifest shaped, scoped to affected files
+    m = snap._read_manifest_raw(path, v)
+    assert m["rewrite"]["kind"] == "replace_where"
+    assert m["removes"] and m["adds"]
+
+
+def test_replace_where_is_idempotent_backfill(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    for _ in range(2):  # rerunning the job replaces, never duplicates
+        snap.snapshot_replace_where(
+            spark, path, [("k", 40, 49)], _batch(spark, 40, 50)
+        )
+    got = _rows(spark, path)
+    assert len(got) == 100
+    assert [r for r in got if 40 <= r[0] <= 49] == [
+        (k, 99, -1) for k in range(40, 50)
+    ]
+
+
+def test_replace_where_rejects_stray_batch_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path)
+    before = snap.latest_version(path)
+    with pytest.raises(ValueError, match="NOT matching the predicate"):
+        snap.snapshot_replace_where(
+            spark, path, [("k", 20, 29)], _batch(spark, 20, 31)
+        )
+    assert snap.latest_version(path) == before  # nothing committed
+
+
+def test_replace_where_batch_respects_constraints(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, constraints=["v >= -1"])
+    with pytest.raises(snap.ConstraintViolationError):
+        snap.snapshot_replace_where(
+            spark, path, [("k", 0, 9)], _batch(spark, 0, 10, v=-5)
+        )
+
+
+def test_replace_where_keeps_null_predicate_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    with_null = _tbl(spark, 10).unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) k, CAST(7 AS BIGINT) g, "
+                  "CAST(70 AS BIGINT) v")
+    )
+    snap.snapshot_write(with_null, path)
+    snap.snapshot_replace_where(
+        spark, path, [("k", 0, 4)], _batch(spark, 0, 5)
+    )
+    got = snap.read_snapshot(spark, path)
+    # the NULL-k row lives in an affected file but matches no region
+    assert got.filter(F.col("k").isNull()).count() == 1
+    assert got.count() == 11
+
+
+def test_replace_where_on_unmatched_region_is_insert(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 10), path, stats_cols=["k"])
+    snap.snapshot_replace_where(
+        spark, path, [("k", 1000, 1009)], _batch(spark, 1000, 1010)
+    )
+    assert len(_rows(spark, path)) == 20
+
+
+# --- COW change files (record_cdf) ----------------------------------------
+
+
+def test_cow_delete_with_cdf_feeds_row_level(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    v = snap.snapshot_delete_where(
+        spark, path, [("k", 10, 19)], record_cdf=True
+    )
+    feed = snap.read_snapshot_changes_feed(spark, path, v - 1, v)
+    rows = feed.select("k", "_change_type", "_commit_version").collect()
+    assert sorted(r.k for r in rows) == list(range(10, 20))
+    assert {r._change_type for r in rows} == {"delete"}
+    assert {r._commit_version for r in rows} == {v}
+
+
+def test_cow_update_with_cdf_is_delete_plus_insert(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    v = snap.snapshot_update_where(
+        spark, path, [("k", 30, 34)], {"v": F.col("v") * 10},
+        record_cdf=True,
+    )
+    feed = snap.read_snapshot_changes_feed(spark, path, v - 1, v)
+    by_type = {
+        (r._change_type, r.k): r.v
+        for r in feed.select("k", "v", "_change_type").collect()
+    }
+    for k in range(30, 35):
+        assert by_type[("delete", k)] == 2 * k      # pre-image
+        assert by_type[("insert", k)] == 20 * k     # post-image
+    assert len(by_type) == 10
+
+
+def test_cow_rewrite_without_cdf_still_raises(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path)
+    v = snap.snapshot_delete_where(spark, path, [("k", 0, 4)])
+    with pytest.raises(ValueError, match="change feed cannot express"):
+        snap.read_snapshot_changes_feed(spark, path, v - 1, v)
+
+
+def test_ivm_folds_cow_delete_through_cdf(spark, tmp_path, monkeypatch):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    snap.snapshot_write(_tbl(spark), src, stats_cols=["k"],
+                        cluster_by=["k"])
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"],
+                         avg_cols=["v"])
+    snap.snapshot_delete_where(spark, src, [("k", 50, 69)],
+                               record_cdf=True)
+    # the refresh must NOT rescan the source: fail the full-recompute
+    # path loudly if it is taken
+    real_read = snap.read_snapshot
+
+    def no_full_reads(spark_, path_, version=None, **kw):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            raise AssertionError(
+                "IVM recomputed from source; expected CDF fold"
+            )
+        return real_read(spark_, path_, version, **kw)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", no_full_reads)
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"],
+                         avg_cols=["v"])
+    monkeypatch.undo()
+    got = {
+        r.g: (r.n, r.sum_v, r.avg_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+    expect = {
+        r.g: (r.n, r.sum_v, r.avg_v)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_vacuum_cdf_liveness(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    v1 = snap.snapshot_delete_where(spark, path, [("k", 0, 9)],
+                                    record_cdf=True)
+    v2 = snap.snapshot_delete_where(spark, path, [("k", 90, 99)],
+                                    record_cdf=True)
+    cdf1 = [os.path.join(path, f)
+            for f in snap._read_manifest_raw(path, v1)["cdf"]]
+    cdf2 = [os.path.join(path, f)
+            for f in snap._read_manifest_raw(path, v2)["cdf"]]
+    assert all(os.path.exists(f) for f in cdf1 + cdf2)
+    # keep v1..v2: both commits retained -> both cdf sets live
+    snap.vacuum(path, keep_last=2, orphan_grace_s=0.0)
+    assert all(os.path.exists(f) for f in cdf1 + cdf2)
+    feed = snap.read_snapshot_changes_feed(spark, path, v1, v2)
+    assert feed.count() == 10
+    # expire v1's commit -> its change files are swept, v2's stay
+    snap.vacuum(path, keep_last=1, orphan_grace_s=0.0)
+    assert not any(os.path.exists(f) for f in cdf1)
+    assert all(os.path.exists(f) for f in cdf2)
+
+
+# --- metadata-only rebase over concurrent appends --------------------------
+
+
+def _inject_append_once(spark, path, monkeypatch, rows):
+    """Arrange for a concurrent append to land between a rewrite's
+    staging and its first publish attempt (the classic lost-race
+    window), exactly once."""
+    orig = snap._publish_manifest
+    state = {"fired": False}
+
+    def racy(p, version, payload, protocol="link"):
+        if not state["fired"] and (
+            payload.get("rewrite") or payload.get("dv_adds")
+        ):
+            state["fired"] = True
+            snap.snapshot_write(rows, path, mode="append")
+        return orig(p, version, payload, protocol=protocol)
+
+    monkeypatch.setattr(snap, "_publish_manifest", racy)
+    return state
+
+
+def test_cow_rewrite_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    base = snap.latest_version(path)
+    extra = _batch(spark, 1000, 1005, g=7, v=5)
+    state = _inject_append_once(spark, path, monkeypatch, extra)
+    v = snap.snapshot_delete_where(spark, path, [("k", 0, 4)])
+    assert state["fired"]
+    # append claimed base+1; the staged delete REBASED onto base+2
+    # (no second data write: the rebase is metadata-only)
+    assert v == base + 2
+    got = _rows(spark, path)
+    assert len(got) == 100 - 5 + 5
+    assert [r for r in got if r[0] >= 1000] == [
+        (k, 7, 5) for k in range(1000, 1005)
+    ]
+    assert not any(r[0] <= 4 for r in got)
+
+
+def test_dv_delete_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    base = snap.latest_version(path)
+    extra = _batch(spark, 1000, 1003, g=7, v=5)
+    state = _inject_append_once(spark, path, monkeypatch, extra)
+    v = snap.snapshot_delete_where_dv(spark, path, [("k", 10, 14)])
+    assert state["fired"] and v == base + 2
+    got = _rows(spark, path)
+    assert len(got) == 100 - 5 + 3
+    assert not any(10 <= r[0] <= 14 for r in got)
+    # the vectors still cover their (still-live) base files
+    info = snap.snapshot_table_info(path)
+    assert info["dv_files"] >= 1
+
+
+def test_rebase_refuses_non_commuting_interloper(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent REWRITE (non-append) must force the full redo
+    path, and the redo must produce the correct final state."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    orig = snap._publish_manifest
+    state = {"fired": False}
+
+    def racy(p, version, payload, protocol="link"):
+        if not state["fired"] and payload.get("rewrite", {}).get(
+            "kind"
+        ) == "delete_where":
+            state["fired"] = True
+            # interloper: a COMPACTION (overwrite) — removes files
+            snap.snapshot_compact(spark, path, target_file_mb=64)
+        return orig(p, version, payload, protocol=protocol)
+
+    monkeypatch.setattr(snap, "_publish_manifest", racy)
+    v = snap.snapshot_delete_where(spark, path, [("k", 0, 4)])
+    monkeypatch.undo()
+    assert state["fired"]
+    got = _rows(spark, path)
+    assert len(got) == 95 and not any(r[0] <= 4 for r in got)
+    # the winning commit is the redo'd delete, committed AFTER (and on
+    # top of) the interloping compaction
+    assert v == snap.latest_version(path)
+    kinds = [
+        snap._read_manifest_raw(path, vv).get("rewrite", {}).get("kind")
+        for vv in range(v + 1)
+    ]
+    assert kinds[v] == "delete_where"
+    assert any(
+        snap._read_manifest_raw(path, vv).get("compacted_from") is not None
+        for vv in range(v + 1)
+    )
+
+
+def test_rebase_refuses_schema_evolving_append(
+    spark, tmp_path, monkeypatch
+):
+    """An interloper append that EVOLVES the schema must not be
+    rebased over (the staged manifest carries the old schema and
+    would roll the evolution back for readers of the new version)."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    wide = _batch(spark, 1000, 1003, g=7, v=5).withColumn(
+        "extra", F.lit(1).cast("long")
+    )
+    state = _inject_append_once(spark, path, monkeypatch, wide)
+    v = snap.snapshot_delete_where(spark, path, [("k", 0, 4)])
+    monkeypatch.undo()
+    assert state["fired"]
+    got = snap.read_snapshot(spark, path)
+    assert "extra" in got.columns  # evolution survived the redo
+    assert got.count() == 98
+    assert got.filter(F.col("extra").isNotNull()).count() == 3
+    m = snap._read_manifest_raw(path, v)
+    names = {f["name"] for f in m["schema"]["fields"]}
+    assert "extra" in names
+
+
+def test_replace_where_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    base = snap.latest_version(path)
+    extra = _batch(spark, 1000, 1002, g=7, v=5)
+    state = _inject_append_once(spark, path, monkeypatch, extra)
+    v = snap.snapshot_replace_where(
+        spark, path, [("k", 20, 29)], _batch(spark, 20, 30)
+    )
+    assert state["fired"] and v == base + 2
+    got = _rows(spark, path)
+    assert len(got) == 102
+    assert [r for r in got if 20 <= r[0] <= 29] == [
+        (k, 99, -1) for k in range(20, 30)
+    ]
+
+
+# --- clustered first write -------------------------------------------------
+
+
+def test_snapshot_write_cluster_by_enables_pruning(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # 8 range-clustered files over k: a narrow k-interval must prune
+    # most of them at planning time
+    df = spark.range(10_000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 7).alias("v"))
+    snap.snapshot_write(
+        df, path, stats_cols=["k"], cluster_by=["k"], cluster_files=8,
+    )
+    kept, total = snap.prune_files(path, [("k", 100, 120)])
+    assert total >= 4
+    assert len(kept) <= max(1, total // 4)
+    got = snap.read_snapshot(spark, path, where=[("k", 100, 120)])
+    assert got.count() == 21
