@@ -5180,6 +5180,108 @@ def q_ivm_cdf_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- replaceWhere: atomic predicate-region backfill --------------------------------
+
+@_q("snapshot_replace_backfill_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+                      AND ts <= TIMESTAMP '2024-01-13 00:00:00'
+                     THEN CAST(round(value * 2 * 100) AS BIGINT)
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_snapshot_replace_backfill_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Atomic replaceWhere backfill end-to-end: commit events
+    time-clustered with zone maps, then ``snapshot_replace_where`` a
+    3-day window with corrected (doubled) readings — ONE commit whose
+    effect is delete-the-region ⊕ insert-the-batch (the Delta
+    ``replaceWhere`` shape), scoped by pruning to the files that can
+    hold the window. Rerunning the same backfill would replace, not
+    duplicate. The oracle recomputes the post-backfill state from the
+    raw table; the digest proves the region swap is exact and
+    everything outside the window is byte-identical."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="snap_rw_")
+    snap.snapshot_write(
+        ev, path, stats_cols=["ts"], cluster_by=["ts"], cluster_files=8,
+    )
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)
+    corrected = ev.filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    ).withColumn("value", F.col("value") * 2)
+    snap.snapshot_replace_where(
+        spark, path, [("ts", lo, hi)], corrected, record_cdf=True,
+    )
+    final = snap.read_snapshot(spark, path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
+@_q("ivm_replace_where_agg", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_id >= 1000 AND event_id <= 4999
+                     THEN 3 * CAST(round(value * 100) AS BIGINT)
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS sum_vc
+FROM events
+GROUP BY event_type
+""")
+def q_ivm_replace_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM through a BACKFILL without recomputing (round 7 third
+    wave): the source chain is append ⊕ append ⊕
+    ``snapshot_replace_where(record_cdf=True)`` — the backfill's
+    staged change files (deleted pre-images + inserted corrections)
+    make the copy-on-write commit row-level expressible, so the
+    refresh folds it as signed contributions instead of rescanning
+    the source. The oracle recomputes the post-backfill aggregate
+    from scratch: the hash match proves view ⊕ feed ≡ recompute
+    across a rewrite commit, the case the plain file-set CDC refuses
+    by contract."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_rw_src_")
+    view = tempfile.mkdtemp(prefix="ivm_rw_view_") + "/v"
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartitionByRange(4, "event_id"),
+        src, stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], sum_cols=["vc"])
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartitionByRange(4, "event_id"),
+        src, mode="append", stats_cols=["event_id"],
+    )
+    corrected = ev.filter(
+        (F.col("event_id") >= 1000) & (F.col("event_id") <= 4999)
+    ).withColumn("vc", F.col("vc") * 3)
+    snap.snapshot_replace_where(
+        spark, src, [("event_id", 1000, 4999)], corrected, record_cdf=True,
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], sum_cols=["vc"])
+    return ivm.read_view(spark, view).select(
+        "event_type", "n", F.col("sum_vc").cast("long").alias("sum_vc")
+    )
+
+
 # --- HyperLogLog: portable integer-exact registers + merge ------------------------
 
 _HLL_ORACLE_BODY = """
