@@ -2420,6 +2420,7 @@ def snapshot_merge_into(
     key: str,
     protocol: str = "link",
     max_redo: int = 3,
+    record_cdf: bool = False,
 ) -> int:
     """MERGE (keyed upsert) into a snapshot table, REWRITING ONLY the
     files that can contain a source key: rows whose ``key`` appears
@@ -2437,8 +2438,11 @@ def snapshot_merge_into(
     conservatively rewritten (correct, just not surgical).
 
     Commit semantics mirror :func:`snapshot_rewrite_matching`:
-    expected-parent-validated overwrite, conflict redoes up to
-    ``max_redo``; table constraints validate the SOURCE rows only.
+    expected-parent-validated overwrite, metadata-only rebase over
+    pure concurrent appends, conflict redoes up to ``max_redo``;
+    table constraints validate the SOURCE rows only. ``record_cdf``
+    stages change files (replaced pre-images as deletes, every source
+    row as an insert) so the change feed and IVM fold the upsert.
     """
     from pyspark.sql import functions as F
 
@@ -2518,6 +2522,7 @@ def snapshot_merge_into(
                 f"columns {sorted(table_cols)}; align the source first "
                 "(schema changes go through snapshot_write)"
             )
+        replaced_pre = None
         if not affected:
             # no file can hold a source key: pure insert
             new_df = source
@@ -2529,13 +2534,26 @@ def snapshot_merge_into(
                     f"columns {sorted(df_aff.columns)}; align the source "
                     "first (schema changes go through snapshot_write)"
                 )
-            kept = df_aff.join(
-                source.select(F.col(key)).distinct(), on=key, how="left_anti"
-            )
+            src_key_set = source.select(F.col(key)).distinct()
+            kept = df_aff.join(src_key_set, on=key, how="left_anti")
             new_df = kept.unionByName(source)
+            if record_cdf:
+                replaced_pre = df_aff.join(
+                    src_key_set, on=key, how="left_semi"
+                )
+        cdf_df = None
+        if record_cdf:
+            # an upsert of a NEW key reads as a bare insert; an updated
+            # key as delete(pre-image) ⊕ insert(source row)
+            cdf_df = source.withColumn("_change_type", F.lit("insert"))
+            if replaced_pre is not None:
+                cdf_df = replaced_pre.select(*source.columns).withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(cdf_df)
         try:
             return _commit_partial_rewrite(
-                spark, path, v, m, affected, new_df, "merge_into", protocol
+                spark, path, v, m, affected, new_df, "merge_into", protocol,
+                cdf_df=cdf_df,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(

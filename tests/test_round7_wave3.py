@@ -387,6 +387,50 @@ def test_replace_where_rebases_over_concurrent_append(
     ]
 
 
+def test_merge_into_with_cdf_folds_in_ivm(spark, tmp_path, monkeypatch):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    snap.snapshot_write(_tbl(spark), src, member_cols=["k"])
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"])
+    # upsert: keys 5..9 updated (v*100), keys 200..204 inserted
+    upd = spark.range(5, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"),
+        (F.col("id") * 200).alias("v"),
+    )
+    ins = spark.range(200, 205).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    v = snap.snapshot_merge_into(
+        spark, src, upd.unionByName(ins), key="k", record_cdf=True
+    )
+    feed = snap.read_snapshot_changes_feed(spark, src, v - 1, v)
+    by_type = {
+        r[0]: r[1]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {"delete": 5, "insert": 10}
+    real_read = snap.read_snapshot
+
+    def no_full_reads(spark_, path_, version=None, **kw):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            raise AssertionError("IVM recomputed; expected CDF fold")
+        return real_read(spark_, path_, version, **kw)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", no_full_reads)
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"])
+    monkeypatch.undo()
+    got = {r.g: (r.n, r.sum_v)
+           for r in ivm.read_view(spark, view).collect()}
+    expect = {
+        r.g: (r.n, r.sum_v)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v")
+        ).collect()
+    }
+    assert got == expect
+
+
 # --- clustered first write -------------------------------------------------
 
 
