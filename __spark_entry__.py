@@ -5507,6 +5507,88 @@ def q_snapshot_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_change_stream_digest", """
+WITH changes AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc, 1 AS sign
+  FROM events WHERE event_id % 2 = 1
+  UNION ALL
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc, -1 AS sign
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-07 00:00:00'
+)
+SELECT COUNT(*) AS n_changes,
+       CAST(SUM(sign * vc) AS BIGINT) AS signed_vc,
+       bit_xor(event_id) AS id_xor
+FROM changes
+""")
+def q_snapshot_change_stream_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING change feed (the Delta ``readChangeFeed`` stream
+    shape, round 7 third wave): a snapshot table takes an append and
+    then a deletion-vector delete; the registered ``snapshot_table``
+    source with ``read_changes=true`` tails both commits ROW-LEVEL —
+    the append as inserts, the DV commit's deleted rows recovered
+    executor-side by position-taking each covered file — and lands
+    them (with ``_change_type``/``_commit_version``) in a second
+    snapshot table through the exactly-once append sink. The oracle
+    reconstructs the same change set relationally from the raw
+    events; the signed digest proves a downstream incremental
+    consumer can follow deletes without ever rescanning the source."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources.snapstream import (
+        SnapshotTableDataSource,
+    )
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", _cents("value").alias("vc")
+    )
+    base = tempfile.mkdtemp()
+    src = base + "/src"
+    dst = base + "/dst"
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        src, stats_cols=["ts"],
+    )                                                     # v0 (pre-stream)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
+    )                                                     # v1: inserts
+    snap.snapshot_delete_where_dv(
+        spark, src,
+        [("ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 7))],
+    )                                                     # v2: deletes
+    stream = (
+        spark.readStream.format("snapshot_table").option("path", src)
+        .option("read_changes", "true").option("starting_version", "0")
+        .load()
+    )
+    q = start_snapshot_append_sink(
+        stream, dst, base + "/ck", available_now=True
+    )
+    q.awaitTermination(180)
+    changes = snap.read_snapshot(spark, dst)
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    return changes.agg(
+        F.count("*").alias("n_changes"),
+        F.sum(sign * F.col("vc")).cast("long").alias("signed_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- merge-on-read deletes (deletion vectors) --------------------------------------
 
 @_q("snapshot_delete_dv_digest", """

@@ -20,13 +20,24 @@ Mechanics:
   the parquet with pyarrow, yielding Arrow record batches — the data
   never funnels through the driver (the ``SimpleDataSourceStreamReader``
   prefetch path would).
-* **Rewrites.** A non-append commit (overwrite, compaction, row-level
-  rewrite, DV delete) cannot stream as inserts. Default: the stream
-  FAILS with a clear error (the Delta contract without
-  ``ignoreChanges``). ``option("skip_rewrites", "true")`` instead
-  skips those versions' file changes — consumers accept eventual
-  re-materialization semantics (compactions don't re-emit rows, but
-  deletes are not propagated either).
+* **Change-feed mode** (``option("read_changes", "true")``): the
+  stream emits ROW-LEVEL changes with ``_change_type`` /
+  ``_commit_version`` columns appended — the Delta
+  ``readChangeFeed`` streaming shape. Appends stream as inserts;
+  deletion-vector commits stream their deleted rows (each covered
+  file's positions are taken executor-side, full row content
+  recovered); merge-on-read updates stream as delete ⊕ insert; COW
+  rewrites committed with ``record_cdf=True`` stream their staged
+  change files verbatim. A downstream incremental consumer (signed
+  aggregate, index maintainer) therefore follows deletes and updates
+  without ever rescanning the source table.
+* **Rewrites.** A non-append commit the stream cannot express
+  (overwrite, compaction, COW rewrite without change files — or any
+  of them in plain insert-only mode) FAILS the stream with a clear
+  error (the Delta contract without ``ignoreChanges``).
+  ``option("skip_rewrites", "true")`` instead skips those versions'
+  file changes — consumers accept eventual re-materialization
+  semantics.
 * **Exactly-once.** Offsets live in the query checkpoint; a replayed
   batch re-reads the same immutable files. Vacuum caveat: keep the
   stream's lag within the table's retention window.
@@ -39,22 +50,32 @@ path, expressed as a first-class Spark streaming relation.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructType
 
 from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+#: Change-feed column names — identical to the batch
+#: ``read_snapshot_changes_feed`` so consumers share code.
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
 
 
 @dataclass
 class SnapshotFilePartition(InputPartition):
     file: str
-    schema_json: str  # StructType JSON — rebuilt executor-side
+    schema_json: str  # TABLE StructType JSON — rebuilt executor-side
+    #: change-feed fields; kind stays "plain" outside change mode
+    kind: str = "plain"  # plain | insert | delete | cdf
+    version: int = -1
+    rel: str = ""  # table-root-relative path (DV position filtering)
+    dv_files: list = field(default_factory=list)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -63,6 +84,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
+        )
+        self.read_changes = (
+            str(options.get("read_changes", "false")).lower() == "true"
         )
         start = options.get("starting_version")
         #: None = initial-snapshot mode (first batch streams the whole
@@ -81,9 +105,34 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return self.initialOffset()
         return {"version": v}
 
+    def _table_schema_json(self) -> str:
+        """The TABLE schema (change columns excluded) — what data
+        files align to executor-side."""
+        if not self.read_changes:
+            return self.schema.json()
+        base = StructType(
+            [
+                f for f in self.schema.fields
+                if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+            ]
+        )
+        return base.json()
+
     def partitions(self, start: dict, end: dict):
         hi = end["version"]
-        schema_json = self.schema.json()
+        schema_json = self._table_schema_json()
+        out: list[SnapshotFilePartition] = []
+
+        def _insert_parts(files, ver):
+            kind = "insert" if self.read_changes else "plain"
+            out.extend(
+                SnapshotFilePartition(
+                    snap._abs_file(self.path, f), schema_json,
+                    kind=kind, version=ver,
+                )
+                for f in files
+            )
+
         if start.get("snapshot"):
             # initial snapshot: the table's RESOLVED state at `hi`
             # streams as inserts (existing rows count as new data —
@@ -96,37 +145,68 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "deleted rows — run snapshot_compact first to "
                     "materialize them"
                 )
-            files = list(m["files"])
-        else:
-            lo = start["version"]
-            files = []
-            v = hi
-            while v is not None and v > lo:
-                m = snap._read_manifest_raw(self.path, v)
-                if m["operation"] == "append" and "adds" in m and not m.get(
-                    "removes"
-                ):
-                    files.extend(m["adds"])
-                elif m["operation"] == "append" and "files" in m:
-                    pass  # metadata-only append (stats backfill)
-                elif self.skip_rewrites:
-                    # a rewrite's adds are REWRITTEN old rows, not new
-                    # data — skipping the whole version is the only
-                    # consistent reading under skip_rewrites
-                    pass
-                else:
-                    raise ValueError(
-                        f"snapshot v{v} of {self.path} is an "
-                        f"{m['operation']!r} commit; a stream cannot "
-                        "express it as inserts — restart from a fresh "
-                        "checkpoint (full refresh) or set "
-                        "option('skip_rewrites', 'true')"
+            _insert_parts(list(m["files"]), hi)
+            return out
+        lo = start["version"]
+        v = hi
+        while v is not None and v > lo:
+            m = snap._read_manifest_raw(self.path, v)
+            kind = m.get("rewrite", {}).get("kind")
+            if m["operation"] == "append" and "adds" in m and not m.get(
+                "removes"
+            ):
+                _insert_parts(m["adds"], v)
+            elif m["operation"] == "append" and "files" in m:
+                pass  # metadata-only append (stats backfill)
+            elif self.read_changes and kind in (
+                "delete_where_dv", "update_where_mor"
+            ):
+                # row-level expressible: each covered file's deleted
+                # positions recover full row content executor-side;
+                # an MOR update's adds stream as the post-image inserts
+                dv_rel = sorted(
+                    {d for ds in m["dv_adds"].values() for d in ds}
+                )
+                dv_abs = [snap._abs_file(self.path, d) for d in dv_rel]
+                out.extend(
+                    SnapshotFilePartition(
+                        snap._abs_file(self.path, f), schema_json,
+                        kind="delete", version=v, rel=f, dv_files=dv_abs,
                     )
-                v = m["parent"]
-        return [
-            SnapshotFilePartition(snap._abs_file(self.path, f), schema_json)
-            for f in files
-        ]
+                    for f in m["dv_adds"]
+                )
+                _insert_parts(m.get("adds", []), v)
+            elif self.read_changes and m.get("cdf"):
+                # a COW rewrite that staged change files: stream them
+                # verbatim (the rewrite's adds are NOT inserts — they
+                # contain carried rows)
+                out.extend(
+                    SnapshotFilePartition(
+                        snap._abs_file(self.path, f), schema_json,
+                        kind="cdf", version=v,
+                    )
+                    for f in m["cdf"]
+                )
+            elif self.skip_rewrites:
+                # a rewrite's adds are REWRITTEN old rows, not new
+                # data — skipping the whole version is the only
+                # consistent reading under skip_rewrites
+                pass
+            else:
+                hint = (
+                    "set option('skip_rewrites', 'true')"
+                    if not self.read_changes
+                    else "commit rewrites with record_cdf=True or set "
+                    "option('skip_rewrites', 'true')"
+                )
+                raise ValueError(
+                    f"snapshot v{v} of {self.path} is an "
+                    f"{m['operation']!r} commit; the stream cannot "
+                    f"express it — restart from a fresh checkpoint "
+                    f"(full refresh) or {hint}"
+                )
+            v = m["parent"]
+        return out
 
     def read(self, partition: SnapshotFilePartition):
         import json
@@ -138,6 +218,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         declared = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.file)
+        if partition.kind == "delete":
+            # positions of THIS file's deleted rows, from its vectors
+            import pyarrow.compute as pc
+
+            dv = pq.read_table(
+                partition.dv_files, columns=["file", "pos"]
+            )
+            pos = dv.filter(
+                pc.equal(dv.column("file"), partition.rel)
+            ).column("pos").to_pylist()
+            tbl = tbl.take(sorted(set(pos)))
         names = set(tbl.schema.names)
         # project/align to the table schema: files from before an
         # add-column commit yield TYPED nulls for the new column
@@ -149,9 +240,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 arrays.append(
                     pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
                 )
-        yield from pa.table(
-            dict(zip([f.name for f in declared.fields], arrays))
-        ).to_batches()
+        out_names = [f.name for f in declared.fields]
+        if partition.kind != "plain":
+            n = len(tbl)
+            if partition.kind == "cdf":
+                # change files carry their own _change_type
+                ct = tbl.column(CHANGE_TYPE_COL)
+            else:
+                label = "delete" if partition.kind == "delete" else "insert"
+                ct = pa.array([label] * n, type=pa.string())
+            arrays.append(ct)
+            arrays.append(
+                pa.array([partition.version] * n, type=pa.int64())
+            )
+            out_names = out_names + [CHANGE_TYPE_COL, COMMIT_VERSION_COL]
+        yield from pa.table(dict(zip(out_names, arrays))).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are version numbers; nothing to clean up
@@ -159,7 +262,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
 class SnapshotTableDataSource(DataSource):
     """``spark.dataSource.register(SnapshotTableDataSource)`` then
-    ``spark.readStream.format("snapshot_table").option("path", p)``."""
+    ``spark.readStream.format("snapshot_table").option("path", p)``.
+    With ``option("read_changes", "true")`` the relation carries the
+    two extra change-feed columns."""
 
     @classmethod
     def name(cls) -> str:
@@ -177,7 +282,12 @@ class SnapshotTableDataSource(DataSource):
                 "requires schema-tracked tables (snapshot_write does "
                 "this automatically)"
             )
-        return StructType.fromJson(m["schema"])
+        st = StructType.fromJson(m["schema"])
+        if str(self.options.get("read_changes", "false")).lower() == "true":
+            st = st.add(CHANGE_TYPE_COL, StringType(), False).add(
+                COMMIT_VERSION_COL, LongType(), False
+            )
+        return st
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(

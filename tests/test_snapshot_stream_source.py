@@ -140,3 +140,66 @@ def test_table_to_table_chain(registered, tmp_path):
     out = snap.read_snapshot(spark, dst)
     assert out.count() == 350
     assert out.agg(F.sum("v2")).first()[0] == 2 * sum(range(350))
+
+
+# --- change-feed mode (round 7 third wave) ----------------------------------
+
+
+def test_change_stream_initial_snapshot_then_appends(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 50, "overwrite")
+    _write(spark, path, 50, 80, "append")
+    got = _drain(spark, path, "cdfstream_init", read_changes="true")
+    rows = got.collect()
+    assert sorted(r.v for r in rows) == list(range(80))
+    assert {r._change_type for r in rows} == {"insert"}
+    # initial snapshot stamps the resolved version
+    assert {r._commit_version for r in rows} == {1}
+
+
+def test_change_stream_expresses_dv_mor_and_cdf_commits(
+    registered, tmp_path
+):
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 100, "overwrite")          # v0
+    snap.snapshot_delete_where_dv(spark, path, [("v", 10, 14)])   # v1
+    snap.snapshot_update_where_dv(                      # v2
+        spark, path, [("v", 20, 24)], {"g": F.lit(99).cast("long")}
+    )
+    snap.snapshot_delete_where(                         # v3 (COW + cdf)
+        spark, path, [("v", 30, 34)], record_cdf=True
+    )
+    got = _drain(
+        spark, path, "cdfstream_ops",
+        read_changes="true", starting_version="0",
+    )
+    rows = got.collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r._commit_version, r._change_type), []).append(r)
+    assert sorted(r.v for r in by[(1, "delete")]) == list(range(10, 15))
+    assert sorted(r.v for r in by[(2, "delete")]) == list(range(20, 25))
+    ins2 = by[(2, "insert")]
+    assert sorted(r.v for r in ins2) == list(range(20, 25))
+    assert {r.g for r in ins2} == {99}                 # post-image
+    assert sorted(r.v for r in by[(3, "delete")]) == list(range(30, 35))
+    assert (3, "insert") not in by                     # delete-only cdf
+    assert len(rows) == 5 + 10 + 5
+    # a signed fold of the change stream reproduces the live state
+    live = snap.read_snapshot(spark, path).count()
+    signed = sum(1 if r._change_type == "insert" else -1 for r in rows)
+    assert 100 + signed == live  # v2's 5+5 cancel; 10 net deletes
+
+
+def test_change_stream_strict_on_cow_without_cdf(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 50, "overwrite")
+    snap.snapshot_delete_where(spark, path, [("v", 0, 4)])  # no cdf
+    with pytest.raises(Exception, match="record_cdf|cannot express"):
+        _drain(
+            spark, path, "cdfstream_strict",
+            read_changes="true", starting_version="0",
+        )
