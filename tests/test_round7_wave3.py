@@ -431,6 +431,25 @@ def test_merge_into_with_cdf_folds_in_ivm(spark, tmp_path, monkeypatch):
     assert got == expect
 
 
+def test_cdf_feed_scans_only_change_files(spark, tmp_path):
+    """Plan-level pin: a feed over a record_cdf rewrite reads the
+    staged change files and NOTHING else — not the rewrite's adds
+    (which contain carried rows), not the table's data files."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark), path, stats_cols=["k"],
+                        cluster_by=["k"])
+    v = snap.snapshot_update_where(
+        spark, path, [("k", 10, 19)], {"v": F.col("v") + 1},
+        record_cdf=True,
+    )
+    m = snap._read_manifest_raw(path, v)
+    cdf_abs = {os.path.abspath(os.path.join(path, f)) for f in m["cdf"]}
+    feed = snap.read_snapshot_changes_feed(spark, path, v - 1, v)
+    scanned = {os.path.abspath(f.replace("file:", ""))
+               for f in feed.inputFiles()}
+    assert scanned == cdf_abs
+
+
 # --- clustered first write -------------------------------------------------
 
 
