@@ -5282,6 +5282,55 @@ def q_ivm_replace_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ivm_minmax_mor_fold_agg", """
+WITH t AS (
+  SELECT event_type,
+         CASE WHEN event_id >= 2000 AND event_id <= 2999
+              THEN CAST(round(value * 100) AS BIGINT) + 500
+              ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(vc) AS BIGINT) AS sum_vc,
+       MIN(vc) AS min_vc, MAX(vc) AS max_vc
+FROM t GROUP BY event_type
+""")
+def q_ivm_minmax_mor_fold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX views through an UPDATE (round 7 third wave): the
+    source takes a merge-on-read update (delete ⊕ insert in the
+    change feed); the refresh folds it when no deleted pre-image sits
+    at its group's combined extremum (checked exactly —
+    ``_deletes_touch_extrema``) and recomputes only on a potential
+    eviction, so MIN/MAX views ride the same O(|changes| + |view|)
+    fast path as COUNT/SUM for interior changes. The oracle
+    recomputes the post-update aggregate from the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_mm_src_")
+    view = tempfile.mkdtemp(prefix="ivm_mm_view_") + "/v"
+    kw = dict(sum_cols=["vc"], min_cols=["vc"], max_cols=["vc"])
+    snap.snapshot_write(
+        ev.repartitionByRange(4, "event_id"), src, stats_cols=["event_id"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    snap.snapshot_update_where_dv(
+        spark, src, [("event_id", 2000, 2999)],
+        {"vc": F.col("vc") + 500},
+    )
+    ivm.refresh_agg_view(spark, src, view, ["event_type"], **kw)
+    return ivm.read_view(spark, view).select(
+        "event_type", "n",
+        F.col("sum_vc").cast("long").alias("sum_vc"),
+        F.col("min_vc").cast("long").alias("min_vc"),
+        F.col("max_vc").cast("long").alias("max_vc"),
+    )
+
+
 # --- HyperLogLog: portable integer-exact registers + merge ------------------------
 
 _HLL_ORACLE_BODY = """

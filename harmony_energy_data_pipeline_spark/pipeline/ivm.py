@@ -13,13 +13,17 @@ O(|delta| + |view|) regardless of how large the source table has
 grown — the property that matters at 100 TB, where the view is
 typically orders of magnitude smaller than the fact table.
 
-MIN/MAX caveat (the standard one): an insert can only tighten an
-extremum, so the fast path merges with least/greatest; a DELETION can
-evict the current extremum, which no stored aggregate can repair
-without rescanning the group. Every deletion in this log arrives as a
-non-append commit (overwrite / row-level rewrite / DV delete), which
-the CDC read REFUSES by contract — the refresh then falls back to a
-full recompute, so correctness never depends on the fast path.
+MIN/MAX caveat (the standard one), refined: an insert can only
+tighten an extremum, so the fast path merges with least/greatest; a
+DELETION can evict the current extremum, which no stored aggregate
+can repair without rescanning the group. When the commit range is
+row-level expressible (change feed), the refresh CHECKS whether any
+deleted value sits at its group's combined extremum
+(:func:`_deletes_touch_extrema`): if none does — the common case,
+deletes landing strictly inside the extrema — MIN/MAX fold exactly
+like COUNT/SUM; only an actual potential eviction (or a
+feed-inexpressible rewrite) falls back to the full recompute, so
+correctness never depends on the fast path.
 
 AVG is derived, not merged: the view stores (n, sum) and finalizes
 ``avg_<c> = sum_<c> / n`` after each merge — exact under re-derivation
@@ -87,6 +91,91 @@ def _aggregate_signed(feed: DataFrame, keys: list[str], sum_cols) -> DataFrame:
             for c in sum_cols
         ],
     )
+
+
+def _aggregate_signed_minmax(
+    feed: DataFrame, keys: list[str], sum_cols, min_cols, max_cols
+) -> DataFrame:
+    """Signed COUNT/SUM partials plus INSERT-ONLY min/max partials in
+    one aggregate — valid precisely when :func:`_deletes_touch_extrema`
+    said no deleted value can evict a stored extremum: inserts then
+    only TIGHTEN, and ``_merge``'s least/greatest (both null-skipping)
+    does the rest. Delete rows contribute NULL to the extrema columns,
+    which min/max ignore."""
+    sign = F.when(
+        F.col("_change_type") == "delete", F.lit(-1)
+    ).otherwise(F.lit(1))
+    is_ins = F.col("_change_type") != "delete"
+    return feed.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        *[F.sum(sign * F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(F.when(is_ins, F.col(c))).alias(f"min_{c}")
+          for c in min_cols],
+        *[F.max(F.when(is_ins, F.col(c))).alias(f"max_{c}")
+          for c in max_cols],
+    )
+
+
+def _deletes_touch_extrema(
+    feed: DataFrame, old: DataFrame, keys: list[str], min_cols, max_cols
+) -> bool:
+    """Does ANY deleted row's value sit at (or beyond) its group's
+    extremum? If not, the delete provably cannot evict a MIN/MAX and
+    the whole delta folds without rescanning the source — the common
+    case (deletes land strictly inside the extrema).
+
+    The comparison bound is the COMBINED extremum of the stored view
+    and the window's own inserts: a row inserted and then deleted
+    within one refresh window can be that window's extremum while the
+    group is absent from (or looser in) the stored view — comparing
+    against the view alone would miss the eviction. Equality counts
+    as danger (the deleted row may be the unique achiever; a
+    surviving tie just makes the recompute a no-op). NULL deleted
+    values never endanger an extremum (min/max ignore NULLs); NULL
+    keys join null-safely to match the grouping semantics.
+
+    Cost: one aggregate over the window's inserts + one
+    broadcast-sized join of the delete rows, short-circuit count."""
+    dels = feed.filter(F.col("_change_type") == "delete")
+    ins_ext = (
+        feed.filter(F.col("_change_type") != "delete")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        )
+    )
+    o, i = old.alias("o"), ins_ext.alias("i")
+    jc = F.lit(True)
+    for k in keys:
+        jc = jc & F.col(f"o.{k}").eqNullSafe(F.col(f"i.{k}"))
+    combined = o.join(i, jc, "full").select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"i.{k}")).alias(k)
+            for k in keys
+        ],
+        # least/greatest skip the missing side's NULLs
+        *[
+            F.least(F.col(f"o.min_{c}"), F.col(f"i.min_{c}"))
+            .alias(f"min_{c}")
+            for c in min_cols
+        ],
+        *[
+            F.greatest(F.col(f"o.max_{c}"), F.col(f"i.max_{c}"))
+            .alias(f"max_{c}")
+            for c in max_cols
+        ],
+    )
+    d, b = dels.alias("d"), combined.alias("b")
+    jc2 = F.lit(True)
+    for k in keys:
+        jc2 = jc2 & F.col(f"d.{k}").eqNullSafe(F.col(f"b.{k}"))
+    danger = F.lit(False)
+    for c in min_cols:
+        danger = danger | (F.col(f"d.{c}") <= F.col(f"b.min_{c}"))
+    for c in max_cols:
+        danger = danger | (F.col(f"d.{c}") >= F.col(f"b.max_{c}"))
+    return d.join(b, jc2, "inner").filter(danger).limit(1).count() > 0
 
 
 def _merge(
@@ -223,32 +312,25 @@ def _refresh(
         try:
             delta = snap.read_snapshot_changes(spark, source_path, last, cur)
         except ValueError:
-            # non-append commit in range. A DELETION-VECTOR delete is
-            # still row-level expressible: the change feed recovers
-            # the deleted rows, and COUNT/SUM/AVG views fold them as
-            # SIGNED contributions — no recompute. MIN/MAX views (an
-            # evicted extremum needs a rescan) and feed-inexpressible
-            # rewrites (COW, compaction, merge) recompute as before.
+            # non-append commit in range. A DELETION-VECTOR delete /
+            # MOR update / CDF-recorded rewrite is still row-level
+            # expressible: the change feed recovers the changed rows,
+            # and COUNT/SUM/AVG views fold them as SIGNED
+            # contributions — no recompute. MIN/MAX views fold too
+            # UNLESS a deleted value sits at a stored extremum (the
+            # eviction case no stored aggregate can repair — checked
+            # per spec below); feed-inexpressible rewrites (COW
+            # without change files, compaction) recompute as before.
             delta = None
-            foldable = [
-                s for s in group
-                if not (s.get("min_cols") or s.get("max_cols"))
-            ]
-            if foldable:
-                try:
-                    feed = snap.read_snapshot_changes_feed(
-                        spark, source_path, last, cur
-                    )
-                except ValueError:
-                    feed = None
+            try:
+                feed = snap.read_snapshot_changes_feed(
+                    spark, source_path, last, cur
+                )
+            except ValueError:
+                feed = None
             if feed is None:
                 full_group.extend(group)
                 continue
-            full_group.extend(
-                s for s in group
-                if s.get("min_cols") or s.get("max_cols")
-            )
-            group = foldable
         src_df = delta if delta is not None else feed
         many = len(group) > 1
         if many:
@@ -269,11 +351,22 @@ def _refresh(
                     # view can't supply the new measures — recompute
                     full_group.append(spec)
                     continue
+                old = old_df.select(needed)
                 if delta is not None:
                     part = _aggregate(src_df, keys, sums, mins, maxs)
+                elif mins or maxs:
+                    if _deletes_touch_extrema(
+                        src_df, old, keys, mins, maxs
+                    ):
+                        # a stored extremum may be evicted: only a
+                        # rescan can repair it
+                        full_group.append(spec)
+                        continue
+                    part = _aggregate_signed_minmax(
+                        src_df, keys, sums, mins, maxs
+                    )
                 else:
                     part = _aggregate_signed(src_df, keys, sums)
-                old = old_df.select(needed)
                 merged = _merge(old, part, keys, sums, mins, maxs)
                 if delta is None:
                     # a group whose rows were ALL deleted folds to

@@ -225,3 +225,112 @@ def test_spec_evolution_falls_back_to_recompute(spark, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+# --- MIN/MAX folding through interior deletes (round 7 third wave) ----------
+
+
+def test_minmax_folds_interior_delete_without_rescan(
+    spark, tmp_path, monkeypatch
+):
+    """A DV delete strictly INSIDE every group's extrema folds the
+    MIN/MAX view with no source rescan — the full-recompute path is
+    booby-trapped to prove it is not taken."""
+    import os
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 0, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # v in [100, 129]: every group keeps min (0/1/2) and max (297-299)
+    snap.snapshot_delete_where_dv(spark, src, [("v", 100, 129)])
+    real_read = snap.read_snapshot
+
+    def no_full_reads(spark_, path_, version=None, **kws):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            raise AssertionError("recomputed; expected MIN/MAX fold")
+        return real_read(spark_, path_, version, **kws)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", no_full_reads)
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    monkeypatch.undo()
+    got = {
+        r.g: (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_minmax_folds_mor_update_of_interior_rows(spark, tmp_path):
+    """An MOR update rewriting interior values (delete ⊕ insert in the
+    feed) folds: sums adjust signed, extrema tighten from the inserted
+    post-images."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 0, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    snap.snapshot_update_where_dv(
+        spark, src, [("v", 100, 129)], {"v": F.col("v") + 1000}
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    got = {
+        r.g: (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+    assert max(t[3] for t in got.values()) == 1129  # post-images landed
+
+
+def test_minmax_recomputes_when_window_insert_extremum_deleted(
+    spark, tmp_path
+):
+    """The subtle case: a row inserted and then deleted WITHIN one
+    refresh window can be that window's extremum while absent from
+    the stored view — the danger check must compare deletes against
+    the combined (view ∪ window-insert) extrema, not the view alone."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 30, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # window: insert 0..29 (new global minima), then DV-delete 0..5 —
+    # the deleted rows were this window's extrema
+    snap.snapshot_write(
+        _batch(spark, 0, 30).repartitionByRange(2, "v"), src,
+        mode="append", stats_cols=["v"],
+    )
+    snap.snapshot_delete_where_dv(spark, src, [("v", 0, 5)])
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    got = {
+        r.g: (r.n, r.min_v) for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.m)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.min("v").alias("m")
+        ).collect()
+    }
+    assert got == exp
+    assert min(t[1] for t in got.values()) == 6  # eviction repaired
