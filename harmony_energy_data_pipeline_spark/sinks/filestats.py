@@ -68,7 +68,12 @@ def _canon(v):
 
 def file_column_stats(fpath: str, cols: list[str]) -> dict:
     """``{col: [min, max]}`` from ``fpath``'s parquet footer, for the
-    requested columns only. A column whose stats are absent in ANY
+    requested columns only, plus the file's exact row count under the
+    reserved ``"#rows"`` key (the ``#`` prefix cannot collide with a
+    SQL-addressable column and is excluded wherever tracked COLUMNS
+    are derived from recorded stats). Row counts make manifest-only
+    aggregates possible — ``snapshot_stats_agg`` answers COUNT(*)
+    without scanning a byte. A column whose stats are absent in ANY
     row group (or whose type is unsupported) gets no entry. Footer
     read only — cost is O(row groups), independent of data size."""
     import pyarrow.parquet as pq
@@ -79,6 +84,7 @@ def file_column_stats(fpath: str, cols: list[str]) -> dict:
         md = pq.ParquetFile(fpath).metadata
     except Exception:
         return {}  # not parquet / unreadable: no stats, file stays kept
+    out["#rows"] = int(md.num_rows)
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
         for ci in range(rgm.num_columns):

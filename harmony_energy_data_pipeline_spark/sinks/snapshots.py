@@ -899,6 +899,85 @@ def prune_files(
     return kept, len(m["files"])
 
 
+@normalizes_paths('path')
+def snapshot_stats_agg(
+    path: str, cols: list[str] | None = None, version: int | None = None
+) -> dict:
+    """MANIFEST-ONLY aggregates — ``COUNT(*)`` and per-column
+    ``MIN``/``MAX`` answered from recorded file stats without reading
+    a byte of data: O(manifest) driver-side work however many
+    petabytes the files hold (the Iceberg/Delta "metadata-only query"
+    shape; a query engine's ``SELECT COUNT(*) FROM t`` should never
+    scan a lake table that tracks stats).
+
+    Returns ``{"version", "n_files", "n_rows", "min": {col: v},
+    "max": {col: v}}`` where any UNPROVABLE value is None rather than
+    wrong:
+
+    * ``n_rows`` needs every live file's recorded ``#rows``
+      (``stats_cols`` commits record it automatically;
+      ``snapshot_backfill_stats`` retrofits old tables). Deletion
+      vectors subtract exactly — each distinct vector file's footer
+      row count IS its delete count (vectors never double-record a
+      position) — so MOR tables still count metadata-only, at
+      O(#vector footers).
+    * ``min``/``max`` need the column's stats on every live file, and
+      become None when deletion vectors are present (a stored
+      extremum may be among the deleted rows — the bound is no longer
+      tight). Values are in the CANONICAL stat domain
+      (``filestats._canon``): ints/strings as-is, temporal types as
+      epoch micros.
+    """
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, v)
+    files = m["files"]
+    stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+    n_rows: int | None = 0
+    for f in files:
+        s = stats.get(_rel_file(path, f))
+        r = s.get("#rows") if s else None
+        if r is None:
+            n_rows = None
+            break
+        n_rows += int(r)
+    has_dvs = bool(m.get("dvs"))
+    if n_rows is not None and has_dvs:
+        import pyarrow.parquet as pq
+
+        dv_files = sorted({
+            _abs_file(path, d) for ds in m["dvs"].values() for d in ds
+        })
+        try:
+            n_rows -= sum(
+                pq.ParquetFile(d).metadata.num_rows for d in dv_files
+            )
+        except Exception:
+            n_rows = None  # unreadable vector: refuse, don't guess
+    out: dict = {
+        "version": v, "n_files": len(files), "n_rows": n_rows,
+        "min": {}, "max": {},
+    }
+    for c in cols or []:
+        if has_dvs:
+            out["min"][c] = out["max"][c] = None
+            continue
+        mns: list = []
+        mxs: list = []
+        ok = True
+        for f in files:
+            e = stats.get(_rel_file(path, f), {}).get(c)
+            if not e:
+                ok = False
+                break
+            mns.append(e[0])
+            mxs.append(e[1])
+        out["min"][c] = min(mns) if ok and mns else None
+        out["max"][c] = max(mxs) if ok and mxs else None
+    return out
+
+
 def _cond_from_where(where: list[tuple]):
     """The residual DataFrame predicate for a list of inclusive
     interval triples — the exact row-level meaning the file-level
@@ -1261,7 +1340,8 @@ def snapshot_table_info(path: str, version: int | None = None) -> dict:
     stat_cov: dict[str, int] = {}
     for s in stats.values():
         for c in s:
-            stat_cov[c] = stat_cov.get(c, 0) + 1
+            if not c.startswith("#"):
+                stat_cov[c] = stat_cov.get(c, 0) + 1
     memb_cov: dict[str, int] = {}
     for s in membs.values():
         for c in s:
@@ -1438,7 +1518,8 @@ def snapshot_compact(
         # a stats-tracked table stays prunable through compaction:
         # recompute zone maps for the rewritten files over the same
         # column set the live manifest recorded
-        stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
+        stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s
+                        if not c.startswith("#")})
         mem_cols = sorted(
             {c for s in m.get("members", {}).values() for c in s}
         )
@@ -1798,7 +1879,8 @@ def _commit_partial_rewrite(
             "rewrite would leave the table with no files (every row "
             "deleted); commit an explicit overwrite instead"
         )
-    stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s})
+    stat_cols = sorted({c for s in m.get("stats", {}).values() for c in s
+                        if not c.startswith("#")})
     mem_cols = sorted({c for s in m.get("members", {}).values() for c in s})
     add_stats: dict = {}
     add_membs: dict = {}
@@ -2062,7 +2144,8 @@ def snapshot_update_where_dv(
         add_files = _data_files(rows_dir)
         add_rel = [_rel_file(path, f) for f in add_files]
         stat_cols = sorted(
-            {c for s in m.get("stats", {}).values() for c in s}
+            {c for s in m.get("stats", {}).values() for c in s
+             if not c.startswith("#")}
         )
         add_stats: dict = {}
         if stat_cols and add_files:
@@ -2783,5 +2866,5 @@ __all__ = [
     "snapshot_delete_where_dv", "snapshot_update_where_dv",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
-    "snapshot_backfill_stats",
+    "snapshot_backfill_stats", "snapshot_stats_agg",
 ]

@@ -467,3 +467,56 @@ def test_snapshot_write_cluster_by_enables_pruning(spark, tmp_path):
     assert len(kept) <= max(1, total // 4)
     got = snap.read_snapshot(spark, path, where=[("k", 100, 120)])
     assert got.count() == 21
+
+
+# --- manifest-only aggregates ------------------------------------------------
+
+
+def test_stats_agg_counts_without_scanning(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 500), path, stats_cols=["k"],
+                        cluster_by=["k"], cluster_files=4)
+    agg = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg["n_rows"] == 500
+    assert agg["min"]["k"] == 0 and agg["max"]["k"] == 499
+    # appends keep it provable (their stats ride the delta manifest)
+    snap.snapshot_write(_batch(spark, 1000, 1100), path, mode="append",
+                        stats_cols=["k"])
+    agg = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg["n_rows"] == 600
+    assert agg["max"]["k"] == 1099
+    # time travel: the old version still answers from its manifest
+    assert snap.snapshot_stats_agg(path, version=0)["n_rows"] == 500
+
+
+def test_stats_agg_subtracts_deletion_vectors_exactly(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 500), path, stats_cols=["k"],
+                        cluster_by=["k"], cluster_files=4)
+    snap.snapshot_delete_where_dv(spark, path, [("k", 100, 149)])
+    snap.snapshot_delete_where_dv(spark, path, [("k", 200, 219)])
+    agg = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg["n_rows"] == 500 - 50 - 20
+    assert agg["n_rows"] == snap.read_snapshot(spark, path).count()
+    # extrema are no longer provable under deletes
+    assert agg["min"]["k"] is None and agg["max"]["k"] is None
+    # a COW rewrite materializes the vectors: extrema provable again
+    snap.snapshot_compact(spark, path)
+    agg2 = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg2["n_rows"] == 430
+    assert agg2["min"]["k"] == 0 and agg2["max"]["k"] == 499
+
+
+def test_stats_agg_refuses_untracked_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 100), path, stats_cols=["k"])
+    # an append WITHOUT stats poisons provability (None, never wrong)
+    snap.snapshot_write(_batch(spark, 0, 10), path, mode="append")
+    agg = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg["n_rows"] is None
+    assert agg["min"]["k"] is None
+    # backfill retrofits row counts + stats metadata-only
+    snap.snapshot_backfill_stats(spark, path, stats_cols=["k"])
+    agg2 = snap.snapshot_stats_agg(path, cols=["k"])
+    assert agg2["n_rows"] == 110
+    assert agg2["min"]["k"] == 0 and agg2["max"]["k"] == 99
