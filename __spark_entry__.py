@@ -5375,6 +5375,49 @@ def q_snapshot_metadata_agg_digest(
     )
 
 
+@_q("snapshot_clone_digest", """
+SELECT (SELECT COUNT(*) FROM events) AS n_src,
+       (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events) AS sum_src,
+       (SELECT COUNT(*) FROM events
+        WHERE NOT (event_id >= 100 AND event_id <= 399)) AS n_clone,
+       (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events
+        WHERE NOT (event_id >= 100 AND event_id <= 399)) AS sum_clone
+""")
+def q_snapshot_clone_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY shallow clone (round 7 third wave): branch an events
+    table with one manifest write (no data copied), merge-on-read
+    delete a key range ON THE BRANCH — the vectors cover borrowed
+    foreign-root files through the canonical data/-suffix identity —
+    and digest both tables: the source must be byte-identical to
+    before the branch, the branch must reflect exactly its own
+    delete. The dev/test branching primitive a 100 TB production
+    table needs."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    base = tempfile.mkdtemp(prefix="snap_clone_")
+    src, dst = base + "/src", base + "/dst"
+    snap.snapshot_write(
+        ev, src, stats_cols=["event_id"], cluster_by=["event_id"],
+        cluster_files=6,
+    )
+    snap.snapshot_clone(src, dst)
+    snap.snapshot_delete_where_dv(spark, dst, [("event_id", 100, 399)])
+    s = snap.read_snapshot(spark, src).agg(
+        F.count("*").alias("n_src"),
+        F.sum(_cents("value")).cast("long").alias("sum_src"),
+    )
+    c = snap.read_snapshot(spark, dst).agg(
+        F.count("*").alias("n_clone"),
+        F.sum(_cents("value")).cast("long").alias("sum_clone"),
+    )
+    return s.crossJoin(c)
+
+
 # --- HyperLogLog: portable integer-exact registers + merge ------------------------
 
 _HLL_ORACLE_BODY = """

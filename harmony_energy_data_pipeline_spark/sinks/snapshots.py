@@ -1696,15 +1696,33 @@ _DV_SCHEMA = "file string, pos long"
 _DV_PER_FILE_MAX = 16
 
 
+def _dv_key(rel: str) -> str:
+    """Canonical VECTOR-CONTENT identity of a data file: its path
+    from the owning table's ``data/`` dir. Native files' root-relative
+    form is already exactly this (so every existing vector matches
+    unchanged); the canonicalization matters for BORROWED files — a
+    clone references a foreign root as ``../src/data/…`` — and makes
+    vectors stable across table relocation. Unique within a table:
+    txids never collide and txid subdirs are never named ``data``."""
+    return "data/" + rel.rsplit("data/", 1)[-1]
+
+
 def _rel_path_expr(root: str):
     """Expression turning ``_metadata.file_path`` (a ``file:`` URI)
-    into a table-root-relative path: strip any scheme, then the root
-    prefix. Assumes URI-safe paths (no percent-encoding), which local
-    and object-store lake layouts satisfy."""
+    into the canonical vector identity (:func:`_dv_key` form): strip
+    any scheme and the root prefix, then cut to the last ``data/``
+    segment — for native files the root-strip alone already yields
+    ``data/…``; the suffix cut additionally canonicalizes borrowed
+    (clone) files whose URIs live under a foreign root. Assumes
+    URI-safe paths (no percent-encoding), which local and
+    object-store lake layouts satisfy."""
     posix = F.regexp_replace(
         F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
     )
-    return F.replace(posix, F.lit(root.rstrip("/") + "/"), F.lit(""))
+    rel = F.replace(posix, F.lit(root.rstrip("/") + "/"), F.lit(""))
+    return F.concat(
+        F.lit("data/"), F.substring_index(rel, "data/", -1)
+    )
 
 
 def _apply_dvs(
@@ -1757,7 +1775,8 @@ def _split_load_with_dvs(spark, path: str, m: dict, files: list[str], load):
             dv_files = sorted({_abs_file(path, d) for d in dvs[rel]})
             pos = (
                 spark.read.schema(_DV_SCHEMA).parquet(*dv_files)
-                .filter(F.col("file") == rel)  # pushed to the dv scan
+                # vector content is _dv_key-canonical; pushed literal
+                .filter(F.col("file") == _dv_key(rel))
                 .select(F.col("pos").alias("__dv_pos"))
             )
             one = load([f])
@@ -2300,6 +2319,78 @@ def snapshot_delete_where_dv(
             )
             continue  # orphaned vector files are vacuum-swept
     raise last_err
+
+
+@normalizes_paths('src_path', 'dst_path')
+def snapshot_clone(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    protocol: str = "link",
+) -> int:
+    """ZERO-COPY shallow clone (the Delta ``SHALLOW CLONE`` shape):
+    commit version 0 of a NEW table at ``dst_path`` whose manifest
+    references the SOURCE's data files (and deletion vectors) by
+    absolute path — no data is copied, so cloning a 100 TB table is
+    one manifest write. The clone then evolves independently:
+    appends/rewrites/deletes write new files under ITS root and retire
+    the borrowed references file-by-file (a row-level delete rewrites
+    only the affected borrowed files, exactly as it would native
+    ones); stats/sketches carry over, so pruning and manifest-only
+    aggregates keep working on the borrowed files.
+
+    The dev/test/experiment primitive: branch a production table,
+    mutate the branch, throw it away — source history, time travel,
+    and maintenance are untouched (the clone's vacuum walks only its
+    OWN data dir, so borrowed files are never swept by the clone).
+
+    CAVEAT (inherent to shallow clones, Delta has the same): vacuuming
+    or compacting the SOURCE can delete files the clone still
+    borrows — keep the source's retention covering the clone's
+    lifetime, or compact the clone (which materializes every borrowed
+    file into its own root) to cut the dependency.
+
+    ``version``: clone a historical snapshot (time-travel branch).
+    Returns the clone's committed version (always 0)."""
+    v = latest_version(src_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {src_path}")
+    if latest_version(dst_path) is not None:
+        raise FileExistsError(
+            f"{dst_path} already has snapshots; clone targets a fresh path"
+        )
+    m = _read_manifest(src_path, v)
+
+    def bw(f: str) -> str:
+        # borrowed reference, stored in the CLONE's canonical form:
+        # relative to the clone root (a "../…" path for a sibling
+        # source) so every reader/rewrite/vacuum keying — which
+        # relativizes against the table root — matches exactly
+        return _rel_file(dst_path, _abs_file(src_path, f))
+
+    payload = {
+        "version": 0,
+        "parent": None,
+        "operation": "overwrite",
+        "txid": uuid.uuid4().hex[:12],
+        "committed_at_unix": int(time.time()),
+        "files": [bw(f) for f in m["files"]],
+        "n_live_files": len(m["files"]),
+        "cloned_from": src_path,
+        "cloned_version": v,
+        **({"format": m["format"]} if "format" in m else {}),
+        **({"stats": {bw(f): s for f, s in m["stats"].items()}}
+           if m.get("stats") else {}),
+        **({"members": {bw(f): s for f, s in m["members"].items()}}
+           if m.get("members") else {}),
+        **({"dvs": {bw(f): [bw(d) for d in ds]
+                    for f, ds in m["dvs"].items()}}
+           if m.get("dvs") else {}),
+        **({"schema": m["schema"]} if "schema" in m else {}),
+        **({"constraints": m["constraints"]} if "constraints" in m else {}),
+    }
+    _publish_manifest(dst_path, 0, payload, protocol=protocol)
+    return 0
 
 
 @normalizes_paths('path')
@@ -2866,5 +2957,5 @@ __all__ = [
     "snapshot_delete_where_dv", "snapshot_update_where_dv",
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
-    "snapshot_backfill_stats", "snapshot_stats_agg",
+    "snapshot_backfill_stats", "snapshot_stats_agg", "snapshot_clone",
 ]

@@ -171,7 +171,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 out.extend(
                     SnapshotFilePartition(
                         snap._abs_file(self.path, f), schema_json,
-                        kind="delete", version=v, rel=f, dv_files=dv_abs,
+                        kind="delete", version=v,
+                        # vector content is _dv_key-canonical
+                        rel=snap._dv_key(f), dv_files=dv_abs,
                     )
                     for f in m["dv_adds"]
                 )

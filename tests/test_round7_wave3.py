@@ -520,3 +520,78 @@ def test_stats_agg_refuses_untracked_files(spark, tmp_path):
     agg2 = snap.snapshot_stats_agg(path, cols=["k"])
     assert agg2["n_rows"] == 110
     assert agg2["min"]["k"] == 0 and agg2["max"]["k"] == 99
+
+
+# --- zero-copy shallow clone -------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.snapshot_write(_tbl(spark, 200), src, stats_cols=["k"],
+                        cluster_by=["k"], cluster_files=4)
+    snap.snapshot_clone(src, dst)
+    # no data copied: the clone owns no data files yet
+    assert not os.path.exists(os.path.join(dst, "data"))
+    assert _rows(spark, dst) == _rows(spark, src)
+    # borrowed stats keep manifest-only aggregates and pruning working
+    assert snap.snapshot_stats_agg(dst, cols=["k"])["n_rows"] == 200
+    kept, total = snap.prune_files(dst, [("k", 0, 40)])
+    assert len(kept) < total
+    # the branch mutates; the source is untouched
+    snap.snapshot_delete_where(spark, dst, [("k", 0, 49)])
+    snap.snapshot_write(_batch(spark, 900, 910), dst, mode="append")
+    assert len(_rows(spark, dst)) == 160
+    assert len(_rows(spark, src)) == 200
+    # the rewrite materialized ONLY the affected borrowed files into
+    # the clone's own root; untouched borrowed files stay borrowed
+    m = snap._read_manifest(dst, snap.latest_version(dst))
+    borrowed = [f for f in m["files"] if ".." in f or os.path.isabs(f)]
+    assert borrowed and len(borrowed) < total
+
+
+def test_clone_vacuum_never_sweeps_borrowed_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.snapshot_write(_tbl(spark, 100), src)
+    snap.snapshot_clone(src, dst)
+    snap.snapshot_write(_batch(spark, 0, 5), dst, mode="append")
+    snap.snapshot_write(_batch(spark, 5, 9), dst, mode="append")
+    snap.vacuum(dst, keep_last=1, orphan_grace_s=0.0)
+    # source files intact, both tables readable
+    assert len(_rows(spark, src)) == 100
+    assert len(_rows(spark, dst)) == 109
+
+
+def test_clone_of_historical_version_and_dv_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    snap.snapshot_write(_tbl(spark, 100), src, stats_cols=["k"],
+                        cluster_by=["k"])
+    snap.snapshot_delete_where_dv(spark, src, [("k", 10, 19)])  # v1
+    snap.snapshot_write(_batch(spark, 500, 510), src, mode="append")  # v2
+    # clone v1: borrowed deletion vectors must apply in the clone
+    d1 = str(tmp_path / "d1")
+    snap.snapshot_clone(src, d1, version=1)
+    assert len(_rows(spark, d1)) == 90
+    assert not any(10 <= r[0] <= 19 for r in _rows(spark, d1))
+    # clone refuses a non-fresh destination
+    with pytest.raises(FileExistsError):
+        snap.snapshot_clone(src, d1)
+
+
+def test_dv_delete_on_borrowed_files(spark, tmp_path):
+    """Merge-on-read delete on a CLONE: the vectors cover borrowed
+    (foreign-root) files — vector content uses the data/-suffix
+    canonical identity, so the anti-join matches across roots."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.snapshot_write(_tbl(spark, 100), src, stats_cols=["k"],
+                        cluster_by=["k"], cluster_files=4)
+    snap.snapshot_clone(src, dst)
+    snap.snapshot_delete_where_dv(spark, dst, [("k", 20, 29)])
+    got = _rows(spark, dst)
+    assert len(got) == 90
+    assert not any(20 <= r[0] <= 29 for r in got)
+    assert len(_rows(spark, src)) == 100  # source untouched
+    # manifest-only count subtracts the borrowed-file vectors too
+    assert snap.snapshot_stats_agg(dst)["n_rows"] == 90
