@@ -5725,6 +5725,67 @@ def q_snapshot_change_stream_digest(
     )
 
 
+@_q("snapshot_stream_upsert_agg", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+FROM events
+GROUP BY event_type
+""")
+def q_snapshot_stream_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (the foreachBatch-MERGE pattern as a
+    first-class sink, round 7 third wave): an UPDATE-mode streaming
+    aggregation over the snapshot-table source lands in a second
+    table via keyed merge — the table holds the CURRENT aggregate per
+    key (one row per key), not accumulated intermediates. Two runs
+    off one checkpoint (initial snapshot, then a tail of the appended
+    half) prove the incremental path: the second run merges only the
+    updated aggregates. The oracle recomputes the final aggregate
+    relationally."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources.snapstream import (
+        SnapshotTableDataSource,
+    )
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_upsert_sink,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    base = tempfile.mkdtemp(prefix="snap_upsink_")
+    src, dst, ck = base + "/src", base + "/dst", base + "/ck"
+
+    def run_once():
+        agg = (
+            spark.readStream.format("snapshot_table").option("path", src)
+            .load()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("vc").cast("long").alias("sum_vc"),
+            )
+        )
+        q = start_snapshot_upsert_sink(
+            agg, dst, ck, key="event_type", member_cols=["event_type"],
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    snap.snapshot_write(ev.filter(F.col("event_id") % 2 == 0), src)
+    run_once()
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
+    )
+    run_once()
+    return snap.read_snapshot(spark, dst).select("event_type", "n", "sum_vc")
+
+
 # --- merge-on-read deletes (deletion vectors) --------------------------------------
 
 @_q("snapshot_delete_dv_digest", """

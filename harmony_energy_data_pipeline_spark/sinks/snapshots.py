@@ -1855,6 +1855,7 @@ def _commit_partial_rewrite(
     kind: str,
     protocol: str,
     cdf_df: DataFrame | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Stage ``new_df`` and publish version v+1 whose live set is
     (parent files − affected) + staged — the shared commit step of
@@ -1946,6 +1947,7 @@ def _commit_partial_rewrite(
         **({"members": add_membs} if add_membs else {}),
         **({"schema": m["schema"]} if "schema" in m else {}),
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
+        **(extra or {}),
     }
     return _publish_or_rebase(path, payload, protocol)
 
@@ -2595,6 +2597,7 @@ def snapshot_merge_into(
     protocol: str = "link",
     max_redo: int = 3,
     record_cdf: bool = False,
+    extra: dict | None = None,
 ) -> int:
     """MERGE (keyed upsert) into a snapshot table, REWRITING ONLY the
     files that can contain a source key: rows whose ``key`` appears
@@ -2727,7 +2730,7 @@ def snapshot_merge_into(
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, "merge_into", protocol,
-                cdf_df=cdf_df,
+                cdf_df=cdf_df, extra=extra,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(

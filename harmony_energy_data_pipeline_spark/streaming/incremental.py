@@ -383,3 +383,81 @@ def start_snapshot_append_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_snapshot_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str,
+    available_now: bool = True,
+    member_cols: list[str] | None = None,
+    member_bits: int = 1 << 19,
+    member_hashes: int = 5,
+    record_cdf: bool = False,
+):
+    """writeStream → foreachBatch KEYED MERGE into an MVCC snapshot
+    table — the Delta "foreachBatch MERGE" pattern as a first-class
+    sink, for UPDATE-mode streaming aggregations (windowed rollups,
+    sessionization, running state) whose micro-batches re-emit
+    changed keys: each batch upserts via :func:`snapshot_merge_into`,
+    replacing the table's rows for the batch's keys and inserting new
+    ones, so the table always holds the CURRENT aggregate per key —
+    where the append sink would accumulate every intermediate value.
+
+    Exactly-once across restarts comes from two layers: the
+    query-scoped commit-id marker skips batches already durably
+    committed (same contract as the append sink), and a keyed merge
+    is naturally idempotent anyway — re-merging the same batch
+    rewrites the same keys to the same rows, so even a marker loss
+    degrades to a harmless no-op rewrite, never duplication.
+
+    ``member_cols=[key]`` (pass explicitly) keeps the merge SURGICAL:
+    each commit records key-membership sketches for its files, so the
+    next batch's merge rewrites only the files its keys hash into —
+    the property that keeps per-micro-batch merges viable on a
+    100k-file table. The first batch creates the table (overwrite).
+    ``record_cdf=True`` makes every merge commit row-level
+    expressible, so downstream IVM / change-feed streams follow the
+    upserts incrementally."""
+    import hashlib as _hashlib
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    query_tag = _hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    committed = snap.committed_marker_values(table_path, "stream_commit_id")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit_id = f"{query_tag}:{batch_id}"
+        if commit_id in committed:
+            return  # re-delivered after restart: already committed
+        # a micro-batch can carry a key twice (unordered revisions);
+        # merge requires key-unique sources — any-row-wins in-batch
+        batch = batch_df.dropDuplicates([key])
+        if snap.latest_version(table_path) is None:
+            snap.snapshot_write(
+                batch, table_path, mode="overwrite",
+                extra={"stream_commit_id": commit_id,
+                       "stream_batch_id": batch_id},
+                member_cols=member_cols, member_bits=member_bits,
+                member_hashes=member_hashes,
+            )
+        else:
+            snap.snapshot_merge_into(
+                batch.sparkSession, table_path, batch, key=key,
+                record_cdf=record_cdf,
+                extra={"stream_commit_id": commit_id,
+                       "stream_batch_id": batch_id},
+            )
+        committed.add(commit_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -203,3 +203,84 @@ def test_change_stream_strict_on_cow_without_cdf(registered, tmp_path):
             spark, path, "cdfstream_strict",
             read_changes="true", starting_version="0",
         )
+
+
+# --- streaming upsert sink (foreachBatch MERGE) ------------------------------
+
+
+def test_stream_upsert_sink_holds_current_aggregate(registered, tmp_path):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_upsert_sink,
+    )
+
+    spark = registered
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    _write(spark, src, 0, 100, "overwrite")
+
+    def run_once():
+        agg = (
+            spark.readStream.format("snapshot_table").option("path", src)
+            .load()
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        q = start_snapshot_upsert_sink(
+            agg, dst, ck, key="g", member_cols=["g"], available_now=True
+        )
+        q.awaitTermination(120)
+
+    def truth():
+        return {
+            r.g: (r.n, r.s)
+            for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+                F.count("*").alias("n"), F.sum("v").alias("s")
+            ).collect()
+        }
+
+    run_once()
+    got = {r.g: (r.n, r.s)
+           for r in snap.read_snapshot(spark, dst).collect()}
+    assert got == truth()
+    # new source commits: the NEXT run off the same checkpoint merges
+    # the updated aggregates — the table holds CURRENT values per key,
+    # one row per key, never accumulated intermediates
+    _write(spark, src, 100, 250, "append")
+    run_once()
+    got = {r.g: (r.n, r.s)
+           for r in snap.read_snapshot(spark, dst).collect()}
+    assert got == truth()
+    assert snap.read_snapshot(spark, dst).count() == 5
+    # the merge commits carry the query's exactly-once markers
+    markers = snap.committed_marker_values(dst, "stream_commit_id")
+    assert len(markers) >= 2
+
+
+def test_stream_upsert_sink_is_idempotent_on_redelivery(
+    registered, tmp_path
+):
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_upsert_sink,
+    )
+
+    spark = registered
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(spark, src, 0, 60, "overwrite")
+    agg = (
+        spark.readStream.format("snapshot_table").option("path", src)
+        .load().groupBy("g").agg(F.sum("v").alias("s"))
+    )
+    # two DIFFERENT checkpoints deliver the same batch twice — the
+    # keyed merge converges to the same state either way
+    for ck in ("ckA", "ckB"):
+        q = start_snapshot_upsert_sink(
+            agg, dst, str(tmp_path / ck), key="g", available_now=True
+        )
+        q.awaitTermination(120)
+    got = {r.g: r.s for r in snap.read_snapshot(spark, dst).collect()}
+    exp = {
+        r.g: r.s
+        for r in snap.read_snapshot(spark, src).groupBy("g")
+        .agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == exp
