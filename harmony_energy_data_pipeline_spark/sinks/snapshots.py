@@ -2323,6 +2323,123 @@ def snapshot_delete_where_dv(
     raise last_err
 
 
+def _commit_metadata_only(
+    path: str, mutate, operation: str, protocol: str, max_retries: int = 10
+) -> int:
+    """Commit a new version whose DATA is byte-identical to the
+    parent's — only carried-resolved metadata (schema, constraints)
+    changes. The manifest is an empty delta (no adds, no removes),
+    so the commit costs one small JSON write however large the table;
+    ``mutate(parent_raw_manifest) -> dict`` returns the metadata keys
+    to override."""
+    for _ in range(max_retries):
+        parent = latest_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        pm = _read_manifest_raw(path, parent)
+        payload = {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": "append",  # data-preserving: CDC sees no rows
+            "txid": uuid.uuid4().hex[:12],
+            "committed_at_unix": int(time.time()),
+            "adds": [],
+            "removes": [],
+            "n_live_files": _raw_n_files(pm),
+            "ddl": operation,
+            **({"schema": pm["schema"]} if "schema" in pm else {}),
+            **({"constraints": pm["constraints"]}
+               if pm.get("constraints") else {}),
+            **mutate(pm),
+        }
+        # a mutate entry of None means REMOVE the key (clear
+        # constraints), not "publish null"
+        payload = {k: v for k, v in payload.items() if v is not None
+                   or k in ("parent",)}
+        try:
+            _publish_manifest(
+                path, parent + 1, payload, protocol=protocol
+            )
+            return parent + 1
+        except FileExistsError:
+            continue  # lost the race: recompute against new latest
+    raise RuntimeError(
+        f"metadata commit lost the CAS race {max_retries} times"
+    )
+
+
+@normalizes_paths('path')
+def snapshot_set_constraints(
+    spark: SparkSession,
+    path: str,
+    constraints: list[str],
+    validate_existing: bool = True,
+    protocol: str = "link",
+) -> int:
+    """ALTER TABLE ADD/SET CHECK constraints as a METADATA-ONLY
+    commit: from this version onward, every write validates the new
+    expressions. ``validate_existing=True`` (default) first proves the
+    CURRENT rows satisfy them — one aggregation pass — so the
+    'prior data holds by induction' assumption every later commit
+    relies on is true from the start (Delta's ADD CONSTRAINT does the
+    same scan); pass False only when the data is known-clean. An
+    empty list CLEARS the table's constraints."""
+    if validate_existing and constraints:
+        _validate_constraints(
+            read_snapshot(spark, path), list(constraints), path
+        )
+    if not constraints:
+        # clearing = publish a manifest WITHOUT the key; inheritance
+        # reads the latest raw manifest, so later commits see none
+        return _commit_metadata_only(
+            path, lambda pm: {"constraints": None}, "clear_constraints",
+            protocol,
+        )
+    return _commit_metadata_only(
+        path, lambda pm: {"constraints": list(constraints)},
+        "set_constraints", protocol,
+    )
+
+
+@normalizes_paths('path')
+def snapshot_add_column(
+    path: str,
+    name: str,
+    spark_type: str,
+    protocol: str = "link",
+) -> int:
+    """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit: the table
+    schema gains a nullable column of ``spark_type`` (a DDL type
+    string, e.g. ``"long"``, ``"string"``, ``"decimal(10,2)"``);
+    every existing file reads it as NULL (the schema-on-read
+    evolution appends already get), no data is touched. A same-name
+    column raises — type changes go through an overwrite commit, as
+    for append-time evolution."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt_json = _parse_datatype_string(spark_type).jsonValue()
+
+    def mutate(pm: dict) -> dict:
+        if "schema" not in pm:
+            raise ValueError(
+                f"snapshot table {path} records no schema; add-column "
+                "requires schema-tracked tables"
+            )
+        fields = list(pm["schema"]["fields"])
+        if any(f["name"] == name for f in fields):
+            raise SchemaEvolutionError(
+                f"column {name!r} already exists; type changes require "
+                "an overwrite commit"
+            )
+        fields.append(
+            {"name": name, "type": dt_json, "nullable": True,
+             "metadata": {}}
+        )
+        return {"schema": {**pm["schema"], "fields": fields}}
+
+    return _commit_metadata_only(path, mutate, "add_column", protocol)
+
+
 @normalizes_paths('src_path', 'dst_path')
 def snapshot_clone(
     src_path: str,
@@ -2961,4 +3078,5 @@ __all__ = [
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
     "snapshot_backfill_stats", "snapshot_stats_agg", "snapshot_clone",
+    "snapshot_set_constraints", "snapshot_add_column",
 ]

@@ -595,3 +595,52 @@ def test_dv_delete_on_borrowed_files(spark, tmp_path):
     assert len(_rows(spark, src)) == 100  # source untouched
     # manifest-only count subtracts the borrowed-file vectors too
     assert snap.snapshot_stats_agg(dst)["n_rows"] == 90
+
+
+# --- metadata-only DDL commits -----------------------------------------------
+
+
+def test_set_constraints_validates_then_enforces(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 50), path)
+    # current data violates: nothing committed
+    before = snap.latest_version(path)
+    with pytest.raises(snap.ConstraintViolationError):
+        snap.snapshot_set_constraints(spark, path, ["v < 50"])
+    assert snap.latest_version(path) == before
+    # a satisfiable constraint lands as a metadata-only commit and
+    # binds every later write
+    v = snap.snapshot_set_constraints(spark, path, ["v >= 0"])
+    m = snap._read_manifest_raw(path, v)
+    assert m["adds"] == [] and m["removes"] == []
+    assert m["ddl"] == "set_constraints"
+    with pytest.raises(snap.ConstraintViolationError):
+        snap.snapshot_write(_batch(spark, 0, 3, v=-7), path, mode="append")
+    # data unchanged through the DDL commit
+    assert len(_rows(spark, path)) == 50
+    # clearing re-opens the gate
+    snap.snapshot_set_constraints(spark, path, [])
+    snap.snapshot_write(_batch(spark, 0, 3, v=-7), path, mode="append")
+    assert len(_rows(spark, path)) == 53
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 40), path)
+    files_before = snap._read_manifest(path, 0)["files"]
+    v = snap.snapshot_add_column(path, "tag", "string")
+    got = snap.read_snapshot(spark, path)
+    assert "tag" in got.columns
+    assert got.filter(F.col("tag").isNull()).count() == 40
+    # no data file written or touched
+    assert snap._read_manifest(path, v)["files"] == files_before
+    # appends populate it; old files keep reading NULL
+    snap.snapshot_write(
+        _batch(spark, 500, 505).withColumn("tag", F.lit("x")),
+        path, mode="append",
+    )
+    out = snap.read_snapshot(spark, path)
+    assert out.filter(F.col("tag") == "x").count() == 5
+    assert out.filter(F.col("tag").isNull()).count() == 40
+    with pytest.raises(snap.SchemaEvolutionError):
+        snap.snapshot_add_column(path, "tag", "long")
