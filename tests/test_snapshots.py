@@ -540,6 +540,7 @@ def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
             op = rng.choice([
                 "append", "append", "overwrite", "compact", "vacuum",
                 "cow_delete", "dv_delete", "mor_update", "dv_delete",
+                "replace", "merge",
             ])
             if snap.latest_version(path) is None:
                 op = "overwrite"
@@ -564,7 +565,10 @@ def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
                 where = [("k", a, b)]
                 if op == "cow_delete":
                     try:
-                        snap.snapshot_delete_where(spark, path, where)
+                        snap.snapshot_delete_where(
+                            spark, path, where,
+                            record_cdf=rng.random() < 0.5,
+                        )
                     except ValueError:
                         continue  # would delete every row: refused
                     model = {k: v for k, v in model.items()
@@ -573,6 +577,43 @@ def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
                     snap.snapshot_delete_where_dv(spark, path, where)
                     model = {k: v for k, v in model.items()
                              if not (a <= k <= b)}
+                elif op == "replace":
+                    # the region swaps to replacement rows (v = k+7);
+                    # the batch may mint keys past the high-water mark,
+                    # so advance it or a later append would duplicate
+                    # them (the model is a dict: keys must stay unique)
+                    nxt = max(nxt, b + 1)
+                    batch = df(a, b + 1).withColumn(
+                        "v", F.col("k") + F.lit(7)
+                    )
+                    try:
+                        snap.snapshot_replace_where(
+                            spark, path, where, batch,
+                            record_cdf=rng.random() < 0.5,
+                        )
+                    except ValueError:
+                        continue  # would empty the table: refused
+                    model = {k: v for k, v in model.items()
+                             if not (a <= k <= b)}
+                    model.update({k: k + 7 for k in range(a, b + 1)})
+                elif op == "merge":
+                    # revise the range's rows AND insert two new keys;
+                    # the range itself may mint keys past the
+                    # high-water mark (see "replace")
+                    nxt = max(nxt, b + 1)
+                    new_lo = nxt
+                    nxt += 2
+                    src = df(a, b + 1).withColumn(
+                        "v", F.col("k") - F.lit(3)
+                    ).unionByName(df(new_lo, new_lo + 2))
+                    snap.snapshot_merge_into(
+                        spark, path, src, key="k",
+                        record_cdf=rng.random() < 0.5,
+                    )
+                    model.update({k: k - 3 for k in range(a, b + 1)})
+                    model.update(
+                        {k: k * 10 for k in range(new_lo, new_lo + 2)}
+                    )
                 else:
                     snap.snapshot_update_where_dv(
                         spark, path, where, {"v": F.col("v") + 1}
@@ -587,3 +628,6 @@ def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
                 for r in snap.read_snapshot(spark, path).collect()
             }
             assert got == model, (trial, step, ops)
+            agg = snap.snapshot_stats_agg(path)
+            if agg["n_rows"] is not None:
+                assert agg["n_rows"] == len(model), (trial, step, ops)
