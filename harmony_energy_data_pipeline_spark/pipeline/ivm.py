@@ -17,13 +17,14 @@ MIN/MAX caveat (the standard one), refined: an insert can only
 tighten an extremum, so the fast path merges with least/greatest; a
 DELETION can evict the current extremum, which no stored aggregate
 can repair without rescanning the group. When the commit range is
-row-level expressible (change feed), the refresh CHECKS whether any
-deleted value sits at its group's combined extremum
-(:func:`_deletes_touch_extrema`): if none does — the common case,
-deletes landing strictly inside the extrema — MIN/MAX fold exactly
-like COUNT/SUM; only an actual potential eviction (or a
-feed-inexpressible rewrite) falls back to the full recompute, so
-correctness never depends on the fast path.
+row-level expressible (change feed), the refresh computes the
+DANGER GROUPS — those where a deleted value sits at the group's
+combined extremum (:func:`_danger_keys`): every other group folds
+exactly like COUNT/SUM, and only the danger groups rescan the
+source (a PARTIAL rescan stitched into the fold — aggregation state
+O(danger groups), never a full re-aggregation for one hot group's
+eviction). Only a feed-inexpressible rewrite still recomputes the
+whole view, so correctness never depends on the fast path.
 
 AVG is derived, not merged: the view stores (n, sum) and finalizes
 ``avg_<c> = sum_<c> / n`` after each merge — exact under re-derivation
@@ -116,13 +117,14 @@ def _aggregate_signed_minmax(
     )
 
 
-def _deletes_touch_extrema(
+def _danger_keys(
     feed: DataFrame, old: DataFrame, keys: list[str], min_cols, max_cols
-) -> bool:
-    """Does ANY deleted row's value sit at (or beyond) its group's
-    extremum? If not, the delete provably cannot evict a MIN/MAX and
-    the whole delta folds without rescanning the source — the common
-    case (deletes land strictly inside the extrema).
+) -> DataFrame:
+    """The DISTINCT groups where a deleted row's value sits at (or
+    beyond) the group's extremum — the only groups whose MIN/MAX a
+    deletion can evict, hence the only groups that need a source
+    rescan. Everything else folds without touching the source — the
+    common case (deletes land strictly inside the extrema).
 
     The comparison bound is the COMBINED extremum of the stored view
     and the window's own inserts: a row inserted and then deleted
@@ -130,12 +132,12 @@ def _deletes_touch_extrema(
     group is absent from (or looser in) the stored view — comparing
     against the view alone would miss the eviction. Equality counts
     as danger (the deleted row may be the unique achiever; a
-    surviving tie just makes the recompute a no-op). NULL deleted
+    surviving tie just makes the rescan a no-op). NULL deleted
     values never endanger an extremum (min/max ignore NULLs); NULL
     keys join null-safely to match the grouping semantics.
 
     Cost: one aggregate over the window's inserts + one
-    broadcast-sized join of the delete rows, short-circuit count."""
+    broadcast-sized join of the delete rows."""
     dels = feed.filter(F.col("_change_type") == "delete")
     ins_ext = (
         feed.filter(F.col("_change_type") != "delete")
@@ -175,7 +177,24 @@ def _deletes_touch_extrema(
         danger = danger | (F.col(f"d.{c}") <= F.col(f"b.min_{c}"))
     for c in max_cols:
         danger = danger | (F.col(f"d.{c}") >= F.col(f"b.max_{c}"))
-    return d.join(b, jc2, "inner").filter(danger).limit(1).count() > 0
+    return (
+        d.join(b, jc2, "inner")
+        .filter(danger)
+        .select(*[F.col(f"d.{k}").alias(k) for k in keys])
+        .distinct()
+    )
+
+
+def _semi_nullsafe(
+    df: DataFrame, keys_df: DataFrame, keys: list[str], anti: bool = False
+) -> DataFrame:
+    """Null-safe LEFT SEMI (or ANTI) join on the group keys — the
+    group-membership filter matching groupBy's NULL semantics."""
+    a, b = df.alias("a"), keys_df.alias("b")
+    jc = F.lit(True)
+    for k in keys:
+        jc = jc & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    return a.join(b, jc, "left_anti" if anti else "left_semi")
 
 
 def _merge(
@@ -352,19 +371,40 @@ def _refresh(
                     full_group.append(spec)
                     continue
                 old = old_df.select(needed)
+                rescan = None
                 if delta is not None:
                     part = _aggregate(src_df, keys, sums, mins, maxs)
                 elif mins or maxs:
-                    if _deletes_touch_extrema(
+                    danger = _danger_keys(
                         src_df, old, keys, mins, maxs
-                    ):
-                        # a stored extremum may be evicted: only a
-                        # rescan can repair it
-                        full_group.append(spec)
-                        continue
-                    part = _aggregate_signed_minmax(
-                        src_df, keys, sums, mins, maxs
-                    )
+                    ).persist()
+                    if danger.isEmpty():
+                        part = _aggregate_signed_minmax(
+                            src_df, keys, sums, mins, maxs
+                        )
+                    else:
+                        # PARTIAL RESCAN: only the groups whose
+                        # extremum a delete may have evicted recompute
+                        # from the source; every other group still
+                        # folds. Aggregation state is O(danger
+                        # groups), not O(all groups) — the view never
+                        # pays a full re-aggregation for one hot
+                        # group's eviction.
+                        rescan = _aggregate(
+                            _semi_nullsafe(
+                                snap.read_snapshot(spark, source_path,
+                                                   cur),
+                                danger, keys,
+                            ),
+                            keys, sums, mins, maxs,
+                        )
+                        old = _semi_nullsafe(old, danger, keys,
+                                             anti=True)
+                        part = _aggregate_signed_minmax(
+                            _semi_nullsafe(src_df, danger, keys,
+                                           anti=True),
+                            keys, sums, mins, maxs,
+                        )
                 else:
                     part = _aggregate_signed(src_df, keys, sums)
                 merged = _merge(old, part, keys, sums, mins, maxs)
@@ -372,11 +412,17 @@ def _refresh(
                     # a group whose rows were ALL deleted folds to
                     # n = 0; a recompute would not emit it at all
                     merged = merged.filter(F.col("n") > 0)
-                snap.snapshot_write(
-                    _finalize(merged, avgs), spec["view_path"],
-                    mode="overwrite", protocol=protocol,
-                    extra={SOURCE_VERSION_KEY: cur},
-                )
+                if rescan is not None:
+                    merged = merged.unionByName(rescan)
+                try:
+                    snap.snapshot_write(
+                        _finalize(merged, avgs), spec["view_path"],
+                        mode="overwrite", protocol=protocol,
+                        extra={SOURCE_VERSION_KEY: cur},
+                    )
+                finally:
+                    if (delta is None) and (mins or maxs):
+                        danger.unpersist()
         finally:
             if many:
                 src_df.unpersist()

@@ -334,3 +334,50 @@ def test_minmax_recomputes_when_window_insert_extremum_deleted(
     }
     assert got == exp
     assert min(t[1] for t in got.values()) == 6  # eviction repaired
+
+
+def test_minmax_partial_rescan_only_endangered_groups(
+    spark, tmp_path, monkeypatch
+):
+    """When a delete evicts ONE group's extremum, only that group
+    rescans the source; every other group still folds. Pinned by
+    spying on the rescan aggregate's input: it must contain exactly
+    the endangered group."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    snap.snapshot_write(
+        _batch(spark, 0, 300).repartitionByRange(4, "v"), src,
+        stats_cols=["v"],
+    )
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # k=297 is group 0's maximum (297*... v=297): evicts g=0's max;
+    # k=100 is interior to group 1 — no danger there
+    snap.snapshot_delete_where_dv(spark, src, [("v", 297, 297)])
+    snap.snapshot_delete_where_dv(spark, src, [("v", 100, 100)])
+    seen: list = []
+    real_agg = ivm._aggregate
+
+    def spy(df, keys, sums, mins=(), maxs=()):
+        seen.append(df)
+        return real_agg(df, keys, sums, mins, maxs)
+
+    monkeypatch.setattr(ivm, "_aggregate", spy)
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    monkeypatch.undo()
+    # exactly one rescan aggregate, over exactly the endangered group
+    assert len(seen) == 1
+    rescanned = {r.g for r in seen[0].select("g").distinct().collect()}
+    assert rescanned == {0}
+    got = {
+        r.g: (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in ivm.read_view(spark, view).collect()
+    }
+    exp = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+    assert got[0][3] == 294  # the eviction really moved g=0's max
