@@ -136,16 +136,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if start.get("snapshot"):
             # initial snapshot: the table's RESOLVED state at `hi`
             # streams as inserts (existing rows count as new data —
-            # the Delta table-as-stream-source semantic)
+            # the Delta table-as-stream-source semantic). Files a
+            # deletion vector covers subtract their positions
+            # executor-side, so a merge-on-read table streams its
+            # LIVE rows without waiting for a compaction.
             m = snap._read_manifest(self.path, hi)
-            if m.get("dvs"):
-                raise ValueError(
-                    f"snapshot v{hi} of {self.path} carries deletion "
-                    "vectors; a file-level stream would resurrect "
-                    "deleted rows — run snapshot_compact first to "
-                    "materialize them"
+            dvs = m.get("dvs") or {}
+            kind = "insert" if self.read_changes else "plain"
+            for f in m["files"]:
+                dv_abs = [
+                    snap._abs_file(self.path, d) for d in dvs.get(f, [])
+                ]
+                out.append(
+                    SnapshotFilePartition(
+                        snap._abs_file(self.path, f), schema_json,
+                        kind=kind, version=hi,
+                        rel=snap._dv_key(f) if dv_abs else "",
+                        dv_files=dv_abs,
+                    )
                 )
-            _insert_parts(list(m["files"]), hi)
             return out
         lo = start["version"]
         v = hi
@@ -220,17 +229,28 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         declared = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.file)
-        if partition.kind == "delete":
+        if partition.dv_files:
             # positions of THIS file's deleted rows, from its vectors
             import pyarrow.compute as pc
 
             dv = pq.read_table(
                 partition.dv_files, columns=["file", "pos"]
             )
-            pos = dv.filter(
-                pc.equal(dv.column("file"), partition.rel)
-            ).column("pos").to_pylist()
-            tbl = tbl.take(sorted(set(pos)))
+            pos = sorted(set(
+                dv.filter(
+                    pc.equal(dv.column("file"), partition.rel)
+                ).column("pos").to_pylist()
+            ))
+            if partition.kind == "delete":
+                # a DV commit streams the deleted rows themselves
+                tbl = tbl.take(pos)
+            else:
+                # an initial snapshot streams the LIVE rows: subtract
+                import numpy as np
+
+                mask = np.ones(len(tbl), dtype=bool)
+                mask[pos] = False
+                tbl = tbl.filter(pa.array(mask))
         names = set(tbl.schema.names)
         # project/align to the table schema: files from before an
         # add-column commit yield TYPED nulls for the new column

@@ -284,3 +284,25 @@ def test_stream_upsert_sink_is_idempotent_on_redelivery(
         .agg(F.sum("v").alias("s")).collect()
     }
     assert got == exp
+
+
+def test_initial_snapshot_streams_mor_table_live_rows(registered, tmp_path):
+    """A table carrying deletion vectors streams its LIVE rows in the
+    initial snapshot — positions subtracted executor-side — with no
+    compaction required first (previously refused)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 100, "overwrite")
+    snap.snapshot_delete_where_dv(spark, path, [("v", 40, 59)])
+    # plain mode
+    got = _drain(spark, path, "morstream_plain")
+    assert sorted(r.v for r in got.collect()) == [
+        v for v in range(100) if not (40 <= v <= 59)
+    ]
+    # change mode: same live rows, stamped as inserts
+    got2 = _drain(spark, path, "morstream_cdf", read_changes="true")
+    rows = got2.collect()
+    assert sorted(r.v for r in rows) == [
+        v for v in range(100) if not (40 <= v <= 59)
+    ]
+    assert {r._change_type for r in rows} == {"insert"}
