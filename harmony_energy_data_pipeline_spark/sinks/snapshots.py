@@ -1106,20 +1106,43 @@ def read_snapshot_changes(
     file-set diffs can't represent deletions, so a consumer must
     detect the rewrite and fall back to a full re-read (the same
     contract Delta's CDF/Iceberg's incremental scan expose).
+    EXCEPTION: a COMPACTION (``compacted_from`` marker) is provably
+    row-preserving — it rewrites the live rows it read — so the range
+    simply skips it and unions the genuine appends' adds; routine
+    maintenance no longer forces every incremental consumer into a
+    full re-read.
     """
     hi_raw = _read_manifest_raw(path, to_version)
     v = to_version
     range_raw: list[dict] = []  # raw manifests in (from, to], newest first
+    skipped_compaction = False
     while v is not None and v > from_version:
         m = _read_manifest_raw(path, v)
-        if m["operation"] != "append":
+        if m["operation"] == "append":
+            range_raw.append(m)
+        elif m.get("compacted_from") is not None:
+            # row-preserving rewrite: its files are REWRITTEN old rows,
+            # never new data — contribute nothing to the delta
+            skipped_compaction = True
+        else:
             raise ValueError(
                 f"snapshot v{v} is an {m['operation']!r} commit; the "
                 f"({from_version}, {to_version}] range is not append-only — "
                 "incremental read undefined, re-read the full snapshot"
             )
-        range_raw.append(m)
         v = m["parent"]
+    if skipped_compaction and not (
+        all("adds" in m for m in range_raw)
+        and not any(m.get("removes") for m in range_raw)
+    ):
+        # with a compaction inside the range, only the adds-union is
+        # sound — a resolved file-set diff would re-emit the rewritten
+        # rows as if they were new
+        raise ValueError(
+            f"({from_version}, {to_version}] mixes a compaction with "
+            "full-manifest appends; incremental read undefined, re-read "
+            "the full snapshot"
+        )
     if all("adds" in m for m in range_raw) and not any(
         m.get("removes") for m in range_raw
     ):
@@ -1205,6 +1228,8 @@ def read_snapshot_changes_feed(
             # (whole rewritten files, carried rows included) are NOT
             # read; only the change records are.
             chain.append(m)
+        elif m.get("compacted_from") is not None:
+            pass  # compaction is row-preserving: zero row-level changes
         else:
             raise ValueError(
                 f"snapshot v{v} is an {m['operation']!r} commit the "

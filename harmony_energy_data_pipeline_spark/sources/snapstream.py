@@ -198,6 +198,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     )
                     for f in m["cdf"]
                 )
+            elif m.get("compacted_from") is not None:
+                # a compaction is provably row-preserving (it rewrote
+                # the live rows it read): zero rows to stream, in BOTH
+                # modes — routine maintenance no longer kills a strict
+                # stream (Delta needs ignoreChanges here because it
+                # cannot distinguish; the compacted_from marker can)
+                pass
             elif self.skip_rewrites:
                 # a rewrite's adds are REWRITTEN old rows, not new
                 # data — skipping the whole version is the only

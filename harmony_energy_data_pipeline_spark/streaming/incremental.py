@@ -338,11 +338,12 @@ def start_snapshot_append_sink(
     this sink's commits and ``vacuum_keep=K`` expires all but the
     last K versions after each maintenance pass, both inline on the
     single writer thread (no second writer racing the log; commit
-    markers survive vacuum via the compacted commit log). NOTE:
-    compaction is an OVERWRITE version, so ``read_snapshot_changes``
-    ranges crossing it raise by contract — incremental consumers
-    must either keep pace within a maintenance window or handle the
-    rewrite with a full re-read (the Delta/Iceberg CDC contract).
+    markers survive vacuum via the compacted commit log). Round 7:
+    compaction commits carry the ``compacted_from`` marker, which
+    ``read_snapshot_changes``, the change feed, IVM, and the
+    snapshot-table streaming source all recognize as row-preserving —
+    incremental consumers fold straight across inline maintenance
+    instead of falling back to a full re-read.
     """
     import hashlib as _hashlib
 

@@ -644,3 +644,55 @@ def test_add_column_is_metadata_only(spark, tmp_path):
     assert out.filter(F.col("tag").isNull()).count() == 40
     with pytest.raises(snap.SchemaEvolutionError):
         snap.snapshot_add_column(path, "tag", "long")
+
+
+# --- compaction is transparent to incremental consumers ----------------------
+
+
+def test_cdc_skips_row_preserving_compaction(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 50), path)                 # v0
+    snap.snapshot_write(_batch(spark, 100, 120), path, "append")  # v1
+    snap.snapshot_compact(spark, path)                          # v2
+    snap.snapshot_write(_batch(spark, 200, 210), path, "append")  # v3
+    # the (0, 3] delta is exactly the two appends' rows — the
+    # compaction's rewritten files are NOT re-emitted
+    delta = snap.read_snapshot_changes(spark, path, 0, 3)
+    assert sorted(r.k for r in delta.collect()) == (
+        list(range(100, 120)) + list(range(200, 210))
+    )
+    # the row-level feed agrees
+    feed = snap.read_snapshot_changes_feed(spark, path, 0, 3)
+    assert feed.count() == 30
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+
+
+def test_ivm_survives_compaction_without_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """Routine maintenance no longer forces every downstream view
+    into a full recompute: the refresh folds across a compaction."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snap.snapshot_write(_tbl(spark), src)
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"])
+    snap.snapshot_compact(spark, src)
+    snap.snapshot_write(_batch(spark, 500, 520), src, mode="append")
+    real_read = snap.read_snapshot
+
+    def no_full_reads(spark_, path_, version=None, **kw):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            raise AssertionError("recomputed across a compaction")
+        return real_read(spark_, path_, version, **kw)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", no_full_reads)
+    ivm.refresh_agg_view(spark, src, view, keys=["g"], sum_cols=["v"])
+    monkeypatch.undo()
+    got = {r.g: (r.n, r.sum_v)
+           for r in ivm.read_view(spark, view).collect()}
+    exp = {
+        r.g: (r.n, r.s)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert got == exp

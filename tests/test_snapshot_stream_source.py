@@ -87,16 +87,24 @@ def test_rewrite_fails_resumed_stream_unless_skipped(registered, tmp_path):
     # both streams consume the initial snapshot first
     assert drain("out_f", ck_f).count() == 100
     assert drain("out_s", ck_s, skip_rewrites="true").count() == 100
-    # a compaction lands mid-stream, then an append
+    # a compaction lands mid-stream, then an append: compaction is
+    # provably row-preserving (compacted_from marker), so even the
+    # STRICT stream survives routine maintenance — no rows re-emitted,
+    # the genuine append delivered
     snap.snapshot_compact(spark, path)
     _write(spark, path, 100, 150, "append")
-    # strict resume refuses the rewrite version
-    with pytest.raises(Exception, match="cannot express|skip_rewrites"):
-        drain("out_f", ck_f)
-    # skip_rewrites resume: compaction's rewritten rows are NOT
-    # re-emitted; the genuine append is
+    got_strict = drain("out_f", ck_f)
+    assert sorted(r.v for r in got_strict.collect()) == list(range(150))
     got = drain("out_s", ck_s, skip_rewrites="true")
     assert sorted(r.v for r in got.collect()) == list(range(150))
+    # a genuine row-level rewrite still fails the strict resume
+    snap.snapshot_delete_where(spark, path, [("v", 0, 4)])
+    _write(spark, path, 150, 160, "append")
+    with pytest.raises(Exception, match="cannot express|skip_rewrites"):
+        drain("out_f", ck_f)
+    # skip_rewrites: the delete is not propagated, the append is
+    got2 = drain("out_s", ck_s, skip_rewrites="true")
+    assert sorted(r.v for r in got2.collect()) == list(range(160))
 
 
 def test_starting_version_and_schema_evolution(registered, tmp_path):
