@@ -89,6 +89,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("read_changes", "false")).lower() == "true"
         )
         start = options.get("starting_version")
+        start_ts = options.get("starting_timestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass starting_version OR starting_timestamp, not both"
+            )
+        if start_ts is not None:
+            # tail commits strictly AFTER the latest version committed
+            # at or before this unix time (the Delta startingTimestamp
+            # shape, resolved once at stream construction)
+            start = snap.version_at_timestamp(path, float(start_ts))
         #: None = initial-snapshot mode (first batch streams the whole
         #: table state, marked by the ``"snapshot"`` flag on the
         #: offset); starting_version=N tails commits after version N.

@@ -314,3 +314,21 @@ def test_initial_snapshot_streams_mor_table_live_rows(registered, tmp_path):
         v for v in range(100) if not (40 <= v <= 59)
     ]
     assert {r._change_type for r in rows} == {"insert"}
+
+
+def test_starting_timestamp_tails_after_that_time(registered, tmp_path):
+    import time as _t
+
+    spark = registered
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 50, "overwrite")
+    cut = _t.time()
+    _t.sleep(1.1)  # commit stamps are whole seconds
+    _write(spark, path, 50, 70, "append")
+    got = _drain(
+        spark, path, "snapstream_ts", starting_timestamp=str(cut)
+    )
+    assert sorted(r.v for r in got.collect()) == list(range(50, 70))
+    with pytest.raises(Exception, match="not both"):
+        _drain(spark, path, "snapstream_ts2",
+               starting_timestamp=str(cut), starting_version="0")
