@@ -696,3 +696,74 @@ def test_ivm_survives_compaction_without_recompute(
         ).collect()
     }
     assert got == exp
+
+
+# --- concurrent writers: invariant under real interleaving -------------------
+
+
+def test_concurrent_appenders_and_deleters_converge(spark, tmp_path):
+    """3 appender threads race 2 row-level deleters (one DV, one COW)
+    on ONE table with disjoint key spaces: under the rebase/redo
+    conflict handling, the final state must be exactly (base minus the
+    two deleted bands) ∪ every appended batch — no lost appends, no
+    resurrected rows, contiguous version chain."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 1000), path, stats_cols=["k"],
+                        cluster_by=["k"], cluster_files=4)
+    errs: list = []
+
+    def appender(wid: int):
+        try:
+            for s in range(3):
+                lo = 1_000_000 * (wid + 1) + 100 * s
+                snap.snapshot_write(
+                    _batch(spark, lo, lo + 50), path, mode="append",
+                    stats_cols=["k"], max_retries=100,
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def dv_deleter():
+        try:
+            snap.snapshot_delete_where_dv(
+                spark, path, [("k", 100, 199)], max_redo=20
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def cow_deleter():
+        try:
+            snap.snapshot_delete_where(
+                spark, path, [("k", 300, 399)], max_redo=20
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(3)
+    ] + [
+        threading.Thread(target=dv_deleter),
+        threading.Thread(target=cow_deleter),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    expect = {k for k in range(1000) if not (100 <= k <= 199)
+              if not (300 <= k <= 399)}
+    for wid in range(3):
+        for s in range(3):
+            lo = 1_000_000 * (wid + 1) + 100 * s
+            expect |= set(range(lo, lo + 50))
+    got = {r.k for r in snap.read_snapshot(spark, path).select("k").collect()}
+    assert got == expect
+    hist = snap.snapshot_history(path)
+    assert [h["version"] for h in hist] == list(range(len(hist)))
+    assert len(hist) == 1 + 9 + 2  # base + appends + two deletes
+    # manifest-only count agrees wherever provable
+    agg = snap.snapshot_stats_agg(path)
+    if agg["n_rows"] is not None:
+        assert agg["n_rows"] == len(expect)
