@@ -2465,12 +2465,81 @@ def snapshot_add_column(
     return _commit_metadata_only(path, mutate, "add_column", protocol)
 
 
+def _borrows_dir(path: str) -> str:
+    # inside _snapshots but outside the "v*.json" glob, like ckpt-*
+    return os.path.join(_snap_dir(path), "borrows")
+
+
+def _borrow_record_path(src_path: str, dst_path: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        _borrows_dir(src_path),
+        hashlib.md5(dst_path.encode()).hexdigest() + ".json",
+    )
+
+
+def _borrowed_live(path: str) -> set:
+    """Absolute paths of every file some registered clone still
+    borrows from this table — vacuum keeps them alive even after the
+    source versions that referenced them expire."""
+    out: set = set()
+    bdir = _borrows_dir(path)
+    if not os.path.isdir(bdir):
+        return out
+    for name in os.listdir(bdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(bdir, name), encoding="utf-8") as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue  # unreadable record: skip (conservative would
+            # keep nothing extra — records are rewritten atomically)
+        out.update(
+            os.path.abspath(_abs_file(path, f))
+            for f in rec.get("files", [])
+        )
+    return out
+
+
+@normalizes_paths('src_path', 'dst_path')
+def snapshot_release_borrow(
+    src_path: str, dst_path: str, force: bool = False
+) -> bool:
+    """Drop the borrow record a clone registered on its source, so
+    the source's vacuum may reclaim the files. Refused (returns
+    False) while the clone still references any source file — compact
+    the clone first (which materializes every borrowed file into its
+    own root), or pass ``force=True`` if the clone was deleted.
+    Returns True when the record is gone."""
+    rec = _borrow_record_path(src_path, dst_path)
+    if not os.path.exists(rec):
+        return True
+    if not force:
+        v = latest_version(dst_path)
+        if v is not None:
+            m = _read_manifest(dst_path, v)
+            src_abs = os.path.abspath(src_path) + os.sep
+            still = [
+                f for f in m["files"]
+                if os.path.abspath(
+                    _abs_file(dst_path, f)
+                ).startswith(src_abs)
+            ]
+            if still:
+                return False  # the clone still reads borrowed files
+    os.remove(rec)
+    return True
+
+
 @normalizes_paths('src_path', 'dst_path')
 def snapshot_clone(
     src_path: str,
     dst_path: str,
     version: int | None = None,
     protocol: str = "link",
+    register_borrow: bool = True,
 ) -> int:
     """ZERO-COPY shallow clone (the Delta ``SHALLOW CLONE`` shape):
     commit version 0 of a NEW table at ``dst_path`` whose manifest
@@ -2488,11 +2557,17 @@ def snapshot_clone(
     and maintenance are untouched (the clone's vacuum walks only its
     OWN data dir, so borrowed files are never swept by the clone).
 
-    CAVEAT (inherent to shallow clones, Delta has the same): vacuuming
-    or compacting the SOURCE can delete files the clone still
-    borrows — keep the source's retention covering the clone's
-    lifetime, or compact the clone (which materializes every borrowed
-    file into its own root) to cut the dependency.
+    BORROW PROTECTION (``register_borrow=True``, default): the clone
+    registers its borrowed file set in the source's
+    ``_snapshots/borrows/`` — the source's ``vacuum`` keeps those
+    files alive even after every source version referencing them
+    expires, so a clone cannot be silently broken by routine source
+    maintenance (the failure mode Delta's shallow clones document and
+    accept). Cut the dependency by compacting the clone (materializes
+    every borrowed file) then :func:`snapshot_release_borrow`; a
+    discarded clone releases with ``force=True``. Compacting the
+    SOURCE remains safe regardless (borrowed files stay on disk until
+    released).
 
     ``version``: clone a historical snapshot (time-travel branch).
     Returns the clone's committed version (always 0)."""
@@ -2534,6 +2609,27 @@ def snapshot_clone(
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
     }
     _publish_manifest(dst_path, 0, payload, protocol=protocol)
+    if register_borrow:
+        os.makedirs(_borrows_dir(src_path), exist_ok=True)
+        rec = _borrow_record_path(src_path, dst_path)
+        tmp = rec + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "clone": dst_path,
+                    "cloned_version": v,
+                    "created_at_unix": int(time.time()),
+                    # source-relative, the frame the source's vacuum
+                    # resolves liveness in
+                    "files": list(m["files"]) + sorted({
+                        d for ds in m.get("dvs", {}).values() for d in ds
+                    }),
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, rec)
     return 0
 
 
@@ -2952,7 +3048,9 @@ def vacuum(
     # version — which appears in that version's own adds/files list.
     # One resolution + raw manifest scans: O(Σ manifest sizes), not
     # O(versions × table files).
-    live: set[str] = set()
+    # files a registered CLONE still borrows stay alive whatever
+    # version retention says — see snapshot_clone(register_borrow=)
+    live: set[str] = _borrowed_live(path)
     if keep:
         oldest = _read_manifest(path, keep[0])
         live.update(
@@ -3103,5 +3201,6 @@ __all__ = [
     "snapshot_rewrite_matching", "ConstraintViolationError",
     "snapshot_merge_into", "snapshot_write_audited", "AuditFailedError",
     "snapshot_backfill_stats", "snapshot_stats_agg", "snapshot_clone",
+    "snapshot_release_borrow",
     "snapshot_set_constraints", "snapshot_add_column",
 ]

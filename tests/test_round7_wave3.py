@@ -767,3 +767,30 @@ def test_concurrent_appenders_and_deleters_converge(spark, tmp_path):
     agg = snap.snapshot_stats_agg(path)
     if agg["n_rows"] is not None:
         assert agg["n_rows"] == len(expect)
+
+
+def test_borrow_registration_protects_clone_from_source_vacuum(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.snapshot_write(_tbl(spark, 80), src)
+    snap.snapshot_clone(src, dst)
+    before = _rows(spark, dst)
+    # the source moves on: its only version referencing the borrowed
+    # files expires — without the borrow record vacuum would reclaim
+    # them and silently break the clone
+    snap.snapshot_write(_batch(spark, 0, 10), src, mode="overwrite")
+    snap.vacuum(src, keep_last=1, orphan_grace_s=0.0)
+    assert _rows(spark, dst) == before  # clone intact
+    # release is refused while the clone still borrows
+    assert snap.snapshot_release_borrow(src, dst) is False
+    # compacting the clone materializes every borrowed file
+    snap.snapshot_compact(spark, dst)
+    assert snap.snapshot_release_borrow(src, dst) is True
+    removed = snap.vacuum(src, keep_last=1, orphan_grace_s=0.0)
+    assert removed > 0  # the borrowed files are finally reclaimed
+    assert _rows(spark, dst) == before  # materialized clone unaffected
+    assert len(_rows(spark, src)) == 10
+    # releasing twice is a no-op
+    assert snap.snapshot_release_borrow(src, dst) is True
