@@ -794,3 +794,41 @@ def test_borrow_registration_protects_clone_from_source_vacuum(
     assert len(_rows(spark, src)) == 10
     # releasing twice is a no-op
     assert snap.snapshot_release_borrow(src, dst) is True
+
+
+# --- negative paths of the new surface ---------------------------------------
+
+
+def test_new_api_error_paths(spark, tmp_path):
+    missing = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_stats_agg(missing)
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_clone(missing, str(tmp_path / "c"))
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_replace_where(
+            spark, missing, [("k", 0, 1)],
+            spark.range(1).select(F.col("id").alias("k")),
+        )
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_set_constraints(spark, missing, ["1 = 1"],
+                                      validate_existing=False)
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 10), path)
+    # add_column to a schemaless (legacy) table refuses
+    legacy = str(tmp_path / "legacy")
+    _tbl(spark, 5).write.parquet(legacy + "/data/t0")
+    snap.snapshot_publish_staged(legacy, "t0")
+    with pytest.raises(ValueError, match="records no schema"):
+        snap.snapshot_add_column(legacy, "x", "long")
+    # replace batch with wrong columns refuses before any write
+    with pytest.raises(ValueError, match="columns"):
+        snap.snapshot_replace_where(
+            spark, path, [("k", 0, 1)],
+            spark.range(1).select(F.col("id").alias("k")),
+        )
+    # invalid DDL type string surfaces as a parse error
+    with pytest.raises(Exception):
+        snap.snapshot_add_column(path, "x", "not_a_type")
+    # release of a never-registered borrow is a clean no-op
+    assert snap.snapshot_release_borrow(path, missing) is True
