@@ -185,6 +185,32 @@ def _danger_keys(
     )
 
 
+def _pruned_source_for(
+    spark: SparkSession, source_path: str, version: int,
+    danger: DataFrame, keys: list[str],
+) -> DataFrame:
+    """The source read for a danger-group rescan, zone-map-pruned when
+    possible: with a SINGLE group key and no NULL danger key, read
+    only the files whose recorded [min, max] overlaps the danger
+    keys' interval (``read_snapshot(where=…)`` — loose, never wrong;
+    the caller's semi-join is the exact group filter). Multi-key
+    specs, NULL danger keys, or untracked sources fall back to the
+    full file list."""
+    if len(keys) == 1:
+        k = keys[0]
+        has_null = (
+            danger.filter(F.col(k).isNull()).limit(1).count() > 0
+        )
+        if not has_null:
+            kb = danger.agg(F.min(k), F.max(k)).first()
+            if kb[0] is not None:
+                return snap.read_snapshot(
+                    spark, source_path, version,
+                    where=[(k, kb[0], kb[1])],
+                )
+    return snap.read_snapshot(spark, source_path, version)
+
+
 def _semi_nullsafe(
     df: DataFrame, keys_df: DataFrame, keys: list[str], anti: bool = False
 ) -> DataFrame:
@@ -389,13 +415,18 @@ def _refresh(
                         # folds. Aggregation state is O(danger
                         # groups), not O(all groups) — the view never
                         # pays a full re-aggregation for one hot
-                        # group's eviction.
+                        # group's eviction. On a stats-tracked source
+                        # with a single group key, the scan itself is
+                        # zone-map-pruned to the danger keys' interval
+                        # (loose but never wrong — the semi-join below
+                        # is the exact filter), so a clustered fact
+                        # table pays O(danger files), not O(table
+                        # bytes).
+                        rescan_src = _pruned_source_for(
+                            spark, source_path, cur, danger, keys
+                        )
                         rescan = _aggregate(
-                            _semi_nullsafe(
-                                snap.read_snapshot(spark, source_path,
-                                                   cur),
-                                danger, keys,
-                            ),
+                            _semi_nullsafe(rescan_src, danger, keys),
                             keys, sums, mins, maxs,
                         )
                         old = _semi_nullsafe(old, danger, keys,

@@ -381,3 +381,54 @@ def test_minmax_partial_rescan_only_endangered_groups(
     }
     assert got == exp
     assert got[0][3] == 294  # the eviction really moved g=0's max
+
+
+def test_minmax_rescan_prunes_source_files_by_danger_interval(
+    spark, tmp_path, monkeypatch
+):
+    """On a source clustered + stats-tracked by the GROUP key (the
+    date-keyed rollup shape), the danger rescan's scan is zone-map
+    pruned to the endangered keys' interval — O(danger files), not
+    O(table bytes)."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(1000).select(
+        (F.col("id") / 100).cast("long").alias("g"),
+        F.col("id").alias("v"),
+    )
+    snap.snapshot_write(df, src, stats_cols=["g", "v"],
+                        cluster_by=["g"], cluster_files=10)
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    # delete g=3's maximum (v=399): exactly one endangered group
+    snap.snapshot_delete_where_dv(spark, src, [("v", 399, 399)])
+    seen: list = []
+    real_agg = ivm._aggregate
+
+    def spy(d, keys, sums, mins=(), maxs=()):
+        seen.append(d)
+        return real_agg(d, keys, sums, mins, maxs)
+
+    monkeypatch.setattr(ivm, "_aggregate", spy)
+    ivm.refresh_agg_view(spark, src, view, ["g"], **kw)
+    monkeypatch.undo()
+    assert len(seen) == 1
+    import os as _os
+
+    total = len(snap._read_manifest(src, 0)["files"])
+    src_abs = _os.path.abspath(src)
+    scanned = {
+        f for f in seen[0].inputFiles()
+        if src_abs in f and "/data/" in f
+    }
+    assert total >= 8
+    assert len(scanned) <= max(1, total // 4)  # pruned to g=3's files
+    got = {r.g: (r.n, r.max_v)
+           for r in ivm.read_view(spark, view).collect()}
+    exp = {
+        r.g: (r.n, r.mx)
+        for r in snap.read_snapshot(spark, src).groupBy("g").agg(
+            F.count("*").alias("n"), F.max("v").alias("mx")
+        ).collect()
+    }
+    assert got == exp
+    assert got[3] == (99, 398)
