@@ -832,3 +832,23 @@ def test_new_api_error_paths(spark, tmp_path):
         snap.snapshot_add_column(path, "x", "not_a_type")
     # release of a never-registered borrow is a clean no-op
     assert snap.snapshot_release_borrow(path, missing) is True
+
+
+def test_clone_of_clone_chains_borrows(spark, tmp_path):
+    """A clone of a clone borrows across TWO roots (grandparent files
+    arrive as the middle clone's '../' references); reads, rewrites,
+    and manifest-only counts all resolve through the chain, and each
+    table stays isolated."""
+    a, b, c = (str(tmp_path / n) for n in ("a", "b", "c"))
+    snap.snapshot_write(_tbl(spark, 100), a, stats_cols=["k"])
+    snap.snapshot_clone(a, b)
+    snap.snapshot_write(_batch(spark, 200, 210), b, mode="append",
+                        stats_cols=["k"])
+    snap.snapshot_clone(b, c)
+    got = sorted(r[0] for r in _rows(spark, c))
+    assert got == list(range(100)) + list(range(200, 210))
+    snap.snapshot_delete_where(spark, c, [("k", 0, 9)])
+    assert len(_rows(spark, c)) == 100
+    assert len(_rows(spark, b)) == 110
+    assert len(_rows(spark, a)) == 100
+    assert snap.snapshot_stats_agg(c)["n_rows"] == 100
