@@ -1396,6 +1396,11 @@ def snapshot_table_info(path: str, version: int | None = None) -> dict:
         "dv_vector_files": len(
             {d for ds in m.get("dvs", {}).values() for d in ds}
         ),
+        # registered clones still borrowing this table's files (their
+        # borrowed sets stay vacuum-protected until released)
+        "borrowing_clones": sorted(
+            rec.get("clone", "?") for rec in _borrow_records(path)
+        ),
     }
 
 
@@ -2479,28 +2484,33 @@ def _borrow_record_path(src_path: str, dst_path: str) -> str:
     )
 
 
-def _borrowed_live(path: str) -> set:
-    """Absolute paths of every file some registered clone still
-    borrows from this table — vacuum keeps them alive even after the
-    source versions that referenced them expire."""
-    out: set = set()
+def _borrow_records(path: str) -> list[dict]:
+    """Every clone-borrow record registered on this table."""
     bdir = _borrows_dir(path)
     if not os.path.isdir(bdir):
-        return out
-    for name in os.listdir(bdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(bdir)):
         if not name.endswith(".json"):
             continue
         try:
             with open(os.path.join(bdir, name), encoding="utf-8") as fh:
-                rec = json.load(fh)
+                out.append(json.load(fh))
         except (OSError, ValueError):
-            continue  # unreadable record: skip (conservative would
-            # keep nothing extra — records are rewritten atomically)
-        out.update(
-            os.path.abspath(_abs_file(path, f))
-            for f in rec.get("files", [])
-        )
+            continue  # unreadable record: skip (records are written
+            # atomically, so this is a racing delete, not corruption)
     return out
+
+
+def _borrowed_live(path: str) -> set:
+    """Absolute paths of every file some registered clone still
+    borrows from this table — vacuum keeps them alive even after the
+    source versions that referenced them expire."""
+    return {
+        os.path.abspath(_abs_file(path, f))
+        for rec in _borrow_records(path)
+        for f in rec.get("files", [])
+    }
 
 
 @normalizes_paths('src_path', 'dst_path')
@@ -2984,6 +2994,7 @@ def snapshot_merge_into(
 def vacuum(
     path: str, keep_last: int = 1, orphan_grace_s: float = 600.0,
     keep_newer_than_s: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no
@@ -3016,6 +3027,12 @@ def vacuum(
     delete every data file — silent whole-table destruction from a
     maintenance call. Dropping a table is an explicit ``rmtree`` by
     the owner, not a vacuum parameter.
+
+    ``dry_run=True`` computes and returns the would-delete count with
+    ZERO side effects — no manifest expired, no marker folded, no
+    file or checkpoint touched (the Delta ``VACUUM … DRY RUN``
+    operational-safety shape: audit the blast radius before running
+    the real thing).
     """
     if keep_last < 1:
         raise ValueError(
@@ -3088,6 +3105,45 @@ def vacuum(
     # expiring a query's last committed snapshot cannot reopen its
     # exactly-once window.
     expired = [v for v in vs if v not in keep]
+    if dry_run:
+        # expired-manifest refs must be computed BEFORE any mutation
+        # in the real path; here nothing mutates at all — walk, count,
+        # return (same classification as the deleting walk below)
+        dry_refs: set[str] = set()
+        for v in expired:
+            m = _read_manifest_raw(path, v)
+            dry_refs.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in (m["files"] if "files" in m else m.get("adds", []))
+            )
+            dry_refs.update(
+                os.path.abspath(_abs_file(path, d))
+                for ds in m.get("dv_adds", m.get("dvs", {})).values()
+                for d in ds
+            )
+            dry_refs.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in m.get("cdf", [])
+            )
+        now = time.time()
+        would = 0
+        for dp, _dirs, files in os.walk(os.path.join(path, "data")):
+            for f in files:
+                full = os.path.abspath(os.path.join(dp, f))
+                if not _is_data_file(f) or full in live:
+                    continue
+                if full in dry_refs:
+                    would += 1
+                else:
+                    try:
+                        old_enough = (
+                            now - os.path.getmtime(full) >= orphan_grace_s
+                        )
+                    except OSError:
+                        old_enough = False
+                    if old_enough:
+                        would += 1
+        return would
     if expired:
         clog = _read_commit_log(path)
         markers: dict[str, list] = clog.setdefault("markers", {})

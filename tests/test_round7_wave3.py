@@ -852,3 +852,34 @@ def test_clone_of_clone_chains_borrows(spark, tmp_path):
     assert len(_rows(spark, b)) == 110
     assert len(_rows(spark, a)) == 100
     assert snap.snapshot_stats_agg(c)["n_rows"] == 100
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(_tbl(spark, 50), path)
+    files_v0 = [os.path.join(path, f)
+                for f in snap._read_manifest(path, 0)["files"]]
+    snap.snapshot_write(_batch(spark, 0, 10), path, mode="overwrite")
+    would = snap.vacuum(path, keep_last=1, orphan_grace_s=0.0,
+                        dry_run=True)
+    assert would == len(files_v0)
+    # NOTHING happened: old version still time-travels, files intact
+    assert all(os.path.exists(f) for f in files_v0)
+    assert len(_rows(spark, path, version=0)) == 50
+    # the real run deletes exactly what the dry run predicted
+    assert snap.vacuum(path, keep_last=1, orphan_grace_s=0.0) == would
+    assert not any(os.path.exists(f) for f in files_v0)
+
+
+def test_table_info_lists_borrowing_clones(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.snapshot_write(_tbl(spark, 20), src)
+    assert snap.snapshot_table_info(src)["borrowing_clones"] == []
+    snap.snapshot_clone(src, dst)
+    assert snap.snapshot_table_info(src)["borrowing_clones"] == [
+        os.path.abspath(dst)
+    ]
+    snap.snapshot_compact(spark, dst)
+    snap.snapshot_release_borrow(src, dst)
+    assert snap.snapshot_table_info(src)["borrowing_clones"] == []
