@@ -49,6 +49,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -85,6 +86,11 @@ _CHECKPOINT_INTERVAL = 20
 #: same-path table being dropped and recreated.
 _RESOLVE_CACHE: dict = {}
 _RESOLVE_CACHE_MAX = 32
+#: Serializes cache mutation: concurrent streaming queries resolve
+#: snapshots from multiple driver threads, and the check-then-pop FIFO
+#: eviction is not atomic on its own. Cached CONTENT is safe unlocked
+#: (txid-keyed, immutable manifests); only the eviction races.
+_RESOLVE_CACHE_LOCK = threading.Lock()
 
 
 class ConstraintViolationError(ValueError):
@@ -318,9 +324,10 @@ def _norm_state(path: str, m: dict) -> dict:
 
 
 def _cache_put(key: tuple, state: dict) -> None:
-    if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_MAX:
-        _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
-    _RESOLVE_CACHE[key] = state
+    with _RESOLVE_CACHE_LOCK:
+        while len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_MAX:
+            _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+        _RESOLVE_CACHE[key] = state
 
 
 def _resolve_state(path: str, version: int) -> dict:
@@ -997,19 +1004,20 @@ def _cond_from_where(where: list[tuple]):
 def version_at_timestamp(path: str, ts_unix: float) -> int:
     """Timestamp time travel (the Delta ``TIMESTAMP AS OF`` shape):
     the latest version committed at or before ``ts_unix``. Commit
-    times are nondecreasing along the chain (each commit stamps
-    wall-clock after winning the version race), so the scan stops at
-    the first newer commit. Raises ``ValueError`` when every retained
-    version is newer (the asked-for history was vacuumed or never
-    existed)."""
+    timestamps are stamped by independent writer processes (the
+    multi-JVM CAS path), so clock skew or same-second rebases can
+    make them locally NON-monotonic; the scan therefore walks the
+    whole retained list (it is O(#versions) raw manifest reads either
+    way) instead of stopping at the first newer commit, which could
+    hide a later eligible version. Raises ``ValueError`` when every
+    retained version is newer (the asked-for history was vacuumed or
+    never existed)."""
     best = None
     for v in _versions(path):
         if _read_manifest_raw(path, v).get(
             "committed_at_unix", 0
         ) <= ts_unix:
             best = v
-        else:
-            break
     if best is None:
         raise ValueError(
             f"no snapshot of {path} existed at unix time {ts_unix} "
@@ -1178,6 +1186,28 @@ def read_snapshot_changes(
     return reader.load(new_files)
 
 
+def _legacy_append_adds(path: str, m: dict) -> list[str]:
+    """The rows a LEGACY (pre-log-structured) full-manifest append
+    actually inserted, recovered as the file diff vs its parent's
+    resolved state — the same set-diff discipline the file-set CDC
+    uses. Raises when the commit also DROPPED parent files (then it
+    was not a pure append and has no row-level reading)."""
+    cur = [_rel_file(path, f) for f in m["files"]]
+    if m.get("parent") is None:
+        return cur  # table-creating commit: everything is an insert
+    parent_files = set(_resolve_state(path, m["parent"])["files"])
+    cur_set = set(cur)
+    dropped = [f for f in parent_files if f not in cur_set]
+    if dropped:
+        raise ValueError(
+            f"snapshot v{m['version']} at {path} is a full-manifest "
+            f"commit that dropped {len(dropped)} parent file(s); the "
+            "change feed cannot express it row-level — re-read the "
+            "full snapshot"
+        )
+    return [f for f in cur if f not in parent_files]
+
+
 @normalizes_paths('path')
 def read_snapshot_changes_feed(
     spark: SparkSession, path: str, from_version: int, to_version: int
@@ -1208,6 +1238,7 @@ def read_snapshot_changes_feed(
     out: DataFrame | None = None
     v = to_version
     chain: list[dict] = []
+    legacy_adds: dict[int, list[str]] = {}
     while v is not None and v > from_version:
         m = _read_manifest_raw(path, v)
         kind = m.get("rewrite", {}).get("kind")
@@ -1216,7 +1247,16 @@ def read_snapshot_changes_feed(
         ):
             chain.append(m)
         elif m["operation"] == "append" and "files" in m:
-            chain.append(m)  # full-manifest append (backfill): no adds
+            # a full-manifest append is EITHER a metadata-only commit
+            # (stats backfill / DDL — zero row changes, marked) OR a
+            # legacy pre-log-structured append that DID insert rows;
+            # treating the latter as empty would silently drop its
+            # inserts from the feed and corrupt IVM signed folds
+            if m.get("backfill") or m.get("ddl"):
+                chain.append(m)
+            else:
+                legacy_adds[m["version"]] = _legacy_append_adds(path, m)
+                chain.append(m)
         elif kind in ("delete_where_dv", "update_where_mor"):
             # both record their row-level effect exactly: vectors for
             # the removed positions, adds for the (updated) new rows
@@ -1280,7 +1320,10 @@ def read_snapshot_changes_feed(
                 deleted.withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(ver))
             )
-        adds = [_abs_file(path, f) for f in m.get("adds", [])]
+        adds_rel = (
+            m["adds"] if "adds" in m else legacy_adds.get(m["version"], [])
+        )
+        adds = [_abs_file(path, f) for f in adds_rel]
         if adds:
             # for an MOR update these are the post-update rows: the
             # version's net effect reads as delete(old) ⊕ insert(new)
@@ -1735,6 +1778,25 @@ def _dv_key(rel: str) -> str:
     vectors stable across table relocation. Unique within a table:
     txids never collide and txid subdirs are never named ``data``."""
     return "data/" + rel.rsplit("data/", 1)[-1]
+
+
+def _dv_covered_files(
+    spark: SparkSession, dv_dir: str, path: str, affected: list[str]
+) -> list[str]:
+    """The manifest-relative data files a just-written deletion
+    vector ACTUALLY covers: the distinct ``file`` values present in
+    the vector (``_dv_key``-canonical), mapped back to the affected
+    files' manifest keys. One small distributed distinct over the
+    staged (file, pos) parquet — no re-run of the predicate scan."""
+    hit = {
+        r.file
+        for r in spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
+        .select("file").distinct().collect()
+    }
+    by_key = {
+        _dv_key(_rel_file(path, f)): _rel_file(path, f) for f in affected
+    }
+    return [by_key[k] for k in sorted(hit) if k in by_key]
 
 
 def _rel_path_expr(root: str):
@@ -2192,6 +2254,10 @@ def snapshot_update_where_dv(
         finally:
             matched.unpersist()
         dv_rel = [_rel_file(path, f) for f in _data_files(dv_dir)]
+        # scope the vector to files whose rows actually matched (see
+        # snapshot_delete_where_dv) — pruning-affected-but-untouched
+        # files must not become permanently vectored
+        dv_covered = _dv_covered_files(spark, dv_dir, path, affected)
         add_files = _data_files(rows_dir)
         add_rel = [_rel_file(path, f) for f in add_files]
         stat_cols = sorted(
@@ -2217,11 +2283,11 @@ def snapshot_update_where_dv(
             "adds": add_rel,
             "removes": [],
             "n_live_files": len(m["files"]) + len(add_rel),
-            "dv_adds": {_rel_file(path, f): dv_rel for f in affected},
+            "dv_adds": {f: dv_rel for f in dv_covered},
             "rewrite": {
                 "kind": "update_where_mor",
                 "vector_files": len(dv_rel),
-                "covered_files": len(affected),
+                "covered_files": len(dv_covered),
                 "added_files": len(add_rel),
             },
             **({"stats": add_stats} if add_stats else {}),
@@ -2314,11 +2380,18 @@ def snapshot_delete_where_dv(
         dv_dir = os.path.join(path, "data", txid)
         positions.write.mode("error").parquet(dv_dir)
         dv_files = _data_files(dv_dir)
-        # group the vector under each affected data file it may cover —
-        # resolution drops a file's vectors when the file is rewritten,
-        # and readers scope vector loads to the files they scan
+        # group the vector under each data file whose rows ACTUALLY
+        # matched (distinct `file` values in the written vector), not
+        # every pruning-affected file — keying on the latter would
+        # permanently "vector" untouched files: they'd pay the
+        # read-side anti-join forever, inflate auto_maintain's dv-debt
+        # trigger, and disable manifest-only MIN/MAX though their rows
+        # are intact. Resolution drops a file's vectors when the file
+        # is rewritten, and readers scope vector loads to covered files.
         dv_rel = [_rel_file(path, f) for f in dv_files]
-        dv_adds = {_rel_file(path, f): dv_rel for f in affected}
+        dv_adds = {f: dv_rel for f in _dv_covered_files(
+            spark, dv_dir, path, affected
+        )}
         payload = {
             "version": v + 1,
             "parent": v,
@@ -2332,7 +2405,7 @@ def snapshot_delete_where_dv(
             "rewrite": {
                 "kind": "delete_where_dv",
                 "vector_files": len(dv_rel),
-                "covered_files": len(affected),
+                "covered_files": len(dv_adds),
             },
             **({"schema": m["schema"]} if "schema" in m else {}),
             **({"constraints": m["constraints"]}
@@ -2735,6 +2808,11 @@ def snapshot_backfill_stats(
             **({"members": mm}
                if (mm := _merged(m.get("members", {}), new_members))
                else {}),
+            # same files, same LIVE rows: deletion vectors must carry
+            # through this full-manifest barrier exactly like restore
+            # and clone do, or backfilling stats on a DV table would
+            # silently resurrect every vector-deleted row
+            **({"dvs": m["dvs"]} if m.get("dvs") else {}),
             **({"schema": m["schema"]} if "schema" in m else {}),
             **({"constraints": m["constraints"]}
                if "constraints" in m else {}),

@@ -41,6 +41,28 @@ Mechanics:
 * **Exactly-once.** Offsets live in the query checkpoint; a replayed
   batch re-reads the same immutable files. Vacuum caveat: keep the
   stream's lag within the table's retention window.
+* **Admission control** (``option("max_files_per_trigger", N)`` — the
+  Delta ``maxFilesPerTrigger`` shape): each micro-batch admits at most
+  N data files. The initial snapshot splits into RESUMABLE chunks
+  whose progress lives in the offsets (``{"snap_v": V, "idx": K}``),
+  so on a huge table the first batch is bounded and a restart
+  mid-snapshot resumes at file K instead of replaying everything.
+  Tail batches admit whole versions until the budget is spent (at
+  least one per batch). The Python DataSource API has no
+  SupportsAdmissionControl callback handing latestOffset the start
+  offset, so the cap rides a reader-tracked cursor: batch zero caps
+  from the initial position (Spark asks latestOffset before
+  initialOffset on a fresh stream), and on restart the WAL replay
+  (partitions/commit) re-teaches the cursor before the next advance
+  — both orderings verified against the processingTime and
+  availableNow runners. If an unknown engine path ever planned a
+  batch whose offsets cannot be consistent, partitions fails CLOSED
+  (ValueError) instead of re-emitting delivered rows. Caveat: a
+  ``Trigger.AvailableNow`` run executes ONE capped batch and stops
+  (Python sources cannot implement SupportsTriggerAvailableNow's
+  multi-batch drain) — under a cap, drive catch-up with a
+  processingTime trigger or repeated availableNow runs, each of
+  which resumes exactly where the last stopped.
 
 Reference scope note: the reference re-polls its SQLite store and
 recomputes dashboards per load (src/app/utils/data_loader.py); this
@@ -50,6 +72,7 @@ path, expressed as a first-class Spark streaming relation.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
@@ -65,6 +88,16 @@ from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 #: ``read_snapshot_changes_feed`` so consumers share code.
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
+
+
+def _dbg(msg: str) -> None:
+    """Append a line to ``$SNAPSTREAM_DEBUG_LOG`` if set — the reader
+    runs in a separate Python worker where a debugger can't reach;
+    this is the supported way to trace offset negotiation."""
+    log = os.environ.get("SNAPSTREAM_DEBUG_LOG")
+    if log:
+        with open(log, "a", encoding="utf-8") as fh:
+            fh.write(f"{os.getpid()} {msg}\n")
 
 
 @dataclass
@@ -103,17 +136,97 @@ class SnapshotStreamReader(DataSourceStreamReader):
         #: table state, marked by the ``"snapshot"`` flag on the
         #: offset); starting_version=N tails commits after version N.
         self.start_version = int(start) if start is not None else None
+        #: Admission control (the Delta ``maxFilesPerTrigger`` shape):
+        #: cap how many data files one micro-batch admits. The initial
+        #: snapshot splits into resumable chunks — progress lives IN
+        #: the offsets (``{"snap_v": V, "idx": K}`` = first K files of
+        #: the resolved state at pinned version V already emitted), so
+        #: a restart mid-snapshot resumes at K instead of replaying
+        #: the whole table. Tail batches admit whole versions until
+        #: the file budget is spent (always at least one version).
+        self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
+        if self.max_files < 0:
+            raise ValueError("max_files_per_trigger must be >= 0")
+        #: Last end offset this reader returned/observed. The Python
+        #: DataSource API passes latestOffset no start offset, so the
+        #: cap is applied against this self-tracked cursor; after a
+        #: restart whose last batch was fully committed, the first new
+        #: batch is uncapped (documented caveat — the Scala
+        #: SupportsAdmissionControl callback has no Python equivalent)
+        #: and partitions() re-teaches the cursor from the WAL start.
+        self._cursor: dict | None = None
 
     def initialOffset(self):
         if self.start_version is not None:
-            return {"version": self.start_version}
-        return {"version": -1, "snapshot": True}
+            off = {"version": self.start_version}
+        else:
+            off = {"version": -1, "snapshot": True}
+        self._cursor = dict(off)
+        _dbg(f"initialOffset -> {off}")
+        return off
+
+    def _n_files_at(self, version: int) -> int:
+        return len(snap._read_manifest(self.path, version)["files"])
+
+    def _added_files_count(self, version: int) -> int:
+        """Files a single version admits into the stream — raw-manifest
+        adds for delta commits, full file count as the conservative
+        bound for legacy full manifests."""
+        m = snap._read_manifest_raw(self.path, version)
+        if "adds" in m:
+            return len(m["adds"])
+        return len(m.get("files", []))
+
+    def _advance(self, cur: dict, head: int) -> dict:
+        """The next capped end offset after ``cur`` toward ``head``."""
+        if cur.get("snapshot"):
+            # pin the snapshot at the current head; chunk if needed
+            if self._n_files_at(head) <= self.max_files:
+                return {"version": head}
+            return {"snap_v": head, "idx": self.max_files}
+        if "snap_v" in cur:
+            hi, k = cur["snap_v"], cur["idx"]
+            nk = min(k + self.max_files, self._n_files_at(hi))
+            if nk >= self._n_files_at(hi):
+                return {"version": hi}  # snapshot complete: tail mode
+            return {"snap_v": hi, "idx": nk}
+        lo = cur["version"]
+        v, budget = lo, self.max_files
+        while v < head:
+            n = self._added_files_count(v + 1)
+            if v > lo and n > budget:
+                break  # next version would blow the budget
+            v += 1
+            budget -= n
+            if budget <= 0:
+                break
+        return {"version": v} if v != lo else dict(cur)
 
     def latestOffset(self):
         v = snap.latest_version(self.path)
         if v is None:
             return self.initialOffset()
-        return {"version": v}
+        if not self.max_files:
+            off = {"version": v}
+        else:
+            cur = self._cursor
+            if cur is None:
+                # First call of a FRESH stream: Spark asks for the
+                # latest offset BEFORE initialOffset (verified against
+                # both processingTime and availableNow runners). On a
+                # RESTART the WAL replay teaches the cursor first —
+                # partitions(start, end) and commit(end) both fire
+                # before any latestOffset — so None here means batch
+                # zero: cap from the stream's own initial position.
+                cur = (
+                    {"version": self.start_version}
+                    if self.start_version is not None
+                    else {"version": -1, "snapshot": True}
+                )
+            off = self._advance(cur, v)
+        _dbg(f"latestOffset(cursor={self._cursor}) -> {off}")
+        self._cursor = dict(off)
+        return off
 
     def _table_schema_json(self) -> str:
         """The TABLE schema (change columns excluded) — what data
@@ -129,7 +242,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return base.json()
 
     def partitions(self, start: dict, end: dict):
-        hi = end["version"]
         schema_json = self._table_schema_json()
         out: list[SnapshotFilePartition] = []
 
@@ -143,30 +255,82 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 for f in files
             )
 
-        if start.get("snapshot"):
-            # initial snapshot: the table's RESOLVED state at `hi`
-            # streams as inserts (existing rows count as new data —
-            # the Delta table-as-stream-source semantic). Files a
-            # deletion vector covers subtract their positions
-            # executor-side, so a merge-on-read table streams its
-            # LIVE rows without waiting for a compaction.
-            m = snap._read_manifest(self.path, hi)
+        def _snapshot_parts(sv: int, lo_idx: int, hi_idx: int):
+            # initial snapshot (possibly one CHUNK of it): the table's
+            # RESOLVED state at pinned version `sv` streams as inserts
+            # (existing rows count as new data — the Delta
+            # table-as-stream-source semantic). The slice is a pure
+            # function of the immutable version, so replays are exact.
+            # Files a deletion vector covers subtract their positions
+            # executor-side, so a merge-on-read table streams its LIVE
+            # rows without waiting for a compaction.
+            m = snap._read_manifest(self.path, sv)
             dvs = m.get("dvs") or {}
             kind = "insert" if self.read_changes else "plain"
-            for f in m["files"]:
+            for f in m["files"][lo_idx:hi_idx]:
                 dv_abs = [
                     snap._abs_file(self.path, d) for d in dvs.get(f, [])
                 ]
                 out.append(
                     SnapshotFilePartition(
                         snap._abs_file(self.path, f), schema_json,
-                        kind=kind, version=hi,
+                        kind=kind, version=sv,
                         rel=snap._dv_key(f) if dv_abs else "",
                         dv_files=dv_abs,
                     )
                 )
+
+        # partitions() sees the WAL's true start offset, which
+        # latestOffset never does — keep the admission cursor honest
+        # across a recovered (planned-but-uncommitted) batch replay
+        _dbg(f"partitions start={start} end={end}")
+        self._cursor = dict(end)
+        if "snap_v" in end:  # this batch is one mid-snapshot chunk
+            # fail CLOSED on offset pairs that cannot arise from a
+            # consistent plan (an end positioned BEHIND the start
+            # would re-emit delivered rows and break exactly-once)
+            if "snap_v" in start and start["snap_v"] != end["snap_v"]:
+                raise ValueError(
+                    f"inconsistent stream offsets: snapshot pinned at "
+                    f"v{start['snap_v']} but batch end pins "
+                    f"v{end['snap_v']}; restart from a fresh checkpoint"
+                )
+            if "snap_v" not in start and not start.get("snapshot"):
+                raise ValueError(
+                    f"inconsistent stream offsets: start {start} is "
+                    f"past the initial snapshot but end {end} is a "
+                    "snapshot chunk; restart from a fresh checkpoint"
+                )
+            lo_idx = 0 if start.get("snapshot") else start["idx"]
+            _snapshot_parts(end["snap_v"], lo_idx, end["idx"])
             return out
-        lo = start["version"]
+        hi = end["version"]
+        if (
+            "snap_v" not in start
+            and not start.get("snapshot")
+            and hi < start["version"]
+        ):
+            raise ValueError(
+                f"inconsistent stream offsets: end {end} is behind "
+                f"start {start}; restart from a fresh checkpoint"
+            )
+        if start.get("snapshot"):
+            _snapshot_parts(hi, 0, self._n_files_at(hi))
+            return out
+        if "snap_v" in start:
+            # a batch spanning the snapshot remainder plus the tail:
+            # finish the pinned snapshot, then walk (snap_v, hi] below
+            sv = start["snap_v"]
+            if hi < sv:
+                raise ValueError(
+                    f"inconsistent stream offsets: end {end} is behind "
+                    f"the pinned snapshot v{sv}; restart from a fresh "
+                    "checkpoint"
+                )
+            _snapshot_parts(sv, start["idx"], self._n_files_at(sv))
+            lo = sv
+        else:
+            lo = start["version"]
         v = hi
         while v is not None and v > lo:
             m = snap._read_manifest_raw(self.path, v)
@@ -176,7 +340,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
             ):
                 _insert_parts(m["adds"], v)
             elif m["operation"] == "append" and "files" in m:
-                pass  # metadata-only append (stats backfill)
+                # metadata-only commits (stats backfill / DDL) carry a
+                # marker and stream zero rows; an UNMARKED full-manifest
+                # append is a legacy pre-log-structured append that DID
+                # insert rows — stream its file diff vs parent (raises
+                # if it also dropped files, like any rewrite would)
+                if m.get("backfill") or m.get("ddl"):
+                    pass
+                else:
+                    _insert_parts(
+                        snap._legacy_append_adds(self.path, m), v
+                    )
             elif self.read_changes and kind in (
                 "delete_where_dv", "update_where_mor"
             ):
@@ -296,7 +470,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(out_names, arrays))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are version numbers; nothing to clean up
+        # offsets are version positions; nothing to clean up — but a
+        # commit callback is also cursor knowledge (Spark replays the
+        # last committed offset here on restart, which latestOffset
+        # never sees), so record it for admission control
+        _dbg(f"commit end={end}")
+        self._cursor = dict(end)
 
 
 class SnapshotTableDataSource(DataSource):
