@@ -148,12 +148,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if self.max_files < 0:
             raise ValueError("max_files_per_trigger must be >= 0")
         #: Last end offset this reader returned/observed. The Python
-        #: DataSource API passes latestOffset no start offset, so the
-        #: cap is applied against this self-tracked cursor; after a
-        #: restart whose last batch was fully committed, the first new
-        #: batch is uncapped (documented caveat — the Scala
-        #: SupportsAdmissionControl callback has no Python equivalent)
-        #: and partitions() re-teaches the cursor from the WAL start.
+        #: DataSource API passes latestOffset no start offset (the
+        #: Scala SupportsAdmissionControl callback has no Python
+        #: equivalent), so the cap is applied against this
+        #: self-tracked cursor; None means batch zero of a fresh
+        #: stream — on restarts the WAL replay (partitions/commit)
+        #: re-teaches it before any latestOffset advance.
         self._cursor: dict | None = None
 
     def initialOffset(self):

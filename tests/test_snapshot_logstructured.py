@@ -54,12 +54,15 @@ def test_long_chain_resolution_persists_a_checkpoint(spark, tmp_path):
     _append_chain(spark, path, n)
     latest = n - 1
     snap._RESOLVE_CACHE.clear()
-    assert not os.path.exists(snap._ckpt_path(path, latest))
+    assert not os.path.exists(snap._ckpt_path_pq(path, latest))
     snap._read_manifest(path, latest)  # walk >= interval -> checkpoint
-    assert os.path.exists(snap._ckpt_path(path, latest))
-    with open(snap._ckpt_path(path, latest)) as fh:
-        ck = json.load(fh)
-    assert len(ck["files"]) == n
+    assert os.path.exists(snap._ckpt_path_pq(path, latest))
+    raw = snap._read_manifest_raw(path, latest)
+    tbl = snap._read_ckpt_arrow(path, latest, raw["txid"])
+    meta, state = snap._ckpt_from_arrow(tbl)
+    assert len(state["files"]) == n
+    assert len(state["stats"]) == n  # zone maps survive the round trip
+    assert meta["txid"] == raw["txid"]
     # a LATER commit resolves through the checkpoint, not the chain
     df = spark.range(9000, 9010).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
@@ -76,7 +79,7 @@ def test_vacuum_checkpoints_oldest_kept_delta(spark, tmp_path):
     snap.vacuum(path, keep_last=3, orphan_grace_s=0.0)
     # expired manifests gone, kept ones resolvable WITHOUT the chain
     assert snap._versions(path) == [7, 8, 9]
-    assert os.path.exists(snap._ckpt_path(path, 7))
+    assert os.path.exists(snap._ckpt_path_pq(path, 7))
     snap._RESOLVE_CACHE.clear()
     for v, want in ((7, 8), (8, 9), (9, 10)):
         m = snap._read_manifest(path, v)
@@ -90,7 +93,7 @@ def test_vacuum_checkpoints_oldest_kept_delta(spark, tmp_path):
     snap.snapshot_write(_append_chain_more, path, mode="append",
                         stats_cols=["k"])
     snap.vacuum(path, keep_last=2, orphan_grace_s=0.0)
-    assert not os.path.exists(snap._ckpt_path(path, 7))
+    assert not os.path.exists(snap._ckpt_path_pq(path, 7))
     assert snap.read_snapshot(spark, path).count() == 550
 
 
