@@ -70,8 +70,19 @@ _STANDARD_KEYS = frozenset(
      # deletion vectors (merge-on-read) — round 7
      "dvs", "dv_adds",
      # recorded change files for COW rewrites (CDF) — round 7
-     "cdf"}
+     "cdf",
+     # hive partition spec (path-derived per-file values) — round 8
+     "partition_cols"}
 )
+
+
+def _carry_pcols(src: dict) -> dict:
+    """The table-level partition spec, carried resolved through every
+    commit exactly like schema/constraints."""
+    return (
+        {"partition_cols": list(src["partition_cols"])}
+        if src.get("partition_cols") else {}
+    )
 
 #: A resolution walk longer than this persists its result as a
 #: checkpoint sidecar (``ckpt-v<N>.json``), so subsequent reads of that
@@ -911,6 +922,8 @@ def _publish_or_rebase(
                     or vm.get("dv_adds")
                     or vm.get("schema") != payload.get("schema")
                     or vm.get("constraints") != payload.get("constraints")
+                    or vm.get("partition_cols")
+                    != payload.get("partition_cols")
                 ):
                     raise  # non-commuting interloper: full redo
                 extra_adds += len(vm["adds"])
@@ -960,8 +973,21 @@ def snapshot_write(
     validate: bool = True,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``partition_by``: stage this batch hive-partitioned on these
+    columns (``data/<txid>/col=value/…``) and record the partition
+    spec in the manifest. Partition values are path-derived per file
+    — zero manifest bloat — and give the planner EXACT equality/range
+    pruning on the partition columns (zone maps need clustered data
+    to prune; partition values prune unconditionally). Readers
+    reconstruct the partition columns from file paths (data files
+    don't store them — the hive layout), appends inherit the parent's
+    spec (a conflicting spec raises), and unpartitioned appends to a
+    partitioned table are legal: their files carry the columns as
+    data and are simply never partition-pruned.
 
     ``cluster_by``: range-partition + sort the batch on these columns
     before writing, so each data file covers a tight, near-disjoint
@@ -1040,7 +1066,15 @@ def snapshot_write(
         ).sortWithinPartitions(*cluster_by)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
-    df.write.mode("error").parquet(data_dir)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns not in the batch: {missing}"
+            )
+        df.write.mode("error").partitionBy(*partition_by).parquet(data_dir)
+    else:
+        df.write.mode("error").parquet(data_dir)
     members = None
     if member_cols:
         from harmony_energy_data_pipeline_spark.sinks.filestats import (
@@ -1051,11 +1085,21 @@ def snapshot_write(
             df.sparkSession, data_dir, list(member_cols),
             bits=member_bits, hashes=member_hashes,
         )
+    schema_json = df.schema.jsonValue()
+    if partition_by:
+        # partition columns live in paths, not data files; every
+        # file-level read materializes them post-hoc, so the recorded
+        # schema must allow the transient null (a NULL partition is
+        # also legal — __HIVE_DEFAULT_PARTITION__)
+        for fld in schema_json["fields"]:
+            if fld["name"] in partition_by:
+                fld["nullable"] = True
     return snapshot_publish_staged(
         path, txid, mode=mode, max_retries=max_retries,
         extra=extra, protocol=protocol, expected_parent=expected_parent,
-        stats_cols=stats_cols, schema=df.schema.jsonValue(),
+        stats_cols=stats_cols, schema=schema_json,
         members=members, constraints=effective,
+        partition_cols=list(partition_by) if partition_by else None,
     )
 
 
@@ -1072,6 +1116,7 @@ def snapshot_publish_staged(
     schema: dict | None = None,
     members: dict | None = None,
     constraints: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -1146,6 +1191,21 @@ def snapshot_publish_staged(
                     _merge_schema(pm["schema"], schema)
                     if "schema" in pm else None
                 )
+            parent_pcols = pm.get("partition_cols")
+            if (
+                partition_cols is not None
+                and parent_pcols is not None
+                and list(partition_cols) != list(parent_pcols)
+            ):
+                raise ValueError(
+                    f"append partitioned by {partition_cols} onto a "
+                    f"table partitioned by {parent_pcols}; the spec is "
+                    "table-level — overwrite to change it"
+                )
+            out_pcols = (
+                partition_cols if partition_cols is not None
+                else parent_pcols  # carried table-level, like schema
+            )
             payload = {
                 "version": version,
                 "parent": parent,
@@ -1159,6 +1219,8 @@ def snapshot_publish_staged(
                 **({"members": new_members} if new_members else {}),
                 **({"schema": out_schema} if out_schema is not None else {}),
                 **({"constraints": out_constraints} if out_constraints
+                   else {}),
+                **({"partition_cols": list(out_pcols)} if out_pcols
                    else {}),
                 **(extra or {}),
             }
@@ -1179,6 +1241,8 @@ def snapshot_publish_staged(
                 **({"schema": out_schema} if out_schema is not None else {}),
                 **({"constraints": out_constraints} if out_constraints
                    else {}),
+                **({"partition_cols": list(partition_cols)}
+                   if partition_cols else {}),
                 **(extra or {}),
             }
         try:
@@ -1227,13 +1291,141 @@ def prune_files(
     m = _read_manifest(path, v)
     stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
     membs = {_rel_file(path, f): s for f, s in m.get("members", {}).items()}
+    part = _partition_pruner(m, where)
     kept = [
         _abs_file(path, f)
         for f in m["files"]
-        if file_matches(stats.get(_rel_file(path, f)), where)
+        if part(_rel_file(path, f))
+        and file_matches(stats.get(_rel_file(path, f)), where)
         and file_matches_members(membs.get(_rel_file(path, f)), where)
     ]
     return kept, len(m["files"])
+
+
+def _partition_cond_arrow(file_col, raw_m: dict, c: str, lo, hi):
+    """Vectorized hive partition-value pruning over the checkpoint's
+    ``file`` column: extract the ``/c=value/`` segment, compare the
+    interval typed (ints numerically, the rest as strings). Returns
+    None — no constraint — whenever a sound vectorized comparison
+    isn't possible: no segment anywhere, percent-encoded values (the
+    python path url-decodes; arrow can't), uncastable values, or
+    incomparable predicate bounds. Null (no segment / NULL partition)
+    keeps the file."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = _partition_type(raw_m, c)
+    clo = _partition_pred_value(t, lo)
+    chi = _partition_pred_value(t, hi)
+    if clo is None and chi is None:
+        return None
+    ex = pc.extract_regex(file_col, f"/{_re.escape(c)}=(?P<v>[^/]+)/")
+    vals = pc.struct_field(ex, "v")
+    if vals.null_count == len(vals):
+        return None
+    # %-encoded or NULL-marker values: the lexicographic comparison
+    # below would be unsound — bail to the conservative keep
+    if pc.any(pc.fill_null(
+        pc.match_substring(vals, "%"), False
+    )).as_py():
+        return None
+    vals = pc.if_else(
+        pc.equal(vals, "__HIVE_DEFAULT_PARTITION__"),
+        pa.scalar(None, pa.string()), vals,
+    )
+    if t in _PART_INT_TYPES:
+        try:
+            vals = pc.cast(vals, pa.int64())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+    cond = None
+    try:
+        if clo is not None:
+            cond = pc.greater_equal(vals, pa.scalar(clo))
+        if chi is not None:
+            c2 = pc.less_equal(vals, pa.scalar(chi))
+            cond = c2 if cond is None else pc.and_(cond, c2)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return None
+    return pc.fill_null(cond, True)
+
+
+def _partition_type(m: dict, col: str) -> str:
+    for fld in m.get("schema", {}).get("fields", []):
+        if fld["name"] == col:
+            t = fld["type"]
+            return t if isinstance(t, str) else "complex"
+    return "string"
+
+
+_PART_INT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _partition_pred_value(col_type: str, v):
+    """The comparable form of a predicate bound against a DECODED
+    hive partition-path value: ints compare numerically, everything
+    else compares as its string form (dates/ISO timestamps order
+    lexicographically). Returns None when no sound comparison exists
+    — the file is conservatively kept."""
+    if v is None:
+        return None
+    if col_type in _PART_INT_TYPES:
+        return int(v) if isinstance(v, (int, bool)) else None
+    if isinstance(v, (int, float, str)):
+        return str(v)
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return str(v)
+    return None
+
+
+def _partition_pruner(m: dict, where: list[tuple]):
+    """File-level predicate from hive partition-path values — EXACT
+    pruning on the partition columns (a value either is or isn't the
+    file's partition), needing no recorded stats at all. Files
+    without the path segment (unpartitioned appends) and NULL
+    partitions are conservatively kept; row correctness always comes
+    from the residual filter."""
+    pcols = m.get("partition_cols")
+    active = [
+        (c, lo, hi) for c, lo, hi in where
+        if pcols and c in pcols and (lo is not None or hi is not None)
+    ]
+    if not active:
+        return lambda rel: True
+    from urllib.parse import unquote
+
+    types = {c: _partition_type(m, c) for c, _, _ in active}
+
+    def matches(rel: str) -> bool:
+        vals: dict = {}
+        for seg in rel.split("/")[:-1]:
+            k, sep, raw = seg.partition("=")
+            if sep and k in types:
+                vals[k] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+        for c, lo, hi in active:
+            if c not in vals or vals[c] is None:
+                continue  # no segment / NULL partition: keep
+            t = types[c]
+            try:
+                v = int(vals[c]) if t in _PART_INT_TYPES else vals[c]
+                clo = _partition_pred_value(t, lo)
+                chi = _partition_pred_value(t, hi)
+                if clo is not None and v < clo:
+                    return False
+                if chi is not None and v > chi:
+                    return False
+            except (ValueError, TypeError):
+                continue  # unparseable/incomparable: keep
+        return True
+
+    return matches
 
 
 def _prune_files_arrow(
@@ -1265,8 +1457,14 @@ def _prune_files_arrow(
     if any(c in set(meta.get("json_stat_cols", [])) for c, _, _ in where):
         return None  # mixed-typed stat col: let the dict path decide
     total = len(tbl)
+    raw = _read_manifest_raw(path, version)
+    pcols = set(raw.get("partition_cols") or [])
     keep = None
     for c, lo, hi in where:
+        if c in pcols and (lo is not None or hi is not None):
+            cond = _partition_cond_arrow(tbl["file"], raw, c, lo, hi)
+            if cond is not None:
+                keep = cond if keep is None else pc.and_(keep, cond)
         if c not in typed:
             continue  # no recorded zone maps: every file stays
         try:
@@ -1533,7 +1731,7 @@ def read_snapshot(
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(m["schema"]))
-        return reader.load(fs)
+        return _with_partition_cols(reader.load(fs), m)
 
     def _load(fs: list[str]):
         if not m.get("dvs"):
@@ -1736,7 +1934,9 @@ def read_snapshot_changes_feed(
             )
         v = m["parent"]
     hi_raw = _read_manifest_raw(path, to_version)
-    schema_m = {"schema": hi_raw["schema"]} if "schema" in hi_raw else {}
+    schema_m = {
+        k: hi_raw[k] for k in ("schema", "partition_cols") if k in hi_raw
+    }
     for m in reversed(chain):
         ver = m["version"]
         parts: list[DataFrame] = []
@@ -1971,6 +2171,7 @@ def snapshot_restore(
         payload["schema"] = src["schema"]
     if "constraints" in src:
         payload["constraints"] = src["constraints"]
+    payload.update(_carry_pcols(src))  # same files, same hive layout
     try:
         _publish_manifest(path, new_version, payload, protocol=protocol)
         return new_version
@@ -2205,13 +2406,50 @@ def _manifest_member_shape(m: dict) -> tuple[int, int]:
     return max(shapes, default=(4096, 1))
 
 
+def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
+    """Reconstruct hive partition columns from each row's source file
+    path (``…/col=value/…``). Files staged by a partitioned write
+    don't store these columns (the hive layout); files from
+    unpartitioned appends DO — per row, the path segment wins when
+    present, else the stored value. Must wrap the RAW scan (the
+    hidden ``_metadata`` column resolves only there)."""
+    pcols = m.get("partition_cols")
+    if not pcols:
+        return df
+    import re as _re
+
+    def dec(x):
+        # java.net.URLDecoder form-decodes '+' as space; a literal
+        # '+' here is a real plus (both encoding layers emit %XX for
+        # everything they escape), so protect it first
+        return F.url_decode(F.replace(x, F.lit("+"), F.lit("%2B")))
+
+    # _metadata.file_path is a URI — percent-encoded ON TOP of the
+    # hive dir-name escaping (s=c%2Fd on disk reads c%252Fd here):
+    # decode the URI layer once, extract, then decode the hive layer
+    path_dec = dec(F.col("_metadata.file_path"))
+    out = df
+    for c in pcols:
+        if c not in df.columns:
+            continue
+        seg = F.regexp_extract(path_dec, f"/{_re.escape(c)}=([^/]+)/", 1)
+        parsed = F.when(
+            (seg == "") | (seg == "__HIVE_DEFAULT_PARTITION__"),
+            F.lit(None),
+        ).otherwise(dec(seg))
+        out = out.withColumn(
+            c, F.coalesce(parsed.cast(df.schema[c].dataType), F.col(c))
+        )
+    return out
+
+
 def _read_file_list(spark: SparkSession, files: list[str], m: dict) -> DataFrame:
     reader = spark.read.format("parquet")
     if "schema" in m:
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(m["schema"]))
-    return reader.load(files)
+    return _with_partition_cols(reader.load(files), m)
 
 
 #: Schema of a positional-delete (deletion-vector) file: the table-
@@ -2495,6 +2733,7 @@ def _commit_partial_rewrite(
         **({"cdf": cdf_rel} if cdf_rel else {}),
         **({"stats": add_stats} if add_stats else {}),
         **({"members": add_membs} if add_membs else {}),
+        **_carry_pcols(m),
         **({"schema": m["schema"]} if "schema" in m else {}),
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
         **(extra or {}),
@@ -2749,7 +2988,8 @@ def snapshot_update_where_dv(
                 "added_files": len(add_rel),
             },
             **({"stats": add_stats} if add_stats else {}),
-            **({"schema": m["schema"]} if "schema" in m else {}),
+            **_carry_pcols(m),
+        **({"schema": m["schema"]} if "schema" in m else {}),
             **({"constraints": m["constraints"]}
                if "constraints" in m else {}),
         }
@@ -2865,7 +3105,8 @@ def snapshot_delete_where_dv(
                 "vector_files": len(dv_rel),
                 "covered_files": len(dv_adds),
             },
-            **({"schema": m["schema"]} if "schema" in m else {}),
+            **_carry_pcols(m),
+        **({"schema": m["schema"]} if "schema" in m else {}),
             **({"constraints": m["constraints"]}
                if "constraints" in m else {}),
         }
@@ -2908,7 +3149,8 @@ def _commit_metadata_only(
             "removes": [],
             "n_live_files": _raw_n_files(pm),
             "ddl": operation,
-            **({"schema": pm["schema"]} if "schema" in pm else {}),
+            **_carry_pcols(pm),
+        **({"schema": pm["schema"]} if "schema" in pm else {}),
             **({"constraints": pm["constraints"]}
                if pm.get("constraints") else {}),
             **mutate(pm),
@@ -3146,6 +3388,7 @@ def snapshot_clone(
         **({"dvs": {bw(f): [bw(d) for d in ds]
                     for f, ds in m["dvs"].items()}}
            if m.get("dvs") else {}),
+        **_carry_pcols(m),
         **({"schema": m["schema"]} if "schema" in m else {}),
         **({"constraints": m["constraints"]} if "constraints" in m else {}),
     }
@@ -3271,7 +3514,8 @@ def snapshot_backfill_stats(
             # and clone do, or backfilling stats on a DV table would
             # silently resurrect every vector-deleted row
             **({"dvs": m["dvs"]} if m.get("dvs") else {}),
-            **({"schema": m["schema"]} if "schema" in m else {}),
+            **_carry_pcols(m),
+        **({"schema": m["schema"]} if "schema" in m else {}),
             **({"constraints": m["constraints"]}
                if "constraints" in m else {}),
         }

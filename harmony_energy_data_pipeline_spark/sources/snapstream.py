@@ -444,14 +444,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 tbl = tbl.filter(pa.array(mask))
         names = set(tbl.schema.names)
         # project/align to the table schema: files from before an
-        # add-column commit yield TYPED nulls for the new column
+        # add-column commit yield TYPED nulls for the new column; a
+        # column absent from the data but present as a hive path
+        # segment (…/col=value/…) is a PARTITION column — its constant
+        # value reconstructs from the file path, exactly as the batch
+        # reader does
+        import re as _re
+        from urllib.parse import unquote
+
         arrays = []
         for f in declared.fields:
             if f.name in names:
                 arrays.append(tbl.column(f.name))
-            else:
+                continue
+            seg = _re.search(
+                f"/{_re.escape(f.name)}=([^/]+)/", partition.file
+            )
+            raw = unquote(seg.group(1)) if seg else None
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                 arrays.append(
                     pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
+                )
+            else:
+                arrays.append(
+                    pa.array([raw] * len(tbl), pa.string())
+                    .cast(to_arrow_type(f.dataType))
                 )
         out_names = [f.name for f in declared.fields]
         if partition.kind != "plain":
