@@ -148,16 +148,62 @@ class SchemaEvolutionError(ValueError):
     not — rewrite (overwrite) the table to change a column's type."""
 
 
+#: Lossless type-widening lattice (the Delta type-widening shape):
+#: an append carrying the WIDER type widens the table column; an
+#: append carrying a NARROWER one keeps the table type (the parquet
+#: reader upcasts the narrow files — int32→int64, float→double and
+#: int→double are native reader conversions, verified on Spark 4).
+_WIDEN_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+def _is_widening(old: str, new: str) -> bool:
+    return (old, new) in _WIDEN_OK
+
+
+def _field_aliases(fld: dict) -> list[str]:
+    """Prior names of a renamed column, newest first — the engine's
+    column-mapping lineage. Files written before a rename store the
+    column under one of these; readers dual-look-up (exactly one name
+    exists per file) and rename-collision guards keep every name in
+    the table's history unambiguous forever."""
+    return list((fld.get("metadata") or {}).get("aliases") or [])
+
+
+def _schema_alias_map(schema: dict | None) -> dict:
+    """{alias_or_name: logical_name} over every field's lineage."""
+    out: dict = {}
+    for fld in (schema or {}).get("fields", []):
+        out[fld["name"]] = fld["name"]
+        for a in _field_aliases(fld):
+            out[a] = fld["name"]
+    return out
+
+
 def _merge_schema(parent: dict | None, batch: dict) -> dict:
     """Union-by-name of two StructType JSON payloads: parent column
     order is preserved, batch-only columns append at the end (the
-    Iceberg/Delta add-column shape), same-name columns must agree on
-    type exactly (no silent coercion), nullability unions. A column
-    the batch lacks stays in the schema — the batch's files read it
-    as null."""
+    Iceberg/Delta add-column shape), nullability unions. A column the
+    batch lacks stays in the schema — the batch's files read it as
+    null. Same-name columns may differ in type only along the
+    LOSSLESS widening lattice: a wider batch widens the table column;
+    a narrower batch keeps the table type (its files read upcast).
+    Batch columns carrying a RENAMED column's former name match that
+    column's lineage, not a new column."""
     if parent is None:
         return batch
-    by_name = {f["name"]: f for f in batch.get("fields", [])}
+    alias_of = {}
+    for pf in parent.get("fields", []):
+        for a in _field_aliases(pf):
+            alias_of[a] = pf["name"]
+    by_name = {}
+    for f in batch.get("fields", []):
+        by_name[alias_of.get(f["name"], f["name"])] = f
     fields = []
     for pf in parent.get("fields", []):
         bf = by_name.pop(pf["name"], None)
@@ -166,14 +212,30 @@ def _merge_schema(parent: dict | None, batch: dict) -> dict:
             # null, so the table schema must declare it nullable
             fields.append({**pf, "nullable": True})
             continue
+        out_type = pf["type"]
         if bf["type"] != pf["type"]:
-            raise SchemaEvolutionError(
-                f"append changes column {pf['name']!r} type from "
-                f"{pf['type']!r} to {bf['type']!r}; type changes require "
-                "an overwrite commit"
-            )
+            if (
+                isinstance(pf["type"], str)
+                and isinstance(bf["type"], str)
+                and _is_widening(pf["type"], bf["type"])
+            ):
+                out_type = bf["type"]  # widen the table column
+            elif (
+                isinstance(pf["type"], str)
+                and isinstance(bf["type"], str)
+                and _is_widening(bf["type"], pf["type"])
+            ):
+                out_type = pf["type"]  # narrow batch reads upcast
+            else:
+                raise SchemaEvolutionError(
+                    f"append changes column {pf['name']!r} type from "
+                    f"{pf['type']!r} to {bf['type']!r}; only lossless "
+                    "widenings evolve in place — anything else requires "
+                    "an overwrite commit"
+                )
         fields.append(
-            {**pf, "nullable": bool(pf.get("nullable")) or bool(bf.get("nullable"))}
+            {**pf, "type": out_type,
+             "nullable": bool(pf.get("nullable")) or bool(bf.get("nullable"))}
         )
     # batch-only columns: the PARENT's files lack them — nullable, or
     # pre-evolution files would violate the declared schema (a
@@ -1289,8 +1351,15 @@ def prune_files(
     if fast is not None:
         return fast
     m = _read_manifest(path, v)
-    stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
-    membs = {_rel_file(path, f): s for f, s in m.get("members", {}).items()}
+    logicalize = _stats_logicalizer(m.get("schema"))
+    stats = {
+        _rel_file(path, f): logicalize(s)
+        for f, s in m.get("stats", {}).items()
+    }
+    membs = {
+        _rel_file(path, f): logicalize(s)
+        for f, s in m.get("members", {}).items()
+    }
     part = _partition_pruner(m, where)
     kept = [
         _abs_file(path, f)
@@ -1300,6 +1369,23 @@ def prune_files(
         and file_matches_members(membs.get(_rel_file(path, f)), where)
     ]
     return kept, len(m["files"])
+
+
+def _stats_logicalizer(schema: dict | None):
+    """Per-file stat/sketch dict rewriter mapping RENAMED columns'
+    historical keys (the name at write time) to the current logical
+    name. Identity when the table has no rename lineage."""
+    amap = _schema_alias_map(schema)
+    if all(k == v for k, v in amap.items()):
+        return lambda d: d
+
+    def logicalize(d: dict) -> dict:
+        out: dict = {}
+        for k, v in (d or {}).items():
+            out.setdefault(amap.get(k, k), v)
+        return out
+
+    return logicalize
 
 
 def _partition_cond_arrow(file_col, raw_m: dict, c: str, lo, hi):
@@ -1399,11 +1485,13 @@ def _partition_pruner(m: dict, where: list[tuple]):
     from urllib.parse import unquote
 
     types = {c: _partition_type(m, c) for c, _, _ in active}
+    amap = _schema_alias_map(m.get("schema"))
 
     def matches(rel: str) -> bool:
         vals: dict = {}
         for seg in rel.split("/")[:-1]:
             k, sep, raw = seg.partition("=")
+            k = amap.get(k, k)  # pre-rename path segments map forward
             if sep and k in types:
                 vals[k] = (
                     None if raw == "__HIVE_DEFAULT_PARTITION__"
@@ -1458,6 +1546,14 @@ def _prune_files_arrow(
         return None  # mixed-typed stat col: let the dict path decide
     total = len(tbl)
     raw = _read_manifest_raw(path, version)
+    lineage = {
+        n
+        for f in raw.get("schema", {}).get("fields", [])
+        if _field_aliases(f)
+        for n in [f["name"], *_field_aliases(f)]
+    }
+    if any(c in lineage for c, _, _ in where):
+        return None  # renamed column: the dict path maps the lineage
     pcols = set(raw.get("partition_cols") or [])
     keep = None
     for c, lo, hi in where:
@@ -1542,7 +1638,11 @@ def snapshot_stats_agg(
         return fast
     m = _read_manifest(path, v)
     files = m["files"]
-    stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+    logicalize = _stats_logicalizer(m.get("schema"))
+    stats = {
+        _rel_file(path, f): logicalize(s)
+        for f, s in m.get("stats", {}).items()
+    }
     n_rows: int | None = 0
     for f in files:
         s = stats.get(_rel_file(path, f))
@@ -1604,6 +1704,15 @@ def _stats_agg_arrow(
     tbl, meta, dv_overlay = res
     if any(c in set(meta.get("json_stat_cols", [])) for c in cols or []):
         return None
+    raw = _read_manifest_raw(path, version)
+    lineage = {
+        n
+        for f in raw.get("schema", {}).get("fields", [])
+        if _field_aliases(f)
+        for n in [f["name"], *_field_aliases(f)]
+    }
+    if any(c in lineage for c in cols or []):
+        return None  # renamed column: the dict path maps the lineage
     n = len(tbl)
     nrows = tbl["nrows"]
     n_rows = None if nrows.null_count else (pc.sum(nrows).as_py() or 0)
@@ -1726,12 +1835,7 @@ def read_snapshot(
     fmt = m.get("format", "parquet")
 
     def _load_plain(fs: list[str]):
-        reader = spark.read.format(fmt)
-        if "schema" in m:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(m["schema"]))
-        return _with_partition_cols(reader.load(fs), m)
+        return _read_file_list(spark, fs, m, fmt=fmt)
 
     def _load(fs: list[str]):
         if not m.get("dvs"):
@@ -1942,17 +2046,20 @@ def read_snapshot_changes_feed(
         parts: list[DataFrame] = []
         if m.get("cdf"):
             cdf_files = [_abs_file(path, f) for f in m["cdf"]]
-            reader = spark.read
             if "schema" in hi_raw:
-                from pyspark.sql.types import StringType, StructType
-
-                st = StructType.fromJson(hi_raw["schema"]).add(
-                    "_change_type", StringType(), False
-                )
-                reader = reader.schema(st)
-            part = reader.parquet(*cdf_files).withColumn(
-                "_commit_version", F.lit(ver)
-            )
+                # lineage-aware read: change files staged before a
+                # later rename carry the old column names
+                cdf_m = {"schema": {
+                    **hi_raw["schema"],
+                    "fields": list(hi_raw["schema"]["fields"]) + [
+                        {"name": "_change_type", "type": "string",
+                         "nullable": False, "metadata": {}}
+                    ],
+                }}
+                part = _read_file_list(spark, cdf_files, cdf_m)
+            else:
+                part = spark.read.parquet(*cdf_files)
+            part = part.withColumn("_commit_version", F.lit(ver))
             out = part if out is None else out.unionByName(part)
             continue  # the rewrite's adds are NOT row-level inserts
         if m.get("dv_adds"):
@@ -2418,6 +2525,11 @@ def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
         return df
     import re as _re
 
+    amap = _schema_alias_map(m.get("schema"))
+    names_of = {}
+    for n, logical in amap.items():
+        names_of.setdefault(logical, []).append(n)
+
     def dec(x):
         # java.net.URLDecoder form-decodes '+' as space; a literal
         # '+' here is a real plus (both encoding layers emit %XX for
@@ -2432,9 +2544,20 @@ def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
     for c in pcols:
         if c not in df.columns:
             continue
-        seg = F.regexp_extract(path_dec, f"/{_re.escape(c)}=([^/]+)/", 1)
+        # files staged before a rename carry the old name in their
+        # path segment — the column's full name lineage matches
+        segs = [
+            F.nullif(
+                F.regexp_extract(
+                    path_dec, f"/{_re.escape(n)}=([^/]+)/", 1
+                ),
+                F.lit(""),
+            )
+            for n in names_of.get(c, [c])
+        ]
+        seg = segs[0] if len(segs) == 1 else F.coalesce(*segs)
         parsed = F.when(
-            (seg == "") | (seg == "__HIVE_DEFAULT_PARTITION__"),
+            seg.isNull() | (seg == "__HIVE_DEFAULT_PARTITION__"),
             F.lit(None),
         ).otherwise(dec(seg))
         out = out.withColumn(
@@ -2443,13 +2566,37 @@ def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
     return out
 
 
-def _read_file_list(spark: SparkSession, files: list[str], m: dict) -> DataFrame:
-    reader = spark.read.format("parquet")
-    if "schema" in m:
-        from pyspark.sql.types import StructType
+def _read_file_list(
+    spark: SparkSession, files: list[str], m: dict, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a snapshot file list to the TABLE's logical view:
+    declared schema applied, RENAMED columns dual-looked-up under
+    their full name lineage (each file stores exactly one of the
+    names — per row the non-null one wins), hive partition columns
+    reconstructed from paths."""
+    reader = spark.read.format(fmt)
+    if "schema" not in m:
+        return _with_partition_cols(reader.load(files), m)
+    from pyspark.sql.types import StructField, StructType
 
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    return _with_partition_cols(reader.load(files), m)
+    st = StructType.fromJson(m["schema"])
+    lineage = [
+        (f, _field_aliases(m["schema"]["fields"][i]))
+        for i, f in enumerate(st.fields)
+    ]
+    if not any(als for _, als in lineage):
+        return _with_partition_cols(reader.schema(st).load(files), m)
+    read_fields = []
+    for f, als in lineage:
+        read_fields.append(StructField(f.name, f.dataType, True))
+        read_fields.extend(StructField(a, f.dataType, True) for a in als)
+    df = reader.schema(StructType(read_fields)).load(files)
+    df = df.select([
+        F.coalesce(F.col(f.name), *[F.col(a) for a in als]).alias(f.name)
+        if als else F.col(f.name)
+        for f, als in lineage
+    ])
+    return _with_partition_cols(df, m)
 
 
 #: Schema of a positional-delete (deletion-vector) file: the table-
@@ -3229,10 +3376,11 @@ def snapshot_add_column(
                 "requires schema-tracked tables"
             )
         fields = list(pm["schema"]["fields"])
-        if any(f["name"] == name for f in fields):
+        if name in _schema_alias_map(pm["schema"]):
             raise SchemaEvolutionError(
-                f"column {name!r} already exists; type changes require "
-                "an overwrite commit"
+                f"column {name!r} already exists (or is a renamed "
+                "column's former name); type changes require an "
+                "overwrite commit"
             )
         fields.append(
             {"name": name, "type": dt_json, "nullable": True,
@@ -3241,6 +3389,110 @@ def snapshot_add_column(
         return {"schema": {**pm["schema"], "fields": fields}}
 
     return _commit_metadata_only(path, mutate, "add_column", protocol)
+
+
+@normalizes_paths('path')
+def snapshot_rename_column(
+    path: str, old: str, new: str, protocol: str = "link"
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — the
+    engine's COLUMN-MAPPING shape. No data file is touched: the field
+    keeps its full name lineage in schema metadata (``aliases``,
+    newest first) and every reader dual-looks-up the column under its
+    current name OR any lineage name, so files written before and
+    after the rename read identically. The new name must never have
+    appeared anywhere in the table's name history (current names or
+    any field's lineage) — that guard is what keeps per-file name
+    resolution unambiguous forever, without Delta's physical-name
+    indirection. Pruning on a renamed column falls back to the exact
+    per-file walk (the vectorized checkpoint path declines lineage
+    columns); partition columns rename transparently (path segments
+    match the lineage)."""
+    if old == new:
+        raise ValueError("rename to the same name is a no-op")
+
+    def mutate(pm: dict) -> dict:
+        if "schema" not in pm:
+            raise ValueError(
+                f"snapshot table {path} records no schema; rename "
+                "requires schema-tracked tables"
+            )
+        amap = _schema_alias_map(pm["schema"])
+        if old not in {f["name"] for f in pm["schema"]["fields"]}:
+            raise SchemaEvolutionError(f"no column {old!r} to rename")
+        if new in amap:
+            raise SchemaEvolutionError(
+                f"cannot rename to {new!r}: the name already appears "
+                f"in the table's name history (of column {amap[new]!r})"
+                " — reusing a historical name would make old files "
+                "ambiguous"
+            )
+        fields = []
+        for f in pm["schema"]["fields"]:
+            if f["name"] == old:
+                md = dict(f.get("metadata") or {})
+                md["aliases"] = [old] + _field_aliases(f)
+                fields.append({**f, "name": new, "metadata": md})
+            else:
+                fields.append(f)
+        out: dict = {"schema": {**pm["schema"], "fields": fields}}
+        if pm.get("partition_cols") and old in pm["partition_cols"]:
+            out["partition_cols"] = [
+                new if c == old else c for c in pm["partition_cols"]
+            ]
+        if pm.get("constraints"):
+            raise SchemaEvolutionError(
+                "rename on a table with CHECK constraints is refused: "
+                "constraint expressions reference column names — clear "
+                "and re-add them around the rename"
+            )
+        return out
+
+    return _commit_metadata_only(path, mutate, "rename_column", protocol)
+
+
+@normalizes_paths('path')
+def snapshot_widen_column(
+    path: str, name: str, spark_type: str, protocol: str = "link"
+) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE as a METADATA-ONLY commit,
+    restricted to the LOSSLESS widening lattice (byte→short→int→long,
+    float→double, byte/short/int→double — the Delta type-widening
+    feature). Existing files keep their narrower physical type; the
+    parquet reader upcasts natively, so no data moves."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt_json = _parse_datatype_string(spark_type).jsonValue()
+
+    def mutate(pm: dict) -> dict:
+        if "schema" not in pm:
+            raise ValueError(
+                f"snapshot table {path} records no schema; widen "
+                "requires schema-tracked tables"
+            )
+        fields = list(pm["schema"]["fields"])
+        target = next((f for f in fields if f["name"] == name), None)
+        if target is None:
+            raise SchemaEvolutionError(f"no column {name!r} to widen")
+        if target["type"] == dt_json:
+            raise SchemaEvolutionError(
+                f"column {name!r} is already {spark_type}"
+            )
+        if not (
+            isinstance(target["type"], str)
+            and isinstance(dt_json, str)
+            and _is_widening(target["type"], dt_json)
+        ):
+            raise SchemaEvolutionError(
+                f"{target['type']!r} → {dt_json!r} is not a lossless "
+                "widening; anything else requires an overwrite commit"
+            )
+        return {"schema": {**pm["schema"], "fields": [
+            {**f, "type": dt_json} if f["name"] == name else f
+            for f in fields
+        ]}}
+
+    return _commit_metadata_only(path, mutate, "widen_column", protocol)
 
 
 def _borrows_dir(path: str) -> str:
@@ -4042,4 +4294,5 @@ __all__ = [
     "snapshot_backfill_stats", "snapshot_stats_agg", "snapshot_clone",
     "snapshot_release_borrow",
     "snapshot_set_constraints", "snapshot_add_column",
+    "snapshot_rename_column", "snapshot_widen_column",
 ]

@@ -445,30 +445,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
         names = set(tbl.schema.names)
         # project/align to the table schema: files from before an
         # add-column commit yield TYPED nulls for the new column; a
-        # column absent from the data but present as a hive path
-        # segment (…/col=value/…) is a PARTITION column — its constant
-        # value reconstructs from the file path, exactly as the batch
-        # reader does
+        # RENAMED column resolves under its full name lineage (one
+        # name per file); a WIDENED column's narrower file type casts
+        # up; a column absent from the data but present as a hive
+        # path segment (…/col=value/…) is a PARTITION column — its
+        # constant value reconstructs from the file path, exactly as
+        # the batch reader does
         import re as _re
         from urllib.parse import unquote
 
         arrays = []
         for f in declared.fields:
-            if f.name in names:
-                arrays.append(tbl.column(f.name))
-                continue
-            seg = _re.search(
-                f"/{_re.escape(f.name)}=([^/]+)/", partition.file
+            target = to_arrow_type(f.dataType)
+            cands = [f.name] + list(
+                (f.metadata or {}).get("aliases") or []
             )
-            raw = unquote(seg.group(1)) if seg else None
-            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            hit = next((n for n in cands if n in names), None)
+            if hit is not None:
+                col = tbl.column(hit)
                 arrays.append(
-                    pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
+                    col if col.type == target else col.cast(target)
                 )
+                continue
+            raw = None
+            for n in cands:
+                seg = _re.search(
+                    f"/{_re.escape(n)}=([^/]+)/", partition.file
+                )
+                if seg:
+                    raw = unquote(seg.group(1))
+                    break
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                arrays.append(pa.nulls(len(tbl), type=target))
             else:
                 arrays.append(
-                    pa.array([raw] * len(tbl), pa.string())
-                    .cast(to_arrow_type(f.dataType))
+                    pa.array([raw] * len(tbl), pa.string()).cast(target)
                 )
         out_names = [f.name for f in declared.fields]
         if partition.kind != "plain":
