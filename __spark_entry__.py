@@ -5958,6 +5958,214 @@ def q_snapshot_backfill_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- round 8: join IVM, partition pruning, schema evolution, capped stream -
+
+
+@_q("ivm_join_agg", """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_tc,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS avg_tc
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE NOT (o_orderkey >= 1 AND o_orderkey <= 1000)
+GROUP BY c_mktsegment
+""")
+def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM over a JOIN (round 8): a fact ⋈ dim aggregate view
+    maintained by DELTA-JOIN — the appended fact rows (only) join the
+    dimension and fold into the stored view, and a deletion-vector
+    fact delete folds SIGNED through the same join via the row-level
+    change feed. The chain is fact-append ⊕ fact-append ⊕ DV-delete
+    with the dimension static; the oracle recomputes the final join
+    aggregate from scratch, so the hash match proves
+    view ⊕ (ΔF ⋈ D) ⊖ (deletes ⋈ D) ≡ γ(F ⋈ D). Refresh cost is
+    O(|ΔF| ⋈ D + |view|) — the fact history is never rescanned."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    fact = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("tc")
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="ivm_join_")
+    fp, dp, vp = base + "/f", base + "/d", base + "/v"
+    snap.snapshot_write(dim, dp)
+    snap.snapshot_write(
+        fact.filter(F.col("o_orderkey") % 2 == 0).coalesce(2), fp
+    )
+    kw = dict(on={"o_custkey": "c_custkey"}, keys=["c_mktsegment"],
+              sum_cols=["tc"], avg_cols=["tc"])
+    ivm.refresh_join_agg_view(spark, fp, dp, vp, **kw)
+    snap.snapshot_write(
+        fact.filter(F.col("o_orderkey") % 2 == 1).coalesce(2),
+        fp, mode="append",
+    )
+    ivm.refresh_join_agg_view(spark, fp, dp, vp, **kw)  # ΔF ⋈ D fold
+    snap.snapshot_delete_where_dv(spark, fp, [("o_orderkey", 1, 1000)])
+    ivm.refresh_join_agg_view(spark, fp, dp, vp, **kw)  # signed fold
+    return ivm.read_view(spark, vp).select(
+        "c_mktsegment", "n",
+        F.col("sum_tc").cast("long").alias("sum_tc"),
+        F.col("avg_tc").cast("double").alias("avg_tc"),
+    )
+
+
+@_q("partition_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE event_type = 'click'
+""")
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive partition pruning (round 8): events land partitioned by
+    event_type (``partition_by=`` — values live in file PATHS, zero
+    manifest bloat, no stats needed), and an equality read plans only
+    that partition's files — EXACT pruning, where zone maps would
+    need clustered data. An unpartitioned append is mixed in to prove
+    the conservative path: its files carry the column as data, are
+    always kept by the planner, and the residual filter keeps the
+    result exact. The oracle recomputes over the raw events."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_part_") + "/t"
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 != 0), path,
+        partition_by=["event_type"],
+    )
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1),
+        path, mode="append",
+    )
+    kept, total = snap.prune_files(
+        path, [("event_type", "click", "click")]
+    )
+    assert len(kept) < total, "partition pruning skipped nothing"
+    pruned = snap.read_snapshot(
+        spark, path, where=[("event_type", "click", "click")]
+    )
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
+@_q("schema_evolution_digest", """
+SELECT user_id AS uid, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+FROM events
+GROUP BY user_id
+""")
+def q_schema_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename + type widening, end to end (round 8): half the events
+    commit with an INT cents column under the original column name;
+    the table then RENAMES user_id→uid (metadata-only name-lineage
+    mapping) and WIDENS the cents column int→long (metadata-only —
+    old files read upcast); the second half appends under the NEW
+    name with the WIDER type. The final read dual-looks-up both eras'
+    files and the oracle recomputes the same aggregate from the raw
+    events — the hash match proves both evolutions are lossless and
+    zero-copy."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id",
+        _cents("value").cast("int").alias("vc"),
+    )
+    path = tempfile.mkdtemp(prefix="snap_evo_") + "/t"
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(2), path,
+        stats_cols=["user_id"],
+    )
+    snap.snapshot_rename_column(path, "user_id", "uid")
+    snap.snapshot_widen_column(path, "vc", "long")
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", F.col("user_id").alias("uid"),
+                F.col("vc").cast("long")).coalesce(2),
+        path, mode="append", stats_cols=["uid"],
+    )
+    return snap.read_snapshot(spark, path).groupBy("uid").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+    )
+
+
+@_q("snapshot_stream_capped_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_snapshot_stream_capped_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission-controlled streaming (round 8): the snapshot source
+    runs with ``max_files_per_trigger=2`` over a 6-file table, so the
+    initial snapshot splits into RESUMABLE chunk offsets instead of
+    one unbounded batch. Each availableNow run executes exactly one
+    capped batch (the Python DataSource API has no multi-batch
+    drain), and every subsequent run resumes from the checkpoint
+    where the last stopped — the loop below is literally the
+    restart-resume path, exercised three-plus times. The oracle
+    recomputes the digest over the raw events: the hash match proves
+    chunked delivery is exactly-once across restarts."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources.snapstream import (
+        SnapshotTableDataSource,
+    )
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        start_snapshot_append_sink,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", _cents("value").alias("vc")
+    )
+    base = tempfile.mkdtemp(prefix="snap_capped_")
+    src, dst, ck = base + "/src", base + "/dst", base + "/ck"
+    snap.snapshot_write(ev.repartition(6), src)
+    n_src = ev.count()
+    stream = (
+        spark.readStream.format("snapshot_table").option("path", src)
+        .option("max_files_per_trigger", "2").load()
+    )
+    for _ in range(8):  # 6 files / 2 per batch -> 3 runs expected
+        q = start_snapshot_append_sink(
+            stream, dst, ck, available_now=True
+        )
+        q.awaitTermination(180)
+        done = (
+            snap.latest_version(dst) is not None
+            and snap.read_snapshot(spark, dst).count() >= n_src
+        )
+        if done:
+            break
+    return snap.read_snapshot(spark, dst).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -486,7 +486,135 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     return snap.read_snapshot(spark, view_path)
 
 
+#: Manifest key on a JOIN view: the dimension version it reflects.
+DIM_VERSION_KEY = "ivm_dim_version"
+
+
+def _join_dim(fact_df: DataFrame, dim_df: DataFrame, on) -> DataFrame:
+    """INNER equi-join of a fact(-delta) against the dimension.
+    ``on`` is a list of shared column names, or ``{fact_col:
+    dim_col}`` (the dim side is renamed to the fact names first, so
+    the output carries one unambiguous copy of each join key)."""
+    if isinstance(on, dict):
+        for fk, pk in on.items():
+            if pk != fk:
+                dim_df = dim_df.withColumnRenamed(pk, fk)
+        on = list(on.keys())
+    return fact_df.join(dim_df, on=list(on), how="inner")
+
+
+def refresh_join_agg_view(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    view_path: str,
+    on,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
+    protocol: str = "link",
+) -> tuple[int, int]:
+    """Incrementally maintain a FACT ⋈ DIM aggregate view — the
+    delta-join MV shape: ``view = agg(keys, measures) over (fact
+    INNER JOIN dim ON on)``. Returns ``(fact_version, dim_version)``
+    the view now reflects.
+
+    Maintenance algebra (V = γ(F ⋈ D)):
+
+    * **dim unchanged, fact appended** — Δ V = γ(ΔF ⋈ D), folded into
+      the stored view. The delta-join costs O(|ΔF| ⋈ D): only the new
+      fact rows are scanned and joined (broadcast when the dim is
+      small), never the fact history — the property that matters when
+      the fact table is 100 TB and the refresh cadence is minutes.
+      MIN/MAX participate (inserts only tighten).
+    * **dim unchanged, fact changed row-level** (DV deletes / MOR
+      updates, via the change feed) — signed fold: insert rows join
+      the dim with +1, delete rows with −1; COUNT/SUM are
+      group-invertible through the join. MIN/MAX cannot fold a
+      deletion without a rescan, so specs with extrema recompute on
+      this path (the single-source danger-group analysis does not yet
+      extend through a join).
+    * **dim changed** — a dim-row change fans out to every matching
+      fact row; this refresh recomputes (the ΔD ⋈ F term — pruned to
+      the changed keys — is the next sophistication step; a stale
+      view is never served meanwhile).
+
+    The view is a snapshot table recording BOTH positions
+    (``ivm_source_version`` = fact, ``ivm_dim_version``), so refresh
+    stays idempotent and crash-safe exactly like the single-source
+    views."""
+    keys, sums, mins, maxs, avgs = _norm_spec(
+        keys, sum_cols, min_cols, max_cols, avg_cols
+    )
+    cur_f = snap.latest_version(fact_path)
+    cur_d = snap.latest_version(dim_path)
+    if cur_f is None or cur_d is None:
+        raise FileNotFoundError(
+            f"missing snapshots: fact={fact_path} dim={dim_path}"
+        )
+    last_f = last_d = None
+    view_v = snap.latest_version(view_path)
+    if view_v is not None:
+        vm = snap._read_manifest_raw(view_path, view_v)
+        last_f = vm.get(SOURCE_VERSION_KEY)
+        last_d = vm.get(DIM_VERSION_KEY)
+    if last_f == cur_f and last_d == cur_d:
+        return cur_f, cur_d  # nothing new: no-op
+    dim_df = snap.read_snapshot(spark, dim_path, cur_d)
+    extra = {SOURCE_VERSION_KEY: cur_f, DIM_VERSION_KEY: cur_d}
+
+    def recompute() -> None:
+        fact = snap.read_snapshot(spark, fact_path, cur_f)
+        full = _aggregate(_join_dim(fact, dim_df, on), keys, sums,
+                          mins, maxs)
+        snap.snapshot_write(
+            _finalize(full, avgs), view_path, mode="overwrite",
+            protocol=protocol, extra=extra,
+        )
+
+    if last_f is None or last_d != cur_d:
+        recompute()
+        return cur_f, cur_d
+    needed = keys + _measure_names(sums, mins, maxs)
+    old_df = read_view(spark, view_path)
+    if not set(needed) <= set(old_df.columns):
+        recompute()  # spec evolved: stored view lacks the measures
+        return cur_f, cur_d
+    old = old_df.select(needed)
+    try:
+        delta = snap.read_snapshot_changes(spark, fact_path, last_f, cur_f)
+        part = _aggregate(_join_dim(delta, dim_df, on), keys, sums,
+                          mins, maxs)
+        merged = _merge(old, part, keys, sums, mins, maxs)
+    except ValueError:
+        if mins or maxs:
+            # a deletion may have evicted a stored extremum; the
+            # danger-group analysis doesn't extend through the join
+            recompute()
+            return cur_f, cur_d
+        try:
+            feed = snap.read_snapshot_changes_feed(
+                spark, fact_path, last_f, cur_f
+            )
+        except ValueError:
+            recompute()  # rewrite the feed can't express
+            return cur_f, cur_d
+        part = _aggregate_signed(
+            _join_dim(feed, dim_df, on), keys, sums
+        )
+        merged = _merge(old, part, keys, sums, (), ()).filter(
+            F.col("n") > 0
+        )
+    snap.snapshot_write(
+        _finalize(merged, avgs), view_path, mode="overwrite",
+        protocol=protocol, extra=extra,
+    )
+    return cur_f, cur_d
+
+
 __all__ = [
-    "refresh_agg_view", "refresh_agg_views", "read_view",
-    "SOURCE_VERSION_KEY",
+    "refresh_agg_view", "refresh_agg_views", "refresh_join_agg_view",
+    "read_view", "SOURCE_VERSION_KEY", "DIM_VERSION_KEY",
 ]

@@ -1,0 +1,185 @@
+"""IVM over joins (round 8): a fact ⋈ dim aggregate view maintained
+by delta-join — appended fact rows join the dim and fold; row-level
+fact changes fold signed; dim changes recompute."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.pipeline import ivm
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _fact(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 7).alias("dim_id"),
+        (F.col("id") * 3).alias("amount"),
+    )
+
+
+def _dim(spark, n=7, tag="r"):
+    return spark.range(0, n).select(
+        F.col("id").alias("dim_id"),
+        F.concat(F.lit(tag), (F.col("id") % 3)).alias("region"),
+    )
+
+
+def _expected(spark, fact_path, dim_path):
+    f = snap.read_snapshot(spark, fact_path)
+    d = snap.read_snapshot(spark, dim_path)
+    return {
+        (r.region,): (r.n, r.sum_amount)
+        for r in f.join(d, "dim_id").groupBy("region").agg(
+            F.count("*").alias("n"),
+            F.sum("amount").alias("sum_amount"),
+        ).collect()
+    }
+
+
+def _got(spark, view_path):
+    return {
+        (r.region,): (r.n, r.sum_amount)
+        for r in ivm.read_view(spark, view_path).collect()
+    }
+
+
+def test_join_view_folds_fact_appends_without_rescanning(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 100), fp)
+    snap.snapshot_write(_dim(spark), dp)
+    v1 = ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    assert _got(spark, vp) == _expected(spark, fp, dp)
+    # append folds incrementally (versions recorded advance)
+    snap.snapshot_write(_fact(spark, 100, 160), fp, mode="append")
+    v2 = ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    assert v2[0] == v1[0] + 1 and v2[1] == v1[1]
+    assert _got(spark, vp) == _expected(spark, fp, dp)
+    # idempotent: nothing new -> same versions, view untouched
+    vv = snap.latest_version(vp)
+    assert ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    ) == v2
+    assert snap.latest_version(vp) == vv
+
+
+def test_join_view_signed_fold_through_dv_delete(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 100).coalesce(2), fp)
+    snap.snapshot_write(_dim(spark), dp)
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], avg_cols=["amount"],
+    )
+    snap.snapshot_delete_where_dv(spark, fp, [("fk", 0, 20)])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], avg_cols=["amount"],
+    )
+    assert _got(spark, vp) == _expected(spark, fp, dp)
+    got = ivm.read_view(spark, vp).collect()
+    assert all(abs(r.avg_amount - r.sum_amount / r.n) < 1e-9 for r in got)
+
+
+def test_join_view_minmax_appends_fold_deletes_recompute(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 60).coalesce(1), fp)
+    snap.snapshot_write(_dim(spark), dp)
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], max_cols=["amount"],
+    )
+    snap.snapshot_write(_fact(spark, 60, 90).coalesce(1), fp,
+                        mode="append")
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], max_cols=["amount"],
+    )
+    exp = {
+        (r.region,): (r.n, r.mx)
+        for r in snap.read_snapshot(spark, fp)
+        .join(snap.read_snapshot(spark, dp), "dim_id")
+        .groupBy("region")
+        .agg(F.count("*").alias("n"), F.max("amount").alias("mx"))
+        .collect()
+    }
+    got = {
+        (r.region,): (r.n, r.max_amount)
+        for r in ivm.read_view(spark, vp).collect()
+    }
+    assert got == exp
+    # a DV delete evicting the max forces the recompute path — and
+    # the result is still exact
+    snap.snapshot_delete_where_dv(spark, fp, [("amount", 260, 270)])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], max_cols=["amount"],
+    )
+    exp2 = {
+        (r.region,): (r.n, r.mx)
+        for r in snap.read_snapshot(spark, fp)
+        .join(snap.read_snapshot(spark, dp), "dim_id")
+        .groupBy("region")
+        .agg(F.count("*").alias("n"), F.max("amount").alias("mx"))
+        .collect()
+    }
+    got2 = {
+        (r.region,): (r.n, r.max_amount)
+        for r in ivm.read_view(spark, vp).collect()
+    }
+    assert got2 == exp2
+
+
+def test_join_view_dim_change_recomputes(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 100), fp)
+    snap.snapshot_write(_dim(spark, tag="r"), dp)
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    # dim overwrite remaps every region label
+    snap.snapshot_write(_dim(spark, tag="z"), dp, mode="overwrite")
+    snap.snapshot_write(_fact(spark, 100, 120), fp, mode="append")
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    got = _got(spark, vp)
+    assert got == _expected(spark, fp, dp)
+    assert all(k[0].startswith("z") for k in got)
+
+
+def test_join_view_dict_on_maps_fk_to_pk(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 50), fp)
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("d"), F.col("id")).alias("label"),
+    )
+    snap.snapshot_write(dim, dp)
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on={"dim_id": "pk"}, keys=["label"],
+        sum_cols=["amount"],
+    )
+    exp = {
+        (r.label,): (r.n, r.sum_amount)
+        for r in snap.read_snapshot(spark, fp)
+        .join(dim.withColumnRenamed("pk", "dim_id"), "dim_id")
+        .groupBy("label").agg(
+            F.count("*").alias("n"), F.sum("amount").alias("sum_amount")
+        ).collect()
+    }
+    got = {
+        (r.label,): (r.n, r.sum_amount)
+        for r in ivm.read_view(spark, vp).collect()
+    }
+    assert got == exp
