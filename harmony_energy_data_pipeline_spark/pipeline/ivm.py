@@ -536,10 +536,19 @@ def refresh_join_agg_view(
       deletion without a rescan, so specs with extrema recompute on
       this path (the single-source danger-group analysis does not yet
       extend through a join).
-    * **dim changed** — a dim-row change fans out to every matching
-      fact row; this refresh recomputes (the ΔD ⋈ F term — pruned to
-      the changed keys — is the next sophistication step; a stale
-      view is never served meanwhile).
+    * **dim changed row-level** — the full delta algebra:
+      ``γ(F_new ⋈ D_new) = V_old ⊕ γ(ΔF ⋈ D_new) ⊕ γ(F_old ⋈ ΔD)``
+      (expand ``(F_old + ΔF) ⋈ (D_old + ΔD)``). The dim's change feed
+      supplies ΔD signed — an updated dim row is delete(old) ⊕
+      insert(new), so a fact's group MOVING between dim attributes
+      folds as −1 under the old attribute and +1 under the new. The
+      ``F_old ⋈ ΔD`` term scans the fact AT ITS OLD VERSION (time
+      travel) joined against only the changed dim rows — broadcast
+      when small — so cost is O(fact ⋈ ΔD), not a full
+      re-aggregation; COUNT/SUM/AVG only (extrema can be evicted by
+      the signed deletes, so specs with MIN/MAX recompute here).
+    * **dim changed, feed-inexpressible** (overwrite/rewrite without
+      change files) — recompute; a stale view is never served.
 
     The view is a snapshot table recording BOTH positions
     (``ivm_source_version`` = fact, ``ivm_dim_version``), so refresh
@@ -574,7 +583,7 @@ def refresh_join_agg_view(
             protocol=protocol, extra=extra,
         )
 
-    if last_f is None or last_d != cur_d:
+    if last_f is None:
         recompute()
         return cur_f, cur_d
     needed = keys + _measure_names(sums, mins, maxs)
@@ -583,30 +592,61 @@ def refresh_join_agg_view(
         recompute()  # spec evolved: stored view lacks the measures
         return cur_f, cur_d
     old = old_df.select(needed)
-    try:
-        delta = snap.read_snapshot_changes(spark, fact_path, last_f, cur_f)
-        part = _aggregate(_join_dim(delta, dim_df, on), keys, sums,
-                          mins, maxs)
-        merged = _merge(old, part, keys, sums, mins, maxs)
-    except ValueError:
+    dim_part = None
+    signed_path = False
+    if last_d != cur_d:
         if mins or maxs:
-            # a deletion may have evicted a stored extremum; the
-            # danger-group analysis doesn't extend through the join
+            # a signed dim delete can evict a stored extremum
             recompute()
             return cur_f, cur_d
         try:
-            feed = snap.read_snapshot_changes_feed(
-                spark, fact_path, last_f, cur_f
+            dim_feed = snap.read_snapshot_changes_feed(
+                spark, dim_path, last_d, cur_d
             )
         except ValueError:
-            recompute()  # rewrite the feed can't express
+            recompute()  # dim rewrite the feed can't express
             return cur_f, cur_d
-        part = _aggregate_signed(
-            _join_dim(feed, dim_df, on), keys, sums
+        # the F_old ⋈ ΔD term: the fact at the version the view
+        # already reflects (its OWN delta folds separately below),
+        # joined against only the changed dim rows
+        fact_old = snap.read_snapshot(spark, fact_path, last_f)
+        dim_part = _aggregate_signed(
+            _join_dim(fact_old, dim_feed, on), keys, sums
         )
-        merged = _merge(old, part, keys, sums, (), ()).filter(
-            F.col("n") > 0
-        )
+        signed_path = True
+    merged = old
+    if last_f != cur_f:
+        try:
+            delta = snap.read_snapshot_changes(
+                spark, fact_path, last_f, cur_f
+            )
+            part = _aggregate(_join_dim(delta, dim_df, on), keys, sums,
+                              mins, maxs)
+            merged = _merge(merged, part, keys, sums, mins, maxs)
+        except ValueError:
+            if mins or maxs:
+                # a deletion may have evicted a stored extremum; the
+                # danger-group analysis doesn't extend through joins
+                recompute()
+                return cur_f, cur_d
+            try:
+                feed = snap.read_snapshot_changes_feed(
+                    spark, fact_path, last_f, cur_f
+                )
+            except ValueError:
+                recompute()  # rewrite the feed can't express
+                return cur_f, cur_d
+            part = _aggregate_signed(
+                _join_dim(feed, dim_df, on), keys, sums
+            )
+            merged = _merge(merged, part, keys, sums, (), ())
+            signed_path = True
+    if dim_part is not None:
+        merged = _merge(merged, dim_part, keys, sums, (), ())
+    if signed_path:
+        # a group whose contributions all cancelled folds to n = 0;
+        # a recompute would not emit it at all
+        merged = merged.filter(F.col("n") > 0)
     snap.snapshot_write(
         _finalize(merged, avgs), view_path, mode="overwrite",
         protocol=protocol, extra=extra,

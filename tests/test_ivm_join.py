@@ -158,6 +158,74 @@ def test_join_view_dim_change_recomputes(spark, tmp_path):
     assert all(k[0].startswith("z") for k in got)
 
 
+def test_join_view_folds_rowlevel_dim_update(spark, tmp_path):
+    # a dim MOR update (delete ⊕ insert in the feed) regroups every
+    # matching fact row: the F_old ⋈ ΔD signed fold moves the mass
+    # without recomputing the whole view
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 100), fp)
+    snap.snapshot_write(_dim(spark).coalesce(1), dp, stats_cols=["dim_id"])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    snap.snapshot_update_where_dv(
+        spark, dp, [("dim_id", 2, 2)], {"region": F.lit("moved")}
+    )
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    got = _got(spark, vp)
+    assert got == _expected(spark, fp, dp)
+    assert ("moved",) in got
+
+
+def test_join_view_folds_fact_and_dim_changes_together(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 80).coalesce(2), fp)
+    snap.snapshot_write(_dim(spark).coalesce(1), dp, stats_cols=["dim_id"])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], avg_cols=["amount"],
+    )
+    # one refresh over: fact append + fact DV delete + dim MOR update
+    snap.snapshot_write(_fact(spark, 80, 120).coalesce(1), fp,
+                        mode="append")
+    snap.snapshot_delete_where_dv(spark, fp, [("fk", 10, 25)])
+    snap.snapshot_update_where_dv(
+        spark, dp, [("dim_id", 5, 6)], {"region": F.lit("west")}
+    )
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"], avg_cols=["amount"],
+    )
+    assert _got(spark, vp) == _expected(spark, fp, dp)
+
+
+def test_join_view_dim_delete_drops_groups(spark, tmp_path):
+    fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
+    snap.snapshot_write(_fact(spark, 0, 70), fp)
+    # one dim row per region so a dim delete can empty a group
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("dim_id"),
+        F.concat(F.lit("r"), F.col("id")).alias("region"),
+    )
+    snap.snapshot_write(dim.coalesce(1), dp, stats_cols=["dim_id"])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    snap.snapshot_delete_where_dv(spark, dp, [("dim_id", 3, 3)])
+    ivm.refresh_join_agg_view(
+        spark, fp, dp, vp, on=["dim_id"], keys=["region"],
+        sum_cols=["amount"],
+    )
+    got = _got(spark, vp)
+    assert got == _expected(spark, fp, dp)
+    assert ("r3",) not in got  # cancelled group not emitted at n=0
+
+
 def test_join_view_dict_on_maps_fk_to_pk(spark, tmp_path):
     fp, dp, vp = (str(tmp_path / x) for x in ("f", "d", "v"))
     snap.snapshot_write(_fact(spark, 0, 50), fp)
