@@ -2376,6 +2376,11 @@ def snapshot_compact(
                 expected_parent=v, stats_cols=stat_cols or None,
                 member_cols=mem_cols or None, member_bits=mem_bits,
                 member_hashes=mem_hashes,
+                # a partitioned table compacts INTO its hive layout —
+                # row-level rewrites degrade pruning to conservative
+                # keeps (their files carry the columns as data);
+                # maintenance is where the exact layout is restored
+                partition_by=m.get("partition_cols"),
                 validate=False,  # rows unchanged: already validated
             )
         except SnapshotConflictError as e:

@@ -157,6 +157,26 @@ def test_streaming_partitioned_table_reconstructs_columns(spark, tmp_path):
     assert all(rows[k] == k % 4 for k in range(40))
 
 
+def test_compaction_restores_hive_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_df(spark, 0, 100), path, partition_by=["g"])
+    # a COW rewrite stages unpartitioned files (pruning degrades to
+    # conservative keeps on them)…
+    snap.snapshot_delete_where(spark, path, [("k", 0, 9)])
+    kept_mid, total_mid = snap.prune_files(path, [("g", 2, 2)])
+    assert any("/g=" not in f for f in kept_mid)
+    # …and compaction restores the exact layout
+    v = snap.snapshot_compact(spark, path, target_file_mb=1)
+    m = snap._read_manifest(path, v)
+    assert m["partition_cols"] == ["g"]
+    assert all("/g=" in f for f in m["files"])
+    kept, total = snap.prune_files(path, [("g", 2, 2)])
+    assert kept and all("/g=2/" in f for f in kept) and len(kept) < total
+    rows = {r.k: r.g for r in snap.read_snapshot(spark, path).collect()}
+    assert len(rows) == 90
+    assert all(rows[k] == k % 4 for k in range(10, 100))
+
+
 def test_partition_pruning_through_columnar_checkpoint(spark, tmp_path):
     path = str(tmp_path / "t")
     n = snap._CHECKPOINT_INTERVAL + 2
