@@ -608,8 +608,27 @@ def refresh_join_agg_view(
             return cur_f, cur_d
         # the F_old ⋈ ΔD term: the fact at the version the view
         # already reflects (its OWN delta folds separately below),
-        # joined against only the changed dim rows
-        fact_old = snap.read_snapshot(spark, fact_path, last_f)
+        # joined against only the changed dim rows. With a single
+        # equi-key, the fact scan is zone-map-pruned to the changed
+        # keys' interval first — loose but never wrong (the join is
+        # the exact filter), so a fact clustered on its foreign key
+        # pays O(files touching the changed keys), not O(fact bytes).
+        fk = pk = None
+        if isinstance(on, dict) and len(on) == 1:
+            fk, pk = next(iter(on.items()))
+        elif not isinstance(on, dict) and len(list(on)) == 1:
+            fk = pk = list(on)[0]
+        fact_old = None
+        if fk is not None:
+            b = dim_feed.agg(
+                F.min(pk).alias("lo"), F.max(pk).alias("hi")
+            ).first()
+            if b.lo is not None:
+                fact_old = snap.read_snapshot(
+                    spark, fact_path, last_f, where=[(fk, b.lo, b.hi)]
+                )
+        if fact_old is None:
+            fact_old = snap.read_snapshot(spark, fact_path, last_f)
         dim_part = _aggregate_signed(
             _join_dim(fact_old, dim_feed, on), keys, sums
         )

@@ -1839,7 +1839,9 @@ def read_snapshot(
 
     def _load(fs: list[str]):
         if not m.get("dvs"):
-            return _load_plain(fs)
+            # clean scan: partition values attach as per-group
+            # literals (plan-time), not per-row path expressions
+            return _read_grouped(spark, fs, m, fmt=fmt)
         # merge-on-read: subtract this version's positional deletes
         # (only ever recorded on parquet tables) — split-scan so only
         # the vectored files pay the anti join
@@ -2571,17 +2573,17 @@ def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
     return out
 
 
-def _read_file_list(
+def _read_aligned(
     spark: SparkSession, files: list[str], m: dict, fmt: str = "parquet"
 ) -> DataFrame:
-    """Read a snapshot file list to the TABLE's logical view:
-    declared schema applied, RENAMED columns dual-looked-up under
-    their full name lineage (each file stores exactly one of the
-    names — per row the non-null one wins), hive partition columns
-    reconstructed from paths."""
+    """Schema-aligned read of a snapshot file list: declared schema
+    applied, RENAMED columns dual-looked-up under their full name
+    lineage (each file stores exactly one of the names — per row the
+    non-null one wins). Partition columns are NOT reconstructed here
+    — hive-staged files read them as null."""
     reader = spark.read.format(fmt)
     if "schema" not in m:
-        return _with_partition_cols(reader.load(files), m)
+        return reader.load(files)
     from pyspark.sql.types import StructField, StructType
 
     st = StructType.fromJson(m["schema"])
@@ -2590,18 +2592,86 @@ def _read_file_list(
         for i, f in enumerate(st.fields)
     ]
     if not any(als for _, als in lineage):
-        return _with_partition_cols(reader.schema(st).load(files), m)
+        return reader.schema(st).load(files)
     read_fields = []
     for f, als in lineage:
         read_fields.append(StructField(f.name, f.dataType, True))
         read_fields.extend(StructField(a, f.dataType, True) for a in als)
     df = reader.schema(StructType(read_fields)).load(files)
-    df = df.select([
+    return df.select([
         F.coalesce(F.col(f.name), *[F.col(a) for a in als]).alias(f.name)
         if als else F.col(f.name)
         for f, als in lineage
     ])
-    return _with_partition_cols(df, m)
+
+
+def _read_file_list(
+    spark: SparkSession, files: list[str], m: dict, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a snapshot file list to the TABLE's logical view —
+    :func:`_read_aligned` plus hive partition columns reconstructed
+    from each row's file path (expression-based: keeps the plan a
+    single scan with ``_metadata`` resolvable, which the DV anti-join
+    and change-feed paths require)."""
+    return _with_partition_cols(_read_aligned(spark, files, m, fmt), m)
+
+
+#: Above this many distinct partition tuples in one read, the grouped
+#: literal route would bloat the plan (one scan branch per tuple) —
+#: fall back to the expression route, which is O(1) plan size.
+_PART_GROUP_MAX = 128
+
+
+def _read_grouped(
+    spark: SparkSession, files: list[str], m: dict, fmt: str = "parquet"
+) -> DataFrame:
+    """Partitioned-table scan with partition values attached as
+    PER-GROUP LITERALS (the Delta/Iceberg FileIndex shape): files are
+    grouped by their path-derived partition tuple at PLAN time, each
+    group scans with constant partition columns, and the groups
+    union. Zero per-row reconstruction cost — the expression route
+    pays a regex + url-decode per row, which dominates a pruned
+    single-partition scan — and a residual partition predicate
+    constant-folds per branch, so Catalyst eliminates non-matching
+    groups from the plan entirely. Falls back to the expression route
+    for unpartitioned tables, schema-less manifests, or more than
+    ``_PART_GROUP_MAX`` distinct tuples."""
+    pcols = m.get("partition_cols")
+    if not pcols or "schema" not in m:
+        return _read_file_list(spark, files, m, fmt)
+    from urllib.parse import unquote
+
+    from pyspark.sql.types import StructType
+
+    amap = _schema_alias_map(m.get("schema"))
+    pset = set(pcols)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        vals: dict = {}
+        for seg in f.split("/")[:-1]:
+            k, sep, raw = seg.partition("=")
+            k = amap.get(k, k)
+            if sep and k in pset:
+                vals[k] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+        # files WITHOUT segments (unpartitioned appends) carry the
+        # columns as data: a distinct group with no literal override
+        key = tuple(vals.get(c, "\x00__DATA__") for c in pcols)
+        groups.setdefault(key, []).append(f)
+        if len(groups) > _PART_GROUP_MAX:
+            return _read_file_list(spark, files, m, fmt)
+    st = StructType.fromJson(m["schema"])
+    out: DataFrame | None = None
+    for key, fs in groups.items():
+        part = _read_aligned(spark, fs, m, fmt)
+        for c, v in zip(pcols, key):
+            if v == "\x00__DATA__":
+                continue  # data-carried values stay as read
+            part = part.withColumn(c, F.lit(v).cast(st[c].dataType))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 #: Schema of a positional-delete (deletion-vector) file: the table-
