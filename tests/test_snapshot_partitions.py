@@ -157,6 +157,30 @@ def test_streaming_partitioned_table_reconstructs_columns(spark, tmp_path):
     assert all(rows[k] == k % 4 for k in range(40))
 
 
+def test_clean_partitioned_scan_uses_literal_groups(spark, tmp_path):
+    # the clean-scan plan must attach partition values as per-group
+    # literals (no per-row path regex/url-decode), and an equality
+    # predicate must constant-fold non-matching groups away
+    path = str(tmp_path / "t")
+    snap.snapshot_write(
+        _df(spark, 0, 400).repartition(8, "g"), path, partition_by=["g"]
+    )
+    df = snap.read_snapshot(spark, path, where=[("g", 2, 2)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "url_decode" not in plan
+    # every scan branch for other partitions folded away: only g=2
+    # files appear in the final plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "g=2" in opt or "Relation" in opt
+    assert df.count() == 100
+    # a DV commit flips the table to the expression route (the anti
+    # join needs _metadata above one scan) — still correct
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 3)])
+    got = snap.read_snapshot(spark, path, where=[("g", 2, 2)])
+    assert got.count() == 99
+    assert got.select("g").distinct().collect()[0].g == 2
+
+
 def test_compaction_restores_hive_layout(spark, tmp_path):
     path = str(tmp_path / "t")
     snap.snapshot_write(_df(spark, 0, 100), path, partition_by=["g"])
