@@ -41,9 +41,11 @@ Mechanics:
 * **Exactly-once.** Offsets live in the query checkpoint; a replayed
   batch re-reads the same immutable files. Vacuum caveat: keep the
   stream's lag within the table's retention window.
-* **Admission control** (``option("max_files_per_trigger", N)`` — the
-  Delta ``maxFilesPerTrigger`` shape): each micro-batch admits at most
-  N data files. The initial snapshot splits into RESUMABLE chunks
+* **Admission control** (``option("max_files_per_trigger", N)`` /
+  ``option("max_bytes_per_trigger", B)`` — the Delta
+  ``maxFilesPerTrigger``/``maxBytesPerTrigger`` shapes, composable:
+  whichever budget exhausts first caps the batch): each micro-batch
+  admits at most N data files / ~B on-disk bytes. The initial snapshot splits into RESUMABLE chunks
   whose progress lives in the offsets (``{"snap_v": V, "idx": K}``),
   so on a huge table the first batch is bounded and a restart
   mid-snapshot resumes at file K instead of replaying everything.
@@ -147,6 +149,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
         if self.max_files < 0:
             raise ValueError("max_files_per_trigger must be >= 0")
+        #: Byte-budget analog (the Delta ``maxBytesPerTrigger`` shape):
+        #: admit files until their on-disk bytes exceed the budget
+        #: (always at least one file/version per batch). Sizes come
+        #: from a driver ``os.path.getsize`` over only the CANDIDATE
+        #: files of one advance — O(batch), not O(table). Composes
+        #: with max_files_per_trigger (whichever budget exhausts
+        #: first caps the batch).
+        self.max_bytes = int(options.get("max_bytes_per_trigger", 0) or 0)
+        if self.max_bytes < 0:
+            raise ValueError("max_bytes_per_trigger must be >= 0")
         #: Last end offset this reader returned/observed. The Python
         #: DataSource API passes latestOffset no start offset (the
         #: Scala SupportsAdmissionControl callback has no Python
@@ -168,37 +180,68 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def _n_files_at(self, version: int) -> int:
         return len(snap._read_manifest(self.path, version)["files"])
 
-    def _added_files_count(self, version: int) -> int:
+    def _added_files(self, version: int) -> list[str]:
         """Files a single version admits into the stream — raw-manifest
-        adds for delta commits, full file count as the conservative
+        adds for delta commits, the full file list as the conservative
         bound for legacy full manifests."""
         m = snap._read_manifest_raw(self.path, version)
-        if "adds" in m:
-            return len(m["adds"])
-        return len(m.get("files", []))
+        return m["adds"] if "adds" in m else m.get("files", [])
+
+    def _file_bytes(self, rel: str) -> int:
+        try:
+            return os.path.getsize(snap._abs_file(self.path, rel))
+        except OSError:
+            return 0  # racing a vacuum of an old version: size-neutral
+
+    def _chunk_end(self, files: list[str], lo: int) -> int:
+        """First index past ``lo`` where either budget is exhausted —
+        always admits at least one file so the stream makes progress."""
+        max_f = self.max_files or float("inf")
+        max_b = self.max_bytes or float("inf")
+        k, b = lo, 0
+        while k < len(files):
+            if k - lo >= max_f:
+                break
+            if self.max_bytes:
+                b += self._file_bytes(files[k])
+            k += 1
+            if b >= max_b:
+                break
+        return k
 
     def _advance(self, cur: dict, head: int) -> dict:
         """The next capped end offset after ``cur`` toward ``head``."""
         if cur.get("snapshot"):
             # pin the snapshot at the current head; chunk if needed
-            if self._n_files_at(head) <= self.max_files:
+            files = snap._read_manifest(self.path, head)["files"]
+            k = self._chunk_end(files, 0)
+            if k >= len(files):
                 return {"version": head}
-            return {"snap_v": head, "idx": self.max_files}
+            return {"snap_v": head, "idx": k}
         if "snap_v" in cur:
-            hi, k = cur["snap_v"], cur["idx"]
-            nk = min(k + self.max_files, self._n_files_at(hi))
-            if nk >= self._n_files_at(hi):
+            hi, k0 = cur["snap_v"], cur["idx"]
+            files = snap._read_manifest(self.path, hi)["files"]
+            nk = self._chunk_end(files, k0)
+            if nk >= len(files):
                 return {"version": hi}  # snapshot complete: tail mode
             return {"snap_v": hi, "idx": nk}
         lo = cur["version"]
-        v, budget = lo, self.max_files
+        v = lo
+        budget_f = self.max_files or float("inf")
+        budget_b = self.max_bytes or float("inf")
         while v < head:
-            n = self._added_files_count(v + 1)
-            if v > lo and n > budget:
-                break  # next version would blow the budget
+            adds = self._added_files(v + 1)
+            n = len(adds)
+            nb = (
+                sum(self._file_bytes(f) for f in adds)
+                if self.max_bytes else 0
+            )
+            if v > lo and (n > budget_f or nb > budget_b):
+                break  # next version would blow a budget
             v += 1
-            budget -= n
-            if budget <= 0:
+            budget_f -= n
+            budget_b -= nb
+            if budget_f <= 0 or budget_b <= 0:
                 break
         return {"version": v} if v != lo else dict(cur)
 
@@ -206,7 +249,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         v = snap.latest_version(self.path)
         if v is None:
             return self.initialOffset()
-        if not self.max_files:
+        if not (self.max_files or self.max_bytes):
             off = {"version": v}
         else:
             cur = self._cursor

@@ -178,6 +178,58 @@ def test_end_to_end_capped_stream_delivers_everything(registered, tmp_path):
         q.stop()
 
 
+def test_byte_budget_chunks_snapshot_and_tail(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 40, mode="overwrite", files=4)
+    m = snap._read_manifest(path, 0)
+    sizes = [os.path.getsize(snap._abs_file(path, f)) for f in m["files"]]
+    # budget just under two files: the 4-file snapshot chunks at 2
+    r = _reader(path, max_bytes_per_trigger=str(sizes[0] + sizes[1] - 1))
+    r.initialOffset()
+    assert r.latestOffset() == {"snap_v": 0, "idx": 2}
+    assert r.latestOffset() == {"version": 0}
+    # tail: versions admit while bytes fit; an oversized version still
+    # admits ALONE (progress guarantee)
+    _write(spark, path, 40, 50, files=1)   # v1
+    _write(spark, path, 50, 60, files=1)   # v2
+    _write(spark, path, 60, 100, files=4)  # v3: over budget by itself
+    seen = []
+    for _ in range(6):
+        o = r.latestOffset()
+        if seen and o["version"] == seen[-1]:
+            break
+        seen.append(o["version"])
+        if o == {"version": 3}:
+            break
+    assert seen[-1] == 3 and len(seen) >= 2  # capped into >1 batch
+    assert seen == sorted(seen)
+
+
+def test_byte_and_file_budgets_compose(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, path, 0, 60, mode="overwrite", files=6)
+    import os
+
+    m = snap._read_manifest(path, 0)
+    per_file = os.path.getsize(snap._abs_file(path, m["files"][0]))
+    # byte budget allows ~4 files, file budget only 3 -> 3 wins
+    r = _reader(
+        path, max_files_per_trigger="3",
+        max_bytes_per_trigger=str(int(per_file * 4)),
+    )
+    r.initialOffset()
+    assert r.latestOffset() == {"snap_v": 0, "idx": 3}
+    # byte budget of 1 file beats the 3-file cap
+    r2 = _reader(
+        path, max_files_per_trigger="3",
+        max_bytes_per_trigger=str(int(per_file * 0.5)),
+    )
+    r2.initialOffset()
+    assert r2.latestOffset() == {"snap_v": 0, "idx": 1}
+
+
 def test_cap_zero_or_absent_means_unlimited(spark, tmp_path):
     path = str(tmp_path / "t")
     _write(spark, path, 0, 30, mode="overwrite", files=3)
