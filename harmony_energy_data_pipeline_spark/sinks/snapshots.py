@@ -2211,7 +2211,30 @@ def snapshot_table_info(path: str, version: int | None = None) -> dict:
         "borrowing_clones": sorted(
             rec.get("clone", "?") for rec in _borrow_records(path)
         ),
+        # hive partition spec + how many live files actually sit in
+        # the layout (COW rewrites stage unpartitioned files until a
+        # compaction restores them — this is that debt, observable)
+        "partition_cols": list(m.get("partition_cols") or []),
+        "partitioned_files": _count_partitioned_files(m),
     }
+
+
+def _count_partitioned_files(m: dict) -> int:
+    pcols = m.get("partition_cols")
+    if not pcols:
+        return 0
+    amap = _schema_alias_map(m.get("schema"))
+    names_of: dict[str, list[str]] = {}
+    for n, logical in amap.items():
+        names_of.setdefault(logical, []).append(n)
+    return sum(
+        1 for f in m["files"]
+        if all(
+            any(f"/{n}=" in f or f.startswith(f"{n}=")
+                for n in names_of.get(c, [c]))
+            for c in pcols
+        )
+    )
 
 
 @normalizes_paths('path')

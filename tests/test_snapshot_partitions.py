@@ -137,6 +137,25 @@ def test_partition_spec_survives_restore_and_clone(spark, tmp_path):
     assert all(rows[k] == k % 4 for k in range(40))
 
 
+def test_table_info_reports_partition_layout_debt(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_df(spark, 0, 40), path, partition_by=["g"])
+    info = snap.snapshot_table_info(path)
+    assert info["partition_cols"] == ["g"]
+    assert info["partitioned_files"] == info["n_files"]
+    # a COW update scoped (by partition pruning) to g=2 restages only
+    # that partition's files unpartitioned — observable layout debt
+    snap.snapshot_update_where(
+        spark, path, [("g", 2, 2), ("k", 0, 10)],
+        {"v": F.lit(-1).cast("long")},
+    )
+    info = snap.snapshot_table_info(path)
+    assert 0 < info["partitioned_files"] < info["n_files"]
+    snap.snapshot_compact(spark, path, target_file_mb=1)
+    info = snap.snapshot_table_info(path)
+    assert info["partitioned_files"] == info["n_files"]
+
+
 def test_streaming_partitioned_table_reconstructs_columns(spark, tmp_path):
     from harmony_energy_data_pipeline_spark.sources.snapstream import (
         SnapshotTableDataSource,
