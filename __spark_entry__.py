@@ -6166,6 +6166,65 @@ def q_snapshot_stream_capped_digest(
     )
 
 
+@_q("ivm_star_agg", """
+SELECT CASE WHEN o_orderkey >= 1 AND o_orderkey <= 50
+            THEN 'MOVED' ELSE o_orderpriority END AS prio,
+       p_brand, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_ep
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+""")
+def q_ivm_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA IVM (round 8): a lineitem ⋈ orders ⋈ part
+    aggregate view maintained by generalized delta-join — the fact
+    appends in two halves (the second folds as ΔF joined against both
+    dims), then ONE dim changes row-level (an orders MOR update moves
+    an orderkey band to a new priority) and folds as F_old ⋈ ΔD signed
+    against the other dim at its unchanged version. The oracle
+    recomputes the final star aggregate with the update expressed as
+    a CASE — the hash match proves the generalized algebra
+    V ⊕ γ(ΔF ⋈ D₁' ⋈ D₂') ⊕ γ(F_old ⋈ ΔD₁ ⋈ D₂') ≡ recompute."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", _cents("l_extendedprice").alias("ep")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio")
+    )
+    pt = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    base = tempfile.mkdtemp(prefix="ivm_star_")
+    fp, d1, d2, vp = (base + s for s in ("/f", "/o", "/p", "/v"))
+    snap.snapshot_write(od.coalesce(2), d1, stats_cols=["o_orderkey"])
+    snap.snapshot_write(pt.coalesce(2), d2)
+    snap.snapshot_write(
+        li.filter(F.col("l_orderkey") % 2 == 0).coalesce(2), fp
+    )
+    dims = [(d1, {"l_orderkey": "o_orderkey"}),
+            (d2, {"l_partkey": "p_partkey"})]
+    kw = dict(keys=["prio", "p_brand"], sum_cols=["ep"])
+    ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)
+    snap.snapshot_write(
+        li.filter(F.col("l_orderkey") % 2 == 1).coalesce(2),
+        fp, mode="append",
+    )
+    ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)  # ΔF ⋈ dims
+    snap.snapshot_update_where_dv(
+        spark, d1, [("o_orderkey", 1, 50)], {"prio": F.lit("MOVED")}
+    )
+    ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)  # F_old ⋈ ΔD
+    return ivm.read_view(spark, vp).select(
+        "prio", "p_brand", "n",
+        F.col("sum_ep").cast("long").alias("sum_ep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -673,7 +673,140 @@ def refresh_join_agg_view(
     return cur_f, cur_d
 
 
+#: Manifest key on a STAR view: {dim_path: version} it reflects.
+STAR_VERSIONS_KEY = "ivm_star_versions"
+
+
+def refresh_star_agg_view(
+    spark: SparkSession,
+    fact_path: str,
+    dims: list[tuple],
+    view_path: str,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
+    protocol: str = "link",
+) -> dict:
+    """STAR-SCHEMA incremental view: ``γ(fact ⋈ dim₁ ⋈ … ⋈ dimₙ)``
+    with COUNT/SUM/AVG measures. ``dims`` is ``[(dim_path, on), …]``
+    (each ``on`` as in :func:`refresh_join_agg_view`). Returns the
+    ``{path: version}`` map (fact under its path) the view reflects.
+
+    Delta algebra, generalized one changed input at a time: with at
+    most ONE dim changed row-level,
+    ``ΔV = γ(ΔF ⋈ D₁' ⋈ … ⋈ Dₙ') ⊕ γ(F_old ⋈ D₁ ⋈ … ⋈ ΔDᵢ ⋈ … ⋈ Dₙ')``
+    — the fact delta joins every dim at its NEW version, and the
+    changed dim's signed delta joins the fact at its OLD version with
+    the other dims at their new (== old, unchanged) versions. Two or
+    more dims changing in one refresh window recomputes (the cross
+    terms ``F ⋈ ΔDᵢ ⋈ ΔDⱼ`` are where star IVM stops paying for
+    itself; Materialize/DBSP handle them with full multilinear
+    expansion — at warehouse refresh cadences the multi-dim-change
+    window is rare enough that the recompute fallback is the sane
+    trade). MIN/MAX are not offered on star views (any signed path
+    can evict extrema)."""
+    keys, sums, _mins, _maxs, avgs = _norm_spec(
+        keys, sum_cols, None, None, avg_cols
+    )
+    cur_f = snap.latest_version(fact_path)
+    if cur_f is None:
+        raise FileNotFoundError(f"no snapshots at {fact_path}")
+    cur_d = {}
+    for dp, _on in dims:
+        dv = snap.latest_version(dp)
+        if dv is None:
+            raise FileNotFoundError(f"no snapshots at {dp}")
+        cur_d[dp] = dv
+    positions = {fact_path: cur_f, **cur_d}
+    last_f = None
+    last_d: dict = {}
+    view_v = snap.latest_version(view_path)
+    if view_v is not None:
+        vm = snap._read_manifest_raw(view_path, view_v)
+        last_f = vm.get(SOURCE_VERSION_KEY)
+        last_d = vm.get(STAR_VERSIONS_KEY) or {}
+    extra = {SOURCE_VERSION_KEY: cur_f, STAR_VERSIONS_KEY: cur_d}
+
+    def _join_all(df: DataFrame, skip: str | None = None) -> DataFrame:
+        for dp, on in dims:
+            if dp == skip:
+                continue
+            df = _join_dim(df, snap.read_snapshot(spark, dp), on)
+        return df
+
+    def recompute() -> None:
+        full = _aggregate(
+            _join_all(snap.read_snapshot(spark, fact_path, cur_f)),
+            keys, sums, (), (),
+        )
+        snap.snapshot_write(
+            _finalize(full, avgs), view_path, mode="overwrite",
+            protocol=protocol, extra=extra,
+        )
+
+    changed_dims = [dp for dp, _on in dims if last_d.get(dp) != cur_d[dp]]
+    if last_f is None or len(changed_dims) > 1:
+        recompute()
+        return positions
+    if last_f == cur_f and not changed_dims:
+        return positions  # nothing new: no-op
+    needed = keys + _measure_names(sums, (), ())
+    old_df = read_view(spark, view_path)
+    if not set(needed) <= set(old_df.columns):
+        recompute()
+        return positions
+    merged = old_df.select(needed)
+    signed = False
+    if last_f != cur_f:
+        try:
+            delta = snap.read_snapshot_changes(
+                spark, fact_path, last_f, cur_f
+            )
+            part = _aggregate(_join_all(delta), keys, sums, (), ())
+        except ValueError:
+            try:
+                feed = snap.read_snapshot_changes_feed(
+                    spark, fact_path, last_f, cur_f
+                )
+            except ValueError:
+                recompute()
+                return positions
+            part = _aggregate_signed(_join_all(feed), keys, sums)
+            signed = True
+        merged = _merge(merged, part, keys, sums, (), ())
+    if changed_dims:
+        dp = changed_dims[0]
+        if dp not in last_d:
+            # the dim LIST itself changed since the last refresh —
+            # the stored view was computed over a different join
+            recompute()
+            return positions
+        on = next(o for p, o in dims if p == dp)
+        try:
+            dim_feed = snap.read_snapshot_changes_feed(
+                spark, dp, last_d[dp], cur_d[dp]
+            )
+        except ValueError:
+            recompute()
+            return positions
+        fact_old = snap.read_snapshot(spark, fact_path, last_f)
+        part = _aggregate_signed(
+            _join_all(_join_dim(fact_old, dim_feed, on), skip=dp),
+            keys, sums,
+        )
+        merged = _merge(merged, part, keys, sums, (), ())
+        signed = True
+    if signed:
+        merged = merged.filter(F.col("n") > 0)
+    snap.snapshot_write(
+        _finalize(merged, avgs), view_path, mode="overwrite",
+        protocol=protocol, extra=extra,
+    )
+    return positions
+
+
 __all__ = [
     "refresh_agg_view", "refresh_agg_views", "refresh_join_agg_view",
-    "read_view", "SOURCE_VERSION_KEY", "DIM_VERSION_KEY",
+    "refresh_star_agg_view", "read_view",
+    "SOURCE_VERSION_KEY", "DIM_VERSION_KEY", "STAR_VERSIONS_KEY",
 ]

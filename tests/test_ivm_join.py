@@ -251,3 +251,106 @@ def test_join_view_dict_on_maps_fk_to_pk(spark, tmp_path):
         for r in ivm.read_view(spark, vp).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------- star views
+
+
+def _dim2(spark, tag="s"):
+    return spark.range(0, 3).select(
+        F.col("id").alias("chan_id"),
+        F.concat(F.lit(tag), F.col("id")).alias("channel"),
+    )
+
+
+def _fact2(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 7).alias("dim_id"),
+        (F.col("id") % 3).alias("chan_id"),
+        (F.col("id") * 3).alias("amount"),
+    )
+
+
+def _star_expected(spark, fp, d1, d2):
+    f = snap.read_snapshot(spark, fp)
+    a = snap.read_snapshot(spark, d1)
+    b = snap.read_snapshot(spark, d2)
+    return {
+        (r.region, r.channel): (r.n, r.sum_amount)
+        for r in f.join(a, "dim_id").join(b, "chan_id")
+        .groupBy("region", "channel").agg(
+            F.count("*").alias("n"), F.sum("amount").alias("sum_amount")
+        ).collect()
+    }
+
+
+def _star_got(spark, vp):
+    return {
+        (r.region, r.channel): (r.n, r.sum_amount)
+        for r in ivm.read_view(spark, vp).collect()
+    }
+
+
+def test_star_view_folds_fact_and_single_dim_changes(spark, tmp_path):
+    fp, d1, d2, vp = (str(tmp_path / x) for x in ("f", "d1", "d2", "v"))
+    snap.snapshot_write(_fact2(spark, 0, 90).coalesce(2), fp)
+    snap.snapshot_write(_dim(spark).coalesce(1), d1)
+    snap.snapshot_write(_dim2(spark).coalesce(1), d2)
+    dims = [(d1, ["dim_id"]), (d2, ["chan_id"])]
+    kw = dict(keys=["region", "channel"], sum_cols=["amount"],
+              avg_cols=["amount"])
+    pos = ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)
+    assert _star_got(spark, vp) == _star_expected(spark, fp, d1, d2)
+    # fact append + ONE dim row-level change fold in one refresh
+    snap.snapshot_write(_fact2(spark, 90, 130).coalesce(1), fp,
+                        mode="append")
+    snap.snapshot_update_where_dv(
+        spark, d2, [("chan_id", 1, 1)], {"channel": F.lit("webcast")}
+    )
+    pos2 = ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)
+    assert pos2[fp] == pos[fp] + 1 and pos2[d2] == pos[d2] + 1
+    got = _star_got(spark, vp)
+    assert got == _star_expected(spark, fp, d1, d2)
+    assert any(k[1] == "webcast" for k in got)
+    # idempotent no-op
+    vv = snap.latest_version(vp)
+    assert ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw) == pos2
+    assert snap.latest_version(vp) == vv
+
+
+def test_star_view_two_dim_changes_recompute(spark, tmp_path):
+    fp, d1, d2, vp = (str(tmp_path / x) for x in ("f", "d1", "d2", "v"))
+    snap.snapshot_write(_fact2(spark, 0, 60), fp)
+    snap.snapshot_write(_dim(spark).coalesce(1), d1)
+    snap.snapshot_write(_dim2(spark).coalesce(1), d2)
+    dims = [(d1, ["dim_id"]), (d2, ["chan_id"])]
+    kw = dict(keys=["region", "channel"], sum_cols=["amount"])
+    ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)
+    snap.snapshot_update_where_dv(
+        spark, d1, [("dim_id", 0, 1)], {"region": F.lit("x")}
+    )
+    snap.snapshot_update_where_dv(
+        spark, d2, [("chan_id", 0, 0)], {"channel": F.lit("y")}
+    )
+    ivm.refresh_star_agg_view(spark, fp, dims, vp, **kw)
+    assert _star_got(spark, vp) == _star_expected(spark, fp, d1, d2)
+
+
+def test_star_view_dim_list_change_recomputes(spark, tmp_path):
+    fp, d1, d2, vp = (str(tmp_path / x) for x in ("f", "d1", "d2", "v"))
+    snap.snapshot_write(_fact2(spark, 0, 50), fp)
+    snap.snapshot_write(_dim(spark).coalesce(1), d1)
+    snap.snapshot_write(_dim2(spark).coalesce(1), d2)
+    ivm.refresh_star_agg_view(
+        spark, fp, [(d1, ["dim_id"])], vp,
+        keys=["region"], sum_cols=["amount"],
+    )
+    # widen the join: the stored view covered a different star
+    snap.snapshot_write(_dim2(spark, tag="t").coalesce(1), d2,
+                        mode="append")
+    ivm.refresh_star_agg_view(
+        spark, fp, [(d1, ["dim_id"]), (d2, ["chan_id"])], vp,
+        keys=["region", "channel"], sum_cols=["amount"],
+    )
+    assert _star_got(spark, vp) == _star_expected(spark, fp, d1, d2)
