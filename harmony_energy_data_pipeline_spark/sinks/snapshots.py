@@ -3976,12 +3976,23 @@ def snapshot_merge_into(
     max_redo: int = 3,
     record_cdf: bool = False,
     extra: dict | None = None,
+    delete_scope: list[tuple] | None = None,
 ) -> int:
     """MERGE (keyed upsert) into a snapshot table, REWRITING ONLY the
     files that can contain a source key: rows whose ``key`` appears
     in ``source`` are replaced by the source row (source-wins, the
     J1 upsert contract), new keys insert, everything else is carried
     byte-identical.
+
+    ``delete_scope``: interval predicates ``[(col, lo, hi), …]``
+    adding the Delta ``WHEN NOT MATCHED BY SOURCE THEN DELETE``
+    clause, bounded to a scope — table rows STRICTLY inside the scope
+    whose key is absent from the source are deleted (rows where the
+    scope predicate is NULL survive, like any SQL DELETE). This is
+    the incremental mirror-sync shape: re-sync one day/tenant window
+    from an upstream extract and rows that vanished upstream vanish
+    here, while every file outside the scope (and outside the
+    source-key sketches) is carried untouched.
 
     File scoping: the distinct hash buckets of the source keys (one
     small aggregation, ≤4096 values) are intersected with each
@@ -4065,6 +4076,11 @@ def snapshot_merge_into(
             for f in m["files"]
             if _may_hold(_rel_file(path, f))
         ]
+        if delete_scope:
+            # files that may hold in-scope rows must also rewrite —
+            # their not-matched-by-source rows are deletion candidates
+            in_scope, _tot = prune_files(path, delete_scope, version=v)
+            affected = sorted(set(affected) | set(in_scope))
         if m.get("constraints"):
             _validate_constraints(source, m["constraints"], path)
         table_cols = (
@@ -4091,15 +4107,28 @@ def snapshot_merge_into(
                 )
             src_key_set = source.select(F.col(key)).distinct()
             kept = df_aff.join(src_key_set, on=key, how="left_anti")
+            scope_deleted = None
+            if delete_scope:
+                # rows STRICTLY inside the scope and absent from the
+                # source are deleted; NULL-predicate rows survive
+                in_scope = F.coalesce(
+                    _cond_from_where(delete_scope), F.lit(False)
+                )
+                if record_cdf:
+                    scope_deleted = kept.filter(in_scope)
+                kept = kept.filter(~in_scope)
             new_df = kept.unionByName(source)
             if record_cdf:
                 replaced_pre = df_aff.join(
                     src_key_set, on=key, how="left_semi"
                 )
+                if scope_deleted is not None:
+                    replaced_pre = replaced_pre.unionByName(scope_deleted)
         cdf_df = None
         if record_cdf:
             # an upsert of a NEW key reads as a bare insert; an updated
-            # key as delete(pre-image) ⊕ insert(source row)
+            # key as delete(pre-image) ⊕ insert(source row); a
+            # scope-deleted row as a bare delete
             cdf_df = source.withColumn("_change_type", F.lit("insert"))
             if replaced_pre is not None:
                 cdf_df = replaced_pre.select(*source.columns).withColumn(

@@ -85,3 +85,84 @@ def test_merge_respects_constraints(spark, tmp_path):
     snap.snapshot_merge_into(spark, path, ok, key="k")
     rows = {r.k: r.pct for r in snap.read_snapshot(spark, path).collect()}
     assert rows[1] == 3.0
+
+
+def test_merge_delete_scope_mirror_sync(spark, tmp_path):
+    # WHEN NOT MATCHED BY SOURCE DELETE, bounded to a scope (round 8):
+    # re-sync the k<200 window from an upstream extract — keys that
+    # vanished upstream vanish here; everything out of scope survives
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    snap.snapshot_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path, stats_cols=["k"], member_cols=["k"],
+        member_bits=1 << 15, member_hashes=5,
+    )
+    # upstream window [0, 200): keys 0..99 updated, 100..199 GONE,
+    # plus one brand-new key
+    src = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).unionByName(spark.createDataFrame([(5000, -7)], "k long, v long"))
+    v = snap.snapshot_merge_into(
+        spark, path, src, key="k", delete_scope=[("k", 0, 199)],
+    )
+    rows = {r.k: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert len(rows) == 1000 - 100 + 1
+    assert all(rows[k] == -1 for k in range(100))
+    assert all(k not in rows for k in range(100, 200))
+    assert rows[200] == 400 and rows[999] == 1998 and rows[5000] == -7
+    # out-of-scope files were carried, not rewritten
+    m = snap._read_manifest_raw(path, v)
+    assert m["rewrite"]["carried_files"] >= 1
+
+
+def test_merge_delete_scope_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, None), (3, 30, 5)],
+        "k long, v long, ts long",
+    )
+    snap.snapshot_write(base.coalesce(1), path)
+    src = spark.createDataFrame([(1, -1, 1)], "k long, v long, ts long")
+    snap.snapshot_merge_into(
+        spark, path, src, key="k", delete_scope=[("ts", 0, 9)],
+    )
+    rows = {r.k: (r.v, r.ts) for r in snap.read_snapshot(spark, path).collect()}
+    # k=1 upserted; k=3 in scope & missing from source -> deleted;
+    # k=2 has NULL ts (scope predicate NULL) -> survives
+    assert rows == {1: (-1, 1), 2: (20, None)}
+
+
+def test_merge_delete_scope_cdf_folds_in_ivm(spark, tmp_path):
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+
+    path, vp = str(tmp_path / "t"), str(tmp_path / "v")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    snap.snapshot_write(df.coalesce(2), path)
+    ivm.refresh_agg_view(spark, path, vp, ["g"], ["v"])
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    snap.snapshot_merge_into(
+        spark, path, src, key="k", delete_scope=[("k", 0, 99)],
+        record_cdf=True,
+    )
+    ivm.refresh_agg_view(spark, path, vp, ["g"], ["v"])
+    exp = {
+        r.g: (r.n, r.s)
+        for r in snap.read_snapshot(spark, path).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    got = {
+        r.g: (r.n, r.sum_v)
+        for r in ivm.read_view(spark, vp).collect()
+    }
+    assert got == exp
