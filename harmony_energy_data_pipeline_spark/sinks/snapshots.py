@@ -2238,6 +2238,67 @@ def _count_partitioned_files(m: dict) -> int:
 
 
 @normalizes_paths('path')
+def snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's FILE-LEVEL metadata as a DataFrame — the
+    Delta/Iceberg ``files`` metadata-table shape: one row per live
+    file with path, on-disk bytes, recorded row count, deletion-
+    vector count, partition values (path-derived), and per-column
+    zone-map bounds as a ``map<string, struct<min_json, max_json>>``
+    (values JSON-encoded: stat bounds are heterogeneous across
+    columns). Everything comes from the manifest/checkpoint plus one
+    bounded ``os.path.getsize`` listing — no data file is opened —
+    so ops tooling can aggregate layout health (skew, small files,
+    stats coverage, partition balance) with plain DataFrame code."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, v)
+    logicalize = _stats_logicalizer(m.get("schema"))
+    stats = {f: logicalize(s) for f, s in m.get("stats", {}).items()}
+    dvs = m.get("dvs") or {}
+    pcols = m.get("partition_cols") or []
+    amap = _schema_alias_map(m.get("schema"))
+    rows = []
+    for f in m["files"]:
+        ab = _abs_file(path, f)
+        try:
+            nbytes = os.path.getsize(ab)
+        except OSError:
+            nbytes = None
+        s = stats.get(f, {})
+        parts = {}
+        for seg in f.split("/")[:-1]:
+            k, sep, raw = seg.partition("=")
+            k = amap.get(k, k)
+            if sep and k in pcols:
+                from urllib.parse import unquote
+
+                parts[k] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+        rows.append({
+            "file": f,
+            "bytes": nbytes,
+            "n_rows": s.get("#rows"),
+            "dv_vectors": len(dvs.get(f, [])),
+            "partition": parts or None,
+            "stats": {
+                c: {"min_json": json.dumps(e[0]), "max_json": json.dumps(e[1])}
+                for c, e in s.items() if not c.startswith("#")
+            } or None,
+        })
+    schema = (
+        "file string, bytes long, n_rows long, dv_vectors int, "
+        "partition map<string,string>, "
+        "stats map<string,struct<min_json:string,max_json:string>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@normalizes_paths('path')
 def snapshot_history(path: str) -> list[dict]:
     """Commit log, oldest first: (version, parent, operation, n_files)
     per snapshot — the audit surface ``pipeline_run_history`` gives
@@ -4406,7 +4467,7 @@ def vacuum(
 
 
 __all__ = [
-    "snapshot_table_info",
+    "snapshot_table_info", "snapshot_files",
     "snapshot_write", "snapshot_publish_staged", "read_snapshot",
     "read_snapshot_changes", "read_snapshot_changes_feed",
     "snapshot_history", "latest_version", "version_at_timestamp",

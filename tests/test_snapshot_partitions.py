@@ -245,3 +245,30 @@ def test_partition_pruning_through_columnar_checkpoint(spark, tmp_path):
     assert snap.read_snapshot(
         spark, path, where=[("g", 2, 2)]
     ).count() == n * 10
+
+
+def test_snapshot_files_metadata_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(
+        _df(spark, 0, 100), path, partition_by=["g"], stats_cols=["k"]
+    )
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 4)])
+    mf = snap.snapshot_files(spark, path)
+    rows = mf.collect()
+    m = snap._read_manifest(path, snap.latest_version(path))
+    assert len(rows) == len(m["files"])
+    assert sum(r.n_rows for r in rows) == 100  # recorded, pre-DV
+    assert all(r.bytes and r.bytes > 0 for r in rows)
+    assert {r.partition["g"] for r in rows} == {"0", "1", "2", "3"}
+    assert sum(r.dv_vectors for r in rows) >= 1
+    # stats round-trip: every file records k bounds, JSON-decodable
+    import json as _json
+
+    ks = [(_json.loads(r.stats["k"].min_json),
+           _json.loads(r.stats["k"].max_json)) for r in rows]
+    assert min(lo for lo, _ in ks) == 0 and max(hi for _, hi in ks) == 99
+    # ops aggregation works with plain DataFrame code
+    from pyspark.sql import functions as _F
+
+    small = mf.filter(_F.col("bytes") < 10**9).count()
+    assert small == len(rows)
