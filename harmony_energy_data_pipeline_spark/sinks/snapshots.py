@@ -203,7 +203,14 @@ def _merge_schema(parent: dict | None, batch: dict) -> dict:
             alias_of[a] = pf["name"]
     by_name = {}
     for f in batch.get("fields", []):
-        by_name[alias_of.get(f["name"], f["name"])] = f
+        logical = alias_of.get(f["name"], f["name"])
+        if logical in by_name:
+            raise SchemaEvolutionError(
+                f"append carries column {f['name']!r} AND another name "
+                f"of the same lineage ({logical!r}); a batch must use "
+                "exactly one name per column"
+            )
+        by_name[logical] = f
     fields = []
     for pf in parent.get("fields", []):
         bf = by_name.pop(pf["name"], None)

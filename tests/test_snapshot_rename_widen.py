@@ -208,3 +208,18 @@ def test_stats_agg_on_renamed_column(spark, tmp_path):
     agg = snap.snapshot_stats_agg(path, ["key"])
     assert agg["min"]["key"] == 0 and agg["max"]["key"] == 49
     assert agg["n_rows"] == 50
+
+
+def test_append_with_both_lineage_names_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.snapshot_write(_df(spark, 0, 10).coalesce(1), path)
+    snap.snapshot_rename_column(path, "k", "key")
+    both = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.col("id").alias("key"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 2).cast("int").alias("v"),
+    )
+    with pytest.raises(snap.SchemaEvolutionError, match="lineage"):
+        snap.snapshot_write(both, path, mode="append")
+    # the table is untouched by the refused commit
+    assert snap.read_snapshot(spark, path).count() == 10
