@@ -728,10 +728,16 @@ def refresh_star_agg_view(
     extra = {SOURCE_VERSION_KEY: cur_f, STAR_VERSIONS_KEY: cur_d}
 
     def _join_all(df: DataFrame, skip: str | None = None) -> DataFrame:
+        # every dim PINNED at the version captured above — reading
+        # "latest" here would let a dim commit racing this refresh
+        # into the fold while the manifest records the older version,
+        # double-counting that commit's delta on the NEXT refresh
         for dp, on in dims:
             if dp == skip:
                 continue
-            df = _join_dim(df, snap.read_snapshot(spark, dp), on)
+            df = _join_dim(
+                df, snap.read_snapshot(spark, dp, cur_d[dp]), on
+            )
         return df
 
     def recompute() -> None:

@@ -603,6 +603,23 @@ def _resolve_arrow(path: str, version: int):
             } | {f"memb:{c}" for s in membs.values() for c in s}
             if seen_cols - known:
                 return None  # stat/member col the checkpoint never saw
+            import pyarrow.types as pat
+
+            def _fits(v, pa_type) -> bool:
+                # a delta's stat value must fit the checkpoint's
+                # column type EXACTLY — pa.Table.from_pylist silently
+                # TRUNCATES 9.7 into an int64 column (verified), which
+                # would corrupt pruning bounds after a type widening
+                if v is None:
+                    return True
+                if pat.is_integer(pa_type):
+                    return isinstance(v, int)
+                if pat.is_floating(pa_type):
+                    return isinstance(v, (int, float))
+                if pat.is_string(pa_type):
+                    return isinstance(v, str)
+                return False
+
             rows = []
             for f in adds:
                 rel = _rel_file(path, f)
@@ -610,8 +627,12 @@ def _resolve_arrow(path: str, version: int):
                 row = {"file": rel, "nrows": s.get("#rows"), "dv": None}
                 for c in meta.get("stat_cols", []):
                     e = s.get(c)
-                    row[f"smin:{c}"] = e[0] if e else None
-                    row[f"smax:{c}"] = e[1] if e else None
+                    lo2, hi2 = (e[0], e[1]) if e else (None, None)
+                    col_t = schema.field(f"smin:{c}").type
+                    if not (_fits(lo2, col_t) and _fits(hi2, col_t)):
+                        return None  # widened stats: dict path decides
+                    row[f"smin:{c}"] = lo2
+                    row[f"smax:{c}"] = hi2
                 for c in meta.get("json_stat_cols", []):
                     e = s.get(c)
                     row[f"sjsn:{c}"] = json.dumps(e) if e else None
@@ -1428,9 +1449,12 @@ def _partition_cond_arrow(file_col, raw_m: dict, c: str, lo, hi):
         pc.equal(vals, "__HIVE_DEFAULT_PARTITION__"),
         pa.scalar(None, pa.string()), vals,
     )
-    if t in _PART_INT_TYPES:
+    if t in _PART_INT_TYPES or t in _PART_FLOAT_TYPES:
         try:
-            vals = pc.cast(vals, pa.int64())
+            vals = pc.cast(
+                vals,
+                pa.int64() if t in _PART_INT_TYPES else pa.float64(),
+            )
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return None
     cond = None
@@ -1453,25 +1477,61 @@ def _partition_type(m: dict, col: str) -> str:
     return "string"
 
 
+def _partition_values(rel: str, m: dict) -> dict:
+    """``{logical_col: decoded value-or-None}`` for the hive segments
+    present in a manifest-relative file path — THE one parser every
+    partition consumer shares (pruning, grouped reads, the files
+    metadata table). Segment names map through rename lineage; the
+    NULL marker decodes to None; values hive-unquote (the raw disk
+    name layer — ``unquote`` does not form-decode ``+``)."""
+    pcols = m.get("partition_cols")
+    if not pcols:
+        return {}
+    from urllib.parse import unquote
+
+    amap = _schema_alias_map(m.get("schema"))
+    pset = set(pcols)
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        k, sep, raw = seg.partition("=")
+        k = amap.get(k, k)
+        if sep and k in pset:
+            out[k] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(raw)
+            )
+    return out
+
+
 _PART_INT_TYPES = {"byte", "short", "integer", "long"}
+_PART_FLOAT_TYPES = {"float", "double"}
+#: Types whose path-string form orders LEXICOGRAPHICALLY the same as
+#: the value domain: plain strings, and ISO dates (yyyy-MM-dd).
+#: Everything else (floats handled numerically above; decimals,
+#: timestamps with mixed precision, binary) is conservatively kept.
+_PART_STR_TYPES = {"string", "date"}
 
 
 def _partition_pred_value(col_type: str, v):
     """The comparable form of a predicate bound against a DECODED
-    hive partition-path value: ints compare numerically, everything
-    else compares as its string form (dates/ISO timestamps order
-    lexicographically). Returns None when no sound comparison exists
-    — the file is conservatively kept."""
+    hive partition-path value: ints and floats compare numerically,
+    strings/dates lexicographically (ISO order = value order).
+    Returns None when no sound comparison exists — the file is
+    conservatively kept."""
     if v is None:
         return None
     if col_type in _PART_INT_TYPES:
         return int(v) if isinstance(v, (int, bool)) else None
-    if isinstance(v, (int, float, str)):
-        return str(v)
+    if col_type in _PART_FLOAT_TYPES:
+        return float(v) if isinstance(v, (int, float, bool)) else None
+    if col_type not in _PART_STR_TYPES:
+        return None  # no sound path-string ordering: keep
+    if isinstance(v, str):
+        return v
     import datetime as _dt
 
-    if isinstance(v, (_dt.date, _dt.datetime)):
-        return str(v)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return str(v)  # ISO yyyy-MM-dd: lexicographic == chronological
     return None
 
 
@@ -1489,27 +1549,21 @@ def _partition_pruner(m: dict, where: list[tuple]):
     ]
     if not active:
         return lambda rel: True
-    from urllib.parse import unquote
-
     types = {c: _partition_type(m, c) for c, _, _ in active}
-    amap = _schema_alias_map(m.get("schema"))
 
     def matches(rel: str) -> bool:
-        vals: dict = {}
-        for seg in rel.split("/")[:-1]:
-            k, sep, raw = seg.partition("=")
-            k = amap.get(k, k)  # pre-rename path segments map forward
-            if sep and k in types:
-                vals[k] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(raw)
-                )
+        vals = _partition_values(rel, m)
         for c, lo, hi in active:
             if c not in vals or vals[c] is None:
                 continue  # no segment / NULL partition: keep
             t = types[c]
             try:
-                v = int(vals[c]) if t in _PART_INT_TYPES else vals[c]
+                if t in _PART_INT_TYPES:
+                    v = int(vals[c])
+                elif t in _PART_FLOAT_TYPES:
+                    v = float(vals[c])
+                else:
+                    v = vals[c]
                 clo = _partition_pred_value(t, lo)
                 chi = _partition_pred_value(t, hi)
                 if clo is not None and v < clo:
@@ -2261,48 +2315,86 @@ def snapshot_files(
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    m = _read_manifest(path, v)
-    logicalize = _stats_logicalizer(m.get("schema"))
-    stats = {f: logicalize(s) for f, s in m.get("stats", {}).items()}
-    dvs = m.get("dvs") or {}
-    pcols = m.get("partition_cols") or []
-    amap = _schema_alias_map(m.get("schema"))
-    rows = []
-    for f in m["files"]:
-        ab = _abs_file(path, f)
-        try:
-            nbytes = os.path.getsize(ab)
-        except OSError:
-            nbytes = None
-        s = stats.get(f, {})
-        parts = {}
-        for seg in f.split("/")[:-1]:
-            k, sep, raw = seg.partition("=")
-            k = amap.get(k, k)
-            if sep and k in pcols:
-                from urllib.parse import unquote
-
-                parts[k] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(raw)
-                )
-        rows.append({
-            "file": f,
-            "bytes": nbytes,
-            "n_rows": s.get("#rows"),
-            "dv_vectors": len(dvs.get(f, [])),
-            "partition": parts or None,
-            "stats": {
-                c: {"min_json": json.dumps(e[0]), "max_json": json.dumps(e[1])}
-                for c, e in s.items() if not c.startswith("#")
-            } or None,
-        })
+    # serve from the columnar checkpoint when one covers the version —
+    # no per-file stats-dict materialization on 10⁶-file tables (the
+    # same fast path pruning and stats aggregation use); the dict walk
+    # is the young-/small-table fallback
+    res = _resolve_arrow(path, v)
+    if res is not None:
+        tbl, meta, dv_overlay = res
+        raw_m = _read_manifest_raw(path, v)
+        schema_m = {
+            k: raw_m[k] for k in ("schema", "partition_cols")
+            if k in raw_m
+        }
+        logicalize = _stats_logicalizer(raw_m.get("schema"))
+        files = tbl["file"].to_pylist()
+        nrows_l = tbl["nrows"].to_pylist()
+        dv_l = tbl["dv"].to_pylist()
+        stat_cols = list(meta.get("stat_cols", []))
+        mins = {c: tbl[f"smin:{c}"].to_pylist() for c in stat_cols}
+        maxs = {c: tbl[f"smax:{c}"].to_pylist() for c in stat_cols}
+        jsonc = list(meta.get("json_stat_cols", []))
+        jvals = {c: tbl[f"sjsn:{c}"].to_pylist() for c in jsonc}
+        rows = []
+        for i, f in enumerate(files):
+            try:
+                nbytes = os.path.getsize(_abs_file(path, f))
+            except OSError:
+                nbytes = None
+            s: dict = {}
+            for c in stat_cols:
+                if mins[c][i] is not None or maxs[c][i] is not None:
+                    s[c] = [mins[c][i], maxs[c][i]]
+            for c in jsonc:
+                if jvals[c][i] is not None:
+                    s[c] = json.loads(jvals[c][i])
+            s = logicalize(s)
+            n_dv = len(dv_l[i] or []) + len(dv_overlay.get(f, []))
+            rows.append(_file_row(path, f, nbytes, nrows_l[i], n_dv,
+                                  s, schema_m))
+    else:
+        m = _read_manifest(path, v)
+        logicalize = _stats_logicalizer(m.get("schema"))
+        stats = {f: logicalize(s) for f, s in m.get("stats", {}).items()}
+        dvs = m.get("dvs") or {}
+        rows = []
+        for f in m["files"]:
+            try:
+                nbytes = os.path.getsize(_abs_file(path, f))
+            except OSError:
+                nbytes = None
+            s = stats.get(f, {})
+            rows.append(_file_row(
+                path, f, nbytes, s.get("#rows"), len(dvs.get(f, [])),
+                {c: e for c, e in s.items() if not c.startswith("#")},
+                m,
+            ))
     schema = (
         "file string, bytes long, n_rows long, dv_vectors int, "
         "partition map<string,string>, "
         "stats map<string,struct<min_json:string,max_json:string>>"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _file_row(
+    path: str, f: str, nbytes, n_rows, n_dv: int, stats: dict, m: dict
+) -> dict:
+    parts = {
+        k: v for k, v in _partition_values(f, m).items() if v is not None
+    }
+    return {
+        "file": f,
+        "bytes": nbytes,
+        "n_rows": n_rows,
+        "dv_vectors": n_dv,
+        "partition": parts or None,
+        "stats": {
+            c: {"min_json": json.dumps(e[0]), "max_json": json.dumps(e[1])}
+            for c, e in stats.items() if not c.startswith("#")
+        } or None,
+    }
 
 
 @normalizes_paths('path')
@@ -2730,23 +2822,11 @@ def _read_grouped(
     pcols = m.get("partition_cols")
     if not pcols or "schema" not in m:
         return _read_file_list(spark, files, m, fmt)
-    from urllib.parse import unquote
-
     from pyspark.sql.types import StructType
 
-    amap = _schema_alias_map(m.get("schema"))
-    pset = set(pcols)
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        vals: dict = {}
-        for seg in f.split("/")[:-1]:
-            k, sep, raw = seg.partition("=")
-            k = amap.get(k, k)
-            if sep and k in pset:
-                vals[k] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(raw)
-                )
+        vals = _partition_values(f, m)
         # files WITHOUT segments (unpartitioned appends) carry the
         # columns as data: a distinct group with no literal override
         key = tuple(vals.get(c, "\x00__DATA__") for c in pcols)
@@ -2814,12 +2894,22 @@ def _rel_path_expr(root: str):
     any scheme and the root prefix, then cut to the last ``data/``
     segment — for native files the root-strip alone already yields
     ``data/…``; the suffix cut additionally canonicalizes borrowed
-    (clone) files whose URIs live under a foreign root. Assumes
-    URI-safe paths (no percent-encoding), which local and
-    object-store lake layouts satisfy."""
-    posix = F.regexp_replace(
-        F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
-    )
+    (clone) files whose URIs live under a foreign root.
+
+    The URI layer PERCENT-ENCODES on-disk names (a hive partition dir
+    ``et=page view`` reads ``et=page%20view`` here, and hive's own
+    ``%2F`` escaping reads ``%252F``), while manifests store the raw
+    disk names — so the URI layer must decode FIRST or a vector
+    written against a partitioned path never matches its manifest key
+    and the delete silently no-ops. ``+`` is protected before the
+    form-decode (a literal plus is a real plus: the URI layer escapes
+    everything else it touches)."""
+    posix = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
     rel = F.replace(posix, F.lit(root.rstrip("/") + "/"), F.lit(""))
     return F.concat(
         F.lit("data/"), F.substring_index(rel, "data/", -1)
