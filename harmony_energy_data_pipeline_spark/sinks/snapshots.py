@@ -91,6 +91,12 @@ def _carry_pcols(src: dict) -> dict:
 #: stay O(delta) unconditionally.
 _CHECKPOINT_INTERVAL = 20
 
+#: vacuum classifies walked data files against the checkpoint-backed
+#: live array in batches this large — one vectorized ``is_in`` per
+#: batch amortizes the probe's value-set hashing while keeping the
+#: per-batch verdict map bounded (memory stays flat in table size).
+_VACUUM_SWEEP_BATCH = 1 << 18
+
 #: Bounded in-process cache of resolved states keyed by
 #: (table path, version, txid) — manifests are immutable once
 #: published, so a hit is always current; the txid guards against a
@@ -828,6 +834,127 @@ def _read_manifest_light(path: str, version: int) -> dict:
     if dvs:
         out["dvs"] = dvs
     return out
+
+
+def _live_rel_arrow(path: str, version: int):
+    """Every table-root-relative path live at ``version`` — data
+    files plus their deletion vectors — as ONE arrow string array,
+    straight off the columnar checkpoint: zero per-file Python
+    objects, no stats/members materialization. This is the vacuum
+    liveness fast path (the round-7 verdict's remaining metadata
+    item): the dict walk it replaces resolved the full per-file
+    stats/members dicts just to read the file list. Returns None
+    when no parquet checkpoint bounds the resolution — callers fall
+    back to the dict path, correct at any size and cheap at small
+    ones."""
+    res = _resolve_arrow(path, version)
+    if res is None:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl, _meta, dv_overlay = res
+    parts = list(tbl["file"].chunks)
+    dv = tbl["dv"]
+    if dv.null_count < len(tbl):
+        flat = pc.list_flatten(dv)  # drops null list entries
+        parts.extend(
+            flat.chunks if isinstance(flat, pa.ChunkedArray) else [flat]
+        )
+    extra = [
+        _rel_file(path, d) for ds in dv_overlay.values() for d in ds
+    ]
+    if extra:
+        parts.append(pa.array(extra, pa.string()))
+    parts = [p for p in parts if len(p)]
+    return pa.chunked_array(parts or [pa.array([], pa.string())])
+
+
+def _expired_rel_arrow(path: str, expired: list):
+    """Every table-root-relative path the EXPIRED manifests reference
+    (files/adds, DV vectors, change files), as arrow string chunks —
+    each manifest's entries are parsed, relativized, and immediately
+    handed to arrow, so the Python heap never holds more than one
+    manifest's refs at a time. Expiring a long history over a huge
+    table stays flat-memory driver-side."""
+    import pyarrow as pa
+
+    chunks = []
+    for v in expired:
+        m = _read_manifest_raw(path, v)
+        refs = [
+            _rel_file(path, f)
+            for f in (m["files"] if "files" in m else m.get("adds", []))
+        ]
+        refs += [
+            _rel_file(path, d)
+            for ds in m.get("dv_adds", m.get("dvs", {})).values()
+            for d in ds
+        ]
+        refs += [_rel_file(path, f) for f in m.get("cdf", [])]
+        if refs:
+            chunks.append(pa.array(refs, pa.string()))
+    return pa.chunked_array(chunks or [pa.array([], pa.string())])
+
+
+def _vacuum_classify(
+    rels: list, fulls: list, live_arrow, live_abs: set, expired_arrow,
+) -> tuple:
+    """``(live_flags, expired_ref_flags)`` for one batch of walked
+    data files: vectorized ``is_in`` probes against the
+    checkpoint-backed live array and the expired-refs array, plus a
+    small abs-path side set (borrows, newer kept deltas, change
+    files) — per-file liveness without a per-file Python set of the
+    whole table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not rels:
+        return [], []
+    batch = pa.array(rels, pa.string())
+    if live_arrow is not None:
+        hits = pc.is_in(batch, value_set=live_arrow).to_pylist()
+    else:
+        hits = [False] * len(rels)
+    live = [h or f in live_abs for h, f in zip(hits, fulls)]
+    expired = pc.is_in(batch, value_set=expired_arrow).to_pylist()
+    return live, expired
+
+
+def _write_checkpoint_arrow(path: str, version: int, txid: str) -> bool:
+    """Persist ``version``'s columnar checkpoint FROM the arrow
+    resolution — no dict materialization. False when the arrow path
+    declines (no reachable parquet checkpoint, or a DV overlay to
+    fold — rare; callers fall back to the dict-state writer)."""
+    res = _resolve_arrow(path, version)
+    if res is None or res[2]:
+        return False
+    tbl, meta, _ = res
+    meta = {**meta, "version": version, "txid": txid}
+    cp = _ckpt_path_pq(path, version)
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    try:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            tbl.replace_schema_metadata(
+                {_CKPT_META_KEY: json.dumps(meta).encode()}
+            ),
+            tmp, compression="zstd",
+        )
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.rename(tmp, cp)
+        return True
+    except Exception:  # noqa: BLE001 — derived state: degrade, don't die
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -2852,10 +2979,17 @@ def _read_grouped(
 _DV_SCHEMA = "file string, pos long"
 
 #: Up to this many vectored files, the reader plans one position-only
-#: anti join PER FILE (fast: no path-string matching, broadcast build
-#: side); past it, one combined scan with (file, pos) matching keeps
-#: the plan bounded.
-_DV_PER_FILE_MAX = 16
+#: anti join PER FILE (no path-string matching, broadcast build side);
+#: past it, one combined scan with (file, pos) matching keeps the plan
+#: bounded. MEASURED crossover (tools/measure_dv_budget.py, sf0.1,
+#: every file vectored): per-file wins ≤2 files (1.3–1.5 s vs 2–3.1 s
+#: — the combined path's per-row file-path decode covers the whole
+#: scan when most bytes are vectored), ties ≈4, and loses steeply
+#: beyond (8 files: 3.3 s vs 1.7 s; 32: 6.3 s vs 1.7 s — per-file
+#: plan construction alone is ~0.1 s/file and the N separate
+#: scan+join islands defeat scan sharing). Default sits at the
+#: measured crossover.
+_DV_PER_FILE_MAX = 4
 
 
 def _dv_key(rel: str) -> str:
@@ -4384,35 +4518,52 @@ def vacuum(
     # O(versions × table files).
     # files a registered CLONE still borrows stay alive whatever
     # version retention says — see snapshot_clone(register_borrow=)
-    live: set[str] = _borrowed_live(path)
+    #
+    # Liveness is ARROW-FIRST: the oldest kept version's live paths
+    # come straight off the columnar checkpoint as one string array
+    # (``_live_rel_arrow`` — no stats/members dicts, no per-file
+    # Python objects); only the SMALL remainders (borrows, newer kept
+    # deltas' adds, change files) live in a Python set. Tables
+    # without a parquet checkpoint fall back to the light resolved
+    # view.
+    live_abs: set[str] = _borrowed_live(path)
+    live_arrow = None
     if keep:
-        oldest = _read_manifest(path, keep[0])
-        live.update(
-            os.path.abspath(_abs_file(path, f))
-            for f in oldest["files"]
-        )
-        live.update(
-            os.path.abspath(_abs_file(path, d))
-            for ds in oldest.get("dvs", {}).values() for d in ds
-        )
-        live.update(
-            os.path.abspath(_abs_file(path, f))
-            for f in oldest.get("cdf", [])
-        )
+        live_arrow = _live_rel_arrow(path, keep[0])
+        if live_arrow is not None:
+            # cdf is per-commit passthrough metadata: raw suffices
+            live_abs.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in _read_manifest_raw(path, keep[0]).get("cdf", [])
+            )
+        else:
+            oldest = _read_manifest_light(path, keep[0])
+            live_abs.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in oldest["files"]
+            )
+            live_abs.update(
+                os.path.abspath(_abs_file(path, d))
+                for ds in oldest.get("dvs", {}).values() for d in ds
+            )
+            live_abs.update(
+                os.path.abspath(_abs_file(path, f))
+                for f in oldest.get("cdf", [])
+            )
         for v in keep[1:]:
             m = _read_manifest_raw(path, v)
-            live.update(
+            live_abs.update(
                 os.path.abspath(_abs_file(path, f))
                 for f in (m["files"] if "files" in m else m.get("adds", []))
             )
-            live.update(
+            live_abs.update(
                 os.path.abspath(_abs_file(path, d))
                 for ds in m.get("dv_adds", m.get("dvs", {})).values()
                 for d in ds
             )
             # change files are commit artifacts: live while their
             # commit's manifest is retained (the feed reads them)
-            live.update(
+            live_abs.update(
                 os.path.abspath(_abs_file(path, f))
                 for f in m.get("cdf", [])
             )
@@ -4422,44 +4573,49 @@ def vacuum(
     # expiring a query's last committed snapshot cannot reopen its
     # exactly-once window.
     expired = [v for v in vs if v not in keep]
+    # files referenced by the EXPIRED manifests were durably
+    # committed: immediate deletion is safe. Raw adds/files union
+    # suffices (no resolution): a file any expired version references
+    # was BORN in some manifest at or before it — if the birth commit
+    # is itself expired, the file is here; if the birth commit is
+    # kept, the file is alive at intervening kept versions and
+    # therefore already live. Computed BEFORE any mutation, held
+    # arrow-side (expiring a long history unions every file it ever
+    # added — a Python set of those would be the O(table) heap spike
+    # the rest of this path avoids).
+    expired_arrow = _expired_rel_arrow(path, expired)
     if dry_run:
-        # expired-manifest refs must be computed BEFORE any mutation
-        # in the real path; here nothing mutates at all — walk, count,
-        # return (same classification as the deleting walk below)
-        dry_refs: set[str] = set()
-        for v in expired:
-            m = _read_manifest_raw(path, v)
-            dry_refs.update(
-                os.path.abspath(_abs_file(path, f))
-                for f in (m["files"] if "files" in m else m.get("adds", []))
-            )
-            dry_refs.update(
-                os.path.abspath(_abs_file(path, d))
-                for ds in m.get("dv_adds", m.get("dvs", {})).values()
-                for d in ds
-            )
-            dry_refs.update(
-                os.path.abspath(_abs_file(path, f))
-                for f in m.get("cdf", [])
-            )
+        # nothing mutates at all — walk, classify in one vectorized
+        # probe, count, return (same classification as the deleting
+        # walk below)
         now = time.time()
-        would = 0
+        rels: list[str] = []
+        fulls: list[str] = []
         for dp, _dirs, files in os.walk(os.path.join(path, "data")):
             for f in files:
-                full = os.path.abspath(os.path.join(dp, f))
-                if not _is_data_file(f) or full in live:
+                if not _is_data_file(f):
                     continue
-                if full in dry_refs:
+                full = os.path.abspath(os.path.join(dp, f))
+                fulls.append(full)
+                rels.append(os.path.relpath(full, path))
+        live_f, exp_f = _vacuum_classify(
+            rels, fulls, live_arrow, live_abs, expired_arrow
+        )
+        would = 0
+        for full, is_live, is_exp in zip(fulls, live_f, exp_f):
+            if is_live:
+                continue
+            if is_exp:
+                would += 1
+            else:
+                try:
+                    old_enough = (
+                        now - os.path.getmtime(full) >= orphan_grace_s
+                    )
+                except OSError:
+                    old_enough = False
+                if old_enough:
                     would += 1
-                else:
-                    try:
-                        old_enough = (
-                            now - os.path.getmtime(full) >= orphan_grace_s
-                        )
-                    except OSError:
-                        old_enough = False
-                    if old_enough:
-                        would += 1
         return would
     if expired:
         clog = _read_commit_log(path)
@@ -4473,45 +4629,25 @@ def vacuum(
                 if val not in vals:
                     vals.append(val)
         _write_commit_log(path, clog)
-    # files referenced by the EXPIRED manifests were durably committed:
-    # immediate deletion is safe. Anything else unreferenced is a
-    # potential in-flight stage — grace-gated below. Raw adds/files
-    # union suffices (no resolution): a file any expired version
-    # references was BORN in some manifest at or before it — if that
-    # birth commit is itself expired, the file is here; if the birth
-    # commit is kept, the file is alive at intervening kept versions
-    # and therefore in ``live`` already.
-    expired_refs: set[str] = set()
-    for v in expired:
-        m = _read_manifest_raw(path, v)
-        expired_refs.update(
-            os.path.abspath(_abs_file(path, f))
-            for f in (m["files"] if "files" in m else m.get("adds", []))
-        )
-        expired_refs.update(
-            os.path.abspath(_abs_file(path, d))
-            for ds in m.get("dv_adds", m.get("dvs", {})).values()
-            for d in ds
-        )
-        expired_refs.update(
-            os.path.abspath(_abs_file(path, f))
-            for f in m.get("cdf", [])
-        )
     removed = 0
     if expired and keep:
         # Kept delta manifests resolve by walking parent pointers into
         # the versions being expired — materialize the OLDEST kept
         # version's state as a checkpoint first (versions are
         # contiguous, so every newer kept delta's walk stops there).
+        # Arrow-first: replay the delta chain on the prior columnar
+        # checkpoint and write the new one straight from arrow; the
+        # dict resolution only runs when that declines.
         ov = keep[0]
         om = _read_manifest_raw(path, ov)
         if "files" not in om and not (
             os.path.exists(_ckpt_path_pq(path, ov))
             or os.path.exists(_ckpt_path(path, ov))
         ):
-            _write_checkpoint(
-                path, ov, om["txid"], _resolve_state(path, ov)
-            )
+            if not _write_checkpoint_arrow(path, ov, om["txid"]):
+                _write_checkpoint(
+                    path, ov, om["txid"], _resolve_state(path, ov)
+                )
     for v in expired:
         os.remove(_manifest_path(path, v))
         for cp in (_ckpt_path(path, v), _ckpt_path_pq(path, v)):
@@ -4526,40 +4662,76 @@ def vacuum(
             return 0.0  # raced with its writer / just recreated: young
 
     data_root = os.path.join(path, "data")
-    for dp, _dirs, files in os.walk(data_root, topdown=False):
-        kept_data = False
-        for f in files:
-            full = os.path.abspath(os.path.join(dp, f))
-            if not _is_data_file(f):
-                continue
-            if full in live:
-                kept_data = True
-            elif full in expired_refs:
-                os.remove(full)
-                removed += 1
-            elif _age(full) >= orphan_grace_s:
-                os.remove(full)
-                removed += 1
-            else:  # never-referenced but young: a live writer's stage
-                kept_data = True
-        if not kept_data:
-            # _SUCCESS/.crc of a fully-expired commit — but a YOUNG one
-            # may be a live writer's committer scaffolding (a .crc can
-            # precede its parquet file), so the grace applies here too.
+
+    def _sweep(batch: list) -> None:
+        # one vectorized liveness probe per batch of directories,
+        # then the per-dir delete/rmdir protocol in walk order
+        # (topdown=False: children precede parents within AND across
+        # batches, so the empty-dir sweep stays correct)
+        nonlocal removed
+        rels: list[str] = []
+        fulls: list[str] = []
+        for dp, files in batch:
+            for f in files:
+                if _is_data_file(f):
+                    full = os.path.abspath(os.path.join(dp, f))
+                    fulls.append(full)
+                    rels.append(os.path.relpath(full, path))
+        live_f, exp_f = _vacuum_classify(
+            rels, fulls, live_arrow, live_abs, expired_arrow
+        )
+        verdict = dict(zip(fulls, zip(live_f, exp_f)))
+        for dp, files in batch:
+            kept_data = False
             for f in files:
                 if not _is_data_file(f):
-                    full = os.path.join(dp, f)
-                    if os.path.exists(full) and _age(full) >= orphan_grace_s:
-                        os.remove(full)
-        if dp != data_root and not os.listdir(dp):
-            # empty-dir sweep is ALSO grace-gated: the committer mkdirs
-            # its _temporary attempt dirs before any file exists in
-            # them — rmdir'ing a young empty dir races that mkdir.
-            if _age(dp) >= orphan_grace_s:
-                try:
-                    os.rmdir(dp)
-                except OSError:
-                    pass  # a writer recreated/claimed it: leave it
+                    continue
+                full = os.path.abspath(os.path.join(dp, f))
+                is_live, is_exp = verdict[full]
+                if is_live:
+                    kept_data = True
+                elif is_exp:
+                    os.remove(full)
+                    removed += 1
+                elif _age(full) >= orphan_grace_s:
+                    os.remove(full)
+                    removed += 1
+                else:  # never-referenced but young: a writer's stage
+                    kept_data = True
+            if not kept_data:
+                # _SUCCESS/.crc of a fully-expired commit — but a
+                # YOUNG one may be a live writer's committer
+                # scaffolding (a .crc can precede its parquet file),
+                # so the grace applies here too.
+                for f in files:
+                    if not _is_data_file(f):
+                        full = os.path.join(dp, f)
+                        if (
+                            os.path.exists(full)
+                            and _age(full) >= orphan_grace_s
+                        ):
+                            os.remove(full)
+            if dp != data_root and not os.listdir(dp):
+                # empty-dir sweep is ALSO grace-gated: the committer
+                # mkdirs its _temporary attempt dirs before any file
+                # exists in them — rmdir'ing a young empty dir races
+                # that mkdir.
+                if _age(dp) >= orphan_grace_s:
+                    try:
+                        os.rmdir(dp)
+                    except OSError:
+                        pass  # a writer recreated/claimed it: leave it
+
+    batch: list = []
+    batch_n = 0
+    for dp, _dirs, files in os.walk(data_root, topdown=False):
+        batch.append((dp, list(files)))
+        batch_n += len(files)
+        if batch_n >= _VACUUM_SWEEP_BATCH:
+            _sweep(batch)
+            batch, batch_n = [], 0
+    if batch:
+        _sweep(batch)
     return removed
 
 

@@ -1,0 +1,175 @@
+"""Round 9: vacuum liveness off the columnar checkpoint.
+
+Vacuum's liveness union previously resolved the oldest kept version
+through the per-file DICT walk (stats/members materialized just to
+read the file list) — the last metadata consumer still O(table files)
+in Python objects. It now probes walked files against the parquet
+checkpoint's arrow file/dv arrays in vectorized batches
+(``_live_rel_arrow`` + ``_vacuum_classify``), and the pre-expiry
+checkpoint write replays on arrow (``_write_checkpoint_arrow``).
+These tests pin VALUE PARITY between the arrow path and the dict
+path on tables that exercise DVs, change files, and borrowed clones.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _chain(spark, path, n, rows_per=40):
+    for i in range(n):
+        df = spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        ).coalesce(1)
+        snap.snapshot_write(
+            df, path, mode="append" if i else "overwrite",
+            stats_cols=["k"],
+        )
+
+
+def _force_ckpt(path):
+    snap._RESOLVE_CACHE.clear()
+    v = snap.latest_version(path)
+    snap._read_manifest(path, v)
+    assert os.path.exists(snap._ckpt_path_pq(path, v))
+    return v
+
+
+def _mixed_table(spark, path):
+    """Past-interval chain + DV delete + CDF-recorded COW delete +
+    trailing append: liveness must see files, vectors, and change
+    files through BOTH resolution paths."""
+    _chain(spark, path, snap._CHECKPOINT_INTERVAL + 2)
+    _force_ckpt(path)
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 9)])
+    snap.snapshot_delete_where(
+        spark, path, [("k", 45, 52)], record_cdf=True
+    )
+    snap.snapshot_write(
+        spark.range(5000, 5040).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        ).coalesce(1),
+        path, mode="append", stats_cols=["k"],
+    )
+
+
+def _disk_data_files(path):
+    out = set()
+    for dp, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if snap._is_data_file(f):
+                out.add(os.path.abspath(os.path.join(dp, f)))
+    return out
+
+
+def test_vacuum_arrow_liveness_is_active_and_matches_dict(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    _mixed_table(spark, path)
+    keep0 = snap._versions(path)[-2]
+    snap._RESOLVE_CACHE.clear()
+    assert snap._live_rel_arrow(path, keep0) is not None  # arrow active
+
+    arrow_would = snap.vacuum(
+        path, keep_last=2, orphan_grace_s=0.0, dry_run=True
+    )
+    monkeypatch.setattr(snap, "_live_rel_arrow", lambda *a: None)
+    snap._RESOLVE_CACHE.clear()
+    dict_would = snap.vacuum(
+        path, keep_last=2, orphan_grace_s=0.0, dry_run=True
+    )
+    assert arrow_would == dict_would > 0
+
+
+def test_vacuum_arrow_path_deletes_exactly_what_dict_predicts(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    _mixed_table(spark, path)
+
+    # dict-path prediction of the SURVIVOR set, computed before
+    # anything mutates
+    m = snap._read_manifest(path, snap._versions(path)[-1])
+    expect_live = {
+        os.path.abspath(snap._abs_file(path, f)) for f in m["files"]
+    } | {
+        os.path.abspath(snap._abs_file(path, d))
+        for ds in m.get("dvs", {}).values() for d in ds
+    } | {
+        os.path.abspath(snap._abs_file(path, f))
+        for f in m.get("cdf", [])
+    }
+    before = snap.read_snapshot(spark, path).orderBy("k").collect()
+
+    snap._RESOLVE_CACHE.clear()
+    removed = snap.vacuum(path, keep_last=1, orphan_grace_s=0.0)
+    assert removed > 0
+    assert _disk_data_files(path) == expect_live
+    after = snap.read_snapshot(spark, path).orderBy("k").collect()
+    assert after == before
+
+
+def test_vacuum_writes_oldest_kept_checkpoint_from_arrow(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    _chain(spark, path, snap._CHECKPOINT_INTERVAL + 3)
+    _force_ckpt(path)
+    # three more deltas so keep_last=2's oldest kept is PAST the
+    # persisted checkpoint and vacuum must materialize a new one
+    for i in range(3):
+        snap.snapshot_write(
+            spark.range(9000 + i * 10, 9010 + i * 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            ).coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+    ov = snap._versions(path)[-2]
+    assert not os.path.exists(snap._ckpt_path_pq(path, ov))
+    snap._RESOLVE_CACHE.clear()
+    expect_state = snap._resolve_state(path, ov)
+    expect_rows = snap.read_snapshot(spark, path, version=ov).count()
+    snap._RESOLVE_CACHE.clear()
+
+    calls = {"dict_writer": 0}
+    orig = snap._write_checkpoint
+
+    def _spy(*a, **k):
+        calls["dict_writer"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(snap, "_write_checkpoint", _spy)
+    snap.vacuum(path, keep_last=2, orphan_grace_s=0.0)
+    assert calls["dict_writer"] == 0  # arrow writer took it
+    tbl = snap._read_ckpt_arrow(
+        path, ov, snap._read_manifest_raw(path, ov)["txid"]
+    )
+    assert tbl is not None
+    _meta, state = snap._ckpt_from_arrow(tbl)
+    assert state["files"] == expect_state["files"]
+    assert state["stats"] == expect_state["stats"]
+    # the table stays readable and time-travel to ov still works
+    assert snap.read_snapshot(spark, path, version=ov).count() == expect_rows
+
+
+def test_vacuum_arrow_path_respects_clone_borrows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    _chain(spark, src, snap._CHECKPOINT_INTERVAL + 2)
+    _force_ckpt(src)
+    snap.snapshot_clone(src, clone)
+    borrowed = {
+        os.path.abspath(snap._abs_file(src, f))
+        for f in snap._read_manifest(src, snap.latest_version(src))["files"]
+    }
+    # source rewrites everything: borrowed files leave the live set
+    snap.snapshot_delete_where(spark, src, [("k", 0, 10 ** 9)])
+    snap._RESOLVE_CACHE.clear()
+    snap.vacuum(src, keep_last=1, orphan_grace_s=0.0)
+    assert borrowed <= _disk_data_files(src)  # borrow protection held
+    total = snap.read_snapshot(spark, clone).count()
+    assert total == 40 * (snap._CHECKPOINT_INTERVAL + 2)
