@@ -860,6 +860,54 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id", "text", normalize=True)
 
 
+@_q("paragraph_dedup_docs", """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS para
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i
+    FROM w
+  )
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (
+           PARTITION BY trim(para) ORDER BY doc_id, pos
+         ) AS rn
+  FROM paras WHERE length(trim(para)) >= 1
+)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+       COUNT(*) AS n_paras
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""")
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (`operators/dedup.py:
+    paragraph_dedup` — the CCNet/RefinedWeb line-dedup shape): each
+    distinct paragraph survives only at its first (doc_id, position)
+    occurrence; documents reassemble from their surviving paragraphs.
+    The fixture corpus is single-line, so the query first derives a
+    paragraph structure both engines can reproduce exactly: groups of
+    8 words become one paragraph (the tiny vocabulary makes repeats
+    frequent across docs — the boilerplate the operator exists to
+    strip). Scale shape: posexplode map-side, ONE md5-digest-keyed
+    shuffle for keep-first, one groupBy(doc_id) reassembly."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_groups = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(F.slice(words, i * F.lit(8) + 1, 8), " "),
+    )
+    structured = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text")
+    )
+    return dedup.paragraph_dedup(structured, "doc_id", "text")
+
+
 # --- M5: n-gram Jaccard near-dup pairs (exact, inverted-index join) ----------------------
 
 # Shared CTE block: shingle explode + hot-shingle guard (df > cap
@@ -4767,6 +4815,59 @@ def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents("value")).cast("long").alias("sum_cents"),
         F.expr("bit_xor(event_id)").alias("key_xor"),
         F.lit(after < before).alias("fewer_files"),
+    )
+
+
+@_q("snapshot_zorder_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor,
+       CAST(1 AS BOOLEAN) AS pruned_id,
+       CAST(1 AS BOOLEAN) AS pruned_user
+FROM events
+""")
+def q_snapshot_zorder_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional OPTIMIZE (`sinks/snapshots.py:
+    snapshot_compact(zorder_by=)` — the Delta ``OPTIMIZE … ZORDER BY``
+    shape over `sinks/layout.py: zorder_key`): write events multi-file,
+    z-order-compact on (event_id, user_id), digest the read-back, and
+    assert IN-QUERY that the rewritten zone maps prune a narrow
+    predicate on EACH clustered dimension — the property a linear sort
+    gives only its leading column. Oracle recomputes the digest
+    straight from ``events``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_zorder_")
+    snap.snapshot_write(
+        ev.repartition(8), path, stats_cols=["event_id", "user_id"]
+    )
+    v = snap.snapshot_compact(
+        spark, path, target_file_mb=1, zorder_by=["event_id", "user_id"]
+    )
+    n_files = len(snap._read_manifest(path, v)["files"])
+    lo_id, hi_id, lo_u, hi_u = ev.agg(
+        F.min("event_id"), F.max("event_id"),
+        F.min("user_id"), F.max("user_id"),
+    ).collect()[0]
+    kept_id, _tot = snap.prune_files(
+        path, [("event_id", lo_id, lo_id + max(1, (hi_id - lo_id) // 20))]
+    )
+    kept_u, _tot = snap.prune_files(
+        path, [("user_id", lo_u, lo_u + max(1, (hi_u - lo_u) // 20))]
+    )
+    pruned_id = n_files == 1 or len(kept_id) < n_files
+    pruned_user = n_files == 1 or len(kept_u) < n_files
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+        F.lit(pruned_id).alias("pruned_id"),
+        F.lit(pruned_user).alias("pruned_user"),
     )
 
 

@@ -67,6 +67,57 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the CCNet/RefinedWeb
+    line-dedup shape): split every document on ``sep``, keep each
+    distinct paragraph's FIRST occurrence (ordered by ``(id, position)``),
+    drop every later repeat, and reassemble each document from its
+    surviving paragraphs in original order. Boilerplate — headers,
+    footers, cookie banners, navigation — repeats across pages far
+    more often than whole documents do, so paragraph granularity
+    removes what document-level dedup cannot see.
+
+    Scale shape: ``posexplode`` is map-side; the keep-first window
+    shuffles ONCE keyed by the paragraph's 16-byte md5 digest (never
+    the multi-KB text); reassembly is one ``groupBy(id)``. Documents
+    whose every paragraph was dropped vanish from the result (their
+    content was pure boilerplate).
+
+    Paragraphs shorter than ``min_chars`` after trimming are treated
+    as formatting, not content: excluded from dedup AND from the
+    reassembled text.
+
+    Returns ``(id_col, clean_text, n_paras)``.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(F.length(F.trim(F.col("__para"))) >= min_chars)
+    w = Window.partitionBy(F.md5(F.trim(F.col("__para")))).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = (
+        parts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
@@ -1135,7 +1186,8 @@ def incremental_dedup_bloom(
 
 
 __all__ = [
-    "exact_dedup", "minhash_signature", "minhash_candidate_pairs",
+    "exact_dedup", "paragraph_dedup",
+    "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
     "connected_components", "dedup_by_clusters", "decontaminate",
     "incremental_dedup", "bloom_build", "bloom_maybe_contains",

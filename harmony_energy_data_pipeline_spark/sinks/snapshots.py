@@ -2602,6 +2602,85 @@ def snapshot_restore(
         ) from None
 
 
+#: numeric Spark SQL types _zorder_clustered accepts (temporal and
+#: string dimensions need caller-side bucketing into ints first —
+#: scale_to_bits is affine arithmetic)
+_ZORDER_NUMERIC = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+}
+
+
+def _zorder_clustered(df, path: str, m: dict, cols: list, bits: int,
+                      n_files: int):
+    """Range-partition + sort ``df`` on the Morton interleave of
+    ``cols`` — the :func:`snapshot_compact` ``zorder_by`` layout.
+    Per-dimension bucket bounds come from the manifest's zone maps
+    when every live file tracks the column (metadata-only), else from
+    one MIN/MAX aggregation over ``df``. The layout key is pure
+    Catalyst bit arithmetic (``sinks.layout.zorder_key``) and is
+    dropped before write."""
+    from harmony_energy_data_pipeline_spark.sinks.layout import (
+        scale_to_bits,
+        zorder_key,
+    )
+
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"zorder_by column {c!r} not in table schema")
+        if t.split("(")[0] not in _ZORDER_NUMERIC:
+            raise ValueError(
+                f"zorder_by requires numeric columns; {c!r} is {t} — "
+                "bucket temporal/string dimensions into ints first"
+            )
+    per_bits = min(bits, 63 // max(1, len(cols)))
+    stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
+    files = [_rel_file(path, f) for f in m.get("files", [])]
+    bounds: dict = {}
+    missing: list = []
+    for c in cols:
+        los: list = []
+        his: list = []
+        ok = bool(files)
+        for f in files:
+            e = (stats.get(f) or {}).get(c)
+            if (
+                not e or e[0] is None or e[1] is None
+                or isinstance(e[0], (str, bool))
+                or isinstance(e[1], (str, bool))
+            ):
+                ok = False
+                break
+            los.append(e[0])
+            his.append(e[1])
+        if ok:
+            bounds[c] = (min(los), max(his))
+        else:
+            missing.append(c)
+    if missing:
+        row = df.agg(
+            *[F.min(c).alias(f"__zlo_{i}") for i, c in enumerate(missing)],
+            *[F.max(c).alias(f"__zhi_{i}") for i, c in enumerate(missing)],
+        ).collect()[0]
+        for i, c in enumerate(missing):
+            bounds[c] = (row[f"__zlo_{i}"], row[f"__zhi_{i}"])
+    dims = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None or hi is None or float(hi) <= float(lo):
+            # constant/empty/all-null dimension: contributes nothing
+            dims.append(F.lit(0).cast("long"))
+        else:
+            dims.append(scale_to_bits(c, float(lo), float(hi), per_bits))
+    keyed = df.withColumn("__z", zorder_key(dims, per_bits))
+    return (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 @normalizes_paths('path')
 def snapshot_compact(
     spark: SparkSession,
@@ -2610,6 +2689,8 @@ def snapshot_compact(
     protocol: str = "link",
     max_redo: int = 3,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Rewrite the LATEST snapshot's data into ~``target_file_mb``
     files and commit the result as a new OVERWRITE version — the
@@ -2623,6 +2704,21 @@ def snapshot_compact(
     preserves — or restores — per-file range tightness, so pruning
     keeps working after maintenance. Costs one range shuffle instead
     of a shuffle-free coalesce.
+
+    ``zorder_by``: MULTI-DIMENSIONAL clustering (the Delta
+    ``OPTIMIZE … ZORDER BY`` shape): rows are range-partitioned and
+    sorted on a Morton interleave of the named numeric columns
+    (``sinks.layout.zorder_key`` — pure Catalyst bit arithmetic, no
+    UDF), so every rewritten file covers a compact hyper-rectangle
+    and the recomputed zone maps prune scans filtered on ANY of the
+    clustered dimensions. A ``cluster_by`` sort only serves its
+    leading column; z-order serves each dimension at ~sqrt/cbrt
+    selectivity. Per-dimension bucket bounds come from the manifest's
+    existing zone maps when the column is stats-tracked (metadata
+    only), else from one MIN/MAX aggregation over the table. The
+    z-ordered columns are always added to the rewrite's stats set —
+    a layout nobody can prune on would be pointless. Mutually
+    exclusive with ``cluster_by``.
     A table fed by a streaming append sink accrues one small file set
     per micro-batch commit; scan cost then grows with file count, not
     data volume (driver listing, task scheduling, parquet footer
@@ -2647,6 +2743,11 @@ def snapshot_compact(
         raise ValueError(
             f"max_redo must be >= 1 (got {max_redo}); a compaction that "
             "never attempts a commit has no meaningful result"
+        )
+    if cluster_by and zorder_by:
+        raise ValueError(
+            "cluster_by and zorder_by are mutually exclusive layouts; "
+            "pick one"
         )
     last_err: Exception | None = None
     for _ in range(max_redo):
@@ -2675,7 +2776,11 @@ def snapshot_compact(
             {c for s in m.get("members", {}).values() for c in s}
         )
         mem_bits, mem_hashes = _manifest_member_shape(m)
-        if cluster_by:
+        if zorder_by:
+            df = _zorder_clustered(df, path, m, zorder_by, zorder_bits,
+                                   n_files)
+            stat_cols = sorted(set(stat_cols) | set(zorder_by))
+        elif cluster_by:
             df = df.repartitionByRange(
                 n_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
@@ -4585,12 +4690,35 @@ def vacuum(
     # the rest of this path avoids).
     expired_arrow = _expired_rel_arrow(path, expired)
     if dry_run:
-        # nothing mutates at all — walk, classify in one vectorized
-        # probe, count, return (same classification as the deleting
-        # walk below)
+        # nothing mutates at all — walk, classify in vectorized
+        # batches (bounding the transient path lists, same batching
+        # as the deleting walk below), count, return
         now = time.time()
+        would = 0
         rels: list[str] = []
         fulls: list[str] = []
+
+        def _count(rels: list, fulls: list) -> int:
+            n = 0
+            live_f, exp_f = _vacuum_classify(
+                rels, fulls, live_arrow, live_abs, expired_arrow
+            )
+            for full, is_live, is_exp in zip(fulls, live_f, exp_f):
+                if is_live:
+                    continue
+                if is_exp:
+                    n += 1
+                else:
+                    try:
+                        old_enough = (
+                            now - os.path.getmtime(full) >= orphan_grace_s
+                        )
+                    except OSError:
+                        old_enough = False
+                    if old_enough:
+                        n += 1
+            return n
+
         for dp, _dirs, files in os.walk(os.path.join(path, "data")):
             for f in files:
                 if not _is_data_file(f):
@@ -4598,24 +4726,11 @@ def vacuum(
                 full = os.path.abspath(os.path.join(dp, f))
                 fulls.append(full)
                 rels.append(os.path.relpath(full, path))
-        live_f, exp_f = _vacuum_classify(
-            rels, fulls, live_arrow, live_abs, expired_arrow
-        )
-        would = 0
-        for full, is_live, is_exp in zip(fulls, live_f, exp_f):
-            if is_live:
-                continue
-            if is_exp:
-                would += 1
-            else:
-                try:
-                    old_enough = (
-                        now - os.path.getmtime(full) >= orphan_grace_s
-                    )
-                except OSError:
-                    old_enough = False
-                if old_enough:
-                    would += 1
+            if len(fulls) >= _VACUUM_SWEEP_BATCH:
+                would += _count(rels, fulls)
+                rels, fulls = [], []
+        if fulls:
+            would += _count(rels, fulls)
         return would
     if expired:
         clog = _read_commit_log(path)

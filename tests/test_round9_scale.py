@@ -173,3 +173,101 @@ def test_vacuum_arrow_path_respects_clone_borrows(spark, tmp_path):
     assert borrowed <= _disk_data_files(src)  # borrow protection held
     total = snap.read_snapshot(spark, clone).count()
     assert total == 40 * (snap._CHECKPOINT_INTERVAL + 2)
+
+
+def test_zorder_compaction_preserves_rows_and_prunes_both_dims(
+    spark, tmp_path
+):
+    """snapshot_compact(zorder_by=[a, b]) is row-preserving and makes
+    the rewritten zone maps prune predicates on EITHER dimension —
+    the property a single-column cluster_by cannot give the trailing
+    column."""
+    path_lin = str(tmp_path / "lin")
+    path_z = str(tmp_path / "z")
+    n = 2_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("a"),
+        F.floor(F.col("id") / 2000).alias("b"),
+        (F.col("id") * 7 % 31).alias("v"),
+    )
+    for p in (path_lin, path_z):
+        snap.snapshot_write(
+            df.repartition(16), p, stats_cols=["a", "b"],
+        )
+    before = snap.read_snapshot(spark, path_z).groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    ).collect()[0]
+
+    snap.snapshot_compact(
+        spark, path_lin, target_file_mb=1, cluster_by=["a"]
+    )
+    snap.snapshot_compact(
+        spark, path_z, target_file_mb=1, zorder_by=["a", "b"]
+    )
+
+    after = snap.read_snapshot(spark, path_z).groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    ).collect()[0]
+    assert tuple(after) == tuple(before)
+
+    # narrow predicate on EACH dimension: the z-layout prunes both;
+    # the linear layout only serves its sort column
+    for col, lo, hi in (("a", 10, 19), ("b", 10, 19)):
+        kept_z, total_z = snap.prune_files(path_z, [(col, lo, hi)])
+        kept_l, total_l = snap.prune_files(path_lin, [(col, lo, hi)])
+        assert total_z > 4 and total_l > 4, (total_z, total_l)
+        assert len(kept_z) < total_z, (col, len(kept_z), total_z)
+        if col == "b":
+            # the trailing dim: z-order must beat the linear layout
+            assert len(kept_z) / total_z < len(kept_l) / total_l, (
+                col, len(kept_z), total_z, len(kept_l), total_l
+            )
+
+
+def test_zorder_compaction_refuses_bad_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+    )
+    snap.snapshot_write(df, path, stats_cols=["k"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="numeric"):
+        snap.snapshot_compact(spark, path, zorder_by=["s"])
+    with _pytest.raises(ValueError, match="not in table schema"):
+        snap.snapshot_compact(spark, path, zorder_by=["nope"])
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        snap.snapshot_compact(
+            spark, path, cluster_by=["k"], zorder_by=["k"]
+        )
+
+
+def test_paragraph_dedup_keeps_first_and_reassembles(spark):
+    from harmony_energy_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\nSHARED FOOTER\nbody alpha"),
+            (2, "intro two\nSHARED FOOTER\nbody beta"),
+            (3, "SHARED FOOTER\n   \nbody gamma"),
+            (4, "SHARED FOOTER"),  # pure boilerplate: vanishes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"])
+        for r in dedup.paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == ("intro one\nSHARED FOOTER\nbody alpha", 3)
+    assert out[2] == ("intro two\nbody beta", 2)  # footer deduped
+    assert out[3] == ("body gamma", 1)  # footer + blank line dropped
+    assert 4 not in out  # nothing survived
+
+    # scale shape: exactly two exchanges (digest keep-first window +
+    # reassembly groupBy) — never an all-pairs join
+    plan = dedup.paragraph_dedup(
+        docs, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
