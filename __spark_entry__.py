@@ -4818,6 +4818,68 @@ def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_compact_small_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor,
+       CAST(1 AS BOOLEAN) AS delta_commit,
+       CAST(1 AS BOOLEAN) AS big_carried
+FROM events
+""")
+def q_snapshot_compact_small_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental bin-packing (`sinks/snapshots.py:
+    snapshot_compact(only_smaller_than_mb=)` — the Delta OPTIMIZE
+    default): one right-sized file plus six tiny streaming-ish
+    appends; the maintenance pass packs ONLY the small files and
+    commits a DELTA (asserted in-query: the raw manifest has
+    adds/removes, and the big file's path carries untouched), so
+    routine compaction costs O(small-file bytes), never O(table).
+    Oracle recomputes the digest straight from ``events``."""
+    import os as _os
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_packsmall_")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 8 > 1).coalesce(1), path)
+    for i in range(6):
+        snap.snapshot_write(
+            ev.filter(
+                (F.col("event_id") % 8 == (i % 2))
+                & (F.col("event_id") % 3 == i // 2)
+            ).coalesce(1),
+            path, mode="append",
+        )
+    v0 = snap.latest_version(path)
+    m0 = snap._read_manifest(path, v0)
+    big = max(
+        m0["files"], key=lambda f: _os.path.getsize(snap._abs_file(path, f))
+    )
+    thresh = _os.path.getsize(snap._abs_file(path, big)) / (1024.0 * 1024.0)
+    v1 = snap.snapshot_compact(
+        spark, path, target_file_mb=64, only_smaller_than_mb=thresh
+    )
+    raw1 = snap._read_manifest_raw(path, v1)
+    m1 = snap._read_manifest(path, v1)
+    delta_commit = (
+        "adds" in raw1 and bool(raw1.get("removes"))
+        and len(m1["files"]) < len(m0["files"])
+    )
+    big_carried = big in set(m1["files"]) and big not in set(
+        raw1.get("removes", [])
+    )
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+        F.lit(delta_commit).alias("delta_commit"),
+        F.lit(big_carried).alias("big_carried"),
+    )
+
+
 @_q("snapshot_zorder_digest", """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -5164,6 +5226,72 @@ def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.read_view(spark, view).select(
         "event_type", "n", F.col("sum_vc").cast("long").alias("sum_vc")
     )
+
+
+@_q("ivm_hll_distinct_agg", f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              % {1 << 60} AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+b AS (SELECT event_type, h % 512 AS idx, h // 512 AS w FROM h),
+reg AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN w = 0 THEN 52
+                  ELSE 1 + bit_count((w & (-w)) - 1) END) AS r
+  FROM b GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM((1::BIGINT) << (52 - r)) AS s
+  FROM reg GROUP BY event_type
+),
+e AS (
+  SELECT event_type, n_registers, 512 - n_registers AS v_zero,
+         CAST(s + (512 - n_registers) * ((1::BIGINT) << 52) AS BIGINT)
+             AS scaled_sum
+  FROM agg
+),
+r2 AS (
+  SELECT *, 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+            * 4503599627370496.0 / CAST(scaled_sum AS DOUBLE) AS raw
+  FROM e
+)
+SELECT event_type, n_registers, v_zero, scaled_sum,
+       round(CASE WHEN v_zero > 0 AND raw <= 2.5 * 512.0
+                  THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+                  ELSE raw END, 2) AS est
+FROM r2
+""")
+def q_ivm_hll_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX COUNT DISTINCT view
+    (`pipeline/ivm.py: refresh_distinct_agg_view`): the view
+    materializes per-group HLL registers; appends fold by the
+    register merge law, which is EXACT — so after a 3-append chain
+    maintained incrementally, the per-group estimate hash-matches the
+    oracle's single-pass grouped sketch over the full table. COUNT
+    DISTINCT is the canonical non-self-maintainable aggregate; the
+    sketch view is the O(|delta|) maintenance shape for it."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    src = tempfile.mkdtemp(prefix="ivm_hll_src_")
+    view = tempfile.mkdtemp(prefix="ivm_hll_view_") + "/v"
+    for i in range(3):
+        snap.snapshot_write(
+            ev.filter(F.col("event_id") % 3 == i).repartition(4),
+            src, mode="append" if i else "overwrite",
+        )
+        ivm.refresh_distinct_agg_view(
+            spark, src, view, ["event_type"], "user_id"
+        )
+    return ivm.read_distinct_view(spark, view, ["event_type"])
 
 
 @_q("ivm_minmax_agg", """

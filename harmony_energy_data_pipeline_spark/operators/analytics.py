@@ -903,3 +903,81 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     return agg.select(
         "n_registers", "v_zero", "scaled_sum", F.round(est, 2).alias("est")
     )
+
+
+def hll_registers_by(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table ``(keys…, idx, r)`` — the grouped
+    twin of :func:`hll_registers` (same portable integer arithmetic,
+    same merge law per group). At most ``m=512`` rows per group
+    whatever the group's size; one map-side-combined shuffle keyed by
+    ``(keys, idx)``."""
+    from harmony_energy_data_pipeline_spark.functions.hashx import portable_hash60
+
+    h = portable_hash60(F.col(value_col))
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, h.alias("__h")
+    ).select(
+        *keys,
+        F.pmod(F.col("__h"), F.lit(_HLL_M)).alias("idx"),
+        F.expr(f"__h DIV {_HLL_M}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(1) + F.expr("bit_count((__w & -__w) - 1)")
+    )
+    return (
+        hashed.select(*keys, "idx", rho.cast("int").alias("__rho"))
+        .groupBy(*keys, "idx")
+        .agg(F.max("__rho").alias("r"))
+    )
+
+
+def hll_merge_by(
+    keys: list[str], *register_tables: DataFrame
+) -> DataFrame:
+    """Per-group register union: element-wise max within each
+    ``(keys, idx)`` — merging per-group shard sketches equals
+    sketching each group's union exactly (the same distributive law
+    :func:`hll_merge` holds globally)."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*keys, "idx").agg(F.max("r").alias("r"))
+
+
+def hll_estimate_by(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-group cardinality estimate ``(keys…, n_registers, v_zero,
+    scaled_sum, est)`` from a grouped register table — the identical
+    integer-exact indicator sum and estimator branches as
+    :func:`hll_estimate`, evaluated per group."""
+    m = float(_HLL_M)
+    two_rmax = float(1 << _HLL_RMAX)
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+        ).alias("__s"),
+    ).select(
+        *keys,
+        "n_registers",
+        (F.lit(_HLL_M) - F.col("n_registers")).alias("v_zero"),
+        (
+            F.col("__s")
+            + (F.lit(_HLL_M) - F.col("n_registers"))
+            * F.lit(1 << _HLL_RMAX)
+        ).alias("scaled_sum"),
+    )
+    raw = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+        * F.lit(m) * F.lit(m) * F.lit(two_rmax)
+        / F.col("scaled_sum").cast("double")
+    )
+    linear = F.lit(m) * F.log(F.lit(m) / F.col("v_zero").cast("double"))
+    est = F.when(
+        (F.col("v_zero") > 0) & (raw <= F.lit(2.5) * F.lit(m)), linear
+    ).otherwise(raw)
+    return agg.select(
+        *keys, "n_registers", "v_zero", "scaled_sum",
+        F.round(est, 2).alias("est"),
+    )

@@ -2691,10 +2691,25 @@ def snapshot_compact(
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
+    only_smaller_than_mb: float | None = None,
 ) -> int:
     """Rewrite the LATEST snapshot's data into ~``target_file_mb``
     files and commit the result as a new OVERWRITE version — the
     Iceberg ``rewrite_data_files`` maintenance action for this log.
+
+    ``only_smaller_than_mb``: INCREMENTAL BIN-PACKING (the Delta
+    ``OPTIMIZE`` default shape): rewrite ONLY the live files smaller
+    than this threshold into ~``target_file_mb`` files and commit a
+    DELTA (removes = the small files, adds = the packed ones) —
+    already-right-sized files are carried untouched, so routine
+    maintenance on a streaming-fed table costs O(small-file bytes),
+    never O(table). A 100 TB table that accrues 200 small files a day
+    compacts daily in seconds; the full rewrite stays available for
+    re-clustering. The commit carries the ``compacted_from`` marker,
+    so CDC/feed/stream consumers skip it as row-preserving exactly
+    like a full compaction; deletion vectors on the packed files are
+    materialized and retired, vectors on carried files stay. No-op
+    (returns the current version) when fewer than two files qualify.
 
     ``cluster_by``: range-partition + sort the rewrite on these
     columns instead of the default ``coalesce``. A plain coalesce
@@ -2761,6 +2776,35 @@ def snapshot_compact(
                 f"{m['format']!r} (JSONL exports are already exactly-N shaped)"
             )
         files = [_abs_file(path, f) for f in m["files"]]
+        if only_smaller_than_mb is not None:
+            small = [
+                f for f in files
+                if os.path.getsize(f) < only_smaller_than_mb * 1024 * 1024
+            ]
+            if len(small) < 2:
+                return v  # nothing worth packing: metadata-only no-op
+            sbytes = sum(os.path.getsize(f) for f in small)
+            n_out = max(1, round(sbytes / (target_file_mb * 1024 * 1024)))
+            packed = _load_live(spark, small, m, path)
+            if zorder_by:
+                packed = _zorder_clustered(
+                    packed, path, m, zorder_by, zorder_bits, n_out
+                )
+            elif cluster_by:
+                packed = packed.repartitionByRange(
+                    n_out, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                packed = packed.coalesce(n_out)
+            try:
+                return _commit_partial_rewrite(
+                    spark, path, v, m, small, packed,
+                    kind="compact_small", protocol=protocol,
+                    extra={"compacted_from": v},
+                )
+            except (FileExistsError, SnapshotConflictError) as e:
+                last_err = e
+                continue  # non-commuting race: redo against new latest
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         # read through the tracked table schema (when present) so an

@@ -271,3 +271,125 @@ def test_paragraph_dedup_keeps_first_and_reassembles(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_compaction_packs_only_small_files(spark, tmp_path):
+    """snapshot_compact(only_smaller_than_mb=) — the Delta OPTIMIZE
+    bin-packing shape: small files rewrite into packed ones as a
+    DELTA commit, big files carry untouched (same on-disk paths), the
+    change feed skips the commit as row-preserving, and DVs on packed
+    files materialize while carried files keep theirs."""
+    path = str(tmp_path / "t")
+    big = spark.range(500_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    snap.snapshot_write(big, path, stats_cols=["k"])
+    for i in range(6):  # six tiny append commits (streaming-ish)
+        snap.snapshot_write(
+            spark.range(10 ** 6 + i * 100, 10 ** 6 + i * 100 + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+    # DV-delete rows in one SMALL file and one spot in the BIG file
+    snap.snapshot_delete_where_dv(spark, path, [("k", 10 ** 6, 10 ** 6 + 9)])
+    snap.snapshot_delete_where_dv(spark, path, [("k", 0, 4)])
+    v0 = snap.latest_version(path)
+    m0 = snap._read_manifest(path, v0)
+    sizes = {f: __import__("os").path.getsize(snap._abs_file(path, f))
+             for f in m0["files"]}
+    big_files = {f for f, s in sizes.items() if s >= 1024 * 1024}
+    n_before = snap.read_snapshot(spark, path).count()
+    sum_before = snap.read_snapshot(spark, path).agg(
+        F.sum("v")).collect()[0][0]
+
+    v1 = snap.snapshot_compact(spark, path, target_file_mb=64,
+                               only_smaller_than_mb=1)
+    m1 = snap._read_manifest(path, v1)
+    raw1 = snap._read_manifest_raw(path, v1)
+    # delta commit: only small files removed, big files carried
+    assert "adds" in raw1 and raw1["removes"], raw1.get("operation")
+    assert big_files <= set(m1["files"])
+    assert not (set(raw1["removes"]) & big_files)
+    assert len(m1["files"]) < len(m0["files"])
+    # carried big file keeps its vector; packed files retired theirs
+    assert any(f in big_files for f in m1.get("dvs", {}))
+    assert all(f in big_files for f in m1.get("dvs", {}))
+    # rows identical (DV-deleted rows stay deleted, none resurrect)
+    assert snap.read_snapshot(spark, path).count() == n_before
+    assert snap.read_snapshot(spark, path).agg(
+        F.sum("v")).collect()[0][0] == sum_before
+    # feed across the compaction: row-preserving, contributes nothing
+    feed = snap.read_snapshot_changes_feed(spark, path, v0, v1)
+    assert feed.count() == 0
+    # idempotent: nothing small remains at this threshold
+    assert snap.snapshot_compact(
+        spark, path, target_file_mb=64, only_smaller_than_mb=1
+    ) == v1
+
+
+def test_distinct_view_folds_appends_and_recomputes_on_delete(
+    spark, tmp_path, monkeypatch
+):
+    """refresh_distinct_agg_view: appends fold via the register merge
+    law WITHOUT rescanning the source (pinned by a spy); a DV delete
+    forces the recompute fallback; estimates always equal a fresh
+    single-pass sketch of the current source."""
+    from harmony_energy_data_pipeline_spark.operators.analytics import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+
+    def fresh_estimates():
+        regs = hll_registers_by(
+            snap.read_snapshot(spark, src), ["g"], "u"
+        )
+        return sorted(
+            tuple(r) for r in hll_estimate_by(regs, ["g"]).collect()
+        )
+
+    def df_of(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+            (F.col("id") % 700).alias("u"),
+        ).coalesce(2)
+
+    snap.snapshot_write(df_of(0, 4000), src)
+    ivm.refresh_distinct_agg_view(spark, src, view, ["g"], "u")
+
+    reads = {"full": 0}
+    orig = snap.read_snapshot
+
+    def spy(spark_, path_, *a, **k):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            reads["full"] += 1
+        return orig(spark_, path_, *a, **k)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", spy)
+    snap.snapshot_write(df_of(4000, 6000), src, mode="append")
+    ivm.refresh_distinct_agg_view(spark, src, view, ["g"], "u"),
+    assert reads["full"] == 0  # incremental: source never rescanned
+    monkeypatch.setattr(ivm.snap, "read_snapshot", orig)
+    got = sorted(
+        tuple(r)
+        for r in ivm.read_distinct_view(spark, view, ["g"]).collect()
+    )
+    assert got == fresh_estimates()
+
+    # a DV delete is register-inexpressible: the refresh recomputes
+    snap.snapshot_delete_where_dv(spark, src, [("k", 0, 2999)])
+    ivm.refresh_distinct_agg_view(spark, src, view, ["g"], "u")
+    got = sorted(
+        tuple(r)
+        for r in ivm.read_distinct_view(spark, view, ["g"]).collect()
+    )
+    assert got == fresh_estimates()
+
+    # idempotent: refresh with no new commits is a no-op version
+    v = snap.latest_version(view)
+    ivm.refresh_distinct_agg_view(spark, src, view, ["g"], "u")
+    assert snap.latest_version(view) == v
