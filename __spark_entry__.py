@@ -4818,6 +4818,55 @@ def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("merge_evolve_digest", """
+WITH base AS (
+  SELECT event_id, value FROM events WHERE event_id % 4 <> 0
+), src AS (
+  SELECT event_id, value * 2 AS value, event_type AS tag
+  FROM events WHERE event_id % 2 = 0
+), merged AS (
+  SELECT event_id, value, tag FROM src
+  UNION ALL
+  SELECT event_id, value, CAST(NULL AS VARCHAR) AS tag
+  FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS key_xor,
+       COUNT(tag) AS n_tagged
+FROM merged
+""")
+def q_merge_evolve_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (`sinks/snapshots.py:
+    snapshot_merge_into(evolve_schema=True)` — the Delta shape): the
+    source grew a ``tag`` column the table lacks; the merge adds it
+    metadata-only (pre-existing rows read NULL), source rows replace
+    matches and insert new keys source-wins. The oracle recomputes
+    the merged state relationally."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir)
+    path = tempfile.mkdtemp(prefix="snap_mevolve_")
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 4 != 0).select("event_id", "value"),
+        path, member_cols=["event_id"],
+    )
+    src = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", (F.col("value") * 2).alias("value"),
+        F.col("event_type").alias("tag"),
+    )
+    snap.snapshot_merge_into(spark, path, src, key="event_id",
+                             evolve_schema=True)
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("key_xor"),
+        F.count("tag").alias("n_tagged"),
+    )
+
+
 @_q("snapshot_compact_small_digest", """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -330,6 +330,7 @@ def auto_maintain(
     cluster_by: "list[str] | None" = None,
     stale_after_s: float = 3600.0,
     orphan_grace_s: float | None = None,
+    bin_pack: bool = True,
 ) -> dict:
     """POLICY-driven locked maintenance: act only when the table's
     own metrics say it needs it, so the pass is cheap to schedule
@@ -339,10 +340,18 @@ def auto_maintain(
 
     * **fragmentation** — average live file size below
       ``small_file_ratio × target_file_mb`` with more than one file
-      (the streaming micro-batch accretion pattern);
+      (the streaming micro-batch accretion pattern). With
+      ``bin_pack=True`` (default) the response is INCREMENTAL:
+      ``snapshot_compact(only_smaller_than_mb=threshold)`` rewrites
+      only the undersized files — O(small-file bytes) per pass, so
+      the aggressive schedule this function exists for stays cheap
+      even on tables whose bulk is already right-sized. Pass
+      ``bin_pack=False`` to force the full rewrite (e.g. to restore
+      a clustering).
     * **merge-on-read debt** — more than ``max_dv_files`` live files
-      carry deletion vectors (their scans pay the anti join;
-      compaction materializes and retires the vectors).
+      carry deletion vectors (their scans pay the anti join). Always
+      a FULL compaction: the vectors may sit on right-sized files a
+      bin-pack would carry untouched.
 
     Then retention: ``vacuum_keep``/``keep_newer_than_s`` map to
     ``vacuum(keep_last=, keep_newer_than_s=)``. All under the
@@ -367,9 +376,11 @@ def auto_maintain(
         out["version"] = v
         reason = None
         threshold = small_file_ratio * target_file_mb * 1024 * 1024
+        incremental = False
         if info["dv_files"] > max_dv_files:
             reason = f"dv_debt ({info['dv_files']} vectored files)"
         elif info["n_files"] > 1 and info["avg_file_bytes"] < threshold:
+            incremental = bin_pack
             reason = (
                 f"fragmentation (avg {info['avg_file_bytes']} B "
                 f"< {int(threshold)} B over {info['n_files']} files)"
@@ -378,9 +389,13 @@ def auto_maintain(
             new_v = snap.snapshot_compact(
                 spark, table_path, target_file_mb=target_file_mb,
                 cluster_by=cluster_by,
+                only_smaller_than_mb=(
+                    small_file_ratio * target_file_mb if incremental
+                    else None
+                ),
             )
             out.update(
-                compacted=True, reason=reason, version=new_v,
+                compacted=new_v != v, reason=reason, version=new_v,
                 files_after=len(
                     snap._read_manifest(table_path, new_v)["files"]
                 ),

@@ -4418,12 +4418,24 @@ def snapshot_merge_into(
     record_cdf: bool = False,
     extra: dict | None = None,
     delete_scope: list[tuple] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE (keyed upsert) into a snapshot table, REWRITING ONLY the
     files that can contain a source key: rows whose ``key`` appears
     in ``source`` are replaced by the source row (source-wins, the
     J1 upsert contract), new keys insert, everything else is carried
     byte-identical.
+
+    ``evolve_schema``: the Delta ``MERGE … WITH SCHEMA EVOLUTION``
+    shape. Source columns the table lacks are first ADDED as nullable
+    metadata-only commits (existing files read them as NULL), and
+    table columns the source lacks are NULL-filled in the source —
+    so an upstream extract that grew a column merges without a
+    coordination step, and replaced rows carry NULL where the
+    narrower source had nothing to say (source-wins, applied
+    column-wise to the declared source schema). Same-name TYPE
+    conflicts still raise — widening is an explicit
+    :func:`snapshot_widen_column` decision, not a merge side effect.
 
     ``delete_scope``: interval predicates ``[(col, lo, hi), …]``
     adding the Delta ``WHEN NOT MATCHED BY SOURCE THEN DELETE``
@@ -4495,6 +4507,61 @@ def snapshot_merge_into(
             raise ValueError(
                 f"merge requires a parquet table; {path} is {m['format']!r}"
             )
+        if evolve_schema and "schema" in m:
+            # BEFORE file scoping: the add-column commits move the
+            # version forward, and the merge must publish against the
+            # evolved parent. Idempotent across conflict redos (the
+            # columns exist on the second pass).
+            from pyspark.sql.types import _parse_datatype_json_value
+
+            tcols = {f["name"] for f in m["schema"]["fields"]}
+            # shared columns must type-match (narrower source values
+            # upcast fine at read; anything else is a conflict, not
+            # an evolution — widening the TABLE is an explicit
+            # snapshot_widen_column decision)
+            ttypes = {
+                f["name"]: _parse_datatype_json_value(f["type"]).typeName()
+                for f in m["schema"]["fields"]
+            }
+            for fld in source.schema.fields:
+                have = ttypes.get(fld.name)
+                got = fld.dataType.typeName()
+                if have is not None and got != have and not _is_widening(
+                    got, have
+                ):
+                    raise SchemaEvolutionError(
+                        f"merge source column {fld.name!r} is {got}, "
+                        f"table has {have}; evolve_schema only adds "
+                        "columns — type changes go through "
+                        "snapshot_widen_column / an overwrite commit"
+                    )
+            new_fields = [
+                f for f in source.schema.fields if f.name not in tcols
+            ]
+            for fld in new_fields:
+                snapshot_add_column(
+                    path, fld.name, fld.dataType.simpleString(),
+                    protocol=protocol,
+                )
+            if new_fields:
+                v = latest_version(path)
+                m = _read_manifest(path, v)
+            missing = {
+                f["name"] for f in m["schema"]["fields"]
+            } - set(source.columns)
+            if missing:
+                from pyspark.sql.types import _parse_datatype_json_value
+
+                types = {f["name"]: f for f in m["schema"]["fields"]}
+                source = source.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(
+                            _parse_datatype_json_value(types[c]["type"])
+                        ).alias(c)
+                        for c in sorted(missing)
+                    ],
+                )
         membs = {
             _rel_file(path, f): s for f, s in m.get("members", {}).items()
         }
@@ -4532,7 +4599,8 @@ def snapshot_merge_into(
             raise ValueError(
                 f"merge source columns {sorted(source.columns)} != table "
                 f"columns {sorted(table_cols)}; align the source first "
-                "(schema changes go through snapshot_write)"
+                "(schema changes go through snapshot_write, or pass "
+                "evolve_schema=True)"
             )
         replaced_pre = None
         if not affected:

@@ -393,3 +393,51 @@ def test_distinct_view_folds_appends_and_recomputes_on_delete(
     v = snap.latest_version(view)
     ivm.refresh_distinct_agg_view(spark, src, view, ["g"], "u")
     assert snap.latest_version(view) == v
+
+
+def test_merge_evolve_schema_adds_and_nullfills(spark, tmp_path):
+    """snapshot_merge_into(evolve_schema=True): a source that grew a
+    column merges without coordination — the new column is added
+    metadata-only (existing rows read NULL), and a source narrower
+    than the table NULL-fills the gap in its replaced/inserted rows."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    snap.snapshot_write(base, path, member_cols=["k"])
+
+    wide_src = spark.createDataFrame(
+        [(2, 21.0, "eu"), (4, 40.0, "us")], ["k", "v", "region"]
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        snap.snapshot_merge_into(spark, path, wide_src, key="k")
+    snap.snapshot_merge_into(
+        spark, path, wide_src, key="k", evolve_schema=True
+    )
+    got = {
+        r["k"]: (r["v"], r["region"])
+        for r in snap.read_snapshot(spark, path).collect()
+    }
+    assert got == {
+        1: (10.0, None), 2: (21.0, "eu"), 3: (30.0, None), 4: (40.0, "us")
+    }
+
+    # a NARROW source (missing v) merges with NULL fill, source-wins
+    narrow_src = spark.createDataFrame([(1, "apac")], ["k", "region"])
+    snap.snapshot_merge_into(
+        spark, path, narrow_src, key="k", evolve_schema=True
+    )
+    got = {
+        r["k"]: (r["v"], r["region"])
+        for r in snap.read_snapshot(spark, path).collect()
+    }
+    assert got[1] == (None, "apac")
+    assert got[2] == (21.0, "eu")
+
+    # type conflicts still refuse even with evolve_schema
+    bad = spark.createDataFrame([("x", 1.0)], ["k", "v"])  # k: string
+    with _pytest.raises(Exception):
+        snap.snapshot_merge_into(
+            spark, path, bad, key="k", evolve_schema=True
+        )
