@@ -860,6 +860,51 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id", "text", normalize=True)
 
 
+@_q("boilerplate_strip_docs", """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS para
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i
+    FROM w
+  )
+), ok AS (
+  SELECT doc_id, pos, para FROM paras WHERE length(trim(para)) >= 1
+), hot AS (
+  SELECT trim(para) AS p FROM ok
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+       COUNT(*) AS n_paras
+FROM ok WHERE trim(para) NOT IN (SELECT p FROM hot)
+GROUP BY doc_id
+""")
+def q_boilerplate_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by paragraph document-frequency
+    (`operators/dedup.py: boilerplate_strip` — the CCNet filter):
+    a paragraph appearing in MORE THAN 1 document is stripped from
+    every document, first occurrence included (unlike
+    paragraph_dedup's keep-first). Same derived 8-word paragraph
+    structure as `paragraph_dedup_docs`; the digest-keyed
+    doc-frequency groupBy and the LEFT ANTI strip are the scale
+    shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_groups = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(F.slice(words, i * F.lit(8) + 1, 8), " "),
+    )
+    structured = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text")
+    )
+    return dedup.boilerplate_strip(structured, "doc_id", "text", max_df=1)
+
+
 @_q("paragraph_dedup_docs", """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -5341,6 +5386,49 @@ def q_ivm_hll_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, src, view, ["event_type"], "user_id"
         )
     return ivm.read_distinct_view(spark, view, ["event_type"])
+
+
+@_q("ivm_histogram_agg", """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR(value / 5.0), 0), 19) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events
+WHERE NOT (event_id BETWEEN 1000 AND 1999)
+GROUP BY event_type, bin
+""")
+def q_ivm_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-key HISTOGRAM view
+    (`pipeline/ivm.py: refresh_histogram_view`): bin counts fold
+    SIGNED through the row-level change feed — two appends fold +1,
+    then a deletion-vector delete folds −1 — so unlike MIN/MAX
+    (rescan) or COUNT DISTINCT (sketch), every feed-expressible
+    commit is absorbed exactly with no fallback. The oracle
+    recomputes the final distribution from scratch; the hash match
+    proves view ⊕ signed deltas ≡ recompute across an
+    insert+insert+delete chain."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="ivm_hist_src_")
+    view = tempfile.mkdtemp(prefix="ivm_hist_view_") + "/v"
+    kw = dict(value_col="value", bin_width=5.0, n_bins=20)
+    for i in range(2):
+        snap.snapshot_write(
+            ev.filter(F.col("event_id") % 2 == i).repartition(4),
+            src, mode="append" if i else "overwrite",
+            stats_cols=["event_id"],
+        )
+        ivm.refresh_histogram_view(
+            spark, src, view, ["event_type"], **kw
+        )
+    snap.snapshot_delete_where_dv(spark, src, [("event_id", 1000, 1999)])
+    ivm.refresh_histogram_view(spark, src, view, ["event_type"], **kw)
+    return ivm.read_view(spark, view).select("event_type", "bin", "n")
 
 
 @_q("ivm_minmax_agg", """

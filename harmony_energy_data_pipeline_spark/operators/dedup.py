@@ -118,6 +118,57 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove paragraphs whose DOCUMENT FREQUENCY exceeds ``max_df``
+    from EVERY document (the CCNet boilerplate filter): headers,
+    footers, cookie banners, and navigation repeat corpus-wide, and
+    unlike :func:`paragraph_dedup` (which keeps each paragraph's
+    first occurrence) true boilerplate should not survive anywhere —
+    its first occurrence is as worthless as its thousandth.
+
+    Scale shape: ``posexplode`` map-side; document frequency is one
+    digest-keyed groupBy (a paragraph repeated within one doc counts
+    once — dropDuplicates on (digest, id) first, map-side combined);
+    the strip is a digest-keyed LEFT ANTI join against the (small)
+    over-threshold set; reassembly is one groupBy(id). Documents
+    whose every paragraph was boilerplate vanish.
+
+    Returns ``(id_col, clean_text, n_paras)``.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(F.length(F.trim(F.col("__para"))) >= min_chars).withColumn(
+        "__digest", F.md5(F.trim(F.col("__para")))
+    )
+    hot = (
+        parts.select("__digest", id_col)
+        .dropDuplicates(["__digest", id_col])
+        .groupBy("__digest")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__digest")
+    )
+    kept = parts.join(hot, "__digest", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
@@ -1186,7 +1237,7 @@ def incremental_dedup_bloom(
 
 
 __all__ = [
-    "exact_dedup", "paragraph_dedup",
+    "exact_dedup", "paragraph_dedup", "boilerplate_strip",
     "minhash_signature", "minhash_candidate_pairs",
     "minhash_dedup", "ngram_jaccard_pairs", "simhash64", "simhash_near_pairs",
     "connected_components", "dedup_by_clusters", "decontaminate",

@@ -563,6 +563,123 @@ def read_distinct_view(
     return hll_estimate_by(read_view(spark, view_path), keys)
 
 
+def _bin_expr(value_col: str, bin_width: float, n_bins: int):
+    # identical clamp to operators.analytics.histogram: under/overflow
+    # land in the edge bins
+    return F.least(
+        F.greatest(
+            F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("long")
+
+
+def refresh_histogram_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+    protocol: str = "link",
+) -> int:
+    """Incrementally-maintained per-key fixed-width HISTOGRAM view
+    ``(keys…, bin, n)`` — the distribution/quantile-monitoring shape.
+    Bin counts are SIGNED-self-maintainable: appends fold ``+1`` per
+    row, row-level deletes fold ``-1`` through the change feed, and a
+    merge-on-read update folds as delete+insert — so unlike MIN/MAX
+    (danger rescan) or COUNT DISTINCT (insert-only sketch), the
+    histogram absorbs EVERY feed-expressible commit exactly, with no
+    fallback and no approximation. Only a feed-inexpressible rewrite
+    recomputes. Refresh cost O(|changes| + |view|); view size
+    O(groups × n_bins). Approximate quantiles derive from the
+    cumulative bins at read time (:func:`histogram_quantiles`).
+    Returns the reflected source version."""
+    cur = snap.latest_version(source_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {source_path}")
+    view_v = snap.latest_version(view_path)
+    last = None
+    if view_v is not None:
+        last = snap._read_manifest_raw(view_path, view_v).get(
+            SOURCE_VERSION_KEY
+        )
+    if last == cur:
+        return cur
+    feed = None
+    if last is not None:
+        try:
+            feed = snap.read_snapshot_changes_feed(
+                spark, source_path, last, cur
+            )
+        except ValueError:
+            feed = None  # rewrite in range: recompute below
+    on = [*keys, "bin"]
+    if feed is not None:
+        sign = F.when(
+            F.col("_change_type") == "delete", F.lit(-1)
+        ).otherwise(F.lit(1))
+        part = feed.select(
+            *keys, _bin_expr(value_col, bin_width, n_bins).alias("bin"),
+            sign.alias("__s"),
+        ).groupBy(*on).agg(F.sum("__s").alias("n"))
+        # union + re-group, NOT a full-outer join: groupBy treats a
+        # NULL group key as one group, where join keys never match
+        # NULL and would split it into duplicate view rows
+        merged = (
+            read_view(spark, view_path).select(*on, "n")
+            .unionByName(part)
+            .groupBy(*on).agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+    else:
+        merged = (
+            snap.read_snapshot(spark, source_path, cur)
+            .select(
+                *keys,
+                _bin_expr(value_col, bin_width, n_bins).alias("bin"),
+            )
+            .groupBy(*on).agg(F.count("*").alias("n"))
+        )
+    snap.snapshot_write(
+        merged, view_path, mode="overwrite", protocol=protocol,
+        extra={SOURCE_VERSION_KEY: cur},
+    )
+    return cur
+
+
+def histogram_quantiles(
+    bins: DataFrame, keys: list[str], qs: list[float], bin_width: float
+) -> DataFrame:
+    """Per-key approximate quantiles ``(keys…, q, value)`` from a
+    histogram view's bins: the upper edge of the first bin whose
+    cumulative count reaches ``q × total`` — deterministic, exact
+    given the binning, error bounded by ``bin_width``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    c = bins.withColumn("__cum", F.sum("n").over(w)).withColumn(
+        "__tot", F.sum("n").over(tot)
+    )
+    out = None
+    for q in qs:
+        hit = (
+            c.filter(F.col("__cum") >= F.col("__tot") * F.lit(float(q)))
+            .groupBy(*keys).agg(F.min("bin").alias("__b"))
+            .select(
+                *keys, F.lit(float(q)).alias("q"),
+                ((F.col("__b") + 1) * F.lit(float(bin_width)))
+                .alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 #: Manifest key on a JOIN view: the dimension version it reflects.
 DIM_VERSION_KEY = "ivm_dim_version"
 

@@ -441,3 +441,87 @@ def test_merge_evolve_schema_adds_and_nullfills(spark, tmp_path):
         snap.snapshot_merge_into(
             spark, path, bad, key="k", evolve_schema=True
         )
+
+
+def test_histogram_view_folds_deletes_signed_without_rescan(
+    spark, tmp_path, monkeypatch
+):
+    """refresh_histogram_view: a DV delete folds -1 through the
+    change feed — the SOURCE is never rescanned (spy-pinned), unlike
+    the MIN/MAX danger path — and the view equals a recompute.
+    Quantiles derive from cumulative bins."""
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    kw = dict(value_col="x", bin_width=10.0, n_bins=10)
+
+    def df_of(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+            (F.col("id") % 100).cast("double").alias("x"),
+        ).coalesce(2)
+
+    snap.snapshot_write(df_of(0, 4000), src, stats_cols=["k"])
+    ivm.refresh_histogram_view(spark, src, view, ["g"], **kw)
+    snap.snapshot_delete_where_dv(spark, src, [("k", 500, 1499)])
+
+    orig = snap.read_snapshot
+    reads = {"full": 0}
+
+    def spy(spark_, path_, *a, **k):
+        if os.path.abspath(path_) == os.path.abspath(src):
+            reads["full"] += 1
+        return orig(spark_, path_, *a, **k)
+
+    monkeypatch.setattr(ivm.snap, "read_snapshot", spy)
+    ivm.refresh_histogram_view(spark, src, view, ["g"], **kw)
+    monkeypatch.setattr(ivm.snap, "read_snapshot", orig)
+    assert reads["full"] == 0  # signed fold: no source rescan
+
+    expect = sorted(
+        tuple(r) for r in snap.read_snapshot(spark, src).select(
+            "g",
+            F.least(
+                F.greatest(F.floor(F.col("x") / 10.0), F.lit(0)),
+                F.lit(9),
+            ).cast("long").alias("bin"),
+        ).groupBy("g", "bin").agg(F.count("*").alias("n")).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivm.read_view(spark, view).select("g", "bin", "n").collect()
+    )
+    assert got == expect
+
+    qs = ivm.histogram_quantiles(
+        ivm.read_view(spark, view), ["g"], [0.5, 0.9], 10.0
+    ).collect()
+    assert len(qs) == 8  # 4 groups x 2 quantiles
+    assert all(0 < r["value"] <= 100.0 for r in qs)
+
+
+def test_boilerplate_strip_removes_all_occurrences(spark):
+    from harmony_energy_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE BANNER\nbody a"),
+            (2, "COOKIE BANNER\nbody b"),
+            (3, "COOKIE BANNER\nbody c"),
+            (4, "body a\nunique four"),  # 'body a' in 2 docs: survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.boilerplate_strip(
+            docs, "doc_id", "text", max_df=2
+        ).collect()
+    }
+    # banner (df=3) stripped EVERYWHERE incl first occurrence;
+    # 'body a' (df=2) kept everywhere
+    assert out[1] == "unique one\nbody a"
+    assert out[2] == "body b"
+    assert out[3] == "body c"
+    assert out[4] == "body a\nunique four"
