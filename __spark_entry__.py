@@ -5431,6 +5431,64 @@ def q_ivm_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.read_view(spark, view).select("event_type", "bin", "n")
 
 
+@_q("ivm_topk_view", """
+WITH src AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), live AS (
+  SELECT * FROM src WHERE vc < 14000 AND vc > 500
+), ranked AS (
+  SELECT event_type, event_id, vc,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY vc DESC, event_id
+         ) AS rn
+  FROM live
+)
+SELECT event_type, event_id, vc FROM ranked WHERE rn <= 5
+""")
+def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-key TOP-K view
+    (`pipeline/ivm.py: refresh_topk_view`) — the leaderboard shape.
+    The chain exercises every maintenance regime: two appends fold by
+    re-ranking view ∪ delta (top-k is insert-monotone — O(|view|+|Δ|),
+    never O(table)); a deletion-vector delete of the HIGH value band
+    evicts retained rows, so those danger groups rescan the source
+    (zone-map-pruned) while others fold; a second delete of the LOW
+    band sits strictly below every group's retained threshold and is
+    folded as a proven no-op. The oracle re-ranks the final live rows
+    from scratch: the hash match proves the maintained leaderboard ≡
+    recompute across insert+insert+delete+delete."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.pipeline import ivm
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    src = tempfile.mkdtemp(prefix="ivm_topk_src_")
+    view = tempfile.mkdtemp(prefix="ivm_topk_view_") + "/v"
+    kw = dict(keys=["event_type"], order_col="vc", k=5,
+              tiebreak_cols=["event_id"])
+    for i in range(2):
+        snap.snapshot_write(
+            ev.filter(F.col("event_id") % 2 == i).repartition(4),
+            src, mode="append" if i else "overwrite",
+            stats_cols=["event_type", "vc"],
+        )
+        ivm.refresh_topk_view(spark, src, view, **kw)
+    # evict the top band: every group's retained set is hit → rescan
+    snap.snapshot_delete_where_dv(spark, src, [("vc", 14000, None)])
+    ivm.refresh_topk_view(spark, src, view, **kw)
+    # prune the bottom band: below every threshold → pure fold
+    snap.snapshot_delete_where_dv(spark, src, [("vc", None, 500)])
+    ivm.refresh_topk_view(spark, src, view, **kw)
+    return ivm.read_view(spark, view).select(
+        "event_type", "event_id", "vc"
+    )
+
+
 @_q("ivm_minmax_agg", """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,

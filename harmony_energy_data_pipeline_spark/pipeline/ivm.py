@@ -680,6 +680,169 @@ def histogram_quantiles(
     return out
 
 
+def _topk_rank(
+    df: DataFrame, keys: list[str], order_col: str, k: int,
+    descending: bool, tiebreak_cols: list[str],
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ob = [
+        F.col(order_col).desc_nulls_last()
+        if descending else F.col(order_col).asc_nulls_last()
+    ]
+    ob += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def refresh_topk_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str] | tuple = (),
+    payload_cols: list[str] | None = None,
+    descending: bool = True,
+    protocol: str = "link",
+) -> int:
+    """Incrementally-maintained per-key TOP-K view — the leaderboard /
+    keep-best shape: the view stores, for every group, the ``k`` rows
+    ranked first by ``order_col`` (then by ``tiebreak_cols``, which
+    should make the order TOTAL for deterministic results). Top-k is
+    not an aggregate Spark can fold, but it IS insert-monotone, which
+    gives it a cheap delta algebra:
+
+    * **appends** — a new row either beats the group's retained set or
+      it doesn't; either way ``topk(view ∪ Δ) = topk(table)`` because
+      every unretained old row was already beaten by all k retained
+      rows. Refresh cost O(|view| + |Δ|), never O(table).
+    * **row-level deletes** (DV / MOR, via the change feed) — a delete
+      strictly below its group's retained threshold (the k-th value)
+      is a proven no-op and folds for free. A delete AT or ABOVE the
+      threshold may evict a retained row, whose replacement lives
+      below the view's horizon — only those DANGER GROUPS rescan the
+      source (zone-map-pruned via :func:`_pruned_source_for`), every
+      other group folds. NULL-ordered deletes and groups absent from
+      the view rescan conservatively.
+    * **feed-inexpressible rewrites** — recompute; never serve stale.
+
+    The view is a snapshot table recording ``ivm_source_version``, so
+    refresh is idempotent and crash-safe like the aggregate views.
+    Returns the source version the view now reflects."""
+    keys = list(keys)
+    tiebreak_cols = list(tiebreak_cols)
+    cols: list[str] = list(keys)
+    for c in [order_col, *tiebreak_cols, *(payload_cols or [])]:
+        if c not in cols:
+            cols.append(c)
+    cur = snap.latest_version(source_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {source_path}")
+    view_v = snap.latest_version(view_path)
+    last = None
+    if view_v is not None:
+        last = snap._read_manifest_raw(view_path, view_v).get(
+            SOURCE_VERSION_KEY
+        )
+    if last == cur:
+        return cur  # idempotent: the view is current
+
+    def rank(df: DataFrame) -> DataFrame:
+        return _topk_rank(df, keys, order_col, k, descending,
+                          tiebreak_cols)
+
+    def recompute() -> None:
+        src = snap.read_snapshot(spark, source_path, cur).select(*cols)
+        snap.snapshot_write(
+            rank(src), view_path, mode="overwrite", protocol=protocol,
+            extra={SOURCE_VERSION_KEY: cur},
+        )
+
+    if last is None:
+        recompute()
+        return cur
+    old_df = read_view(spark, view_path)
+    if not set(cols) <= set(old_df.columns):
+        recompute()  # spec evolved: stored view lacks the columns
+        return cur
+    old = old_df.select(*cols)
+    danger = None
+    try:
+        delta = snap.read_snapshot_changes(spark, source_path, last, cur)
+        merged = rank(old.unionByName(delta.select(*cols)))
+    except ValueError:
+        try:
+            feed = snap.read_snapshot_changes_feed(
+                spark, source_path, last, cur
+            )
+        except ValueError:
+            recompute()  # rewrite the feed can't express
+            return cur
+        ins = feed.filter(
+            F.col("_change_type") != "delete"
+        ).select(*cols)
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            *keys, order_col
+        )
+        # per-group retained threshold: the weakest value the view
+        # still holds — any delete strictly inside it is a no-op
+        thr_agg = F.min(order_col) if descending else F.max(order_col)
+        thr = old.groupBy(*keys).agg(thr_agg.alias("__thr"))
+        d, t = dels.alias("d"), thr.alias("t")
+        jc = F.lit(True)
+        for kk in keys:
+            jc = jc & F.col(f"d.{kk}").eqNullSafe(F.col(f"t.{kk}"))
+        reach = (
+            F.col(f"d.{order_col}") >= F.col("t.__thr")
+            if descending
+            else F.col(f"d.{order_col}") <= F.col("t.__thr")
+        )
+        danger = (
+            d.join(t, jc, "left")
+            .filter(
+                F.col("t.__thr").isNull()          # group absent / all-NULL
+                | F.col(f"d.{order_col}").isNull()  # NULL-ordered delete
+                | reach
+            )
+            .select(*[F.col(f"d.{kk}").alias(kk) for kk in keys])
+            .distinct()
+            .persist()
+        )
+        if danger.isEmpty():
+            merged = rank(old.unionByName(ins))
+        else:
+            # PARTIAL RESCAN: only the groups whose retained set a
+            # delete may have evicted re-rank from the source; every
+            # other group folds from view ∪ inserts
+            rescan_src = _pruned_source_for(
+                spark, source_path, cur, danger, keys
+            )
+            rescan = rank(
+                _semi_nullsafe(rescan_src.select(*cols), danger, keys)
+            )
+            fold = rank(
+                _semi_nullsafe(old, danger, keys, anti=True).unionByName(
+                    _semi_nullsafe(ins, danger, keys, anti=True)
+                )
+            )
+            merged = fold.unionByName(rescan)
+    try:
+        snap.snapshot_write(
+            merged, view_path, mode="overwrite", protocol=protocol,
+            extra={SOURCE_VERSION_KEY: cur},
+        )
+    finally:
+        if danger is not None:
+            danger.unpersist()
+    return cur
+
+
 #: Manifest key on a JOIN view: the dimension version it reflects.
 DIM_VERSION_KEY = "ivm_dim_version"
 
@@ -1008,6 +1171,7 @@ def refresh_star_agg_view(
 __all__ = [
     "refresh_agg_view", "refresh_agg_views", "refresh_join_agg_view",
     "refresh_star_agg_view", "refresh_distinct_agg_view",
+    "refresh_topk_view",
     "read_view", "read_distinct_view",
     "SOURCE_VERSION_KEY", "DIM_VERSION_KEY", "STAR_VERSIONS_KEY",
 ]
