@@ -5240,6 +5240,113 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hash-bucket layout in the snapshot log ----------------------------------------
+
+@_q("snapshot_bucket_counts", """
+SELECT CAST((md5_number_lower(CAST(c_custkey AS VARCHAR))
+             % (1::HUGEINT << 60)) % 8 AS INT) AS bucket,
+       COUNT(*) AS n_rows
+FROM customer GROUP BY bucket
+""")
+def q_snapshot_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket layout end-to-end, proven from METADATA alone:
+    customers commit bucketed by ``pmod(portable_hash60(c_custkey), 8)``
+    (`sinks/snapshots.py: snapshot_write(bucket_by=…)`), and the
+    per-bucket row counts come off the ``snapshot_files`` metadata
+    table — file paths + recorded row counts, no data file opened.
+    The oracle recomputes every row's bucket with DuckDB's own
+    ``md5_number_lower``: a hash match means the physical routing,
+    the manifest row counts, and the engine-portable hash all agree
+    row-for-row — the contract bucket PRUNING rests on."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name"
+    )
+    path = tempfile.mkdtemp(prefix="snap_bucket_")
+    snap.snapshot_write(
+        cust.repartition(4), path, bucket_by=("c_custkey", 8),
+        stats_cols=["c_custkey"],
+    )
+    return (
+        snap.snapshot_files(spark, path)
+        .groupBy("bucket")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_rows")
+    )
+
+
+@_q("snapshot_bucket_point_lookup", """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS ab
+FROM customer WHERE c_custkey = 7
+""")
+def q_snapshot_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a hash-bucketed table: the equality predicate
+    routes to ONE bucket at planning time (driver-side portable-hash
+    mirror — no JVM round trip, no stats, no sketches), so the scan
+    touches 1/8 of the files however the data is clustered; the
+    residual filter keeps the read exact. The oracle scans the raw
+    table. pytest (`test_snapshot_bucketed.py`) asserts the file-skip
+    itself."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", _cents("c_acctbal").alias("ab")
+    )
+    path = tempfile.mkdtemp(prefix="snap_bucket_pt_")
+    snap.snapshot_write(cust.repartition(4), path,
+                        bucket_by=("c_custkey", 8))
+    return snap.read_snapshot(
+        spark, path, where=[("c_custkey", 7, 7)]
+    ).select("c_custkey", "c_name", "ab")
+
+
+@_q("snapshot_bucket_merge_digest", """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 10 = 3 THEN tc * 2 ELSE tc END)
+            AS BIGINT) AS sum_tc,
+       bit_xor(o_orderkey) AS key_xor
+FROM base
+""")
+def q_snapshot_bucket_merge_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into a hash-bucketed table: the table commits bucketed by
+    the merge key with NO membership sketches — file scoping comes
+    from the layout alone (source keys route to their buckets
+    driver-side; files in other buckets are provably key-free and
+    carried untouched). The source doubles every ``key % 10 == 3``
+    order's total; the oracle recomputes the merged state from
+    scratch."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", _cents("o_totalprice").alias("tc")
+    )
+    path = tempfile.mkdtemp(prefix="snap_bucket_mrg_")
+    snap.snapshot_write(od.repartition(4), path,
+                        bucket_by=("o_orderkey", 16))
+    src = od.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "tc", F.col("tc") * 2
+    )
+    snap.snapshot_merge_into(spark, path, src, key="o_orderkey")
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("tc").cast("long").alias("sum_tc"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    )
+
+
 # --- schema evolution through the snapshot log ------------------------------------
 
 @_q("snapshot_schema_evolution_digest", """

@@ -72,17 +72,22 @@ _STANDARD_KEYS = frozenset(
      # recorded change files for COW rewrites (CDF) — round 7
      "cdf",
      # hive partition spec (path-derived per-file values) — round 8
-     "partition_cols"}
+     "partition_cols",
+     # hash-bucket layout spec ({"column", "buckets"}) — round 9
+     "bucket_spec"}
 )
 
 
 def _carry_pcols(src: dict) -> dict:
-    """The table-level partition spec, carried resolved through every
-    commit exactly like schema/constraints."""
-    return (
-        {"partition_cols": list(src["partition_cols"])}
-        if src.get("partition_cols") else {}
-    )
+    """The table-level LAYOUT spec — partition columns and hash-bucket
+    spec — carried resolved through every commit exactly like
+    schema/constraints."""
+    out: dict = {}
+    if src.get("partition_cols"):
+        out["partition_cols"] = list(src["partition_cols"])
+    if src.get("bucket_spec"):
+        out["bucket_spec"] = dict(src["bucket_spec"])
+    return out
 
 #: A resolution walk longer than this persists its result as a
 #: checkpoint sidecar (``ckpt-v<N>.json``), so subsequent reads of that
@@ -1191,8 +1196,31 @@ def snapshot_write(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     partition_by: list[str] | None = None,
+    bucket_by: tuple | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``bucket_by=(column, n_buckets)``: HASH-BUCKET the batch — each
+    row routes to ``pmod(portable_hash60(column), n)`` and files land
+    under hidden ``__bucket=<id>/`` hive segments (one bucket per
+    file, path-derived, zero manifest bloat; the routing column is
+    NEVER part of the schema — readers don't see it). The spec is
+    table-level: appends to a bucketed table re-apply it
+    automatically, a conflicting append spec raises. What it buys at
+    scale: EQUALITY predicates on the bucketed column keep 1/n of the
+    files with no clustering and no per-file sketches
+    (``read_snapshot(where=[(col, v, v)])``), and
+    ``snapshot_merge_into`` on the bucketed key scopes its rewrite to
+    the source keys' buckets even on files with no membership sketch —
+    the co-location contract Spark's catalog bucketing provides,
+    expressed in the snapshot log. Routing uses the engine-portable
+    md5-tail hash, so planners (Python), executors (Catalyst) and SQL
+    oracles (``md5_number_lower``) agree on every bucket id; the
+    column must be int-family, string or date (the types whose string
+    form is render-identical across engines). Files written OUTSIDE
+    the layout (row-level rewrites, DV merges) are conservatively
+    kept by every bucket prune; full ``snapshot_compact`` restores
+    the layout.
 
     ``partition_by``: stage this batch hive-partitioned on these
     columns (``data/<txid>/col=value/…``) and record the partition
@@ -1267,29 +1295,67 @@ def snapshot_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    effective = constraints
-    if effective is None:
+    parent_raw: dict | None = None
+    if constraints is None or bucket_by is None:
         p = latest_version(path)
         if p is not None:
-            # raw: constraints are carried resolved in every manifest
-            effective = _read_manifest_raw(path, p).get("constraints")
+            # raw: constraints/layout are carried resolved in every
+            # manifest, so this never triggers a chain replay
+            parent_raw = _read_manifest_raw(path, p)
+    effective = constraints
+    if effective is None and parent_raw is not None:
+        effective = parent_raw.get("constraints")
     if effective and validate:
         _validate_constraints(df, effective, path)
+    bucket_spec: dict | None = None
+    if bucket_by is not None:
+        bcol, bn = bucket_by
+        bn = int(bn)
+        if bn < 1:
+            raise ValueError(f"bucket_by needs >= 1 buckets (got {bn})")
+        if bcol not in df.columns:
+            raise ValueError(f"bucket_by column {bcol!r} not in the batch")
+        btype = df.schema[bcol].dataType.typeName()
+        if btype not in _BUCKET_OK_TYPES:
+            raise ValueError(
+                f"bucket_by column {bcol!r} is {btype}; portable bucket "
+                f"routing needs one of {sorted(_BUCKET_OK_TYPES)} (types "
+                "whose string form is render-identical across engines)"
+            )
+        bucket_spec = {"column": bcol, "buckets": bn}
+    elif mode == "append" and parent_raw is not None:
+        # the layout is table-level: appends re-apply it so the table
+        # stays uniformly bucketed without every caller knowing the spec
+        bucket_spec = parent_raw.get("bucket_spec")
+        if bucket_spec and bucket_spec["column"] not in df.columns:
+            bucket_spec = None  # schema drift: stage layout-less (kept)
     if cluster_by:
         df = (
             df.repartitionByRange(cluster_files, *cluster_by)
             if cluster_files
             else df.repartitionByRange(*cluster_by)
         ).sortWithinPartitions(*cluster_by)
+    pb = list(partition_by or [])
+    if bucket_spec:
+        if _BUCKET_SEG in df.columns:
+            raise ValueError(
+                f"{_BUCKET_SEG!r} is reserved for bucket routing"
+            )
+        df = df.withColumn(
+            _BUCKET_SEG,
+            _bucket_route_expr(bucket_spec["column"],
+                               bucket_spec["buckets"]),
+        )
+        pb.append(_BUCKET_SEG)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
-    if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
+    if pb:
+        missing = [c for c in pb if c not in df.columns]
         if missing:
             raise ValueError(
                 f"partition_by columns not in the batch: {missing}"
             )
-        df.write.mode("error").partitionBy(*partition_by).parquet(data_dir)
+        df.write.mode("error").partitionBy(*pb).parquet(data_dir)
     else:
         df.write.mode("error").parquet(data_dir)
     members = None
@@ -1303,6 +1369,12 @@ def snapshot_write(
             bits=member_bits, hashes=member_hashes,
         )
     schema_json = df.schema.jsonValue()
+    if bucket_spec:
+        # the routing column is layout, not data: path-only, never in
+        # the table schema, never materialized by readers
+        schema_json["fields"] = [
+            f for f in schema_json["fields"] if f["name"] != _BUCKET_SEG
+        ]
     if partition_by:
         # partition columns live in paths, not data files; every
         # file-level read materializes them post-hoc, so the recorded
@@ -1317,6 +1389,7 @@ def snapshot_write(
         stats_cols=stats_cols, schema=schema_json,
         members=members, constraints=effective,
         partition_cols=list(partition_by) if partition_by else None,
+        bucket_spec=bucket_spec,
     )
 
 
@@ -1334,6 +1407,7 @@ def snapshot_publish_staged(
     members: dict | None = None,
     constraints: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    bucket_spec: dict | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -1423,6 +1497,20 @@ def snapshot_publish_staged(
                 partition_cols if partition_cols is not None
                 else parent_pcols  # carried table-level, like schema
             )
+            parent_bspec = pm.get("bucket_spec")
+            if (
+                bucket_spec is not None
+                and parent_bspec is not None
+                and bucket_spec != parent_bspec
+            ):
+                raise ValueError(
+                    f"append bucketed by {bucket_spec} onto a table "
+                    f"bucketed by {parent_bspec}; the spec is "
+                    "table-level — overwrite to change it"
+                )
+            out_bspec = (
+                bucket_spec if bucket_spec is not None else parent_bspec
+            )
             payload = {
                 "version": version,
                 "parent": parent,
@@ -1439,6 +1527,7 @@ def snapshot_publish_staged(
                    else {}),
                 **({"partition_cols": list(out_pcols)} if out_pcols
                    else {}),
+                **({"bucket_spec": dict(out_bspec)} if out_bspec else {}),
                 **(extra or {}),
             }
         else:
@@ -1460,6 +1549,8 @@ def snapshot_publish_staged(
                    else {}),
                 **({"partition_cols": list(partition_cols)}
                    if partition_cols else {}),
+                **({"bucket_spec": dict(bucket_spec)} if bucket_spec
+                   else {}),
                 **(extra or {}),
             }
         try:
@@ -1516,10 +1607,12 @@ def prune_files(
         for f, s in m.get("members", {}).items()
     }
     part = _partition_pruner(m, where)
+    bkeep = _bucket_keep_fn(m, where)
     kept = [
         _abs_file(path, f)
         for f in m["files"]
         if part(_rel_file(path, f))
+        and (bkeep is None or bkeep(_rel_file(path, f)))
         and file_matches(stats.get(_rel_file(path, f)), where)
         and file_matches_members(membs.get(_rel_file(path, f)), where)
     ]
@@ -1628,6 +1721,92 @@ def _partition_values(rel: str, m: dict) -> dict:
                 else unquote(raw)
             )
     return out
+
+
+# --- hash-bucket layout (round 9) -------------------------------------------
+#: Reserved hive segment name for bucket routing. Bucket ids are
+#: path-derived per file exactly like partition values — zero manifest
+#: bloat — but the column is NEVER part of the table schema: readers
+#: never see it, only the planner does.
+_BUCKET_SEG = "__bucket"
+
+#: Types whose Spark CAST-to-string form matches Python's ``str()``
+#: and DuckDB's ``CAST(x AS VARCHAR)`` — the portability contract the
+#: routing hash rests on. Floats (exponent formatting), timestamps
+#: (precision rendering) and complex types are excluded.
+_BUCKET_OK_TYPES = {"byte", "short", "integer", "long", "string", "date"}
+
+
+def bucket_id_of(value, n_buckets: int) -> int | None:
+    """Driver-side mirror of the bucket routing expression
+    (``pmod(portable_hash60(col), n)``): the md5-tail hash is engine-
+    portable by construction (functions/hashx.py), so the PLANNER can
+    compute a predicate value's bucket without a JVM round-trip and an
+    ANSI oracle can recompute it as
+    ``md5_number_lower(CAST(v AS VARCHAR)) % 2**60 % n``. NULL routes
+    to None (a NULL key equi-matches nothing)."""
+    if value is None:
+        return None
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h60 = int.from_bytes(d[8:], "little") & ((1 << 60) - 1)
+    return h60 % int(n_buckets)
+
+
+def _bucket_route_expr(col: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    from harmony_energy_data_pipeline_spark.functions.hashx import (
+        portable_hash60,
+    )
+
+    return F.pmod(
+        portable_hash60(F.col(col)), F.lit(int(n_buckets))
+    ).cast("integer")
+
+
+def _file_bucket_id(rel: str) -> int | None:
+    """The bucket id a manifest-relative file path was routed to, or
+    None for files written outside the bucket layout (row-level
+    rewrites, un-bucketed appends) — those are conservatively kept by
+    every bucket prune."""
+    marker = _BUCKET_SEG + "="
+    for seg in rel.split("/")[:-1]:
+        if seg.startswith(marker):
+            try:
+                return int(seg[len(marker):])
+            except ValueError:
+                return None
+    return None
+
+
+def _bucket_keep_fn(m: dict, where: list[tuple]):
+    """File-level predicate from the table's hash-bucket layout: an
+    EQUALITY predicate on the bucketed column keeps exactly the files
+    of that value's bucket (plus layout-less files) — the point-lookup
+    prune that needs neither clustering nor sketches. AND-ed
+    equalities with different values keep only layout-less files (no
+    single bucket can hold both)."""
+    spec = m.get("bucket_spec")
+    if not spec:
+        return None
+    bcol = _schema_alias_map(m.get("schema")).get(
+        spec["column"], spec["column"]
+    )
+    wanted = {
+        bucket_id_of(lo, spec["buckets"])
+        for c, lo, hi in where
+        if c == bcol and lo is not None and lo == hi
+    }
+    if not wanted:
+        return None
+
+    def keep(rel: str) -> bool:
+        fb = _file_bucket_id(rel)
+        return fb is None or all(fb == b for b in wanted)
+
+    return keep
 
 
 _PART_INT_TYPES = {"byte", "short", "integer", "long"}
@@ -1744,11 +1923,26 @@ def _prune_files_arrow(
         return None  # renamed column: the dict path maps the lineage
     pcols = set(raw.get("partition_cols") or [])
     keep = None
+    bspec = raw.get("bucket_spec")
+    bcol = bspec["column"] if bspec else None
     for c, lo, hi in where:
         if c in pcols and (lo is not None or hi is not None):
             cond = _partition_cond_arrow(tbl["file"], raw, c, lo, hi)
             if cond is not None:
                 keep = cond if keep is None else pc.and_(keep, cond)
+        if c == bcol and lo is not None and lo == hi:
+            # bucket prune, vectorized: keep the value's bucket plus
+            # layout-less files (rewrites outside the hive dirs)
+            b = bucket_id_of(lo, bspec["buckets"])
+            cond = pc.or_(
+                pc.match_substring(
+                    tbl["file"], f"/{_BUCKET_SEG}={b}/"
+                ),
+                pc.invert(
+                    pc.match_substring(tbl["file"], f"/{_BUCKET_SEG}=")
+                ),
+            )
+            keep = cond if keep is None else pc.and_(keep, cond)
         if c not in typed:
             continue  # no recorded zone maps: every file stays
         try:
@@ -2404,6 +2598,12 @@ def snapshot_table_info(path: str, version: int | None = None) -> dict:
         # compaction restores them — this is that debt, observable)
         "partition_cols": list(m.get("partition_cols") or []),
         "partitioned_files": _count_partitioned_files(m),
+        # hash-bucket layout spec + the same observable debt shape:
+        # files staged outside the bucket dirs are never bucket-pruned
+        "bucket_spec": m.get("bucket_spec"),
+        "bucketed_files": sum(
+            1 for f in m["files"] if _file_bucket_id(f) is not None
+        ) if m.get("bucket_spec") else 0,
     }
 
 
@@ -2451,7 +2651,8 @@ def snapshot_files(
         tbl, meta, dv_overlay = res
         raw_m = _read_manifest_raw(path, v)
         schema_m = {
-            k: raw_m[k] for k in ("schema", "partition_cols")
+            k: raw_m[k]
+            for k in ("schema", "partition_cols", "bucket_spec")
             if k in raw_m
         }
         logicalize = _stats_logicalizer(raw_m.get("schema"))
@@ -2499,7 +2700,7 @@ def snapshot_files(
             ))
     schema = (
         "file string, bytes long, n_rows long, dv_vectors int, "
-        "partition map<string,string>, "
+        "partition map<string,string>, bucket int, "
         "stats map<string,struct<min_json:string,max_json:string>>"
     )
     return spark.createDataFrame(rows, schema)
@@ -2517,6 +2718,7 @@ def _file_row(
         "n_rows": n_rows,
         "dv_vectors": n_dv,
         "partition": parts or None,
+        "bucket": _file_bucket_id(f) if m.get("bucket_spec") else None,
         "stats": {
             c: {"min_json": json.dumps(e[0]), "max_json": json.dumps(e[1])}
             for c, e in stats.items() if not c.startswith("#")
@@ -2830,6 +3032,15 @@ def snapshot_compact(
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(n_files)
+        bspec = m.get("bucket_spec")
+        if bspec:
+            # same restoration contract as partitions: rows route back
+            # into their buckets (the column maps through any rename)
+            amap = _schema_alias_map(m.get("schema"))
+            bspec = (
+                amap.get(bspec["column"], bspec["column"]),
+                bspec["buckets"],
+            )
         try:
             return snapshot_write(
                 df, path, mode="overwrite",
@@ -2842,6 +3053,7 @@ def snapshot_compact(
                 # keeps (their files carry the columns as data);
                 # maintenance is where the exact layout is restored
                 partition_by=m.get("partition_cols"),
+                bucket_by=bspec,
                 validate=False,  # rows unchanged: already validated
             )
         except SnapshotConflictError as e:
@@ -4579,10 +4791,32 @@ def snapshot_merge_into(
                     return True
             return False
 
+        # bucket-layout scoping: on a table hash-bucketed by the merge
+        # key, a file in a bucket none of the source keys route to
+        # PROVABLY holds none of them — exact, zero per-file metadata,
+        # works even where no membership sketch was recorded. NULL
+        # source keys equi-match nothing, so they scope no file.
+        src_buckets: set | None = None
+        bspec = m.get("bucket_spec")
+        if bspec and src_keys is not None:
+            amap = _schema_alias_map(m.get("schema"))
+            if amap.get(bspec["column"], bspec["column"]) == key:
+                src_buckets = {
+                    bucket_id_of(kv, bspec["buckets"])
+                    for kv in src_keys if kv is not None
+                }
+
+        def _in_src_bucket(rel: str) -> bool:
+            if src_buckets is None:
+                return True
+            fb = _file_bucket_id(rel)
+            return fb is None or fb in src_buckets
+
         affected = [
             _abs_file(path, f)
             for f in m["files"]
-            if _may_hold(_rel_file(path, f))
+            if _in_src_bucket(_rel_file(path, f))
+            and _may_hold(_rel_file(path, f))
         ]
         if delete_scope:
             # files that may hold in-scope rows must also rewrite —
