@@ -5240,6 +5240,86 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Delta Lake wire-format interop -------------------------------------------------
+
+@_q("delta_roundtrip_digest", """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_tc,
+       bit_xor(o_orderkey) AS key_xor
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_delta_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake TABLE-FORMAT round trip (`sources/deltalake.py`):
+    orders commit to a real ``_delta_log`` (public protocol — JSON
+    commits, add actions with partitionValues, O_EXCL version claim)
+    partitioned by priority, in two commits (overwrite + append); the
+    read path replays the log and attaches partition values as
+    plan-time literals exactly as the spec requires (they are NOT in
+    the data files). The oracle aggregates the raw table — the hash
+    match proves the wire format round-trips losslessly, per
+    partition."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="delta_rt_") + "/t"
+    dl.write_delta(
+        od.filter(F.col("o_orderkey") % 2 == 0), path,
+        partition_by=["o_orderpriority"],
+    )
+    dl.write_delta(
+        od.filter(F.col("o_orderkey") % 2 == 1), path, mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    return dl.read_delta(spark, path).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("sum_tc"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    )
+
+
+@_q("delta_export_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE NOT (event_id >= 2000 AND event_id <= 3999)
+""")
+def q_delta_export_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native→Delta hand-off bridge: events live in the ENGINE's
+    snapshot log, a deletion-vector delete lands (merge-on-read —
+    something the Delta export must MATERIALIZE), then
+    ``snapshot_export_delta`` republishes the live state as one Delta
+    commit and the digest reads back through the wire format. The
+    oracle recomputes the post-delete state from the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "value"
+    )
+    sp = tempfile.mkdtemp(prefix="delta_exp_src_")
+    dp = tempfile.mkdtemp(prefix="delta_exp_dst_") + "/t"
+    snap.snapshot_write(
+        ev.repartitionByRange(4, "event_id"), sp, stats_cols=["event_id"]
+    )
+    snap.snapshot_delete_where_dv(spark, sp, [("event_id", 2000, 3999)])
+    dl.snapshot_export_delta(spark, sp, dp)
+    return dl.read_delta(spark, dp).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- hash-bucket layout in the snapshot log ----------------------------------------
 
 @_q("snapshot_bucket_counts", """

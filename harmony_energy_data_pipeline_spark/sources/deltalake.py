@@ -1,0 +1,414 @@
+"""Delta Lake TABLE-FORMAT interop — read and write the public
+``_delta_log`` protocol (delta.io PROTOCOL.md) with no delta-spark
+dependency, so tables move between this engine and any Delta reader
+(Spark+delta, DuckDB's delta extension, Trino, polars) as plain
+directories.
+
+Scope (honest, checked, raising beyond it):
+
+* **read**: JSON commits + classic ``*.checkpoint.parquet`` (via
+  ``_last_checkpoint``), last-metaData-wins schema, add/remove replay,
+  partition values attached as PLAN-TIME literals per the spec
+  (``add.partitionValues`` is authoritative — partition columns are
+  not stored in data files). Protocol gate: ``minReaderVersion <= 2``
+  without column-mapping / deletion-vector table features; anything
+  newer raises with the feature named rather than mis-reading.
+* **write**: protocol(1,2) + metaData + add actions with
+  ``numRecords`` stats; ``mode="append"`` emits adds only,
+  ``mode="overwrite"`` additionally emits removes for every
+  previously-live file. Commits are atomic per the spec's rule —
+  ``_delta_log/<v>.json`` is claimed with an O_EXCL create (the
+  put-if-absent primitive), so concurrent writers conflict instead of
+  clobbering.
+
+This module intentionally speaks the WIRE format only; the engine's
+own snapshot log (sinks/snapshots.py) remains the native table layer
+(DVs, CDF, zone maps, buckets). ``snapshot_export_delta`` bridges the
+two: one call republishes a native table's live state as a Delta
+commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+
+#: Reader feature gate: what this implementation actually understands.
+_MAX_READER_VERSION = 2
+_UNSUPPORTED_READER_FEATURES = {
+    "columnMapping", "deletionVectors", "v2Checkpoint", "typeWidening",
+    "timestampNtz", "variantType",
+}
+
+
+class DeltaProtocolError(ValueError):
+    """The table needs a protocol feature this reader doesn't speak."""
+
+
+def _log_path(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+
+
+def _list_log_versions(path: str) -> list[int]:
+    d = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and len(n) == 25:
+            try:
+                out.append(int(n[:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _read_last_checkpoint(path: str) -> dict | None:
+    p = os.path.join(path, _LOG_DIR, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None  # spec: _last_checkpoint is a hint, never load-bearing
+
+
+def _checkpoint_actions(path: str, version: int):
+    """Yield the action dicts of a classic single-file checkpoint
+    (``<v>.checkpoint.parquet``): each row carries exactly one non-null
+    action struct column (add / remove / metaData / protocol / txn)."""
+    import pyarrow.parquet as pq
+
+    f = os.path.join(
+        path, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+    if not os.path.exists(f):
+        raise FileNotFoundError(
+            f"_last_checkpoint names v{version} but {f} is missing"
+        )
+    tbl = pq.read_table(f)
+    for batch in tbl.to_pylist():
+        for kind in ("protocol", "metaData", "add", "remove"):
+            a = batch.get(kind)
+            if a is not None:
+                yield {kind: a}
+
+
+def _replay(path: str, version: int | None):
+    """Reconstruct ``(live_adds, metaData, protocol, version)`` by the
+    spec's replay rule: start from the newest checkpoint at or below
+    the requested version (when one exists), then apply JSON commits
+    in order — add puts, remove deletes, last metaData/protocol win."""
+    versions = _list_log_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
+    v = versions[-1] if version is None else version
+    if v not in versions and version is not None:
+        # the version may exist only inside a checkpoint-cleaned range
+        raise FileNotFoundError(f"Delta version {v} not in log {versions}")
+    adds: dict[str, dict] = {}
+    meta = proto = None
+    start = 0
+    ck = _read_last_checkpoint(path)
+    if ck and ck.get("version", -1) <= v:
+        for act in _checkpoint_actions(path, ck["version"]):
+            if "add" in act:
+                adds[act["add"]["path"]] = act["add"]
+            elif "remove" in act:
+                adds.pop(act["remove"]["path"], None)
+            elif "metaData" in act:
+                meta = act["metaData"]
+            elif "protocol" in act:
+                proto = act["protocol"]
+        start = ck["version"] + 1
+    for cv in range(start, v + 1):
+        lp = _log_path(path, cv)
+        if not os.path.exists(lp):
+            if cv in versions:  # listed but unreadable: real error
+                raise FileNotFoundError(lp)
+            continue  # checkpoint-cleaned gap
+        with open(lp, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    adds[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    proto = act["protocol"]
+    if meta is None:
+        raise DeltaProtocolError(
+            f"Delta log at {path} has no metaData action"
+        )
+    if proto is not None:
+        rv = proto.get("minReaderVersion", 1)
+        feats = set(proto.get("readerFeatures") or [])
+        bad = feats & _UNSUPPORTED_READER_FEATURES
+        if rv > _MAX_READER_VERSION and not feats:
+            raise DeltaProtocolError(
+                f"table needs minReaderVersion {rv}; this reader speaks "
+                f"<= {_MAX_READER_VERSION}"
+            )
+        if bad:
+            raise DeltaProtocolError(
+                f"table uses reader features {sorted(bad)} this reader "
+                "doesn't implement"
+            )
+    cm = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm not in ("none", ""):
+        raise DeltaProtocolError(
+            f"column mapping mode {cm!r} not supported"
+        )
+    return list(adds.values()), meta, proto, v
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta Lake table directory (any writer's) at ``version``
+    (default: latest). Schema comes from the last ``metaData``'s
+    ``schemaString``; partition columns attach as per-group plan-time
+    literals from ``add.partitionValues`` (the wire-format truth —
+    data files don't store them). Files are scanned as a FROZEN list,
+    so a concurrent commit never tears this reader."""
+    adds, meta, _proto, _v = _replay(path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(data_fields)
+    if not adds:
+        return spark.createDataFrame([], schema)
+    groups: dict[tuple, list[str]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(
+            os.path.join(path, unquote(a["path"]))
+        )
+    out = None
+    for key, files in sorted(
+        groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+    ):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, raw in zip(pcols, key):
+            lit = (
+                F.lit(None) if raw is None else F.lit(raw)
+            ).cast(ptypes[c])
+            df = df.withColumn(c, lit)
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def delta_table_version(path: str) -> int | None:
+    vs = _list_log_versions(path)
+    return vs[-1] if vs else None
+
+
+def delta_history(path: str) -> list[dict]:
+    """The ``commitInfo`` of every JSON commit still in the log,
+    oldest first — the ``DESCRIBE HISTORY`` surface."""
+    out = []
+    for v in _list_log_versions(path):
+        with open(_log_path(path, v), encoding="utf-8") as fh:
+            info = {}
+            for line in fh:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    info = act["commitInfo"]
+                    break
+        out.append({"version": v, **info})
+    return out
+
+
+def _stage_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+    """Write ``df``'s parquet files into the table directory (under
+    hive-style dirs when partitioned, per Delta convention) and return
+    their add actions. Files are INVISIBLE until a commit references
+    them — a crash here leaves unreferenced orphans, exactly the
+    spec's story."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    w = df.write.mode("error")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(staging)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for root, _dirs, names in os.walk(staging):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(root, n)
+            relsegs = os.path.relpath(src, staging).split(os.sep)
+            pvals: dict[str, str | None] = {}
+            for seg in relsegs[:-1]:
+                k, _sep, raw = seg.partition("=")
+                pvals[k] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+            final_name = f"part-{uuid.uuid4().hex}.parquet"
+            dst_dir = os.path.join(path, *relsegs[:-1])
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, final_name)
+            os.rename(src, dst)
+            rel = "/".join(
+                [quote(s) for s in relsegs[:-1]] + [final_name]
+            )
+            n_rows = pq.read_metadata(dst).num_rows
+            adds.append({
+                "path": rel,
+                "partitionValues": {c: pvals.get(c) for c in pcols},
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": n_rows}),
+            })
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    if not adds:
+        raise ValueError("empty batch: Delta commits need >= 1 data file")
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to a Delta Lake table directory any Delta reader
+    can open. ``overwrite`` removes every previously-live file in the
+    same atomic commit; ``append`` adds files under the existing
+    metaData (schema mismatches raise — evolution is an overwrite
+    decision here). The version file is claimed with an O_EXCL create:
+    two racing writers produce two consecutive versions or one clean
+    ``FileExistsError``, never a torn log. Returns the committed
+    version."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+    pcols = list(partition_by or [])
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in the batch: {missing}")
+    prev = delta_table_version(path)
+    prev_adds: list[dict] = []
+    meta = None
+    if prev is not None:
+        prev_adds, meta, _p, _v = _replay(path, prev)
+    if mode == "append" and meta is not None:
+        have = json.dumps(json.loads(meta["schemaString"]), sort_keys=True)
+        got = json.dumps(df.schema.jsonValue(), sort_keys=True)
+        if have != got:
+            raise ValueError(
+                "append schema differs from the table's metaData; "
+                "overwrite to evolve"
+            )
+        if list(meta.get("partitionColumns") or []) != pcols:
+            raise ValueError(
+                f"append partitioned by {pcols} onto a table partitioned "
+                f"by {meta.get('partitionColumns')}"
+            )
+    adds = _stage_files(df, path, pcols)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": mode.upper()},
+            "engineInfo": "harmony-energy-data-pipeline-spark",
+        }
+    }]
+    version = 0 if prev is None else prev + 1
+    if prev is None or mode == "overwrite":
+        actions.append({
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+        })
+        actions.append({
+            "metaData": {
+                "id": (meta or {}).get("id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(df.schema.jsonValue()),
+                "partitionColumns": pcols,
+                "configuration": {},
+                "createdTime": (meta or {}).get("createdTime", now_ms),
+            }
+        })
+    if mode == "overwrite":
+        for a in prev_adds:
+            actions.append({
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            })
+    actions.extend({"add": a} for a in adds)
+    final = _log_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        # put-if-absent: the spec's atomic-commit primitive
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"Delta version {version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    try:
+        with open(tmp, "rb") as src:
+            os.write(fd, src.read())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+        os.unlink(tmp)
+    return version
+
+
+def snapshot_export_delta(
+    spark: SparkSession, snapshot_path: str, delta_path: str,
+    version: int | None = None,
+) -> int:
+    """Republish a NATIVE snapshot table's live state (deletion
+    vectors applied, union schema, time-travel version honored) as
+    one Delta commit — the hand-off shape for downstream consumers
+    that speak Delta but not this engine's log."""
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        read_snapshot,
+    )
+
+    df = read_snapshot(spark, snapshot_path, version=version)
+    return write_delta(df, delta_path, mode="overwrite")
+
+
+__all__ = [
+    "read_delta", "write_delta", "delta_history", "delta_table_version",
+    "snapshot_export_delta", "DeltaProtocolError",
+]
