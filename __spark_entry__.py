@@ -5240,6 +5240,85 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANALYZE: table-level column statistics in the snapshot log ---------------------
+
+@_q("snapshot_analyze_digest", f"""
+WITH src AS (
+  SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'vc', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+  FROM events
+),
+c AS (SELECT col, COUNT(*) AS n, COUNT(val) AS nn FROM src GROUP BY col),
+h AS (
+  SELECT col, CAST(md5_number_lower(val) % {1 << 60} AS BIGINT) AS h
+  FROM src WHERE val IS NOT NULL
+),
+b AS (SELECT col, h % 512 AS idx, h // 512 AS w FROM h),
+reg AS (
+  SELECT col, idx, MAX(CASE WHEN w = 0 THEN 52
+                            ELSE 1 + bit_count((w & (-w)) - 1) END) AS r
+  FROM b GROUP BY col, idx
+),
+agg AS (
+  SELECT col, COUNT(*) AS n_registers,
+         SUM((1::BIGINT) << (52 - r)) AS s
+  FROM reg GROUP BY col
+),
+e AS (
+  SELECT col, n_registers, 512 - n_registers AS v_zero,
+         CAST(s + (512 - n_registers) * ((1::BIGINT) << 52) AS BIGINT)
+             AS scaled_sum
+  FROM agg
+),
+r2 AS (
+  SELECT *, 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+            * 4503599627370496.0 / CAST(scaled_sum AS DOUBLE) AS raw
+  FROM e
+),
+est AS (
+  SELECT col, round(CASE WHEN v_zero > 0 AND raw <= 2.5 * 512.0
+                         THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+                         ELSE raw END, 2) AS ndv_est
+  FROM r2
+)
+SELECT c.col AS col, CAST(c.n - c.nn AS BIGINT) AS n_nulls, est.ndv_est
+FROM c JOIN est USING (col)
+""")
+def q_snapshot_analyze_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE end-to-end (`sinks/analyze.py: snapshot_analyze`): the
+    table commits, ONE stacked pass sketches every column's NDV with
+    the portable integer HLL plus null counts, and the statistics land
+    as a metadata-only commit read back via
+    ``snapshot_column_stats``. The oracle recomputes the identical
+    register tables column-by-column in DuckDB — an APPROXIMATE
+    statistic checked by EXACT equality, which is the point of the
+    portable sketch."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import analyze as az
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    path = tempfile.mkdtemp(prefix="snap_analyze_")
+    snap.snapshot_write(ev.repartition(4), path)
+    az.snapshot_analyze(
+        spark, path, cols=["event_id", "event_type", "vc"]
+    )
+    cs = az.snapshot_column_stats(path)
+    rows = [
+        (c, st["n_nulls"], st["ndv_est"])
+        for c, st in cs["columns"].items()
+    ]
+    return spark.createDataFrame(
+        rows, "col string, n_nulls long, ndv_est double"
+    )
+
+
 # --- Delta Lake wire-format interop -------------------------------------------------
 
 @_q("delta_roundtrip_digest", """

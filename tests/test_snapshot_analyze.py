@@ -1,0 +1,100 @@
+"""ANALYZE column statistics + layout advisor (sinks/analyze.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.sinks import analyze as az
+from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="analyze_") + "/t"
+
+
+def _df(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),                      # NDV = n (key-like)
+        (F.col("id") % 5).cast("int").alias("cat"),  # NDV = 5
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 37))
+        .alias("s"),                                 # NDV = 37, 10% null
+    )
+
+
+def test_analyze_and_read_back(spark):
+    t = _tmp()
+    snap.snapshot_write(_df(spark), t)
+    v = az.snapshot_analyze(spark, t)
+    assert v == snap.latest_version(t)
+    cs = az.snapshot_column_stats(t)
+    assert cs["computed_at_version"] == v - 1
+    assert cs["n_rows"] == 1000
+    k = cs["columns"]["k"]
+    assert k["n_nulls"] == 0 and k["min"] == 0 and k["max"] == 999
+    # HLL standard error at m=512 is ~4.6%; allow 3 sigma
+    assert abs(k["ndv_est"] - 1000) < 0.15 * 1000
+    cat = cs["columns"]["cat"]
+    assert abs(cat["ndv_est"] - 5) < 2
+    s = cs["columns"]["s"]
+    assert s["n_nulls"] == 100
+    assert abs(s["ndv_est"] - 37) < 8
+    # the commit is metadata-only: same live files
+    m = snap._read_manifest(t, v)
+    assert m["files"] == snap._read_manifest(t, v - 1)["files"]
+
+
+def test_stats_survive_later_commits(spark):
+    t = _tmp()
+    snap.snapshot_write(_df(spark, 100), t)
+    az.snapshot_analyze(spark, t, cols=["k"])
+    snap.snapshot_write(_df(spark, 10), t, mode="append")
+    snap.snapshot_write(_df(spark, 10), t, mode="append")
+    cs = az.snapshot_column_stats(t)
+    assert cs is not None and cs["n_rows"] == 100  # stamped, stale
+    assert az.snapshot_column_stats(t)["computed_at_version"] == 0
+
+
+def test_never_analyzed_returns_none(spark):
+    t = _tmp()
+    snap.snapshot_write(_df(spark, 10), t)
+    assert az.snapshot_column_stats(t) is None
+    tips = az.suggest_layout(spark, t)
+    assert tips[0]["suggestion"] == "analyze"
+
+
+def test_bad_columns_raise(spark):
+    t = _tmp()
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.rand(1).alias("f")
+    )
+    snap.snapshot_write(df, t)
+    with pytest.raises(ValueError, match="non-portable"):
+        az.snapshot_analyze(spark, t, cols=["f"])
+    with pytest.raises(ValueError, match="not in the table"):
+        az.snapshot_analyze(spark, t, cols=["zzz"])
+    # default col selection skips the double silently
+    az.snapshot_analyze(spark, t)
+    assert list(az.snapshot_column_stats(t)["columns"]) == ["k"]
+
+
+def test_suggest_layout_rules(spark):
+    t = _tmp()
+    snap.snapshot_write(_df(spark), t)
+    az.snapshot_analyze(spark, t)
+    tips = {
+        (s["suggestion"], s.get("column")) for s in az.suggest_layout(spark, t)
+    }
+    assert ("bucket_by", "k") in tips          # NDV ≈ rows
+    assert ("partition_by", "cat") in tips     # NDV 5
+    assert ("stats_cols", None) in tips        # no zone maps recorded
+    # a bucketed, analyzed table stops suggesting bucket_by
+    t2 = _tmp()
+    snap.snapshot_write(_df(spark), t2, bucket_by=("k", 8),
+                        stats_cols=["k"])
+    az.snapshot_analyze(spark, t2)
+    tips2 = {s["suggestion"] for s in az.suggest_layout(spark, t2)}
+    assert "bucket_by" not in tips2 and "stats_cols" not in tips2
