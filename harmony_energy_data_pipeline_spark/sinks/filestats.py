@@ -217,8 +217,17 @@ def _pack_bits(buckets, bits: int) -> str:
 _FOLD_MAX_FILL = 0.5
 _FOLD_MIN_BITS = 4096
 
+#: Folding stops while the projected per-probe false-positive rate —
+#: fill^k for a k-hash Bloom — stays at or under this. The round-9
+#: bucket-vs-sketch measurement (`tools/measure_bucket_scale.py`)
+#: caught the previous flat 0.5 fill cap folding a 3-hash sketch to
+#: fill 0.35 (FP 4.2%/key): an 8-key merge rewrote 24 files where 8
+#: were true — fold savings paid back as rewrite amplification. At 2%
+#: the same merge rewrites ~9.
+_FOLD_FP_TARGET = 0.02
 
-def _fold_to_fit(buckets: set, bits: int) -> tuple[set, int]:
+
+def _fold_to_fit(buckets: set, bits: int, hashes: int = 1) -> tuple[set, int]:
     """Shrink an over-provisioned bitmap by FOLDING: position p in the
     half-size table collects every p' ≡ p (mod bits/2). For
     power-of-two tables this is EXACT, not approximate — the double-
@@ -228,11 +237,14 @@ def _fold_to_fit(buckets: set, bits: int) -> tuple[set, int]:
     bitmap is bit-identical to one collected directly at the smaller
     size. One table-wide ``member_bits`` sized for the LARGEST file
     therefore no longer taxes every small file ~87 KB: each file's
-    sketch folds to its own cardinality."""
-    while (
-        bits // 2 >= _FOLD_MIN_BITS
-        and len(buckets) / (bits // 2) <= _FOLD_MAX_FILL
-    ):
+    sketch folds to its own cardinality — but never past the point
+    where the folded FP rate (fill^hashes, bounded by the pre-
+    collision fill estimate) would exceed ``_FOLD_FP_TARGET``: a
+    sketch that no longer prunes is worse than a bigger one."""
+    while bits // 2 >= _FOLD_MIN_BITS:
+        fill = len(buckets) / (bits // 2)
+        if fill > _FOLD_MAX_FILL or fill ** hashes > _FOLD_FP_TARGET:
+            break
         bits //= 2
         buckets = {b % bits for b in buckets}
     return buckets, bits
@@ -253,7 +265,7 @@ def _pack_sketch(buckets, bits: int, hashes: int):
         for b in buckets:
             arr[b >> 3] |= 1 << (b & 7)
         return base64.b64encode(bytes(arr)).decode("ascii")  # legacy
-    buckets, bits = _fold_to_fit(set(buckets), bits)
+    buckets, bits = _fold_to_fit(set(buckets), bits, hashes)
     arr = bytearray(bits // 8)
     for b in buckets:
         arr[b >> 3] |= 1 << (b & 7)
