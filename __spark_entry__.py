@@ -5240,6 +5240,51 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- generated columns: derived partition layout ------------------------------------
+
+@_q("snapshot_generated_partition_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+""")
+def q_snapshot_generated_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS as derived partition layout (the Delta
+    generated-partition pattern, `sinks/snapshots.py:
+    _apply_generated`): writers supply only ``ts``; the table computes
+    ``day = CAST(ts AS DATE)`` from its table-level spec — on the
+    first write AND on an append that doesn't mention it — and
+    hive-partitions on it, so a calendar-day predicate prunes exactly
+    at planning time. The oracle filters the raw table by the
+    expression itself."""
+    import datetime as dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_gen_")
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        generated_cols={"day": "CAST(ts AS DATE)"},
+        partition_by=["day"],
+    )
+    snap.snapshot_write(  # append inherits the spec, computes day
+        ev.filter(F.col("event_id") % 2 == 1), path, mode="append",
+    )
+    d = dt.date(2024, 1, 10)
+    return snap.read_snapshot(
+        spark, path, where=[("day", d, d)]
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- ANALYZE: table-level column statistics in the snapshot log ---------------------
 
 @_q("snapshot_analyze_digest", f"""

@@ -74,19 +74,23 @@ _STANDARD_KEYS = frozenset(
      # hive partition spec (path-derived per-file values) — round 8
      "partition_cols",
      # hash-bucket layout spec ({"column", "buckets"}) — round 9
-     "bucket_spec"}
+     "bucket_spec",
+     # generated-column expressions ({col: sql_expr}) — round 9
+     "generated_cols"}
 )
 
 
 def _carry_pcols(src: dict) -> dict:
-    """The table-level LAYOUT spec — partition columns and hash-bucket
-    spec — carried resolved through every commit exactly like
-    schema/constraints."""
+    """The table-level LAYOUT spec — partition columns, hash-bucket
+    spec, generated-column expressions — carried resolved through
+    every commit exactly like schema/constraints."""
     out: dict = {}
     if src.get("partition_cols"):
         out["partition_cols"] = list(src["partition_cols"])
     if src.get("bucket_spec"):
         out["bucket_spec"] = dict(src["bucket_spec"])
+    if src.get("generated_cols"):
+        out["generated_cols"] = dict(src["generated_cols"])
     return out
 
 #: A resolution walk longer than this persists its result as a
@@ -113,6 +117,35 @@ _RESOLVE_CACHE_MAX = 32
 #: eviction is not atomic on its own. Cached CONTENT is safe unlocked
 #: (txid-keyed, immutable manifests); only the eviction races.
 _RESOLVE_CACHE_LOCK = threading.Lock()
+
+
+def _apply_generated(
+    df: DataFrame, spec: dict, path: str, validate: bool = True
+) -> DataFrame:
+    """Materialize/validate GENERATED columns for one batch: absent
+    columns compute from their expression; present columns must equal
+    it row-for-row (null-safe), checked in one aggregation pass."""
+    from pyspark.sql import functions as F
+
+    compute = {c: e for c, e in spec.items() if c not in df.columns}
+    check = {c: e for c, e in spec.items() if c in df.columns}
+    for c, e in compute.items():
+        df = df.withColumn(c, F.expr(e))
+    if check and validate:
+        aggs = [
+            F.sum(
+                F.when(~F.col(c).eqNullSafe(F.expr(e)), 1).otherwise(0)
+            ).alias(c)
+            for c, e in check.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {
+            f"generated {c} == {check[c]}": int(row[c])
+            for c in check if (row[c] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(path, bad)
+    return df
 
 
 class ConstraintViolationError(ValueError):
@@ -1197,8 +1230,22 @@ def snapshot_write(
     cluster_files: int | None = None,
     partition_by: list[str] | None = None,
     bucket_by: tuple | None = None,
+    generated_cols: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``generated_cols={col: sql_expr}``: GENERATED COLUMNS (the Delta
+    shape). A batch missing the column gets it COMPUTED from the
+    (deterministic) expression; a batch providing it is VALIDATED
+    against the expression in one aggregation pass — a mismatch
+    raises :class:`ConstraintViolationError` and commits nothing, so
+    the invariant ``col ≡ expr(row)`` holds for every committed row.
+    The spec is table-level: appends inherit and auto-compute, a
+    conflicting append spec raises. The canonical use is a DERIVED
+    PARTITION column — ``generated_cols={"day": "CAST(ts AS DATE)"},
+    partition_by=["day"]`` gives calendar-partitioned layout (exact
+    planning-time pruning on ``day``) while writers only ever supply
+    ``ts``.
 
     ``bucket_by=(column, n_buckets)``: HASH-BUCKET the batch — each
     row routes to ``pmod(portable_hash60(column), n)`` and files land
@@ -1296,12 +1343,20 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent_raw: dict | None = None
-    if constraints is None or bucket_by is None:
+    if constraints is None or bucket_by is None or generated_cols is None:
         p = latest_version(path)
         if p is not None:
             # raw: constraints/layout are carried resolved in every
             # manifest, so this never triggers a chain replay
             parent_raw = _read_manifest_raw(path, p)
+    gen_spec: dict | None = None
+    if generated_cols is not None:
+        gen_spec = {c: str(e) for c, e in generated_cols.items()}
+    elif mode == "append" and parent_raw is not None:
+        gen_spec = parent_raw.get("generated_cols")
+    if gen_spec:
+        # BEFORE constraints: they may reference the generated columns
+        df = _apply_generated(df, gen_spec, path, validate=validate)
     effective = constraints
     if effective is None and parent_raw is not None:
         effective = parent_raw.get("constraints")
@@ -1390,6 +1445,7 @@ def snapshot_write(
         members=members, constraints=effective,
         partition_cols=list(partition_by) if partition_by else None,
         bucket_spec=bucket_spec,
+        generated_cols=gen_spec,
     )
 
 
@@ -1408,6 +1464,7 @@ def snapshot_publish_staged(
     constraints: list[str] | None = None,
     partition_cols: list[str] | None = None,
     bucket_spec: dict | None = None,
+    generated_cols: dict | None = None,
 ) -> int:
     """Commit files already staged under ``<path>/data/<txid>/`` as a
     new snapshot — the publish half of :func:`snapshot_write`, exposed
@@ -1511,6 +1568,21 @@ def snapshot_publish_staged(
             out_bspec = (
                 bucket_spec if bucket_spec is not None else parent_bspec
             )
+            parent_gen = pm.get("generated_cols")
+            if (
+                generated_cols is not None
+                and parent_gen is not None
+                and generated_cols != parent_gen
+            ):
+                raise ValueError(
+                    f"append with generated columns {generated_cols} onto "
+                    f"a table with {parent_gen}; the spec is table-level "
+                    "— overwrite to change it"
+                )
+            out_gen = (
+                generated_cols if generated_cols is not None
+                else parent_gen
+            )
             payload = {
                 "version": version,
                 "parent": parent,
@@ -1528,6 +1600,7 @@ def snapshot_publish_staged(
                 **({"partition_cols": list(out_pcols)} if out_pcols
                    else {}),
                 **({"bucket_spec": dict(out_bspec)} if out_bspec else {}),
+                **({"generated_cols": dict(out_gen)} if out_gen else {}),
                 **(extra or {}),
             }
         else:
@@ -1551,6 +1624,8 @@ def snapshot_publish_staged(
                    if partition_cols else {}),
                 **({"bucket_spec": dict(bucket_spec)} if bucket_spec
                    else {}),
+                **({"generated_cols": dict(generated_cols)}
+                   if generated_cols else {}),
                 **(extra or {}),
             }
         try:
@@ -3054,6 +3129,7 @@ def snapshot_compact(
                 # maintenance is where the exact layout is restored
                 partition_by=m.get("partition_cols"),
                 bucket_by=bspec,
+                generated_cols=m.get("generated_cols"),
                 validate=False,  # rows unchanged: already validated
             )
         except SnapshotConflictError as e:
@@ -4161,6 +4237,26 @@ def snapshot_rename_column(
     match the lineage)."""
     if old == new:
         raise ValueError("rename to the same name is a no-op")
+    _pv = latest_version(path)
+    if _pv is not None:
+        gen = _read_manifest_raw(path, _pv).get("generated_cols") or {}
+        if old in gen:
+            raise ValueError(
+                f"{old!r} is a generated column; drop the generated "
+                "spec (overwrite) before renaming it"
+            )
+        import re as _re
+
+        hit = [
+            c for c, e in gen.items()
+            if _re.search(rf"\b{_re.escape(old)}\b", e)
+        ]
+        if hit:
+            raise ValueError(
+                f"column {old!r} is referenced by generated columns "
+                f"{hit}; their expressions would go stale — overwrite "
+                "with an updated spec first"
+            )
 
     def mutate(pm: dict) -> dict:
         if "schema" not in pm:
