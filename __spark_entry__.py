@@ -5408,6 +5408,47 @@ def q_delta_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("delta_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_tc,
+       bit_xor(o_orderkey) AS key_xor
+FROM orders
+WHERE o_orderkey >= 1000 AND o_orderkey <= 5000
+  AND o_orderpriority = '1-URGENT'
+""")
+def q_delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping THROUGH the Delta wire format: the writer records
+    per-file min/max in ``add.stats`` (the spec's statistics shape)
+    and hive partition values in ``add.partitionValues``;
+    ``read_delta(where=…)`` prunes add actions at planning time on
+    both — partition equality exactly, the key band via zone maps —
+    then re-applies the predicate row-level. The oracle filters the
+    raw table; the digest proves pruning never changes results."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="delta_pr_") + "/t"
+    dl.write_delta(
+        od.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        path, partition_by=["o_orderpriority"], stats_cols=["o_orderkey"],
+    )
+    return dl.read_delta(
+        spark, path,
+        where=[("o_orderkey", 1000, 5000),
+               ("o_orderpriority", "1-URGENT", "1-URGENT")],
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("sum_tc"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    )
+
+
 @_q("delta_export_digest", """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,

@@ -179,21 +179,115 @@ def _replay(path: str, version: int | None):
     return list(adds.values()), meta, proto, v
 
 
+def _typed_part(raw: str | None, dtype):
+    """A partition value's COMPARABLE form from its wire string: ints
+    and floats numerically, strings/ISO dates as-is. None when no
+    sound comparison exists (conservative keep)."""
+    if raw is None:
+        return None
+    t = dtype.typeName()
+    try:
+        if t in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if t in ("float", "double"):
+            return float(raw)
+        if t in ("string", "date"):
+            return raw
+    except ValueError:
+        return None
+    return None
+
+
+def _canon_bound(v):
+    import datetime as dt
+
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        return str(v)
+    return v
+
+
+def _add_matches(a: dict, where: list[tuple], pcols: list[str],
+                 ptypes: dict) -> bool:
+    """File-skip verdict for one add action: exact on partition
+    values, zone-map on ``stats`` min/max (any writer's — ours or
+    Delta's own), conservative everywhere information is missing.
+    Correctness never depends on this — the caller re-applies the
+    predicate row-level."""
+    pv = a.get("partitionValues") or {}
+    st = {}
+    if a.get("stats"):
+        try:
+            st = json.loads(a["stats"])
+        except (TypeError, ValueError):
+            st = {}
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for c, lo, hi in where:
+        lo, hi = _canon_bound(lo), _canon_bound(hi)
+        if c in pcols and pv.get(c) is not None:
+            v = _typed_part(pv[c], ptypes[c])
+            if v is not None:
+                if lo is not None and type(lo) is type(v) and v < lo:
+                    return False
+                if hi is not None and type(hi) is type(v) and v > hi:
+                    return False
+            continue
+        fmin, fmax = mins.get(c), maxs.get(c)
+        try:
+            if (
+                hi is not None and fmin is not None
+                and type(fmin) is type(hi) and fmin > hi
+            ):
+                return False
+            if (
+                lo is not None and fmax is not None
+                and type(fmax) is type(lo) and fmax < lo
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable stat/predicate types: keep
+    return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta Lake table directory (any writer's) at ``version``
     (default: latest). Schema comes from the last ``metaData``'s
     ``schemaString``; partition columns attach as per-group plan-time
     literals from ``add.partitionValues`` (the wire-format truth —
     data files don't store them). Files are scanned as a FROZEN list,
-    so a concurrent commit never tears this reader."""
+    so a concurrent commit never tears this reader.
+
+    ``where``: inclusive interval predicates ``[(col, lo, hi), …]``
+    (None = open end), AND-combined — the same contract as
+    ``read_snapshot``. Add actions are skipped at PLANNING time on
+    their ``partitionValues`` (exact) and ``stats``
+    minValues/maxValues (zone maps — written by Delta writers and by
+    :func:`write_delta` ``stats_cols``); the predicate then
+    re-applies row-level, so pruning is purely a scan-cost
+    optimization."""
     adds, meta, _proto, _v = _replay(path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = StructType(data_fields)
+    residual = None
+    if where:
+        residual = F.lit(True)
+        for c, lo, hi in where:
+            if lo is not None:
+                residual = residual & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                residual = residual & (F.col(c) <= F.lit(hi))
+        kept = [a for a in adds
+                if _add_matches(a, where, pcols, ptypes)]
+        if not kept and adds:
+            # keep the schema without scanning data: 1 file, 0 rows
+            kept, residual = adds[:1], F.lit(False)
+        adds = kept
     if not adds:
         return spark.createDataFrame([], schema)
     groups: dict[tuple, list[str]] = {}
@@ -215,7 +309,7 @@ def read_delta(
             df = df.withColumn(c, lit)
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
-    return out
+    return out if residual is None else out.filter(residual)
 
 
 def delta_table_version(path: str) -> int | None:
@@ -239,14 +333,49 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
-def _stage_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+def _delta_stats_json(dst: str, stats_cols: list[str] | None) -> str:
+    """The add action's ``stats`` JSON — numRecords always, plus
+    minValues/maxValues from the parquet footer for ``stats_cols``
+    (the spec's file-statistics shape any Delta reader understands).
+    Values JSON-encode like Delta writes them: numbers plain, dates
+    as ISO strings."""
+    import pyarrow.parquet as pq
+
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        file_column_stats,
+    )
+
+    if not stats_cols:
+        return json.dumps(
+            {"numRecords": pq.read_metadata(dst).num_rows}
+        )
+    st = file_column_stats(dst, list(stats_cols))
+
+    def enc(v):
+        try:
+            json.dumps(v)
+            return v
+        except (TypeError, ValueError):
+            return str(v)  # dates/timestamps → ISO strings
+
+    mins = {c: enc(b[0]) for c, b in st.items()
+            if not c.startswith("#")}
+    maxs = {c: enc(b[1]) for c, b in st.items()
+            if not c.startswith("#")}
+    return json.dumps({
+        "numRecords": int(st.get("#rows", 0)),
+        "minValues": mins,
+        "maxValues": maxs,
+    })
+
+
+def _stage_files(df: DataFrame, path: str, pcols: list[str],
+                 stats_cols: list[str] | None = None) -> list[dict]:
     """Write ``df``'s parquet files into the table directory (under
     hive-style dirs when partitioned, per Delta convention) and return
     their add actions. Files are INVISIBLE until a commit references
     them — a crash here leaves unreferenced orphans, exactly the
     spec's story."""
-    import pyarrow.parquet as pq
-
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
     w = df.write.mode("error")
     if pcols:
@@ -275,14 +404,13 @@ def _stage_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
             rel = "/".join(
                 [quote(s) for s in relsegs[:-1]] + [final_name]
             )
-            n_rows = pq.read_metadata(dst).num_rows
             adds.append({
                 "path": rel,
                 "partitionValues": {c: pvals.get(c) for c in pcols},
                 "size": os.path.getsize(dst),
                 "modificationTime": now_ms,
                 "dataChange": True,
-                "stats": json.dumps({"numRecords": n_rows}),
+                "stats": _delta_stats_json(dst, stats_cols),
             })
     import shutil
 
@@ -297,6 +425,7 @@ def write_delta(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta Lake table directory any Delta reader
     can open. ``overwrite`` removes every previously-live file in the
@@ -331,7 +460,7 @@ def write_delta(
                 f"append partitioned by {pcols} onto a table partitioned "
                 f"by {meta.get('partitionColumns')}"
             )
-    adds = _stage_files(df, path, pcols)
+    adds = _stage_files(df, path, pcols, stats_cols)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {
@@ -399,13 +528,21 @@ def snapshot_export_delta(
     """Republish a NATIVE snapshot table's live state (deletion
     vectors applied, union schema, time-travel version honored) as
     one Delta commit — the hand-off shape for downstream consumers
-    that speak Delta but not this engine's log."""
-    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
-        read_snapshot,
-    )
+    that speak Delta but not this engine's log. Columns the native
+    manifest zone-map-tracks export with min/max in ``add.stats``,
+    so the Delta consumer keeps file skipping."""
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
-    df = read_snapshot(spark, snapshot_path, version=version)
-    return write_delta(df, delta_path, mode="overwrite")
+    v = snap.latest_version(snapshot_path) if version is None else version
+    m = snap._read_manifest(snapshot_path, v)
+    stat_cols = sorted({
+        c for s in m.get("stats", {}).values() for c in s
+        if not c.startswith("#")
+    })
+    df = snap.read_snapshot(spark, snapshot_path, version=v)
+    return write_delta(
+        df, delta_path, mode="overwrite", stats_cols=stat_cols or None
+    )
 
 
 __all__ = [

@@ -202,3 +202,70 @@ def test_snapshot_export_bridge(spark):
     dl.snapshot_export_delta(spark, sp, dp)
     assert dl.read_delta(spark, dp).count() == 95
     assert dl.read_delta(spark, dp, version=0).count() == 90
+
+
+def test_where_prunes_on_stats_and_partitions(spark):
+    t = _tmp()
+    df = _df(spark, 0, 300).orderBy("k").coalesce(1)
+    # range-partition so per-file footer min/max are tight
+    dl.write_delta(
+        df.repartitionByRange(6, "k"), t, stats_cols=["k"],
+        partition_by=["p"],
+    )
+    adds, meta, _p, _v = dl._replay(t, None)
+    assert all(json.loads(a["stats"]).get("minValues") for a in adds)
+    # stats pruning: a narrow k band keeps a strict subset of adds
+    import pyspark.sql.types as T
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    kept = [a for a in adds
+            if dl._add_matches(a, [("k", 10, 20)], ["p"], ptypes)]
+    assert 0 < len(kept) < len(adds)
+    got = dl.read_delta(spark, t, where=[("k", 10, 20)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(10, 21))
+    # partition pruning: equality on p keeps only that partition's adds
+    kept_p = [a for a in adds
+              if dl._add_matches(a, [("p", 1, 1)], ["p"], ptypes)]
+    assert all(a["partitionValues"]["p"] == "1" for a in kept_p)
+    got_p = dl.read_delta(spark, t, where=[("p", 1, 1)])
+    assert got_p.count() == 100
+    # empty prune keeps the schema
+    assert dl.read_delta(spark, t, where=[("k", 10_000, 20_000)]).count() == 0
+
+
+def test_foreign_stats_prune(spark):
+    """Stats written by a FOREIGN writer (hand-built JSON) prune."""
+    t = _tmp()
+    _foreign_file(t, "a.parquet", [1, 2, 3])
+    _foreign_file(t, "b.parquet", [100, 200])
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+    ]}
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 3,
+                                      "minValues": {"k": 1},
+                                      "maxValues": {"k": 3}})}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"k": 100},
+                                      "maxValues": {"k": 200}})}},
+    ]
+    with open(dl._log_path(t, 0), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts))
+    adds, meta, _p, _v = dl._replay(t, None)
+    kept = [a for a in adds if dl._add_matches(a, [("k", 1, 5)], [], {})]
+    assert [a["path"] for a in kept] == ["a.parquet"]
+    got = dl.read_delta(spark, t, where=[("k", 1, 5)])
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
