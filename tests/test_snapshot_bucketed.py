@@ -215,3 +215,41 @@ def test_null_keys_scope_nothing(spark):
     # NULL merge key: equi-matches nothing, inserts fine
     snap.snapshot_merge_into(spark, t, src, key="name")
     assert snap.read_snapshot(spark, t).count() == 51
+
+
+def test_streaming_append_sink_inherits_layout(spark, tmp_path):
+    """A streaming append sink into a bucketed table with generated
+    columns: micro-batch commits route through snapshot_write, so the
+    table-level layout (buckets) and generated spec apply to every
+    batch without the sink knowing either exists."""
+    from harmony_energy_data_pipeline_spark.streaming.incremental import (
+        file_stream,
+        start_snapshot_append_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snap.snapshot_write(
+        base, t, bucket_by=("k", 4),
+        generated_cols={"v2": "v * 10"},
+    )
+    src = str(tmp_path / "src")
+    spark.range(10, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, spark.read.parquet(src).schema)
+    q = start_snapshot_append_sink(
+        stream, t, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    m = snap._read_manifest(t, snap.latest_version(t))
+    assert m["bucket_spec"] == {"column": "k", "buckets": 4}
+    assert all(_file_bucket_id(f) is not None for f in m["files"])
+    got = snap.read_snapshot(spark, t)
+    assert got.count() == 30
+    assert got.filter(F.col("v2") != F.col("v") * 10).count() == 0
+    # point lookup on the streamed table prunes to one bucket
+    kept, total = snap.prune_files(t, [("k", 25, 25)])
+    assert len(kept) < total
