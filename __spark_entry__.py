@@ -5240,6 +5240,44 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ALTER TABLE DROP COLUMN (metadata-only) -----------------------------------------
+
+@_q("snapshot_drop_column_digest", """
+SELECT COUNT(*) AS n_rows,
+       bit_xor(event_id) AS id_xor,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+""")
+def q_snapshot_drop_column_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN without rewriting a byte (`sinks/snapshots.py:
+    snapshot_drop_column`): the table commits with three columns, the
+    value column drops METADATA-ONLY (same live files, schema-on-read
+    projects it away), an append lands WITHOUT it, and the digest
+    reads the post-drop table. The dropped name is tombstoned —
+    re-adding it raises (old files' bytes would resurface) — pinned
+    in pytest; the oracle recomputes the surviving columns from the
+    raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_drop_")
+    snap.snapshot_write(ev.filter(F.col("event_id") % 2 == 0), path)
+    snap.snapshot_drop_column(path, "value")
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 2 == 1).drop("value"),
+        path, mode="append",
+    )
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 # --- generated columns: derived partition layout ------------------------------------
 
 @_q("snapshot_generated_partition_digest", """

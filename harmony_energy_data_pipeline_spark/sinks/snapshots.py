@@ -76,7 +76,9 @@ _STANDARD_KEYS = frozenset(
      # hash-bucket layout spec ({"column", "buckets"}) — round 9
      "bucket_spec",
      # generated-column expressions ({col: sql_expr}) — round 9
-     "generated_cols"}
+     "generated_cols",
+     # drop-column tombstones (names whose bytes live in old files) — round 9
+     "dropped_cols"}
 )
 
 
@@ -91,6 +93,8 @@ def _carry_pcols(src: dict) -> dict:
         out["bucket_spec"] = dict(src["bucket_spec"])
     if src.get("generated_cols"):
         out["generated_cols"] = dict(src["generated_cols"])
+    if src.get("dropped_cols"):
+        out["dropped_cols"] = list(src["dropped_cols"])
     return out
 
 #: A resolution walk longer than this persists its result as a
@@ -1534,6 +1538,19 @@ def snapshot_publish_staged(
             # WITHOUT a tracked schema poisons tracking for the merged
             # set too — claiming the batch schema covers the parent's
             # files would silently drop their extra columns.
+            tombs = pm.get("dropped_cols") or []
+            if schema is not None and tombs:
+                hit = [
+                    f["name"] for f in schema.get("fields", [])
+                    if f["name"] in tombs
+                ]
+                if hit:
+                    raise SchemaEvolutionError(
+                        f"append carries dropped column(s) {hit}: old "
+                        "files still hold that name's bytes, so re-adding "
+                        "it would resurface them — rename the batch "
+                        "column or overwrite the table"
+                    )
             if schema is not None:
                 out_schema = (
                     _merge_schema(pm["schema"], schema)
@@ -1601,6 +1618,7 @@ def snapshot_publish_staged(
                    else {}),
                 **({"bucket_spec": dict(out_bspec)} if out_bspec else {}),
                 **({"generated_cols": dict(out_gen)} if out_gen else {}),
+                **({"dropped_cols": list(tombs)} if tombs else {}),
                 **(extra or {}),
             }
         else:
@@ -4215,7 +4233,100 @@ def snapshot_add_column(
         )
         return {"schema": {**pm["schema"], "fields": fields}}
 
-    return _commit_metadata_only(path, mutate, "add_column", protocol)
+    def mutate_guarded(pm: dict) -> dict:
+        if name in (pm.get("dropped_cols") or []):
+            raise SchemaEvolutionError(
+                f"column {name!r} was DROPPED earlier; old files still "
+                "hold its bytes under that name, so re-adding it would "
+                "resurface them — pick another name or overwrite the "
+                "table"
+            )
+        return mutate(pm)
+
+    return _commit_metadata_only(path, mutate_guarded, "add_column",
+                                 protocol)
+
+
+@normalizes_paths('path')
+def snapshot_drop_column(
+    path: str, name: str, protocol: str = "link"
+) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (the Delta
+    drop-without-rewrite shape): the field leaves the table schema,
+    so every reader projects it away from this version on; no data
+    file is touched — the bytes stay in old files, invisible, until
+    rewrites retire them. Time travel to earlier versions still shows
+    the column (schema is carried per manifest).
+
+    The dropped name becomes a TOMBSTONE: re-adding it (DDL or an
+    append whose batch carries it) raises, because old files' bytes
+    under that name would silently resurface — Delta solves this with
+    physical column ids; this log solves it by refusing the
+    collision, which keeps per-file name resolution unambiguous.
+    Guards: layout columns (partition / bucket / generated), columns
+    referenced by generated expressions or table constraints refuse
+    to drop — those would strand live specs."""
+    import re as _re
+
+    def mutate(pm: dict) -> dict:
+        if "schema" not in pm:
+            raise ValueError(
+                f"snapshot table {path} records no schema; drop-column "
+                "requires schema-tracked tables"
+            )
+        logical = _schema_alias_map(pm["schema"]).get(name, name)
+        fields = [
+            f for f in pm["schema"]["fields"] if f["name"] != logical
+        ]
+        if len(fields) == len(pm["schema"]["fields"]):
+            raise ValueError(f"no column {name!r} in {path}")
+        if not fields:
+            raise ValueError("cannot drop a table's last column")
+        if logical in (pm.get("partition_cols") or []):
+            raise ValueError(
+                f"{logical!r} is a partition column; re-layout "
+                "(overwrite) before dropping it"
+            )
+        bspec = pm.get("bucket_spec") or {}
+        if bspec.get("column") == logical:
+            raise ValueError(
+                f"{logical!r} is the bucket column; re-layout "
+                "(overwrite) before dropping it"
+            )
+        gen = dict(pm.get("generated_cols") or {})
+        gen.pop(logical, None)  # dropping a generated col drops its spec
+        ref = [
+            c for c, e in gen.items()
+            if _re.search(rf"\b{_re.escape(logical)}\b", e)
+        ]
+        if ref:
+            raise ValueError(
+                f"{logical!r} is referenced by generated columns {ref}; "
+                "drop or redefine those first"
+            )
+        con = [
+            c for c in (pm.get("constraints") or [])
+            if _re.search(rf"\b{_re.escape(logical)}\b", c)
+        ]
+        if con:
+            raise ValueError(
+                f"{logical!r} is referenced by table constraints {con}; "
+                "clear them first (snapshot_set_constraints)"
+            )
+        # tombstone EVERY name the field ever had — any of them could
+        # still label bytes in some old file
+        dead = {logical}
+        for f in pm["schema"]["fields"]:
+            if f["name"] == logical:
+                dead.update(_field_aliases(f))
+        tombs = sorted(set(pm.get("dropped_cols") or []) | dead)
+        return {
+            "schema": {**pm["schema"], "fields": fields},
+            "generated_cols": gen or None,
+            "dropped_cols": tombs,
+        }
+
+    return _commit_metadata_only(path, mutate, "drop_column", protocol)
 
 
 @normalizes_paths('path')
