@@ -5240,6 +5240,37 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- arbitrary-SQL row-level predicates ----------------------------------------------
+
+@_q("snapshot_delete_expr_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE NOT (event_id % 13 = 0)
+""")
+def q_snapshot_delete_expr_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ops beyond interval triples: the DV delete takes an
+    ARBITRARY SQL predicate string (``event_id % 13 = 0`` — not
+    expressible as a range), skips file pruning (every file is a
+    candidate; the residual filter is the exact semantics), and still
+    costs O(matched) to write. The oracle recomputes the complement
+    from the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="snap_expr_")
+    snap.snapshot_write(ev.repartition(4), path)
+    snap.snapshot_delete_where_dv(spark, path, "event_id % 13 = 0")
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # --- ALTER TABLE DROP COLUMN (metadata-only) -----------------------------------------
 
 @_q("snapshot_drop_column_digest", """

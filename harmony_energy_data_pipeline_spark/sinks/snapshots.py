@@ -1665,7 +1665,7 @@ def _raw_n_files(m: dict) -> int:
 
 @normalizes_paths('path')
 def prune_files(
-    path: str, where: list[tuple], version: int | None = None
+    path: str, where, version: int | None = None
 ) -> tuple[list[str], int]:
     """Resolve ``version``'s manifest and drop every file whose
     recorded min/max interval (``stats_cols`` at commit time) proves
@@ -1686,6 +1686,12 @@ def prune_files(
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
+    if isinstance(where, str):
+        # arbitrary SQL predicate: no file-level statement can be made
+        # — every live file is a candidate (the residual filter is the
+        # exact semantics)
+        m = _read_manifest_light(path, v)
+        return [_abs_file(path, f) for f in m["files"]], len(m["files"])
     fast = _prune_files_arrow(path, v, where)
     if fast is not None:
         return fast
@@ -2225,12 +2231,17 @@ def _stats_agg_arrow(
     return out
 
 
-def _cond_from_where(where: list[tuple]):
-    """The residual DataFrame predicate for a list of inclusive
-    interval triples — the exact row-level meaning the file-level
-    pruning conservatively approximates."""
+def _cond_from_where(where):
+    """The residual DataFrame predicate: a list of inclusive interval
+    triples (the exact row-level meaning the file-level pruning
+    conservatively approximates), or an ARBITRARY SQL boolean string —
+    the general-predicate escape hatch every row-level op accepts.
+    String predicates skip file pruning (every file is a candidate);
+    correctness is identical, only scan scope differs."""
     from pyspark.sql import functions as F
 
+    if isinstance(where, str):
+        return F.expr(where)
     cond = F.lit(True)
     for col, lo, hi in where:
         if lo is not None:

@@ -117,3 +117,49 @@ def test_tombstones_survive_row_level_rewrites(spark):
     assert snap.read_snapshot(spark, t).count() == 45
     with pytest.raises(SchemaEvolutionError):
         snap.snapshot_add_column(t, "v", "long")
+
+
+class TestExprPredicates:
+    """Arbitrary SQL-string predicates on the row-level ops (the
+    escape hatch beyond interval triples; no pruning, same exactness)."""
+
+    def test_dv_delete_expr(self, spark):
+        t = _tmp()
+        snap.snapshot_write(_df(spark), t, stats_cols=["k"])
+        snap.snapshot_delete_where_dv(spark, t, "k % 13 = 0")
+        got = snap.read_snapshot(spark, t)
+        assert got.count() == 50 - len([i for i in range(50) if i % 13 == 0])
+        assert got.filter("k % 13 = 0").count() == 0
+
+    def test_cow_update_expr(self, spark):
+        t = _tmp()
+        snap.snapshot_write(_df(spark), t)
+        snap.snapshot_update_where(
+            spark, t, "k % 10 = 3 AND v > 10", {"v": "v + 1000"}
+        )
+        got = snap.read_snapshot(spark, t)
+        want = {
+            i: (2 * i + 1000 if i % 10 == 3 and 2 * i > 10 else 2 * i)
+            for i in range(50)
+        }
+        assert {r["k"]: r["v"] for r in got.collect()} == want
+
+    def test_read_snapshot_expr_where(self, spark):
+        t = _tmp()
+        snap.snapshot_write(_df(spark), t)
+        got = snap.read_snapshot(spark, t, where="k % 7 = 0 AND v < 60")
+        assert sorted(r["k"] for r in got.collect()) == [0, 7, 14, 21, 28]
+
+    def test_expr_change_feed_folds(self, spark):
+        """A string-predicate DV delete still feeds IVM exactly."""
+        from harmony_energy_data_pipeline_spark.pipeline import ivm
+
+        t = _tmp()
+        view = t + "_view"
+        snap.snapshot_write(_df(spark), t)
+        ivm.refresh_agg_view(spark, t, view, keys=["s"], sum_cols=["v"])
+        snap.snapshot_delete_where_dv(spark, t, "k % 2 = 0")
+        ivm.refresh_agg_view(spark, t, view, keys=["s"], sum_cols=["v"])
+        got = ivm.read_view(spark, view)
+        assert got.count() == 25
+        assert got.agg(F.sum("n")).first()[0] == 25
