@@ -5240,6 +5240,49 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQL facade with time travel ------------------------------------------------------
+
+@_q("snapshot_sql_timetravel", """
+SELECT o_orderpriority AS prio,
+       COUNT(*) AS n_now,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_snapshot_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface (`sql.py: snapshot_sql`): one ANSI query joins
+    a table's PRESENT against its own PAST via the Delta/Iceberg
+    ``VERSION AS OF`` syntax — each occurrence resolves to a frozen
+    ``read_snapshot`` at plan time. The table commits even order keys
+    at v0 and appends odd at v1; the query counts, per priority, the
+    current rows and how many joined nothing at v0 (= the appended
+    ones). The oracle derives both from the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql
+
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="snap_sql_")
+    snap.snapshot_write(od.filter(F.col("o_orderkey") % 2 == 0), path)
+    snap.snapshot_write(
+        od.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )
+    return snapshot_sql(spark, """
+        SELECT now.o_orderpriority AS prio,
+               COUNT(*) AS n_now,
+               CAST(SUM(CASE WHEN old.o_orderkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_new
+        FROM t now
+        LEFT JOIN (SELECT o_orderkey FROM t VERSION AS OF 0) old
+          ON now.o_orderkey = old.o_orderkey
+        GROUP BY now.o_orderpriority
+    """, {"t": path})
+
+
 # --- arbitrary-SQL row-level predicates ----------------------------------------------
 
 @_q("snapshot_delete_expr_digest", """
