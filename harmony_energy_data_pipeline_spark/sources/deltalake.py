@@ -100,28 +100,53 @@ def _checkpoint_actions(path: str, version: int):
     for batch in tbl.to_pylist():
         for kind in ("protocol", "metaData", "add", "remove"):
             a = batch.get(kind)
-            if a is not None:
-                yield {kind: a}
+            if a is None:
+                continue
+            # spec map columns (partitionValues, configuration) come
+            # off arrow as key/value tuple lists — normalize to dicts
+            for mk in ("partitionValues", "configuration"):
+                if isinstance(a.get(mk), list):
+                    a[mk] = dict(a[mk])
+            yield {kind: a}
 
 
 def _replay(path: str, version: int | None):
     """Reconstruct ``(live_adds, metaData, protocol, version)`` by the
-    spec's replay rule: start from the newest checkpoint at or below
-    the requested version (when one exists), then apply JSON commits
-    in order — add puts, remove deletes, last metaData/protocol win."""
+    spec's replay rule: start from the checkpoint when it covers the
+    requested version, then apply the JSON commits after it in order —
+    add puts, remove deletes, last metaData/protocol win. A GAP in the
+    JSON chain the checkpoint doesn't cover is an unreadable state and
+    raises (never a silently-partial table); versions at or below a
+    checkpoint whose JSONs were cleaned away remain readable THROUGH
+    the checkpoint only at exactly its version."""
     versions = _list_log_versions(path)
-    if not versions:
+    ck = _read_last_checkpoint(path)
+    ck_v = ck.get("version") if ck else None
+    latest = max(
+        [x for x in (versions[-1] if versions else None, ck_v)
+         if x is not None],
+        default=None,
+    )
+    if latest is None:
         raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
-    v = versions[-1] if version is None else version
-    if v not in versions and version is not None:
-        # the version may exist only inside a checkpoint-cleaned range
-        raise FileNotFoundError(f"Delta version {v} not in log {versions}")
+    v = latest if version is None else version
+    use_ck = ck_v is not None and ck_v <= v
+    start = ck_v + 1 if use_ck else 0
+    missing = [
+        cv for cv in range(start, v + 1)
+        if not os.path.exists(_log_path(path, cv))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta version {v} at {path} is unreadable: commit files "
+            f"{missing} are gone"
+            + (f" (checkpoint covers <= {ck_v})" if ck_v is not None
+               else "")
+        )
     adds: dict[str, dict] = {}
     meta = proto = None
-    start = 0
-    ck = _read_last_checkpoint(path)
-    if ck and ck.get("version", -1) <= v:
-        for act in _checkpoint_actions(path, ck["version"]):
+    if use_ck:
+        for act in _checkpoint_actions(path, ck_v):
             if "add" in act:
                 adds[act["add"]["path"]] = act["add"]
             elif "remove" in act:
@@ -130,14 +155,8 @@ def _replay(path: str, version: int | None):
                 meta = act["metaData"]
             elif "protocol" in act:
                 proto = act["protocol"]
-        start = ck["version"] + 1
     for cv in range(start, v + 1):
-        lp = _log_path(path, cv)
-        if not os.path.exists(lp):
-            if cv in versions:  # listed but unreadable: real error
-                raise FileNotFoundError(lp)
-            continue  # checkpoint-cleaned gap
-        with open(lp, encoding="utf-8") as fh:
+        with open(_log_path(path, cv), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -313,8 +332,15 @@ def read_delta(
 
 
 def delta_table_version(path: str) -> int | None:
+    """Latest version: the newest JSON commit or the checkpointed
+    version, whichever is higher (a cleaned log may keep only the
+    checkpoint)."""
     vs = _list_log_versions(path)
-    return vs[-1] if vs else None
+    ck = _read_last_checkpoint(path)
+    cand = [x for x in (vs[-1] if vs else None,
+                        ck.get("version") if ck else None)
+            if x is not None]
+    return max(cand) if cand else None
 
 
 def delta_history(path: str) -> list[dict]:
@@ -521,6 +547,121 @@ def write_delta(
     return version
 
 
+def write_delta_checkpoint(path: str, version: int | None = None) -> int:
+    """Write the CLASSIC single-file parquet checkpoint for
+    ``version`` (default: latest) plus the ``_last_checkpoint`` hint —
+    the spec's replay accelerator. The checkpoint is SPEC-TYPED
+    (``partitionValues`` as ``map<string,string>``, nested action
+    structs), so foreign Delta readers use it too, not just this
+    module's replay. Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, proto, v = _replay(path, version)
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema = pa.schema([
+        pa.field("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        pa.field("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])),
+        pa.field("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+    rows: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": proto.get("minWriterVersion", 2),
+        }, "metaData": None, "add": None},
+        {"protocol": None, "metaData": {
+            "id": meta.get("id"),
+            "format": {"provider": (meta.get("format") or {}).get(
+                "provider", "parquet")},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+            "configuration": list(
+                (meta.get("configuration") or {}).items()
+            ),
+            "createdTime": meta.get("createdTime"),
+        }, "add": None},
+    ]
+    for a in adds:
+        rows.append({"protocol": None, "metaData": None, "add": {
+            "path": a["path"],
+            "partitionValues": list(
+                (a.get("partitionValues") or {}).items()
+            ),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+        }})
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    ck = os.path.join(path, _LOG_DIR, f"{v:020d}.checkpoint.parquet")
+    tmp = ck + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, ck)
+    hint = os.path.join(path, _LOG_DIR, "_last_checkpoint")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    os.replace(tmp, hint)
+    return v
+
+
+def delta_vacuum(
+    path: str, retention_s: float = 7 * 24 * 3600.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data files no longer referenced by the table's LATEST
+    state whose modification time is older than ``retention_s`` — the
+    Delta ``VACUUM`` contract: removed files stay readable (time
+    travel) until retention expires; crash orphans (staged but never
+    committed) are swept by the same mtime rule. The log itself is
+    never touched. Returns the deleted (or, dry-run, deletable)
+    relative paths."""
+    live = {
+        unquote(a["path"])
+        for a in _replay(path, None)[0]
+    }
+    cutoff = time.time() - retention_s
+    out: list[str] = []
+    for root, dirs, names in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.split(os.sep)[0] == _LOG_DIR:
+            dirs[:] = []
+            continue
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, n)
+            rel = os.path.relpath(fp, path)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(fp) >= cutoff:
+                    continue
+                out.append(rel)
+                if not dry_run:
+                    os.unlink(fp)
+            except OSError:
+                continue
+    return sorted(out)
+
+
 def snapshot_export_delta(
     spark: SparkSession, snapshot_path: str, delta_path: str,
     version: int | None = None,
@@ -547,5 +688,6 @@ def snapshot_export_delta(
 
 __all__ = [
     "read_delta", "write_delta", "delta_history", "delta_table_version",
+    "write_delta_checkpoint", "delta_vacuum",
     "snapshot_export_delta", "DeltaProtocolError",
 ]

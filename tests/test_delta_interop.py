@@ -269,3 +269,68 @@ def test_foreign_stats_prune(spark):
     assert [a["path"] for a in kept] == ["a.parquet"]
     got = dl.read_delta(spark, t, where=[("k", 1, 5)])
     assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_checkpoint_roundtrip_own_writer(spark):
+    """write N commits → write a classic checkpoint → delete the
+    checkpointed JSONs (as log cleanup would) → replay still exact,
+    including partition values through the map-typed columns."""
+    t = _tmp()
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "k long, part string, v double",
+    )
+    dl.write_delta(df, t, partition_by=["part"], stats_cols=["k"])
+    dl.write_delta(
+        spark.createDataFrame([(9, "c", 9.0)],
+                              "k long, part string, v double"),
+        t, mode="append", partition_by=["part"],
+    )
+    v = dl.write_delta_checkpoint(t)
+    assert v == 1
+    for j in (0, 1):
+        os.unlink(dl._log_path(t, j))
+    dl.write_delta(
+        spark.createDataFrame([(10, "a", 10.0)],
+                              "k long, part string, v double"),
+        t, mode="append", partition_by=["part"],
+    )
+    got = dl.read_delta(spark, t)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3, 9, 10]
+    assert got.filter("part = 'a'").count() == 3
+    # stats survive the checkpoint → pruning still works
+    assert dl.read_delta(spark, t, where=[("k", 1, 2)]).count() == 2
+
+
+def test_delta_vacuum(spark):
+    import pathlib
+
+    t = _tmp()
+    dl.write_delta(_df(spark, 0, 20), t)
+    dl.write_delta(_df(spark, 20, 25), t)  # overwrite: v0 files removed
+    # a crash orphan: staged parquet never referenced by any commit
+    orphan = os.path.join(t, "part-orphan.parquet")
+    pathlib.Path(orphan).write_bytes(b"not really parquet")
+    old = time.time() - 100_000
+    # age everything not live
+    live = {a["path"] for a in dl._replay(t, None)[0]}
+    for root, _d, names in os.walk(t):
+        for n in names:
+            fp = os.path.join(root, n)
+            if n.endswith(".parquet") and \
+                    os.path.relpath(fp, t) not in live and \
+                    "_delta_log" not in fp:
+                os.utime(fp, (old, old))
+    dry = dl.delta_vacuum(t, retention_s=3600, dry_run=True)
+    assert "part-orphan.parquet" in dry and len(dry) >= 2
+    gone = dl.delta_vacuum(t, retention_s=3600)
+    assert gone == dry
+    assert not os.path.exists(orphan)
+    # live state unharmed; expired versions are no longer readable
+    assert dl.read_delta(spark, t).count() == 5
+    # a fresh (in-retention) removed file would have been kept
+    kept = dl.delta_vacuum(t, retention_s=3600, dry_run=True)
+    assert kept == []
+
+
+import time  # noqa: E402
