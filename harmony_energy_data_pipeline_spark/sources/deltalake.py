@@ -670,8 +670,10 @@ def snapshot_export_delta(
     vectors applied, union schema, time-travel version honored) as
     one Delta commit — the hand-off shape for downstream consumers
     that speak Delta but not this engine's log. Columns the native
-    manifest zone-map-tracks export with min/max in ``add.stats``,
-    so the Delta consumer keeps file skipping."""
+    manifest zone-map-tracks export with min/max in ``add.stats``
+    (file skipping survives the hand-off), and the native PARTITION
+    spec carries into the Delta table's ``partitionColumns`` (exact
+    partition pruning survives too)."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     v = snap.latest_version(snapshot_path) if version is None else version
@@ -682,7 +684,8 @@ def snapshot_export_delta(
     })
     df = snap.read_snapshot(spark, snapshot_path, version=v)
     return write_delta(
-        df, delta_path, mode="overwrite", stats_cols=stat_cols or None
+        df, delta_path, mode="overwrite", stats_cols=stat_cols or None,
+        partition_by=m.get("partition_cols"),
     )
 
 

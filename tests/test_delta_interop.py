@@ -334,3 +334,19 @@ def test_delta_vacuum(spark):
 
 
 import time  # noqa: E402
+
+
+def test_export_carries_partition_layout(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    sp, dp = _tmp(), _tmp()
+    snap.snapshot_write(_df(spark, 0, 60), sp, partition_by=["p"],
+                        stats_cols=["k"])
+    dl.snapshot_export_delta(spark, sp, dp)
+    adds, meta, _p, _v = dl._replay(dp, None)
+    assert meta["partitionColumns"] == ["p"]
+    assert {a["partitionValues"]["p"] for a in adds} == {"0", "1", "2"}
+    got = dl.read_delta(spark, dp, where=[("p", 1, 1)])
+    assert got.count() == 20
+    assert _rows(dl.read_delta(spark, dp)) == _rows(
+        snap.read_snapshot(spark, sp))
