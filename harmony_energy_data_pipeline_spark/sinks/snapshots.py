@@ -3106,7 +3106,7 @@ def snapshot_compact(
                 return _commit_partial_rewrite(
                     spark, path, v, m, small, packed,
                     kind="compact_small", protocol=protocol,
-                    extra={"compacted_from": v},
+                    extra={"compacted_from": v}, stage_in_layout=True,
                 )
             except (FileExistsError, SnapshotConflictError) as e:
                 last_err = e
@@ -3266,7 +3266,7 @@ def snapshot_rewrite_matching(
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, operation, protocol,
-                cdf_df=cdf_df,
+                cdf_df=cdf_df, stage_in_layout=True,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(
@@ -3647,6 +3647,7 @@ def _commit_partial_rewrite(
     protocol: str,
     cdf_df: DataFrame | None = None,
     extra: dict | None = None,
+    stage_in_layout: bool = False,
 ) -> int:
     """Stage ``new_df`` and publish version v+1 whose live set is
     (parent files − affected) + staged — the shared commit step of
@@ -3671,18 +3672,47 @@ def _commit_partial_rewrite(
     n_untouched = len(m["files"]) - len(affected_rel)
     txid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", txid)
+    stage_pb: list[str] = []
+    if stage_in_layout:
+        # stage the rewritten rows back INTO the table's hive/bucket
+        # layout, so partial rewrites (merge, bin-pack) don't decay
+        # partition/bucket pruning until the next full compaction —
+        # without this every merge adds layout-less files that all
+        # point lookups must conservatively keep
+        stage_pb = [
+            c for c in (m.get("partition_cols") or [])
+            if c in new_df.columns
+        ]
+        bspec = m.get("bucket_spec")
+        if bspec:
+            bcol = _schema_alias_map(m.get("schema")).get(
+                bspec["column"], bspec["column"]
+            )
+            if bcol in new_df.columns and _BUCKET_SEG not in new_df.columns:
+                new_df = new_df.withColumn(
+                    _BUCKET_SEG,
+                    _bucket_route_expr(bcol, bspec["buckets"]),
+                )
+                stage_pb.append(_BUCKET_SEG)
+
+    def _stage(df: DataFrame, target: str) -> None:
+        w = df.write.mode("error")
+        if stage_pb:
+            w = w.partitionBy(*stage_pb)
+        w.parquet(target)
+
     cdf_rel: list[str] = []
     if cdf_df is not None:
         # rows and change records share the txid dir but must not mix:
         # adds are listed from rows/ only
         rows_dir = os.path.join(data_dir, "rows")
         cdf_dir = os.path.join(data_dir, "cdf")
-        new_df.write.mode("error").parquet(rows_dir)
+        _stage(new_df, rows_dir)
         cdf_df.write.mode("error").parquet(cdf_dir)
         staged = _data_files(rows_dir)
         cdf_rel = [_rel_file(path, f) for f in _data_files(cdf_dir)]
     else:
-        new_df.write.mode("error").parquet(data_dir)
+        _stage(new_df, data_dir)
         staged = _data_files(data_dir)
     new_rel = [_rel_file(path, f) for f in staged]
     if not new_rel and not n_untouched:
@@ -3873,7 +3903,7 @@ def snapshot_replace_where(
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, "replace_where",
-                protocol, cdf_df=cdf_df,
+                protocol, cdf_df=cdf_df, stage_in_layout=True,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(
@@ -5098,7 +5128,7 @@ def snapshot_merge_into(
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, "merge_into", protocol,
-                cdf_df=cdf_df, extra=extra,
+                cdf_df=cdf_df, extra=extra, stage_in_layout=True,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(

@@ -168,11 +168,13 @@ def test_merge_scopes_to_source_buckets(spark):
 def test_compact_restores_layout(spark):
     t = _tmp()
     snap.snapshot_write(_df(spark, 200), t, bucket_by=("k", 4))
-    # a copy-on-write delete stages layout-less files
+    # round 9: a copy-on-write delete restages its surviving rows back
+    # INTO the bucket layout — point lookups keep pruning through it
     snap.snapshot_delete_where(spark, t, [("v", 0, 1)])
     m = snap._read_manifest(t, snap.latest_version(t))
-    assert any(_file_bucket_id(f) is None for f in m["files"])
-    kept_loose, total_loose = snap.prune_files(t, [("k", 42, 42)])
+    assert all(_file_bucket_id(f) is not None for f in m["files"])
+    kept_mid, total_mid = snap.prune_files(t, [("k", 42, 42)])
+    assert 0 < len(kept_mid) < total_mid
     snap.snapshot_compact(spark, t, target_file_mb=1)
     m2 = snap._read_manifest(t, snap.latest_version(t))
     assert m2["bucket_spec"] == {"column": "k", "buckets": 4}

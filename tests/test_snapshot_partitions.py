@@ -143,14 +143,17 @@ def test_table_info_reports_partition_layout_debt(spark, tmp_path):
     info = snap.snapshot_table_info(path)
     assert info["partition_cols"] == ["g"]
     assert info["partitioned_files"] == info["n_files"]
-    # a COW update scoped (by partition pruning) to g=2 restages only
-    # that partition's files unpartitioned — observable layout debt
+    # round 9: a COW update restages its rewritten rows INTO the hive
+    # layout (stage_in_layout), so row-level rewrites no longer accrue
+    # the layout debt they did in round 8 — the debt metric stays zero
     snap.snapshot_update_where(
         spark, path, [("g", 2, 2), ("k", 0, 10)],
         {"v": F.lit(-1).cast("long")},
     )
     info = snap.snapshot_table_info(path)
-    assert 0 < info["partitioned_files"] < info["n_files"]
+    assert info["partitioned_files"] == info["n_files"]
+    # the metric still exists for files staged OUTSIDE snapshot_write's
+    # layout path (e.g. a raw staged publish); compaction keeps it zero
     snap.snapshot_compact(spark, path, target_file_mb=1)
     info = snap.snapshot_table_info(path)
     assert info["partitioned_files"] == info["n_files"]
@@ -203,12 +206,13 @@ def test_clean_partitioned_scan_uses_literal_groups(spark, tmp_path):
 def test_compaction_restores_hive_layout(spark, tmp_path):
     path = str(tmp_path / "t")
     snap.snapshot_write(_df(spark, 0, 100), path, partition_by=["g"])
-    # a COW rewrite stages unpartitioned files (pruning degrades to
-    # conservative keeps on them)…
+    # round 9: a COW rewrite stages its surviving rows back INTO the
+    # hive layout, so pruning stays exact straight through it
     snap.snapshot_delete_where(spark, path, [("k", 0, 9)])
     kept_mid, total_mid = snap.prune_files(path, [("g", 2, 2)])
-    assert any("/g=" not in f for f in kept_mid)
-    # …and compaction restores the exact layout
+    assert all("/g=" in f for f in kept_mid)
+    assert all("/g=2/" in f for f in kept_mid) and len(kept_mid) < total_mid
+    # …and compaction keeps the exact layout
     v = snap.snapshot_compact(spark, path, target_file_mb=1)
     m = snap._read_manifest(path, v)
     assert m["partition_cols"] == ["g"]
