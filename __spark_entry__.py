@@ -5561,6 +5561,62 @@ def q_delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("delta_import_digest", """
+WITH src AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), all_rows AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT event_id + 10000000, event_type, vc + 1 FROM src
+     WHERE event_id % 5 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(vc) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM all_rows
+WHERE NOT (event_id >= 100 AND event_id <= 999)
+""")
+def q_delta_import_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta→native ADOPTION bridge (`sources/deltalake.py:
+    snapshot_import_delta`, the Iceberg migrate shape): a Delta table
+    is adopted IN PLACE — zero bytes copied, one manifest referencing
+    its live files, ``add.stats`` becoming native zone maps — then
+    evolves natively: an append and a deletion-vector delete land in
+    the NATIVE log on the adopted files. The oracle recomputes the
+    final state (original ∪ appended, minus the deleted band) from
+    the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", _cents("value").alias("vc")
+    )
+    path = tempfile.mkdtemp(prefix="delta_imp_") + "/t"
+    dl.write_delta(
+        ev.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+        path, stats_cols=["event_id"],
+    )
+    dl.snapshot_import_delta(spark, path)
+    snap.snapshot_write(
+        ev.filter(F.col("event_id") % 5 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "event_type", (F.col("vc") + 1).alias("vc"),
+        ),
+        path, mode="append",
+    )
+    snap.snapshot_delete_where_dv(spark, path, [("event_id", 100, 999)])
+    return snap.read_snapshot(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 @_q("delta_export_digest", """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,

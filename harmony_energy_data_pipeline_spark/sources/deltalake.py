@@ -662,6 +662,98 @@ def delta_vacuum(
     return sorted(out)
 
 
+def snapshot_import_delta(spark: SparkSession, delta_path: str,
+                          protocol: str = "link") -> int:
+    """Adopt a Delta Lake table IN PLACE as a NATIVE snapshot table —
+    the Iceberg ``snapshot``/``migrate`` shape: ZERO data copied, one
+    manifest commit referencing the Delta table's live files (a
+    ``_snapshots/`` sidecar lands next to ``_delta_log/``). What
+    carries over without a byte moving:
+
+    * live file set + schema (from the last metaData),
+    * per-file ``add.stats`` min/max → native ZONE MAPS (pruning
+      works on the imported table immediately),
+    * ``numRecords`` → native ``#rows`` (manifest-only COUNT works),
+    * the partition spec — VERIFIED: every add's authoritative
+      ``partitionValues`` must match its file's hive path segments
+      (our readers reconstruct partition columns from paths; a
+      foreign layout that doesn't encode them there would silently
+      mis-read, so it refuses instead).
+
+    From then on the table evolves in the NATIVE log only (appends,
+    MERGE, DVs, IVM…); the Delta log stays frozen at the imported
+    version — hand changes back with :func:`snapshot_export_delta`.
+    Raises if a native log already exists at the path."""
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    if snap.latest_version(delta_path) is not None:
+        raise FileExistsError(
+            f"{delta_path} already has a native snapshot log; import "
+            "adopts a table exactly once"
+        )
+    adds, meta, _proto, dv = _replay(delta_path, None)
+    if not adds:
+        raise ValueError(f"Delta table at {delta_path} has no live files")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    stats: dict = {}
+    files: list[str] = []
+    for a in adds:
+        rel = unquote(a["path"])
+        files.append(rel)
+        if pcols:
+            segs = {}
+            for seg in rel.split("/")[:-1]:
+                k, sep, raw = seg.partition("=")
+                if sep:
+                    segs[k] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(raw)
+                    )
+            pv = a.get("partitionValues") or {}
+            for c in pcols:
+                if segs.get(c) != pv.get(c):
+                    raise ValueError(
+                        f"add {rel!r}: partitionValues {pv!r} don't "
+                        f"match the hive path segments {segs!r}; this "
+                        "layout can't be adopted in place (native "
+                        "readers reconstruct partition columns from "
+                        "paths) — rewrite via read_delta + "
+                        "snapshot_write instead"
+                    )
+        st = {}
+        if a.get("stats"):
+            try:
+                st = json.loads(a["stats"])
+            except (TypeError, ValueError):
+                st = {}
+        entry: dict = {}
+        mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+        for c in set(mins) & set(maxs):
+            entry[c] = [mins[c], maxs[c]]
+        if st.get("numRecords") is not None:
+            entry["#rows"] = int(st["numRecords"])
+        if entry:
+            stats[rel] = entry
+    import time as _time
+
+    payload = {
+        "version": 0,
+        "parent": None,
+        "operation": "overwrite",
+        "txid": uuid.uuid4().hex[:12],
+        "committed_at_unix": int(_time.time()),
+        "files": files,
+        "n_live_files": len(files),
+        "schema": schema.jsonValue(),
+        "imported_from_delta": dv,
+        **({"stats": stats} if stats else {}),
+        **({"partition_cols": pcols} if pcols else {}),
+    }
+    snap._publish_manifest(delta_path, 0, payload, protocol=protocol)
+    return 0
+
+
 def snapshot_export_delta(
     spark: SparkSession, snapshot_path: str, delta_path: str,
     version: int | None = None,
@@ -692,5 +784,6 @@ def snapshot_export_delta(
 __all__ = [
     "read_delta", "write_delta", "delta_history", "delta_table_version",
     "write_delta_checkpoint", "delta_vacuum",
-    "snapshot_export_delta", "DeltaProtocolError",
+    "snapshot_export_delta", "snapshot_import_delta",
+    "DeltaProtocolError",
 ]

@@ -350,3 +350,63 @@ def test_export_carries_partition_layout(spark):
     assert got.count() == 20
     assert _rows(dl.read_delta(spark, dp)) == _rows(
         snap.read_snapshot(spark, sp))
+
+
+def test_import_adopts_delta_in_place(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    t = _tmp()
+    dl.write_delta(
+        _df(spark, 0, 120), t, partition_by=["p"], stats_cols=["k"]
+    )
+    assert dl.snapshot_import_delta(spark, t) == 0
+    # same rows through the NATIVE reader, partition columns intact
+    got = snap.read_snapshot(spark, t)
+    assert _rows(got) == _rows(_df(spark, 0, 120))
+    # imported stats → native zone maps prune; numRecords → metadata COUNT
+    kept, total = snap.prune_files(t, [("p", 1, 1)])
+    assert 0 < len(kept) < total
+    agg = snap.snapshot_stats_agg(t)
+    assert agg["n_rows"] == 120
+    # the table now evolves natively: append + DV delete + point read
+    snap.snapshot_write(
+        spark.createDataFrame([(999, 0, "zz")], "k long, p int, s string"),
+        t, mode="append",
+    )
+    snap.snapshot_delete_where_dv(spark, t, [("k", 0, 9)])
+    assert snap.read_snapshot(spark, t).count() == 111
+    # re-export hands the evolved state back to Delta consumers
+    dp = _tmp()
+    dl.snapshot_export_delta(spark, t, dp)
+    assert dl.read_delta(spark, dp).count() == 111
+    # import refuses a second adoption
+    with pytest.raises(FileExistsError, match="exactly once"):
+        dl.snapshot_import_delta(spark, t)
+
+
+def test_import_refuses_non_hive_partition_layout(spark):
+    t = _tmp()
+    _foreign_file(t, "random-name.parquet", [1, 2])
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {}},
+    ]}
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["part"],
+                      "configuration": {}, "createdTime": 0}},
+        # partitionValues say part=a but the path encodes nothing
+        {"add": {"path": "random-name.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(dl._log_path(t, 0), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts))
+    with pytest.raises(ValueError, match="hive path segments"):
+        dl.snapshot_import_delta(spark, t)
