@@ -99,7 +99,15 @@ def run(spark, sf_dir):
         if expected is None:
             expected = digest
         assert digest == expected, (kind, digest, expected)
+        # the same point lookup AFTER the merge: in-layout staging
+        # (round 9) keeps the bucketed table's pruning exact through
+        # row-level rewrites; sketched tables keep it via the fresh
+        # files' recomputed sketches
+        kept2, total2 = snap.prune_files(path, [("o_orderkey", keys[0],
+                                                 keys[0])])
         out[kind] = {
+            "lookup_files_post_merge": f"{len(kept2)}/{total2}",
+        } | {
             "files": n_files, "build_s": round(build_s, 2),
             "lookup_files": f"{len(kept)}/{total}",
             "plan_ms": round(plan_s * 1000, 1),
