@@ -5561,6 +5561,55 @@ def q_delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("delta_stream_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_delta_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING over a Delta-format log (`sources/deltastream.py`):
+    a real Structured Streaming query tails the `_delta_log` through
+    the registered Python DataSource — initial snapshot as batch
+    zero, the second commit's adds as the tail batch, partition
+    values attached executor-side from the add actions — into a
+    memory sink. The digest of everything the stream delivered must
+    hash-match the raw table: exactly-once, no loss, no duplication."""
+    import tempfile
+    import uuid as _uuid
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+    from harmony_energy_data_pipeline_spark.sources.deltastream import (
+        DeltaTableDataSource,
+    )
+
+    spark.dataSource.register(DeltaTableDataSource)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="delta_str_") + "/t"
+    dl.write_delta(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        partition_by=["event_type"],
+    )
+    dl.write_delta(
+        ev.filter(F.col("event_id") % 2 == 1), path, mode="append",
+        partition_by=["event_type"],
+    )
+    name = f"delta_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_table").option("path", path)
+        .load().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 @_q("delta_import_digest", """
 WITH src AS (
   SELECT event_id, event_type,
