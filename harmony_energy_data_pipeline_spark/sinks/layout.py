@@ -65,6 +65,31 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+def string_rank64(col: Column | str) -> Column:
+    """Order-preserving 60-bit integer image of a STRING dimension —
+    what lets z-order interleave strings next to numerics (the Delta
+    ``ZORDER BY`` string support shape): the first 15 hex digits
+    (7.5 bytes) of the UTF-8 encoding, zero-padded, read base-16.
+    Lexicographic byte order == numeric order by construction; ties
+    beyond the prefix share a bucket, which only costs layout
+    resolution, never correctness. Pure Catalyst (encode/hex/conv),
+    and small enough (< 2^60) that double bucket arithmetic keeps
+    full resolution. NULLs stay NULL (range-partitioned first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.hex(F.encode(c, "UTF-8"))
+    return F.conv(
+        F.rpad(F.substring(h, 1, 15), 15, "0"), 16, 10
+    ).cast("long")
+
+
+def string_rank64_py(s: str) -> int:
+    """Driver-side mirror of :func:`string_rank64` — converts STRING
+    zone-map bounds to the rank domain so a stats-tracked table
+    z-orders on string dimensions metadata-only."""
+    h = s.encode("utf-8").hex().upper()[:15]
+    return int(h.ljust(15, "0"), 16) if h else 0
+
+
 def scale_to_bits(
     col: Column | str, lo: float, hi: float, bits: int = 16
 ) -> Column:
@@ -181,5 +206,5 @@ def read_zorder(spark, path: str, fmt: str = "parquet"):
 
 __all__ = [
     "zorder_key", "zorder_key_sql", "scale_to_bits", "zorder_write",
-    "read_zorder",
+    "read_zorder", "string_rank64", "string_rank64_py",
 ]

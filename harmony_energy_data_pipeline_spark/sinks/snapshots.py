@@ -2927,19 +2927,31 @@ def _zorder_clustered(df, path: str, m: dict, cols: list, bits: int,
     dropped before write."""
     from harmony_energy_data_pipeline_spark.sinks.layout import (
         scale_to_bits,
+        string_rank64,
+        string_rank64_py,
         zorder_key,
     )
 
     dtypes = dict(df.dtypes)
+    str_cols: set = set()
     for c in cols:
         t = dtypes.get(c)
         if t is None:
             raise ValueError(f"zorder_by column {c!r} not in table schema")
-        if t.split("(")[0] not in _ZORDER_NUMERIC:
+        base = t.split("(")[0]
+        if base == "string":
+            # strings interleave through their order-preserving
+            # 60-bit rank (layout.string_rank64)
+            str_cols.add(c)
+        elif base not in _ZORDER_NUMERIC:
             raise ValueError(
-                f"zorder_by requires numeric columns; {c!r} is {t} — "
-                "bucket temporal/string dimensions into ints first"
+                f"zorder_by requires numeric or string columns; {c!r} "
+                f"is {t} — bucket temporal dimensions into ints first"
             )
+
+    def _dim_expr(c: str):
+        return string_rank64(c) if c in str_cols else F.col(c)
+
     per_bits = min(bits, 63 // max(1, len(cols)))
     stats = {_rel_file(path, f): s for f, s in m.get("stats", {}).items()}
     files = [_rel_file(path, f) for f in m.get("files", [])]
@@ -2951,23 +2963,31 @@ def _zorder_clustered(df, path: str, m: dict, cols: list, bits: int,
         ok = bool(files)
         for f in files:
             e = (stats.get(f) or {}).get(c)
+            want_str = c in str_cols
             if (
                 not e or e[0] is None or e[1] is None
-                or isinstance(e[0], (str, bool))
-                or isinstance(e[1], (str, bool))
+                or isinstance(e[0], bool) or isinstance(e[1], bool)
+                or isinstance(e[0], str) != want_str
+                or isinstance(e[1], str) != want_str
             ):
                 ok = False
                 break
-            los.append(e[0])
-            his.append(e[1])
+            if want_str:
+                los.append(string_rank64_py(e[0]))
+                his.append(string_rank64_py(e[1]))
+            else:
+                los.append(e[0])
+                his.append(e[1])
         if ok:
             bounds[c] = (min(los), max(his))
         else:
             missing.append(c)
     if missing:
         row = df.agg(
-            *[F.min(c).alias(f"__zlo_{i}") for i, c in enumerate(missing)],
-            *[F.max(c).alias(f"__zhi_{i}") for i, c in enumerate(missing)],
+            *[F.min(_dim_expr(c)).alias(f"__zlo_{i}")
+              for i, c in enumerate(missing)],
+            *[F.max(_dim_expr(c)).alias(f"__zhi_{i}")
+              for i, c in enumerate(missing)],
         ).collect()[0]
         for i, c in enumerate(missing):
             bounds[c] = (row[f"__zlo_{i}"], row[f"__zhi_{i}"])
@@ -2978,7 +2998,10 @@ def _zorder_clustered(df, path: str, m: dict, cols: list, bits: int,
             # constant/empty/all-null dimension: contributes nothing
             dims.append(F.lit(0).cast("long"))
         else:
-            dims.append(scale_to_bits(c, float(lo), float(hi), per_bits))
+            dims.append(
+                scale_to_bits(_dim_expr(c), float(lo), float(hi),
+                              per_bits)
+            )
     keyed = df.withColumn("__z", zorder_key(dims, per_bits))
     return (
         keyed.repartitionByRange(n_files, "__z")

@@ -89,3 +89,46 @@ def test_scale_to_bits_uses_full_range_for_float_spans(spark):
         scale_to_bits("d", 0.0, 0.1, bits=4).alias("b")).collect()]
     # full 4-bit range: max value clamps to bucket 15, midpoint to 8
     assert out == [0, 8, 15]
+
+
+def test_string_rank64_mirror_and_order(spark):
+    from harmony_energy_data_pipeline_spark.sinks.layout import (
+        string_rank64,
+        string_rank64_py,
+    )
+
+    vals = ["", "a", "ab", "abcdefgh", "abcdefghij", "naïve", "Z",
+            "1-URGENT", "5-LOW"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["r"] for r in df.select(
+        "s", string_rank64("s").alias("r")).collect()}
+    for v in vals:
+        assert got[v] == string_rank64_py(v), v
+    # order-preserving on byte order
+    ranked = sorted(vals, key=lambda v: string_rank64_py(v))
+    assert ranked == sorted(vals, key=lambda v: v.encode("utf-8")[:8])
+
+
+def test_zorder_compact_on_string_dimension(spark, tmp_path):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    t = str(tmp_path / "t")
+    df = spark.range(1_500_000).select(
+        (F.col("id") % 997).alias("k"),
+        F.concat(
+            F.lit("cat"), (F.col("id") % 7).cast("string")
+        ).alias("c"),
+        F.concat(F.lit("padding-padding-"), F.col("id")).alias("pad"),
+    )
+    snap.snapshot_write(df.repartition(8), t, stats_cols=["k", "c"])
+    snap.snapshot_compact(spark, t, target_file_mb=1,
+                          zorder_by=["k", "c"])
+    # predicates on EITHER dimension prune the z-ordered layout
+    kept_k, total = snap.prune_files(t, [("k", 10, 30)])
+    kept_c, _ = snap.prune_files(t, [("c", "cat3", "cat3")])
+    assert total > 2
+    assert len(kept_k) < total, "numeric dim should prune"
+    assert len(kept_c) < total, "string dim should prune"
+    # correctness: the layout changed nothing
+    got = snap.read_snapshot(spark, t, where=[("c", "cat3", "cat3")])
+    assert got.count() == df.filter("c = 'cat3'").count()
