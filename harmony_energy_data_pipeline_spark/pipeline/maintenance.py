@@ -331,6 +331,7 @@ def auto_maintain(
     stale_after_s: float = 3600.0,
     orphan_grace_s: float | None = None,
     bin_pack: bool = True,
+    analyze_stale_after: int | None = None,
 ) -> dict:
     """POLICY-driven locked maintenance: act only when the table's
     own metrics say it needs it, so the pass is cheap to schedule
@@ -353,12 +354,19 @@ def auto_maintain(
       a FULL compaction: the vectors may sit on right-sized files a
       bin-pack would carry untouched.
 
+    ``analyze_stale_after=N``: keep table-level COLUMN STATISTICS
+    fresh on the same schedule — re-run ``snapshot_analyze`` when the
+    last ANALYZE is more than N commits behind (or absent). The
+    optimizer-facing stats (NDV, nulls, bounds) then track the table
+    without anyone remembering to refresh them; cost is one stacked
+    pass only when actually stale.
+
     Then retention: ``vacuum_keep``/``keep_newer_than_s`` map to
     ``vacuum(keep_last=, keep_newer_than_s=)``. All under the
     breaker-guarded maintenance lock. Returns a decision record:
     ``{compacted, reason, version, files_before, files_after,
-    dv_files_before, vacuum_removed}`` — the auditable shape an ops
-    loop logs."""
+    dv_files_before, vacuum_removed, analyzed}`` — the auditable
+    shape an ops loop logs."""
     token = acquire_maintenance_lock(table_path, stale_after_s=stale_after_s)
     try:
         out: dict = {
@@ -403,6 +411,22 @@ def auto_maintain(
         else:
             out["reason"] = "healthy"
             out["files_after"] = info["n_files"]
+        out["analyzed"] = False
+        if analyze_stale_after is not None:
+            from harmony_energy_data_pipeline_spark.sinks.analyze import (
+                snapshot_analyze,
+                snapshot_column_stats,
+            )
+
+            cs = snapshot_column_stats(table_path)
+            cur = snap.latest_version(table_path)
+            stale = (
+                cs is None
+                or cur - cs["computed_at_version"] > analyze_stale_after
+            )
+            if stale:
+                snapshot_analyze(spark, table_path)
+                out["analyzed"] = True
         if vacuum_keep is not None or keep_newer_than_s is not None:
             out["vacuum_removed"] = snap.vacuum(
                 table_path,

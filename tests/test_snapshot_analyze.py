@@ -98,3 +98,33 @@ def test_suggest_layout_rules(spark):
     az.snapshot_analyze(spark, t2)
     tips2 = {s["suggestion"] for s in az.suggest_layout(spark, t2)}
     assert "bucket_by" not in tips2 and "stats_cols" not in tips2
+
+
+def test_auto_maintain_keeps_stats_fresh(spark):
+    from harmony_energy_data_pipeline_spark.pipeline.maintenance import (
+        auto_maintain,
+    )
+    from pyspark.sql import functions as F2
+
+    t = _tmp()
+    snap.snapshot_write(_df(spark, 100), t)
+    # never analyzed → the pass analyzes
+    out = auto_maintain(spark, t, analyze_stale_after=3)
+    assert out["analyzed"] is True
+    v0 = az.snapshot_column_stats(t)["computed_at_version"]
+    # fresh → no re-analyze
+    out = auto_maintain(spark, t, analyze_stale_after=3)
+    assert out["analyzed"] is False
+    # 4 commits later → stale → re-analyze
+    for i in range(4):
+        snap.snapshot_write(
+            spark.range(i, i + 1).select(
+                F2.col("id").alias("k"),
+                F2.lit(0).cast("int").alias("cat"),
+                F2.lit("x").alias("s"),
+            ),
+            t, mode="append",
+        )
+    out = auto_maintain(spark, t, analyze_stale_after=3)
+    assert out["analyzed"] is True
+    assert az.snapshot_column_stats(t)["computed_at_version"] > v0
