@@ -157,11 +157,17 @@ def _replay(path: str, version: int | None):
                 proto = act["protocol"]
     for cv in range(start, v + 1):
         with open(_log_path(path, cv), encoding="utf-8") as fh:
-            for line in fh:
+            for ln, line in enumerate(fh, 1):
                 line = line.strip()
                 if not line:
                     continue
-                act = json.loads(line)
+                try:
+                    act = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    raise ValueError(
+                        f"corrupt Delta commit {cv} at {path} "
+                        f"(line {ln}): {exc}"
+                    ) from exc
                 if "add" in act:
                     adds[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
@@ -341,6 +347,34 @@ def delta_table_version(path: str) -> int | None:
                         ck.get("version") if ck else None)
             if x is not None]
     return max(cand) if cand else None
+
+
+def delta_version_at_timestamp(path: str, ts_unix: float) -> int:
+    """The latest Delta version whose ``commitInfo.timestamp`` (ms) is
+    at or before ``ts_unix`` — the ``TIMESTAMP AS OF`` resolver. A
+    commit without commitInfo falls back to the commit file's mtime
+    (the spec makes commitInfo optional)."""
+    best = None
+    for v in _list_log_versions(path):
+        ts = None
+        with open(_log_path(path, v), encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    act = json.loads(line)
+                except json.JSONDecodeError:
+                    break
+                if "commitInfo" in act:
+                    ts = act["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = os.path.getmtime(_log_path(path, v)) * 1000
+        if ts / 1000.0 <= ts_unix:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at {path} at or before unix {ts_unix}"
+        )
+    return best
 
 
 def delta_history(path: str) -> list[dict]:

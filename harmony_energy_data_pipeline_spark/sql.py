@@ -55,23 +55,45 @@ def _ts_to_unix(ts: str) -> float:
     )
 
 
+def _is_delta_only(path: str) -> bool:
+    import os
+
+    return (
+        os.path.isdir(os.path.join(path, "_delta_log"))
+        and not os.path.isdir(os.path.join(path, "_snapshots"))
+    )
+
+
 def snapshot_sql(
     spark: SparkSession, query: str, tables: dict[str, str]
 ) -> DataFrame:
     """Run ``query`` with each name in ``tables`` resolved to its
-    snapshot table (latest version, or the version/timestamp the
-    query's travel clause names). Returns the result DataFrame."""
+    table (latest version, or the version/timestamp the query's
+    travel clause names). A path holding only a ``_delta_log``
+    resolves through the Delta wire-format reader — one SQL surface,
+    time travel included, over BOTH table formats (an adopted table's
+    native log wins). Returns the result DataFrame."""
     rewritten = query
     registered: dict[tuple, str] = {}
     for name, path in tables.items():
         pat = _travel_pattern(name)
+        is_delta = _is_delta_only(path)
 
-        def sub(mt: re.Match, _name=name, _path=path) -> str:
+        def sub(mt: re.Match, _name=name, _path=path,
+                _delta=is_delta) -> str:
             v: int | None
             if mt.group(1) is not None:
                 v = int(mt.group(1))
             elif mt.group(2) is not None:
-                v = version_at_timestamp(_path, _ts_to_unix(mt.group(2)))
+                ts = _ts_to_unix(mt.group(2))
+                if _delta:
+                    from harmony_energy_data_pipeline_spark.sources import (
+                        deltalake as dl,
+                    )
+
+                    v = dl.delta_version_at_timestamp(_path, ts)
+                else:
+                    v = version_at_timestamp(_path, ts)
             else:
                 v = None
             key = (_name, v)
@@ -80,8 +102,15 @@ def snapshot_sql(
                     _name if v is None
                     else f"{_name}__v{v}_{uuid.uuid4().hex[:6]}"
                 )
-                read_snapshot(spark, _path, version=v) \
-                    .createOrReplaceTempView(view)
+                if _delta:
+                    from harmony_energy_data_pipeline_spark.sources import (
+                        deltalake as dl,
+                    )
+
+                    df = dl.read_delta(spark, _path, version=v)
+                else:
+                    df = read_snapshot(spark, _path, version=v)
+                df.createOrReplaceTempView(view)
                 registered[key] = view
             return registered[key]
 

@@ -94,3 +94,71 @@ def test_bad_timestamp_raises(spark):
             spark, "SELECT * FROM tbl TIMESTAMP AS OF 'nope'",
             {"tbl": t},
         )
+
+
+def test_delta_tables_resolve_through_the_facade(spark):
+    """One SQL surface over both formats: a native table joins a
+    Delta-format table, version travel works on each."""
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    nt, dt = _tmp(), _tmp()
+    snap.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 2).alias("v")), nt,
+    )
+    dl.write_delta(
+        spark.range(10).select(F.col("id").alias("k"),
+                               F.concat(F.lit("d"), F.col("id"))
+                               .alias("tag")), dt,
+    )
+    dl.write_delta(
+        spark.range(10, 12).select(F.col("id").alias("k"),
+                                   F.lit("late").alias("tag")),
+        dt, mode="append",
+    )
+    got = snapshot_sql(spark, """
+        SELECT n.k, n.v, d.tag
+        FROM native n JOIN dtab VERSION AS OF 0 d ON n.k = d.k
+        ORDER BY n.k
+    """, {"native": nt, "dtab": dt})
+    rows = got.collect()
+    assert len(rows) == 10 and rows[3]["tag"] == "d3"
+    # latest delta version through the same facade
+    n = snapshot_sql(spark, "SELECT COUNT(*) AS n FROM dtab",
+                     {"dtab": dt}).first()["n"]
+    assert n == 12
+
+
+def test_delta_timestamp_travel_through_facade(spark):
+    import json
+    import os
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    dt = _tmp()
+    dl.write_delta(
+        spark.range(3).select(F.col("id").alias("k")), dt
+    )
+    dl.write_delta(
+        spark.range(3, 9).select(F.col("id").alias("k")), dt,
+        mode="append",
+    )
+    # pin commit timestamps so the cut is deterministic
+    for v, ms in ((0, 1_000_000_000_000), (1, 2_000_000_000_000)):
+        lp = dl._log_path(dt, v)
+        acts = [json.loads(x) for x in open(lp)]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ms
+        with open(lp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in acts))
+    import datetime as dtm
+
+    cut = dtm.datetime.fromtimestamp(1_500_000_000).strftime(
+        "%Y-%m-%d %H:%M:%S")
+    n = snapshot_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM dtab TIMESTAMP AS OF '{cut}'",
+        {"dtab": dt},
+    ).first()["n"]
+    assert n == 3
