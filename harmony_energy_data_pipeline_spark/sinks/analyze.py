@@ -223,6 +223,55 @@ def suggest_layout(spark: SparkSession, path: str) -> list[dict]:
             "reason": "no zone maps recorded: every predicate scans "
                       "all files; re-write or compact with stats_cols",
         })
+    out.extend(_clustering_advice(path, info))
+    return out
+
+
+#: Per-file spans averaging above this fraction of the column's
+#: domain mean the zone maps can't skip anything — the unclustered
+#: signature a range-clustered or z-ordered rewrite fixes.
+_UNCLUSTERED_SPAN = 0.5
+
+
+def _clustering_advice(path: str, info: dict) -> list[dict]:
+    """Zone-map EFFECTIVENESS advice: a stats-tracked NUMERIC column
+    whose files each span most of the domain has pruning-useless
+    stats (the round-written-unclustered signature); the fix is a
+    clustered/z-ordered compaction, and the evidence is the measured
+    span ratio, not a guess."""
+    m = snap._read_manifest(path, info["version"])
+    stats = m.get("stats") or {}
+    if len(m.get("files", [])) < 3:
+        return []
+    per_col: dict[str, list] = {}
+    for s in stats.values():
+        for c, e in s.items():
+            if c.startswith("#") or not isinstance(e, list):
+                continue
+            lo, hi = e[0], e[1]
+            if isinstance(lo, (int, float)) and isinstance(
+                hi, (int, float)
+            ) and not isinstance(lo, bool) and not isinstance(hi, bool):
+                per_col.setdefault(c, []).append((float(lo), float(hi)))
+    out = []
+    for c, spans in sorted(per_col.items()):
+        if len(spans) < 3:
+            continue
+        glo = min(lo for lo, _ in spans)
+        ghi = max(hi for _, hi in spans)
+        if ghi <= glo:
+            continue
+        ratio = sum(hi - lo for lo, hi in spans) / (
+            len(spans) * (ghi - glo)
+        )
+        if ratio >= _UNCLUSTERED_SPAN:
+            out.append({
+                "suggestion": "cluster_by", "column": c,
+                "reason": f"files span {ratio:.0%} of {c}'s domain on "
+                          "average — its zone maps can't prune; "
+                          "re-cluster via snapshot_compact("
+                          f"cluster_by=['{c}']) or zorder_by",
+            })
     return out
 
 

@@ -128,3 +128,25 @@ def test_auto_maintain_keeps_stats_fresh(spark):
     out = auto_maintain(spark, t, analyze_stale_after=3)
     assert out["analyzed"] is True
     assert az.snapshot_column_stats(t)["computed_at_version"] > v0
+
+
+def test_clustering_advice_from_span_ratio(spark):
+    from pyspark.sql import functions as F3
+
+    t = _tmp()
+    # round-robin write: every file spans the full k domain
+    df = spark.range(20_000).select(
+        F3.col("id").alias("k"), (F3.col("id") % 5).cast("int").alias("cat"),
+        F3.lit("x").alias("s"),
+    )
+    snap.snapshot_write(df.repartition(8), t, stats_cols=["k"])
+    az.snapshot_analyze(spark, t, cols=["k"])
+    tips = {(s["suggestion"], s.get("column"))
+            for s in az.suggest_layout(spark, t)}
+    assert ("cluster_by", "k") in tips
+    # re-cluster: the advice goes away
+    snap.snapshot_compact(spark, t, target_file_mb=1, cluster_by=["k"])
+    az.snapshot_analyze(spark, t, cols=["k"])
+    tips2 = {(s["suggestion"], s.get("column"))
+             for s in az.suggest_layout(spark, t)}
+    assert ("cluster_by", "k") not in tips2
