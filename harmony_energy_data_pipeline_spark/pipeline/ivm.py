@@ -710,6 +710,7 @@ def refresh_topk_view(
     payload_cols: list[str] | None = None,
     descending: bool = True,
     protocol: str = "link",
+    _shared: tuple | None = None,
 ) -> int:
     """Incrementally-maintained per-key TOP-K view — the leaderboard /
     keep-best shape: the view stores, for every group, the ``k`` rows
@@ -772,14 +773,27 @@ def refresh_topk_view(
         recompute()  # spec evolved: stored view lacks the columns
         return cur
     old = old_df.select(*cols)
+    # a fan-out refresh (refresh_topk_views) hands every view at the
+    # same position ONE persisted change read; use it only when this
+    # view's computed range matches the caller's (a racing commit
+    # between the group read and this refresh falls back to own reads)
+    sh_delta = sh_feed = None
+    if _shared is not None and _shared[0] == last and _shared[1] == cur:
+        sh_delta, sh_feed = _shared[2], _shared[3]
     danger = None
     try:
-        delta = snap.read_snapshot_changes(spark, source_path, last, cur)
+        delta = (
+            sh_delta if sh_delta is not None
+            else snap.read_snapshot_changes(spark, source_path, last, cur)
+        )
         merged = rank(old.unionByName(delta.select(*cols)))
     except ValueError:
         try:
-            feed = snap.read_snapshot_changes_feed(
-                spark, source_path, last, cur
+            feed = (
+                sh_feed if sh_feed is not None
+                else snap.read_snapshot_changes_feed(
+                    spark, source_path, last, cur
+                )
             )
         except ValueError:
             recompute()  # rewrite the feed can't express
@@ -840,6 +854,61 @@ def refresh_topk_view(
     finally:
         if danger is not None:
             danger.unpersist()
+    return cur
+
+
+def refresh_topk_views(
+    spark: SparkSession,
+    source_path: str,
+    specs: list[dict],
+    protocol: str = "link",
+) -> int:
+    """Refresh SEVERAL top-k views of one source table — the fan-out
+    shape (one fact stream, many leaderboards): each spec is
+    ``{"view_path", "keys", "order_col", "k", "tiebreak_cols"?,
+    "payload_cols"?, "descending"?}``. Views at the same reflected
+    position share ONE persisted change read per distinct version
+    range, so N leaderboards cost one delta scan, not N (the
+    :func:`refresh_agg_views` contract). Returns the source version
+    all views now reflect."""
+    cur = snap.latest_version(source_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {source_path}")
+    by_last: dict = {}
+    for spec in specs:
+        view_v = snap.latest_version(spec["view_path"])
+        last = None
+        if view_v is not None:
+            last = snap._read_manifest_raw(
+                spec["view_path"], view_v
+            ).get(SOURCE_VERSION_KEY)
+        if last != cur:
+            by_last.setdefault(last, []).append(spec)
+    for last, group in by_last.items():
+        delta = feed = None
+        if last is not None and len(group) > 1:
+            try:
+                delta = snap.read_snapshot_changes(
+                    spark, source_path, last, cur
+                ).persist()
+            except ValueError:
+                try:
+                    feed = snap.read_snapshot_changes_feed(
+                        spark, source_path, last, cur
+                    ).persist()
+                except ValueError:
+                    feed = None  # rewrite range: each view recomputes
+        try:
+            for spec in group:
+                refresh_topk_view(
+                    spark, source_path, protocol=protocol,
+                    _shared=(last, cur, delta, feed), **spec,
+                )
+        finally:
+            if delta is not None:
+                delta.unpersist()
+            if feed is not None:
+                feed.unpersist()
     return cur
 
 
@@ -1171,7 +1240,7 @@ def refresh_star_agg_view(
 __all__ = [
     "refresh_agg_view", "refresh_agg_views", "refresh_join_agg_view",
     "refresh_star_agg_view", "refresh_distinct_agg_view",
-    "refresh_topk_view",
+    "refresh_topk_view", "refresh_topk_views",
     "read_view", "read_distinct_view",
     "SOURCE_VERSION_KEY", "DIM_VERSION_KEY", "STAR_VERSIONS_KEY",
 ]

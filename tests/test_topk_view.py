@@ -218,3 +218,42 @@ def test_payload_columns_carried(spark):
     )
     out = ivm.read_view(spark, view).collect()
     assert len(out) == 1 and out[0]["tag"] == "y"
+
+
+def test_fanout_views_share_one_change_read(spark, monkeypatch):
+    """N leaderboards at the same position: the plural refresh reads
+    the change range ONCE and every view folds from it."""
+    src, _ = _paths()
+    v1 = src + "_v1"
+    v2 = src + "_v2"
+    snap.snapshot_write(
+        _mk(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)]),
+        src, stats_cols=["g"],
+    )
+    specs = [
+        dict(view_path=v1, keys=["g"], order_col="v", k=2,
+             tiebreak_cols=["rid"]),
+        dict(view_path=v2, keys=["g"], order_col="v", k=1,
+             tiebreak_cols=["rid"], descending=False),
+    ]
+    ivm.refresh_topk_views(spark, src, specs)
+    snap.snapshot_write(
+        _mk(spark, [("a", 4, 40), ("b", 5, 5)]), src, mode="append",
+    )
+    calls = {"n": 0}
+    real = snap.read_snapshot_changes
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(snap, "read_snapshot_changes", counted)
+    ivm.refresh_topk_views(spark, src, specs)
+    assert calls["n"] == 1  # one shared read for two views
+    assert _rows(ivm.read_view(spark, v1)) == [
+        ("a", 2, 20), ("a", 4, 40), ("b", 3, 30), ("b", 5, 5)]
+    assert _rows(ivm.read_view(spark, v2)) == [("a", 1, 10), ("b", 5, 5)]
+    # idempotent: both current → no reads, no commits
+    calls["n"] = 0
+    ivm.refresh_topk_views(spark, src, specs)
+    assert calls["n"] == 0
