@@ -43,11 +43,11 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 
 #: Reader feature gate: what this implementation actually understands.
+#: The spec's rule is an ALLOWLIST — a reader must refuse a table
+#: unless it implements EVERY listed readerFeature (a deny-list would
+#: silently mis-read tables using features invented after this code).
 _MAX_READER_VERSION = 2
-_UNSUPPORTED_READER_FEATURES = {
-    "columnMapping", "deletionVectors", "v2Checkpoint", "typeWidening",
-    "timestampNtz", "variantType",
-}
+_SUPPORTED_READER_FEATURES: set[str] = set()
 
 
 class DeltaProtocolError(ValueError):
@@ -98,7 +98,7 @@ def _checkpoint_actions(path: str, version: int):
         )
     tbl = pq.read_table(f)
     for batch in tbl.to_pylist():
-        for kind in ("protocol", "metaData", "add", "remove"):
+        for kind in ("protocol", "metaData", "add", "remove", "txn"):
             a = batch.get(kind)
             if a is None:
                 continue
@@ -131,6 +131,17 @@ def _replay(path: str, version: int | None):
         raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
     v = latest if version is None else version
     use_ck = ck_v is not None and ck_v <= v
+    if use_ck:
+        ck_file = os.path.join(
+            path, _LOG_DIR, f"{ck_v:020d}.checkpoint.parquet"
+        )
+        # _last_checkpoint is a HINT, never load-bearing (spec): when
+        # the named single-file checkpoint isn't usable — multi-part
+        # ('parts' present) or cleaned away — fall back to full JSON
+        # replay from version 0; only an actually-gapped JSON chain
+        # raises below.
+        if (ck or {}).get("parts") or not os.path.exists(ck_file):
+            use_ck = False
     start = ck_v + 1 if use_ck else 0
     missing = [
         cv for cv in range(start, v + 1)
@@ -183,16 +194,17 @@ def _replay(path: str, version: int | None):
     if proto is not None:
         rv = proto.get("minReaderVersion", 1)
         feats = set(proto.get("readerFeatures") or [])
-        bad = feats & _UNSUPPORTED_READER_FEATURES
         if rv > _MAX_READER_VERSION and not feats:
             raise DeltaProtocolError(
                 f"table needs minReaderVersion {rv}; this reader speaks "
                 f"<= {_MAX_READER_VERSION}"
             )
-        if bad:
+        unknown = feats - _SUPPORTED_READER_FEATURES
+        if unknown:
             raise DeltaProtocolError(
-                f"table uses reader features {sorted(bad)} this reader "
-                "doesn't implement"
+                f"table lists reader features {sorted(unknown)} this "
+                "reader doesn't implement (the spec requires refusing "
+                "unless ALL readerFeatures are supported)"
             )
     cm = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
@@ -202,6 +214,68 @@ def _replay(path: str, version: int | None):
             f"column mapping mode {cm!r} not supported"
         )
     return list(adds.values()), meta, proto, v
+
+
+def _collect_extras(path: str, version: int | None = None):
+    """Replay the log up to ``version`` (default: latest) collecting
+    what the LIVE-set replay drops but the spec still tracks:
+
+    * ``removes``: relative path → latest remove action (tombstones;
+      an add of the same path after its remove clears it — the file
+      is live again),
+    * ``txns``: appId → latest txn action (streaming-writer
+      idempotency state).
+
+    Reads through the checkpoint when one covers the range (fix-5
+    checkpoints carry both action kinds), else full JSON replay."""
+    versions = _list_log_versions(path)
+    ck = _read_last_checkpoint(path)
+    ck_v = ck.get("version") if ck else None
+    latest = max(
+        [x for x in (versions[-1] if versions else None, ck_v)
+         if x is not None],
+        default=None,
+    )
+    if latest is None:
+        return {}, {}
+    v = latest if version is None else version
+    use_ck = ck_v is not None and ck_v <= v
+    if use_ck:
+        ck_file = os.path.join(
+            path, _LOG_DIR, f"{ck_v:020d}.checkpoint.parquet"
+        )
+        if (ck or {}).get("parts") or not os.path.exists(ck_file):
+            use_ck = False
+    removes: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
+
+    def fold(act: dict) -> None:
+        if "remove" in act and act["remove"]:
+            removes[act["remove"]["path"]] = act["remove"]
+        elif "add" in act and act["add"]:
+            removes.pop(act["add"]["path"], None)
+        elif "txn" in act and act["txn"]:
+            t = act["txn"]
+            if t.get("appId") is not None:
+                txns[t["appId"]] = t
+    if use_ck:
+        for act in _checkpoint_actions(path, ck_v):
+            fold(act)
+    start = ck_v + 1 if use_ck else 0
+    for cv in range(start, v + 1):
+        p = _log_path(path, cv)
+        if not os.path.exists(p):
+            continue  # tombstones are best-effort over what remains
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    fold(json.loads(line))
+                except json.JSONDecodeError:
+                    break
+    return removes, txns
 
 
 def _typed_part(raw: str | None, dtype):
@@ -563,35 +637,50 @@ def write_delta(
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        # put-if-absent: the spec's atomic-commit primitive
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # put-if-absent: os.link makes the COMPLETE, fsynced file
+        # appear under the version name in ONE atomic step, so a
+        # concurrent _replay (or a racing overwrite computing
+        # prev_adds) can never observe an empty or torn commit —
+        # unlike a create-empty-then-write protocol, whose window
+        # between O_EXCL create and content write is readable partial
+        # state. FileExistsError = lost the race, whole and clean.
+        os.link(tmp, final)
     except FileExistsError:
-        os.unlink(tmp)
         raise FileExistsError(
             f"Delta version {version} at {path} was claimed by a "
             "concurrent writer; re-read and retry"
         )
-    try:
-        with open(tmp, "rb") as src:
-            os.write(fd, src.read())
-        os.fsync(fd)
     finally:
-        os.close(fd)
         os.unlink(tmp)
     return version
 
 
-def write_delta_checkpoint(path: str, version: int | None = None) -> int:
+def write_delta_checkpoint(
+    path: str, version: int | None = None,
+    retention_s: float = 7 * 24 * 3600.0,
+) -> int:
     """Write the CLASSIC single-file parquet checkpoint for
     ``version`` (default: latest) plus the ``_last_checkpoint`` hint —
     the spec's replay accelerator. The checkpoint is SPEC-TYPED
     (``partitionValues`` as ``map<string,string>``, nested action
     structs), so foreign Delta readers use it too, not just this
-    module's replay. Returns the checkpointed version."""
+    module's replay. Per the spec's checkpoint-contents requirements
+    it carries, beyond protocol/metaData/add: UNEXPIRED ``remove``
+    tombstones (deletionTimestamp within ``retention_s`` — a foreign
+    engine replaying from this checkpoint must not VACUUM
+    recently-removed files prematurely) and ``txn`` actions
+    (streaming-writer appId/version idempotency state). Returns the
+    checkpointed version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     adds, meta, proto, v = _replay(path, version)
+    removes, txns = _collect_extras(path, v)
+    tomb_cut_ms = (time.time() - retention_s) * 1000.0
+    removes = {
+        rel: r for rel, r in removes.items()
+        if (r.get("deletionTimestamp") or 0) >= tomb_cut_ms
+    }
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
     schema = pa.schema([
         pa.field("protocol", pa.struct([
@@ -614,13 +703,25 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
         ])),
+        pa.field("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+        pa.field("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ])),
     ])
+    none_row = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "txn": None}
     rows: list[dict] = [
-        {"protocol": {
+        {**none_row, "protocol": {
             "minReaderVersion": proto.get("minReaderVersion", 1),
             "minWriterVersion": proto.get("minWriterVersion", 2),
-        }, "metaData": None, "add": None},
-        {"protocol": None, "metaData": {
+        }},
+        {**none_row, "metaData": {
             "id": meta.get("id"),
             "format": {"provider": (meta.get("format") or {}).get(
                 "provider", "parquet")},
@@ -630,10 +731,10 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
                 (meta.get("configuration") or {}).items()
             ),
             "createdTime": meta.get("createdTime"),
-        }, "add": None},
+        }},
     ]
     for a in adds:
-        rows.append({"protocol": None, "metaData": None, "add": {
+        rows.append({**none_row, "add": {
             "path": a["path"],
             "partitionValues": list(
                 (a.get("partitionValues") or {}).items()
@@ -642,6 +743,20 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
             "modificationTime": a.get("modificationTime"),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+        }})
+    for rel in sorted(removes):
+        r = removes[rel]
+        rows.append({**none_row, "remove": {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp"),
+            "dataChange": bool(r.get("dataChange", True)),
+        }})
+    for app in sorted(txns):
+        t = txns[app]
+        rows.append({**none_row, "txn": {
+            "appId": t.get("appId"),
+            "version": t.get("version"),
+            "lastUpdated": t.get("lastUpdated"),
         }})
     tbl = pa.Table.from_pylist(rows, schema=schema)
     ck = os.path.join(path, _LOG_DIR, f"{v:020d}.checkpoint.parquet")
@@ -661,15 +776,21 @@ def delta_vacuum(
     dry_run: bool = False,
 ) -> list[str]:
     """Delete data files no longer referenced by the table's LATEST
-    state whose modification time is older than ``retention_s`` — the
-    Delta ``VACUUM`` contract: removed files stay readable (time
-    travel) until retention expires; crash orphans (staged but never
-    committed) are swept by the same mtime rule. The log itself is
-    never touched. Returns the deleted (or, dry-run, deletable)
-    relative paths."""
+    state — the Delta ``VACUUM`` contract (deletedFileRetentionDuration
+    semantics): a REMOVED file is protected until ``retention_s`` past
+    its remove action's ``deletionTimestamp`` (NOT its own mtime — a
+    year-old file removed a second ago must stay readable for time
+    travel and in-flight readers of recent versions); files with no
+    tombstone at all (staged-but-never-committed crash orphans) fall
+    back to the mtime rule. The log itself is never touched. Returns
+    the deleted (or, dry-run, deletable) relative paths."""
     live = {
         unquote(a["path"])
         for a in _replay(path, None)[0]
+    }
+    tombs = {
+        unquote(rel): (r.get("deletionTimestamp") or 0) / 1000.0
+        for rel, r in _collect_extras(path)[0].items()
     }
     cutoff = time.time() - retention_s
     out: list[str] = []
@@ -686,7 +807,10 @@ def delta_vacuum(
             if rel in live:
                 continue
             try:
-                if os.path.getmtime(fp) >= cutoff:
+                when = tombs.get(rel)
+                if when is None:
+                    when = os.path.getmtime(fp)
+                if when >= cutoff:
                     continue
                 out.append(rel)
                 if not dry_run:

@@ -322,6 +322,24 @@ def test_delta_vacuum(spark):
                     "_delta_log" not in fp:
                 os.utime(fp, (old, old))
     dry = dl.delta_vacuum(t, retention_s=3600, dry_run=True)
+    # tombstoned files are protected by their remove action's
+    # deletionTimestamp (seconds old), NOT their own mtime — only the
+    # never-committed orphan (no tombstone → mtime rule) is deletable
+    assert dry == ["part-orphan.parquet"]
+    # age the tombstones themselves: rewrite deletionTimestamp in the
+    # overwrite commit, then the removed files expire
+    import json as _json
+    c1 = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    lines = []
+    with open(c1) as fh:
+        for line in fh:
+            act = _json.loads(line)
+            if "remove" in act:
+                act["remove"]["deletionTimestamp"] = int(old * 1000)
+            lines.append(_json.dumps(act))
+    with open(c1, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    dry = dl.delta_vacuum(t, retention_s=3600, dry_run=True)
     assert "part-orphan.parquet" in dry and len(dry) >= 2
     gone = dl.delta_vacuum(t, retention_s=3600)
     assert gone == dry
