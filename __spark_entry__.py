@@ -7218,6 +7218,106 @@ def q_ivm_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 10: SQL DML + catalog ---------------------------------------------------
+
+@_q("sql_dml_digest", """
+WITH base AS (SELECT event_id AS k, value AS v FROM events),
+ins AS (
+  SELECT k + 10000000 AS k, v FROM base WHERE k % 11 = 0
+  UNION ALL SELECT 99000001, 1.25 UNION ALL SELECT 99000002, 2.5
+),
+t1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+t2 AS (SELECT k,
+              CASE WHEN k >= 1000 AND k < 3000 THEN v * 3 ELSE v END AS v
+       FROM t1),
+t3 AS (SELECT * FROM t2 WHERE NOT (k % 13 = 0)),
+src AS (SELECT k, v * 10 AS v FROM base WHERE k % 7 = 0),
+merged AS (
+  SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v
+  FROM t3 t FULL OUTER JOIN src s ON t.k = s.k
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM merged
+""")
+def q_sql_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML surface end-to-end (round 10): a catalog-resolved
+    CREATE TABLE AS → INSERT SELECT → INSERT VALUES → UPDATE (range
+    WHERE — prunes via parse_conjunctive_where) → DELETE (modulo
+    WHERE — conservative scan, exact residual) → canonical MERGE
+    chain, all through ``snapshot_sql_script`` with names resolved by
+    a ``Catalog`` (no path appears in any statement). The oracle
+    recomputes the final state as pure SELECT algebra over the raw
+    table. Reference analogue: the reference authors only a SELECT
+    (src/ingest/fetch_neso.py:66-71) — this is the write half a
+    warehouse user expects of a SQL facade."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlcat_"))
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    ).createOrReplaceTempView("sqldml_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE dmlt AS SELECT k, v FROM sqldml_events;
+      INSERT INTO dmlt
+        SELECT k + 10000000 AS k, v FROM sqldml_events WHERE k % 11 = 0;
+      INSERT INTO dmlt VALUES (99000001, 1.25), (99000002, 2.5);
+      UPDATE dmlt SET v = v * 3 WHERE k >= 1000 AND k < 3000;
+      DELETE FROM dmlt WHERE k % 13 = 0;
+      MERGE INTO dmlt USING (
+        SELECT k, v * 10 AS v FROM sqldml_events WHERE k % 7 = 0
+      ) AS s ON dmlt.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM dmlt
+    """, catalog=cat)
+
+
+@_q("sql_string_pruned_scan", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+  AND ts < TIMESTAMP '2024-01-19 00:00:00'
+""")
+def q_sql_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate pruning (round 10): the same 3-day window as
+    the triple form, but passed as a SQL WHERE STRING —
+    ``parse_conjunctive_where`` recovers the inclusive triples for
+    planning-time file skipping (strict < maps to the conservative
+    inclusive bound; the string itself stays the exact residual), so
+    ``where="ts >= X AND ts < Y"`` no longer scans every file."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snap_strprune_")
+    snap.snapshot_write(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=["ts"],
+    )
+    pruned = snap.read_snapshot(
+        spark, path,
+        where=("ts >= TIMESTAMP '2024-01-16 00:00:00' "
+               "AND ts < TIMESTAMP '2024-01-19 00:00:00'"),
+    )
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -49,6 +49,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import threading
 import time
 import uuid
@@ -1687,11 +1688,18 @@ def prune_files(
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     if isinstance(where, str):
-        # arbitrary SQL predicate: no file-level statement can be made
-        # — every live file is a candidate (the residual filter is the
-        # exact semantics)
-        m = _read_manifest_light(path, v)
-        return [_abs_file(path, f) for f in m["files"]], len(m["files"])
+        parsed = parse_conjunctive_where(where)
+        if parsed is None:
+            # predicate too rich for a file-level statement — every
+            # live file is a candidate (the residual filter is the
+            # exact semantics)
+            m = _read_manifest_light(path, v)
+            return (
+                [_abs_file(path, f) for f in m["files"]], len(m["files"])
+            )
+        # conjunctive range string: prune with the (conservatively
+        # inclusive) triples; the CALLER's residual stays the string
+        where = parsed
     fast = _prune_files_arrow(path, v, where)
     if fast is not None:
         return fast
@@ -2231,13 +2239,84 @@ def _stats_agg_arrow(
     return out
 
 
+_WHERE_BLOCKERS = re.compile(
+    r"\(|\bOR\b|\bNOT\b|\bIN\b|\bLIKE\b|\bBETWEEN\b|\bIS\b|\bCASE\b"
+    r"|\bEXISTS\b|<>|!=", re.IGNORECASE,
+)
+_WHERE_CLAUSE = re.compile(
+    r"^\s*(?:"
+    r"(?P<col>[A-Za-z_][A-Za-z_0-9]*)\s*(?P<op><=|>=|==|=|<|>)\s*(?P<lit>{L})"
+    r"|(?P<lit2>{L})\s*(?P<op2><=|>=|==|=|<|>)\s*(?P<col2>[A-Za-z_][A-Za-z_0-9]*)"
+    r")\s*$".format(
+        L=r"-?\d+(?:\.\d+)?|'[^']*'"
+          r"|DATE\s*'[^']*'|TIMESTAMP\s*'[^']*'"
+    ),
+    re.IGNORECASE,
+)
+_OP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _parse_where_literal(raw: str):
+    import datetime as _dt
+
+    up = raw.upper()
+    if up.startswith("DATE"):
+        body = raw[raw.index("'") + 1:-1]
+        return _dt.date.fromisoformat(body)
+    if up.startswith("TIMESTAMP"):
+        body = raw[raw.index("'") + 1:-1]
+        return _dt.datetime.fromisoformat(body)
+    if raw.startswith("'"):
+        return raw[1:-1]
+    if re.fullmatch(r"-?\d+", raw):
+        return int(raw)
+    return float(raw)
+
+
+def parse_conjunctive_where(s: str) -> "list[tuple] | None":
+    """Best-effort inclusive-interval triples from a CONJUNCTIVE SQL
+    range predicate — FOR FILE PRUNING ONLY (the original string stays
+    the exact row-level residual, so this can only ever change scan
+    scope, never results). Returns None for anything beyond a pure
+    AND of ``col <op> literal`` clauses (OR / NOT / parens / IN /
+    LIKE / IS NULL / functions → conservative keep-every-file).
+    Strict ``<`` / ``>`` map onto the inclusive triple bound — that
+    direction only KEEPS extra boundary files, never drops a match.
+    Literals: numbers, ``'str'``, ``DATE '…'``, ``TIMESTAMP '…'``."""
+    if _WHERE_BLOCKERS.search(s):
+        return None
+    out: list[tuple] = []
+    for clause in re.split(r"\bAND\b", s, flags=re.IGNORECASE):
+        mt = _WHERE_CLAUSE.match(clause)
+        if mt is None:
+            return None
+        if mt.group("col") is not None:
+            col, op, lit = mt.group("col"), mt.group("op"), mt.group("lit")
+        else:  # literal-first: flip into col-first form
+            col, lit = mt.group("col2"), mt.group("lit2")
+            op = _OP_FLIP[mt.group("op2")]
+        try:
+            v = _parse_where_literal(lit)
+        except ValueError:
+            return None
+        if op in ("=", "=="):
+            out.append((col, v, v))
+        elif op in (">=", ">"):
+            out.append((col, v, None))
+        else:  # <=, <
+            out.append((col, None, v))
+    return out
+
+
 def _cond_from_where(where):
     """The residual DataFrame predicate: a list of inclusive interval
     triples (the exact row-level meaning the file-level pruning
     conservatively approximates), or an ARBITRARY SQL boolean string —
     the general-predicate escape hatch every row-level op accepts.
-    String predicates skip file pruning (every file is a candidate);
-    correctness is identical, only scan scope differs."""
+    String predicates that parse as a pure conjunction of range
+    clauses still PRUNE files (see :func:`parse_conjunctive_where`);
+    anything richer scans every file. Correctness is identical either
+    way — only scan scope differs."""
     from pyspark.sql import functions as F
 
     if isinstance(where, str):

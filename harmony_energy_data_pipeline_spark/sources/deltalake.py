@@ -582,8 +582,23 @@ def write_delta(
     if prev is not None:
         prev_adds, meta, _p, _v = _replay(path, prev)
     if mode == "append" and meta is not None:
-        have = json.dumps(json.loads(meta["schemaString"]), sort_keys=True)
-        got = json.dumps(df.schema.jsonValue(), sort_keys=True)
+        def _lenient(node):
+            # nullability compares leniently: a stricter (non-null)
+            # batch is always safe to append into a nullable column
+            if isinstance(node, dict):
+                return {
+                    k: (True if k == "nullable" else _lenient(v))
+                    for k, v in node.items()
+                }
+            if isinstance(node, list):
+                return [_lenient(x) for x in node]
+            return node
+        have = json.dumps(
+            _lenient(json.loads(meta["schemaString"])), sort_keys=True
+        )
+        got = json.dumps(
+            _lenient(df.schema.jsonValue()), sort_keys=True
+        )
         if have != got:
             raise ValueError(
                 "append schema differs from the table's metaData; "

@@ -1,36 +1,88 @@
-"""SQL over snapshot tables, time travel included.
+"""SQL over snapshot tables — SELECT with time travel, plus the DML
+write surface (CREATE TABLE AS / INSERT / UPDATE / DELETE / MERGE /
+DROP) routed to the native snapshot operations.
 
-``snapshot_sql(spark, query, tables={name: path})`` is the SELECT
-surface a warehouse user expects: write ANSI SQL against named
-snapshot tables and travel with the Delta/Iceberg syntax —
+``snapshot_sql(spark, query, tables={name: path})`` is the surface a
+warehouse user expects: ANSI SQL against NAMED tables —
 
     SELECT * FROM orders VERSION AS OF 3
     SELECT * FROM orders TIMESTAMP AS OF '2026-08-16 12:00:00'
+    CREATE TABLE hot PARTITIONED BY (day) AS SELECT ... FROM events
+    INSERT INTO hot VALUES (1, 'a'), (2, 'b')
+    UPDATE hot SET v = v * 2 WHERE k >= 10 AND k < 20
+    DELETE FROM hot WHERE k = 7
+    MERGE INTO hot USING updates ON hot.k = updates.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
 
-Resolution is PLAN-TIME and per-occurrence: each distinct
+Names resolve through an explicit ``tables`` dict, a persistent
+:class:`~harmony_energy_data_pipeline_spark.catalog.Catalog`, or both
+(the dict wins). ``CREATE TABLE`` registers new names in the catalog
+at a default location, so paths never appear in SQL.
+
+SELECT resolution is PLAN-TIME and per-occurrence: each distinct
 ``(table, version)`` the query mentions becomes one frozen
 ``read_snapshot`` DataFrame registered as a temp view, so one query
 can join a table's present against its own past (the audit/diff
-shape) and a concurrent commit never tears any occurrence.
+shape) and a concurrent commit never tears any occurrence. A path
+holding only a ``_delta_log`` (or a catalog entry with
+``format='delta'``) resolves through the Delta wire-format reader —
+one SQL surface over BOTH table formats.
+
+DML routes to the native ops and inherits their semantics wholesale:
+
+* ``CREATE TABLE [IF NOT EXISTS] name [PARTITIONED BY (c, …)] AS
+  select`` → :func:`snapshot_write` (overwrite; the select may time
+  travel — CTAS from a historical version is the reproducible-input
+  shape);
+* ``INSERT INTO name [(cols)] select|VALUES …`` →
+  :func:`snapshot_write` append, batch aligned to the table schema
+  (missing nullable columns null-fill, types cast);
+* ``UPDATE name SET c = expr, … [WHERE pred]`` →
+  :func:`snapshot_update_where` — the WHERE string still PRUNES
+  files when it parses as a conjunction of range clauses
+  (:func:`parse_conjunctive_where`);
+* ``DELETE FROM name [WHERE pred]`` → :func:`snapshot_delete_where`;
+* ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  WHEN NOT MATCHED THEN INSERT *`` → :func:`snapshot_merge_into`
+  (the source may be a name or a parenthesized sub-select);
+* ``DROP TABLE [IF EXISTS] name`` → catalog unbind, METADATA-ONLY
+  (external-table semantics: data files stay for other readers).
+
+Time travel on a DML TARGET is refused — you cannot UPDATE the past.
+DML returns a one-row DataFrame ``(operation, table, version)`` so
+results compose with the rest of the facade.
 
 Scope honestly stated: the travel clause is recognized after a
 registered table name (optionally aliased) — the regex rewrite does
 not parse full SQL, so a string literal containing ``<name> VERSION
 AS OF`` would be rewritten too; keep such literals out of queries run
 through this facade (the standard caveat of every lightweight SQL
-preprocessor).
+preprocessor). MERGE supports exactly the canonical upsert clause
+pair — richer WHEN forms raise with the native API to use instead.
+
+Reference parity: the only SQL the reference itself authors is a
+SELECT pushed to CKAN (src/ingest/fetch_neso.py:66-71); the DML half
+here is what makes a SQL facade over a writable lakehouse usable.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.catalog import Catalog
 from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+    latest_version,
     read_snapshot,
+    snapshot_delete_where,
+    snapshot_merge_into,
+    snapshot_update_where,
+    snapshot_write,
     version_at_timestamp,
 )
 
@@ -56,30 +108,47 @@ def _ts_to_unix(ts: str) -> float:
 
 
 def _is_delta_only(path: str) -> bool:
-    import os
-
     return (
         os.path.isdir(os.path.join(path, "_delta_log"))
         and not os.path.isdir(os.path.join(path, "_snapshots"))
     )
 
 
-def snapshot_sql(
-    spark: SparkSession, query: str, tables: dict[str, str]
-) -> DataFrame:
-    """Run ``query`` with each name in ``tables`` resolved to its
-    table (latest version, or the version/timestamp the query's
-    travel clause names). A path holding only a ``_delta_log``
-    resolves through the Delta wire-format reader — one SQL surface,
-    time travel included, over BOTH table formats (an adopted table's
-    native log wins). Returns the result DataFrame."""
+def _resolve_names(
+    tables: dict[str, str] | None, catalog: Catalog | None
+) -> dict[str, dict]:
+    """Combined name → ``{path, format}`` map; the explicit dict wins
+    over same-named catalog entries."""
+    out: dict[str, dict] = {}
+    if catalog is not None:
+        out.update(catalog.tables())
+    for name, path in (tables or {}).items():
+        out[name] = {"path": path, "format": "auto"}
+    return out
+
+
+def _reads_delta(entry: dict) -> bool:
+    fmt = entry.get("format", "auto")
+    if fmt == "delta":
+        return True
+    if fmt == "snapshot":
+        return False
+    return _is_delta_only(entry["path"])
+
+
+def _rewrite_select(
+    spark: SparkSession, query: str, resolved: dict[str, dict]
+) -> str:
+    """Rewrite ``query`` replacing each registered name (and optional
+    travel clause) with a frozen temp view; returns the rewritten
+    SQL."""
     rewritten = query
     registered: dict[tuple, str] = {}
-    for name, path in tables.items():
+    for name, entry in resolved.items():
         pat = _travel_pattern(name)
-        is_delta = _is_delta_only(path)
+        is_delta = _reads_delta(entry)
 
-        def sub(mt: re.Match, _name=name, _path=path,
+        def sub(mt: re.Match, _name=name, _path=entry["path"],
                 _delta=is_delta) -> str:
             v: int | None
             if mt.group(1) is not None:
@@ -115,7 +184,407 @@ def snapshot_sql(
             return registered[key]
 
         rewritten = pat.sub(sub, rewritten)
-    return spark.sql(rewritten)
+    return rewritten
 
 
-__all__ = ["snapshot_sql"]
+# --- DML parsing helpers ------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)\s*)?"
+    r"AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?\s+USING\s+",
+    re.IGNORECASE,
+)
+_CANON_WHENS = (
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens and quotes."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _refuse_target_travel(stmt: str, name: str) -> None:
+    if re.search(
+        rf"\b{re.escape(name)}\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b",
+        stmt, re.IGNORECASE,
+    ):
+        raise ValueError(
+            f"time travel on the DML target {name!r} is not allowed — "
+            "you cannot mutate a historical version (read it with "
+            "SELECT … VERSION AS OF, or restore first)"
+        )
+
+
+def _target(resolved: dict, name: str, catalog: Catalog | None) -> dict:
+    if name in resolved:
+        return resolved[name]
+    raise KeyError(
+        f"table {name!r} is not registered (tables= dict"
+        + (" or catalog" if catalog is not None else "")
+        + ")"
+    )
+
+
+def _require_native(entry: dict, op: str) -> str:
+    if _reads_delta(entry):
+        raise ValueError(
+            f"{op} targets a Delta wire-format table at "
+            f"{entry['path']}; row-level DML runs on the native log — "
+            "adopt it first (snapshot_import_delta) or use write_delta"
+        )
+    return entry["path"]
+
+
+def _table_schema(spark: SparkSession, path: str):
+    from pyspark.sql.types import StructType
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(
+            f"table at {path} has no snapshots yet — CREATE TABLE … "
+            "AS SELECT first"
+        )
+    m = snap._read_manifest(path, v)
+    if not m.get("schema"):
+        return read_snapshot(spark, path, version=v).schema
+    return StructType.fromJson(m["schema"])
+
+
+def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto the table schema: present columns cast to
+    the table type, absent columns null-filled; EXTRA batch columns
+    raise (an INSERT never silently drops data)."""
+    extra = [c for c in df.columns
+             if c not in {f.name for f in schema.fields}]
+    if extra:
+        raise ValueError(
+            f"INSERT batch has columns {extra} the table lacks; "
+            "evolve the schema first (snapshot_add_column)"
+        )
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _dml_result(
+    spark: SparkSession, operation: str, table: str, version: int | None
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(operation, table, version)],
+        "operation string, table string, version bigint",
+    )
+
+
+def _parse_merge(stmt: str):
+    """``(target, source_sql_or_name, key, whens_ok)`` from the
+    canonical MERGE shape; raises with guidance on anything richer."""
+    head = _MERGE_HEAD_RE.match(stmt)
+    if head is None:
+        raise ValueError(
+            "could not parse MERGE statement; expected MERGE INTO "
+            "<table> USING <src> ON <cond> WHEN …"
+        )
+    rest = stmt[head.end():].lstrip()
+    if rest.startswith("("):
+        depth, i = 0, 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError("unbalanced parens in MERGE source")
+        source, rest = rest[1:i].strip(), rest[i + 1:].lstrip()
+        source_is_select = True
+    else:
+        mt = re.match(r"^([A-Za-z_]\w*)", rest)
+        if mt is None:
+            raise ValueError("could not parse MERGE source")
+        source, rest = mt.group(1), rest[mt.end():].lstrip()
+        source_is_select = False
+    # optional source alias (not the ON keyword)
+    mt = re.match(r"^(?:AS\s+)?([A-Za-z_]\w*)\s+", rest, re.IGNORECASE)
+    src_alias = None
+    if mt and mt.group(1).upper() != "ON":
+        src_alias = mt.group(1)
+        rest = rest[mt.end():].lstrip()
+    mt = re.match(
+        r"^ON\s+(?P<on>.+?)\s+(?P<whens>WHEN\s+.+)$",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
+    if mt is None:
+        raise ValueError("MERGE needs ON <cond> WHEN <clauses>")
+    on, whens = mt.group("on").strip(), mt.group("whens")
+    canon = re.sub(r"\s+", " ", whens).strip().upper()
+    if canon != _CANON_WHENS:
+        raise NotImplementedError(
+            "this facade speaks exactly the canonical upsert MERGE — "
+            f"'{_CANON_WHENS}'; for conditional clauses use "
+            "snapshot_merge_into / snapshot_rewrite_matching directly"
+        )
+    key_mt = re.match(
+        r"^(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*"
+        r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)$",
+        on,
+    )
+    if key_mt is None or key_mt.group(2) != key_mt.group(4):
+        raise NotImplementedError(
+            f"MERGE ON must be a single same-named key equality "
+            f"(t.k = s.k); got {on!r} — use snapshot_merge_into for "
+            "anything richer"
+        )
+    tgt_alias = head.group("alias")
+    return (
+        head.group("name"), source, source_is_select, src_alias,
+        tgt_alias, key_mt.group(2),
+    )
+
+
+def snapshot_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, str] | None = None,
+    catalog: Catalog | None = None,
+) -> DataFrame:
+    """Run one SQL statement — SELECT (time travel included) or DML —
+    with names resolved through ``tables`` and/or ``catalog`` (the
+    dict wins on conflict). See the module docstring for the exact
+    dialect. SELECT returns its result; DML returns one row
+    ``(operation, table, version)``."""
+    resolved = _resolve_names(tables, catalog)
+    stmt = query.strip().rstrip(";").strip()
+    head = stmt[:6].upper()
+
+    if head.startswith(("SELECT", "WITH", "VALUES")) or not stmt:
+        return spark.sql(_rewrite_select(spark, stmt, resolved))
+
+    mt = re.match(
+        r"^\s*(?:UPDATE|DELETE\s+FROM|INSERT\s+INTO|MERGE\s+INTO)\s+"
+        r"([A-Za-z_]\w*)\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        _refuse_target_travel(
+            f"{mt.group(1)} VERSION AS OF", mt.group(1)
+        )
+
+    mt = _CREATE_RE.match(stmt)
+    if mt:
+        name = mt.group("name")
+        if name in resolved:
+            entry = resolved[name]
+            path = entry["path"]
+        elif catalog is not None:
+            path = catalog.register(name)
+            entry = {"path": path, "format": "auto"}
+        else:
+            raise KeyError(
+                f"CREATE TABLE {name}: name is unregistered and no "
+                "catalog was passed to place it"
+            )
+        if latest_version(path) is not None or (
+            _is_delta_only(path)
+        ):
+            if mt.group("ine"):
+                return _dml_result(
+                    spark, "create_skipped", name, latest_version(path)
+                )
+            raise FileExistsError(
+                f"table {name!r} already exists at {path} "
+                "(use IF NOT EXISTS, or DROP TABLE first)"
+            )
+        pcols = None
+        if mt.group("pcols"):
+            pcols = [c.strip() for c in mt.group("pcols").split(",")
+                     if c.strip()]
+        df = spark.sql(
+            _rewrite_select(spark, mt.group("select"), resolved)
+        )
+        v = snapshot_write(
+            df, path, mode="overwrite", partition_by=pcols,
+            stats_cols=None,
+        )
+        return _dml_result(spark, "create", name, v)
+
+    mt = _INSERT_RE.match(stmt)
+    if mt:
+        name = mt.group("name")
+        _refuse_target_travel(stmt, name)
+        entry = _target(resolved, name, catalog)
+        body = mt.group("body").strip()
+        cols = None
+        if mt.group("cols"):
+            cols = [c.strip() for c in mt.group("cols").split(",")
+                    if c.strip()]
+        if _reads_delta(entry):
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            schema = dl.read_delta(spark, entry["path"]).schema
+        else:
+            schema = _table_schema(spark, entry["path"])
+        if body.upper().startswith("VALUES"):
+            names = cols or [f.name for f in schema.fields]
+            body = (
+                f"SELECT * FROM ({body}) AS __ins({', '.join(names)})"
+            )
+        elif cols:
+            body = f"SELECT * FROM ({body}) AS __ins({', '.join(cols)})"
+        df = _align_to_schema(
+            spark.sql(_rewrite_select(spark, body, resolved)), schema
+        )
+        if _reads_delta(entry):
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v = dl.write_delta(df, entry["path"], mode="append")
+        else:
+            v = snapshot_write(df, entry["path"], mode="append")
+        return _dml_result(spark, "insert", name, v)
+
+    mt = _UPDATE_RE.match(stmt)
+    if mt:
+        name = mt.group("name")
+        _refuse_target_travel(stmt, name)
+        path = _require_native(_target(resolved, name, catalog), "UPDATE")
+        set_exprs: dict[str, str] = {}
+        for item in _split_top(mt.group("sets")):
+            m2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", item, re.DOTALL)
+            if m2 is None:
+                raise ValueError(f"could not parse SET clause {item!r}")
+            set_exprs[m2.group(1)] = m2.group(2).strip()
+        where = (mt.group("where") or "true").strip()
+        v = snapshot_update_where(spark, path, where, set_exprs)
+        return _dml_result(spark, "update", name, v)
+
+    mt = _DELETE_RE.match(stmt)
+    if mt:
+        name = mt.group("name")
+        _refuse_target_travel(stmt, name)
+        path = _require_native(_target(resolved, name, catalog), "DELETE")
+        where = (mt.group("where") or "true").strip()
+        v = snapshot_delete_where(spark, path, where)
+        return _dml_result(spark, "delete", name, v)
+
+    mt = _DROP_RE.match(stmt)
+    if mt:
+        name = mt.group("name")
+        if catalog is None:
+            raise ValueError(
+                "DROP TABLE needs a catalog (the binding is what gets "
+                "dropped; data files stay — external-table semantics)"
+            )
+        try:
+            catalog.unregister(name)
+        except KeyError:
+            if not mt.group("ie"):
+                raise
+            return _dml_result(spark, "drop_skipped", name, None)
+        return _dml_result(spark, "drop", name, None)
+
+    if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
+        (name, source, is_select, src_alias, _tgt_alias, key) = (
+            _parse_merge(stmt)
+        )
+        _refuse_target_travel(stmt, name)
+        path = _require_native(_target(resolved, name, catalog), "MERGE")
+        if is_select:
+            src_df = spark.sql(_rewrite_select(spark, source, resolved))
+        else:
+            src_df = spark.sql(
+                _rewrite_select(spark, f"SELECT * FROM {source}", resolved)
+            )
+        # SQL literals arrive as whatever type the parser picked
+        # (e.g. DECIMAL for -1.0) — cast same-named source columns to
+        # the TABLE's types so a literal never widens the table schema
+        schema = _table_schema(spark, path)
+        ttypes = {f.name: f.dataType for f in schema.fields}
+        src_df = src_df.select(*[
+            F.col(c).cast(ttypes[c]).alias(c) if c in ttypes
+            else F.col(c)
+            for c in src_df.columns
+        ])
+        v = snapshot_merge_into(spark, path, src_df, key=key)
+        return _dml_result(spark, "merge", name, v)
+
+    raise ValueError(
+        f"unsupported statement (first tokens {stmt[:40]!r}); this "
+        "facade speaks SELECT/WITH/VALUES, CREATE TABLE … AS, INSERT "
+        "INTO, UPDATE, DELETE FROM, MERGE INTO, DROP TABLE"
+    )
+
+
+def snapshot_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, str] | None = None,
+    catalog: Catalog | None = None,
+) -> DataFrame:
+    """Run ``;``-separated statements in order (each through
+    :func:`snapshot_sql`); returns the LAST statement's result — the
+    ETL-script shape (CREATE → INSERT → UPDATE → … → final SELECT)."""
+    out: DataFrame | None = None
+    for stmt in _split_top(script, sep=";"):
+        out = snapshot_sql(spark, stmt, tables=tables, catalog=catalog)
+    if out is None:
+        raise ValueError("empty SQL script")
+    return out
+
+
+__all__ = ["snapshot_sql", "snapshot_sql_script"]
