@@ -7318,6 +7318,154 @@ def q_sql_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("delta_dv_roundtrip_digest", """
+WITH live AS (
+  SELECT event_id AS k, value AS v FROM events WHERE NOT (event_id % 5 = 0)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_delta_dv_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign DELETION VECTORS end-to-end (round 10): a hand-built
+    Delta log (protocol v3, readerFeatures=[deletionVectors]) whose
+    files carry spec-format roaring-bitmap vectors (sources/deltadv:
+    Z85 naming, length+CRC framing, portable RoaringBitmapArray) —
+    the Databricks DELETE wire shape. ``read_delta`` subtracts them
+    merge-on-read AND ``snapshot_import_delta`` adopts them as native
+    (file, pos) vectors; the digest is computed from the ADOPTED
+    table after asserting both reads agree, so one hash covers read
+    + import. Oracle: the raw table minus the deleted keys."""
+    import json as _json
+    import os
+    import tempfile
+    import time as _time
+    from urllib.parse import unquote, urlparse
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import deltadv
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = os.path.join(tempfile.mkdtemp(prefix="delta_dv_"), "t")
+    dl.write_delta(ev.coalesce(4), t, stats_cols=["k"])
+    adds, _m, _p, _v = dl._replay(t, None)
+    rows = (
+        spark.read.parquet(*[os.path.join(t, unquote(a["path"]))
+                             for a in adds])
+        .selectExpr("k", "_metadata.row_index AS ridx",
+                    "_metadata.file_path AS fp")
+        .filter("k % 5 = 0").collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        rel = os.path.relpath(unquote(urlparse(r.fp).path), t)
+        by_file.setdefault(rel, []).append(r.ridx)
+    actions = [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }}]
+    for a in adds:
+        rel = unquote(a["path"])
+        if rel not in by_file:
+            continue
+        desc = deltadv.write_dv_file(t, [sorted(by_file[rel])])[0]
+        actions.append({"remove": {
+            "path": a["path"],
+            "deletionTimestamp": int(_time.time() * 1000),
+            "dataChange": True,
+        }})
+        actions.append({"add": {**a, "deletionVector": desc}})
+    nv = dl.delta_table_version(t) + 1
+    with open(os.path.join(t, "_delta_log", f"{nv:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    wire = dl.read_delta(spark, t)
+    dl.snapshot_import_delta(spark, t)
+    adopted = snap.read_snapshot(spark, t)
+    digest = adopted.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+    # wire read and adopted read must agree before the hash stands
+    if wire.count() != adopted.count():
+        raise AssertionError("wire and adopted DV reads disagree")
+    return digest
+
+
+@_q("delta_colmap_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM events t(k, ts, u, et, v, p)
+WHERE k >= 100 AND k <= 800
+""")
+def q_delta_colmap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-mode COLUMN MAPPING (round 10): a hand-built foreign log
+    whose schemaString maps logical (k, v) onto physical
+    ``col-<id>`` parquet names — the Databricks
+    columnMapping.mode=name wire shape. ``read_delta`` resolves
+    physical→logical, translates the predicate for physical-keyed
+    stats pruning, and returns logical columns; the oracle reads the
+    raw table. (The oracle's FROM-alias positional mapping picks the
+    event_id/value columns.)"""
+    import json as _json
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("col-k9"), F.col("value").alias("col-v9")
+    )
+    t = os.path.join(tempfile.mkdtemp(prefix="delta_cm_"), "t")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    ev.coalesce(4).write.parquet(os.path.join(t, "files"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k9"}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-v9"}},
+    ]}
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 0,
+        }},
+    ]
+    for n in os.listdir(os.path.join(t, "files")):
+        if n.endswith(".parquet"):
+            acts.append({"add": {
+                "path": f"files/{n}", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+            }})
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    got = dl.read_delta(spark, t, where=[("k", 100, 800)])
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

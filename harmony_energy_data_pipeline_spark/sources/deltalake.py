@@ -6,13 +6,18 @@ directories.
 
 Scope (honest, checked, raising beyond it):
 
-* **read**: JSON commits + classic ``*.checkpoint.parquet`` (via
-  ``_last_checkpoint``), last-metaData-wins schema, add/remove replay,
-  partition values attached as PLAN-TIME literals per the spec
+* **read**: JSON commits + classic ``*.checkpoint.parquet`` (the
+  ``_last_checkpoint`` hint is never load-bearing — a missing or
+  multi-part checkpoint falls back to full JSON replay),
+  last-metaData-wins schema, add/remove replay, partition values
+  attached as PLAN-TIME literals per the spec
   (``add.partitionValues`` is authoritative — partition columns are
-  not stored in data files). Protocol gate: ``minReaderVersion <= 2``
-  without column-mapping / deletion-vector table features; anything
-  newer raises with the feature named rather than mis-reading.
+  not stored in data files), DELETION VECTORS subtracted
+  merge-on-read (roaring-bitmap wire format via ``deltadv``), and
+  name-mode COLUMN MAPPING resolved physical→logical. Protocol gate
+  is the spec's ALLOWLIST: any readerFeature outside
+  ``_SUPPORTED_READER_FEATURES`` raises with the feature named
+  rather than mis-reading.
 * **write**: protocol(1,2) + metaData + add actions with
   ``numRecords`` stats; ``mode="append"`` emits adds only,
   ``mode="overwrite"`` additionally emits removes for every
@@ -47,7 +52,18 @@ _LOG_DIR = "_delta_log"
 #: unless it implements EVERY listed readerFeature (a deny-list would
 #: silently mis-read tables using features invented after this code).
 _MAX_READER_VERSION = 2
-_SUPPORTED_READER_FEATURES: set[str] = set()
+_SUPPORTED_READER_FEATURES: set[str] = {
+    "deletionVectors",   # roaring-bitmap positional deletes (deltadv)
+    "columnMapping",     # name-mode physical→logical (id-mode raises)
+}
+
+#: Driver-side decode budget for a read's deletion vectors (sum of
+#: descriptor cardinalities). Positions land in one numpy array per
+#: file (8 B each: 20M ≈ 160 MB) before the anti-join broadcasts
+#: them; a table with more deleted rows in scope should be compacted
+#: (or imported via read + rewrite) rather than silently ballooning
+#: the driver.
+_MAX_DV_POSITIONS = 20_000_000
 
 
 class DeltaProtocolError(ValueError):
@@ -209,9 +225,11 @@ def _replay(path: str, version: int | None):
     cm = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if cm not in ("none", ""):
+    if cm not in ("none", "", "name"):
+        # "id" mode resolves columns by parquet field id, which this
+        # reader does not implement — refuse rather than mis-read
         raise DeltaProtocolError(
-            f"column mapping mode {cm!r} not supported"
+            f"column mapping mode {cm!r} not supported (only 'name')"
         )
     return list(adds.values()), meta, proto, v
 
@@ -366,13 +384,39 @@ def read_delta(
     minValues/maxValues (zone maps — written by Delta writers and by
     :func:`write_delta` ``stats_cols``); the predicate then
     re-applies row-level, so pruning is purely a scan-cost
-    optimization."""
+    optimization.
+
+    Name-mode COLUMN MAPPING resolves: data files are read by each
+    field's ``delta.columnMapping.physicalName`` and renamed to the
+    logical schema (partition values and stats are physical-keyed on
+    the wire, so pruning translates the predicate). DELETION VECTORS
+    subtract merge-on-read: each vectored file's roaring bitmap
+    (``sources/deltadv``) anti-joins that file's hidden
+    ``_metadata.row_index`` — per-file, broadcast build side, the
+    same shape the native log uses — so a Databricks-written table
+    with DVs reads exactly."""
     adds, meta, _proto, _v = _replay(path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # logical → physical (identity without column mapping)
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
     pcols = meta.get("partitionColumns") or []
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    pcols_phys = [phys[c] for c in pcols]
+    ptypes_phys = {
+        phys[f.name]: f.dataType for f in schema.fields
+        if f.name in pcols
+    }
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = StructType(data_fields)
+    from pyspark.sql.types import StructField
+
+    data_schema_phys = StructType([
+        StructField(phys[f.name], f.dataType, f.nullable)
+        for f in data_fields
+    ])
     residual = None
     if where:
         residual = F.lit(True)
@@ -381,30 +425,82 @@ def read_delta(
                 residual = residual & (F.col(c) >= F.lit(lo))
             if hi is not None:
                 residual = residual & (F.col(c) <= F.lit(hi))
+        where_phys = [(phys.get(c, c), lo, hi) for c, lo, hi in where]
         kept = [a for a in adds
-                if _add_matches(a, where, pcols, ptypes)]
+                if _add_matches(a, where_phys, pcols_phys, ptypes_phys)]
         if not kept and adds:
             # keep the schema without scanning data: 1 file, 0 rows
             kept, residual = adds[:1], F.lit(False)
         adds = kept
     if not adds:
         return spark.createDataFrame([], schema)
-    groups: dict[tuple, list[str]] = {}
+    total_dv = sum(
+        int((a.get("deletionVector") or {}).get("cardinality") or 0)
+        for a in adds
+    )
+    if total_dv > _MAX_DV_POSITIONS:
+        raise ValueError(
+            f"read scope carries {total_dv} deletion-vector positions "
+            f"(> {_MAX_DV_POSITIONS}); compact the table or import via "
+            "read + rewrite"
+        )
+    groups: dict[tuple, list[dict]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
-        groups.setdefault(key, []).append(
-            os.path.join(path, unquote(a["path"]))
+        key = tuple(pv.get(c) for c in pcols_phys)
+        groups.setdefault(key, []).append(a)
+
+    def _rename_logical(df):
+        return df.select(*[
+            F.col(phys[f.name]).alias(f.name) for f in data_fields
+        ])
+
+    def _subtract_dv(a: dict):
+        """One vectored file: anti-join its own positions on
+        row_index (broadcast build side, no path matching)."""
+        import pandas as pd
+
+        from harmony_energy_data_pipeline_spark.sources.deltadv import (
+            read_dv,
         )
+
+        fp = os.path.join(path, unquote(a["path"]))
+        pos = read_dv(path, a["deletionVector"])
+        one = spark.read.schema(data_schema_phys).parquet(fp).select(
+            "*", F.col("_metadata.row_index").alias("__ridx")
+        )
+        pos_df = spark.createDataFrame(
+            pd.DataFrame({"__dvpos": pd.array(pos, dtype="int64")})
+        )
+        return _rename_logical(
+            one.join(
+                F.broadcast(pos_df),
+                F.col("__ridx") == F.col("__dvpos"),
+                "left_anti",
+            )
+        )
+
     out = None
-    for key, files in sorted(
+    for key, acts in sorted(
         groups.items(), key=lambda kv: tuple(map(str, kv[0]))
     ):
-        df = spark.read.schema(data_schema).parquet(*files)
+        clean = [os.path.join(path, unquote(a["path"]))
+                 for a in acts if not a.get("deletionVector")]
+        parts = []
+        if clean:
+            parts.append(_rename_logical(
+                spark.read.schema(data_schema_phys).parquet(*clean)
+            ))
+        parts.extend(
+            _subtract_dv(a) for a in acts if a.get("deletionVector")
+        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         for c, raw in zip(pcols, key):
             lit = (
                 F.lit(None) if raw is None else F.lit(raw)
-            ).cast(ptypes[c])
+            ).cast(ptypes_phys[phys[c]])
             df = df.withColumn(c, lit)
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
@@ -701,6 +797,8 @@ def write_delta_checkpoint(
         pa.field("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         pa.field("metaData", pa.struct([
             ("id", pa.string()),
@@ -717,6 +815,13 @@ def write_delta_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
         pa.field("remove", pa.struct([
             ("path", pa.string()),
@@ -735,6 +840,8 @@ def write_delta_checkpoint(
         {**none_row, "protocol": {
             "minReaderVersion": proto.get("minReaderVersion", 1),
             "minWriterVersion": proto.get("minWriterVersion", 2),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
         }},
         {**none_row, "metaData": {
             "id": meta.get("id"),
@@ -758,6 +865,7 @@ def write_delta_checkpoint(
             "modificationTime": a.get("modificationTime"),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
         }})
     for rel in sorted(removes):
         r = removes[rel]
@@ -847,11 +955,21 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
     * per-file ``add.stats`` min/max → native ZONE MAPS (pruning
       works on the imported table immediately),
     * ``numRecords`` → native ``#rows`` (manifest-only COUNT works),
+    * DELETION VECTORS — each add's roaring bitmap decodes into the
+      native (file, pos) positional-delete parquet and rides the
+      manifest's ``dvs``, so merge-on-read deletes survive adoption
+      (reads subtract them, the next copy-on-write materializes
+      them, manifest-only COUNT stays exact),
     * the partition spec — VERIFIED: every add's authoritative
       ``partitionValues`` must match its file's hive path segments
       (our readers reconstruct partition columns from paths; a
       foreign layout that doesn't encode them there would silently
       mis-read, so it refuses instead).
+
+    Column-mapped tables (physical names differ from logical) REFUSE
+    in-place adoption — native readers resolve parquet columns by
+    name, so the files would silently mis-read; rewrite through
+    ``read_delta`` + ``snapshot_write`` instead.
 
     From then on the table evolves in the NATIVE log only (appends,
     MERGE, DVs, IVM…); the Delta log stays frozen at the imported
@@ -868,9 +986,20 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
     if not adds:
         raise ValueError(f"Delta table at {delta_path} has no live files")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if any(
+        (f.metadata or {}).get("delta.columnMapping.physicalName",
+                               f.name) != f.name
+        for f in schema.fields
+    ):
+        raise ValueError(
+            f"Delta table at {delta_path} uses column mapping "
+            "(physical names differ from logical); in-place adoption "
+            "would mis-read — rewrite via read_delta + snapshot_write"
+        )
     pcols = list(meta.get("partitionColumns") or [])
     stats: dict = {}
     files: list[str] = []
+    dv_positions: dict[str, list[int]] = {}
     for a in adds:
         rel = unquote(a["path"])
         files.append(rel)
@@ -894,6 +1023,12 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
                         "paths) — rewrite via read_delta + "
                         "snapshot_write instead"
                     )
+        if a.get("deletionVector"):
+            from harmony_energy_data_pipeline_spark.sources.deltadv import (
+                read_dv,
+            )
+
+            dv_positions[rel] = read_dv(delta_path, a["deletionVector"])
         st = {}
         if a.get("stats"):
             try:
@@ -908,6 +1043,30 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
             entry["#rows"] = int(st["numRecords"])
         if entry:
             stats[rel] = entry
+    dvs_manifest: dict = {}
+    if dv_positions:
+        # decode into ONE native positional-delete parquet: the exact
+        # (file, pos) shape snapshot_delete_where_dv writes, keyed by
+        # the canonical _dv_key identity, so every native reader /
+        # rewrite / stats path folds them with zero special cases
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            _dv_key,
+        )
+
+        dv_rel = f"dvimport-{uuid.uuid4().hex[:12]}.parquet"
+        fcol, pcol = [], []
+        for rel in sorted(dv_positions):
+            fcol.extend([_dv_key(rel)] * len(dv_positions[rel]))
+            pcol.extend(dv_positions[rel])
+        pq.write_table(
+            pa.table({"file": pa.array(fcol, pa.string()),
+                      "pos": pa.array(pcol, pa.int64())}),
+            os.path.join(delta_path, dv_rel),
+        )
+        dvs_manifest = {rel: [dv_rel] for rel in dv_positions}
     import time as _time
 
     payload = {
@@ -922,6 +1081,7 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
         "imported_from_delta": dv,
         **({"stats": stats} if stats else {}),
         **({"partition_cols": pcols} if pcols else {}),
+        **({"dvs": dvs_manifest} if dvs_manifest else {}),
     }
     snap._publish_manifest(delta_path, 0, payload, protocol=protocol)
     return 0
