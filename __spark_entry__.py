@@ -7466,6 +7466,87 @@ def q_delta_colmap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("iceberg_roundtrip_digest", """
+WITH t AS (
+  SELECT event_id AS k, value AS v FROM events
+  UNION ALL
+  SELECT event_id + 10000000, value FROM events WHERE event_id % 3 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM t
+WHERE k >= 500
+""")
+def q_iceberg_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 wire-format round trip (round 10): events commit as
+    an Iceberg table (pure-Python Avro manifests via ``avrolite`` —
+    spec field-ids, array-of-record int-keyed maps, manifest list +
+    snapshot + metadata.json, atomic link claim), a second snapshot
+    fast-appends, and the read back goes through the full metadata
+    tree with lower/upper-bound file skipping for the ``k >= 500``
+    predicate. Oracle recomputes from the raw table. The Delta twin
+    is ``delta_roundtrip_digest``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = tempfile.mkdtemp(prefix="ice_rt_") + "/t"
+    ice.write_iceberg(
+        ev.repartitionByRange(4, "k").sortWithinPartitions("k"), t,
+        stats_cols=["k"],
+    )
+    extra = ev.filter(F.col("k") % 3 == 0).select(
+        (F.col("k") + 10000000).alias("k"), "v"
+    )
+    ice.write_iceberg(extra, t, mode="append", stats_cols=["k"])
+    got = ice.read_iceberg(spark, t, where=[("k", 500, None)])
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
+@_q("iceberg_import_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+WHERE event_id >= 100 AND event_id <= 2000
+""")
+def q_iceberg_import_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy Iceberg ADOPTION (round 10): an Iceberg table's live
+    files become a native snapshot table without moving a byte —
+    ``record_count`` lands as ``#rows`` (manifest-only COUNT),
+    decoded Appendix-D bounds land as native zone maps, and this
+    digest reads through the ADOPTED table's pruned path (the window
+    predicate prunes on the carried stats). Oracle reads the raw
+    table. The Delta twin is ``delta_import_digest``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    t = tempfile.mkdtemp(prefix="ice_imp_") + "/t"
+    ice.write_iceberg(
+        ev.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+        t, stats_cols=["event_id"],
+    )
+    ice.snapshot_import_iceberg(spark, t)
+    got = snap.read_snapshot(spark, t, where=[("event_id", 100, 2000)])
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
