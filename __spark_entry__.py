@@ -7547,6 +7547,59 @@ def q_iceberg_import_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("snapshot_branch_digest", """
+WITH branch_state AS (
+  SELECT event_id AS k, value AS v FROM events WHERE NOT (event_id % 4 = 0)
+  UNION ALL
+  SELECT event_id + 5000000, value FROM events WHERE event_id % 6 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       (SELECT COUNT(*) FROM events) AS tag_rows
+FROM branch_state
+""")
+def q_snapshot_branch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches + tags on the snapshot log (round 10, Iceberg refs
+    shape): tag the initial commit, fork a zero-copy branch
+    (clone+borrow — main's vacuum keeps shared files alive), mutate
+    the BRANCH with full native ops (row-level delete + append) while
+    main stays untouched, merge the branch back as one main commit,
+    and vacuum main — the digest reads post-merge main, and
+    ``tag_rows`` proves the tag still resolves the PRE-everything
+    version after vacuum (ref liveness). Oracle recomputes both from
+    the raw table."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import refs
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = tempfile.mkdtemp(prefix="snap_refs_") + "/t"
+    snap.snapshot_write(ev.coalesce(4), t, stats_cols=["k"])
+    refs.create_tag(t, "baseline")
+    bp = refs.create_branch(t, "exp")
+    snap.snapshot_delete_where(spark, bp, "k % 4 = 0")
+    snap.snapshot_write(
+        ev.filter(F.col("k") % 6 == 0).select(
+            (F.col("k") + 5000000).alias("k"), "v"
+        ),
+        bp, mode="append",
+    )
+    refs.merge_branch(spark, t, "exp", drop=True)
+    snap.vacuum(t, keep_last=1, orphan_grace_s=0.0)
+    main = snap.read_snapshot(spark, t)
+    tag_n = refs.read_tag(spark, t, "baseline").count()
+    return main.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+        F.lit(tag_n).cast("long").alias("tag_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -4596,6 +4596,28 @@ def snapshot_widen_column(
     return _commit_metadata_only(path, mutate, "widen_column", protocol)
 
 
+def _tagged_versions(path: str) -> set:
+    """Versions pinned by a TAG ref (sinks/refs.py) — vacuum keeps
+    them whatever the retention policy says."""
+    d = os.path.join(_snap_dir(path), "refs")
+    if not os.path.isdir(d):
+        return set()
+    out: set = set()
+    for n in os.listdir(d):
+        if not n.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, n), encoding="utf-8") as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if rec.get("type") == "tag" and isinstance(
+            rec.get("version"), int
+        ):
+            out.add(rec["version"])
+    return out
+
+
 def _borrows_dir(path: str) -> str:
     # inside _snapshots but outside the "v*.json" glob, like ckpt-*
     return os.path.join(_snap_dir(path), "borrows")
@@ -4886,13 +4908,19 @@ class AuditFailedError(RuntimeError):
     """A write-audit-publish commit was refused: one or more audits
     returned falsy against the candidate table. ``failed`` lists
     their names. The staged files were never published — readers
-    never saw them; vacuum sweeps the orphaned stage."""
+    never saw them; vacuum sweeps the orphaned stage. When the write
+    asked for ``park_branch``, ``parked_branch`` holds the branch
+    table path now carrying the refused batch for inspection."""
 
-    def __init__(self, path: str, failed: list[str]):
+    def __init__(self, path: str, failed: list[str],
+                 parked_branch: str | None = None):
         self.failed = failed
+        self.parked_branch = parked_branch
         super().__init__(
             f"commit to {path} refused by audits: {failed} — staged data "
             "was never published"
+            + (f"; batch parked on branch {parked_branch}"
+               if parked_branch else "")
         )
 
 
@@ -4906,6 +4934,7 @@ def snapshot_write_audited(
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
     member_bits: int = 4096,
+    park_branch: str | None = None,
 ) -> int:
     """Write-audit-publish: stage ``df``'s files, assemble the
     CANDIDATE table (staged files plus the parent's for an append),
@@ -4917,6 +4946,14 @@ def snapshot_write_audited(
     ``constraints=`` (validated pre-stage, cheaper). On any failure
     :class:`AuditFailedError` raises, readers never observe the data,
     and the orphaned stage is swept by ``vacuum``.
+
+    ``park_branch``: instead of leaving a refused batch as a vacuum
+    orphan, PARK it — the named branch (sinks/refs.py) forks from the
+    current main and receives the batch as its own commit, so the
+    failing data survives for inspection/repair while main stays
+    clean. The raise still happens (publish-or-die is the WAP
+    contract); the exception carries ``parked_branch``. The batch is
+    re-read from the staged files — no second computation of ``df``.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -4952,7 +4989,22 @@ def snapshot_write_audited(
     candidate = _load_live(spark, candidate_files, m, path)
     failed = [name for name, fn in audits.items() if not fn(candidate)]
     if failed:
-        raise AuditFailedError(path, failed)
+        parked = None
+        if park_branch is not None:
+            from harmony_energy_data_pipeline_spark.sinks import refs
+
+            bp = refs.branch_path(path, park_branch)
+            if latest_version(bp) is None and parent is not None:
+                refs.create_branch(path, park_branch)
+            staged = spark.read.schema(df.schema).parquet(data_dir)
+            snapshot_write(
+                staged, bp,
+                mode=mode if parent is not None else "overwrite",
+                protocol=protocol,
+                extra={"parked_from_audit": sorted(failed)},
+            )
+            parked = bp
+        raise AuditFailedError(path, failed, parked_branch=parked)
     members = None
     if member_cols:
         from harmony_energy_data_pipeline_spark.sinks.filestats import (
@@ -5303,6 +5355,15 @@ def vacuum(
                 >= cutoff
             }
         )
+    # TAGGED versions (sinks/refs.py) are vacuum-immortal while their
+    # tag exists: a tag pins e.g. a training run's exact input table,
+    # and that pin must survive routine retention. Tags may make the
+    # kept set NON-CONTIGUOUS — the checkpoint materialization below
+    # handles every kept version whose parent expires, not just the
+    # oldest.
+    tagged = _tagged_versions(path) & set(vs)
+    if tagged:
+        keep = sorted(set(keep) | tagged)
     # liveness is computed from the TABLE ROOT, not the process cwd:
     # manifests store root-relative paths, and each is joined to
     # ``path`` here — vacuum from any working directory (or after the
@@ -5330,6 +5391,19 @@ def vacuum(
     live_abs: set[str] = _borrowed_live(path)
     live_arrow = None
     if keep:
+        # The born-once argument ("alive at kept version i ⇒ alive at
+        # the oldest kept, or added by a kept delta") only holds
+        # within a CONTIGUOUS kept run — a tag-induced gap breaks it
+        # (a file born inside the gap, still live at the next kept
+        # version, appears in no kept delta's adds). So every kept
+        # version that STARTS a contiguous run resolves FULLY; the
+        # rest contribute raw adds as before. Run heads beyond the
+        # oldest land in the Python set (tags are few; the arrow fast
+        # path still carries the dominant oldest-kept live set).
+        keep_set = set(keep)
+        heads = {
+            v for v in keep if v == keep[0] or (v - 1) not in keep_set
+        }
         live_arrow = _live_rel_arrow(path, keep[0])
         if live_arrow is not None:
             # cdf is per-commit passthrough metadata: raw suffices
@@ -5338,20 +5412,26 @@ def vacuum(
                 for f in _read_manifest_raw(path, keep[0]).get("cdf", [])
             )
         else:
-            oldest = _read_manifest_light(path, keep[0])
+            heads = set(heads) | {keep[0]}
+        for hv in sorted(heads):
+            if hv == keep[0] and live_arrow is not None:
+                continue
+            hm = _read_manifest_light(path, hv)
             live_abs.update(
                 os.path.abspath(_abs_file(path, f))
-                for f in oldest["files"]
+                for f in hm["files"]
             )
             live_abs.update(
                 os.path.abspath(_abs_file(path, d))
-                for ds in oldest.get("dvs", {}).values() for d in ds
+                for ds in hm.get("dvs", {}).values() for d in ds
             )
             live_abs.update(
                 os.path.abspath(_abs_file(path, f))
-                for f in oldest.get("cdf", [])
+                for f in hm.get("cdf", [])
             )
         for v in keep[1:]:
+            if v in heads:
+                continue  # fully resolved above
             m = _read_manifest_raw(path, v)
             live_abs.update(
                 os.path.abspath(_abs_file(path, f))
@@ -5443,22 +5523,26 @@ def vacuum(
     removed = 0
     if expired and keep:
         # Kept delta manifests resolve by walking parent pointers into
-        # the versions being expired — materialize the OLDEST kept
-        # version's state as a checkpoint first (versions are
-        # contiguous, so every newer kept delta's walk stops there).
+        # the versions being expired — materialize a checkpoint for
+        # every kept version whose PARENT is not kept (the oldest
+        # kept, plus each kept version just past a tag-induced gap),
+        # so every surviving delta's walk stops at a kept boundary.
         # Arrow-first: replay the delta chain on the prior columnar
         # checkpoint and write the new one straight from arrow; the
         # dict resolution only runs when that declines.
-        ov = keep[0]
-        om = _read_manifest_raw(path, ov)
-        if "files" not in om and not (
-            os.path.exists(_ckpt_path_pq(path, ov))
-            or os.path.exists(_ckpt_path(path, ov))
-        ):
-            if not _write_checkpoint_arrow(path, ov, om["txid"]):
-                _write_checkpoint(
-                    path, ov, om["txid"], _resolve_state(path, ov)
-                )
+        keep_set = set(keep)
+        for ov in keep:
+            if ov != keep[0] and (ov - 1) in keep_set:
+                continue  # parent survives: delta walk stays intact
+            om = _read_manifest_raw(path, ov)
+            if "files" not in om and not (
+                os.path.exists(_ckpt_path_pq(path, ov))
+                or os.path.exists(_ckpt_path(path, ov))
+            ):
+                if not _write_checkpoint_arrow(path, ov, om["txid"]):
+                    _write_checkpoint(
+                        path, ov, om["txid"], _resolve_state(path, ov)
+                    )
     for v in expired:
         os.remove(_manifest_path(path, v))
         for cp in (_ckpt_path(path, v), _ckpt_path_pq(path, v)):
