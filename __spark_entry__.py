@@ -5407,6 +5407,20 @@ WITH src AS (
   UNION ALL
   SELECT 'vc', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
   FROM events
+  UNION ALL
+  SELECT 'value',
+         CASE WHEN isnan(value) THEN 'nan'
+              WHEN value = CAST('Infinity' AS DOUBLE) THEN 'inf'
+              WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-inf'
+              WHEN abs(value) < 8.0e9 THEN
+                CAST(CAST(round(value * 1000000) AS DECIMAL(38,0))
+                     AS VARCHAR)
+              ELSE concat('big',
+                          CASE WHEN value < 0 THEN '-' ELSE '+' END,
+                          CAST(CAST(round(log10(abs(value))) AS INT)
+                               AS VARCHAR))
+         END
+  FROM events
 ),
 c AS (SELECT col, COUNT(*) AS n, COUNT(val) AS nn FROM src GROUP BY col),
 h AS (
@@ -5459,12 +5473,13 @@ def q_snapshot_analyze_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "event_type", _cents("value").alias("vc")
+        "event_id", "event_type", _cents("value").alias("vc"),
+        "value",
     )
     path = tempfile.mkdtemp(prefix="snap_analyze_")
     snap.snapshot_write(ev.repartition(4), path)
     az.snapshot_analyze(
-        spark, path, cols=["event_id", "event_type", "vc"]
+        spark, path, cols=["event_id", "event_type", "vc", "value"]
     )
     cs = az.snapshot_column_stats(path)
     rows = [

@@ -40,8 +40,44 @@ COLUMN_STATS_KEY = "column_stats"
 
 #: Types the portable NDV hash is sound for (string form is
 #: render-identical across engines — same contract as bucket routing).
+#: float/double admit through the CANONICAL ENCODING below, not the
+#: raw string render (which differs between engines).
 _NDV_OK_TYPES = {"byte", "short", "integer", "long", "string", "date",
-                 "boolean"}
+                 "boolean", "float", "double"}
+
+
+def _ndv_canon_sql(col: str, type_name: str) -> str:
+    """The portable hash INPUT for one column, as a SQL expression
+    valid (and render-identical) in BOTH Spark and DuckDB.
+
+    Floats/doubles have no portable string render (Spark says
+    ``0E-9`` where DuckDB says ``0.000000000``, and double→decimal
+    conversions round differently past 2⁵³), so they canonicalize
+    piecewise:
+
+    * ``|v| < 8e9`` → ``round(v·10⁶)`` as a scale-0 decimal string —
+      the product stays under 2⁵³ so the integer is EXACT in both
+      engines. Float NDV is therefore *distinct-at-1e-6-precision*
+      (values closer than 5e-7 collapse) — a defined, documented
+      statistic rather than an engine-dependent one.
+    * beyond → a sign+decade bucket (``big+12``): astronomical values
+      collapse per decade (conservative undercount, named in docs).
+    * NaN/±Inf → named tokens.
+    """
+    if type_name in ("float", "double"):
+        return (
+            f"CASE WHEN isnan({col}) THEN 'nan' "
+            f"WHEN {col} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
+            f"WHEN {col} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
+            f"WHEN abs({col}) < 8.0e9 THEN "
+            f"CAST(CAST(round({col} * 1000000) AS DECIMAL(38,0)) "
+            f"AS STRING) "
+            f"ELSE concat('big', CASE WHEN {col} < 0 THEN '-' "
+            f"ELSE '+' END, "
+            f"CAST(CAST(round(log10(abs({col}))) AS INT) AS STRING)) "
+            f"END"
+        )
+    return f"CAST({col} AS STRING)"
 
 
 def _json_safe(v):
@@ -100,7 +136,7 @@ def snapshot_analyze(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("col"),
-                    F.col(c).cast("string").alias("val"),
+                    F.expr(_ndv_canon_sql(c, types[c])).alias("val"),
                 )
                 for c in cols
             ])

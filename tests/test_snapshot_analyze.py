@@ -69,16 +69,36 @@ def test_never_analyzed_returns_none(spark):
 def test_bad_columns_raise(spark):
     t = _tmp()
     df = spark.range(5).select(
-        F.col("id").alias("k"), F.rand(1).alias("f")
+        F.col("id").alias("k"), F.rand(1).alias("f"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,id)")
+        .alias("ts"),
     )
     snap.snapshot_write(df, t)
     with pytest.raises(ValueError, match="non-portable"):
-        az.snapshot_analyze(spark, t, cols=["f"])
+        az.snapshot_analyze(spark, t, cols=["ts"])
     with pytest.raises(ValueError, match="not in the table"):
         az.snapshot_analyze(spark, t, cols=["zzz"])
-    # default col selection skips the double silently
+    # floats analyze via the canonical 1e-6 encoding (round 10);
+    # default col selection includes them, skips the timestamp
     az.snapshot_analyze(spark, t)
-    assert list(az.snapshot_column_stats(t)["columns"]) == ["k"]
+    cs = az.snapshot_column_stats(t)["columns"]
+    assert list(cs) == ["k", "f"]
+    assert cs["f"]["ndv_est"] > 0
+
+
+def test_float_ndv_canonical_semantics(spark):
+    """Float NDV is distinct-at-1e-6: values closer than 5e-7
+    collapse; nan/inf/decade buckets count as distinct tokens."""
+    t = _tmp()
+    vals = [1.0, 1.0000001, 1.5, -2.25, 0.0, -0.0,
+            float("nan"), float("inf"), 9.1e12, 9.2e12]
+    df = spark.createDataFrame([(v,) for v in vals], "f double")
+    snap.snapshot_write(df, t)
+    az.snapshot_analyze(spark, t, cols=["f"])
+    st = az.snapshot_column_stats(t)["columns"]["f"]
+    # distinct canon tokens: 1.0≡1.0000001 → '1000000'; 1.5; -2.25;
+    # 0.0≡-0.0 → '0'; nan; inf; 9.1e12≡9.2e12 → 'big+13' = 7 tokens
+    assert 6.0 <= st["ndv_est"] <= 8.1
 
 
 def test_suggest_layout_rules(spark):
