@@ -7615,6 +7615,55 @@ def q_snapshot_branch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("partition_evolution_digest", """
+WITH t AS (
+  SELECT event_id AS k, event_type AS et,
+         CAST(ts AS DATE) AS day, value AS v
+  FROM events
+  UNION ALL
+  SELECT event_id + 1000000, event_type, CAST(ts AS DATE), value
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM t
+WHERE et = 'click'
+""")
+def q_partition_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec EVOLUTION (round 10, Iceberg shape): events
+    commit partitioned by event_type, the spec changes to day in one
+    METADATA-ONLY commit, the next append lands under the new layout
+    automatically, and an et-equality read crosses the layout
+    boundary — old files prune EXACTLY on their et= segments, new
+    files keep conservatively, and the residual makes the result
+    identical to the oracle's recompute. No data file moved to
+    change the spec."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("et"),
+        F.col("ts").cast("date").alias("day"), F.col("value").alias("v"),
+    )
+    t = tempfile.mkdtemp(prefix="snap_pspec_") + "/t"
+    snap.snapshot_write(ev, t, partition_by=["et"])
+    snap.snapshot_set_partition_spec(t, ["day"])
+    snap.snapshot_write(
+        ev.filter(F.col("k") % 2 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "et", "day", "v"
+        ),
+        t, mode="append",
+    )
+    got = snap.read_snapshot(spark, t, where=[("et", "click", "click")])
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

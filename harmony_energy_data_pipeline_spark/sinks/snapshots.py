@@ -90,6 +90,8 @@ def _carry_pcols(src: dict) -> dict:
     out: dict = {}
     if src.get("partition_cols"):
         out["partition_cols"] = list(src["partition_cols"])
+    if src.get("partition_specs"):
+        out["partition_specs"] = [list(s) for s in src["partition_specs"]]
     if src.get("bucket_spec"):
         out["bucket_spec"] = dict(src["bucket_spec"])
     if src.get("generated_cols"):
@@ -97,6 +99,31 @@ def _carry_pcols(src: dict) -> dict:
     if src.get("dropped_cols"):
         out["dropped_cols"] = list(src["dropped_cols"])
     return out
+
+
+def _all_partition_cols(m: dict) -> list[str]:
+    """Every column that may be HIVE-PATH-ENCODED in some live file:
+    the union of the table's historical partition specs
+    (``partition_specs``, oldest first — spec EVOLUTION leaves each
+    file laid out under the spec it was written with), falling back
+    to the current ``partition_cols``. Readers reconstruct, and
+    pruners consult, each file's OWN path segments, so this union is
+    what both must know about."""
+    specs = m.get("partition_specs")
+    if specs:
+        seen: dict[str, None] = {}
+        for spec in specs:
+            for c in spec:
+                seen.setdefault(c)
+        return list(seen)
+    return list(m.get("partition_cols") or [])
+
+
+def _spec_evolved(m: dict) -> bool:
+    """True when live files may be laid out under MORE than one
+    partition spec (the per-group literal read shape assumes one)."""
+    specs = m.get("partition_specs")
+    return bool(specs) and len({tuple(s) for s in specs}) > 1
 
 #: A resolution walk longer than this persists its result as a
 #: checkpoint sidecar (``ckpt-v<N>.json``), so subsequent reads of that
@@ -1396,6 +1423,17 @@ def snapshot_write(
             else df.repartitionByRange(*cluster_by)
         ).sortWithinPartitions(*cluster_by)
     pb = list(partition_by or [])
+    if mode == "append" and not pb and parent_raw is not None:
+        # the partition layout is table-level, like the bucket spec:
+        # appends re-apply it so the table stays uniformly laid out
+        # (and a just-evolved spec — snapshot_set_partition_spec —
+        # takes effect from the very next append). A batch missing a
+        # partition column stages layout-less, which readers and
+        # pruners already handle (columns carried as data).
+        inherited = parent_raw.get("partition_cols") or []
+        if inherited and all(c in df.columns for c in inherited):
+            pb = list(inherited)
+            partition_by = list(inherited)
     if bucket_spec:
         if _BUCKET_SEG in df.columns:
             raise ValueError(
@@ -1617,6 +1655,9 @@ def snapshot_publish_staged(
                    else {}),
                 **({"partition_cols": list(out_pcols)} if out_pcols
                    else {}),
+                **({"partition_specs":
+                    [list(sp) for sp in pm["partition_specs"]]}
+                   if pm.get("partition_specs") else {}),
                 **({"bucket_spec": dict(out_bspec)} if out_bspec else {}),
                 **({"generated_cols": dict(out_gen)} if out_gen else {}),
                 **({"dropped_cols": list(tombs)} if tombs else {}),
@@ -1811,7 +1852,7 @@ def _partition_values(rel: str, m: dict) -> dict:
     metadata table). Segment names map through rename lineage; the
     NULL marker decodes to None; values hive-unquote (the raw disk
     name layer — ``unquote`` does not form-decode ``+``)."""
-    pcols = m.get("partition_cols")
+    pcols = _all_partition_cols(m)
     if not pcols:
         return {}
     from urllib.parse import unquote
@@ -1955,7 +1996,7 @@ def _partition_pruner(m: dict, where: list[tuple]):
     without the path segment (unpartitioned appends) and NULL
     partitions are conservatively kept; row correctness always comes
     from the residual filter."""
-    pcols = m.get("partition_cols")
+    pcols = _all_partition_cols(m)
     active = [
         (c, lo, hi) for c, lo, hi in where
         if pcols and c in pcols and (lo is not None or hi is not None)
@@ -2028,7 +2069,7 @@ def _prune_files_arrow(
     }
     if any(c in lineage for c, _, _ in where):
         return None  # renamed column: the dict path maps the lineage
-    pcols = set(raw.get("partition_cols") or [])
+    pcols = set(_all_partition_cols(raw))
     keep = None
     bspec = raw.get("bucket_spec")
     bcol = bspec["column"] if bspec else None
@@ -2606,7 +2647,8 @@ def read_snapshot_changes_feed(
         v = m["parent"]
     hi_raw = _read_manifest_raw(path, to_version)
     schema_m = {
-        k: hi_raw[k] for k in ("schema", "partition_cols") if k in hi_raw
+        k: hi_raw[k] for k in ("schema", "partition_cols", "partition_specs")
+        if k in hi_raw
     }
     for m in reversed(chain):
         ver = m["version"]
@@ -2835,7 +2877,7 @@ def snapshot_files(
         raw_m = _read_manifest_raw(path, v)
         schema_m = {
             k: raw_m[k]
-            for k in ("schema", "partition_cols", "bucket_spec")
+            for k in ("schema", "partition_cols", "partition_specs", "bucket_spec")
             if k in raw_m
         }
         logicalize = _stats_logicalizer(raw_m.get("schema"))
@@ -3405,7 +3447,7 @@ def _with_partition_cols(df: DataFrame, m: dict) -> DataFrame:
     unpartitioned appends DO — per row, the path segment wins when
     present, else the stored value. Must wrap the RAW scan (the
     hidden ``_metadata`` column resolves only there)."""
-    pcols = m.get("partition_cols")
+    pcols = _all_partition_cols(m)
     if not pcols:
         return df
     import re as _re
@@ -3515,7 +3557,9 @@ def _read_grouped(
     for unpartitioned tables, schema-less manifests, or more than
     ``_PART_GROUP_MAX`` distinct tuples."""
     pcols = m.get("partition_cols")
-    if not pcols or "schema" not in m:
+    if not pcols or "schema" not in m or _spec_evolved(m):
+        # an EVOLVED table mixes layouts: the expression route
+        # reconstructs each file's own historical segments per row
         return _read_file_list(spark, files, m, fmt)
     from pyspark.sql.types import StructType
 
@@ -4596,6 +4640,60 @@ def snapshot_widen_column(
     return _commit_metadata_only(path, mutate, "widen_column", protocol)
 
 
+@normalizes_paths('path')
+def snapshot_set_partition_spec(
+    path: str,
+    partition_by: list[str],
+    protocol: str = "link",
+) -> int:
+    """PARTITION SPEC EVOLUTION (the Iceberg shape), METADATA-ONLY:
+    change the table's ``partition_by`` without touching a data file.
+    Existing files keep the layout of the spec they were written
+    under; every consumer — per-file pruning, per-row partition
+    reconstruction, the files metadata table — consults each file's
+    OWN path segments against the UNION of historical specs
+    (``partition_specs``), so old files keep pruning on the old
+    columns and reads stay exact across the boundary. Appends from
+    this commit on lay out under the NEW spec automatically
+    (table-level, like any layout change); a later
+    :func:`snapshot_compact` rewrites everything into the current
+    spec, completing the migration. ``partition_by=[]`` stops
+    partitioning new data (old files still prune on their segments).
+
+    Correctness note: a column leaving the spec stays readable on old
+    files because reconstruction is path-first per row — the hive
+    layout never stored it in the file, and the union keeps the
+    extractor alive for as long as such files exist."""
+    new = list(partition_by or [])
+
+    def mutate(pm: dict) -> dict:
+        if "schema" in pm:
+            have = {f["name"] for f in pm["schema"]["fields"]}
+            missing = [c for c in new if c not in have]
+            if missing:
+                raise ValueError(
+                    f"partition spec names columns {missing} the table "
+                    "lacks"
+                )
+        cur = list(pm.get("partition_cols") or [])
+        if cur == new:
+            raise ValueError(
+                f"table is already partitioned by {new or 'nothing'}"
+            )
+        history = [list(s) for s in pm.get("partition_specs") or []]
+        if not history:
+            history = [cur]
+        history.append(new)
+        return {
+            "partition_cols": new or None,
+            "partition_specs": history,
+        }
+
+    return _commit_metadata_only(
+        path, mutate, "set_partition_spec", protocol
+    )
+
+
 def _tagged_versions(path: str) -> set:
     """Versions pinned by a TAG ref (sinks/refs.py) — vacuum keeps
     them whatever the retention policy says."""
@@ -5294,11 +5392,55 @@ def snapshot_merge_into(
     raise last_err
 
 
+def _vacuum_inventory_batches(path: str, inventory):
+    """Yield ``(rels, fulls, mtimes)`` batches from a caller-supplied
+    FILE INVENTORY — an iterable of ``(path, mtime_unix)`` pairs, or a
+    parquet file path with columns ``path``/``mtime`` (the S3
+    Inventory / GCS Storage Insights shape). Paths may be
+    table-root-relative or absolute; only data files under the
+    table's ``data/`` root participate (foreign rows are ignored, so
+    a bucket-wide inventory feeds many tables unchanged)."""
+    if isinstance(inventory, str):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(inventory, columns=["path", "mtime"])
+        pairs = zip(
+            tbl.column("path").to_pylist(),
+            tbl.column("mtime").to_pylist(),
+        )
+    else:
+        pairs = iter(inventory)
+    root = os.path.abspath(path)
+    prefix_n = len(root) + 1
+    data_root = os.path.join(root, "data") + os.sep
+    rels: list[str] = []
+    fulls: list[str] = []
+    mts: list = []
+    for p, mt in pairs:
+        if os.path.isabs(p) or ".." in p:
+            full = os.path.abspath(p)
+        else:
+            full = root + os.sep + p  # fast path: already normalized
+        if not full.startswith(data_root):
+            continue
+        if not _is_data_file(full.rsplit("/", 1)[-1]):
+            continue
+        fulls.append(full)
+        rels.append(full[prefix_n:])
+        mts.append(mt)
+        if len(fulls) >= _VACUUM_SWEEP_BATCH:
+            yield rels, fulls, mts
+            rels, fulls, mts = [], [], []
+    if fulls:
+        yield rels, fulls, mts
+
+
 @normalizes_paths('path')
 def vacuum(
     path: str, keep_last: int = 1, orphan_grace_s: float = 600.0,
     keep_newer_than_s: float | None = None,
     dry_run: bool = False,
+    inventory=None,
 ) -> int:
     """Expire all but the last ``keep_last`` snapshots: drop their
     manifests, then delete every data file (and empty txid dir) no
@@ -5337,6 +5479,24 @@ def vacuum(
     file or checkpoint touched (the Delta ``VACUUM … DRY RUN``
     operational-safety shape: audit the blast radius before running
     the real thing).
+
+    ``inventory``: the SCALE PATH for orphan discovery. The default
+    sweep walks ``data/`` recursively — ~1 readdir per directory
+    plus a getmtime per unreferenced file, which on an object store
+    (or a 1M-file local table) is the dominant cost and the wrong
+    shape entirely (S3 has no walk). Pass an inventory — an iterable
+    of ``(path, mtime_unix)`` pairs or a parquet file with
+    ``path``/``mtime`` columns, i.e. exactly what S3 Inventory / GCS
+    Storage Insights emit — and the sweep consumes it instead:
+    ZERO walk or stat syscalls, classification still vectorized per
+    batch. Safety under staleness is one-sided by construction: a
+    file created after the inventory snapshot isn't listed and is
+    therefore never touched (it is young by definition), while a
+    listed file that has since become referenced is classified
+    against the CURRENT manifests, not the inventory. Directory
+    cleanup is skipped in inventory mode (object stores have no
+    directories; a local table's empty dirs are swept by the next
+    walking vacuum).
     """
     if keep_last < 1:
         raise ValueError(
@@ -5466,42 +5626,56 @@ def vacuum(
     # the rest of this path avoids).
     expired_arrow = _expired_rel_arrow(path, expired)
     if dry_run:
-        # nothing mutates at all — walk, classify in vectorized
-        # batches (bounding the transient path lists, same batching
-        # as the deleting walk below), count, return
+        # nothing mutates at all — walk (or consume the inventory),
+        # classify in vectorized batches (bounding the transient path
+        # lists, same batching as the deleting walk below), count
         now = time.time()
         would = 0
         rels: list[str] = []
         fulls: list[str] = []
 
-        def _count(rels: list, fulls: list) -> int:
+        def _count(rels: list, fulls: list, mtimes=None) -> int:
             n = 0
             live_f, exp_f = _vacuum_classify(
                 rels, fulls, live_arrow, live_abs, expired_arrow
             )
-            for full, is_live, is_exp in zip(fulls, live_f, exp_f):
+            for i, (full, is_live, is_exp) in enumerate(
+                zip(fulls, live_f, exp_f)
+            ):
                 if is_live:
                     continue
                 if is_exp:
                     n += 1
                 else:
-                    try:
-                        old_enough = (
-                            now - os.path.getmtime(full) >= orphan_grace_s
-                        )
-                    except OSError:
-                        old_enough = False
-                    if old_enough:
+                    mt = mtimes[i] if mtimes is not None else None
+                    if mt is None:
+                        try:
+                            mt = os.path.getmtime(full)
+                        except OSError:
+                            continue
+                    if now - mt >= orphan_grace_s:
                         n += 1
             return n
 
+        if inventory is not None:
+            for rels, fulls, mts in _vacuum_inventory_batches(
+                path, inventory
+            ):
+                would += _count(rels, fulls, mts)
+            return would
+        prefix_n = len(path) + 1
         for dp, _dirs, files in os.walk(os.path.join(path, "data")):
+            # path (and hence dp) is entry-normalized absolute: full
+            # and rel come from string slicing — the per-file
+            # abspath/relpath calls were the measured dominant cost
+            # at 1M files, not the walk syscalls themselves
+            base = dp + os.sep
             for f in files:
                 if not _is_data_file(f):
                     continue
-                full = os.path.abspath(os.path.join(dp, f))
+                full = base + f
                 fulls.append(full)
-                rels.append(os.path.relpath(full, path))
+                rels.append(full[prefix_n:])
             if len(fulls) >= _VACUUM_SWEEP_BATCH:
                 would += _count(rels, fulls)
                 rels, fulls = [], []
@@ -5566,22 +5740,25 @@ def vacuum(
         nonlocal removed
         rels: list[str] = []
         fulls: list[str] = []
+        prefix_n = len(path) + 1
         for dp, files in batch:
+            base = dp + os.sep
             for f in files:
                 if _is_data_file(f):
-                    full = os.path.abspath(os.path.join(dp, f))
+                    full = base + f
                     fulls.append(full)
-                    rels.append(os.path.relpath(full, path))
+                    rels.append(full[prefix_n:])
         live_f, exp_f = _vacuum_classify(
             rels, fulls, live_arrow, live_abs, expired_arrow
         )
         verdict = dict(zip(fulls, zip(live_f, exp_f)))
         for dp, files in batch:
             kept_data = False
+            base = dp + os.sep
             for f in files:
                 if not _is_data_file(f):
                     continue
-                full = os.path.abspath(os.path.join(dp, f))
+                full = base + f
                 is_live, is_exp = verdict[full]
                 if is_live:
                     kept_data = True
@@ -5617,6 +5794,31 @@ def vacuum(
                     except OSError:
                         pass  # a writer recreated/claimed it: leave it
 
+    if inventory is not None:
+        now = time.time()
+        for rels, fulls, mts in _vacuum_inventory_batches(path, inventory):
+            live_f, exp_f = _vacuum_classify(
+                rels, fulls, live_arrow, live_abs, expired_arrow
+            )
+            for full, mt, is_live, is_exp in zip(
+                fulls, mts, live_f, exp_f
+            ):
+                if is_live:
+                    continue
+                if not is_exp:
+                    if mt is None:  # pair without mtime: stat fallback
+                        try:
+                            mt = os.path.getmtime(full)
+                        except OSError:
+                            continue
+                    if now - mt < orphan_grace_s:
+                        continue  # young: a live writer's stage
+                try:
+                    os.remove(full)
+                    removed += 1
+                except OSError:
+                    pass  # stale inventory row: already gone
+        return removed
     batch: list = []
     batch_n = 0
     for dp, _dirs, files in os.walk(data_root, topdown=False):
@@ -5646,5 +5848,6 @@ __all__ = [
     "snapshot_backfill_stats", "snapshot_stats_agg", "snapshot_clone",
     "snapshot_release_borrow",
     "snapshot_set_constraints", "snapshot_add_column",
+    "snapshot_set_partition_spec",
     "snapshot_rename_column", "snapshot_widen_column",
 ]

@@ -51,15 +51,29 @@ def test_partition_pruning_is_exact_without_stats(spark, tmp_path):
 def test_unpartitioned_append_keeps_column_values(spark, tmp_path):
     path = str(tmp_path / "t")
     snap.snapshot_write(_df(spark, 0, 40), path, partition_by=["g"])
-    # an unpartitioned append: g travels as DATA in the new files
+    # a bare append INHERITS the table layout (round 10): new files
+    # land under g= dirs like the bucket spec always did
     snap.snapshot_write(_df(spark, 40, 80).coalesce(1), path, mode="append")
+    m = snap._read_manifest(path, 1)
+    assert all("/g=" in f or "g=" in f for f in m["files"])
     rows = {r.k: r.g for r in snap.read_snapshot(spark, path).collect()}
     assert len(rows) == 80
     assert all(rows[k] == k % 4 for k in range(80))
-    # pruning keeps the unpartitioned file (no segment: conservative)
+    # a batch MISSING the partition column stages layout-less: g reads
+    # as NULL on those rows, pruning keeps the file conservatively
+    snap.snapshot_write(
+        spark.range(80, 100).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        path, mode="append",
+    )
+    got = snap.read_snapshot(spark, path)
+    assert got.count() == 100
+    assert got.filter("g IS NULL").count() == 20
     kept, _ = snap.prune_files(path, [("g", 3, 3)])
     assert sum("/g=" not in f for f in kept) == 1
-    assert snap.read_snapshot(spark, path, where=[("g", 3, 3)]).count() == 20
+    assert snap.read_snapshot(
+        spark, path, where=[("g", 3, 3)]
+    ).count() == 20
 
 
 def test_conflicting_partition_spec_on_append_raises(spark, tmp_path):

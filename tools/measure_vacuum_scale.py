@@ -118,6 +118,28 @@ def timed_dry_run(path: str, label: str, force_dict: bool) -> dict:
     return out
 
 
+def timed_inventory_dry_run(path: str, inv: list) -> dict:
+    """Round 10: the INVENTORY path — zero walk/readdir syscalls and
+    zero per-file getmtime (mtimes ride the inventory rows), the
+    object-store shape where a recursive walk doesn't exist. The
+    inventory itself arrives free from the store (S3 Inventory / GCS
+    Storage Insights); its capture cost is reported separately and is
+    NOT vacuum's."""
+    snap._RESOLVE_CACHE.clear()
+    tracemalloc.start()
+    t0 = time.perf_counter()
+    would = snap.vacuum(path, keep_last=1, orphan_grace_s=0.0,
+                        dry_run=True, inventory=inv)
+    dt = time.perf_counter() - t0
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    out = {"path": "inventory", "would_delete": would,
+           "wall_s": round(dt, 3),
+           "py_heap_peak_mb": round(peak / 2**20, 1)}
+    print(f"  inventory: {out}", flush=True)
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_expired = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -132,6 +154,21 @@ def main() -> None:
         out["arrow"] = timed_dry_run(path, "arrow", force_dict=False)
         assert out["dict"]["would_delete"] == out["arrow"]["would_delete"], \
             "PARITY VIOLATION"
+        # inventory leg: capture simulates what the store emits for
+        # free; the capture wall is reported but is not vacuum cost
+        t0 = time.perf_counter()
+        inv = []
+        for dp, _dirs, files in os.walk(os.path.join(path, "data")):
+            for f in files:
+                full = os.path.join(dp, f)
+                inv.append((os.path.relpath(full, path), 0.0))
+        out["inventory_capture_s"] = round(time.perf_counter() - t0, 3)
+        out["inventory"] = timed_inventory_dry_run(path, inv)
+        assert out["inventory"]["would_delete"] == \
+            out["arrow"]["would_delete"], "INVENTORY PARITY VIOLATION"
+        out["inventory_speedup_vs_walk"] = round(
+            out["arrow"]["wall_s"]
+            / max(out["inventory"]["wall_s"], 1e-9), 2)
         out["speedup"] = round(
             out["dict"]["wall_s"] / max(out["arrow"]["wall_s"], 1e-9), 2)
         out["heap_ratio"] = round(
