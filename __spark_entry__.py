@@ -7664,6 +7664,57 @@ def q_partition_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("iceberg_pos_delete_digest", """
+WITH live AS (
+  SELECT event_id AS k, value AS v FROM events WHERE NOT (event_id % 7 = 0)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_iceberg_pos_delete_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V2 POSITION DELETES end-to-end (round 10): a delete
+    snapshot's (file_path, pos) parquet + delete manifest
+    (content=1) commit onto the table, ``read_iceberg`` subtracts
+    them with one anti-join on the scan's hidden identity, AND
+    ``snapshot_import_iceberg`` adopts them as native (file, pos)
+    vectors — the digest reads the ADOPTED table after asserting the
+    wire read agrees, so one hash covers both paths. Oracle: the raw
+    table minus the deleted keys."""
+    import tempfile
+    from urllib.parse import unquote, urlparse
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = tempfile.mkdtemp(prefix="ice_pd_") + "/t"
+    ice.write_iceberg(ev.coalesce(4), t, stats_cols=["k"])
+    data, _ = ice.live_files(t)
+    by_res = {ice._resolve_file_path(t, d["file_path"]): d["file_path"]
+              for d in data}
+    rows = spark.read.parquet(*by_res).selectExpr(
+        "k", "_metadata.file_path AS fp", "_metadata.row_index AS ri"
+    ).filter("k % 7 = 0").collect()
+    pairs = [
+        (by_res[unquote(urlparse(r.fp).path)], r.ri) for r in rows
+    ]
+    ice.write_position_deletes(spark, t, pairs)
+    wire_n = ice.read_iceberg(spark, t).count()
+    ice.snapshot_import_iceberg(spark, t)
+    adopted = snap.read_snapshot(spark, t)
+    if adopted.count() != wire_n:
+        raise AssertionError("wire and adopted pos-delete reads disagree")
+    return adopted.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -20,8 +20,9 @@ Scope (honest, checked, raising beyond it):
   (spec Appendix D single-value serialization) and
   identity-transform partition values; the predicate re-applies
   row-level, so pruning is purely a scan-cost optimization.
-  DELETE FILES (v2 row-level deletes, ``content`` 1/2) raise — this
-  reader refuses rather than resurrecting deleted rows.
+  V2 POSITION DELETES (``content`` 1) apply merge-on-read — one
+  anti-join on the (file_path, pos) pairs; EQUALITY deletes
+  (``content`` 2) raise rather than resurrecting rows.
 * **write**: format-version 2 — staged parquet under ``data/``, one
   manifest (Avro, spec field-ids, int-keyed maps in the required
   array-of-record encoding), a manifest LIST, a snapshot entry and a
@@ -307,24 +308,24 @@ def _resolve_file_path(table_path: str, fp: str) -> str:
     return p
 
 
-def live_data_files(
+def live_files(
     path: str, meta: dict | None = None, snapshot_id: int | None = None
-) -> list[dict]:
-    """The snapshot's live ``data_file`` records (status EXISTING or
-    ADDED across its data manifests). Raises on delete manifests /
-    delete files — v2 row-level deletes are not implemented, and
-    ignoring them would resurrect rows."""
+) -> tuple[list[dict], list[dict]]:
+    """The snapshot's live file records, split ``(data_files,
+    position_delete_files)`` (status EXISTING or ADDED across the
+    snapshot's manifests). POSITION deletes (content=1) are
+    supported — they name explicit (file_path, pos) pairs, which are
+    EXACT to apply whatever the sequence numbers say because data
+    file paths are unique. EQUALITY deletes (content=2) raise: they
+    need sequence-number-scoped value matching this bridge doesn't
+    implement, and ignoring them would resurrect rows."""
     meta = meta or table_metadata(path)
     snap = _snapshot(meta, snapshot_id)
     ml = _resolve_file_path(path, snap["manifest-list"])
     manifests, _ = read_avro(ml)
-    out: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if (m.get("content") or 0) != 0:
-            raise IcebergProtocolError(
-                "table has DELETE manifests (v2 row-level deletes); "
-                "this bridge refuses rather than resurrecting rows"
-            )
         entries, _ = read_avro(
             _resolve_file_path(path, m["manifest_path"])
         )
@@ -332,13 +333,32 @@ def live_data_files(
             if e.get("status") == 2:  # DELETED in this snapshot
                 continue
             df_rec = e.get("data_file") or {}
-            if (df_rec.get("content") or 0) != 0:
+            content = df_rec.get("content") or 0
+            if content == 0:
+                data.append(df_rec)
+            elif content == 1:
+                deletes.append(df_rec)
+            else:
                 raise IcebergProtocolError(
-                    "manifest lists a delete file (content="
-                    f"{df_rec.get('content')}); not supported"
+                    "manifest lists an EQUALITY delete file "
+                    "(content=2); this bridge refuses rather than "
+                    "resurrecting rows"
                 )
-            out.append(df_rec)
-    return out
+    return data, deletes
+
+
+def live_data_files(
+    path: str, meta: dict | None = None, snapshot_id: int | None = None
+) -> list[dict]:
+    """Back-compat: the live data files only; raises if the snapshot
+    carries delete files the caller would otherwise ignore."""
+    data, deletes = live_files(path, meta, snapshot_id)
+    if deletes:
+        raise IcebergProtocolError(
+            "snapshot has position-delete files; use live_files() and "
+            "apply them (read_iceberg does)"
+        )
+    return data
 
 
 def _bounds_of(df_rec: dict, field_types: dict) -> dict:
@@ -372,7 +392,13 @@ def read_iceberg(
     ``snapshot_id`` (default: current; or ``as_of_unix`` timestamp
     travel). ``where``: the engine-standard inclusive interval
     triples — files are skipped at PLANNING time on decoded
-    lower/upper bounds, then the predicate re-applies row-level."""
+    lower/upper bounds, then the predicate re-applies row-level.
+
+    V2 POSITION DELETES (content=1) apply merge-on-read: the delete
+    files' (file_path, pos) pairs anti-join the scan's hidden
+    ``_metadata`` identity — pairs are exact whatever the sequence
+    numbers say because data file paths are unique. Equality deletes
+    refuse (see :func:`live_files`)."""
     if as_of_unix is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR as_of_unix, not both")
@@ -384,7 +410,7 @@ def read_iceberg(
         f["id"]: (f["name"], f["type"])
         for f in schema["fields"] if isinstance(f["type"], str)
     }
-    files = live_data_files(path, meta, snapshot_id)
+    files, deletes = live_files(path, meta, snapshot_id)
     residual = None
     if where:
         residual = F.lit(True)
@@ -421,7 +447,59 @@ def read_iceberg(
         return spark.createDataFrame([], spark_schema)
     paths = [_resolve_file_path(path, f["file_path"]) for f in files]
     out = spark.read.schema(spark_schema).parquet(*paths)
+    if deletes:
+        out = _subtract_position_deletes(spark, path, out, deletes)
     return out if residual is None else out.filter(residual)
+
+
+def _norm_content_path(path: str, col):
+    """Normalize a delete file's ``file_path`` VALUE (whatever the
+    writer wrote: scheme URI, absolute, or table-relative) to a plain
+    absolute path, expression-side."""
+    no_scheme = F.regexp_replace(col, "^[a-zA-Z0-9]+:/+", "/")
+    return F.when(
+        no_scheme.startswith("/"), no_scheme
+    ).otherwise(
+        F.concat(F.lit(os.path.abspath(path) + "/"), no_scheme)
+    )
+
+
+def _subtract_position_deletes(
+    spark: SparkSession, path: str, scan: DataFrame, deletes: list[dict]
+) -> DataFrame:
+    """ONE left-anti join on (absolute data path, row position)
+    against the union of the snapshot's position-delete parquet files
+    — O(delete rows) build side (AQE broadcasts when small), applied
+    around the single data scan. ``scan`` must come straight off the
+    parquet source (``_metadata`` resolves only there)."""
+    del_paths = sorted(
+        _resolve_file_path(path, d["file_path"]) for d in deletes
+    )
+    dv = spark.read.schema(
+        "file_path string, pos long"
+    ).parquet(*del_paths).select(
+        _norm_content_path(path, F.col("file_path")).alias("__dvf"),
+        F.col("pos").alias("__dvp"),
+    )
+    cols = scan.columns
+    # the scan's file identity is a percent-encoded URI: decode to
+    # the same plain-absolute form ('+' protected — a literal plus is
+    # a real plus at both encoding layers)
+    scan_path = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
+    return scan.select(
+        "*", scan_path.alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    ).join(
+        dv,
+        (F.col("__f") == F.col("__dvf"))
+        & (F.col("__p") == F.col("__dvp")),
+        "left_anti",
+    ).select(*cols)
 
 
 # --- write -----------------------------------------------------------------------------
@@ -523,6 +601,108 @@ def _file_bounds_maps(fp: str, cols: list[str], ice_fields: list[dict]):
             highs.append({"key": ids[c], "value": hi})
     n_rows = int(st.get("#rows", 0)) if st else None
     return lows or None, highs or None, n_rows
+
+
+def write_position_deletes(
+    spark: SparkSession, path: str, pairs: list[tuple[str, int]],
+) -> int:
+    """Commit a POSITION-DELETE snapshot (Iceberg v2 row-level
+    delete): one spec-shaped delete parquet (columns ``file_path``,
+    ``pos`` — field ids 2147483546/2147483545) plus a delete MANIFEST
+    (content=1) appended to the current manifest list under a new
+    ``delete`` snapshot. ``pairs``: (data file_path exactly as the
+    manifests spell it, 0-based row position). Returns the new
+    snapshot id. Mainly the fixture/export shape — foreign engines'
+    delete files read through :func:`read_iceberg` identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not pairs:
+        raise ValueError("position-delete commit needs >= 1 pair")
+    prev_meta = table_metadata(path)
+    snap_prev = _snapshot(prev_meta, None)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    rel = f"data/delete-{uuid.uuid4().hex}.parquet"
+    fp = os.path.join(path, rel)
+    pairs = sorted(pairs)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([p for p, _ in pairs], pa.string()),
+            "pos": pa.array([int(x) for _, x in pairs], pa.int64()),
+        }),
+        fp,
+    )
+    entry = {
+        "status": 1, "snapshot_id": snap_id,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {
+            "content": 1, "file_path": rel, "file_format": "PARQUET",
+            "partition": {}, "record_count": len(pairs),
+            "file_size_in_bytes": os.path.getsize(fp),
+            "lower_bounds": None, "upper_bounds": None,
+        },
+    }
+    man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+    man_len = write_avro(
+        os.path.join(path, man_rel), _manifest_entry_schema(), [entry],
+        metadata={"schema": json.dumps(_current_schema(prev_meta)),
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2", "content": "deletes"},
+    )
+    manifests = [{
+        "manifest_path": man_rel, "manifest_length": man_len,
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": len(pairs),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    prev_list, _ = read_avro(
+        _resolve_file_path(path, snap_prev["manifest-list"])
+    )
+    manifests.extend(prev_list)
+    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
+               manifests, metadata={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq, "summary": {"operation": "delete"},
+        "manifest-list": ml_rel, "schema-id": 0,
+    }
+    names = _metadata_files(path)
+    version = int(names[-1].split(".")[0].lstrip("v")) + 1
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = list(prev_meta.get("snapshots") or []) + [snapshot]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Iceberg metadata v{version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint)
+    return snap_id
 
 
 def write_iceberg(
@@ -702,9 +882,13 @@ def snapshot_import_iceberg(
     lower/upper bounds → native ZONE MAPS (pruning works
     immediately). Iceberg data files store every column, so no
     partition spec needs reconstructing — the adopted table reads as
-    unpartitioned files with the columns inline. Raises if a native
-    log already exists, if files live outside the table dir, or on
-    v2 delete files."""
+    unpartitioned files with the columns inline. V2 POSITION DELETES
+    carry over: their (file_path, pos) pairs decode into the native
+    positional-delete parquet and ride the manifest's ``dvs`` (reads
+    subtract them, the next copy-on-write materializes them,
+    manifest-only COUNT stays exact). Raises if a native log already
+    exists, if files live outside the table dir, or on equality
+    deletes."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     if snap.latest_version(iceberg_path) is not None:
@@ -719,8 +903,9 @@ def snapshot_import_iceberg(
         f["id"]: (f["name"], f["type"])
         for f in schema["fields"] if isinstance(f["type"], str)
     }
+    data_recs, delete_recs = live_files(iceberg_path, meta)
     files, stats = [], {}
-    for df_rec in live_data_files(iceberg_path, meta):
+    for df_rec in data_recs:
         fp = _resolve_file_path(iceberg_path, df_rec["file_path"])
         rel = os.path.relpath(fp, os.path.abspath(iceberg_path))
         if rel.startswith(".."):
@@ -737,6 +922,44 @@ def snapshot_import_iceberg(
             stats[rel] = entry
     if not files:
         raise ValueError(f"Iceberg table at {iceberg_path} has no files")
+    dvs_manifest: dict = {}
+    if delete_recs:
+        # decode (file_path, pos) pairs into ONE native
+        # positional-delete parquet — the same shape
+        # snapshot_delete_where_dv writes, keyed by _dv_key — so every
+        # native read/rewrite/stats path folds them unchanged
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = os.path.abspath(iceberg_path)
+        pairs_by_rel: dict[str, list[int]] = {}
+        for d in delete_recs:
+            fp = _resolve_file_path(iceberg_path, d["file_path"])
+            tbl = pq.read_table(fp, columns=["file_path", "pos"])
+            for p, pos in zip(tbl.column("file_path").to_pylist(),
+                              tbl.column("pos").to_pylist()):
+                res = _resolve_file_path(iceberg_path, p)
+                rel = os.path.relpath(res, root)
+                if rel.startswith(".."):
+                    raise ValueError(
+                        f"position delete references {res} outside the "
+                        "table directory; adoption needs self-contained "
+                        "layout"
+                    )
+                pairs_by_rel.setdefault(rel, []).append(int(pos))
+        dv_rel = f"dvimport-{uuid.uuid4().hex[:12]}.parquet"
+        fcol, pcol = [], []
+        for rel in sorted(pairs_by_rel):
+            key = snap._dv_key(rel)
+            for pos in sorted(pairs_by_rel[rel]):
+                fcol.append(key)
+                pcol.append(pos)
+        pq.write_table(
+            pa.table({"file": pa.array(fcol, pa.string()),
+                      "pos": pa.array(pcol, pa.int64())}),
+            os.path.join(iceberg_path, dv_rel),
+        )
+        dvs_manifest = {rel: [dv_rel] for rel in pairs_by_rel}
     payload = {
         "version": 0,
         "parent": None,
@@ -748,6 +971,7 @@ def snapshot_import_iceberg(
         "schema": spark_schema.jsonValue(),
         "imported_from_iceberg": meta.get("current-snapshot-id"),
         **({"stats": stats} if stats else {}),
+        **({"dvs": dvs_manifest} if dvs_manifest else {}),
     }
     snap._publish_manifest(iceberg_path, 0, payload, protocol=protocol)
     return 0
@@ -779,7 +1003,8 @@ def snapshot_export_iceberg(
 
 __all__ = [
     "read_iceberg", "write_iceberg", "table_metadata",
-    "live_data_files", "iceberg_history",
+    "live_data_files", "live_files", "write_position_deletes",
+    "iceberg_history",
     "iceberg_snapshot_at_timestamp",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",

@@ -149,16 +149,20 @@ def test_concurrent_metadata_claim_conflicts(spark, monkeypatch):
         ice.write_iceberg(_df(spark, 5, 9), t, mode="append")
 
 
-def test_delete_manifests_refuse(spark):
+def test_equality_delete_files_refuse(spark):
     t = _tmp()
     ice.write_iceberg(_df(spark, 0, 5), t)
     meta = ice.table_metadata(t)
     snap = meta["snapshots"][-1]
     ml = os.path.join(t, snap["manifest-list"])
-    entries, info = read_avro(ml)
-    entries[0]["content"] = 1  # now claims to be a delete manifest
-    write_avro(ml, info["schema"], entries)
-    with pytest.raises(ice.IcebergProtocolError, match="DELETE"):
+    manifests, _ = read_avro(ml)
+    mp = os.path.join(t, manifests[0]["manifest_path"])
+    entries, info = read_avro(mp)
+    # an EQUALITY delete file (content=2) has no sound interpretation
+    # in this bridge: refuse, never resurrect rows
+    entries[0]["data_file"]["content"] = 2
+    write_avro(mp, info["schema"], entries)
+    with pytest.raises(ice.IcebergProtocolError, match="EQUALITY"):
         ice.read_iceberg(spark, t)
 
 
@@ -237,3 +241,67 @@ def test_export_applies_dvs_and_carries_bounds(spark):
     ftypes = {f["id"]: (f["name"], f["type"]) for f in schema["fields"]}
     bounds = [ice._bounds_of(f, ftypes) for f in ice.live_data_files(t)]
     assert any("k" in b for b in bounds)
+
+
+# --- v2 position deletes (round 10, second wave) ---------------------------------------
+
+def _attach_pos_deletes(spark, t, pred):
+    from urllib.parse import unquote, urlparse
+
+    data, _ = ice.live_files(t)
+    paths = [ice._resolve_file_path(t, d["file_path"]) for d in data]
+    by_res = {ice._resolve_file_path(t, d["file_path"]): d["file_path"]
+              for d in data}
+    rows = spark.read.parquet(*paths).selectExpr(
+        "k", "_metadata.file_path AS fp", "_metadata.row_index AS ri"
+    ).filter(pred).collect()
+    pairs, deleted = [], set()
+    for r in rows:
+        res = unquote(urlparse(r.fp).path)
+        pairs.append((by_res[res], r.ri))
+        deleted.add(r.k)
+    ice.write_position_deletes(spark, t, pairs)
+    return deleted
+
+
+def test_position_deletes_read_travel_import(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    t = _tmp()
+    ice.write_iceberg(_df(spark, 0, 100).coalesce(3), t, stats_cols=["k"])
+    pre = ice.table_metadata(t)["current-snapshot-id"]
+    deleted = _attach_pos_deletes(spark, t, "k % 10 = 0")
+    assert len(deleted) == 10
+    got = ice.read_iceberg(spark, t)
+    assert {r.k for r in got.collect()} == set(range(100)) - deleted
+    # pruning composes with the delete subtraction
+    assert ice.read_iceberg(spark, t, where=[("k", 0, 30)]).count() == 27
+    # time travel to the pre-delete snapshot sees every row
+    assert ice.read_iceberg(spark, t, snapshot_id=pre).count() == 100
+    # equality deletes still refuse
+    meta = ice.table_metadata(t)
+    snap_cur = ice._snapshot(meta, None)
+    ml = os.path.join(t, snap_cur["manifest-list"])
+    manifests, info = read_avro(ml)
+    dmans = [m for m in manifests if m["content"] == 1]
+    entries, einfo = read_avro(os.path.join(t, dmans[0]["manifest_path"]))
+    entries[0]["data_file"]["content"] = 2
+    write_avro(os.path.join(t, dmans[0]["manifest_path"]),
+               einfo["schema"], entries)
+    with pytest.raises(ice.IcebergProtocolError, match="EQUALITY"):
+        ice.read_iceberg(spark, t)
+
+
+def test_position_deletes_carry_through_import(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    t = _tmp()
+    ice.write_iceberg(_df(spark, 0, 80).coalesce(2), t, stats_cols=["k"])
+    deleted = _attach_pos_deletes(spark, t, "k < 8")
+    ice.snapshot_import_iceberg(spark, t)
+    got = snap.read_snapshot(spark, t)
+    assert {r.k for r in got.collect()} == set(range(8, 80))
+    assert snap.snapshot_stats_agg(t, cols=[])["n_rows"] == 72
+    # next copy-on-write materializes; nothing resurrects
+    snap.snapshot_delete_where(spark, t, [("k", 10, 10)])
+    assert snap.read_snapshot(spark, t).count() == 71
