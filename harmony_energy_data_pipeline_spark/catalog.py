@@ -10,6 +10,8 @@ to ``{path, format}``:
 * ``format='snapshot'`` — the native log (``_snapshots/``),
 * ``format='delta'``   — a foreign Delta Lake directory read through
   the wire-format bridge,
+* ``format='iceberg'`` — an Apache Iceberg v2 directory read through
+  the wire-format bridge,
 * ``format='auto'``    — decide per-read from what's on disk (a
   native log wins when both exist, matching ``snapshot_sql``).
 
@@ -33,7 +35,7 @@ import re
 import uuid
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
-_FORMATS = ("auto", "snapshot", "delta")
+_FORMATS = ("auto", "snapshot", "delta", "iceberg")
 
 
 class Catalog:

@@ -23,10 +23,13 @@ SELECT resolution is PLAN-TIME and per-occurrence: each distinct
 ``(table, version)`` the query mentions becomes one frozen
 ``read_snapshot`` DataFrame registered as a temp view, so one query
 can join a table's present against its own past (the audit/diff
-shape) and a concurrent commit never tears any occurrence. A path
-holding only a ``_delta_log`` (or a catalog entry with
-``format='delta'``) resolves through the Delta wire-format reader —
-one SQL surface over BOTH table formats.
+shape) and a concurrent commit never tears any occurrence. Names
+resolve across THREE formats — the native log, Delta, and Iceberg
+(explicit catalog format or on-disk detection; a native log wins) —
+and ``VERSION AS OF '<name>'`` (quoted) resolves a native table's
+NAMED REF: a tag pins its version, a branch reads the branch table.
+INSERT appends to wire-format tables through their own writers;
+row-level DML on them refuses with adoption guidance.
 
 DML routes to the native ops and inherits their semantics wholesale:
 
@@ -90,7 +93,7 @@ from harmony_energy_data_pipeline_spark.sinks.snapshots import (
 def _travel_pattern(name: str) -> re.Pattern:
     return re.compile(
         rf"\b{re.escape(name)}\b"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
         r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
         re.IGNORECASE,
     )
@@ -114,6 +117,26 @@ def _is_delta_only(path: str) -> bool:
     )
 
 
+def _table_format(entry: dict) -> str:
+    """The format a name resolves through: explicit catalog format,
+    else on-disk detection — a native log wins (an adopted wire-format
+    table evolves natively), then Delta, then Iceberg."""
+    fmt = entry.get("format", "auto")
+    if fmt in ("snapshot", "delta", "iceberg"):
+        return fmt
+    path = entry["path"]
+    if os.path.isdir(os.path.join(path, "_snapshots")):
+        return "snapshot"
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    md = os.path.join(path, "metadata")
+    if os.path.isdir(md) and any(
+        n.endswith(".metadata.json") for n in os.listdir(md)
+    ):
+        return "iceberg"
+    return "snapshot"
+
+
 def _resolve_names(
     tables: dict[str, str] | None, catalog: Catalog | None
 ) -> dict[str, dict]:
@@ -128,12 +151,7 @@ def _resolve_names(
 
 
 def _reads_delta(entry: dict) -> bool:
-    fmt = entry.get("format", "auto")
-    if fmt == "delta":
-        return True
-    if fmt == "snapshot":
-        return False
-    return _is_delta_only(entry["path"])
+    return _table_format(entry) == "delta"
 
 
 def _rewrite_select(
@@ -146,37 +164,77 @@ def _rewrite_select(
     registered: dict[tuple, str] = {}
     for name, entry in resolved.items():
         pat = _travel_pattern(name)
-        is_delta = _reads_delta(entry)
+        fmt = _table_format(entry)
 
         def sub(mt: re.Match, _name=name, _path=entry["path"],
-                _delta=is_delta) -> str:
-            v: int | None
+                _fmt=fmt) -> str:
+            # groups: 1 = integer version / snapshot id,
+            #         2 = quoted NAMED REF (tag or branch),
+            #         3 = quoted timestamp
+            v: "int | None" = None
+            branch: "str | None" = None
             if mt.group(1) is not None:
                 v = int(mt.group(1))
             elif mt.group(2) is not None:
-                ts = _ts_to_unix(mt.group(2))
-                if _delta:
+                ref = mt.group(2)
+                if _fmt != "snapshot":
+                    raise ValueError(
+                        f"VERSION AS OF {ref!r}: named refs resolve on "
+                        f"native tables only ({_name} reads as {_fmt})"
+                    )
+                from harmony_energy_data_pipeline_spark.sinks import refs
+
+                try:
+                    v = refs.resolve_tag(_path, ref)
+                except KeyError:
+                    if ref in refs.list_branches(_path):
+                        branch = ref
+                    else:
+                        raise KeyError(
+                            f"no tag or branch {ref!r} on table "
+                            f"{_name!r}"
+                        ) from None
+            elif mt.group(3) is not None:
+                ts = _ts_to_unix(mt.group(3))
+                if _fmt == "delta":
                     from harmony_energy_data_pipeline_spark.sources import (
                         deltalake as dl,
                     )
 
                     v = dl.delta_version_at_timestamp(_path, ts)
+                elif _fmt == "iceberg":
+                    from harmony_energy_data_pipeline_spark.sources import (
+                        iceberg as ice,
+                    )
+
+                    v = ice.iceberg_snapshot_at_timestamp(_path, ts)
                 else:
                     v = version_at_timestamp(_path, ts)
-            else:
-                v = None
-            key = (_name, v)
+            key = (_name, v, branch)
             if key not in registered:
+                tag = re.sub(r"\W", "_", branch or f"v{v}")
                 view = (
-                    _name if v is None
-                    else f"{_name}__v{v}_{uuid.uuid4().hex[:6]}"
+                    _name if v is None and branch is None
+                    else f"{_name}__{tag}_{uuid.uuid4().hex[:6]}"
                 )
-                if _delta:
+                if branch is not None:
+                    from harmony_energy_data_pipeline_spark.sinks import (
+                        refs,
+                    )
+
+                    df = refs.read_branch(spark, _path, branch)
+                elif _fmt == "delta":
                     from harmony_energy_data_pipeline_spark.sources import (
                         deltalake as dl,
                     )
 
                     df = dl.read_delta(spark, _path, version=v)
+                elif _fmt == "iceberg":
+                    from harmony_energy_data_pipeline_spark.sources import (
+                        iceberg as ice,
+                    )
+
+                    df = ice.read_iceberg(spark, _path, snapshot_id=v)
                 else:
                     df = read_snapshot(spark, _path, version=v)
                 df.createOrReplaceTempView(view)
@@ -272,11 +330,13 @@ def _target(resolved: dict, name: str, catalog: Catalog | None) -> dict:
 
 
 def _require_native(entry: dict, op: str) -> str:
-    if _reads_delta(entry):
+    fmt = _table_format(entry)
+    if fmt != "snapshot":
         raise ValueError(
-            f"{op} targets a Delta wire-format table at "
+            f"{op} targets a {fmt} wire-format table at "
             f"{entry['path']}; row-level DML runs on the native log — "
-            "adopt it first (snapshot_import_delta) or use write_delta"
+            f"adopt it first (snapshot_import_{fmt}) or use the "
+            f"write_{fmt} API"
         )
     return entry["path"]
 
@@ -436,9 +496,14 @@ def snapshot_sql(
                 f"CREATE TABLE {name}: name is unregistered and no "
                 "catalog was passed to place it"
             )
-        if latest_version(path) is not None or (
-            _is_delta_only(path)
-        ):
+        fmt = _table_format(entry)
+        exists = (
+            latest_version(path) is not None
+            or _is_delta_only(path)
+            or (fmt == "iceberg"
+                and os.path.isdir(os.path.join(path, "metadata")))
+        )
+        if exists:
             if mt.group("ine"):
                 return _dml_result(
                     spark, "create_skipped", name, latest_version(path)
@@ -454,10 +519,30 @@ def snapshot_sql(
         df = spark.sql(
             _rewrite_select(spark, mt.group("select"), resolved)
         )
-        v = snapshot_write(
-            df, path, mode="overwrite", partition_by=pcols,
-            stats_cols=None,
-        )
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v = dl.write_delta(
+                df, path, mode="overwrite", partition_by=pcols
+            )
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            if pcols:
+                raise ValueError(
+                    "the Iceberg bridge writes unpartitioned specs; "
+                    "drop PARTITIONED BY or use the native format"
+                )
+            v = ice.write_iceberg(df, path, mode="overwrite")
+        else:
+            v = snapshot_write(
+                df, path, mode="overwrite", partition_by=pcols,
+                stats_cols=None,
+            )
         return _dml_result(spark, "create", name, v)
 
     mt = _INSERT_RE.match(stmt)
@@ -470,12 +555,19 @@ def snapshot_sql(
         if mt.group("cols"):
             cols = [c.strip() for c in mt.group("cols").split(",")
                     if c.strip()]
-        if _reads_delta(entry):
+        fmt = _table_format(entry)
+        if fmt == "delta":
             from harmony_energy_data_pipeline_spark.sources import (
                 deltalake as dl,
             )
 
             schema = dl.read_delta(spark, entry["path"]).schema
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            schema = ice.read_iceberg(spark, entry["path"]).schema
         else:
             schema = _table_schema(spark, entry["path"])
         if body.upper().startswith("VALUES"):
@@ -488,12 +580,18 @@ def snapshot_sql(
         df = _align_to_schema(
             spark.sql(_rewrite_select(spark, body, resolved)), schema
         )
-        if _reads_delta(entry):
+        if fmt == "delta":
             from harmony_energy_data_pipeline_spark.sources import (
                 deltalake as dl,
             )
 
             v = dl.write_delta(df, entry["path"], mode="append")
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            v = ice.write_iceberg(df, entry["path"], mode="append")
         else:
             v = snapshot_write(df, entry["path"], mode="append")
         return _dml_result(spark, "insert", name, v)

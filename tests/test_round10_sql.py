@@ -58,7 +58,7 @@ def test_catalog_rejects_bad_input(cat):
     with pytest.raises(ValueError, match="invalid table name"):
         cat.register("1bad")
     with pytest.raises(ValueError, match="format"):
-        cat.register("ok", format="iceberg")
+        cat.register("ok", format="hudi")
 
 
 # --- CREATE / INSERT ----------------------------------------------------------------
@@ -344,3 +344,79 @@ def test_script_returns_last_statement(spark, cat):
         catalog=cat,
     )
     assert out.collect()[0].n == 2
+
+
+# --- round 10, second wave: Iceberg in SQL + named-ref travel ------------------------
+
+def test_sql_over_iceberg_catalog_table(spark, cat):
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    path = os.path.join(tempfile.mkdtemp(), "ice")
+    s1 = ice.write_iceberg(
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        path,
+    )
+    cat.register("icet", path=path, format="iceberg")
+    assert snapshot_sql(
+        spark, "SELECT COUNT(*) AS n FROM icet", catalog=cat
+    ).collect()[0].n == 30
+    # INSERT appends through the Iceberg writer
+    snapshot_sql(spark, "INSERT INTO icet VALUES (100, 1.5)", catalog=cat)
+    assert ice.read_iceberg(spark, path).count() == 31
+    # travel by snapshot id
+    n = snapshot_sql(
+        spark, f"SELECT COUNT(*) AS n FROM icet VERSION AS OF {s1}",
+        catalog=cat,
+    ).collect()[0].n
+    assert n == 30
+    # row-level DML refuses with format-specific guidance
+    with pytest.raises(ValueError, match="iceberg wire-format"):
+        snapshot_sql(spark, "DELETE FROM icet WHERE k = 1", catalog=cat)
+
+
+def test_sql_named_ref_travel(spark, cat):
+    from harmony_energy_data_pipeline_spark.sinks import refs
+
+    name, path = _seed(spark, cat, n=40, name="reft")
+    refs.create_tag(path, "gold")
+    snapshot_sql(spark, f"DELETE FROM {name} WHERE k >= 20", catalog=cat)
+    bp = refs.create_branch(path, "exp-1")
+    snap.snapshot_write(
+        spark.range(500, 510).selectExpr("id AS k",
+                                         "CAST(id AS DOUBLE) AS v"),
+        bp, mode="append",
+    )
+    # tag reads the pinned version, branch reads the branch table,
+    # bare name reads the live table — all in one statement
+    row = snapshot_sql(
+        spark,
+        f"SELECT (SELECT COUNT(*) FROM {name} VERSION AS OF 'gold') "
+        "AS tag_n, "
+        f"(SELECT COUNT(*) FROM {name} VERSION AS OF 'exp-1') AS br_n, "
+        f"(SELECT COUNT(*) FROM {name}) AS live_n",
+        catalog=cat,
+    ).collect()[0]
+    assert (row.tag_n, row.br_n, row.live_n) == (40, 30, 20)
+    with pytest.raises(KeyError, match="no tag or branch"):
+        snapshot_sql(
+            spark, f"SELECT * FROM {name} VERSION AS OF 'nope'",
+            catalog=cat,
+        )
+
+
+def test_sql_ctas_into_registered_iceberg_format(spark, cat):
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    path = os.path.join(tempfile.mkdtemp(), "newice")
+    cat.register("nice", path=path, format="iceberg")
+    spark.range(0, 12).selectExpr("id AS k").createOrReplaceTempView(
+        "r10_ice_src"
+    )
+    snapshot_sql(
+        spark, "CREATE TABLE nice AS SELECT k FROM r10_ice_src",
+        catalog=cat,
+    )
+    assert ice.read_iceberg(spark, path).count() == 12
+    assert snapshot_sql(
+        spark, "SELECT COUNT(*) AS n FROM nice", catalog=cat
+    ).collect()[0].n == 12
