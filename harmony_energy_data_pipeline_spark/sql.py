@@ -661,10 +661,95 @@ def snapshot_sql(
         v = snapshot_merge_into(spark, path, src_df, key=key)
         return _dml_result(spark, "merge", name, v)
 
+    if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
+        rows = sorted(
+            (n, e["path"], _table_format(e)) for n, e in resolved.items()
+        )
+        return spark.createDataFrame(
+            rows or [(None, None, None)],
+            "table string, path string, format string",
+        ).filter(F.col("table").isNotNull())
+
+    mt = re.match(
+        r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        name = mt.group("name")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            schema = dl.read_delta(spark, entry["path"]).schema
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            schema = ice.read_iceberg(spark, entry["path"]).schema
+        else:
+            schema = _table_schema(spark, entry["path"])
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(), f.nullable)
+             for f in schema.fields],
+            "col_name string, data_type string, nullable boolean",
+        )
+
+    mt = re.match(
+        r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if mt:
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_compact,
+        )
+
+        name = mt.group("name")
+        path = _require_native(_target(resolved, name, catalog),
+                               "OPTIMIZE")
+        v = snapshot_compact(spark, path)
+        return _dml_result(spark, "optimize", name, v)
+
+    mt = re.match(
+        r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            vacuum,
+        )
+
+        name = mt.group("name")
+        path = _require_native(_target(resolved, name, catalog), "VACUUM")
+        removed = vacuum(
+            path, keep_last=int(mt.group("n") or 1)
+        )
+        return _dml_result(spark, "vacuum", name, removed)
+
+    mt = re.match(
+        r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        from harmony_energy_data_pipeline_spark.sinks.analyze import (
+            snapshot_analyze,
+        )
+
+        name = mt.group("name")
+        path = _require_native(_target(resolved, name, catalog),
+                               "ANALYZE")
+        v = snapshot_analyze(spark, path)
+        return _dml_result(spark, "analyze", name, v)
+
     raise ValueError(
         f"unsupported statement (first tokens {stmt[:40]!r}); this "
         "facade speaks SELECT/WITH/VALUES, CREATE TABLE … AS, INSERT "
-        "INTO, UPDATE, DELETE FROM, MERGE INTO, DROP TABLE"
+        "INTO, UPDATE, DELETE FROM, MERGE INTO, DROP TABLE, SHOW "
+        "TABLES, DESCRIBE, OPTIMIZE, VACUUM [RETAIN n VERSIONS], "
+        "ANALYZE"
     )
 
 

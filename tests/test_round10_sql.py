@@ -420,3 +420,38 @@ def test_sql_ctas_into_registered_iceberg_format(spark, cat):
     assert snapshot_sql(
         spark, "SELECT COUNT(*) AS n FROM nice", catalog=cat
     ).collect()[0].n == 12
+
+
+def test_sql_maintenance_statements(spark, cat):
+    name, path = _seed(spark, cat, n=60, name="maint10")
+    # fragment the table, then OPTIMIZE compacts it
+    for i in range(3):
+        snapshot_sql(
+            spark, f"INSERT INTO {name} VALUES ({900 + i}, 1.0)",
+            catalog=cat,
+        )
+    files_before = len(snap._read_manifest(
+        path, snap.latest_version(path))["files"])
+    r = snapshot_sql(spark, f"OPTIMIZE {name}", catalog=cat).collect()[0]
+    assert r.operation == "optimize"
+    files_after = len(snap._read_manifest(
+        path, snap.latest_version(path))["files"])
+    assert files_after < files_before
+    # VACUUM reclaims expired versions' files
+    r = snapshot_sql(
+        spark, f"VACUUM {name} RETAIN 1 VERSIONS", catalog=cat
+    ).collect()[0]
+    assert r.operation == "vacuum" and r.version >= 0
+    assert snap.read_snapshot(spark, path).count() == 63
+    # ANALYZE commits column stats readable via the analyze module
+    from harmony_energy_data_pipeline_spark.sinks import analyze as az
+
+    snapshot_sql(spark, f"ANALYZE {name}", catalog=cat)
+    assert az.snapshot_column_stats(path)["columns"]["k"]["ndv_est"] > 0
+    # SHOW TABLES / DESCRIBE
+    shows = {r.table: r.format for r in snapshot_sql(
+        spark, "SHOW TABLES", catalog=cat).collect()}
+    assert shows.get(name) == "snapshot"
+    desc = {r.col_name: r.data_type for r in snapshot_sql(
+        spark, f"DESCRIBE {name}", catalog=cat).collect()}
+    assert desc == {"k": "bigint", "v": "double"}
