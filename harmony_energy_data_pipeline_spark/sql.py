@@ -661,6 +661,105 @@ def snapshot_sql(
         v = snapshot_merge_into(spark, path, src_df, key=key)
         return _dml_result(spark, "merge", name, v)
 
+    mt = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+(?P<rest>.+)$",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if mt:
+        name, rest = mt.group("name"), mt.group("rest").strip()
+        _refuse_target_travel(stmt, name)
+        path = _require_native(_target(resolved, name, catalog),
+                               "ALTER TABLE")
+        from harmony_energy_data_pipeline_spark.sinks import refs
+        from harmony_energy_data_pipeline_spark.sinks import (
+            snapshots as _snap,
+        )
+
+        m2 = re.match(
+            r"^ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)$", rest,
+            re.IGNORECASE,
+        )
+        if m2:
+            v = _snap.snapshot_add_column(
+                path, m2.group(1), m2.group(2).strip()
+            )
+            return _dml_result(spark, "add_column", name, v)
+        m2 = re.match(
+            r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+            rest, re.IGNORECASE,
+        )
+        if m2:
+            v = _snap.snapshot_rename_column(
+                path, m2.group(1), m2.group(2)
+            )
+            return _dml_result(spark, "rename_column", name, v)
+        m2 = re.match(
+            r"^DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$", rest, re.IGNORECASE
+        )
+        if m2:
+            v = _snap.snapshot_drop_column(path, m2.group(1))
+            return _dml_result(spark, "drop_column", name, v)
+        m2 = re.match(
+            r"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+(.+)$",
+            rest, re.IGNORECASE,
+        )
+        if m2:
+            v = _snap.snapshot_widen_column(
+                path, m2.group(1), m2.group(2).strip()
+            )
+            return _dml_result(spark, "widen_column", name, v)
+        m2 = re.match(
+            r"^SET\s+PARTITION\s+SPEC\s*\(([^)]*)\)\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2:
+            cols = [c.strip() for c in m2.group(1).split(",")
+                    if c.strip()]
+            v = _snap.snapshot_set_partition_spec(path, cols)
+            return _dml_result(spark, "set_partition_spec", name, v)
+        m2 = re.match(
+            r"^ADD\s+CONSTRAINT\s+CHECK\s*\((.+)\)\s*$", rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m2:
+            cur = _snap._read_manifest_raw(
+                path, latest_version(path)
+            ).get("constraints") or []
+            v = _snap.snapshot_set_constraints(
+                spark, path, list(cur) + [m2.group(1).strip()]
+            )
+            return _dml_result(spark, "add_constraint", name, v)
+        if re.match(r"^DROP\s+CONSTRAINTS\s*$", rest, re.IGNORECASE):
+            v = _snap.snapshot_set_constraints(spark, path, [])
+            return _dml_result(spark, "drop_constraints", name, v)
+        m2 = re.match(
+            r"^CREATE\s+(TAG|BRANCH)\s+'([^']+)'\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2:
+            kind = m2.group(1).lower()
+            if kind == "tag":
+                v = refs.create_tag(path, m2.group(2))
+                return _dml_result(spark, "create_tag", name, v)
+            refs.create_branch(path, m2.group(2))
+            return _dml_result(spark, "create_branch", name, None)
+        m2 = re.match(
+            r"^DROP\s+(TAG|BRANCH)\s+'([^']+)'\s*$", rest, re.IGNORECASE
+        )
+        if m2:
+            if m2.group(1).lower() == "tag":
+                refs.delete_tag(path, m2.group(2))
+                return _dml_result(spark, "drop_tag", name, None)
+            refs.drop_branch(path, m2.group(2))
+            return _dml_result(spark, "drop_branch", name, None)
+        raise ValueError(
+            f"unsupported ALTER TABLE clause {rest[:50]!r}; supported: "
+            "ADD COLUMN, RENAME COLUMN … TO, DROP COLUMN, ALTER COLUMN "
+            "… TYPE, SET PARTITION SPEC (…), ADD CONSTRAINT CHECK (…), "
+            "DROP CONSTRAINTS, CREATE/DROP TAG '…', CREATE/DROP "
+            "BRANCH '…'"
+        )
+
     if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
         rows = sorted(
             (n, e["path"], _table_format(e)) for n, e in resolved.items()

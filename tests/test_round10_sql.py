@@ -455,3 +455,76 @@ def test_sql_maintenance_statements(spark, cat):
     desc = {r.col_name: r.data_type for r in snapshot_sql(
         spark, f"DESCRIBE {name}", catalog=cat).collect()}
     assert desc == {"k": "bigint", "v": "double"}
+
+
+def test_sql_alter_table_surface(spark, cat):
+    from harmony_energy_data_pipeline_spark.sinks import refs
+
+    name, path = _seed(spark, cat, n=30, name="alter10")
+    snapshot_sql(spark, f"ALTER TABLE {name} ADD COLUMN note string",
+                 catalog=cat)
+    snapshot_sql(spark, f"ALTER TABLE {name} RENAME COLUMN v TO val",
+                 catalog=cat)
+    snapshot_sql(
+        spark, f"ALTER TABLE {name} ADD CONSTRAINT CHECK (k >= 0)",
+        catalog=cat,
+    )
+    desc = {r.col_name for r in snapshot_sql(
+        spark, f"DESCRIBE {name}", catalog=cat).collect()}
+    assert desc == {"k", "val", "note"}
+    got = snapshot_sql(
+        spark, f"SELECT k, val, note FROM {name} WHERE k = 3",
+        catalog=cat,
+    ).collect()[0]
+    assert got.val == 3.0 and got.note is None
+    # constraint enforces on the next write
+    with pytest.raises(Exception, match="constraint|Constraint"):
+        snapshot_sql(
+            spark, f"INSERT INTO {name} VALUES (-5, 1.0, 'x')",
+            catalog=cat,
+        )
+    # widen (lossless only: long->double correctly refuses), drop column
+    with pytest.raises(Exception, match="lossless"):
+        snapshot_sql(
+            spark, f"ALTER TABLE {name} ALTER COLUMN k TYPE double",
+            catalog=cat,
+        )
+    snapshot_sql(spark, f"ALTER TABLE {name} ADD COLUMN cnt int",
+                 catalog=cat)
+    snapshot_sql(
+        spark, f"ALTER TABLE {name} ALTER COLUMN cnt TYPE long",
+        catalog=cat,
+    )
+    snapshot_sql(spark, f"ALTER TABLE {name} DROP COLUMN note",
+                 catalog=cat)
+    desc = {r.col_name: r.data_type for r in snapshot_sql(
+        spark, f"DESCRIBE {name}", catalog=cat).collect()}
+    assert desc == {"k": "bigint", "val": "double", "cnt": "bigint"}
+    # refs via SQL
+    snapshot_sql(spark, f"ALTER TABLE {name} CREATE TAG 'rel-1'",
+                 catalog=cat)
+    snapshot_sql(spark, f"ALTER TABLE {name} CREATE BRANCH 'exp'",
+                 catalog=cat)
+    snapshot_sql(spark, f"DELETE FROM {name} WHERE k >= 10", catalog=cat)
+    row = snapshot_sql(
+        spark,
+        f"SELECT (SELECT COUNT(*) FROM {name} VERSION AS OF 'rel-1') "
+        f"AS t, (SELECT COUNT(*) FROM {name} VERSION AS OF 'exp') AS b, "
+        f"(SELECT COUNT(*) FROM {name}) AS l",
+        catalog=cat,
+    ).collect()[0]
+    assert (row.t, row.b, row.l) == (30, 30, 10)
+    snapshot_sql(spark, f"ALTER TABLE {name} DROP BRANCH 'exp'",
+                 catalog=cat)
+    snapshot_sql(spark, f"ALTER TABLE {name} DROP TAG 'rel-1'",
+                 catalog=cat)
+    assert refs.list_tags(path) == {} and refs.list_branches(path) == {}
+    # partition spec evolution via SQL
+    snapshot_sql(
+        spark, f"ALTER TABLE {name} SET PARTITION SPEC (val)",
+        catalog=cat,
+    )
+    m = snap._read_manifest(path, snap.latest_version(path))
+    assert m["partition_cols"] == ["val"]
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        snapshot_sql(spark, f"ALTER TABLE {name} FROB", catalog=cat)
