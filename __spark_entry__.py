@@ -7715,6 +7715,53 @@ def q_iceberg_pos_delete_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("iceberg_stream_digest", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(event_id) AS id_xor
+FROM events
+""")
+def q_iceberg_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING over an Iceberg metadata tree
+    (`sources/icebergstream.py` — the Delta stream's wire-format
+    twin, closing the interop symmetry: both formats now read /
+    adopt / export / STREAM): a real Structured Streaming query
+    tails the snapshot log through the registered Python DataSource
+    — initial snapshot as batch zero, the fast-append's added files
+    as the tail batch, offsets = sequence numbers — into a memory
+    sink. The digest of everything delivered must hash-match the raw
+    table: exactly-once, no loss, no duplication."""
+    import tempfile
+    import uuid as _uuid
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+    from harmony_energy_data_pipeline_spark.sources.icebergstream import (
+        IcebergTableDataSource,
+    )
+
+    spark.dataSource.register(IcebergTableDataSource)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="ice_str_") + "/t"
+    ice.write_iceberg(ev.filter(F.col("event_id") % 2 == 0), path)
+    ice.write_iceberg(
+        ev.filter(F.col("event_id") % 2 == 1), path, mode="append"
+    )
+    name = f"ice_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("iceberg_table").option("path", path)
+        .load().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(event_id)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
