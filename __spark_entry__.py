@@ -7762,6 +7762,48 @@ def q_iceberg_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("delta_linked_export_digest", """
+WITH live AS (
+  SELECT event_id AS k, event_type AS et, value AS v FROM events
+  WHERE NOT (event_id >= 1 AND event_id <= 400)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_delta_linked_export_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY Delta export (round 10): a native partitioned table
+    with MERGE-ON-READ deletes hands itself to any Delta reader in
+    O(metadata + hardlinks) — live parquet files LINK into the Delta
+    directory (no byte rewritten) and the native (file, pos) vectors
+    re-encode as REAL Delta deletion vectors (roaring wire format,
+    protocol v3). The digest reads the exported log through
+    ``read_delta``; the oracle recomputes from the raw table. This is
+    the 100 TB hand-off shape — the materializing export twin is
+    ``delta_export_digest``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+    )
+    base = tempfile.mkdtemp(prefix="delta_lnk_")
+    nat, d = base + "/nat", base + "/d"
+    snap.snapshot_write(ev, nat, partition_by=["et"], stats_cols=["k"])
+    snap.snapshot_delete_where_dv(spark, nat, [("k", 1, 400)])
+    dl.snapshot_export_delta(spark, nat, d, link_files=True)
+    got = dl.read_delta(spark, d)
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

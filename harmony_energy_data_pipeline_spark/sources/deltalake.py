@@ -1089,7 +1089,7 @@ def snapshot_import_delta(spark: SparkSession, delta_path: str,
 
 def snapshot_export_delta(
     spark: SparkSession, snapshot_path: str, delta_path: str,
-    version: int | None = None,
+    version: int | None = None, link_files: bool = False,
 ) -> int:
     """Republish a NATIVE snapshot table's live state (deletion
     vectors applied, union schema, time-travel version honored) as
@@ -1098,20 +1098,187 @@ def snapshot_export_delta(
     manifest zone-map-tracks export with min/max in ``add.stats``
     (file skipping survives the hand-off), and the native PARTITION
     spec carries into the Delta table's ``partitionColumns`` (exact
-    partition pruning survives too)."""
+    partition pruning survives too).
+
+    ``link_files=True`` is the ZERO-COPY path: live parquet files
+    HARDLINK into the Delta directory (same filesystem; cross-device
+    falls back to a copy) and native deletion vectors export as REAL
+    Delta DVs (roaring wire format via ``deltadv``, protocol v3
+    readerFeatures) — so a 100 TB hand-off costs O(metadata + links),
+    not a table rewrite, and merge-on-read deletes survive byte-free.
+    Refused (with guidance) when the linked layout would MIS-READ
+    under a plain Delta reader: rename lineage (old files store old
+    column names), or partition files missing their hive segments
+    (Delta readers take partitionValues as truth and would null the
+    data-carried values) — materialize with ``link_files=False``
+    instead."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     v = snap.latest_version(snapshot_path) if version is None else version
     m = snap._read_manifest(snapshot_path, v)
-    stat_cols = sorted({
-        c for s in m.get("stats", {}).values() for c in s
-        if not c.startswith("#")
-    })
-    df = snap.read_snapshot(spark, snapshot_path, version=v)
-    return write_delta(
-        df, delta_path, mode="overwrite", stats_cols=stat_cols or None,
-        partition_by=m.get("partition_cols"),
-    )
+    if not link_files:
+        stat_cols = sorted({
+            c for s in m.get("stats", {}).values() for c in s
+            if not c.startswith("#")
+        })
+        df = snap.read_snapshot(spark, snapshot_path, version=v)
+        return write_delta(
+            df, delta_path, mode="overwrite",
+            stats_cols=stat_cols or None,
+            partition_by=m.get("partition_cols"),
+        )
+    return _export_delta_linked(spark, snapshot_path, delta_path, v, m)
+
+
+def _export_delta_linked(
+    spark: SparkSession, snapshot_path: str, delta_path: str,
+    v: int, m: dict,
+) -> int:
+    import shutil
+
+    from pyspark.sql.types import StructType as _ST
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import deltadv
+
+    if delta_table_version(delta_path) is not None:
+        raise FileExistsError(
+            f"{delta_path} already has a Delta log; linked export "
+            "targets a fresh directory"
+        )
+    if "schema" not in m:
+        raise ValueError(
+            "linked export needs a schema-tracked manifest; "
+            "materialize with link_files=False"
+        )
+    if any(
+        snap._field_aliases(f) for f in m["schema"].get("fields", [])
+    ):
+        raise ValueError(
+            "table has rename lineage (old files store old column "
+            "names) — a plain Delta reader would mis-read the linked "
+            "files; materialize with link_files=False"
+        )
+    pcols = list(m.get("partition_cols") or [])
+    schema = _ST.fromJson(m["schema"])
+    files = list(m["files"])
+    # partition layout must be COMPLETE: Delta readers take
+    # partitionValues as the only truth for partition columns
+    pvals_of: dict[str, dict] = {}
+    for rel in files:
+        pv = snap._partition_values(rel, m)
+        if pcols and any(c not in pv for c in pcols):
+            raise ValueError(
+                f"file {rel!r} lacks hive segments for {pcols}; a "
+                "Delta reader would null its partition values — "
+                "compact first or materialize with link_files=False"
+            )
+        pvals_of[rel] = pv
+    # native DVs → per-file deleted positions (driver-side decode of
+    # the small (file,pos) parquets), re-encoded as Delta roaring DVs
+    dv_positions: dict[str, list[int]] = {}
+    if m.get("dvs"):
+        import pyarrow.parquet as pq
+
+        key_of = {snap._dv_key(rel): rel for rel in files}
+        dv_files = sorted({
+            snap._abs_file(snapshot_path, d)
+            for ds in m["dvs"].values() for d in ds
+        })
+        for d in dv_files:
+            tbl = pq.read_table(d, columns=["file", "pos"])
+            for k, pos in zip(tbl.column("file").to_pylist(),
+                              tbl.column("pos").to_pylist()):
+                rel = key_of.get(k)
+                if rel is not None:
+                    dv_positions.setdefault(rel, []).append(int(pos))
+    os.makedirs(os.path.join(delta_path, _LOG_DIR), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {
+            "timestamp": now_ms, "operation": "WRITE",
+            "operationParameters": {"mode": "OVERWRITE"},
+            "engineInfo": "harmony-energy-data-pipeline-spark",
+        }},
+        {"protocol": (
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["deletionVectors"],
+             "writerFeatures": ["deletionVectors"]}
+            if dv_positions else
+            {"minReaderVersion": 1, "minWriterVersion": 2}
+        )},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": pcols,
+            "configuration": {},
+            "createdTime": now_ms,
+        }},
+    ]
+    descs: dict[str, dict] = {}
+    if dv_positions:
+        ordered = sorted(dv_positions)
+        dlist = deltadv.write_dv_file(
+            delta_path, [sorted(dv_positions[r]) for r in ordered]
+        )
+        descs = dict(zip(ordered, dlist))
+    stats_m = m.get("stats", {})
+    for rel in files:
+        src = snap._abs_file(snapshot_path, rel)
+        dst = os.path.join(delta_path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device: copy, still O(file)
+        def enc(val):
+            try:
+                json.dumps(val)
+                return val
+            except (TypeError, ValueError):
+                return str(val)  # dates/timestamps → ISO strings
+
+        st = stats_m.get(rel) or {}
+        stats_json: dict = {}
+        if st.get("#rows") is not None:
+            stats_json["numRecords"] = int(st["#rows"])
+        mins = {c: enc(b[0]) for c, b in st.items()
+                if not c.startswith("#")}
+        maxs = {c: enc(b[1]) for c, b in st.items()
+                if not c.startswith("#")}
+        if mins:
+            stats_json["minValues"] = mins
+            stats_json["maxValues"] = maxs
+        add = {
+            "path": "/".join(quote(s) for s in rel.split("/")),
+            "partitionValues": {
+                c: pvals_of[rel].get(c) for c in pcols
+            },
+            "size": os.path.getsize(dst),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            **({"stats": json.dumps(stats_json)} if stats_json else {}),
+        }
+        if rel in descs:
+            add["deletionVector"] = descs[rel]
+        actions.append({"add": add})
+    final = _log_path(delta_path, 0)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version 0 at {delta_path} was claimed concurrently"
+        )
+    finally:
+        os.unlink(tmp)
+    return 0
 
 
 __all__ = [

@@ -273,3 +273,64 @@ def test_dv_budget_gate(spark):
     ])
     with pytest.raises(ValueError, match="deletion-vector positions"):
         dl.read_delta(spark, t).count()
+
+
+# --- zero-copy (linked) export with DVs --------------------------------------------
+
+def test_linked_export_hardlinks_and_dvs(spark):
+    from urllib.parse import unquote
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat, d = _tmp(), _tmp()
+    df = spark.range(0, 120).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p", "CAST(id AS DOUBLE) AS v"
+    )
+    snap.snapshot_write(df, nat, partition_by=["p"], stats_cols=["k"])
+    snap.snapshot_delete_where_dv(spark, nat, [("k", 0, 11)])
+    dl.snapshot_export_delta(spark, nat, d, link_files=True)
+    got = dl.read_delta(spark, d)
+    assert got.count() == 108
+    assert got.agg({"k": "min"}).collect()[0][0] == 12
+    assert got.filter("p = '1'").count() == 36
+    # stats survive → pruning works on the exported log
+    assert dl.read_delta(spark, d, where=[("k", 30, 59)]).count() == 30
+    # files are LINKS, not copies
+    adds, _m, proto, _v = dl._replay(d, None)
+    rel = unquote(adds[0]["path"])
+    assert os.stat(os.path.join(d, rel)).st_ino == os.stat(
+        snap._abs_file(nat, rel)
+    ).st_ino
+    # native DVs exported as REAL Delta DVs under protocol v3
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert any(a.get("deletionVector") for a in adds)
+    # time-travel version export + existing-log refusal
+    with pytest.raises(FileExistsError, match="fresh directory"):
+        dl.snapshot_export_delta(spark, nat, d, link_files=True)
+
+
+def test_linked_export_guards(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat = _tmp()
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    snap.snapshot_write(df, nat, stats_cols=["k"])
+    snap.snapshot_rename_column(nat, "v", "val")
+    with pytest.raises(ValueError, match="rename lineage"):
+        dl.snapshot_export_delta(spark, nat, _tmp(), link_files=True)
+    # mixed partition layout refuses too
+    nat2 = _tmp()
+    df2 = spark.range(0, 30).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p"
+    )
+    snap.snapshot_write(df2, nat2, partition_by=["p"])
+    snap.snapshot_write(
+        spark.range(30, 40).selectExpr("id AS k").coalesce(1),
+        nat2, mode="append",
+    )  # batch missing p: stages layout-less
+    with pytest.raises(ValueError, match="hive segments"):
+        dl.snapshot_export_delta(spark, nat2, _tmp(), link_files=True)
+    # materializing export still handles both
+    out = _tmp()
+    dl.snapshot_export_delta(spark, nat2, out, link_files=False)
+    assert dl.read_delta(spark, out).count() == 40
