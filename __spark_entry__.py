@@ -7804,6 +7804,49 @@ def q_delta_linked_export_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("iceberg_linked_export_digest", """
+WITH live AS (
+  SELECT event_id AS k, value AS v FROM events
+  WHERE NOT (event_id >= 1 AND event_id <= 300)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_iceberg_linked_export_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY Iceberg export (round 10): a native table with
+    merge-on-read deletes hands itself to any Iceberg reader in
+    O(metadata + hardlinks) — live parquet files LINK into the
+    Iceberg directory, zone maps re-encode as Appendix-D bounds, and
+    the native (file, pos) vectors export as a spec POSITION-DELETE
+    snapshot. The digest reads the exported tree through
+    ``read_iceberg``; the oracle recomputes from the raw table. The
+    Delta twin is ``delta_linked_export_digest``."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    base = tempfile.mkdtemp(prefix="ice_lnk_")
+    nat, d = base + "/nat", base + "/d"
+    snap.snapshot_write(
+        ev.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        nat, stats_cols=["k"],
+    )
+    snap.snapshot_delete_where_dv(spark, nat, [("k", 1, 300)])
+    ice.snapshot_export_iceberg(spark, nat, d, link_files=True)
+    got = ice.read_iceberg(spark, d)
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -979,26 +979,207 @@ def snapshot_import_iceberg(
 
 def snapshot_export_iceberg(
     spark: SparkSession, snapshot_path: str, iceberg_path: str,
-    version: int | None = None,
+    version: int | None = None, link_files: bool = False,
 ) -> int:
     """Republish a NATIVE snapshot table's live state (deletion
     vectors applied, time travel honored) as one Iceberg v2 snapshot
     — the hand-off for consumers that speak Iceberg but not this
     engine's log. Columns the native manifest zone-map-tracks export
-    as lower/upper bounds (file skipping survives the hand-off)."""
+    as lower/upper bounds (file skipping survives the hand-off).
+
+    ``link_files=True`` is the ZERO-COPY path (the Delta twin is
+    ``snapshot_export_delta(link_files=True)``): live parquet files
+    HARDLINK into the Iceberg directory, zone maps re-encode as
+    Appendix-D bounds, and native deletion vectors export as a spec
+    POSITION-DELETE snapshot — O(metadata + links), no byte
+    rewritten. Refused when a plain Iceberg reader would mis-read
+    the linked layout: rename lineage (old files store old names) or
+    a PARTITIONED native table (the hive layout drops partition
+    columns from data files, which Iceberg requires them to store) —
+    materialize with ``link_files=False`` instead."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     v = snap.latest_version(snapshot_path) if version is None else version
     m = snap._read_manifest(snapshot_path, v)
-    stat_cols = sorted({
-        c for s in m.get("stats", {}).values() for c in s
-        if not c.startswith("#")
-    })
-    df = snap.read_snapshot(spark, snapshot_path, version=v)
-    return write_iceberg(
-        df, iceberg_path, mode="overwrite",
-        stats_cols=stat_cols or None,
+    if not link_files:
+        stat_cols = sorted({
+            c for s in m.get("stats", {}).values() for c in s
+            if not c.startswith("#")
+        })
+        df = snap.read_snapshot(spark, snapshot_path, version=v)
+        return write_iceberg(
+            df, iceberg_path, mode="overwrite",
+            stats_cols=stat_cols or None,
+        )
+    return _export_iceberg_linked(spark, snapshot_path, iceberg_path, m)
+
+
+def _export_iceberg_linked(
+    spark: SparkSession, snapshot_path: str, iceberg_path: str, m: dict
+) -> int:
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType as _ST
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    if _metadata_files(iceberg_path):
+        raise FileExistsError(
+            f"{iceberg_path} already has Iceberg metadata; linked "
+            "export targets a fresh directory"
+        )
+    if "schema" not in m:
+        raise ValueError(
+            "linked export needs a schema-tracked manifest; "
+            "materialize with link_files=False"
+        )
+    if any(
+        snap._field_aliases(f) for f in m["schema"].get("fields", [])
+    ):
+        raise ValueError(
+            "table has rename lineage (old files store old column "
+            "names) — a plain Iceberg reader would mis-read the "
+            "linked files; materialize with link_files=False"
+        )
+    if m.get("partition_cols"):
+        raise ValueError(
+            "native hive layout drops partition columns from data "
+            "files, which Iceberg requires them to store — "
+            "materialize with link_files=False"
+        )
+    ice_schema = _spark_schema_to_ice(_ST.fromJson(m["schema"]))
+    ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]
+             if isinstance(f["type"], str)}
+    os.makedirs(_meta_dir(iceberg_path), exist_ok=True)
+    os.makedirs(os.path.join(iceberg_path, "data"), exist_ok=True)
+    stats_m = m.get("stats", {})
+    seq = 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    data_files: list[dict] = []
+    linked_rel: dict[str, str] = {}  # native rel -> iceberg rel
+    for rel in m["files"]:
+        src = snap._abs_file(snapshot_path, rel)
+        dst_rel = f"data/{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(iceberg_path, dst_rel)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device: copy, still O(file)
+        linked_rel[rel] = dst_rel
+        st = stats_m.get(rel) or {}
+        lows, highs = [], []
+        for c, b in st.items():
+            if c.startswith("#") or c not in ids or c not in types:
+                continue
+            lo = _encode_bound(b[0], types[c])
+            hi = _encode_bound(b[1], types[c])
+            if lo is not None and hi is not None:
+                lows.append({"key": ids[c], "value": lo})
+                highs.append({"key": ids[c], "value": hi})
+        n_rows = (
+            int(st["#rows"]) if st.get("#rows") is not None
+            else pq.read_metadata(dst).num_rows
+        )
+        data_files.append({
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": dst_rel,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lows or None,
+                "upper_bounds": highs or None,
+            },
+        })
+    if not data_files:
+        raise ValueError("linked export needs >= 1 live file")
+    man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+    man_len = write_avro(
+        os.path.join(iceberg_path, man_rel), _manifest_entry_schema(),
+        data_files,
+        metadata={"schema": json.dumps(ice_schema),
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2", "content": "data"},
     )
+    manifests = [{
+        "manifest_path": man_rel, "manifest_length": man_len,
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in data_files
+        ),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    write_avro(os.path.join(iceberg_path, ml_rel),
+               _manifest_file_schema(), manifests,
+               metadata={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": iceberg_path,
+        "last-sequence-number": seq, "last-updated-ms": now_ms,
+        "last-column-id": len(ice_schema["fields"]),
+        "current-schema-id": 0, "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": [{
+            "snapshot-id": snap_id, "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": ml_rel, "schema-id": 0,
+        }],
+        "snapshot-log": [{"snapshot-id": snap_id,
+                          "timestamp-ms": now_ms}],
+        "metadata-log": [],
+    }
+    final = os.path.join(_meta_dir(iceberg_path), "v1.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Iceberg metadata v1 at {iceberg_path} was claimed "
+            "concurrently"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(iceberg_path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("1")
+    os.replace(tmp, hint)
+    # native deletion vectors -> one spec POSITION-DELETE snapshot
+    if m.get("dvs"):
+        key_of = {snap._dv_key(rel): rel for rel in m["files"]}
+        dv_files = sorted({
+            snap._abs_file(snapshot_path, d)
+            for ds in m["dvs"].values() for d in ds
+        })
+        pairs = []
+        for d in dv_files:
+            tbl = pq.read_table(d, columns=["file", "pos"])
+            for k, pos in zip(tbl.column("file").to_pylist(),
+                              tbl.column("pos").to_pylist()):
+                rel = key_of.get(k)
+                if rel is not None:
+                    pairs.append((linked_rel[rel], int(pos)))
+        if pairs:
+            return write_position_deletes(spark, iceberg_path, pairs)
+    return snap_id
 
 
 __all__ = [

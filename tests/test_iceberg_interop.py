@@ -305,3 +305,54 @@ def test_position_deletes_carry_through_import(spark):
     # next copy-on-write materializes; nothing resurrects
     snap.snapshot_delete_where(spark, t, [("k", 10, 10)])
     assert snap.read_snapshot(spark, t).count() == 71
+
+
+def test_linked_export_hardlinks_and_pos_deletes(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat, d = _tmp(), _tmp()
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    snap.snapshot_write(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        nat, stats_cols=["k"],
+    )
+    snap.snapshot_delete_where_dv(spark, nat, [("k", 0, 9)])
+    ice.snapshot_export_iceberg(spark, nat, d, link_files=True)
+    got = ice.read_iceberg(spark, d)
+    assert got.count() == 90
+    assert got.agg({"k": "min"}).collect()[0][0] == 10
+    # bounds survive: a band read prunes + matches
+    assert ice.read_iceberg(spark, d, where=[("k", 25, 49)]).count() == 25
+    # files are links; DVs arrived as one position-delete snapshot
+    data, dels = ice.live_files(d)
+    m = snap._read_manifest(nat, snap.latest_version(nat))
+    inodes = {os.stat(snap._abs_file(nat, r)).st_ino for r in m["files"]}
+    fp = ice._resolve_file_path(d, data[0]["file_path"])
+    assert os.stat(fp).st_ino in inodes
+    assert len(dels) == 1
+    assert [h["operation"] for h in ice.iceberg_history(d)] == [
+        "overwrite", "delete"
+    ]
+    with pytest.raises(FileExistsError, match="fresh directory"):
+        ice.snapshot_export_iceberg(spark, nat, d, link_files=True)
+
+
+def test_linked_export_guards_iceberg(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat = _tmp()
+    snap.snapshot_write(
+        spark.range(0, 20).selectExpr("id AS k",
+                                      "CAST(id % 2 AS STRING) AS p"),
+        nat, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        ice.snapshot_export_iceberg(spark, nat, _tmp(), link_files=True)
+    nat2 = _tmp()
+    snap.snapshot_write(
+        spark.range(0, 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        nat2,
+    )
+    snap.snapshot_rename_column(nat2, "v", "val")
+    with pytest.raises(ValueError, match="rename lineage"):
+        ice.snapshot_export_iceberg(spark, nat2, _tmp(), link_files=True)
