@@ -411,6 +411,32 @@ def read_iceberg(
         for f in schema["fields"] if isinstance(f["type"], str)
     }
     files, deletes = live_files(path, meta, snapshot_id)
+    # identity-transform partition fields of the default spec: their
+    # manifest partition values prune EXACTLY (dates ride as epoch
+    # days per the Avro encoding)
+    ident_types: dict[str, str] = {}
+    for sp in meta.get("partition-specs", []):
+        if sp.get("spec-id") != meta.get("default-spec-id", 0):
+            continue
+        by_id = {f["id"]: f["type"] for f in schema["fields"]
+                 if isinstance(f["type"], str)}
+        for f in sp.get("fields", []):
+            if f.get("transform") == "identity" and                     f.get("source-id") in by_id:
+                ident_types[f["name"]] = by_id[f["source-id"]]
+
+    def _part_pred_value(v, itype: str):
+        import datetime as _dt
+
+        if itype == "date" and isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        if itype in ("int", "long") and isinstance(v, int):
+            return v
+        if itype == "double" and isinstance(v, (int, float)):
+            return float(v)
+        if itype == "string" and isinstance(v, str):
+            return v
+        return None
+
     residual = None
     if where:
         residual = F.lit(True)
@@ -422,8 +448,24 @@ def read_iceberg(
         kept = []
         for df_rec in files:
             bounds = _bounds_of(df_rec, field_types)
+            pv = df_rec.get("partition") or {}
             ok = True
             for c, lo, hi in where:
+                if c in ident_types and pv.get(c) is not None:
+                    val = pv[c]
+                    clo = (_part_pred_value(lo, ident_types[c])
+                           if lo is not None else None)
+                    chi = (_part_pred_value(hi, ident_types[c])
+                           if hi is not None else None)
+                    try:
+                        if clo is not None and val < clo:
+                            ok = False
+                            break
+                        if chi is not None and val > chi:
+                            ok = False
+                            break
+                    except TypeError:
+                        pass  # incomparable: fall through to bounds
                 b = bounds.get(c)
                 if b is None:
                     continue
@@ -519,14 +561,32 @@ def _ice_map_schema(name: str, key_id: int, val_id: int,
     }]
 
 
-def _manifest_entry_schema() -> dict:
+_ICE_PART_AVRO = {"int": "int", "long": "long", "string": "string",
+                  "boolean": "boolean", "double": "double",
+                  "date": "int"}
+
+
+def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
+    """``partition_fields``: ``[{name, type(ice), field-id}]`` for an
+    identity spec — the r102 partition record gets one typed optional
+    field per partition column (empty for unpartitioned)."""
+    pf = []
+    for f in partition_fields or []:
+        avro_t = _ICE_PART_AVRO.get(f["type"])
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"partition column {f['name']!r}: type {f['type']!r} "
+                "has no manifest partition encoding in this bridge"
+            )
+        pf.append({"name": f["name"], "type": ["null", avro_t],
+                   "default": None, "field-id": f["field-id"]})
     data_file = {
         "type": "record", "name": "r2", "fields": [
             {"name": "content", "type": "int", "field-id": 134},
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "field-id": 102, "type": {
-                "type": "record", "name": "r102", "fields": []}},
+                "type": "record", "name": "r102", "fields": pf}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long",
              "field-id": 104},
@@ -708,17 +768,30 @@ def write_position_deletes(
 def write_iceberg(
     df: DataFrame, path: str, mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table directory any Iceberg
     reader can open. ``append`` adds a fast-append snapshot (the new
     manifest list carries previous manifests forward); ``overwrite``
     starts a fresh live set. Returns the new snapshot id. The
     metadata file is claimed with an atomic link, racing writers get
-    ``FileExistsError``."""
+    ``FileExistsError``.
+
+    ``partition_by``: an IDENTITY partition spec. Iceberg requires
+    data files to STORE partition columns, so the stage duplicates
+    each under a hidden ``__p_<col>`` name for the directory split
+    (one partition tuple per file) while the real columns stay in the
+    files; each file's typed tuple lands in the manifest's partition
+    struct (spec field-ids 1000+), giving foreign readers — and
+    :func:`read_iceberg` — exact partition pruning."""
     import pyarrow.parquet as pq
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    pcols = list(partition_by or [])
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in the batch: {missing}")
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     prev_meta = None
@@ -737,17 +810,80 @@ def write_iceberg(
                     "append schema differs from the table's; overwrite "
                     "to evolve"
                 )
-    # stage data files
+    # identity partition spec: typed fields, stable spec field-ids
+    ids_of = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    types_of = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    part_fields = [
+        {"name": c, "type": types_of[c], "field-id": 1000 + i,
+         "source-id": ids_of[c], "transform": "identity"}
+        for i, c in enumerate(pcols)
+    ]
+    if prev_meta is not None and mode == "append":
+        prev_spec = next(
+            (sp for sp in prev_meta.get("partition-specs", [])
+             if sp["spec-id"] == prev_meta.get("default-spec-id", 0)),
+            {"fields": []},
+        )
+        if [f["name"] for f in prev_spec.get("fields", [])] != pcols:
+            raise ValueError(
+                f"append partitioned by {pcols} onto a table "
+                f"partitioned by "
+                f"{[f['name'] for f in prev_spec.get('fields', [])]}"
+            )
+    # stage data files; a partitioned stage splits on DUPLICATED
+    # hidden columns so the real ones stay stored in the files (the
+    # spec requires it), one tuple per file
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(staging)
+    if pcols:
+        staged = df
+        for c in pcols:
+            staged = staged.withColumn(f"__p_{c}", F.col(c))
+        staged.write.mode("error").partitionBy(
+            *[f"__p_{c}" for c in pcols]
+        ).parquet(staging)
+    else:
+        df.write.mode("error").parquet(staging)
     data_files: list[dict] = []
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
     snap_id = int.from_bytes(os.urandom(7), "big")
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
+
+    def _typed_part_value(c: str, raw: str):
+        import datetime as _dt
+        from urllib.parse import unquote as _unq
+
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        raw = _unq(raw)
+        t = types_of[c]
+        if t in ("int", "long"):
+            return int(raw)
+        if t == "double":
+            return float(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        if t == "date":  # avro int: days since epoch
+            return (_dt.date.fromisoformat(raw)
+                    - _dt.date(1970, 1, 1)).days
+        return raw
+
+    staged_files: list[tuple[str, dict]] = []
+    for root, _dirs, fnames in os.walk(staging):
+        for n in fnames:
+            if not n.endswith(".parquet"):
+                continue
+            segs = os.path.relpath(
+                os.path.join(root, n), staging
+            ).split(os.sep)[:-1]
+            pv: dict = {}
+            for seg in segs:
+                k, sep, raw = seg.partition("=")
+                if sep and k.startswith("__p_"):
+                    c = k[4:]
+                    pv[c] = _typed_part_value(c, raw)
+            staged_files.append((os.path.join(root, n), pv))
+    for src, pv in sorted(staged_files):
         final = f"data/{uuid.uuid4().hex}.parquet"
-        os.rename(os.path.join(staging, n), os.path.join(path, final))
+        os.rename(src, os.path.join(path, final))
         fp = os.path.join(path, final)
         lows, highs, n_rows = _file_bounds_maps(
             fp, list(stats_cols or []), ice_schema["fields"]
@@ -757,7 +893,8 @@ def write_iceberg(
             "sequence_number": None, "file_sequence_number": None,
             "data_file": {
                 "content": 0, "file_path": final,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET",
+                "partition": {c: pv.get(c) for c in pcols},
                 "record_count": (
                     n_rows if n_rows is not None
                     else pq.read_metadata(fp).num_rows
@@ -774,11 +911,17 @@ def write_iceberg(
     # one manifest for the new files
     man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
     man_len = write_avro(
-        os.path.join(path, man_rel), _manifest_entry_schema(),
+        os.path.join(path, man_rel),
+        _manifest_entry_schema(part_fields),
         data_files,
         metadata={
             "schema": json.dumps(ice_schema),
-            "partition-spec": "[]", "partition-spec-id": "0",
+            "partition-spec": json.dumps([
+                {k: f[k] for k in
+                 ("name", "transform", "source-id", "field-id")}
+                for f in part_fields
+            ]),
+            "partition-spec-id": "0",
             "format-version": "2", "content": "data",
         },
     )
@@ -833,8 +976,12 @@ def write_iceberg(
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {k: f[k] for k in
+             ("name", "transform", "source-id", "field-id")}
+            for f in part_fields
+        ]}],
+        "last-partition-id": 999 + len(part_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -1010,6 +1157,7 @@ def snapshot_export_iceberg(
         return write_iceberg(
             df, iceberg_path, mode="overwrite",
             stats_cols=stat_cols or None,
+            partition_by=m.get("partition_cols"),
         )
     return _export_iceberg_linked(spark, snapshot_path, iceberg_path, m)
 

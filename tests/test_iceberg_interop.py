@@ -356,3 +356,54 @@ def test_linked_export_guards_iceberg(spark):
     snap.snapshot_rename_column(nat2, "v", "val")
     with pytest.raises(ValueError, match="rename lineage"):
         ice.snapshot_export_iceberg(spark, nat2, _tmp(), link_files=True)
+
+
+def test_identity_partitioned_write_and_prune(spark):
+    t = _tmp()
+    df = spark.range(0, 90).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS tag",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    ice.write_iceberg(df, t, partition_by=["tag"], stats_cols=["k"])
+    got = ice.read_iceberg(spark, t)
+    # data files STORE the partition column (spec requirement)
+    assert got.filter("tag = '1'").count() == 30
+    data, _ = ice.live_files(t)
+    assert all(d["partition"].get("tag") in ("0", "1", "2")
+               for d in data)
+    # identity partition pruning keeps only the value's files
+    meta = ice.table_metadata(t)
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec and spec[0]["transform"] == "identity"
+    assert ice.read_iceberg(
+        spark, t, where=[("tag", "1", "1")]
+    ).count() == 30
+    # appends inherit-and-check the spec
+    ice.write_iceberg(
+        df.selectExpr("k + 100 AS k", "tag", "v"), t,
+        mode="append", partition_by=["tag"],
+    )
+    assert ice.read_iceberg(spark, t).count() == 180
+    with pytest.raises(ValueError, match="partitioned by"):
+        ice.write_iceberg(df, t, mode="append")
+
+
+def test_partitioned_native_export_materializes_with_spec(spark):
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat, d = _tmp(), _tmp()
+    snap.snapshot_write(
+        spark.range(0, 60).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS p"
+        ),
+        nat, partition_by=["p"],
+    )
+    ice.snapshot_export_iceberg(spark, nat, d)  # materializing
+    got = ice.read_iceberg(spark, d)
+    assert got.count() == 60
+    assert got.filter("p = '1'").count() == 30
+    meta = ice.table_metadata(d)
+    assert [f["name"] for f in meta["partition-specs"][0]["fields"]] \
+        == ["p"]
+    assert ice.read_iceberg(spark, d, where=[("p", "1", "1")]).count() \
+        == 30
