@@ -255,7 +255,8 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"^\s*INSERT\s+(?P<over>OVERWRITE\s+|INTO\s+)"
+    r"(?P<name>[A-Za-z_]\w*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -473,7 +474,8 @@ def snapshot_sql(
         return spark.sql(_rewrite_select(spark, stmt, resolved))
 
     mt = re.match(
-        r"^\s*(?:UPDATE|DELETE\s+FROM|INSERT\s+INTO|MERGE\s+INTO)\s+"
+        r"^\s*(?:UPDATE|DELETE\s+FROM|INSERT\s+(?:INTO|OVERWRITE)"
+        r"|MERGE\s+INTO)\s+"
         r"([A-Za-z_]\w*)\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b",
         stmt, re.IGNORECASE,
     )
@@ -548,6 +550,7 @@ def snapshot_sql(
     mt = _INSERT_RE.match(stmt)
     if mt:
         name = mt.group("name")
+        overwrite = mt.group("over").strip().upper() == "OVERWRITE"
         _refuse_target_travel(stmt, name)
         entry = _target(resolved, name, catalog)
         body = mt.group("body").strip()
@@ -580,21 +583,25 @@ def snapshot_sql(
         df = _align_to_schema(
             spark.sql(_rewrite_select(spark, body, resolved)), schema
         )
+        wmode = "overwrite" if overwrite else "append"
         if fmt == "delta":
             from harmony_energy_data_pipeline_spark.sources import (
                 deltalake as dl,
             )
 
-            v = dl.write_delta(df, entry["path"], mode="append")
+            v = dl.write_delta(df, entry["path"], mode=wmode)
         elif fmt == "iceberg":
             from harmony_energy_data_pipeline_spark.sources import (
                 iceberg as ice,
             )
 
-            v = ice.write_iceberg(df, entry["path"], mode="append")
+            v = ice.write_iceberg(df, entry["path"], mode=wmode)
         else:
-            v = snapshot_write(df, entry["path"], mode="append")
-        return _dml_result(spark, "insert", name, v)
+            v = snapshot_write(df, entry["path"], mode=wmode)
+        return _dml_result(
+            spark, "insert_overwrite" if overwrite else "insert",
+            name, v,
+        )
 
     mt = _UPDATE_RE.match(stmt)
     if mt:
@@ -770,6 +777,28 @@ def snapshot_sql(
         ).filter(F.col("table").isNotNull())
 
     mt = re.match(
+        r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_history,
+        )
+
+        name = mt.group("name")
+        path = _require_native(_target(resolved, name, catalog),
+                               "DESCRIBE HISTORY")
+        rows = [
+            (h.get("version"), h.get("parent"), h.get("operation"),
+             h.get("n_files"))
+            for h in snapshot_history(path)
+        ]
+        return spark.createDataFrame(
+            rows, "version bigint, parent bigint, operation string, "
+                  "n_files bigint",
+        )
+
+    mt = re.match(
         r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
         stmt, re.IGNORECASE,
     )
@@ -846,7 +875,8 @@ def snapshot_sql(
     raise ValueError(
         f"unsupported statement (first tokens {stmt[:40]!r}); this "
         "facade speaks SELECT/WITH/VALUES, CREATE TABLE … AS, INSERT "
-        "INTO, UPDATE, DELETE FROM, MERGE INTO, DROP TABLE, SHOW "
+        "INTO, INSERT OVERWRITE, UPDATE, DELETE FROM, MERGE INTO, "
+        "DROP TABLE, DESCRIBE HISTORY, SHOW "
         "TABLES, DESCRIBE, OPTIMIZE, VACUUM [RETAIN n VERSIONS], "
         "ANALYZE"
     )

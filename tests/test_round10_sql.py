@@ -528,3 +528,29 @@ def test_sql_alter_table_surface(spark, cat):
     assert m["partition_cols"] == ["val"]
     with pytest.raises(ValueError, match="unsupported ALTER"):
         snapshot_sql(spark, f"ALTER TABLE {name} FROB", catalog=cat)
+
+
+def test_insert_overwrite_and_describe_history(spark, cat):
+    name, path = _seed(spark, cat, n=40, name="iow10")
+    snapshot_sql(
+        spark,
+        f"INSERT OVERWRITE {name} SELECT 1 AS k, CAST(9 AS DOUBLE) AS v",
+        catalog=cat,
+    )
+    assert snap.read_snapshot(spark, path).count() == 1
+    # history shows both commits; time travel still reaches the past
+    hist = snapshot_sql(
+        spark, f"DESCRIBE HISTORY {name}", catalog=cat
+    ).collect()
+    assert [h.version for h in hist] == [0, 1]
+    assert hist[1].operation == "overwrite"
+    assert snapshot_sql(
+        spark, f"SELECT COUNT(*) AS n FROM {name} VERSION AS OF 0",
+        catalog=cat,
+    ).collect()[0].n == 40
+    with pytest.raises(ValueError, match="time travel"):
+        snapshot_sql(
+            spark,
+            f"INSERT OVERWRITE {name} VERSION AS OF 0 SELECT 1 AS k",
+            catalog=cat,
+        )
