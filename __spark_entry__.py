@@ -7847,6 +7847,75 @@ def q_iceberg_linked_export_digest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q("sql_warehouse_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+renamed AS (SELECT k, v AS val, et, CAST(NULL AS VARCHAR) AS src
+            FROM base),
+ins AS (
+  SELECT * FROM renamed
+  UNION ALL
+  SELECT k + 7000000, val, et, 'late' FROM renamed WHERE k % 9 = 0
+),
+upd AS (
+  SELECT k,
+         CASE WHEN et = 'click' AND k >= 100 AND k <= 5000
+              THEN val * 2 ELSE val END AS val,
+         et, src
+  FROM ins
+),
+del AS (SELECT * FROM upd WHERE NOT (k % 17 = 0))
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(src) AS n_src
+FROM del
+""")
+def q_sql_warehouse_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL warehouse lifecycle as one SQL script (round 10):
+    CREATE TABLE AS → ALTER TABLE (RENAME COLUMN + ADD COLUMN + ADD
+    CONSTRAINT) → INSERT (schema-aligned, null-filling the new
+    column) → UPDATE (compound WHERE: the range half prunes, the
+    equality half rides the residual) → DELETE (modulo predicate) →
+    OPTIMIZE (compaction: row-preserving) → VACUUM (retention: result
+    unchanged) → SELECT digest — every statement through
+    ``snapshot_sql_script`` with catalog-resolved names, no Python
+    API call in the chain. The oracle recomputes the final state as
+    pure SELECT algebra; OPTIMIZE/VACUUM being digest-invariant IS
+    part of what the hash proves."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlwh_"))
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqlwh_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE wht AS SELECT k, v, et FROM sqlwh_events;
+      ALTER TABLE wht RENAME COLUMN v TO val;
+      ALTER TABLE wht ADD COLUMN src string;
+      ALTER TABLE wht ADD CONSTRAINT CHECK (k IS NOT NULL);
+      INSERT INTO wht (k, val, et, src)
+        SELECT k + 7000000, v, et, 'late' FROM sqlwh_events
+        WHERE k % 9 = 0;
+      UPDATE wht SET val = val * 2
+        WHERE et = 'click' AND k >= 100 AND k <= 5000;
+      DELETE FROM wht WHERE k % 17 = 0;
+      OPTIMIZE wht;
+      VACUUM wht RETAIN 1 VERSIONS;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor,
+             COUNT(src) AS n_src
+      FROM wht
+    """, catalog=cat)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
