@@ -7916,6 +7916,60 @@ def q_sql_warehouse_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("iceberg_eq_delete_digest", """
+WITH gen1 AS (
+  SELECT event_id AS k, event_type AS et, value AS v FROM events
+),
+gen2 AS (
+  SELECT event_id + 8000000 AS k, event_type AS et, value AS v
+  FROM events WHERE event_id % 4 = 0
+),
+live AS (
+  SELECT * FROM gen1 WHERE et <> 'error'   -- eq-delete hits old data
+  UNION ALL
+  SELECT * FROM gen2                        -- sequenced after: immune
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_iceberg_eq_delete_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg EQUALITY DELETES (round 10, the Flink CDC-upsert wire
+    shape): an equality-delete snapshot (content=2 file carrying only
+    the equality column, ``equality_ids`` in the manifest) deletes
+    every matching row from data SEQUENCED BEFORE it — and a later
+    append re-introduces matching values untouched, which is exactly
+    the sequence-scoping rule this digest pins: ``read_iceberg``
+    groups data files by data sequence number and anti-joins each
+    group against only the deletes sequenced after it (null-safe,
+    broadcast). Oracle recomputes both generations as SELECT
+    algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+    )
+    t = tempfile.mkdtemp(prefix="ice_eq_") + "/t"
+    ice.write_iceberg(ev, t, stats_cols=["k"])              # seq 1
+    ice.write_equality_deletes(spark, t, [{"et": "error"}], ["et"])
+    ice.write_iceberg(                                       # seq 3
+        ev.filter(F.col("k") % 4 == 0).select(
+            (F.col("k") + 8000000).alias("k"), "et", "v"
+        ),
+        t, mode="append",
+    )
+    got = ice.read_iceberg(spark, t)
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

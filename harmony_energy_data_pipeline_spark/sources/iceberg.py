@@ -312,13 +312,13 @@ def live_files(
     path: str, meta: dict | None = None, snapshot_id: int | None = None
 ) -> tuple[list[dict], list[dict]]:
     """The snapshot's live file records, split ``(data_files,
-    position_delete_files)`` (status EXISTING or ADDED across the
-    snapshot's manifests). POSITION deletes (content=1) are
-    supported — they name explicit (file_path, pos) pairs, which are
-    EXACT to apply whatever the sequence numbers say because data
-    file paths are unique. EQUALITY deletes (content=2) raise: they
-    need sequence-number-scoped value matching this bridge doesn't
-    implement, and ignoring them would resurrect rows."""
+    delete_files)`` (status EXISTING or ADDED across the snapshot's
+    manifests). Delete records carry their ``content`` (1 = position,
+    2 = equality); every record gains ``__seq`` — the entry's data
+    sequence number (inherited from its manifest when the entry's is
+    null, per the spec's inheritance rule) — which equality-delete
+    application needs (a delete applies only to data SEQUENCED BEFORE
+    it)."""
     meta = meta or table_metadata(path)
     snap = _snapshot(meta, snapshot_id)
     ml = _resolve_file_path(path, snap["manifest-list"])
@@ -333,17 +333,15 @@ def live_files(
             if e.get("status") == 2:  # DELETED in this snapshot
                 continue
             df_rec = e.get("data_file") or {}
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0)
+            df_rec["__seq"] = seq
             content = df_rec.get("content") or 0
             if content == 0:
                 data.append(df_rec)
-            elif content == 1:
-                deletes.append(df_rec)
             else:
-                raise IcebergProtocolError(
-                    "manifest lists an EQUALITY delete file "
-                    "(content=2); this bridge refuses rather than "
-                    "resurrecting rows"
-                )
+                deletes.append(df_rec)
     return data, deletes
 
 
@@ -487,11 +485,72 @@ def read_iceberg(
         files = kept
     if not files:
         return spark.createDataFrame([], spark_schema)
+    pos_dels = [d for d in deletes if (d.get("content") or 0) == 1]
+    eq_dels = [d for d in deletes if (d.get("content") or 0) == 2]
+    if eq_dels:
+        out = _read_with_equality_deletes(
+            spark, path, files, spark_schema, schema, eq_dels, pos_dels
+        )
+        return out if residual is None else out.filter(residual)
     paths = [_resolve_file_path(path, f["file_path"]) for f in files]
     out = spark.read.schema(spark_schema).parquet(*paths)
-    if deletes:
-        out = _subtract_position_deletes(spark, path, out, deletes)
+    if pos_dels:
+        out = _subtract_position_deletes(spark, path, out, pos_dels)
     return out if residual is None else out.filter(residual)
+
+
+def _read_with_equality_deletes(
+    spark: SparkSession, path: str, files: list[dict],
+    spark_schema, ice_schema: dict, eq_dels: list[dict],
+    pos_dels: list[dict],
+) -> DataFrame:
+    """EQUALITY deletes (content=2), sequence-scoped per the spec: a
+    delete applies to data files whose data sequence number is
+    STRICTLY LOWER than the delete's. Data files group by their
+    ``__seq`` (one group per commit generation — bounded); each group
+    subtracts its position deletes (while ``_metadata`` is still
+    resolvable), then anti-joins the union of equality deletes
+    sequenced AFTER it, NULL-SAFELY on the delete file's equality
+    columns (pure equi join, broadcast build side)."""
+    by_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    eq_groups: dict[tuple, list[dict]] = {}
+    for d in eq_dels:
+        ids = tuple(sorted(d.get("equality_ids") or []))
+        if not ids or any(i not in by_name for i in ids):
+            raise IcebergProtocolError(
+                "equality delete file lacks resolvable equality_ids"
+            )
+        eq_groups.setdefault(ids, []).append(d)
+    seq_groups: dict[int, list[dict]] = {}
+    for f in files:
+        seq_groups.setdefault(int(f.get("__seq") or 0), []).append(f)
+    out = None
+    for fseq, group in sorted(seq_groups.items()):
+        part = spark.read.schema(spark_schema).parquet(
+            *[_resolve_file_path(path, f["file_path"]) for f in group]
+        )
+        if pos_dels:
+            part = _subtract_position_deletes(spark, path, part, pos_dels)
+        for ids, dels in sorted(eq_groups.items()):
+            applicable = [
+                d for d in dels if int(d.get("__seq") or 0) > fseq
+            ]
+            if not applicable:
+                continue
+            cols = [by_name[i] for i in ids]
+            dd = spark.read.parquet(*sorted(
+                _resolve_file_path(path, d["file_path"])
+                for d in applicable
+            )).select(*[
+                F.col(c).alias(f"__eq_{c}") for c in cols
+            ]).dropDuplicates()
+            cond = None
+            for c in cols:
+                c2 = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                cond = c2 if cond is None else cond & c2
+            part = part.join(F.broadcast(dd), cond, "left_anti")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _norm_content_path(path: str, col):
@@ -594,6 +653,8 @@ def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
              "type": _ice_map_schema("k126_v127", 126, 127)},
             {"name": "upper_bounds", "field-id": 128, "default": None,
              "type": _ice_map_schema("k129_v130", 129, 130)},
+            {"name": "equality_ids", "field-id": 135, "default": None,
+             "type": ["null", {"type": "array", "items": "int"}]},
         ],
     }
     return {
@@ -754,6 +815,116 @@ def write_position_deletes(
         raise FileExistsError(
             f"Iceberg metadata v{version} at {path} was claimed by a "
             "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint)
+    return snap_id
+
+
+def write_equality_deletes(
+    spark: SparkSession, path: str, rows: list[dict],
+    equality_cols: list[str],
+) -> int:
+    """Commit an EQUALITY-DELETE snapshot (Iceberg v2): rows whose
+    ``equality_cols`` values match any entry in ``rows`` are deleted
+    from all data SEQUENCED BEFORE this snapshot — the CDC-upsert
+    shape Flink writers emit. One spec-shaped delete parquet (just
+    the equality columns) + a content=1 delete MANIFEST whose entry
+    carries ``equality_ids`` (content=2 on the data_file record).
+    Returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        raise ValueError("equality-delete commit needs >= 1 row")
+    prev_meta = table_metadata(path)
+    schema = _current_schema(prev_meta)
+    ids_of = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in equality_cols if c not in ids_of]
+    if missing:
+        raise ValueError(f"equality columns not in the schema: {missing}")
+    spark_schema = _schema_to_spark(schema)
+    sub = T.StructType([
+        spark_schema[c] for c in equality_cols
+    ])
+    snap_prev = _snapshot(prev_meta, None)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    rel = f"data/eqdelete-{uuid.uuid4().hex}.parquet"
+    fp = os.path.join(path, rel)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    pq.write_table(pa.table({
+        c: pa.array([r.get(c) for r in rows],
+                    to_arrow_type(sub[c].dataType))
+        for c in equality_cols
+    }), fp)
+    entry = {
+        "status": 1, "snapshot_id": snap_id,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {
+            "content": 2, "file_path": rel, "file_format": "PARQUET",
+            "partition": {}, "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(fp),
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": [ids_of[c] for c in equality_cols],
+        },
+    }
+    man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+    man_len = write_avro(
+        os.path.join(path, man_rel), _manifest_entry_schema(), [entry],
+        metadata={"schema": json.dumps(schema),
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2", "content": "deletes"},
+    )
+    manifests = [{
+        "manifest_path": man_rel, "manifest_length": man_len,
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": len(rows),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    prev_list, _ = read_avro(
+        _resolve_file_path(path, snap_prev["manifest-list"])
+    )
+    manifests.extend(prev_list)
+    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
+               manifests, metadata={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    names = _metadata_files(path)
+    version = int(names[-1].split(".")[0].lstrip("v")) + 1
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = list(prev_meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq, "summary": {"operation": "delete"},
+        "manifest-list": ml_rel, "schema-id": 0,
+    }]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Iceberg metadata v{version} at {path} was claimed "
+            "concurrently"
         )
     finally:
         os.unlink(tmp)
@@ -1050,7 +1221,16 @@ def snapshot_import_iceberg(
         f["id"]: (f["name"], f["type"])
         for f in schema["fields"] if isinstance(f["type"], str)
     }
-    data_recs, delete_recs = live_files(iceberg_path, meta)
+    data_recs, all_deletes = live_files(iceberg_path, meta)
+    delete_recs = [d for d in all_deletes
+                   if (d.get("content") or 0) == 1]
+    if any((d.get("content") or 0) == 2 for d in all_deletes):
+        raise ValueError(
+            "table carries EQUALITY delete files; their value-matching "
+            "cannot adopt as positional vectors without a data scan — "
+            "rewrite via read_iceberg + snapshot_write (which applies "
+            "them exactly)"
+        )
     files, stats = [], {}
     for df_rec in data_recs:
         fp = _resolve_file_path(iceberg_path, df_rec["file_path"])
@@ -1333,6 +1513,7 @@ def _export_iceberg_linked(
 __all__ = [
     "read_iceberg", "write_iceberg", "table_metadata",
     "live_data_files", "live_files", "write_position_deletes",
+    "write_equality_deletes",
     "iceberg_history",
     "iceberg_snapshot_at_timestamp",
     "snapshot_import_iceberg", "snapshot_export_iceberg",

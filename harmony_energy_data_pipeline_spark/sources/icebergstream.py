@@ -138,10 +138,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
                 if deletes and not self.ignore_deletes:
                     raise ValueError(
-                        "initial snapshot carries position-delete "
-                        "files; compact the table first or set "
-                        "option('ignore_deletes', 'true') (deleted "
-                        "rows would then RESURFACE in the stream)"
+                        "initial snapshot carries delete files "
+                        "(position or equality); compact the table "
+                        "first or set option('ignore_deletes', "
+                        "'true') (deleted rows would then RESURFACE "
+                        "in the stream)"
                     )
                 files = [d["file_path"] for d in data]
         else:

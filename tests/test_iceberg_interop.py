@@ -149,7 +149,7 @@ def test_concurrent_metadata_claim_conflicts(spark, monkeypatch):
         ice.write_iceberg(_df(spark, 5, 9), t, mode="append")
 
 
-def test_equality_delete_files_refuse(spark):
+def test_equality_delete_without_ids_refuses(spark):
     t = _tmp()
     ice.write_iceberg(_df(spark, 0, 5), t)
     meta = ice.table_metadata(t)
@@ -158,11 +158,12 @@ def test_equality_delete_files_refuse(spark):
     manifests, _ = read_avro(ml)
     mp = os.path.join(t, manifests[0]["manifest_path"])
     entries, info = read_avro(mp)
-    # an EQUALITY delete file (content=2) has no sound interpretation
-    # in this bridge: refuse, never resurrect rows
+    # a content=2 file WITHOUT equality_ids has no sound
+    # interpretation: refuse, never resurrect or over-delete rows
     entries[0]["data_file"]["content"] = 2
     write_avro(mp, info["schema"], entries)
-    with pytest.raises(ice.IcebergProtocolError, match="EQUALITY"):
+    with pytest.raises(ice.IcebergProtocolError,
+                       match="equality_ids"):
         ice.read_iceberg(spark, t)
 
 
@@ -278,17 +279,17 @@ def test_position_deletes_read_travel_import(spark):
     assert ice.read_iceberg(spark, t, where=[("k", 0, 30)]).count() == 27
     # time travel to the pre-delete snapshot sees every row
     assert ice.read_iceberg(spark, t, snapshot_id=pre).count() == 100
-    # equality deletes still refuse
+    # a content=2 file with no equality_ids still refuses
     meta = ice.table_metadata(t)
     snap_cur = ice._snapshot(meta, None)
     ml = os.path.join(t, snap_cur["manifest-list"])
-    manifests, info = read_avro(ml)
-    dmans = [m for m in manifests if m["content"] == 1]
-    entries, einfo = read_avro(os.path.join(t, dmans[0]["manifest_path"]))
-    entries[0]["data_file"]["content"] = 2
-    write_avro(os.path.join(t, dmans[0]["manifest_path"]),
-               einfo["schema"], entries)
-    with pytest.raises(ice.IcebergProtocolError, match="EQUALITY"):
+    manifests2, _i2 = read_avro(ml)
+    dmans = [m2 for m2 in manifests2 if m2["content"] == 1]
+    mp2 = os.path.join(t, dmans[0]["manifest_path"])
+    entries2, einfo = read_avro(mp2)
+    entries2[0]["data_file"]["content"] = 2
+    write_avro(mp2, einfo["schema"], entries2)
+    with pytest.raises(ice.IcebergProtocolError, match="equality_ids"):
         ice.read_iceberg(spark, t)
 
 
@@ -407,3 +408,44 @@ def test_partitioned_native_export_materializes_with_spec(spark):
         == ["p"]
     assert ice.read_iceberg(spark, d, where=[("p", "1", "1")]).count() \
         == 30
+
+
+def test_equality_deletes_sequence_scoped(spark):
+    t = _tmp()
+    ice.write_iceberg(_df(spark, 0, 60), t, stats_cols=["k"])  # seq 1
+    ice.write_equality_deletes(spark, t, [{"tag": "1"}], ["tag"])
+    got = ice.read_iceberg(spark, t)
+    assert got.count() == 40 and got.filter("tag = '1'").count() == 0
+    # rows appended AFTER the delete keep their matching values: the
+    # delete applies only to data sequenced before it
+    ice.write_iceberg(
+        spark.range(100, 104).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "'1' AS tag"
+        ),
+        t, mode="append",
+    )
+    got = ice.read_iceberg(spark, t)
+    assert got.count() == 44
+    assert got.filter("tag = '1'").count() == 4
+    # multi-column equality deletes compose, and time travel still
+    # reaches the pre-delete snapshot
+    ice.write_equality_deletes(spark, t, [{"k": 100, "tag": "1"}],
+                               ["k", "tag"])
+    assert ice.read_iceberg(spark, t).count() == 43
+    first = ice.iceberg_history(t)[0]["snapshot_id"]
+    assert ice.read_iceberg(spark, t, snapshot_id=first).count() == 60
+    # equality + position deletes compose
+    data, _ = ice.live_files(t)
+    oldest = min(data, key=lambda d: d["__seq"])
+    ice.write_position_deletes(spark, t, [(oldest["file_path"], 0)])
+    assert ice.read_iceberg(spark, t).count() == 42
+    # adoption refuses equality deletes with rewrite guidance
+    with pytest.raises(ValueError, match="EQUALITY delete"):
+        ice.snapshot_import_iceberg(spark, t)
+    # but the materializing path applies them exactly
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat = _tmp()
+    df2 = ice.read_iceberg(spark, t)
+    snap.snapshot_write(df2, nat)
+    assert snap.read_snapshot(spark, nat).count() == 42

@@ -108,5 +108,5 @@ def test_initial_snapshot_with_pos_deletes_refuses(spark, tmp_path):
     ice.write_position_deletes(spark, t, [(data[0]["file_path"], 0)])
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    with pytest.raises(StreamingQueryException, match="position-delete"):
+    with pytest.raises(StreamingQueryException, match="delete files"):
         _drain(spark, t, "ist5", str(tmp_path / "c5"))
