@@ -55,6 +55,7 @@ _MAX_READER_VERSION = 2
 _SUPPORTED_READER_FEATURES: set[str] = {
     "deletionVectors",   # roaring-bitmap positional deletes (deltadv)
     "columnMapping",     # name-mode physical→logical (id-mode raises)
+    "v2Checkpoint",      # UUID-named checkpoints + parquet sidecars
 }
 
 #: Driver-side decode budget for a read's deletion vectors (sum of
@@ -99,21 +100,26 @@ def _read_last_checkpoint(path: str) -> dict | None:
         return None  # spec: _last_checkpoint is a hint, never load-bearing
 
 
-def _checkpoint_actions(path: str, version: int):
-    """Yield the action dicts of a classic single-file checkpoint
-    (``<v>.checkpoint.parquet``): each row carries exactly one non-null
-    action struct column (add / remove / metaData / protocol / txn)."""
-    import pyarrow.parquet as pq
+def _checkpoint_file(path: str, version: int) -> str | None:
+    """The on-disk checkpoint covering ``version``: the CLASSIC
+    single-file name, else a V2 UUID-named one
+    (``<v>.checkpoint.<uuid>.parquet`` — the v2Checkpoint table
+    feature; JSON-formatted v2 checkpoints also exist but parquet is
+    what writers emit). None when neither exists."""
+    d = os.path.join(path, _LOG_DIR)
+    classic = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return classic
+    prefix = f"{version:020d}.checkpoint."
+    if os.path.isdir(d):
+        for n in sorted(os.listdir(d)):
+            if n.startswith(prefix) and n.endswith(".parquet"):
+                return os.path.join(d, n)
+    return None
 
-    f = os.path.join(
-        path, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
-    )
-    if not os.path.exists(f):
-        raise FileNotFoundError(
-            f"_last_checkpoint names v{version} but {f} is missing"
-        )
-    tbl = pq.read_table(f)
-    for batch in tbl.to_pylist():
+
+def _yield_action_rows(rows):
+    for batch in rows:
         for kind in ("protocol", "metaData", "add", "remove", "txn"):
             a = batch.get(kind)
             if a is None:
@@ -124,6 +130,36 @@ def _checkpoint_actions(path: str, version: int):
                 if isinstance(a.get(mk), list):
                     a[mk] = dict(a[mk])
             yield {kind: a}
+
+
+def _checkpoint_actions(path: str, version: int):
+    """Yield the action dicts of the checkpoint covering ``version``
+    — classic single-file, or a V2 UUID-named checkpoint whose
+    add/remove actions live in parquet SIDECAR files under
+    ``_delta_log/_sidecars/`` (each named by a ``sidecar`` action
+    row; protocol/metaData/txn stay in the top file)."""
+    import pyarrow.parquet as pq
+
+    f = _checkpoint_file(path, version)
+    if f is None:
+        raise FileNotFoundError(
+            f"_last_checkpoint names v{version} but no checkpoint "
+            "file exists"
+        )
+    rows = pq.read_table(f).to_pylist()
+    yield from _yield_action_rows(rows)
+    for batch in rows:
+        sc = batch.get("sidecar")
+        if not sc or not sc.get("path"):
+            continue
+        sp = os.path.join(path, _LOG_DIR, "_sidecars",
+                          unquote(sc["path"]))
+        if not os.path.exists(sp):
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar {sc['path']!r} of v{version} "
+                "is missing"
+            )
+        yield from _yield_action_rows(pq.read_table(sp).to_pylist())
 
 
 def _replay(path: str, version: int | None):
@@ -148,15 +184,13 @@ def _replay(path: str, version: int | None):
     v = latest if version is None else version
     use_ck = ck_v is not None and ck_v <= v
     if use_ck:
-        ck_file = os.path.join(
-            path, _LOG_DIR, f"{ck_v:020d}.checkpoint.parquet"
-        )
         # _last_checkpoint is a HINT, never load-bearing (spec): when
-        # the named single-file checkpoint isn't usable — multi-part
-        # ('parts' present) or cleaned away — fall back to full JSON
-        # replay from version 0; only an actually-gapped JSON chain
-        # raises below.
-        if (ck or {}).get("parts") or not os.path.exists(ck_file):
+        # no usable checkpoint exists — multi-part ('parts' present)
+        # or cleaned away — fall back to full JSON replay from
+        # version 0; only an actually-gapped JSON chain raises below.
+        # Classic single-file and v2 UUID-named checkpoints both read.
+        if (ck or {}).get("parts") or \
+                _checkpoint_file(path, ck_v) is None:
             use_ck = False
     start = ck_v + 1 if use_ck else 0
     missing = [
@@ -259,10 +293,8 @@ def _collect_extras(path: str, version: int | None = None):
     v = latest if version is None else version
     use_ck = ck_v is not None and ck_v <= v
     if use_ck:
-        ck_file = os.path.join(
-            path, _LOG_DIR, f"{ck_v:020d}.checkpoint.parquet"
-        )
-        if (ck or {}).get("parts") or not os.path.exists(ck_file):
+        if (ck or {}).get("parts") or \
+                _checkpoint_file(path, ck_v) is None:
             use_ck = False
     removes: dict[str, dict] = {}
     txns: dict[str, dict] = {}

@@ -178,3 +178,91 @@ def test_checkpoint_expires_old_tombstones(spark):
     ).to_pylist()
     # retention 0 → every tombstone is expired and omitted
     assert not any(r.get("remove") for r in ck)
+
+
+def test_v2_checkpoint_with_sidecars_reads(spark):
+    """A foreign v2Checkpoint table: UUID-named checkpoint whose adds
+    live in parquet SIDECARS (the modern Databricks layout), JSON
+    commits cleaned away — replay must go through the v2 checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _tmp()
+    dl.write_delta(_df(spark, 0, 40).coalesce(2), t, stats_cols=["k"])
+    dl.write_delta(_df(spark, 40, 50).coalesce(1), t, mode="append",
+                   stats_cols=["k"])
+    adds, meta, proto, v = dl._replay(t, None)
+    # hand-build the v2 checkpoint: top file = protocol/metaData +
+    # sidecar references; adds split across two sidecar files
+    import uuid as _uuid
+    side_dir = os.path.join(t, "_delta_log", "_sidecars")
+    os.makedirs(side_dir)
+
+    def add_struct(a):
+        return {
+            "path": a["path"],
+            "partitionValues": list(
+                (a.get("partitionValues") or {}).items()),
+            "size": a.get("size"), "modificationTime": 0,
+            "dataChange": True, "stats": a.get("stats"),
+        }
+
+    add_type = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    side_names = []
+    half = len(adds) // 2 or 1
+    for chunk in (adds[:half], adds[half:]):
+        if not chunk:
+            continue
+        n = f"{_uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.table({
+            "add": pa.array([add_struct(a) for a in chunk], add_type),
+        }), os.path.join(side_dir, n))
+        side_names.append(n)
+    top = pa.table({
+        "protocol": pa.array(
+            [{"minReaderVersion": 3, "minWriterVersion": 7,
+              "readerFeatures": ["v2Checkpoint"],
+              "writerFeatures": ["v2Checkpoint"]}]
+            + [None] * (1 + len(side_names)),
+            pa.struct([("minReaderVersion", pa.int32()),
+                       ("minWriterVersion", pa.int32()),
+                       ("readerFeatures", pa.list_(pa.string())),
+                       ("writerFeatures", pa.list_(pa.string()))])),
+        "metaData": pa.array(
+            [None, {"id": meta["id"],
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": [], "createdTime": 0}]
+            + [None] * len(side_names),
+            pa.struct([("id", pa.string()),
+                       ("schemaString", pa.string()),
+                       ("partitionColumns", pa.list_(pa.string())),
+                       ("createdTime", pa.int64())])),
+        "sidecar": pa.array(
+            [None, None] + [{"path": n, "sizeInBytes": 1}
+                            for n in side_names],
+            pa.struct([("path", pa.string()),
+                       ("sizeInBytes", pa.int64())])),
+    })
+    ckname = f"{v:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+    pq.write_table(top, os.path.join(t, "_delta_log", ckname))
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": v, "size": len(adds) + 2}, fh)
+    # clean every JSON commit: only the v2 checkpoint remains
+    for n in list(os.listdir(os.path.join(t, "_delta_log"))):
+        if n.endswith(".json") and n != "_last_checkpoint":
+            os.unlink(os.path.join(t, "_delta_log", n))
+    got = dl.read_delta(spark, t)
+    assert got.count() == 50
+    assert {r.k for r in got.select("k").collect()} == set(range(50))
+    # stats survived through the sidecars → pruning still works
+    assert dl.read_delta(spark, t, where=[("k", 0, 9)]).count() == 10
+    # a missing sidecar is a loud failure, not a partial table
+    os.unlink(os.path.join(side_dir, side_names[0]))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        dl.read_delta(spark, t)
