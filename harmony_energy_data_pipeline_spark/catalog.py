@@ -23,8 +23,8 @@ operation — cheap (it is one small JSON document, not a manifest) and
 safe under concurrent readers.
 
 Reference parity note: the reference pipeline hard-codes its table
-locations (src/load/upsert_pg.py wires one Postgres table name per
-flow); a catalog is the generalization a multi-table lakehouse needs.
+locations (src/serve/load.py wires one SQLite table name per flow);
+a catalog is the generalization a multi-table lakehouse needs.
 """
 
 from __future__ import annotations

@@ -46,6 +46,14 @@ _NDV_OK_TYPES = {"byte", "short", "integer", "long", "string", "date",
                  "boolean", "float", "double"}
 
 
+def _bq(col: str) -> str:
+    """Backtick-quote a column name for generated SQL — matching
+    ``F.col`` semantics, so non-identifier names (``col-k9``) survive
+    the ``F.expr`` round-trip. Embedded backticks escape by
+    doubling, per the Spark/Hive identifier rule."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 def _ndv_canon_sql(col: str, type_name: str) -> str:
     """The portable hash INPUT for one column, as a SQL expression
     valid (and render-identical) in BOTH Spark and DuckDB.
@@ -64,20 +72,21 @@ def _ndv_canon_sql(col: str, type_name: str) -> str:
       collapse per decade (conservative undercount, named in docs).
     * NaN/±Inf → named tokens.
     """
+    q = _bq(col)
     if type_name in ("float", "double"):
         return (
-            f"CASE WHEN isnan({col}) THEN 'nan' "
-            f"WHEN {col} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
-            f"WHEN {col} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
-            f"WHEN abs({col}) < 8.0e9 THEN "
-            f"CAST(CAST(round({col} * 1000000) AS DECIMAL(38,0)) "
+            f"CASE WHEN isnan({q}) THEN 'nan' "
+            f"WHEN {q} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
+            f"WHEN {q} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
+            f"WHEN abs({q}) < 8.0e9 THEN "
+            f"CAST(CAST(round({q} * 1000000) AS DECIMAL(38,0)) "
             f"AS STRING) "
-            f"ELSE concat('big', CASE WHEN {col} < 0 THEN '-' "
+            f"ELSE concat('big', CASE WHEN {q} < 0 THEN '-' "
             f"ELSE '+' END, "
-            f"CAST(CAST(round(log10(abs({col}))) AS INT) AS STRING)) "
+            f"CAST(CAST(round(log10(abs({q}))) AS INT) AS STRING)) "
             f"END"
         )
-    return f"CAST({col} AS STRING)"
+    return f"CAST({q} AS STRING)"
 
 
 def _json_safe(v):

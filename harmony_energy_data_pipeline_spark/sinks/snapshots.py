@@ -3951,13 +3951,23 @@ def snapshot_update_where(
     """UPDATE rows matching ``where``: each ``set_exprs[col]`` (a
     Column or SQL string) replaces that column on matching rows only;
     unaffected files are carried untouched — see
-    :func:`snapshot_rewrite_matching`."""
+    :func:`snapshot_rewrite_matching`.
+
+    SQL-UPDATE typing: the SET result casts back to the column's
+    DECLARED type — expression arithmetic that widens (``decimal(23,1)
+    * 2`` → ``decimal(24,1)``) must not leak a wider physical type
+    into some files while the manifest schema (and every untouched
+    file) says otherwise."""
     from pyspark.sql import functions as F
 
     def _apply(df: DataFrame) -> DataFrame:
+        types = {f.name: f.dataType for f in df.schema.fields}
         out = df
         for c, e in set_exprs.items():
-            out = out.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+            col = F.expr(e) if isinstance(e, str) else e
+            if c in types:
+                col = col.cast(types[c])
+            out = out.withColumn(c, col)
         return out.select(*df.columns)
 
     return snapshot_rewrite_matching(
@@ -4112,11 +4122,16 @@ def snapshot_update_where_dv(
                 return v
             table_cols = [c for c in matched.columns
                           if c not in ("__rel", "__pos")]
+            # cast SET results to the DECLARED column type — widening
+            # arithmetic must not fork the physical type per file
+            # (see snapshot_update_where)
+            mtypes = {f.name: f.dataType for f in matched.schema.fields}
             updated = matched
             for c, e in set_exprs.items():
-                updated = updated.withColumn(
-                    c, F.expr(e) if isinstance(e, str) else e
-                )
+                col = F.expr(e) if isinstance(e, str) else e
+                if c in mtypes:
+                    col = col.cast(mtypes[c])
+                updated = updated.withColumn(c, col)
             updated = updated.select(*table_cols)
             if m.get("constraints"):
                 _validate_constraints(updated, m["constraints"], path)

@@ -948,14 +948,27 @@ def delta_vacuum(
         for rel, r in _collect_extras(path)[0].items()
     }
     cutoff = time.time() - retention_s
+    # A table adopted via snapshot_import_delta co-locates a NATIVE
+    # snapshot log (and everything it owns) next to _delta_log: its
+    # checkpoints/manifests under _snapshots/, branch tables under
+    # _branches/, imported deletion vectors as root-level
+    # dvimport-*.parquet, and natively-appended data files under
+    # data/. None of those are in the Delta log's live set, so the
+    # walk must not treat them as removable Delta orphans.
+    native_log = os.path.isdir(os.path.join(path, "_snapshots"))
+    skip_dirs = {_LOG_DIR, "_snapshots", "_branches"}
+    if native_log:
+        skip_dirs.add("data")
     out: list[str] = []
     for root, dirs, names in os.walk(path):
         rel_root = os.path.relpath(root, path)
-        if rel_root.split(os.sep)[0] == _LOG_DIR:
+        if rel_root.split(os.sep)[0] in skip_dirs:
             dirs[:] = []
             continue
         for n in names:
             if not n.endswith(".parquet"):
+                continue
+            if n.startswith("dvimport-"):
                 continue
             fp = os.path.join(root, n)
             rel = os.path.relpath(fp, path)

@@ -57,11 +57,11 @@ results compose with the rest of the facade.
 
 Scope honestly stated: the travel clause is recognized after a
 registered table name (optionally aliased) — the regex rewrite does
-not parse full SQL, so a string literal containing ``<name> VERSION
-AS OF`` would be rewritten too; keep such literals out of queries run
-through this facade (the standard caveat of every lightweight SQL
-preprocessor). MERGE supports exactly the canonical upsert clause
-pair — richer WHEN forms raise with the native API to use instead.
+not parse full SQL, but it IS literal-safe: quoted string literals
+are span-masked first, so a literal containing ``<name> VERSION AS
+OF`` passes through untouched while the clause's own quoted operand
+still resolves (the match anchors at the table name, outside the
+literal).
 
 Reference parity: the only SQL the reference itself authors is a
 SELECT pushed to CKAN (src/ingest/fetch_neso.py:66-71); the DML half
@@ -100,14 +100,65 @@ def _travel_pattern(name: str) -> re.Pattern:
 
 
 def _ts_to_unix(ts: str) -> float:
+    """Parse a travel timestamp literal AS UTC. Commit stamps are
+    ``time.time()`` UTC epochs and the session pins
+    ``spark.sql.session.timeZone=UTC`` — a naive ``.timestamp()``
+    would read the literal in HOST-local time and shift the resolved
+    instant on any non-UTC machine."""
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
         try:
-            return _dt.datetime.strptime(ts, fmt).timestamp()
+            return _dt.datetime.strptime(ts, fmt).replace(
+                tzinfo=_dt.timezone.utc
+            ).timestamp()
         except ValueError:
             continue
     raise ValueError(
         f"TIMESTAMP AS OF {ts!r}: use 'YYYY-MM-DD[ HH:MM:SS]'"
     )
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of quoted string literals (single or double quoted;
+    doubled-quote escaping) — the regex rewrites must not fire on a
+    table name that merely APPEARS inside a literal."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _sub_outside_literals(pat: re.Pattern, repl, sql: str) -> str:
+    """``pat.sub`` that skips matches STARTING inside a string
+    literal (the travel clause's own quoted operand still matches —
+    the match starts at the table name, outside the literal)."""
+    spans = _literal_spans(sql)
+    out, last = [], 0
+    for mt in pat.finditer(sql):
+        if _in_spans(mt.start(), spans):
+            continue
+        out.append(sql[last:mt.start()])
+        out.append(repl(mt))
+        last = mt.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _is_delta_only(path: str) -> bool:
@@ -241,7 +292,7 @@ def _rewrite_select(
                 registered[key] = view
             return registered[key]
 
-        rewritten = pat.sub(sub, rewritten)
+        rewritten = _sub_outside_literals(pat, sub, rewritten)
     return rewritten
 
 
@@ -309,10 +360,15 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _refuse_target_travel(stmt: str, name: str) -> None:
-    if re.search(
-        rf"\b{re.escape(name)}\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b",
-        stmt, re.IGNORECASE,
-    ):
+    spans = _literal_spans(stmt)
+    hit = any(
+        not _in_spans(mt.start(), spans)
+        for mt in re.finditer(
+            rf"\b{re.escape(name)}\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b",
+            stmt, re.IGNORECASE,
+        )
+    )
+    if hit:
         raise ValueError(
             f"time travel on the DML target {name!r} is not allowed — "
             "you cannot mutate a historical version (read it with "
@@ -855,7 +911,14 @@ def snapshot_sql(
         removed = vacuum(
             path, keep_last=int(mt.group("n") or 1)
         )
-        return _dml_result(spark, "vacuum", name, removed)
+        # a removed-file COUNT is not a table version — report it in
+        # its own column so the (operation, table, version) contract
+        # stays unambiguous
+        return spark.createDataFrame(
+            [("vacuum", name, None, removed)],
+            "operation string, table string, version bigint, "
+            "removed_files bigint",
+        )
 
     mt = re.match(
         r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
