@@ -7916,6 +7916,93 @@ def q_sql_warehouse_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("sql_merge_rich_digest", """
+WITH tgt AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+src AS (
+  SELECT event_id AS k,
+         value + 1000.0 AS v,
+         CASE WHEN event_id % 5 = 0 THEN 'drop' ELSE 'amend' END AS op
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT event_id + 7000000, value, 'fresh' FROM events
+  WHERE event_id % 11 = 0
+),
+merged AS (
+  -- WHEN MATCHED AND op='drop' THEN DELETE
+  -- WHEN MATCHED THEN UPDATE SET v = src.v, et = 'amended'
+  -- WHEN NOT MATCHED AND v >= 0 THEN INSERT (k, v, et) VALUES (k, v, 'new')
+  -- WHEN NOT MATCHED BY SOURCE AND k % 7 = 0 THEN DELETE
+  SELECT t.k,
+         CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+         CASE WHEN s.k IS NOT NULL THEN 'amended' ELSE t.et END AS et
+  FROM tgt t LEFT JOIN src s ON t.k = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.op = 'drop')
+    AND NOT (s.k IS NULL AND t.k % 7 = 0)
+  UNION ALL
+  SELECT s.k, s.v, 'new'
+  FROM src s LEFT JOIN tgt t ON s.k = t.k
+  WHERE t.k IS NULL AND s.v >= 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+       COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+FROM merged
+""")
+def q_sql_merge_rich_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MERGE WHEN surface through SQL (round 11): one
+    statement carrying a conditioned MATCHED DELETE, an unconditional
+    MATCHED UPDATE with expressions, a conditioned NOT MATCHED INSERT
+    (cols) VALUES, and a conditioned NOT MATCHED BY SOURCE DELETE —
+    routed to ``snapshot_merge_when`` (`sinks/snapshots.py`), clause
+    order first-match-wins. The oracle recomputes the post-merge
+    table as join algebra. The reference's loader
+    (src/serve/load.py:43-46) is the unconditional special case of
+    this surface."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlmrg_"))
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("mrg_tgt_src")
+    ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("k"),
+        (F.col("value") + 1000.0).alias("v"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("drop"))
+         .otherwise(F.lit("amend")).alias("op"),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 11 == 0).select(
+            (F.col("event_id") + 7000000).alias("k"),
+            F.col("value").alias("v"),
+            F.lit("fresh").alias("op"),
+        )
+    ).createOrReplaceTempView("mrg_chg")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE mrt AS SELECT k, v, et FROM mrg_tgt_src;
+      MERGE INTO mrt USING mrg_chg ON mrt.k = mrg_chg.k
+        WHEN MATCHED AND mrg_chg.op = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = mrg_chg.v, et = 'amended'
+        WHEN NOT MATCHED AND mrg_chg.v >= 0
+          THEN INSERT (k, v, et) VALUES (mrg_chg.k, mrg_chg.v, 'new')
+        WHEN NOT MATCHED BY SOURCE AND mrt.k % 7 = 0 THEN DELETE;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor,
+             COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+             COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+      FROM mrt
+    """, catalog=cat)
+
+
 @_q("iceberg_eq_delete_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, event_type AS et, value AS v FROM events

@@ -5407,6 +5407,307 @@ def snapshot_merge_into(
     raise last_err
 
 
+@normalizes_paths('path')
+def snapshot_merge_when(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    matched: "list[dict] | tuple" = (),
+    not_matched: "list[dict] | tuple" = (),
+    not_matched_by_source: "list[dict] | tuple" = (),
+    protocol: str = "link",
+    max_redo: int = 3,
+) -> int:
+    """General MERGE with ordered WHEN clauses — the full Delta/SQL
+    surface :func:`snapshot_merge_into` specializes (that one stays
+    the fast path for the canonical unconditional upsert).
+
+    Clause dicts; every ``condition``/expression is Spark SQL over two
+    struct columns — ``t.<col>`` (target row) and ``s.<col>`` (source
+    row); a NULL condition (missing side referenced) reads as false,
+    per SQL semantics. First matching clause in list order wins:
+
+    * ``matched``: ``{"condition": sql|None, "action":
+      "update"|"delete", "set": {col: sql}|None}`` — ``set=None`` with
+      update means ``SET *`` (every table column the source carries
+      takes ``s.<col>``; the rest keep ``t.<col>``).
+    * ``not_matched``: ``{"condition": sql|None, "values":
+      {col: sql}|None}`` — ``values=None`` means ``INSERT *``
+      (source-supplied columns; absent table columns NULL-fill).
+    * ``not_matched_by_source``: ``{"condition": sql|None, "action":
+      "delete"|"update", "set": {col: sql}|None}``.
+
+    A target row matched by NO clause is kept unchanged; a source row
+    matched by no NOT MATCHED clause inserts nothing.
+
+    Scale shape: the matched/insert half scopes files exactly like
+    :func:`snapshot_merge_into` (member-sketch + bucket probing on
+    the source keys — a file provably holding no source key is
+    carried untouched). ``not_matched_by_source`` inherently
+    inspects every target row UNLESS every NMBS condition's
+    target-column predicate parses as a conjunctive range
+    (:func:`parse_conjunctive_where` over the ``t.``-stripped
+    condition) — then only range-matching files rewrite, which is
+    the bounded incremental-sync shape (`WHEN NOT MATCHED BY SOURCE
+    AND t.day = X THEN DELETE`). An UNCONDITIONAL delete-by-source
+    rewrites the table, as it must.
+
+    SQL cardinality rule enforced: if any source key that reaches a
+    matched clause is duplicated in the source, the merge raises
+    (a target row must not be updated/deleted by two source rows).
+
+    Reference parity: the reference's loader
+    (src/serve/load.py:43-46) is the unconditional special case;
+    conditioned clauses are what any CDC flow layers on top.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from harmony_energy_data_pipeline_spark.sinks.filestats import (
+        portable_buckets_k,
+        sketch_bits,
+        sketch_bytes,
+        sketch_hashes,
+    )
+
+    if max_redo < 1:
+        raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
+    matched = list(matched)
+    not_matched = list(not_matched)
+    not_matched_by_source = list(not_matched_by_source)
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("merge needs at least one WHEN clause")
+    for cl in matched:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(
+                f"matched clause action must be update|delete: {cl}"
+            )
+    for cl in not_matched_by_source:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(
+                "not_matched_by_source clause action must be "
+                f"update|delete: {cl}"
+            )
+
+    if matched:
+        dup = (
+            source.groupBy(key).count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE cardinality violation: source key "
+                f"{dup[0][0]!r} appears more than once and a WHEN "
+                "MATCHED clause exists — a target row must not be "
+                "updated/deleted by two source rows (dedupe the "
+                "source first)"
+            )
+
+    _MAX_PROBE_KEYS = 200_000
+    key_rows = (
+        source.select(F.col(key)).distinct()
+        .limit(_MAX_PROBE_KEYS + 1).collect()
+    )
+    src_keys = (
+        [r[0] for r in key_rows]
+        if len(key_rows) <= _MAX_PROBE_KEYS else None
+    )
+    probe_cache: dict[tuple[int, int], list] = {}
+
+    def _probes(bits: int, k: int) -> list:
+        shape = (bits, k)
+        if shape not in probe_cache:
+            probe_cache[shape] = [
+                portable_buckets_k(v, bits, k) for v in src_keys
+            ]
+        return probe_cache[shape]
+
+    def _nmbs_where(cond: "str | None") -> "list[tuple] | None":
+        """File-pruning triples from an NMBS condition, over TARGET
+        columns (``t.`` qualifiers stripped); None = cannot prune."""
+        if cond is None:
+            return None
+        return parse_conjunctive_where(
+            re.sub(r"\bt\.", "", cond)
+        )
+
+    last_err: Exception | None = None
+    for _ in range(max_redo):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        m = _read_manifest(path, v)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                f"merge requires a parquet table; {path} is "
+                f"{m['format']!r}"
+            )
+        if "schema" not in m:
+            raise ValueError(
+                "snapshot_merge_when needs a schema-tracked table"
+            )
+        schema = StructType.fromJson(m["schema"])
+        tcols = [f.name for f in schema.fields]
+        ttypes = {f.name: f.dataType for f in schema.fields}
+        if key not in ttypes:
+            raise ValueError(f"merge key {key!r} not a table column")
+        src_cols = list(source.columns)
+        if key not in src_cols:
+            raise ValueError(f"merge key {key!r} not a source column")
+
+        membs = {
+            _rel_file(path, f): s
+            for f, s in m.get("members", {}).items()
+        }
+
+        def _may_hold(rel: str) -> bool:
+            sketch = membs.get(rel, {}).get(key)
+            if sketch is None or src_keys is None:
+                return True
+            arr = sketch_bytes(sketch)
+            probes = _probes(sketch_bits(sketch), sketch_hashes(sketch))
+            for ks in probes:
+                if ks is None or all(
+                    arr[b >> 3] & (1 << (b & 7)) for b in ks
+                ):
+                    return True
+            return False
+
+        src_buckets: "set | None" = None
+        bspec = m.get("bucket_spec")
+        if bspec and src_keys is not None:
+            amap = _schema_alias_map(m.get("schema"))
+            if amap.get(bspec["column"], bspec["column"]) == key:
+                src_buckets = {
+                    bucket_id_of(kv, bspec["buckets"])
+                    for kv in src_keys if kv is not None
+                }
+
+        def _in_src_bucket(rel: str) -> bool:
+            if src_buckets is None:
+                return True
+            fb = _file_bucket_id(rel)
+            return fb is None or fb in src_buckets
+
+        affected = {
+            _abs_file(path, f)
+            for f in m["files"]
+            if (matched or not_matched)
+            and _in_src_bucket(_rel_file(path, f))
+            and _may_hold(_rel_file(path, f))
+        } if (matched or not_matched) else set()
+        if not_matched_by_source:
+            wheres = [
+                _nmbs_where(cl.get("condition"))
+                for cl in not_matched_by_source
+            ]
+            if all(w is not None for w in wheres):
+                for w in wheres:
+                    in_scope, _tot = prune_files(path, w, version=v)
+                    affected |= set(in_scope)
+            else:
+                affected = {_abs_file(path, f) for f in m["files"]}
+        affected = sorted(affected)
+
+        if affected:
+            t_live = _load_live(spark, affected, m, path)
+        else:
+            t_live = spark.createDataFrame([], schema)
+        j = t_live.select(
+            F.struct(*[F.col(c) for c in tcols]).alias("t")
+        ).join(
+            source.select(
+                F.struct(*[F.col(c) for c in src_cols]).alias("s")
+            ),
+            F.col(f"t.{key}") == F.col(f"s.{key}"),
+            "full_outer",
+        )
+        tp = F.col("t").isNotNull()
+        sp = F.col("s").isNotNull()
+
+        def _guard(base, cond: "str | None"):
+            if cond is None:
+                return base
+            return base & F.coalesce(F.expr(cond), F.lit(False))
+
+        act = None
+        labels: list[tuple[str, dict, str]] = []  # (label, clause, kind)
+        for i, cl in enumerate(matched):
+            labels.append((f"m{i}", cl, "matched"))
+        for i, cl in enumerate(not_matched):
+            labels.append((f"i{i}", cl, "insert"))
+        for i, cl in enumerate(not_matched_by_source):
+            labels.append((f"b{i}", cl, "nmbs"))
+        for label, cl, kind in labels:
+            base = {
+                "matched": tp & sp, "insert": sp & ~tp,
+                "nmbs": tp & ~sp,
+            }[kind]
+            cond = _guard(base, cl.get("condition"))
+            act = (F.when(cond, F.lit(label)) if act is None
+                   else act.when(cond, F.lit(label)))
+        keep_tail = F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
+        act = keep_tail if act is None else act.otherwise(
+            F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
+        )
+        j = j.withColumn("__act", act)
+
+        drop_labels = {"drop"}
+        for label, cl, kind in labels:
+            if kind in ("matched", "nmbs") and cl["action"] == "delete":
+                drop_labels.add(label)
+        j = j.filter(~F.col("__act").isin(*sorted(drop_labels)))
+
+        def _value_for(label: str, cl: dict, kind: str, c: str):
+            if kind == "insert":
+                vals = cl.get("values")
+                if vals is None:  # INSERT *
+                    return (F.col(f"s.{c}") if c in src_cols
+                            else F.lit(None))
+                return (F.expr(vals[c]) if c in vals else F.lit(None))
+            # matched / nmbs update
+            st = cl.get("set")
+            if st is None:  # SET *
+                return (F.col(f"s.{c}") if c in src_cols
+                        else F.col(f"t.{c}"))
+            return (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
+
+        out_cols = []
+        for c in tcols:
+            expr = None
+            for label, cl, kind in labels:
+                if label in drop_labels:
+                    continue
+                val = _value_for(label, cl, kind, c)
+                expr = (F.when(F.col("__act") == label, val)
+                        if expr is None
+                        else expr.when(F.col("__act") == label, val))
+            col = (F.col(f"t.{c}") if expr is None
+                   else expr.otherwise(F.col(f"t.{c}")))
+            out_cols.append(col.cast(ttypes[c]).alias(c))
+        out = j.select(*out_cols, F.col("__act"))
+        if m.get("constraints"):
+            _validate_constraints(
+                out.filter(F.col("__act") != "keep").select(*tcols),
+                m["constraints"], path,
+            )
+        new_df = out.select(*tcols)
+        try:
+            return _commit_partial_rewrite(
+                spark, path, v, m, affected, new_df, "merge_when",
+                protocol, stage_in_layout=True,
+            )
+        except FileExistsError:
+            last_err = SnapshotConflictError(
+                f"merge into {path} expected parent v{v}, but a "
+                "concurrent commit claimed the next version; redoing "
+                "against the new latest"
+            )
+            continue
+    raise last_err
+
+
 def _vacuum_inventory_batches(path: str, inventory):
     """Yield ``(rels, fulls, mtimes)`` batches from a caller-supplied
     FILE INVENTORY — an iterable of ``(path, mtime_unix)`` pairs, or a

@@ -45,9 +45,15 @@ DML routes to the native ops and inherits their semantics wholesale:
   files when it parses as a conjunction of range clauses
   (:func:`parse_conjunctive_where`);
 * ``DELETE FROM name [WHERE pred]`` → :func:`snapshot_delete_where`;
-* ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
-  WHEN NOT MATCHED THEN INSERT *`` → :func:`snapshot_merge_into`
-  (the source may be a name or a parenthesized sub-select);
+* ``MERGE INTO t USING s ON t.k = s.k WHEN …`` — the full WHEN
+  surface: ``WHEN MATCHED [AND cond] THEN UPDATE SET */c=e…|DELETE``,
+  ``WHEN NOT MATCHED [AND cond] THEN INSERT */(cols) VALUES (…)``,
+  ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET …``
+  (first matching clause wins, in order). The canonical
+  unconditional pair routes to :func:`snapshot_merge_into` (the
+  sketch-scoped fast path); richer forms to
+  :func:`snapshot_merge_when`. The source may be a name or a
+  parenthesized sub-select;
 * ``DROP TABLE [IF EXISTS] name`` → catalog unbind, METADATA-ONLY
   (external-table semantics: data files stay for other readers).
 
@@ -445,8 +451,9 @@ def _dml_result(
 
 
 def _parse_merge(stmt: str):
-    """``(target, source_sql_or_name, key, whens_ok)`` from the
-    canonical MERGE shape; raises with guidance on anything richer."""
+    """``(target, source, source_is_select, src_alias, tgt_alias,
+    key, whens_text)`` — head/source/ON parsing shared by the
+    canonical fast path and the rich WHEN-clause route."""
     head = _MERGE_HEAD_RE.match(stmt)
     if head is None:
         raise ValueError(
@@ -486,13 +493,6 @@ def _parse_merge(stmt: str):
     if mt is None:
         raise ValueError("MERGE needs ON <cond> WHEN <clauses>")
     on, whens = mt.group("on").strip(), mt.group("whens")
-    canon = re.sub(r"\s+", " ", whens).strip().upper()
-    if canon != _CANON_WHENS:
-        raise NotImplementedError(
-            "this facade speaks exactly the canonical upsert MERGE — "
-            f"'{_CANON_WHENS}'; for conditional clauses use "
-            "snapshot_merge_into / snapshot_rewrite_matching directly"
-        )
     key_mt = re.match(
         r"^(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*"
         r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)$",
@@ -507,8 +507,205 @@ def _parse_merge(stmt: str):
     tgt_alias = head.group("alias")
     return (
         head.group("name"), source, source_is_select, src_alias,
-        tgt_alias, key_mt.group(2),
+        tgt_alias, key_mt.group(2), whens,
     )
+
+
+_SQL_KEYWORDS = frozenset(
+    "AND OR NOT NULL TRUE FALSE CASE WHEN THEN ELSE END IS IN LIKE "
+    "BETWEEN CAST AS DISTINCT INTERVAL DATE TIMESTAMP T S".split()
+)
+
+
+def _qualify_expr(
+    expr: str, tgt_cols: "set[str]", src_cols: "set[str]",
+    tgt_alias: "str | None", src_alias: "str | None",
+    prefer_source: bool = False,
+) -> str:
+    """Rewrite a MERGE clause expression into the ``t.<col>`` /
+    ``s.<col>`` form :func:`snapshot_merge_when` evaluates: the
+    user's aliases map onto ``t``/``s``; bare column names qualify by
+    membership (target-first in MATCHED/NMBS clauses, source-first in
+    INSERT clauses — the SQL resolution order). Literal-safe; names
+    followed by ``(`` are function calls and pass through."""
+    spans = _literal_spans(expr)
+    aliases = {a for a in (tgt_alias, src_alias) if a}
+    out, last = [], 0
+    for mt in re.finditer(r"[A-Za-z_]\w*", expr):
+        word, start, end = mt.group(0), mt.start(), mt.end()
+        if _in_spans(start, spans):
+            continue
+        prev = expr[start - 1] if start > 0 else ""
+        nxt = expr[end:].lstrip()[:1]
+        if prev == ".":
+            continue  # qualified tail: handled with its qualifier
+        out.append(expr[last:start])
+        last = end
+        if nxt and nxt == ".":
+            # a qualifier: the user's aliases (or raw names) → t/s
+            if word == tgt_alias:
+                out.append("t")
+            elif word == src_alias:
+                out.append("s")
+            elif word in ("t", "s") and word not in aliases:
+                out.append(word)  # already canonical
+            else:
+                out.append(word)
+            continue
+        if nxt == "(" or word.upper() in _SQL_KEYWORDS:
+            out.append(word)
+            continue
+        first, second = (
+            (src_cols, tgt_cols) if prefer_source
+            else (tgt_cols, src_cols)
+        )
+        pfx = "s." if prefer_source else "t."
+        pfx2 = "t." if prefer_source else "s."
+        if word in first:
+            out.append(pfx + word)
+        elif word in second:
+            out.append(pfx2 + word)
+        else:
+            out.append(word)
+    out.append(expr[last:])
+    return "".join(out)
+
+
+_WHEN_SPLIT_RE = re.compile(r"\bWHEN\b", re.IGNORECASE)
+_WHEN_CLAUSE_RE = re.compile(
+    r"^\s*(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE"
+    r"|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+    r"|MATCHED)\s*"
+    r"(?:AND\s+(?P<cond>.+?)\s*)?"
+    r"THEN\s+(?P<act>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_whens(whens: str) -> list[str]:
+    """Clause texts from the WHEN… tail, split on top-level WHEN
+    keywords (those inside string literals or a CASE expression's
+    WHEN stay put — CASE WHENs are always preceded by CASE/paren
+    nesting; we track literals and parens)."""
+    spans = _literal_spans(whens)
+    # find WHEN positions outside literals and outside CASE…END
+    depth_case = 0
+    cuts: list[int] = []
+    for mt in re.finditer(r"\b(WHEN|CASE|END)\b", whens, re.IGNORECASE):
+        if _in_spans(mt.start(), spans):
+            continue
+        w = mt.group(1).upper()
+        if w == "CASE":
+            depth_case += 1
+        elif w == "END":
+            depth_case = max(0, depth_case - 1)
+        elif depth_case == 0:
+            cuts.append(mt.start())
+    if not cuts or cuts[0] != 0:
+        raise ValueError("MERGE WHEN clauses must start with WHEN")
+    cuts.append(len(whens))
+    return [
+        whens[cuts[i]:cuts[i + 1]].strip()[4:].strip()  # drop 'WHEN'
+        for i in range(len(cuts) - 1)
+    ]
+
+
+def _parse_when_clauses(
+    whens: str, tgt_cols: "set[str]", src_cols: "set[str]",
+    tgt_alias: "str | None", src_alias: "str | None",
+):
+    """Parse the WHEN tail into the three
+    :func:`snapshot_merge_when` clause lists, expressions rewritten
+    to the ``t.``/``s.`` form."""
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    nmbs: list[dict] = []
+
+    def _q(e: str, prefer_source: bool = False) -> str:
+        return _qualify_expr(
+            e, tgt_cols, src_cols, tgt_alias, src_alias,
+            prefer_source=prefer_source,
+        )
+
+    for text in _split_whens(whens):
+        mt = _WHEN_CLAUSE_RE.match(text)
+        if mt is None:
+            raise ValueError(f"could not parse MERGE clause WHEN {text!r}")
+        kind = re.sub(r"\s+", " ", mt.group("kind")).upper()
+        cond, act = mt.group("cond"), mt.group("act").strip()
+        is_nmbs = kind == "NOT MATCHED BY SOURCE"
+        is_ins = kind.startswith("NOT MATCHED") and not is_nmbs
+        qcond = (
+            None if cond is None
+            else _q(cond.strip(), prefer_source=is_ins)
+        )
+        if re.match(r"^DELETE\s*$", act, re.IGNORECASE):
+            if is_ins:
+                raise ValueError(
+                    "WHEN NOT MATCHED cannot DELETE (nothing to delete)"
+                )
+            (nmbs if is_nmbs else matched).append(
+                {"condition": qcond, "action": "delete"}
+            )
+            continue
+        m2 = re.match(r"^UPDATE\s+SET\s+(.+)$", act,
+                      re.IGNORECASE | re.DOTALL)
+        if m2:
+            if is_ins:
+                raise ValueError(
+                    "WHEN NOT MATCHED cannot UPDATE; use INSERT"
+                )
+            body = m2.group(1).strip()
+            if body == "*":
+                st = None
+            else:
+                st = {}
+                for item in _split_top(body):
+                    m3 = re.match(
+                        r"^(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+)$",
+                        item, re.DOTALL,
+                    )
+                    if m3 is None:
+                        raise ValueError(
+                            f"could not parse SET clause {item!r}"
+                        )
+                    st[m3.group(1)] = _q(m3.group(2).strip())
+            (nmbs if is_nmbs else matched).append(
+                {"condition": qcond, "action": "update", "set": st}
+            )
+            continue
+        m2 = re.match(
+            r"^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*"
+            r"VALUES\s*\((?P<vals>.*)\))\s*$",
+            act, re.IGNORECASE | re.DOTALL,
+        )
+        if m2:
+            if not is_ins:
+                raise ValueError(
+                    f"WHEN {kind} cannot INSERT; use UPDATE/DELETE"
+                )
+            if m2.group("cols") is None:
+                values = None  # INSERT *
+            else:
+                cols = [c.strip() for c in m2.group("cols").split(",")
+                        if c.strip()]
+                exprs = _split_top(m2.group("vals"))
+                if len(cols) != len(exprs):
+                    raise ValueError(
+                        f"INSERT column/value arity mismatch: "
+                        f"{len(cols)} vs {len(exprs)}"
+                    )
+                values = {
+                    c: _q(e, prefer_source=True)
+                    for c, e in zip(cols, exprs)
+                }
+            not_matched.append({"condition": qcond, "values": values})
+            continue
+        raise ValueError(
+            f"unsupported MERGE action {act[:60]!r}; supported: "
+            "UPDATE SET */c=e…, DELETE, INSERT */(...) VALUES (...)"
+        )
+    return matched, not_matched, nmbs
 
 
 def snapshot_sql(
@@ -700,7 +897,7 @@ def snapshot_sql(
         return _dml_result(spark, "drop", name, None)
 
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
-        (name, source, is_select, src_alias, _tgt_alias, key) = (
+        (name, source, is_select, src_alias, tgt_alias, key, whens) = (
             _parse_merge(stmt)
         )
         _refuse_target_travel(stmt, name)
@@ -721,7 +918,27 @@ def snapshot_sql(
             else F.col(c)
             for c in src_df.columns
         ])
-        v = snapshot_merge_into(spark, path, src_df, key=key)
+        canon = re.sub(r"\s+", " ", whens).strip().upper()
+        if canon == _CANON_WHENS:
+            # canonical unconditional upsert: the sketch-scoped fast
+            # path with source-wins semantics
+            v = snapshot_merge_into(spark, path, src_df, key=key)
+            return _dml_result(spark, "merge", name, v)
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_merge_when,
+        )
+
+        m_cl, nm_cl, nmbs_cl = _parse_when_clauses(
+            whens,
+            tgt_cols={f.name for f in schema.fields},
+            src_cols=set(src_df.columns),
+            tgt_alias=tgt_alias or name,
+            src_alias=src_alias or (None if is_select else source),
+        )
+        v = snapshot_merge_when(
+            spark, path, src_df, key=key, matched=m_cl,
+            not_matched=nm_cl, not_matched_by_source=nmbs_cl,
+        )
         return _dml_result(spark, "merge", name, v)
 
     mt = re.match(

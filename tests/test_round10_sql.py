@@ -226,16 +226,19 @@ def test_merge_named_source_and_travel_refusals(spark, cat):
             snapshot_sql(spark, stmt, catalog=cat)
 
 
-def test_merge_rejects_rich_forms(spark, cat):
+def test_merge_rich_forms_route_and_key_rule_stays(spark, cat):
     _seed(spark, cat, n=5, name="m10")
     cat.register("m10b", path=cat.table_path("m10"))
-    with pytest.raises(NotImplementedError, match="canonical"):
-        snapshot_sql(
-            spark,
-            "MERGE INTO m10 USING m10b ON m10.k = m10b.k "
-            "WHEN MATCHED THEN DELETE",
-            catalog=cat,
-        )
+    # a rich WHEN form now routes to snapshot_merge_when (round 11)
+    r = snapshot_sql(
+        spark,
+        "MERGE INTO m10 USING m10b ON m10.k = m10b.k "
+        "WHEN MATCHED THEN DELETE",
+        catalog=cat,
+    ).collect()[0]
+    assert r.operation == "merge"
+    path = cat.table_path("m10")
+    assert snap.read_snapshot(spark, path).count() == 0  # self-merge
     with pytest.raises(NotImplementedError, match="same-named key"):
         snapshot_sql(
             spark,
