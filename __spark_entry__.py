@@ -8003,6 +8003,62 @@ def q_sql_merge_rich_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("iceberg_spec_evolution_digest", """
+WITH gen1 AS (
+  SELECT event_id AS k, event_type AS et,
+         CAST(event_id % 2 AS VARCHAR) AS shard, value AS v
+  FROM events
+),
+gen2 AS (
+  SELECT k + 9000000 AS k, et, shard, v
+  FROM gen1 WHERE k % 5 = 0
+),
+unioned AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2),
+pruned AS (SELECT * FROM unioned WHERE et = 'click')
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM pruned
+""")
+def q_iceberg_spec_evolution_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION SPEC EVOLUTION (round 11): generation 1
+    writes identity-partitioned by ``et`` (spec 0), the layout then
+    evolves and generation 2 appends partitioned by ``shard``
+    (spec 1, ``evolve_spec=True``) — the read prunes ``et='click'``
+    ACROSS the boundary: old files prune exactly on their own spec's
+    partition tuple, new files fall back to bounds/residual
+    (`sources/iceberg.py: read_iceberg` resolves the spec per
+    manifest via ``__spec_id``). Oracle recomputes both generations
+    as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("et"),
+        (F.col("event_id") % 2).cast("string").alias("shard"),
+        F.col("value").alias("v"),
+    )
+    t = tempfile.mkdtemp(prefix="ice_spec_") + "/t"
+    ice.write_iceberg(ev, t, partition_by=["et"], stats_cols=["k"])
+    ice.write_iceberg(
+        ev.filter(F.col("k") % 5 == 0).withColumn(
+            "k", F.col("k") + 9000000
+        ),
+        t, mode="append", partition_by=["shard"], evolve_spec=True,
+    )
+    return ice.read_iceberg(
+        spark, t, where=[("et", "click", "click")]
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long"))
+            .cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 @_q("iceberg_eq_delete_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, event_type AS et, value AS v FROM events

@@ -318,7 +318,10 @@ def live_files(
     sequence number (inherited from its manifest when the entry's is
     null, per the spec's inheritance rule) — which equality-delete
     application needs (a delete applies only to data SEQUENCED BEFORE
-    it)."""
+    it). Records also gain ``__spec_id`` — the owning manifest's
+    partition-spec id, which partition pruning must resolve PER FILE
+    on a table whose spec evolved (files written under an old spec
+    carry that spec's partition tuple, not the current one)."""
     meta = meta or table_metadata(path)
     snap = _snapshot(meta, snapshot_id)
     ml = _resolve_file_path(path, snap["manifest-list"])
@@ -337,6 +340,7 @@ def live_files(
             if seq is None:
                 seq = m.get("sequence_number", 0)
             df_rec["__seq"] = seq
+            df_rec["__spec_id"] = m.get("partition_spec_id", 0)
             content = df_rec.get("content") or 0
             if content == 0:
                 data.append(df_rec)
@@ -403,24 +407,36 @@ def read_iceberg(
         snapshot_id = iceberg_snapshot_at_timestamp(path, as_of_unix)
     meta = table_metadata(path)
     schema = _current_schema(meta)
+    if snapshot_id is not None:
+        # time travel reads through the schema THAT SNAPSHOT wrote
+        # (field ids/columns may have evolved since)
+        sid = _snapshot(meta, snapshot_id).get("schema-id")
+        if sid is not None:
+            schema = next(
+                (s for s in meta.get("schemas", [])
+                 if s.get("schema-id") == sid),
+                schema,
+            )
     spark_schema = _schema_to_spark(schema)
     field_types = {
         f["id"]: (f["name"], f["type"])
         for f in schema["fields"] if isinstance(f["type"], str)
     }
     files, deletes = live_files(path, meta, snapshot_id)
-    # identity-transform partition fields of the default spec: their
-    # manifest partition values prune EXACTLY (dates ride as epoch
-    # days per the Avro encoding)
-    ident_types: dict[str, str] = {}
+    # identity-transform partition fields, resolved PER SPEC-ID: a
+    # table whose spec evolved has files under several historical
+    # specs (each manifest records which); each file's partition
+    # tuple prunes against ITS OWN spec's fields. Values prune
+    # EXACTLY (dates ride as epoch days per the Avro encoding).
+    by_id = {f["id"]: f["type"] for f in schema["fields"]
+             if isinstance(f["type"], str)}
+    spec_ident_types: dict[int, dict[str, str]] = {}
     for sp in meta.get("partition-specs", []):
-        if sp.get("spec-id") != meta.get("default-spec-id", 0):
-            continue
-        by_id = {f["id"]: f["type"] for f in schema["fields"]
-                 if isinstance(f["type"], str)}
+        m_ident: dict[str, str] = {}
         for f in sp.get("fields", []):
             if f.get("transform") == "identity" and                     f.get("source-id") in by_id:
-                ident_types[f["name"]] = by_id[f["source-id"]]
+                m_ident[f["name"]] = by_id[f["source-id"]]
+        spec_ident_types[sp.get("spec-id", 0)] = m_ident
 
     def _part_pred_value(v, itype: str):
         import datetime as _dt
@@ -447,6 +463,9 @@ def read_iceberg(
         for df_rec in files:
             bounds = _bounds_of(df_rec, field_types)
             pv = df_rec.get("partition") or {}
+            ident_types = spec_ident_types.get(
+                df_rec.get("__spec_id", 0), {}
+            )
             ok = True
             for c, lo, hi in where:
                 if c in ident_types and pv.get(c) is not None:
@@ -791,7 +810,8 @@ def write_position_deletes(
     snapshot = {
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq, "summary": {"operation": "delete"},
-        "manifest-list": ml_rel, "schema-id": 0,
+        "manifest-list": ml_rel,
+        "schema-id": prev_meta.get("current-schema-id", 0),
     }
     names = _metadata_files(path)
     version = int(names[-1].split(".")[0].lstrip("v")) + 1
@@ -908,7 +928,8 @@ def write_equality_deletes(
     meta["snapshots"] = list(prev_meta.get("snapshots") or []) + [{
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq, "summary": {"operation": "delete"},
-        "manifest-list": ml_rel, "schema-id": 0,
+        "manifest-list": ml_rel,
+        "schema-id": prev_meta.get("current-schema-id", 0),
     }]
     meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
         {"snapshot-id": snap_id, "timestamp-ms": now_ms}
@@ -940,6 +961,7 @@ def write_iceberg(
     df: DataFrame, path: str, mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    evolve_spec: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table directory any Iceberg
     reader can open. ``append`` adds a fast-append snapshot (the new
@@ -953,8 +975,18 @@ def write_iceberg(
     each under a hidden ``__p_<col>`` name for the directory split
     (one partition tuple per file) while the real columns stay in the
     files; each file's typed tuple lands in the manifest's partition
-    struct (spec field-ids 1000+), giving foreign readers — and
-    :func:`read_iceberg` — exact partition pruning."""
+    struct (spec field-ids allocated past ``last-partition-id``),
+    giving foreign readers — and :func:`read_iceberg` — exact
+    partition pruning. ``evolve_spec=True`` lets an append CHANGE the
+    layout: a new spec-id is allocated, old files keep pruning under
+    theirs (readers resolve the spec per manifest).
+
+    METADATA CONTINUITY (spec rules): same-named columns keep their
+    field ids across overwrites, new columns allocate monotonically
+    past ``last-column-id`` (ids never renumber — old manifests'
+    bounds stay decodable); prior schemas stay listed under their
+    schema-ids (snapshots resolve the schema they wrote); prior
+    partition-specs carry forward."""
     import pyarrow.parquet as pq
 
     if mode not in ("overwrite", "append"):
@@ -981,15 +1013,110 @@ def write_iceberg(
                     "append schema differs from the table's; overwrite "
                     "to evolve"
                 )
-    # identity partition spec: typed fields, stable spec field-ids
+    # FIELD-ID CONTINUITY (spec rule: a column's field id is
+    # immutable for the life of the table, and ids are never
+    # reused). Same-named columns keep their prior id; new columns
+    # allocate monotonically past last-column-id — so bounds in OLD
+    # manifests still decode with the ids they were written under
+    # after an overwrite evolves the schema, and foreign appends
+    # never renumber a table's history.
+    schemas: list[dict]
+    cur_schema_id = 0
+    if prev_meta is not None:
+        have = _current_schema(prev_meta)
+        prev_ids = {f["name"]: f["id"] for f in have["fields"]}
+        last_col = prev_meta.get(
+            "last-column-id",
+            max((f["id"] for f in have["fields"]), default=0),
+        )
+        for f in ice_schema["fields"]:
+            if f["name"] in prev_ids:
+                f["id"] = prev_ids[f["name"]]
+            else:
+                last_col += 1
+                f["id"] = last_col
+        last_col = max(
+            last_col,
+            max((f["id"] for f in ice_schema["fields"]), default=0),
+        )
+        # SCHEMA HISTORY: prior schemas stay listed under their own
+        # schema-ids; the current schema reuses a matching entry or
+        # appends a new one (old snapshots keep resolving theirs)
+        schemas = list(prev_meta.get("schemas") or [])
+        if not schemas and "schema" in prev_meta:  # format-v1 shape
+            schemas = [dict(prev_meta["schema"], **{"schema-id": 0})]
+
+        def _sig(s: dict):
+            return [
+                (f["id"], f["name"], f["type"],
+                 bool(f.get("required")))
+                for f in s["fields"]
+            ]
+
+        hit = next(
+            (s for s in schemas if _sig(s) == _sig(ice_schema)), None
+        )
+        if hit is not None:
+            cur_schema_id = hit.get("schema-id", 0)
+            ice_schema = hit
+        else:
+            cur_schema_id = 1 + max(
+                (s.get("schema-id", 0) for s in schemas), default=-1
+            )
+            ice_schema = dict(ice_schema, **{"schema-id": cur_schema_id})
+            schemas.append(ice_schema)
+        last_column_id = last_col
+    else:
+        schemas = [ice_schema]
+        last_column_id = max(
+            (f["id"] for f in ice_schema["fields"]), default=0
+        )
+    # identity partition spec: typed fields, stable spec field-ids —
+    # prior specs carry forward; an identical spec (same columns,
+    # transforms, source ids) reuses its spec-id, a changed layout
+    # appends a new spec with partition field ids allocated past
+    # last-partition-id (never reused)
     ids_of = {f["name"]: f["id"] for f in ice_schema["fields"]}
     types_of = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    part_fields = [
-        {"name": c, "type": types_of[c], "field-id": 1000 + i,
-         "source-id": ids_of[c], "transform": "identity"}
-        for i, c in enumerate(pcols)
-    ]
-    if prev_meta is not None and mode == "append":
+    prev_specs = list(
+        (prev_meta or {}).get("partition-specs") or []
+    )
+    last_partition_id = (prev_meta or {}).get("last-partition-id", 999)
+    want_sig = [(c, "identity", ids_of[c]) for c in pcols]
+    spec_hit = next(
+        (sp for sp in prev_specs
+         if [(f["name"], f["transform"], f["source-id"])
+             for f in sp.get("fields", [])] == want_sig),
+        None,
+    )
+    by_src_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    if spec_hit is not None:
+        spec_id = spec_hit["spec-id"]
+        part_fields = [
+            dict(f, type=by_src_type[f["source-id"]])
+            for f in spec_hit["fields"]
+        ]
+    else:
+        spec_id = 1 + max(
+            (sp["spec-id"] for sp in prev_specs), default=-1
+        )
+        part_fields = []
+        for c in pcols:
+            last_partition_id += 1
+            part_fields.append({
+                "name": c, "type": types_of[c],
+                "field-id": last_partition_id,
+                "source-id": ids_of[c], "transform": "identity",
+            })
+        prev_specs = prev_specs + [{
+            "spec-id": spec_id,
+            "fields": [
+                {k: f[k] for k in
+                 ("name", "transform", "source-id", "field-id")}
+                for f in part_fields
+            ],
+        }]
+    if prev_meta is not None and mode == "append" and not evolve_spec:
         prev_spec = next(
             (sp for sp in prev_meta.get("partition-specs", [])
              if sp["spec-id"] == prev_meta.get("default-spec-id", 0)),
@@ -999,7 +1126,10 @@ def write_iceberg(
             raise ValueError(
                 f"append partitioned by {pcols} onto a table "
                 f"partitioned by "
-                f"{[f['name'] for f in prev_spec.get('fields', [])]}"
+                f"{[f['name'] for f in prev_spec.get('fields', [])]} "
+                "— pass evolve_spec=True to EVOLVE the layout (old "
+                "files keep their spec, new files land under the new "
+                "one; readers prune per file)"
             )
     # stage data files; a partitioned stage splits on DUPLICATED
     # hidden columns so the real ones stay stored in the files (the
@@ -1053,6 +1183,8 @@ def write_iceberg(
                     pv[c] = _typed_part_value(c, raw)
             staged_files.append((os.path.join(root, n), pv))
     for src, pv in sorted(staged_files):
+        if pq.read_metadata(src).num_rows == 0:
+            continue  # empty part file: not a data file
         final = f"data/{uuid.uuid4().hex}.parquet"
         os.rename(src, os.path.join(path, final))
         fp = os.path.join(path, final)
@@ -1092,7 +1224,7 @@ def write_iceberg(
                  ("name", "transform", "source-id", "field-id")}
                 for f in part_fields
             ]),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": "2", "content": "data",
         },
     )
@@ -1101,7 +1233,7 @@ def write_iceberg(
     )
     manifest_entry = {
         "manifest_path": man_rel, "manifest_length": man_len,
-        "partition_spec_id": 0, "content": 0,
+        "partition_spec_id": spec_id, "content": 0,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
         "added_files_count": len(data_files),
@@ -1128,7 +1260,7 @@ def write_iceberg(
         "sequence-number": seq,
         "summary": {"operation":
                     "append" if mode == "append" else "overwrite"},
-        "manifest-list": ml_rel, "schema-id": 0,
+        "manifest-list": ml_rel, "schema-id": cur_schema_id,
     }
     version = 1
     if names:
@@ -1143,16 +1275,12 @@ def write_iceberg(
         "location": path,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_schema["fields"]),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": [
-            {k: f[k] for k in
-             ("name", "transform", "source-id", "field-id")}
-            for f in part_fields
-        ]}],
-        "last-partition-id": 999 + len(part_fields),
+        "last-column-id": last_column_id,
+        "current-schema-id": cur_schema_id,
+        "schemas": schemas,
+        "default-spec-id": spec_id,
+        "partition-specs": prev_specs,
+        "last-partition-id": last_partition_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
