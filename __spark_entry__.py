@@ -7562,6 +7562,61 @@ def q_iceberg_import_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("iceberg_import_eq_digest", """
+WITH gen1 AS (
+  SELECT event_id AS k, event_type AS et, value AS v FROM events
+),
+gen2 AS (
+  SELECT k + 8500000 AS k, et, v
+  FROM gen1 WHERE k % 6 = 0
+),
+live AS (
+  SELECT * FROM gen1 WHERE et <> 'purchase'  -- eq-deleted generation
+  UNION ALL
+  SELECT * FROM gen2                          -- sequenced after: immune
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM live
+""")
+def q_iceberg_import_eq_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY-DELETE ADOPTION (round 11): an Iceberg table carrying
+    a Flink-CDC-shaped equality delete imports IN PLACE — one
+    sequence-scoped data scan materializes the value matches into
+    native positional DVs (`sources/iceberg.py:
+    snapshot_import_iceberg`), so the adopted table reads, COUNTs and
+    evolves with zero equality machinery; the immune post-delete
+    generation stays intact. Oracle recomputes both generations as
+    SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+    )
+    t = tempfile.mkdtemp(prefix="ice_impeq_") + "/t"
+    ice.write_iceberg(ev, t, stats_cols=["k"])                # seq 1
+    ice.write_equality_deletes(
+        spark, t, [{"et": "purchase"}], ["et"]                # seq 2
+    )
+    ice.write_iceberg(                                        # seq 3
+        ev.filter(F.col("k") % 6 == 0).select(
+            (F.col("k") + 8500000).alias("k"), "et", "v"
+        ),
+        t, mode="append",
+    )
+    ice.snapshot_import_iceberg(spark, t)
+    return snap.read_snapshot(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 @_q("snapshot_branch_digest", """
 WITH branch_state AS (
   SELECT event_id AS k, value AS v FROM events WHERE NOT (event_id % 4 = 0)

@@ -518,6 +518,34 @@ def read_iceberg(
     return out if residual is None else out.filter(residual)
 
 
+def _eq_delete_scan_groups(
+    files: list[dict], eq_dels: list[dict]
+) -> list[tuple[int, list[dict]]]:
+    """Group data files by their APPLICABLE-DELETE-SET: two files
+    share a scan arm iff no equality delete is sequenced strictly
+    between them, so arm count is bounded by #DISTINCT DELETE
+    SEQUENCES + 1 — not by #commits. A year of hourly CDC appends
+    against a handful of delete boundaries stays a handful of arms
+    (r10 VERDICT weak-for-scale item: the old per-``__seq`` grouping
+    built one arm per commit generation). Returns ``[(rep_seq,
+    files)]`` sorted; ``rep_seq`` is any member's sequence (all
+    members see the same deletes)."""
+    import bisect
+
+    del_seqs = sorted({int(d.get("__seq") or 0) for d in eq_dels})
+    groups: dict[int, tuple[int, list[dict]]] = {}
+    for f in files:
+        fseq = int(f.get("__seq") or 0)
+        # deletes apply iff delete.__seq > fseq, so the count of
+        # delete seqs <= fseq identifies the applicable set
+        gidx = bisect.bisect_right(del_seqs, fseq)
+        if gidx in groups:
+            groups[gidx][1].append(f)
+        else:
+            groups[gidx] = (fseq, [f])
+    return [groups[g] for g in sorted(groups)]
+
+
 def _read_with_equality_deletes(
     spark: SparkSession, path: str, files: list[dict],
     spark_schema, ice_schema: dict, eq_dels: list[dict],
@@ -526,11 +554,12 @@ def _read_with_equality_deletes(
     """EQUALITY deletes (content=2), sequence-scoped per the spec: a
     delete applies to data files whose data sequence number is
     STRICTLY LOWER than the delete's. Data files group by their
-    ``__seq`` (one group per commit generation — bounded); each group
-    subtracts its position deletes (while ``_metadata`` is still
-    resolvable), then anti-joins the union of equality deletes
-    sequenced AFTER it, NULL-SAFELY on the delete file's equality
-    columns (pure equi join, broadcast build side)."""
+    APPLICABLE-DELETE-SET (:func:`_eq_delete_scan_groups` — one arm
+    per delete boundary, not per commit); each group subtracts its
+    position deletes (while ``_metadata`` is still resolvable), then
+    anti-joins the union of equality deletes sequenced AFTER it,
+    NULL-SAFELY on the delete file's equality columns (pure equi
+    join, broadcast build side)."""
     by_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
     eq_groups: dict[tuple, list[dict]] = {}
     for d in eq_dels:
@@ -540,11 +569,8 @@ def _read_with_equality_deletes(
                 "equality delete file lacks resolvable equality_ids"
             )
         eq_groups.setdefault(ids, []).append(d)
-    seq_groups: dict[int, list[dict]] = {}
-    for f in files:
-        seq_groups.setdefault(int(f.get("__seq") or 0), []).append(f)
     out = None
-    for fseq, group in sorted(seq_groups.items()):
+    for fseq, group in _eq_delete_scan_groups(files, eq_dels):
         part = spark.read.schema(spark_schema).parquet(
             *[_resolve_file_path(path, f["file_path"]) for f in group]
         )
@@ -1332,9 +1358,14 @@ def snapshot_import_iceberg(
     carry over: their (file_path, pos) pairs decode into the native
     positional-delete parquet and ride the manifest's ``dvs`` (reads
     subtract them, the next copy-on-write materializes them,
-    manifest-only COUNT stays exact). Raises if a native log already
-    exists, if files live outside the table dir, or on equality
-    deletes."""
+    manifest-only COUNT stays exact). EQUALITY DELETES adopt too:
+    ONE sequence-scoped data scan (grouped per delete boundary, the
+    read path's own grouping) materializes the matching row
+    positions into the same native positional-delete parquet — the
+    value-matching semantics become exact positions at import time,
+    after which the native log needs no equality machinery. Raises
+    if a native log already exists or files live outside the table
+    dir."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
     if snap.latest_version(iceberg_path) is not None:
@@ -1352,13 +1383,8 @@ def snapshot_import_iceberg(
     data_recs, all_deletes = live_files(iceberg_path, meta)
     delete_recs = [d for d in all_deletes
                    if (d.get("content") or 0) == 1]
-    if any((d.get("content") or 0) == 2 for d in all_deletes):
-        raise ValueError(
-            "table carries EQUALITY delete files; their value-matching "
-            "cannot adopt as positional vectors without a data scan — "
-            "rewrite via read_iceberg + snapshot_write (which applies "
-            "them exactly)"
-        )
+    eq_recs = [d for d in all_deletes
+               if (d.get("content") or 0) == 2]
     files, stats = [], {}
     for df_rec in data_recs:
         fp = _resolve_file_path(iceberg_path, df_rec["file_path"])
@@ -1378,16 +1404,15 @@ def snapshot_import_iceberg(
     if not files:
         raise ValueError(f"Iceberg table at {iceberg_path} has no files")
     dvs_manifest: dict = {}
+    root = os.path.abspath(iceberg_path)
+    pairs_by_rel: dict[str, set[int]] = {}
     if delete_recs:
         # decode (file_path, pos) pairs into ONE native
         # positional-delete parquet — the same shape
         # snapshot_delete_where_dv writes, keyed by _dv_key — so every
         # native read/rewrite/stats path folds them unchanged
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        root = os.path.abspath(iceberg_path)
-        pairs_by_rel: dict[str, list[int]] = {}
         for d in delete_recs:
             fp = _resolve_file_path(iceberg_path, d["file_path"])
             tbl = pq.read_table(fp, columns=["file_path", "pos"])
@@ -1401,7 +1426,79 @@ def snapshot_import_iceberg(
                         "table directory; adoption needs self-contained "
                         "layout"
                     )
-                pairs_by_rel.setdefault(rel, []).append(int(pos))
+                pairs_by_rel.setdefault(rel, set()).add(int(pos))
+    if eq_recs:
+        # ONE distributed scan per delete boundary materializes the
+        # value matches as exact positions — the adoption twin of the
+        # read path's sequence-scoped application. Driver memory is
+        # O(deleted rows), the same bound the position-delete decode
+        # above already accepts for a one-time import.
+        by_name = {f["id"]: f["name"] for f in schema["fields"]
+                   if isinstance(f["type"], str)}
+        eq_groups: dict[tuple, list[dict]] = {}
+        for d in eq_recs:
+            ids = tuple(sorted(d.get("equality_ids") or []))
+            if not ids or any(i not in by_name for i in ids):
+                raise IcebergProtocolError(
+                    "equality delete file lacks resolvable equality_ids"
+                )
+            eq_groups.setdefault(ids, []).append(d)
+        for rep_seq, group in _eq_delete_scan_groups(data_recs, eq_recs):
+            if not any(int(d.get("__seq") or 0) > rep_seq
+                       for d in eq_recs):
+                continue
+            scan = spark.read.schema(spark_schema).parquet(*[
+                _resolve_file_path(iceberg_path, f["file_path"])
+                for f in group
+            ])
+            scan_path = F.url_decode(F.replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+                ),
+                F.lit("+"), F.lit("%2B"),
+            ))
+            base = scan.select(
+                "*", scan_path.alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+            )
+            matched = None
+            for ids, dels in sorted(eq_groups.items()):
+                applicable = [
+                    d for d in dels if int(d.get("__seq") or 0) > rep_seq
+                ]
+                if not applicable:
+                    continue
+                cols = [by_name[i] for i in ids]
+                dd = spark.read.parquet(*sorted(
+                    _resolve_file_path(iceberg_path, d["file_path"])
+                    for d in applicable
+                )).select(*[
+                    F.col(c).alias(f"__eq_{c}") for c in cols
+                ]).dropDuplicates()
+                cond = None
+                for c in cols:
+                    c2 = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                    cond = c2 if cond is None else cond & c2
+                hit = base.join(
+                    F.broadcast(dd), cond, "left_semi"
+                ).select("__f", "__p")
+                matched = (hit if matched is None
+                           else matched.unionByName(hit))
+            if matched is None:
+                continue
+            for r in matched.dropDuplicates(["__f", "__p"]).collect():
+                rel = os.path.relpath(r["__f"], root)
+                if rel.startswith(".."):
+                    raise ValueError(
+                        f"equality delete matched {r['__f']} outside "
+                        "the table directory; adoption needs "
+                        "self-contained layout"
+                    )
+                pairs_by_rel.setdefault(rel, set()).add(int(r["__p"]))
+    if pairs_by_rel:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         dv_rel = f"dvimport-{uuid.uuid4().hex[:12]}.parquet"
         fcol, pcol = [], []
         for rel in sorted(pairs_by_rel):
