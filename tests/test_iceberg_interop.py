@@ -439,13 +439,13 @@ def test_equality_deletes_sequence_scoped(spark):
     oldest = min(data, key=lambda d: d["__seq"])
     ice.write_position_deletes(spark, t, [(oldest["file_path"], 0)])
     assert ice.read_iceberg(spark, t).count() == 42
-    # adoption refuses equality deletes with rewrite guidance
-    with pytest.raises(ValueError, match="EQUALITY delete"):
-        ice.snapshot_import_iceberg(spark, t)
-    # but the materializing path applies them exactly
+    # adoption MATERIALIZES equality deletes into native positional
+    # DVs (round 11) — the imported table matches the Iceberg read
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
 
-    nat = _tmp()
-    df2 = ice.read_iceberg(spark, t)
-    snap.snapshot_write(df2, nat)
-    assert snap.read_snapshot(spark, nat).count() == 42
+    before = {(r.k, r.tag)
+              for r in ice.read_iceberg(spark, t).collect()}
+    ice.snapshot_import_iceberg(spark, t)
+    after = {(r.k, r.tag)
+             for r in snap.read_snapshot(spark, t).collect()}
+    assert after == before and len(after) == 42
