@@ -56,7 +56,56 @@ _SUPPORTED_READER_FEATURES: set[str] = {
     "deletionVectors",   # roaring-bitmap positional deletes (deltadv)
     "columnMapping",     # name-mode physical→logical (id-mode raises)
     "v2Checkpoint",      # UUID-named checkpoints + parquet sidecars
+    "typeWidening",      # widen-on-read (Spark 4 parquet reader
+    "typeWidening-preview",  # natively upcasts); per-change validated
 }
+
+#: The spec's allowed WIDENINGS (fromType → toTypes), primitive
+#: names as Delta spells them. Decimal/date cases handled in code.
+_TYPE_WIDENINGS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def _widening_ok(from_t: str, to_t: str) -> bool:
+    """Is ``fromType`` → ``toType`` a spec-allowed widening this
+    reader executes correctly? (All verified against the Spark 4
+    vectorized parquet reader, which upcasts physically-narrow pages
+    on read.)"""
+    if to_t in _TYPE_WIDENINGS.get(from_t, ()):  # plain primitive
+        return True
+    if to_t.startswith("decimal("):
+        tp, ts = (int(x) for x in to_t[8:-1].split(","))
+        if from_t in ("byte", "short", "integer", "long"):
+            need = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+            return tp - ts >= need[from_t]
+        if from_t.startswith("decimal("):
+            fp, fs = (int(x) for x in from_t[8:-1].split(","))
+            return tp >= fp and ts >= fs and (tp - ts) >= (fp - fs)
+        return False
+    if from_t == "date" and to_t in ("timestampNtz", "timestamp_ntz"):
+        return True
+    return False
+
+
+def _validate_type_changes(schema) -> None:
+    """Refuse a typeWidening table whose recorded ``delta.
+    typeChanges`` include a conversion outside the allowlist — an
+    unknown pair would surface as a deep scan error (or worse, a
+    silent wrong decode) instead of a protocol refusal."""
+    for f in schema.fields:
+        for ch in (f.metadata or {}).get("delta.typeChanges", []):
+            ft = str(ch.get("fromType", "")).strip()
+            tt = str(ch.get("toType", "")).strip()
+            if not _widening_ok(ft, tt):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} records type change "
+                    f"{ft!r} → {tt!r}, which is not an allowed "
+                    "typeWidening this reader implements"
+                )
 
 #: Driver-side decode budget for a read's deletion vectors (sum of
 #: descriptor cardinalities). Positions land in one numpy array per
@@ -429,6 +478,7 @@ def read_delta(
     with DVs reads exactly."""
     adds, meta, _proto, _v = _replay(path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    _validate_type_changes(schema)
     # logical → physical (identity without column mapping)
     phys = {
         f.name: (f.metadata or {}).get(

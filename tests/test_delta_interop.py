@@ -170,7 +170,7 @@ def test_protocol_feature_gate(spark):
     os.makedirs(os.path.join(t, "_delta_log"))
     acts = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["icebergCompatV3"]}},
         {"metaData": {"id": "x", "format": {"provider": "parquet",
                                             "options": {}},
                       "schemaString": json.dumps(
@@ -180,7 +180,7 @@ def test_protocol_feature_gate(spark):
     ]
     with open(dl._log_path(t, 0), "w", encoding="utf-8") as fh:
         fh.write("\n".join(json.dumps(a) for a in acts))
-    with pytest.raises(dl.DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(dl.DeltaProtocolError, match="icebergCompatV3"):
         dl.read_delta(spark, t)
 
 

@@ -1,0 +1,140 @@
+"""Delta typeWidening reader support (round 11, VERDICT r10 #7).
+
+A foreign table that widened a column's type (readerFeature
+``typeWidening``): old data files keep the NARROW physical type, the
+metaData schema speaks the WIDE one — the Spark 4 vectorized parquet
+reader upcasts on read, and the reader validates each recorded
+``delta.typeChanges`` pair against the spec allowlist (an unknown
+conversion refuses at protocol level, not as a deep scan error).
+``variantType`` stays refused.
+"""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql.types import LongType
+
+from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+from harmony_energy_data_pipeline_spark.sources.deltalake import (
+    DeltaProtocolError,
+    _widening_ok,
+)
+
+
+def _tmp():
+    return os.path.join(tempfile.mkdtemp(prefix="tw_"), "t")
+
+
+def _widen_table(spark, bad_change=False):
+    """v0: k INT via write_delta; v1 (hand-crafted foreign commit):
+    schema widened to k LONG + typeChanges metadata + typeWidening
+    protocol + one new LONG data file."""
+    t = _tmp()
+    dl.write_delta(
+        spark.range(0, 10).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        t,
+    )
+    with open(os.path.join(t, "_delta_log",
+                           f"{0:020d}.json")) as fh:
+        meta = next(
+            json.loads(ln)["metaData"] for ln in fh
+            if "metaData" in json.loads(ln)
+        )
+    # stage a LONG-typed file the widened schema owns
+    stage = os.path.join(tempfile.mkdtemp(), "s")
+    spark.range(100, 105).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    fname = "part-widened-0001.parquet"
+    os.rename(os.path.join(stage, part), os.path.join(t, fname))
+    changes = [{"fromType": "integer", "toType": "long",
+                "tableVersion": 1}]
+    if bad_change:
+        changes.append({"fromType": "long", "toType": "integer",
+                        "tableVersion": 2})
+    schema = {
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": changes}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    meta = dict(meta, schemaString=json.dumps(schema))
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": fname,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, fname)),
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    return t
+
+
+def test_widened_table_reads_old_and_new_files(spark):
+    t = _widen_table(spark)
+    got = dl.read_delta(spark, t)
+    assert isinstance(got.schema["k"].dataType, LongType)
+    ks = sorted(r.k for r in got.collect())
+    assert ks == list(range(10)) + list(range(100, 105))
+    # pruning over the widened column still works (stats from v0
+    # files were written as ints; predicate is long)
+    assert dl.read_delta(spark, t, where=[("k", 100, 200)]).count() == 5
+    # time travel to v0 reads the NARROW schema
+    old = dl.read_delta(spark, t, version=0)
+    assert old.schema["k"].dataType.typeName() == "integer"
+    assert old.count() == 10
+
+
+def test_unknown_type_change_refuses(spark):
+    t = _widen_table(spark, bad_change=True)
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+        dl.read_delta(spark, t)
+
+
+def test_variant_type_still_refused(spark):
+    t = _widen_table(spark)
+    with open(os.path.join(t, "_delta_log", f"{2:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening", "variantType"],
+            "writerFeatures": ["variantType"],
+        }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="variantType"):
+        dl.read_delta(spark, t)
+
+
+def test_widening_allowlist_pairs():
+    ok = [
+        ("byte", "short"), ("byte", "long"), ("short", "integer"),
+        ("integer", "long"), ("integer", "double"),
+        ("float", "double"), ("date", "timestampNtz"),
+        ("integer", "decimal(10,0)"), ("long", "decimal(20,0)"),
+        ("decimal(10,2)", "decimal(14,2)"),
+        ("decimal(10,2)", "decimal(14,4)"),
+    ]
+    bad = [
+        ("long", "integer"), ("double", "float"),
+        ("string", "long"), ("long", "double"),
+        ("integer", "decimal(9,0)"),
+        ("decimal(10,2)", "decimal(10,1)"),
+        ("decimal(10,2)", "decimal(11,4)"),  # p-s shrinks
+        ("timestampNtz", "date"),
+    ]
+    for ft, tt in ok:
+        assert _widening_ok(ft, tt), (ft, tt)
+    for ft, tt in bad:
+        assert not _widening_ok(ft, tt), (ft, tt)
