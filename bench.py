@@ -90,32 +90,53 @@ def main() -> None:
     else:
         headline = HEADLINE
 
+    # LOAD SENTINEL (round 11): the r10 official record drifted ×1.26
+    # purely because the test lane ran concurrently. Refuse to start
+    # while the box is busy — wait up to 10 min for quiet; if it
+    # never quiets, record the contamination IN the JSON so the
+    # number is never silently trusted.
+    ncpu = os.cpu_count() or 8
+    load_limit = max(2.0, 0.25 * ncpu)
+    waited = 0.0
+    while os.getloadavg()[0] > load_limit and waited < 600.0:
+        print(
+            f"# load {os.getloadavg()[0]:.1f} > {load_limit:.1f}: "
+            "waiting for a quiet box", file=sys.stderr,
+        )
+        time.sleep(30.0)
+        waited += 30.0
+    load_at_start = round(os.getloadavg()[0], 2)
+    contaminated = load_at_start > load_limit
+
     # warm the JVM + parquet footers with one cheap action
     qs["bounds"](spark, SF_DIR).collect()
 
-    # METHODOLOGY (frozen as of round 3 — keep rounds comparable):
-    # per query, best-of-2 attempts; each attempt times CONSTRUCTION
-    # (the queries() callable, which materializes eager checkpoints
-    # for iterative operators) and EXECUTION (noop-format write of
-    # the full plan) separately; `queries` reports the per-query
-    # TOTAL of the best attempt (same number rounds 2+ graded), and
-    # `construction`/`execution` report its split so deltas are
-    # attributable.
+    # METHODOLOGY v11: per query, MEDIAN-OF-3 attempts (rounds 3-10
+    # used best-of-2; median is robust to one slow outlier in either
+    # direction, which best-of is not against system noise inflating
+    # ALL attempts — pair it with the load sentinel above). Each
+    # attempt times CONSTRUCTION (the queries() callable, which
+    # materializes eager checkpoints for iterative operators) and
+    # EXECUTION (noop-format write of the full plan) separately;
+    # `queries` reports the per-query TOTAL of the median attempt and
+    # `construction`/`execution` its split so deltas are
+    # attributable. `methodology` in the JSON names the protocol so
+    # cross-round deltas are read against the right baseline.
     timings: dict[str, float] = {}
     build_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline:
         try:
-            best = None  # (total, construction, execution)
-            for _ in range(2):
+            attempts = []  # (total, construction, execution)
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 t2 = time.perf_counter()
-                attempt = (t2 - t0, t1 - t0, t2 - t1)
-                best = attempt if best is None or attempt[0] < best[0] else best
+                attempts.append((t2 - t0, t1 - t0, t2 - t1))
+            best = sorted(attempts)[len(attempts) // 2]  # median total
             timings[name] = round(best[0], 3)
             build_s[name] = round(best[1], 3)
             exec_s[name] = round(best[2], 3)
@@ -136,7 +157,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": "median3-v11",
+        "load_at_start": load_at_start,
     }
+    if contaminated:
+        out["contaminated"] = True
     if errors:
         out["errors"] = errors
     # The driver captures only the last ~2000 chars of stdout and parses the
