@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -182,6 +183,183 @@ def _spark_schema_to_ice(schema: T.StructType) -> dict:
             "type": it,
         })
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# --- Appendix-B transforms (bucket / truncate / dates) -------------------------------
+#
+# Pure-Python Iceberg partition transforms, needed so READS of foreign
+# tables partitioned by bucket[N]/truncate[W]/year/month/day/hour can
+# prune files from their manifest partition tuples (spec Appendix B:
+# 32-bit Murmur3, x86 variant, seed 0; unit-pinned against the spec's
+# own test vectors).
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 — signed 32-bit result, matching Iceberg."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n & 3)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _days_from_epoch(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        v = v.date()
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, int):
+        return v
+    return None
+
+
+def _micros_from_epoch(v):
+    import calendar
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return int(v.timestamp() * 1_000_000)
+        return (calendar.timegm(v.timetuple()) * 1_000_000
+                + v.microsecond)
+    if isinstance(v, _dt.date):
+        return calendar.timegm(
+            _dt.datetime(v.year, v.month, v.day).timetuple()
+        ) * 1_000_000
+    if isinstance(v, int):
+        return v
+    return None
+
+
+def _bucket_hash_input(value, ice_type: str):
+    """The byte serialization Appendix B hashes, per source type.
+    None = this value/type pair does not bucket (caller must not
+    prune)."""
+    import uuid as _uuid
+    from decimal import Decimal
+
+    if ice_type in ("int", "long", "date"):
+        if ice_type == "date":
+            value = _days_from_epoch(value)
+        if not isinstance(value, int):
+            return None
+        return struct.pack("<q", value)
+    if ice_type in ("timestamp", "timestamptz", "time"):
+        m = _micros_from_epoch(value)
+        return None if m is None else struct.pack("<q", m)
+    if ice_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else None
+    if ice_type == "uuid":
+        if isinstance(value, str):
+            value = _uuid.UUID(value)
+        if isinstance(value, _uuid.UUID):
+            return value.bytes
+        return None
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        return None
+    if ice_type.startswith("decimal("):
+        if not isinstance(value, Decimal):
+            return None
+        _p, s = (int(x) for x in ice_type[8:-1].split(","))
+        unscaled = int(value.scaleb(s).to_integral_value())
+        blen = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(blen, "big", signed=True)
+    return None  # float/double/boolean do not bucket (spec)
+
+
+def iceberg_bucket(value, n: int, ice_type: str):
+    """``bucket[n]`` of ``value`` (None on null or a non-bucketable
+    type — callers treat None as 'cannot prune')."""
+    if value is None:
+        return None
+    raw = _bucket_hash_input(value, ice_type)
+    if raw is None:
+        return None
+    return (_murmur3_32(raw) & 0x7FFFFFFF) % n
+
+
+def iceberg_transform_value(transform: str, value, ice_type: str):
+    """Apply a MONOTONE transform (identity/truncate/year/month/day/
+    hour) to a predicate bound, landing in the partition-tuple value
+    space manifests store (ints for the date family). None = cannot
+    transform (no pruning). ``bucket[n]`` is NOT monotone — use
+    :func:`iceberg_bucket` and only for equality predicates."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform in ("year", "month", "day", "hour"):
+        is_dateish = ice_type == "date" or (
+            isinstance(value, _dt.date)
+            and not isinstance(value, _dt.datetime)
+        )
+        if is_dateish:
+            days = _days_from_epoch(value)
+            if days is None:
+                return None
+            d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+            if transform == "year":
+                return d.year - 1970
+            if transform == "month":
+                return (d.year - 1970) * 12 + d.month - 1
+            if transform == "day":
+                return days
+            return None  # hour of a date is undefined
+        micros = _micros_from_epoch(value)
+        if micros is None:
+            return None
+        if transform == "hour":
+            return micros // 3_600_000_000
+        secs = micros // 1_000_000
+        d = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=secs)
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        return micros // 86_400_000_000
+    mt = re.match(r"^truncate\[(\d+)\]$", transform)
+    if mt:
+        w = int(mt.group(1))
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value - (value % w)  # floor semantics, negatives too
+        if isinstance(value, str):
+            return value[:w]
+        return None
+    return None
 
 
 # --- Appendix-D single-value serialization (bounds) ----------------------------------
@@ -430,13 +608,31 @@ def read_iceberg(
     # EXACTLY (dates ride as epoch days per the Avro encoding).
     by_id = {f["id"]: f["type"] for f in schema["fields"]
              if isinstance(f["type"], str)}
+    by_id_name = {f["id"]: f["name"] for f in schema["fields"]
+                  if isinstance(f["type"], str)}
     spec_ident_types: dict[int, dict[str, str]] = {}
+    # non-identity transforms prune too (Appendix B): monotone ones
+    # (year/month/day/hour, truncate[W]) map predicate BOUNDS into
+    # the partition-value space; bucket[N] prunes equality
+    # predicates only (not monotone). src-col -> [(pv_name,
+    # transform, src_type)] per spec.
+    spec_tr_fields: dict[int, dict[str, list]] = {}
     for sp in meta.get("partition-specs", []):
         m_ident: dict[str, str] = {}
+        m_tr: dict[str, list] = {}
         for f in sp.get("fields", []):
-            if f.get("transform") == "identity" and                     f.get("source-id") in by_id:
-                m_ident[f["name"]] = by_id[f["source-id"]]
+            sid = f.get("source-id")
+            if sid not in by_id:
+                continue
+            tr = f.get("transform")
+            if tr == "identity":
+                m_ident[f["name"]] = by_id[sid]
+            else:
+                m_tr.setdefault(by_id_name[sid], []).append(
+                    (f["name"], tr, by_id[sid])
+                )
         spec_ident_types[sp.get("spec-id", 0)] = m_ident
+        spec_tr_fields[sp.get("spec-id", 0)] = m_tr
 
     def _part_pred_value(v, itype: str):
         import datetime as _dt
@@ -466,8 +662,37 @@ def read_iceberg(
             ident_types = spec_ident_types.get(
                 df_rec.get("__spec_id", 0), {}
             )
+            tr_fields = spec_tr_fields.get(
+                df_rec.get("__spec_id", 0), {}
+            )
             ok = True
             for c, lo, hi in where:
+                for pv_name, tr, src_type in tr_fields.get(c, ()):
+                    tv = pv.get(pv_name)
+                    if tv is None:
+                        continue
+                    if tr.startswith("bucket["):
+                        if lo is not None and lo == hi:
+                            b = iceberg_bucket(
+                                lo, int(tr[7:-1]), src_type
+                            )
+                            if b is not None and tv != b:
+                                ok = False
+                                break
+                        continue
+                    tlo = iceberg_transform_value(tr, lo, src_type)
+                    thi = iceberg_transform_value(tr, hi, src_type)
+                    try:
+                        if tlo is not None and tv < tlo:
+                            ok = False
+                            break
+                        if thi is not None and tv > thi:
+                            ok = False
+                            break
+                    except TypeError:
+                        continue
+                if not ok:
+                    break
                 if c in ident_types and pv.get(c) is not None:
                     val = pv[c]
                     clo = (_part_pred_value(lo, ident_types[c])

@@ -1,0 +1,246 @@
+"""Iceberg Appendix-B transforms: bucket / truncate / date-family
+pruning on FOREIGN tables (round 11).
+
+The writer here only emits identity specs, but foreign tables
+(Spark+Iceberg, Flink, Trino) routinely partition by ``bucket[N]``,
+``truncate[W]``, ``day``/``month``/``year``/``hour`` — reads must
+prune their manifest partition tuples. The murmur3 hash and every
+transform are unit-pinned against the spec's own Appendix-B test
+vectors; the end-to-end tests hand-craft a foreign-shaped table and
+assert both EXACT results and ACTUAL file skipping
+(``df.inputFiles()``).
+"""
+
+import datetime
+import json
+import os
+import struct
+import tempfile
+import uuid as uuidlib
+from decimal import Decimal
+
+import pytest
+
+from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+from harmony_energy_data_pipeline_spark.sources.avrolite import write_avro
+from harmony_energy_data_pipeline_spark.sources.iceberg import (
+    _murmur3_32,
+    iceberg_bucket,
+    iceberg_transform_value,
+)
+
+
+def test_murmur3_spec_vectors():
+    # Iceberg spec Appendix B hash test vectors, verbatim
+    assert _murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert _murmur3_32(b"iceberg") == 1210000089
+    assert _murmur3_32(
+        uuidlib.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7").bytes
+    ) == 1488055340
+    assert _murmur3_32(bytes([0, 1, 2, 3])) == -188683207
+    d = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert _murmur3_32(struct.pack("<q", d)) == -653330422
+    assert _murmur3_32((1420).to_bytes(2, "big", signed=True)) \
+        == -500754589  # decimal 14.20
+    import calendar
+
+    mic = calendar.timegm(
+        datetime.datetime(2017, 11, 16, 22, 31, 8).timetuple()
+    ) * 1_000_000
+    assert _murmur3_32(struct.pack("<q", mic)) == -2047944441
+
+
+def test_bucket_and_transform_values():
+    assert iceberg_bucket(34, 16, "int") == iceberg_bucket(34, 16, "long")
+    assert iceberg_bucket("iceberg", 16, "string") == 1210000089 % 16
+    assert iceberg_bucket(Decimal("14.20"), 7, "decimal(9,2)") \
+        == (-500754589 & 0x7FFFFFFF) % 7
+    assert iceberg_bucket(None, 16, "int") is None
+    assert iceberg_bucket(1.5, 16, "double") is None  # spec: no bucket
+    d = datetime.date(2017, 11, 16)
+    assert iceberg_transform_value("day", d, "date") == 17486
+    assert iceberg_transform_value("month", d, "date") == 574
+    assert iceberg_transform_value("year", d, "date") == 47
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert iceberg_transform_value("day", ts, "timestamptz") == 17486
+    assert iceberg_transform_value("hour", ts, "timestamptz") \
+        == 17486 * 24 + 22
+    assert iceberg_transform_value("truncate[10]", -1, "int") == -10
+    assert iceberg_transform_value("truncate[10]", 7, "long") == 0
+    assert iceberg_transform_value("truncate[3]", "iceberg", "string") \
+        == "ice"
+
+
+def _foreign_table(spark, groups, transform, pv_name, src_field,
+                   pv_avro_type="int"):
+    """Hand-craft a foreign-shaped Iceberg v2 table: one data file per
+    partition tuple, a transform spec, real manifests. ``groups``:
+    [(pv_value, rows_df)]."""
+    t = os.path.join(tempfile.mkdtemp(prefix="r11tr_"), "t")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    schema_fields = src_field["schema_fields"]
+    ice_schema = {"type": "struct", "schema-id": 0,
+                  "fields": schema_fields}
+    part_fields = [{
+        "name": pv_name, "type": pv_avro_type, "field-id": 1000,
+        "source-id": src_field["id"], "transform": transform,
+    }]
+    entries = []
+    for pv, df in groups:
+        rel = f"data/{uuidlib.uuid4().hex}.parquet"
+        stage = tempfile.mkdtemp() + "/s"
+        df.coalesce(1).write.parquet(stage)
+        part = next(n for n in os.listdir(stage)
+                    if n.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(t, rel))
+        import pyarrow.parquet as pq
+
+        entries.append({
+            "status": 1, "snapshot_id": 7,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {pv_name: pv},
+                "record_count": pq.read_metadata(
+                    os.path.join(t, rel)).num_rows,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(t, rel)),
+                "lower_bounds": None, "upper_bounds": None,
+            },
+        })
+    man_rel = "metadata/manifest-x.avro"
+    man_len = write_avro(
+        os.path.join(t, man_rel),
+        ice._manifest_entry_schema(part_fields),
+        entries,
+        metadata={"schema": json.dumps(ice_schema),
+                  "partition-spec": json.dumps([
+                      {k: f[k] for k in ("name", "transform",
+                                         "source-id", "field-id")}
+                      for f in part_fields]),
+                  "partition-spec-id": "0",
+                  "format-version": "2", "content": "data"},
+    )
+    ml_rel = "metadata/snap-7.avro"
+    write_avro(
+        os.path.join(t, ml_rel), ice._manifest_file_schema(),
+        [{"manifest_path": man_rel, "manifest_length": man_len,
+          "partition_spec_id": 0, "content": 0,
+          "sequence_number": 1, "min_sequence_number": 1,
+          "added_snapshot_id": 7,
+          "added_files_count": len(entries),
+          "existing_files_count": 0, "deleted_files_count": 0,
+          "added_rows_count": sum(
+              e["data_file"]["record_count"] for e in entries),
+          "existing_rows_count": 0, "deleted_rows_count": 0}],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2, "table-uuid": str(uuidlib.uuid4()),
+        "location": t, "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in schema_fields),
+        "current-schema-id": 0, "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {k: f[k] for k in ("name", "transform", "source-id",
+                               "field-id")} for f in part_fields]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 0,
+                       "sequence-number": 1,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml_rel, "schema-id": 0}],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    return t
+
+
+def test_bucket_partitioned_foreign_table_prunes_equality(spark):
+    n_buckets = 8
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "double"},
+    ]
+    rows = [(k, float(k)) for k in range(200)]
+    by_bucket = {}
+    for k, v in rows:
+        by_bucket.setdefault(
+            iceberg_bucket(k, n_buckets, "long"), []
+        ).append((k, v))
+    groups = [
+        (b, spark.createDataFrame(vs, "k long, v double"))
+        for b, vs in sorted(by_bucket.items())
+    ]
+    t = _foreign_table(
+        spark, groups, f"bucket[{n_buckets}]", "k_bucket",
+        {"id": 1, "schema_fields": schema_fields},
+    )
+    # full read exact
+    assert ice.read_iceberg(spark, t).count() == 200
+    # equality predicate prunes to exactly ONE bucket file
+    got = ice.read_iceberg(spark, t, where=[("k", 42, 42)])
+    assert [r.k for r in got.collect()] == [42]
+    assert len(got.inputFiles()) == 1
+    # range predicates cannot prune buckets (not monotone): all files
+    got = ice.read_iceberg(spark, t, where=[("k", 10, 20)])
+    assert got.count() == 11
+    assert len(got.inputFiles()) == len(groups)
+
+
+def test_day_partitioned_foreign_table_prunes_ranges(spark):
+    schema_fields = [
+        {"id": 1, "name": "ts", "required": False, "type": "timestamptz"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    base = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    groups = []
+    for d in range(6):
+        day0 = base + datetime.timedelta(days=d)
+        pv = iceberg_transform_value("day", day0, "timestamptz")
+        df = spark.createDataFrame(
+            [(day0 + datetime.timedelta(hours=h), d * 100 + h)
+             for h in range(4)],
+            "ts timestamp, v long",
+        )
+        groups.append((pv, df))
+    t = _foreign_table(
+        spark, groups, "day", "ts_day",
+        {"id": 1, "schema_fields": schema_fields},
+    )
+    assert ice.read_iceberg(spark, t).count() == 24
+    lo = datetime.datetime(2024, 3, 2, tzinfo=datetime.timezone.utc)
+    hi = datetime.datetime(
+        2024, 3, 3, 23, 0, tzinfo=datetime.timezone.utc
+    )
+    got = ice.read_iceberg(spark, t, where=[("ts", lo, hi)])
+    assert got.count() == 8  # days 2 and 3
+    assert len(got.inputFiles()) == 2
+
+
+def test_truncate_partitioned_foreign_table_prunes(spark):
+    schema_fields = [
+        {"id": 1, "name": "name", "required": False, "type": "string"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    words = ["alpha", "alto", "beta", "bison", "gamma", "gopher"]
+    groups = []
+    for w in words:
+        groups.append((
+            w[:2],
+            spark.createDataFrame([(w, len(w))], "name string, v long"),
+        ))
+    t = _foreign_table(
+        spark, groups, "truncate[2]", "name_trunc",
+        {"id": 1, "schema_fields": schema_fields},
+        pv_avro_type="string",
+    )
+    got = ice.read_iceberg(spark, t, where=[("name", "be", "bz")])
+    assert sorted(r.name for r in got.collect()) == ["beta", "bison"]
+    assert len(got.inputFiles()) == 2
