@@ -58,6 +58,9 @@ _SUPPORTED_READER_FEATURES: set[str] = {
     "v2Checkpoint",      # UUID-named checkpoints + parquet sidecars
     "typeWidening",      # widen-on-read (Spark 4 parquet reader
     "typeWidening-preview",  # natively upcasts); per-change validated
+    "variantType",       # Spark 4 VariantType reads the parquet
+    "variantType-preview",   # struct<metadata,value> encoding natively
+    "timestampNtz",      # TimestampNTZType is Spark-native
 }
 
 #: The spec's allowed WIDENINGS (fromType → toTypes), primitive
@@ -749,6 +752,21 @@ def write_delta(
     version."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    variant_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() == "variant"
+    ]
+    if variant_cols:
+        # reading variant tables is supported; WRITING one requires
+        # declaring the variantType writer feature, which this
+        # protocol(1,2) writer does not — a table written without the
+        # declaration would silently mis-read in spec-compliant
+        # engines, so refuse instead
+        raise DeltaProtocolError(
+            f"columns {variant_cols} are VARIANT; this writer does "
+            "not declare the variantType writer feature — cast to "
+            "string (to_json) before write_delta"
+        )
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
     pcols = list(partition_by or [])
     missing = [c for c in pcols if c not in df.columns]

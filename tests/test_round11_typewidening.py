@@ -104,17 +104,109 @@ def test_unknown_type_change_refuses(spark):
         dl.read_delta(spark, t)
 
 
-def test_variant_type_still_refused(spark):
+def test_unknown_feature_still_refused(spark):
     t = _widen_table(spark)
     with open(os.path.join(t, "_delta_log", f"{2:020d}.json"),
               "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening", "variantType"],
+            "readerFeatures": ["typeWidening", "collations"],
+            "writerFeatures": ["collations"],
+        }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="collations"):
+        dl.read_delta(spark, t)
+
+
+def test_variant_table_reads_and_writer_refuses(spark):
+    """variantType (round 11): a foreign table with a VARIANT column
+    reads through Spark 4's native VariantType parquet decode; the
+    protocol(1,2) writer refuses variant batches (it cannot declare
+    the writer feature)."""
+    t = _tmp()
+    df = spark.sql("""
+      SELECT id AS k,
+             parse_json(concat('{"a": ', id, ', "tag": "x"}')) AS payload
+      FROM range(0, 8)
+    """)
+    stage = os.path.join(tempfile.mkdtemp(), "s")
+    df.coalesce(1).write.parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.makedirs(os.path.join(t, "_delta_log"))
+    fname = "part-var-0001.parquet"
+    os.rename(os.path.join(stage, part), os.path.join(t, fname))
+    schema = {
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "payload", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
             "writerFeatures": ["variantType"],
         }}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "vtab", "format": {"provider": "parquet",
+                                     "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0,
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": fname, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, fname)),
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    got = dl.read_delta(spark, t)
+    assert got.schema["payload"].dataType.typeName() == "variant"
+    rows = got.selectExpr(
+        "k", "variant_get(payload, '$.a', 'long') AS a"
+    ).orderBy("k").collect()
+    assert [(r.k, r.a) for r in rows] == [(i, i) for i in range(8)]
+    # the writer refuses variant batches with guidance
     with pytest.raises(DeltaProtocolError, match="variantType"):
-        dl.read_delta(spark, t)
+        dl.write_delta(df, _tmp())
+
+
+def test_timestamp_ntz_table_reads(spark):
+    t = _tmp()
+    df = spark.sql("""
+      SELECT id AS k,
+             timestamp_ntz'2024-03-01 12:00:00'
+               + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts
+      FROM range(0, 5)
+    """)
+    stage = os.path.join(tempfile.mkdtemp(), "s")
+    df.coalesce(1).write.parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.makedirs(os.path.join(t, "_delta_log"))
+    os.rename(os.path.join(stage, part), os.path.join(t, "f.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestamp_ntz", "nullable": True,
+         "metadata": {}}]}
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"]}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "f.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, "f.parquet")),
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = dl.read_delta(spark, t)
+    assert got.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert got.count() == 5
 
 
 def test_widening_allowlist_pairs():
