@@ -333,7 +333,8 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _MERGE_HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?\s+USING\s+",
     re.IGNORECASE,
 )
@@ -508,6 +509,7 @@ def _parse_merge(stmt: str):
     return (
         head.group("name"), source, source_is_select, src_alias,
         tgt_alias, key_mt.group(2), whens,
+        head.group("evolve") is not None,
     )
 
 
@@ -897,9 +899,8 @@ def snapshot_sql(
         return _dml_result(spark, "drop", name, None)
 
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
-        (name, source, is_select, src_alias, tgt_alias, key, whens) = (
-            _parse_merge(stmt)
-        )
+        (name, source, is_select, src_alias, tgt_alias, key, whens,
+         evolve) = _parse_merge(stmt)
         _refuse_target_travel(stmt, name)
         path = _require_native(_target(resolved, name, catalog), "MERGE")
         if is_select:
@@ -921,9 +922,20 @@ def snapshot_sql(
         canon = re.sub(r"\s+", " ", whens).strip().upper()
         if canon == _CANON_WHENS:
             # canonical unconditional upsert: the sketch-scoped fast
-            # path with source-wins semantics
-            v = snapshot_merge_into(spark, path, src_df, key=key)
+            # path with source-wins semantics. WITH SCHEMA EVOLUTION
+            # maps to the native evolve_schema (source columns the
+            # table lacks are ADDED; absent ones NULL-fill).
+            v = snapshot_merge_into(
+                spark, path, src_df, key=key, evolve_schema=evolve
+            )
             return _dml_result(spark, "merge", name, v)
+        if evolve:
+            raise NotImplementedError(
+                "MERGE WITH SCHEMA EVOLUTION pairs with the canonical "
+                "upsert clause pair; evolve the schema first "
+                "(ALTER TABLE ... ADD COLUMN) for conditioned WHEN "
+                "forms"
+            )
         from harmony_energy_data_pipeline_spark.sinks.snapshots import (
             snapshot_merge_when,
         )

@@ -212,6 +212,31 @@ def test_sql_merge_canonical_still_fast_path(spark):
     assert m.get("rewrite", {}).get("kind") == "merge_into"
 
 
+def test_sql_merge_with_schema_evolution(spark):
+    cat = Catalog(tempfile.mkdtemp(prefix="mwse_"))
+    _base(spark, 10).createOrReplaceTempView("mw_base5")
+    spark.createDataFrame(
+        [(3, 33.0, "x", "n1"), (50, 1.0, "y", "n2")],
+        "k long, v double, tag string, extra string",
+    ).createOrReplaceTempView("mw_chg5")
+    out = snapshot_sql_script(spark, """
+      CREATE TABLE mt5 AS SELECT k, v, tag FROM mw_base5;
+      MERGE WITH SCHEMA EVOLUTION INTO mt5 USING mw_chg5
+        ON mt5.k = mw_chg5.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+      SELECT COUNT(*) AS n, COUNT(extra) AS n_extra FROM mt5
+    """, catalog=cat).collect()[0]
+    assert (out.n, out.n_extra) == (11, 2)
+    # conditioned WHEN forms refuse the combo with guidance
+    with pytest.raises(NotImplementedError, match="SCHEMA EVOLUTION"):
+        snapshot_sql(spark, """
+          MERGE WITH SCHEMA EVOLUTION INTO mt5 USING mw_chg5
+            ON mt5.k = mw_chg5.k
+            WHEN MATCHED THEN DELETE
+        """, catalog=cat)
+
+
 def test_sql_merge_errors(spark):
     cat = Catalog(tempfile.mkdtemp(prefix="mwsql4_"))
     _base(spark, 5).createOrReplaceTempView("mw_base4")
