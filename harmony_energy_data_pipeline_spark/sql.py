@@ -305,10 +305,12 @@ def _rewrite_select(
 # --- DML parsing helpers ------------------------------------------------------------
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)\s*)?"
-    r"AS\s+(?P<select>.+)$",
+    r"(?:AS\s+(?P<select>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -754,28 +756,53 @@ def snapshot_sql(
                 "catalog was passed to place it"
             )
         fmt = _table_format(entry)
+        if mt.group("orr") and mt.group("ine"):
+            raise ValueError(
+                "CREATE OR REPLACE and IF NOT EXISTS are mutually "
+                "exclusive"
+            )
         exists = (
             latest_version(path) is not None
             or _is_delta_only(path)
             or (fmt == "iceberg"
                 and os.path.isdir(os.path.join(path, "metadata")))
         )
-        if exists:
+        if exists and not mt.group("orr"):
             if mt.group("ine"):
                 return _dml_result(
                     spark, "create_skipped", name, latest_version(path)
                 )
             raise FileExistsError(
                 f"table {name!r} already exists at {path} "
-                "(use IF NOT EXISTS, or DROP TABLE first)"
+                "(use IF NOT EXISTS, CREATE OR REPLACE, or DROP "
+                "TABLE first)"
             )
         pcols = None
         if mt.group("pcols"):
             pcols = [c.strip() for c in mt.group("pcols").split(",")
                      if c.strip()]
-        df = spark.sql(
-            _rewrite_select(spark, mt.group("select"), resolved)
-        )
+        if mt.group("cols") and mt.group("select"):
+            raise ValueError(
+                "CREATE TABLE takes a column list OR AS SELECT, "
+                "not both"
+            )
+        if mt.group("cols"):
+            # explicit-schema DDL: an EMPTY table with the declared
+            # columns (INSERT fills it; the native log handles
+            # zero-row versions)
+            from pyspark.sql.types import StructType
+
+            ddl = ", ".join(_split_top(mt.group("cols")))
+            df = spark.createDataFrame([], StructType.fromDDL(ddl))
+        elif mt.group("select"):
+            df = spark.sql(
+                _rewrite_select(spark, mt.group("select"), resolved)
+            )
+        else:
+            raise ValueError(
+                "CREATE TABLE needs a column list (c type, ...) or "
+                "AS SELECT"
+            )
         if fmt == "delta":
             from harmony_energy_data_pipeline_spark.sources import (
                 deltalake as dl,
@@ -789,18 +816,18 @@ def snapshot_sql(
                 iceberg as ice,
             )
 
-            if pcols:
-                raise ValueError(
-                    "the Iceberg bridge writes unpartitioned specs; "
-                    "drop PARTITIONED BY or use the native format"
-                )
-            v = ice.write_iceberg(df, path, mode="overwrite")
+            v = ice.write_iceberg(
+                df, path, mode="overwrite", partition_by=pcols
+            )
         else:
             v = snapshot_write(
                 df, path, mode="overwrite", partition_by=pcols,
                 stats_cols=None,
             )
-        return _dml_result(spark, "create", name, v)
+        return _dml_result(
+            spark, "replace" if (exists and mt.group("orr"))
+            else "create", name, v,
+        )
 
     mt = _INSERT_RE.match(stmt)
     if mt:
