@@ -8058,6 +8058,51 @@ def q_sql_merge_rich_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("variant_extract_digest", """
+WITH j AS (
+  SELECT concat('{"id":', event_id, ',"et":"', event_type, '","v":',
+                CAST(round(value * 100) AS BIGINT), '}') AS js
+  FROM events
+)
+SELECT json_extract_string(js, '$.et') AS et,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(json_extract(js, '$.v') AS BIGINT)) AS BIGINT)
+           AS sum_vc,
+       bit_xor(CAST(json_extract(js, '$.id') AS BIGINT)) AS id_xor
+FROM j
+GROUP BY 1
+""")
+def q_variant_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-STRUCTURED columns via Spark 4's VARIANT type (round 11):
+    JSON documents parse once into the binary variant encoding
+    (``parse_json``) and typed paths extract JVM-side
+    (``variant_get`` — no per-row Python, no schema inference pass),
+    the engine-native answer to ragged metadata/JSON sidecar columns
+    in a training-data lake. The same encoding now reads from foreign
+    Delta tables (readerFeature ``variantType``,
+    `sources/deltalake.py`). Oracle extracts the same paths with
+    DuckDB's JSON functions."""
+    ev = load_table(spark, "events", sf_dir)
+    j = ev.select(
+        F.concat(
+            F.lit('{"id":'), F.col("event_id").cast("string"),
+            F.lit(',"et":"'), F.col("event_type"),
+            F.lit('","v":'),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("}"),
+        ).alias("js")
+    )
+    return j.select(F.parse_json(F.col("js")).alias("x")).select(
+        F.expr("variant_get(x, '$.et', 'string')").alias("et"),
+        F.expr("variant_get(x, '$.id', 'long')").alias("id"),
+        F.expr("variant_get(x, '$.v', 'long')").alias("vc"),
+    ).groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.expr("bit_xor(id)").alias("id_xor"),
+    )
+
+
 @_q("iceberg_spec_evolution_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, event_type AS et,

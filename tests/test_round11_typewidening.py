@@ -172,6 +172,27 @@ def test_variant_table_reads_and_writer_refuses(spark):
         dl.write_delta(df, _tmp())
 
 
+def test_native_log_stores_variant_columns(spark):
+    """The native snapshot log round-trips VARIANT columns (Spark 4
+    parquet encoding); row-level ops keep them intact."""
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    t = _tmp()
+    df = spark.sql("""
+      SELECT id AS k,
+             parse_json(concat('{"n": ', id * 2, '}')) AS meta
+      FROM range(0, 12)
+    """)
+    snap.snapshot_write(df, t)
+    got = snap.read_snapshot(spark, t)
+    assert got.schema["meta"].dataType.typeName() == "variant"
+    vals = {r.k: r.n for r in got.selectExpr(
+        "k", "variant_get(meta, '$.n', 'long') AS n").collect()}
+    assert vals == {i: i * 2 for i in range(12)}
+    snap.snapshot_delete_where(spark, t, [("k", 0, 3)])
+    assert snap.read_snapshot(spark, t).count() == 8
+
+
 def test_timestamp_ntz_table_reads(spark):
     t = _tmp()
     df = spark.sql("""
