@@ -311,11 +311,10 @@ def _replay(path: str, version: int | None):
     cm = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if cm not in ("none", "", "name"):
-        # "id" mode resolves columns by parquet field id, which this
-        # reader does not implement — refuse rather than mis-read
+    if cm not in ("none", "", "name", "id"):
         raise DeltaProtocolError(
-            f"column mapping mode {cm!r} not supported (only 'name')"
+            f"column mapping mode {cm!r} not supported "
+            "(name and id modes are)"
         )
     return list(adds.values()), meta, proto, v
 
@@ -489,6 +488,32 @@ def read_delta(
         )
         for f in schema.fields
     }
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    field_ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    if cm_mode == "id":
+        # ID mode resolves parquet columns by FIELD ID (spec rule) —
+        # Spark's native fieldId reader does exactly that when the
+        # requested schema carries parquet.field.id metadata; a file
+        # written before a column existed reads it as NULL, the Delta
+        # add-column semantics
+        if any(field_ids[f.name] is None for f in schema.fields):
+            raise DeltaProtocolError(
+                "columnMapping mode 'id' but a schema field lacks "
+                "delta.columnMapping.id"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+        # a parquet file carrying NO field ids at all (pre-upgrade
+        # writer) reads its columns as NULL, not as a scan error —
+        # matching the add-column/missing-id semantics above
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+        )
     pcols = meta.get("partitionColumns") or []
     pcols_phys = [phys[c] for c in pcols]
     ptypes_phys = {
@@ -499,7 +524,11 @@ def read_delta(
     from pyspark.sql.types import StructField
 
     data_schema_phys = StructType([
-        StructField(phys[f.name], f.dataType, f.nullable)
+        StructField(
+            phys[f.name], f.dataType, f.nullable,
+            {"parquet.field.id": int(field_ids[f.name])}
+            if cm_mode == "id" else {},
+        )
         for f in data_fields
     ])
     residual = None

@@ -201,11 +201,17 @@ def test_colmap_name_mode_reads_logical(spark):
     assert got.filter("k = 7").collect()[0].v == 7.0
     # logical predicate translates to physical stats → prunes to empty
     assert dl.read_delta(spark, t, where=[("k", 100, 200)]).count() == 0
-    # id-mode still refuses honestly
+    # id-mode now reads too (round 11): these files carry NO parquet
+    # field ids (pre-upgrade writer), so the reader falls back to
+    # PHYSICAL-NAME matching for them — values resolve exactly (see
+    # test_round11_idmapping for files that DO carry ids, where id
+    # resolution wins over any name)
     acts[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     _append_commit(t, [acts[1]])
-    with pytest.raises(dl.DeltaProtocolError, match="only 'name'"):
-        dl.read_delta(spark, t)
+    got = dl.read_delta(spark, t)
+    assert got.columns == ["k", "v"]
+    assert got.count() == 40
+    assert got.filter("k = 7").collect()[0].v == 7.0
 
 
 def test_colmap_partitioned_physical_partition_values(spark):
