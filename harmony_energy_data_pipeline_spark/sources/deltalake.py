@@ -508,11 +508,14 @@ def read_delta(
             )
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                        "true")
-        # a parquet file carrying NO field ids at all (pre-upgrade
-        # writer) reads its columns as NULL, not as a scan error —
-        # matching the add-column/missing-id semantics above
+        # deliberately NOT setting fieldId.read.ignoreMissing: a file
+        # with no ids at all in an id-mode table is out-of-spec, and
+        # ignoreMissing would read it as ALL NULLS — a silent
+        # corruption; the loud scan error is the honest outcome
+        # (files with ids read a MISSING id as NULL regardless — the
+        # add-column semantics — which is the in-spec case)
         spark.conf.set(
-            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
         )
     pcols = meta.get("partitionColumns") or []
     pcols_phys = [phys[c] for c in pcols]

@@ -201,17 +201,18 @@ def test_colmap_name_mode_reads_logical(spark):
     assert got.filter("k = 7").collect()[0].v == 7.0
     # logical predicate translates to physical stats → prunes to empty
     assert dl.read_delta(spark, t, where=[("k", 100, 200)]).count() == 0
-    # id-mode now reads too (round 11): these files carry NO parquet
-    # field ids (pre-upgrade writer), so the reader falls back to
-    # PHYSICAL-NAME matching for them — values resolve exactly (see
-    # test_round11_idmapping for files that DO carry ids, where id
-    # resolution wins over any name)
+    # id-mode now reads too (round 11) — but THESE files carry no
+    # parquet field ids at all (out-of-spec for an id-mode table),
+    # and that fails LOUDLY at scan rather than reading silent NULLs
+    # (see test_round11_idmapping for the resolving path)
     acts[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     _append_commit(t, [acts[1]])
     got = dl.read_delta(spark, t)
-    assert got.columns == ["k", "v"]
-    assert got.count() == 40
-    assert got.filter("k = 7").collect()[0].v == 7.0
+    assert got.columns == ["k", "v"]  # plan-time schema still fine
+    # (count() would pass vacuously — a zero-column scan never
+    # touches the ids; collect() must hit the loud error)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|field"):
+        got.collect()
 
 
 def test_colmap_partitioned_physical_partition_values(spark):
