@@ -5418,6 +5418,7 @@ def snapshot_merge_when(
     not_matched_by_source: "list[dict] | tuple" = (),
     protocol: str = "link",
     max_redo: int = 3,
+    record_cdf: bool = False,
 ) -> int:
     """General MERGE with ordered WHEN clauses — the full Delta/SQL
     surface :func:`snapshot_merge_into` specializes (that one stays
@@ -5456,6 +5457,12 @@ def snapshot_merge_when(
     SQL cardinality rule enforced: if any source key that reaches a
     matched clause is duplicated in the source, the merge raises
     (a target row must not be updated/deleted by two source rows).
+
+    ``record_cdf``: stage row-level CHANGE FILES — changed target
+    rows' pre-images as ``_change_type='delete'`` (updates AND
+    deletes), every clause-produced row as ``'insert'`` — so
+    :func:`read_snapshot_changes_feed` and IVM fold a rich merge
+    row-level, exactly like the canonical path's flag.
 
     Reference parity: the reference's loader
     (src/serve/load.py:43-46) is the unconditional special case;
@@ -5657,6 +5664,21 @@ def snapshot_merge_when(
         for label, cl, kind in labels:
             if kind in ("matched", "nmbs") and cl["action"] == "delete":
                 drop_labels.add(label)
+        cdf_pre = None
+        if record_cdf:
+            # pre-images of every CHANGED target row (updated or
+            # deleted) read as _change_type='delete' in the feed —
+            # captured BEFORE the delete-labeled rows are filtered out
+            touched = sorted(
+                {label for label, _cl, kind in labels
+                 if kind in ("matched", "nmbs")}
+            )
+            if touched:
+                cdf_pre = j.filter(
+                    F.col("__act").isin(*touched)
+                ).select(*[
+                    F.col(f"t.{c}").alias(c) for c in tcols
+                ]).withColumn("_change_type", F.lit("delete"))
         j = j.filter(~F.col("__act").isin(*sorted(drop_labels)))
 
         def _value_for(label: str, cl: dict, kind: str, c: str):
@@ -5693,10 +5715,19 @@ def snapshot_merge_when(
                 m["constraints"], path,
             )
         new_df = out.select(*tcols)
+        cdf_df = None
+        if record_cdf:
+            # post-images: every row a clause PRODUCED (updates and
+            # inserts; delete labels were filtered out above)
+            cdf_df = out.filter(F.col("__act") != "keep").select(
+                *tcols
+            ).withColumn("_change_type", F.lit("insert"))
+            if cdf_pre is not None:
+                cdf_df = cdf_pre.unionByName(cdf_df)
         try:
             return _commit_partial_rewrite(
                 spark, path, v, m, affected, new_df, "merge_when",
-                protocol, stage_in_layout=True,
+                protocol, cdf_df=cdf_df, stage_in_layout=True,
             )
         except FileExistsError:
             last_err = SnapshotConflictError(

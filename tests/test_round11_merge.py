@@ -212,6 +212,44 @@ def test_sql_merge_canonical_still_fast_path(spark):
     assert m.get("rewrite", {}).get("kind") == "merge_into"
 
 
+def test_merge_when_record_cdf_folds_to_final_state(spark):
+    """The rich merge's change feed is FOLDABLE: applying the
+    delete/insert records of the merge commit to the pre-merge state
+    reproduces the post-merge table exactly."""
+    t = _tmp()
+    snap.snapshot_write(_base(spark), t, member_cols=["k"])
+    v0 = snap.latest_version(t)
+    v1 = snap.snapshot_merge_when(
+        spark, t, _chg(spark), key="k",
+        matched=[
+            {"condition": "s.tag = 'del'", "action": "delete"},
+            {"condition": None, "action": "update", "set": None},
+        ],
+        not_matched=[{"condition": "s.v > 0", "values": None}],
+        not_matched_by_source=[
+            {"condition": "t.k >= 18", "action": "delete"},
+        ],
+        record_cdf=True,
+    )
+    feed = snap.read_snapshot_changes_feed(spark, t, v0, v1)
+    pre = {(r.k, r.v, r.tag)
+           for r in snap.read_snapshot(spark, t, version=v0).collect()}
+    for r in feed.filter("_change_type = 'delete'").collect():
+        pre.discard((r.k, r.v, r.tag))
+    for r in feed.filter("_change_type = 'insert'").collect():
+        pre.add((r.k, r.v, r.tag))
+    post = {(r.k, r.v, r.tag)
+            for r in snap.read_snapshot(spark, t).collect()}
+    assert pre == post
+    # the feed is row-minimal: k7 delete, k5 update (del+ins), k100
+    # insert, k18/k19 nmbs deletes = 4 deletes + 2 inserts
+    kinds = [(r.k, r._change_type) for r in feed.collect()]
+    assert sorted(kinds) == [
+        (5, "delete"), (5, "insert"), (7, "delete"), (18, "delete"),
+        (19, "delete"), (100, "insert"),
+    ]
+
+
 def test_sql_merge_with_schema_evolution(spark):
     cat = Catalog(tempfile.mkdtemp(prefix="mwse_"))
     _base(spark, 10).createOrReplaceTempView("mw_base5")
