@@ -313,6 +313,18 @@ _CREATE_RE = re.compile(
     r"(?:AS\s+(?P<select>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_RW_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"REPLACE\s+WHERE\s+(?P<pred>.+?)\s+"
+    r"(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*$",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<over>OVERWRITE\s+|INTO\s+)"
     r"(?P<name>[A-Za-z_]\w*)\s*"
@@ -829,6 +841,48 @@ def snapshot_sql(
             else "create", name, v,
         )
 
+    mt = _RESTORE_RE.match(stmt)
+    if mt:
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_restore,
+        )
+
+        name = mt.group("name")
+        path = _require_native(_target(resolved, name, catalog),
+                               "RESTORE TABLE")
+        tv = (int(mt.group("v")) if mt.group("v") is not None
+              else version_at_timestamp(path, _ts_to_unix(mt.group("ts"))))
+        v = snapshot_restore(path, tv)
+        return _dml_result(spark, "restore", name, v)
+
+    mt = _INSERT_RW_RE.match(stmt)
+    if mt:
+        # the Delta ``INSERT INTO t REPLACE WHERE pred SELECT …``
+        # shape: ONE atomic commit = delete the predicate region ⊕
+        # insert the batch — the idempotent backfill primitive
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            snapshot_replace_where,
+        )
+
+        name = mt.group("name")
+        _refuse_target_travel(stmt, name)
+        path = _require_native(_target(resolved, name, catalog),
+                               "INSERT … REPLACE WHERE")
+        body = mt.group("body").strip()
+        schema = _table_schema(spark, path)
+        if body.upper().startswith("VALUES"):
+            names = [f.name for f in schema.fields]
+            body = (
+                f"SELECT * FROM ({body}) AS __ins({', '.join(names)})"
+            )
+        df = _align_to_schema(
+            spark.sql(_rewrite_select(spark, body, resolved)), schema
+        )
+        v = snapshot_replace_where(
+            spark, path, mt.group("pred").strip(), df
+        )
+        return _dml_result(spark, "replace_where", name, v)
+
     mt = _INSERT_RE.match(stmt)
     if mt:
         name = mt.group("name")
@@ -1193,11 +1247,12 @@ def snapshot_sql(
 
     raise ValueError(
         f"unsupported statement (first tokens {stmt[:40]!r}); this "
-        "facade speaks SELECT/WITH/VALUES, CREATE TABLE … AS, INSERT "
-        "INTO, INSERT OVERWRITE, UPDATE, DELETE FROM, MERGE INTO, "
-        "DROP TABLE, DESCRIBE HISTORY, SHOW "
-        "TABLES, DESCRIBE, OPTIMIZE, VACUUM [RETAIN n VERSIONS], "
-        "ANALYZE"
+        "facade speaks SELECT/WITH/VALUES, CREATE [OR REPLACE] TABLE "
+        "(cols)|… AS, INSERT INTO [REPLACE WHERE], INSERT OVERWRITE, "
+        "UPDATE, DELETE FROM, MERGE [WITH SCHEMA EVOLUTION] INTO, "
+        "RESTORE TABLE … TO VERSION/TIMESTAMP AS OF, DROP TABLE, "
+        "DESCRIBE HISTORY, SHOW TABLES, DESCRIBE, OPTIMIZE, VACUUM "
+        "[RETAIN n VERSIONS], ANALYZE"
     )
 
 

@@ -87,6 +87,56 @@ def test_create_errors(spark, cat):
         snapshot_sql(spark, "CREATE TABLE x", catalog=cat)
 
 
+def test_restore_table_sql(spark, cat):
+    spark.range(0, 20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("r11ddl_r")
+    out = snapshot_sql_script(spark, """
+      CREATE TABLE rt AS SELECT k, v FROM r11ddl_r;
+      DELETE FROM rt WHERE k >= 10;
+      RESTORE TABLE rt TO VERSION AS OF 0;
+      SELECT COUNT(*) AS n FROM rt
+    """, catalog=cat).collect()[0]
+    assert out.n == 20
+    # history preserved: the delete's version still reads
+    path = cat.table_path("rt")
+    assert snap.read_snapshot(spark, path, version=1).count() == 10
+    # restore refuses wire-format targets through _require_native
+    # (covered by the shared guard); timestamp form resolves too
+    import time
+
+    ts = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(
+        time.time() + 5
+    ))
+    r = snapshot_sql(
+        spark, f"RESTORE TABLE rt TO TIMESTAMP AS OF '{ts}'",
+        catalog=cat,
+    ).collect()[0]
+    assert r.operation == "restore"
+
+
+def test_insert_replace_where_sql(spark, cat):
+    spark.range(0, 20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("r11ddl_w")
+    out = snapshot_sql_script(spark, """
+      CREATE TABLE wt AS SELECT k, v FROM r11ddl_w;
+      INSERT INTO wt REPLACE WHERE k >= 5 AND k <= 7
+        SELECT k, v * 10 AS v FROM r11ddl_w WHERE k >= 5 AND k <= 7;
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(round(v) AS BIGINT)) AS BIGINT) AS sv
+      FROM wt
+    """, catalog=cat).collect()[0]
+    assert out.n == 20
+    assert out.sv == sum(range(20)) - 18 + 180
+    # out-of-region batch rows refuse (the replace_where contract)
+    with pytest.raises(Exception, match="NOT matching|escape"):
+        snapshot_sql(spark, """
+          INSERT INTO wt REPLACE WHERE k >= 5 AND k <= 7
+            SELECT k, v FROM r11ddl_w WHERE k = 12
+        """, catalog=cat)
+
+
 def test_iceberg_ctas_partitioned(spark, cat):
     from harmony_energy_data_pipeline_spark.sources import iceberg as ice
 
