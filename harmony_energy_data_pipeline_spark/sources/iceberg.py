@@ -68,11 +68,26 @@ def _meta_dir(path: str) -> str:
 
 
 def _metadata_files(path: str) -> list[str]:
+    """``*.metadata.json`` names in VERSION order — numeric when the
+    name parses (``v10`` must sort after ``v9``; plain lexicographic
+    order broke every table past its 9th commit), lexicographic
+    fallback for foreign naming schemes (UUID-suffixed names sort
+    stably among themselves)."""
     d = _meta_dir(path)
     if not os.path.isdir(d):
         return []
+
+    def _key(n: str):
+        head = n[:-len(".metadata.json")].lstrip("v")
+        head = head.split("-", 1)[0]  # '00003-<uuid>' Spark naming
+        try:
+            return (0, int(head), n)
+        except ValueError:
+            return (1, 0, n)
+
     return sorted(
-        n for n in os.listdir(d) if n.endswith(".metadata.json")
+        (n for n in os.listdir(d) if n.endswith(".metadata.json")),
+        key=_key,
     )
 
 

@@ -141,6 +141,23 @@ def test_spec_evolution_append_reads_and_prunes_per_file(spark):
     assert by_spec[0] == {"p"} and by_spec[1] == {"q"}
 
 
+def test_metadata_versions_past_nine_commits(spark):
+    """v10.metadata.json must sort AFTER v9 — lexicographic ordering
+    broke version discovery (and the next version number) on every
+    table past its 9th commit (found by the eq-delete arms
+    measurement tool driving 32 serial commits)."""
+    t = _tmp()
+    for i in range(12):
+        ice.write_iceberg(
+            spark.range(i * 5, i * 5 + 5).selectExpr("id AS k"),
+            t, mode="append" if i else "overwrite",
+        )
+    assert ice.read_iceberg(spark, t).count() == 60
+    names = ice._metadata_files(t)
+    assert names[-1] == "v12.metadata.json"
+    assert len(ice.iceberg_history(t)) == 12
+
+
 def test_spec_evolution_prune_skips_files(spark):
     """Pruning on the OLD spec column must skip new-spec files only
     via bounds (conservative) while old-spec files prune exactly —
