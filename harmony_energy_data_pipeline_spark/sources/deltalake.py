@@ -94,6 +94,23 @@ def _widening_ok(from_t: str, to_t: str) -> bool:
     return False
 
 
+def _schema_type_names(dt) -> set:
+    """Every type name appearing anywhere in a (possibly nested)
+    Spark type — feature declaration must see through structs/arrays/
+    maps."""
+    out = {dt.typeName()}
+    tn = dt.typeName()
+    if tn == "struct":
+        for f in dt.fields:
+            out |= _schema_type_names(f.dataType)
+    elif tn == "array":
+        out |= _schema_type_names(dt.elementType)
+    elif tn == "map":
+        out |= _schema_type_names(dt.keyType)
+        out |= _schema_type_names(dt.valueType)
+    return out
+
+
 def _validate_type_changes(schema) -> None:
     """Refuse a typeWidening table whose recorded ``delta.
     typeChanges`` include a conversion outside the allowlist — an
@@ -692,10 +709,15 @@ def _delta_stats_json(dst: str, stats_cols: list[str] | None) -> str:
         file_column_stats,
     )
 
+    try:
+        n_rows = pq.read_metadata(dst).num_rows
+    except OSError:
+        # this pyarrow build cannot parse the footer (e.g. the
+        # VARIANT logical type is newer than its thrift tables) —
+        # the add action is still valid without stats
+        return json.dumps({})
     if not stats_cols:
-        return json.dumps(
-            {"numRecords": pq.read_metadata(dst).num_rows}
-        )
+        return json.dumps({"numRecords": n_rows})
     st = file_column_stats(dst, list(stats_cols))
 
     def enc(v):
@@ -784,21 +806,6 @@ def write_delta(
     version."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    variant_cols = [
-        f.name for f in df.schema.fields
-        if f.dataType.typeName() == "variant"
-    ]
-    if variant_cols:
-        # reading variant tables is supported; WRITING one requires
-        # declaring the variantType writer feature, which this
-        # protocol(1,2) writer does not — a table written without the
-        # declaration would silently mis-read in spec-compliant
-        # engines, so refuse instead
-        raise DeltaProtocolError(
-            f"columns {variant_cols} are VARIANT; this writer does "
-            "not declare the variantType writer feature — cast to "
-            "string (to_json) before write_delta"
-        )
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
     pcols = list(partition_by or [])
     missing = [c for c in pcols if c not in df.columns]
@@ -849,9 +856,28 @@ def write_delta(
     }]
     version = 0 if prev is None else prev + 1
     if prev is None or mode == "overwrite":
-        actions.append({
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+        # feature declaration (spec rule): a schema using variant or
+        # timestamp_ntz types MUST ship under protocol(3,7) with the
+        # matching table features listed — writing them under the
+        # legacy (1,2) protocol would let feature-unaware readers
+        # silently mis-read the physical encodings. Plain schemas
+        # keep the legacy protocol (maximally readable).
+        feats = sorted({
+            {"variant": "variantType",
+             "timestamp_ntz": "timestampNtz"}[tn]
+            for tn in _schema_type_names(df.schema)
+            if tn in ("variant", "timestamp_ntz")
         })
+        if feats:
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": feats, "writerFeatures": feats,
+            }})
+        else:
+            actions.append({
+                "protocol": {"minReaderVersion": 1,
+                             "minWriterVersion": 2}
+            })
         actions.append({
             "metaData": {
                 "id": (meta or {}).get("id") or str(uuid.uuid4()),

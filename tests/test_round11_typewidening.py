@@ -6,7 +6,8 @@ metaData schema speaks the WIDE one — the Spark 4 vectorized parquet
 reader upcasts on read, and the reader validates each recorded
 ``delta.typeChanges`` pair against the spec allowlist (an unknown
 conversion refuses at protocol level, not as a deep scan error).
-``variantType`` stays refused.
+Variant/timestamp_ntz tables read AND write (the writer declares the
+features under protocol(3,7); plain schemas keep the legacy (1,2)).
 """
 
 import json
@@ -117,11 +118,11 @@ def test_unknown_feature_still_refused(spark):
         dl.read_delta(spark, t)
 
 
-def test_variant_table_reads_and_writer_refuses(spark):
+def test_variant_table_reads_and_writes(spark):
     """variantType (round 11): a foreign table with a VARIANT column
-    reads through Spark 4's native VariantType parquet decode; the
-    protocol(1,2) writer refuses variant batches (it cannot declare
-    the writer feature)."""
+    reads through Spark 4's native VariantType parquet decode, and
+    the writer round-trips variant batches by DECLARING the feature
+    under protocol(3,7)."""
     t = _tmp()
     df = spark.sql("""
       SELECT id AS k,
@@ -167,9 +168,20 @@ def test_variant_table_reads_and_writer_refuses(spark):
         "k", "variant_get(payload, '$.a', 'long') AS a"
     ).orderBy("k").collect()
     assert [(r.k, r.a) for r in rows] == [(i, i) for i in range(8)]
-    # the writer refuses variant batches with guidance
-    with pytest.raises(DeltaProtocolError, match="variantType"):
-        dl.write_delta(df, _tmp())
+    # the writer DECLARES the feature and round-trips variant batches
+    t2 = _tmp()
+    dl.write_delta(df, t2)
+    with open(os.path.join(t2, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(
+            json.loads(ln)["protocol"] for ln in fh
+            if "protocol" in json.loads(ln)
+        )
+    assert proto["minReaderVersion"] == 3
+    assert "variantType" in proto["readerFeatures"]
+    back = dl.read_delta(spark, t2)
+    vals = {r.k: r.a for r in back.selectExpr(
+        "k", "variant_get(payload, '$.a', 'long') AS a").collect()}
+    assert vals == {i: i for i in range(8)}
 
 
 def test_native_log_stores_variant_columns(spark):
@@ -191,6 +203,37 @@ def test_native_log_stores_variant_columns(spark):
     assert vals == {i: i * 2 for i in range(12)}
     snap.snapshot_delete_where(spark, t, [("k", 0, 3)])
     assert snap.read_snapshot(spark, t).count() == 8
+
+
+def test_write_delta_declares_timestamp_ntz(spark):
+    t = _tmp()
+    df = spark.sql("""
+      SELECT id AS k, timestamp_ntz'2024-05-01 08:00:00' AS ts
+      FROM range(0, 4)
+    """)
+    dl.write_delta(df, t)
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(
+            json.loads(ln)["protocol"] for ln in fh
+            if "protocol" in json.loads(ln)
+        )
+    assert proto == {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["timestampNtz"],
+    }
+    got = dl.read_delta(spark, t)
+    assert got.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert got.count() == 4
+    # plain schemas keep the maximally-readable legacy protocol
+    t2 = _tmp()
+    dl.write_delta(spark.range(0, 3).selectExpr("id AS k"), t2)
+    with open(os.path.join(t2, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(
+            json.loads(ln)["protocol"] for ln in fh
+            if "protocol" in json.loads(ln)
+        )
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def test_timestamp_ntz_table_reads(spark):
