@@ -5419,6 +5419,7 @@ def snapshot_merge_when(
     protocol: str = "link",
     max_redo: int = 3,
     record_cdf: bool = False,
+    source_key: "str | None" = None,
 ) -> int:
     """General MERGE with ordered WHEN clauses — the full Delta/SQL
     surface :func:`snapshot_merge_into` specializes (that one stays
@@ -5457,6 +5458,10 @@ def snapshot_merge_when(
     SQL cardinality rule enforced: if any source key that reaches a
     matched clause is duplicated in the source, the merge raises
     (a target row must not be updated/deleted by two source rows).
+
+    ``source_key``: the source-side join column when named
+    differently (``ON t.key = s.source_key``); the star forms map the
+    target key onto it, everything else matches by name.
 
     ``record_cdf``: stage row-level CHANGE FILES — changed target
     rows' pre-images as ``_change_type='delete'`` (updates AND
@@ -5497,9 +5502,10 @@ def snapshot_merge_when(
                 f"update|delete: {cl}"
             )
 
+    skey = source_key or key  # ON t.key = s.source_key
     if matched:
         dup = (
-            source.groupBy(key).count()
+            source.groupBy(skey).count()
             .filter(F.col("count") > 1).limit(1).collect()
         )
         if dup:
@@ -5513,7 +5519,7 @@ def snapshot_merge_when(
 
     _MAX_PROBE_KEYS = 200_000
     key_rows = (
-        source.select(F.col(key)).distinct()
+        source.select(F.col(skey)).distinct()
         .limit(_MAX_PROBE_KEYS + 1).collect()
     )
     src_keys = (
@@ -5560,8 +5566,10 @@ def snapshot_merge_when(
         if key not in ttypes:
             raise ValueError(f"merge key {key!r} not a table column")
         src_cols = list(source.columns)
-        if key not in src_cols:
-            raise ValueError(f"merge key {key!r} not a source column")
+        if skey not in src_cols:
+            raise ValueError(
+                f"merge source key {skey!r} not a source column"
+            )
 
         membs = {
             _rel_file(path, f): s
@@ -5627,7 +5635,7 @@ def snapshot_merge_when(
             source.select(
                 F.struct(*[F.col(c) for c in src_cols]).alias("s")
             ),
-            F.col(f"t.{key}") == F.col(f"s.{key}"),
+            F.col(f"t.{key}") == F.col(f"s.{skey}"),
             "full_outer",
         )
         tp = F.col("t").isNotNull()
@@ -5681,17 +5689,28 @@ def snapshot_merge_when(
                 ]).withColumn("_change_type", F.lit("delete"))
         j = j.filter(~F.col("__act").isin(*sorted(drop_labels)))
 
+        def _src_name(c: str) -> "str | None":
+            """The source column backing table column ``c`` for the
+            star forms: same name, except the join key maps onto the
+            (possibly differently-named) source key."""
+            if c == key and skey != key and skey in src_cols \
+                    and key not in src_cols:
+                return skey
+            return c if c in src_cols else None
+
         def _value_for(label: str, cl: dict, kind: str, c: str):
             if kind == "insert":
                 vals = cl.get("values")
                 if vals is None:  # INSERT *
-                    return (F.col(f"s.{c}") if c in src_cols
+                    sn = _src_name(c)
+                    return (F.col(f"s.{sn}") if sn is not None
                             else F.lit(None))
                 return (F.expr(vals[c]) if c in vals else F.lit(None))
             # matched / nmbs update
             st = cl.get("set")
             if st is None:  # SET *
-                return (F.col(f"s.{c}") if c in src_cols
+                sn = _src_name(c)
+                return (F.col(f"s.{sn}") if sn is not None
                         else F.col(f"t.{c}"))
             return (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
 

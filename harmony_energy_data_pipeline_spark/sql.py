@@ -513,16 +513,33 @@ def _parse_merge(stmt: str):
         r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)$",
         on,
     )
-    if key_mt is None or key_mt.group(2) != key_mt.group(4):
+    if key_mt is None:
         raise NotImplementedError(
-            f"MERGE ON must be a single same-named key equality "
-            f"(t.k = s.k); got {on!r} — use snapshot_merge_into for "
-            "anything richer"
+            f"MERGE ON must be a single key equality (t.k = s.k); "
+            f"got {on!r} — use snapshot_merge_when for anything richer"
         )
     tgt_alias = head.group("alias")
+    name = head.group("name")
+    q1, n1, q2, n2 = key_mt.groups()
+    if n1 == n2:
+        tkey = skey = n1
+    else:
+        # differently-named keys resolve by their qualifiers
+        tq = {a for a in (tgt_alias, name) if a}
+        sq = {a for a in (src_alias,
+                          None if source_is_select else source) if a}
+        if q1 in tq and q2 in sq:
+            tkey, skey = n1, n2
+        elif q1 in sq and q2 in tq:
+            tkey, skey = n2, n1
+        else:
+            raise NotImplementedError(
+                f"MERGE ON {on!r}: differently-named keys need both "
+                "sides qualified by their table/alias"
+            )
     return (
-        head.group("name"), source, source_is_select, src_alias,
-        tgt_alias, key_mt.group(2), whens,
+        name, source, source_is_select, src_alias,
+        tgt_alias, tkey, skey, whens,
         head.group("evolve") is not None,
     )
 
@@ -980,8 +997,8 @@ def snapshot_sql(
         return _dml_result(spark, "drop", name, None)
 
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
-        (name, source, is_select, src_alias, tgt_alias, key, whens,
-         evolve) = _parse_merge(stmt)
+        (name, source, is_select, src_alias, tgt_alias, key, skey,
+         whens, evolve) = _parse_merge(stmt)
         _refuse_target_travel(stmt, name)
         path = _require_native(_target(resolved, name, catalog), "MERGE")
         if is_select:
@@ -1006,6 +1023,19 @@ def snapshot_sql(
             # path with source-wins semantics. WITH SCHEMA EVOLUTION
             # maps to the native evolve_schema (source columns the
             # table lacks are ADDED; absent ones NULL-fill).
+            # A differently-named source key renames onto the
+            # target's (the upsert writes it as the target column).
+            if skey != key:
+                if key in src_df.columns:
+                    raise ValueError(
+                        f"MERGE ON {name}.{key} = …{skey}: the source "
+                        f"also has a column {key!r}; rename one side"
+                    )
+                src_df = src_df.withColumnRenamed(skey, key)
+                if key in ttypes:
+                    src_df = src_df.withColumn(
+                        key, F.col(key).cast(ttypes[key])
+                    )
             v = snapshot_merge_into(
                 spark, path, src_df, key=key, evolve_schema=evolve
             )
@@ -1031,6 +1061,7 @@ def snapshot_sql(
         v = snapshot_merge_when(
             spark, path, src_df, key=key, matched=m_cl,
             not_matched=nm_cl, not_matched_by_source=nmbs_cl,
+            source_key=skey if skey != key else None,
         )
         return _dml_result(spark, "merge", name, v)
 

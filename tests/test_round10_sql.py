@@ -239,7 +239,9 @@ def test_merge_rich_forms_route_and_key_rule_stays(spark, cat):
     assert r.operation == "merge"
     path = cat.table_path("m10")
     assert snap.read_snapshot(spark, path).count() == 0  # self-merge
-    with pytest.raises(NotImplementedError, match="same-named key"):
+    # differently-named keys are legal now (round 11) — but only
+    # when the rename is unambiguous; here the source ALSO has 'k'
+    with pytest.raises(ValueError, match="also has a column"):
         snapshot_sql(
             spark,
             "MERGE INTO m10 USING m10b ON m10.k = m10b.v "

@@ -191,6 +191,69 @@ def test_sql_merge_unqualified_and_values_form(spark):
                    "stale": 18}
 
 
+def test_merge_differently_named_keys(spark):
+    """``ON t.k = s.src_id`` (round 11): the source key column is
+    named differently — native ``source_key`` joins on it, star forms
+    map the target key onto it, rich clauses reference it by name."""
+    t = _tmp()
+    snap.snapshot_write(_base(spark, 10), t, member_cols=["k"])
+    src = spark.createDataFrame(
+        [(3, 333.0, "u"), (77, 770.0, "n")],
+        "src_id long, v double, tag string",
+    )
+    snap.snapshot_merge_when(
+        spark, t, src, key="k", source_key="src_id",
+        matched=[{"condition": None, "action": "update", "set": None}],
+        not_matched=[{"condition": None, "values": None}],
+    )
+    rows = {r.k: (r.v, r.tag)
+            for r in snap.read_snapshot(spark, t).collect()}
+    assert rows[3] == (333.0, "u")     # SET * (key untouched)
+    assert rows[77] == (770.0, "n")    # INSERT *: k <- s.src_id
+    assert len(rows) == 11
+
+
+def test_sql_merge_differently_named_keys(spark):
+    cat = Catalog(tempfile.mkdtemp(prefix="mwkey_"))
+    _base(spark, 10).createOrReplaceTempView("mwk_base")
+    spark.createDataFrame(
+        [(3, 333.0, "u"), (77, 770.0, "n")],
+        "src_id long, v double, tag string",
+    ).createOrReplaceTempView("mwk_chg")
+    # canonical pair: renamed source key rides the fast path
+    out = snapshot_sql_script(spark, """
+      CREATE TABLE kt AS SELECT k, v, tag FROM mwk_base;
+      MERGE INTO kt USING mwk_chg ON kt.k = mwk_chg.src_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(round(v) AS BIGINT)) AS BIGINT) AS sv
+      FROM kt
+    """, catalog=cat).collect()[0]
+    want = {i: i * 10.0 for i in range(10)}
+    want[3] = 333.0
+    want[77] = 770.0
+    assert (out.n, out.sv) == (11, sum(round(v) for v in want.values()))
+    # rich clauses route through source_key
+    out2 = snapshot_sql_script(spark, """
+      CREATE TABLE kt2 AS SELECT k, v, tag FROM mwk_base;
+      MERGE INTO kt2 USING mwk_chg ON kt2.k = mwk_chg.src_id
+        WHEN MATCHED AND mwk_chg.v > 400 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET tag = mwk_chg.tag
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src_id, v);
+      SELECT COUNT(*) AS n, COUNT(tag) AS n_tag FROM kt2
+    """, catalog=cat).collect()[0]
+    # k3 updated (tag 'u'), src 77 inserted with NULL tag
+    assert (out2.n, out2.n_tag) == (11, 10)
+    # unqualified differently-named keys refuse with guidance
+    with pytest.raises(NotImplementedError, match="qualified"):
+        snapshot_sql(spark, """
+          MERGE INTO kt USING mwk_chg ON k = src_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """, catalog=cat)
+
+
 def test_sql_merge_canonical_still_fast_path(spark):
     cat = Catalog(tempfile.mkdtemp(prefix="mwsql3_"))
     _base(spark, 10).createOrReplaceTempView("mw_base3")
