@@ -759,6 +759,13 @@ def snapshot_sql(
     if head.startswith(("SELECT", "WITH", "VALUES")) or not stmt:
         return spark.sql(_rewrite_select(spark, stmt, resolved))
 
+    if re.match(r"^\s*EXPLAIN\b", stmt, re.IGNORECASE):
+        # EXPLAIN [EXTENDED|FORMATTED|...] <select>: table names (and
+        # travel clauses) rewrite exactly as for SELECT, then Spark's
+        # own EXPLAIN renders the plan — the facade user's way to
+        # check pushdown/pruning without leaving SQL
+        return spark.sql(_rewrite_select(spark, stmt, resolved))
+
     mt = re.match(
         r"^\s*(?:UPDATE|DELETE\s+FROM|INSERT\s+(?:INTO|OVERWRITE)"
         r"|MERGE\s+INTO)\s+"
@@ -1224,6 +1231,57 @@ def snapshot_sql(
         )
 
     mt = re.match(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        name = mt.group("name")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            schema = dl.read_delta(spark, entry["path"]).schema
+            pcols = []
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            schema = ice.read_iceberg(spark, entry["path"]).schema
+            meta = ice.table_metadata(entry["path"])
+            spec = next(
+                (sp for sp in meta.get("partition-specs", [])
+                 if sp["spec-id"] == meta.get("default-spec-id", 0)),
+                {"fields": []},
+            )
+            pcols = [f["name"] for f in spec.get("fields", [])]
+        else:
+            from harmony_energy_data_pipeline_spark.sinks import (
+                snapshots as _snap,
+            )
+
+            schema = _table_schema(spark, entry["path"])
+            m = _snap._read_manifest(
+                entry["path"], latest_version(entry["path"])
+            )
+            pcols = list(m.get("partition_cols") or [])
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        ddl = f"CREATE TABLE {name} (\n  {cols}\n)"
+        if pcols:
+            ddl += f"\nPARTITIONED BY ({', '.join(pcols)})"
+        ddl += f"\nUSING {fmt}\nLOCATION '{entry['path']}'"
+        return spark.createDataFrame(
+            [(ddl,)], "createtab_stmt string"
+        )
+
+    mt = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
     )
     if mt:
@@ -1248,7 +1306,28 @@ def snapshot_sql(
         )
 
         name = mt.group("name")
-        path = _require_native(_target(resolved, name, catalog), "VACUUM")
+        entry = _target(resolved, name, catalog)
+        if _table_format(entry) == "delta":
+            # the wire format has its own retention contract
+            # (deletedFileRetentionDuration); RETAIN n VERSIONS is a
+            # native-log notion and does not apply
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            if mt.group("n"):
+                raise ValueError(
+                    "VACUUM ... RETAIN n VERSIONS is the native "
+                    "log's retention; Delta tables vacuum by time "
+                    "(delta_vacuum retention_s)"
+                )
+            removed = len(dl.delta_vacuum(entry["path"]))
+            return spark.createDataFrame(
+                [("vacuum", name, None, removed)],
+                "operation string, table string, version bigint, "
+                "removed_files bigint",
+            )
+        path = _require_native(entry, "VACUUM")
         removed = vacuum(
             path, keep_last=int(mt.group("n") or 1)
         )

@@ -137,6 +137,44 @@ def test_insert_replace_where_sql(spark, cat):
         """, catalog=cat)
 
 
+def test_show_create_table_and_explain(spark, cat):
+    spark.range(0, 30).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p"
+    ).createOrReplaceTempView("r11ddl_s")
+    snapshot_sql(
+        spark,
+        "CREATE TABLE st PARTITIONED BY (p) AS SELECT k, p "
+        "FROM r11ddl_s",
+        catalog=cat,
+    )
+    ddl = snapshot_sql(
+        spark, "SHOW CREATE TABLE st", catalog=cat
+    ).collect()[0].createtab_stmt
+    assert "CREATE TABLE st" in ddl
+    assert "PARTITIONED BY (p)" in ddl
+    assert "USING snapshot" in ddl
+    plan = snapshot_sql(
+        spark,
+        "EXPLAIN SELECT COUNT(*) FROM st VERSION AS OF 0 WHERE k > 5",
+        catalog=cat,
+    ).collect()[0][0]
+    assert "Physical Plan" in plan
+
+
+def test_vacuum_routes_to_delta(spark, cat):
+    import tempfile as tf
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    dpath = tf.mkdtemp(prefix="r11dv_") + "/d"
+    dl.write_delta(spark.range(0, 5).selectExpr("id AS k"), dpath)
+    cat.register("dvt", path=dpath, format="delta")
+    r = snapshot_sql(spark, "VACUUM dvt", catalog=cat).collect()[0]
+    assert r.operation == "vacuum" and r.removed_files == 0
+    with pytest.raises(ValueError, match="RETAIN n VERSIONS"):
+        snapshot_sql(spark, "VACUUM dvt RETAIN 2 VERSIONS", catalog=cat)
+
+
 def test_iceberg_ctas_partitioned(spark, cat):
     from harmony_energy_data_pipeline_spark.sources import iceberg as ice
 
