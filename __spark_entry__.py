@@ -8159,6 +8159,57 @@ def q_iceberg_spec_evolution_digest(
     )
 
 
+@_q("iceberg_transform_write_digest", """
+WITH src AS (
+  SELECT event_id AS k, ts, value AS v FROM events
+),
+pruned AS (
+  SELECT * FROM src
+  WHERE ts >= (SELECT min(ts) FROM src)
+    AND ts <= (SELECT min(ts) + INTERVAL 2 DAY FROM src)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM pruned
+""")
+def q_iceberg_transform_write_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg TRANSFORM-PARTITIONED WRITES (round 11): the table
+    lands with a ``bucket[16](k) + day(ts)`` spec — real Appendix-B
+    murmur3 bucket tuples (vectorized Arrow batch hash; Spark's own
+    ``hash()`` seeds differently) and day ordinals in the manifests —
+    and the read prunes a two-day window on the day tuples before the
+    residual re-applies (`sources/iceberg.py: write_iceberg /
+    read_iceberg`). Oracle recomputes the window as SELECT algebra."""
+    import datetime as _dt
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("ts"),
+        F.col("value").alias("v"),
+    )
+    t = tempfile.mkdtemp(prefix="ice_trw_") + "/t"
+    ice.write_iceberg(
+        ev, t, partition_by=["bucket[16](k)", "day(ts)"],
+        stats_cols=["k"],
+    )
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = lo + _dt.timedelta(days=2)
+    return ice.read_iceberg(
+        spark, t,
+        where=[("ts", lo.replace(tzinfo=_dt.timezone.utc),
+                hi.replace(tzinfo=_dt.timezone.utc))],
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+    )
+
+
 @_q("iceberg_eq_delete_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, event_type AS et, value AS v FROM events

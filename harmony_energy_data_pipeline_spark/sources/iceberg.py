@@ -377,6 +377,191 @@ def iceberg_transform_value(transform: str, value, ice_type: str):
     return None
 
 
+def _mm3_long_np(vals):
+    """Vectorized murmur3_x86_32 over int64 values serialized as
+    8-byte little-endian (the Appendix-B long/int/date/time/timestamp
+    hash input) — exactly two 4-byte blocks, no tail. Returns the
+    uint32 hash per element (numpy array)."""
+    import numpy as np
+
+    M = np.uint64(0xFFFFFFFF)
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    k_lo = v & M
+    k_hi = (v >> np.uint64(32)) & M
+    h = np.zeros(len(v), np.uint64)
+    for k in (k_lo, k_hi):
+        kk = (k * np.uint64(0xCC9E2D51)) & M
+        kk = (((kk << np.uint64(15)) & M) | (kk >> np.uint64(17)))
+        kk = (kk * np.uint64(0x1B873593)) & M
+        h ^= kk
+        h = (((h << np.uint64(13)) & M) | (h >> np.uint64(19)))
+        h = (h * np.uint64(5) + np.uint64(0xE6546B64)) & M
+    h ^= np.uint64(8)  # byte length
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & M
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & M
+    h ^= h >> np.uint64(16)
+    return h
+
+
+_TR_RE_BUCKET = re.compile(
+    r"^bucket\s*(?:\[(\d+)\]\s*\(\s*(\w+)\s*\)"
+    r"|\(\s*(\d+)\s*,\s*(\w+)\s*\))$",
+    re.IGNORECASE,
+)
+_TR_RE_TRUNC = re.compile(
+    r"^truncate\s*(?:\[(\d+)\]\s*\(\s*(\w+)\s*\)"
+    r"|\(\s*(\d+)\s*,\s*(\w+)\s*\))$",
+    re.IGNORECASE,
+)
+_TR_RE_DATE = re.compile(
+    r"^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$", re.IGNORECASE
+)
+
+
+def _parse_partition_entry(entry: str) -> dict:
+    """``partition_by`` entry → ``{src, transform, pv_name}``.
+    Accepts a bare column (identity), ``bucket[N](c)`` /
+    ``bucket(N, c)``, ``truncate[W](c)`` / ``truncate(W, c)``, and
+    ``year/month/day/hour(c)`` — both the spec spelling and the Spark
+    SQL one. Partition field names follow the Iceberg convention
+    (``c_bucket``, ``c_trunc``, ``c_day`` …)."""
+    e = entry.strip()
+    mt = _TR_RE_BUCKET.match(e)
+    if mt:
+        n = int(mt.group(1) or mt.group(3))
+        c = mt.group(2) or mt.group(4)
+        return {"src": c, "transform": f"bucket[{n}]",
+                "pv_name": f"{c}_bucket"}
+    mt = _TR_RE_TRUNC.match(e)
+    if mt:
+        w = int(mt.group(1) or mt.group(3))
+        c = mt.group(2) or mt.group(4)
+        return {"src": c, "transform": f"truncate[{w}]",
+                "pv_name": f"{c}_trunc"}
+    mt = _TR_RE_DATE.match(e)
+    if mt:
+        tr = mt.group(1).lower()
+        c = mt.group(2)
+        return {"src": c, "transform": tr, "pv_name": f"{c}_{tr}"}
+    if not re.match(r"^[A-Za-z_]\w*$", e):
+        raise ValueError(
+            f"unsupported partition transform {entry!r}; supported: "
+            "identity column, bucket[N](c), truncate[W](c), "
+            "year/month/day/hour(c)"
+        )
+    return {"src": e, "transform": "identity", "pv_name": e}
+
+
+def _transform_result_ice_type(transform: str, src_type: str) -> str:
+    if transform == "identity":
+        return src_type
+    if transform.startswith("truncate["):
+        return src_type
+    return "int"  # bucket/year/month/day/hour land as ints
+
+
+def _transform_column(spec: dict, src_type: str):
+    """The staged partition-value Column for one transform — pure
+    expressions for everything except bucket, which needs the
+    Appendix-B murmur3 (seed 0, 8-byte-LE serialization) Spark's
+    own hash() cannot produce (seed 42): an Arrow-vectorized
+    pandas_udf computes it batch-wise (numpy for the fixed-width
+    family, per-value only for strings)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c, tr = spec["src"], spec["transform"]
+    if tr == "identity":
+        return F.col(c)
+    mt = re.match(r"^truncate\[(\d+)\]$", tr)
+    if mt:
+        w = int(mt.group(1))
+        if src_type == "string":
+            return F.substring(F.col(c), 1, w)
+        if src_type in ("int", "long"):
+            return F.col(c) - (
+                ((F.col(c) % w) + w) % w
+            )
+        raise IcebergProtocolError(
+            f"truncate over {src_type!r} not supported by this writer"
+        )
+    if tr in ("year", "month", "day", "hour"):
+        if src_type == "date":
+            if tr == "year":
+                return F.year(c) - F.lit(1970)
+            if tr == "month":
+                return (F.year(c) - 1970) * 12 + F.month(c) - 1
+            if tr == "day":
+                return F.datediff(F.col(c), F.lit("1970-01-01"))
+            raise IcebergProtocolError("hour(date) is undefined")
+        if src_type in ("timestamp", "timestamptz"):
+            col = F.col(c)
+            if src_type == "timestamp":  # ntz: pin the UTC reading
+                col = col.cast("timestamp")
+            if tr == "year":
+                return F.year(col) - F.lit(1970)
+            if tr == "month":
+                return (F.year(col) - 1970) * 12 + F.month(col) - 1
+            micros = F.unix_micros(col)
+            if tr == "day":
+                return F.floor(micros / F.lit(86_400_000_000))
+            return F.floor(micros / F.lit(3_600_000_000))
+        raise IcebergProtocolError(
+            f"{tr} over {src_type!r} not supported by this writer"
+        )
+    mt = re.match(r"^bucket\[(\d+)\]$", tr)
+    if mt:
+        n = int(mt.group(1))
+        itype = src_type
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import numpy as np
+            import pandas as pd
+
+            if itype in ("int", "long"):
+                base = pd.to_numeric(s, errors="coerce")
+                mask = base.notna()
+                vals = base.fillna(0).astype("int64").to_numpy()
+            elif itype == "date":
+                dt = pd.to_datetime(s, errors="coerce")
+                mask = dt.notna()
+                vals = (
+                    (dt - pd.Timestamp("1970-01-01")).dt.days
+                    .fillna(0).astype("int64").to_numpy()
+                )
+            elif itype in ("timestamp", "timestamptz"):
+                dt = pd.to_datetime(s, errors="coerce")
+                try:
+                    dt = dt.dt.tz_localize(None)
+                except (TypeError, AttributeError):
+                    pass
+                mask = dt.notna()
+                ns = dt.astype("int64").where(mask, 0)
+                vals = (ns // 1000).astype("int64").to_numpy()
+            elif itype == "string":
+                out = pd.array(
+                    [iceberg_bucket(v, n, "string") for v in s],
+                    dtype="Int32",
+                )
+                return pd.Series(out)
+            else:
+                raise IcebergProtocolError(
+                    f"bucket over {itype!r} not supported"
+                )
+            h = _mm3_long_np(vals)
+            b = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype(
+                "int64"
+            )
+            res = pd.Series(b).astype("Int32")
+            res[~mask.to_numpy()] = pd.NA
+            return res
+
+        return _bucket(F.col(c))
+    raise IcebergProtocolError(f"unknown transform {tr!r}")
+
+
 # --- Appendix-D single-value serialization (bounds) ----------------------------------
 
 def _decode_bound(raw: bytes, ice_type: str):
@@ -1236,14 +1421,19 @@ def write_iceberg(
     metadata file is claimed with an atomic link, racing writers get
     ``FileExistsError``.
 
-    ``partition_by``: an IDENTITY partition spec. Iceberg requires
-    data files to STORE partition columns, so the stage duplicates
-    each under a hidden ``__p_<col>`` name for the directory split
-    (one partition tuple per file) while the real columns stay in the
-    files; each file's typed tuple lands in the manifest's partition
-    struct (spec field-ids allocated past ``last-partition-id``),
-    giving foreign readers — and :func:`read_iceberg` — exact
-    partition pruning. ``evolve_spec=True`` lets an append CHANGE the
+    ``partition_by``: spec entries — a bare column (identity),
+    ``bucket[N](c)`` / ``bucket(N, c)``, ``truncate[W](c)``, or
+    ``year/month/day/hour(c)`` (Appendix-B transforms; bucket rides a
+    vectorized Arrow pandas_udf computing the spec's murmur3 — Spark's
+    own hash() seeds differently). Iceberg requires data files to
+    STORE source columns, so the stage computes each transform under
+    a hidden ``__p_<pv>`` name for the directory split (one partition
+    tuple per file) while the real columns stay in the files; each
+    file's typed tuple lands in the manifest's partition struct (spec
+    field-ids allocated past ``last-partition-id``), giving foreign
+    readers — and :func:`read_iceberg` — partition pruning (exact for
+    identity, bound-mapped for monotone transforms, equality-only for
+    bucket). ``evolve_spec=True`` lets an append CHANGE the
     layout: a new spec-id is allocated, old files keep pruning under
     theirs (readers resolve the spec per manifest).
 
@@ -1257,7 +1447,8 @@ def write_iceberg(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    pcols = list(partition_by or [])
+    pspec = [_parse_partition_entry(e) for e in (partition_by or [])]
+    pcols = [p["src"] for p in pspec]
     missing = [c for c in pcols if c not in df.columns]
     if missing:
         raise ValueError(f"partition_by columns not in the batch: {missing}")
@@ -1348,7 +1539,9 @@ def write_iceberg(
         (prev_meta or {}).get("partition-specs") or []
     )
     last_partition_id = (prev_meta or {}).get("last-partition-id", 999)
-    want_sig = [(c, "identity", ids_of[c]) for c in pcols]
+    want_sig = [
+        (p["pv_name"], p["transform"], ids_of[p["src"]]) for p in pspec
+    ]
     spec_hit = next(
         (sp for sp in prev_specs
          if [(f["name"], f["transform"], f["source-id"])
@@ -1359,7 +1552,9 @@ def write_iceberg(
     if spec_hit is not None:
         spec_id = spec_hit["spec-id"]
         part_fields = [
-            dict(f, type=by_src_type[f["source-id"]])
+            dict(f, type=_transform_result_ice_type(
+                f["transform"], by_src_type[f["source-id"]]
+            ))
             for f in spec_hit["fields"]
         ]
     else:
@@ -1367,12 +1562,16 @@ def write_iceberg(
             (sp["spec-id"] for sp in prev_specs), default=-1
         )
         part_fields = []
-        for c in pcols:
+        for pp in pspec:
             last_partition_id += 1
             part_fields.append({
-                "name": c, "type": types_of[c],
+                "name": pp["pv_name"],
+                "type": _transform_result_ice_type(
+                    pp["transform"], types_of[pp["src"]]
+                ),
                 "field-id": last_partition_id,
-                "source-id": ids_of[c], "transform": "identity",
+                "source-id": ids_of[pp["src"]],
+                "transform": pp["transform"],
             })
         prev_specs = prev_specs + [{
             "spec-id": spec_id,
@@ -1388,7 +1587,9 @@ def write_iceberg(
              if sp["spec-id"] == prev_meta.get("default-spec-id", 0)),
             {"fields": []},
         )
-        if [f["name"] for f in prev_spec.get("fields", [])] != pcols:
+        if [(f["name"], f["transform"])
+                for f in prev_spec.get("fields", [])] != \
+                [(p["pv_name"], p["transform"]) for p in pspec]:
             raise ValueError(
                 f"append partitioned by {pcols} onto a table "
                 f"partitioned by "
@@ -1401,12 +1602,21 @@ def write_iceberg(
     # hidden columns so the real ones stay stored in the files (the
     # spec requires it), one tuple per file
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    if pcols:
+    pv_types = {
+        pp["pv_name"]: _transform_result_ice_type(
+            pp["transform"], types_of[pp["src"]]
+        )
+        for pp in pspec
+    }
+    if pspec:
         staged = df
-        for c in pcols:
-            staged = staged.withColumn(f"__p_{c}", F.col(c))
+        for pp in pspec:
+            staged = staged.withColumn(
+                f"__p_{pp['pv_name']}",
+                _transform_column(pp, types_of[pp["src"]]),
+            )
         staged.write.mode("error").partitionBy(
-            *[f"__p_{c}" for c in pcols]
+            *[f"__p_{pp['pv_name']}" for pp in pspec]
         ).parquet(staging)
     else:
         df.write.mode("error").parquet(staging)
@@ -1421,7 +1631,7 @@ def write_iceberg(
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return None
         raw = _unq(raw)
-        t = types_of[c]
+        t = pv_types[c]
         if t in ("int", "long"):
             return int(raw)
         if t == "double":
@@ -1463,7 +1673,10 @@ def write_iceberg(
             "data_file": {
                 "content": 0, "file_path": final,
                 "file_format": "PARQUET",
-                "partition": {c: pv.get(c) for c in pcols},
+                "partition": {
+                    pp["pv_name"]: pv.get(pp["pv_name"])
+                    for pp in pspec
+                },
                 "record_count": (
                     n_rows if n_rows is not None
                     else pq.read_metadata(fp).num_rows

@@ -224,6 +224,100 @@ def test_day_partitioned_foreign_table_prunes_ranges(spark):
     assert len(got.inputFiles()) == 2
 
 
+def test_write_iceberg_bucket_and_day_transforms(spark):
+    """Transform WRITES (round 11): bucket[8](k) + day(ts) specs land
+    real Appendix-B partition tuples — manifest bucket values match
+    the scalar reference hash, equality prunes to one bucket, day
+    ranges prune by boundary."""
+    t = os.path.join(tempfile.mkdtemp(prefix="trw_"), "t")
+    df = spark.sql("""
+      SELECT id AS k,
+             timestamp'2024-03-01 00:00:00'
+               + make_interval(0,0,0,0, CAST(id % 72 AS INT), 0, 0) AS ts
+      FROM range(0, 200)
+    """)
+    ice.write_iceberg(
+        df, t, partition_by=["bucket[8](k)", "day(ts)"],
+        stats_cols=["k"],
+    )
+    meta = ice.table_metadata(t)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("k_bucket", "bucket[8]"), ("ts_day", "day"),
+    ]
+    data, _ = ice.live_files(t)
+    # every file's bucket tuple matches the reference hash of its rows
+    for d in data[:6]:
+        pv = d["partition"]
+        rows = spark.read.parquet(
+            os.path.join(t, d["file_path"])
+        ).select("k").collect()
+        assert all(
+            iceberg_bucket(r.k, 8, "long") == pv["k_bucket"]
+            for r in rows
+        )
+    got = ice.read_iceberg(spark, t)
+    assert got.count() == 200
+    g1 = ice.read_iceberg(spark, t, where=[("k", 42, 42)])
+    assert [r.k for r in g1.collect()] == [42]
+    assert len(g1.inputFiles()) < len(got.inputFiles()) / 4
+    lo = datetime.datetime(2024, 3, 2, tzinfo=datetime.timezone.utc)
+    hi = datetime.datetime(2024, 3, 2, 23, 59,
+                           tzinfo=datetime.timezone.utc)
+    g2 = ice.read_iceberg(spark, t, where=[("ts", lo, hi)])
+    want = got.filter(
+        "ts >= timestamp'2024-03-02 00:00:00' AND "
+        "ts <= timestamp'2024-03-02 23:59:00'"
+    ).count()
+    assert g2.count() == want > 0
+    assert len(g2.inputFiles()) < len(got.inputFiles())
+    # appends inherit the transform spec (same layout, no evolve)
+    ice.write_iceberg(
+        df.selectExpr("k + 1000 AS k", "ts"), t, mode="append",
+        partition_by=["bucket[8](k)", "day(ts)"],
+    )
+    assert ice.read_iceberg(spark, t).count() == 400
+    assert len(ice.table_metadata(t)["partition-specs"]) == 1
+
+
+def test_write_iceberg_truncate_and_month_transforms(spark):
+    t = os.path.join(tempfile.mkdtemp(prefix="trw2_"), "t")
+    df = spark.sql("""
+      SELECT concat('user-', CAST(id % 40 AS STRING)) AS name,
+             CAST(id AS LONG) AS n,
+             date_add(DATE'2023-11-15', CAST((id % 4) * 31 AS INT)) AS d
+      FROM range(0, 120)
+    """)
+    ice.write_iceberg(
+        df, t,
+        partition_by=["truncate[6](name)", "truncate(100, n)",
+                      "month(d)"],
+    )
+    meta = ice.table_metadata(t)
+    names = [(f["name"], f["transform"])
+             for f in meta["partition-specs"][0]["fields"]]
+    assert names == [("name_trunc", "truncate[6]"),
+                     ("n_trunc", "truncate[100]"),
+                     ("d_month", "month")]
+    data, _ = ice.live_files(t)
+    pvs = {tuple(sorted(d["partition"].items())) for d in data}
+    # truncate[6] of 'user-12' = 'user-1'; n floors to 0/100;
+    # months are Nov23(646), Dec23(647), Jan24(648), Feb24(649)
+    months = {d["partition"]["d_month"] for d in data}
+    assert months == {646, 647, 648, 649}
+    assert {d["partition"]["n_trunc"] for d in data} == {0, 100}
+    got = ice.read_iceberg(spark, t)
+    assert got.count() == 120
+    # truncate pruning on the string column
+    g = ice.read_iceberg(spark, t,
+                         where=[("name", "user-30", "user-39")])
+    want = got.filter(
+        "name >= 'user-30' AND name <= 'user-39'"
+    ).count()
+    assert g.count() == want > 0
+    assert len(g.inputFiles()) < len(got.inputFiles())
+
+
 def test_truncate_partitioned_foreign_table_prunes(spark):
     schema_fields = [
         {"id": 1, "name": "name", "required": False, "type": "string"},
