@@ -2012,10 +2012,21 @@ def snapshot_export_iceberg(
             if not c.startswith("#")
         })
         df = snap.read_snapshot(spark, snapshot_path, version=v)
+        pby = list(m.get("partition_cols") or [])
+        bspec = m.get("bucket_spec")
+        if bspec:
+            # the native bucket layout exports as a REAL Iceberg
+            # bucket[N] spec — tuples recomputed under the spec's
+            # murmur3 (the native hash differs), so a foreign
+            # reader's bucket pruning works on the hand-off
+            amap = snap._schema_alias_map(m.get("schema"))
+            bcol = amap.get(bspec["column"], bspec["column"])
+            if bcol in df.columns:
+                pby.append(f"bucket[{bspec['buckets']}]({bcol})")
         return write_iceberg(
             df, iceberg_path, mode="overwrite",
             stats_cols=stat_cols or None,
-            partition_by=m.get("partition_cols"),
+            partition_by=pby or None,
         )
     return _export_iceberg_linked(spark, snapshot_path, iceberg_path, m)
 

@@ -318,6 +318,33 @@ def test_write_iceberg_truncate_and_month_transforms(spark):
     assert len(g.inputFiles()) < len(got.inputFiles())
 
 
+def test_export_bucketed_native_as_iceberg_bucket_spec(spark):
+    """A hash-bucketed NATIVE table exports (materializing) as a real
+    ``bucket[N]`` Iceberg spec — tuples recomputed under the spec's
+    murmur3, so a foreign reader's bucket pruning works."""
+    from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
+
+    nat = os.path.join(tempfile.mkdtemp(prefix="expb_"), "n")
+    snap.snapshot_write(
+        spark.range(0, 200).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        nat, bucket_by=("k", 8),
+    )
+    dst = os.path.join(tempfile.mkdtemp(prefix="expb_"), "i")
+    ice.snapshot_export_iceberg(spark, nat, dst)
+    meta = ice.table_metadata(dst)
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("k_bucket", "bucket[8]"),
+    ]
+    got = ice.read_iceberg(spark, dst)
+    assert got.count() == 200
+    g = ice.read_iceberg(spark, dst, where=[("k", 42, 42)])
+    assert [r.k for r in g.collect()] == [42]
+    assert len(g.inputFiles()) <= len(got.inputFiles()) // 4
+
+
 def test_truncate_partitioned_foreign_table_prunes(spark):
     schema_fields = [
         {"id": 1, "name": "name", "required": False, "type": "string"},
