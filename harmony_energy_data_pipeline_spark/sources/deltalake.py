@@ -924,6 +924,68 @@ def write_delta(
     return version
 
 
+def delta_optimize(
+    spark: SparkSession, path: str, min_files: int = 2,
+    stats_cols: list[str] | None = None,
+) -> "int | None":
+    """Bin-pack the table's live files into fresh right-sized ones —
+    the Delta ``OPTIMIZE`` shape: ONE commit whose removes+adds all
+    carry ``dataChange=false`` (logical content identical, so
+    streaming readers skip it), deletion vectors MATERIALIZED away
+    (the rewritten files hold only live rows). Returns the committed
+    version, or None when fewer than ``min_files`` live files exist
+    (nothing to pack).
+
+    Column-mapped tables refuse: rewritten files must store PHYSICAL
+    column names, which this writer does not re-derive — adopt or
+    rewrite via read + write instead."""
+    adds, meta, _proto, v = _replay(path, None)
+    cm = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm not in ("none", ""):
+        raise DeltaProtocolError(
+            "OPTIMIZE of a column-mapped Delta table is not "
+            "supported (rewritten files must store physical names)"
+        )
+    if len(adds) < min_files:
+        return None
+    df = read_delta(spark, path, version=v)
+    pcols = meta.get("partitionColumns") or []
+    new_adds = _stage_files(df, path, pcols, stats_cols=stats_cols)
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "OPTIMIZE",
+        "operationParameters": {},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    for a in adds:
+        actions.append({"remove": {
+            "path": a["path"], "deletionTimestamp": now_ms,
+            "dataChange": False,
+        }})
+    for a in new_adds:
+        actions.append({"add": dict(a, dataChange=False)})
+    version = v + 1
+    final = _log_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version {version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    return version
+
+
 def write_delta_checkpoint(
     path: str, version: int | None = None,
     retention_s: float = 7 * 24 * 3600.0,

@@ -1795,6 +1795,65 @@ def write_iceberg(
     return snap_id
 
 
+def _spec_to_partition_by(meta: dict) -> "list[str] | None":
+    """The current default spec re-expressed in ``write_iceberg``'s
+    ``partition_by`` entry language (so compaction preserves the
+    layout). None when unpartitioned; raises on a transform this
+    writer cannot re-produce."""
+    schema = _current_schema(meta)
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    spec = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    out = []
+    for f in spec.get("fields", []):
+        src_name = by_id.get(f.get("source-id"))
+        tr = f.get("transform")
+        if src_name is None:
+            raise IcebergProtocolError(
+                f"partition field {f.get('name')!r} sources a column "
+                "absent from the current schema"
+            )
+        if tr == "identity":
+            out.append(src_name)
+        elif tr in ("year", "month", "day", "hour") or (
+            tr and (tr.startswith("bucket[")
+                    or tr.startswith("truncate["))
+        ):
+            mt = re.match(r"^(\w+)\[(\d+)\]$", tr or "")
+            if mt:
+                out.append(f"{mt.group(1)}[{mt.group(2)}]({src_name})")
+            else:
+                out.append(f"{tr}({src_name})")
+        else:
+            raise IcebergProtocolError(
+                f"transform {tr!r} cannot be re-produced by this "
+                "writer"
+            )
+    return out or None
+
+
+def iceberg_compact(
+    spark: SparkSession, path: str,
+    stats_cols: "list[str] | None" = None,
+) -> int:
+    """Rewrite the table's LIVE rows (position + equality deletes
+    applied) as one fresh snapshot under the CURRENT partition spec —
+    the ``rewrite_data_files`` maintenance shape: a CDC-heavy table's
+    delete files and commit-generation fragmentation collapse to a
+    clean file set, while older snapshots stay listed for time
+    travel. Returns the new snapshot id."""
+    meta = table_metadata(path)
+    df = read_iceberg(spark, path)
+    return write_iceberg(
+        df, path, mode="overwrite",
+        partition_by=_spec_to_partition_by(meta),
+        stats_cols=stats_cols,
+    )
+
+
 # --- bridges to the native log ----------------------------------------------------------
 
 def snapshot_import_iceberg(

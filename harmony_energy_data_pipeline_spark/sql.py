@@ -1290,8 +1290,23 @@ def snapshot_sql(
         )
 
         name = mt.group("name")
-        path = _require_native(_target(resolved, name, catalog),
-                               "OPTIMIZE")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v = dl.delta_optimize(spark, entry["path"])
+            return _dml_result(spark, "optimize", name, v)
+        if fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            v = ice.iceberg_compact(spark, entry["path"])
+            return _dml_result(spark, "optimize", name, v)
+        path = _require_native(entry, "OPTIMIZE")
         v = snapshot_compact(spark, path)
         return _dml_result(spark, "optimize", name, v)
 
