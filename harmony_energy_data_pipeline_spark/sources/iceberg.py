@@ -1835,6 +1835,105 @@ def _spec_to_partition_by(meta: dict) -> "list[str] | None":
     return out or None
 
 
+def iceberg_expire_snapshots(
+    path: str, keep_last: int = 1, dry_run: bool = False,
+) -> list[str]:
+    """Expire all but the last ``keep_last`` snapshots and delete
+    every file ONLY they referenced — the ``expire_snapshots``
+    maintenance shape for the wire format (the native log's twin is
+    ``vacuum``). Deletion is by REFERENCE-SET DIFFERENCE (files
+    listed by removed snapshots minus files listed by kept ones), so
+    nothing outside the table's own manifests is ever touched — no
+    directory walk, no mtime heuristics. Returns the deleted (or,
+    dry-run, deletable) relative paths."""
+    meta = table_metadata(path)
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: s["timestamp-ms"])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    kept = snaps[-keep_last:]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in kept_ids:
+        raise ValueError(
+            "expiration would drop the CURRENT snapshot; raise "
+            "keep_last"
+        )
+    removed = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not removed:
+        return []
+
+    def _referenced(snapshot: dict) -> set:
+        out = set()
+        ml = snapshot.get("manifest-list")
+        if not ml:
+            return out
+        out.add(_resolve_file_path(path, ml))
+        manifests, _ = read_avro(_resolve_file_path(path, ml))
+        for m in manifests:
+            mp = _resolve_file_path(path, m["manifest_path"])
+            out.add(mp)
+            entries, _ = read_avro(mp)
+            for e in entries:
+                rec = e.get("data_file") or {}
+                if rec.get("file_path"):
+                    out.add(_resolve_file_path(path, rec["file_path"]))
+        return out
+
+    keep_files: set = set()
+    for s in kept:
+        keep_files |= _referenced(s)
+    drop_files: set = set()
+    for s in removed:
+        drop_files |= _referenced(s)
+    doomed = sorted(drop_files - keep_files)
+    root = os.path.abspath(path)
+    rels = [os.path.relpath(fp, root) for fp in doomed]
+    if dry_run:
+        return rels
+    # metadata first: a reader racing the deletes must already see
+    # the expired snapshots gone
+    names = _metadata_files(path)
+    version = int(names[-1].split(".")[0].lstrip("v")) + 1
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in (meta.get("snapshots") or [])
+        if s["snapshot-id"] in kept_ids
+    ]
+    new_meta["snapshot-log"] = [
+        e for e in (meta.get("snapshot-log") or [])
+        if e.get("snapshot-id") in kept_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new_meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Iceberg metadata v{version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint)
+    for fp in doomed:
+        try:
+            os.unlink(fp)
+        except OSError:
+            pass
+    return rels
+
+
 def iceberg_compact(
     spark: SparkSession, path: str,
     stats_cols: "list[str] | None" = None,

@@ -1190,8 +1190,35 @@ def snapshot_sql(
         )
 
         name = mt.group("name")
-        path = _require_native(_target(resolved, name, catalog),
-                               "DESCRIBE HISTORY")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            rows = [
+                (h.get("version"), None, h.get("operation"), None)
+                for h in dl.delta_history(entry["path"])
+            ]
+            return spark.createDataFrame(
+                rows, "version bigint, parent bigint, "
+                      "operation string, n_files bigint",
+            )
+        if fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            rows = [
+                (h.get("snapshot_id"), None, h.get("operation"), None)
+                for h in ice.iceberg_history(entry["path"])
+            ]
+            return spark.createDataFrame(
+                rows, "version bigint, parent bigint, "
+                      "operation string, n_files bigint",
+            )
+        path = _require_native(entry, "DESCRIBE HISTORY")
         rows = [
             (h.get("version"), h.get("parent"), h.get("operation"),
              h.get("n_files"))
@@ -1337,6 +1364,19 @@ def snapshot_sql(
                     "(delta_vacuum retention_s)"
                 )
             removed = len(dl.delta_vacuum(entry["path"]))
+            return spark.createDataFrame(
+                [("vacuum", name, None, removed)],
+                "operation string, table string, version bigint, "
+                "removed_files bigint",
+            )
+        if _table_format(entry) == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            removed = len(ice.iceberg_expire_snapshots(
+                entry["path"], keep_last=int(mt.group("n") or 1)
+            ))
             return spark.createDataFrame(
                 [("vacuum", name, None, removed)],
                 "operation string, table string, version bigint, "

@@ -104,6 +104,77 @@ def test_iceberg_compact_applies_deletes_keeps_spec(spark):
     assert ice.read_iceberg(spark, t, snapshot_id=first).count() == 60
 
 
+def test_iceberg_expire_snapshots(spark):
+    t = _tmp("iexp_")
+    for i in range(4):
+        ice.write_iceberg(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"),
+            t, mode="append" if i else "overwrite",
+        )
+    hist0 = ice.iceberg_history(t)
+    assert len(hist0) == 4
+    # dry run names only files EXCLUSIVELY referenced by expired
+    # snapshots (append chains share data files with kept ones)
+    dry = ice.iceberg_expire_snapshots(t, keep_last=1, dry_run=True)
+    removed = ice.iceberg_expire_snapshots(t, keep_last=1)
+    assert removed == dry
+    assert len(ice.iceberg_history(t)) == 1
+    # the table still reads in full (append lineage: data shared)
+    assert ice.read_iceberg(spark, t).count() == 40
+    # expired manifest lists are gone from disk
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t, rel))
+    with pytest.raises(ValueError, match="keep_last"):
+        ice.iceberg_expire_snapshots(t, keep_last=0)
+
+
+def test_iceberg_expire_after_compact_drops_old_files(spark):
+    t = _tmp("iexp2_")
+    ice.write_iceberg(
+        spark.range(0, 30).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS tag"
+        ),
+        t,
+    )
+    ice.write_equality_deletes(spark, t, [{"tag": "0"}], ["tag"])
+    ice.iceberg_compact(spark, t)
+    n = ice.read_iceberg(spark, t).count()
+    removed = ice.iceberg_expire_snapshots(t, keep_last=1)
+    # pre-compact data files AND the delete file are reclaimed
+    assert any("delete-" in r for r in removed)
+    assert ice.read_iceberg(spark, t).count() == n == 20
+
+
+def test_sql_vacuum_and_history_route_iceberg(spark):
+    cat = Catalog(tempfile.mkdtemp(prefix="r11iv_"))
+    ipath = _tmp("sqlv_i")
+    for i in range(3):
+        ice.write_iceberg(
+            spark.range(i * 5, i * 5 + 5).selectExpr("id AS k"),
+            ipath, mode="append" if i else "overwrite",
+        )
+    cat.register("ivt", path=ipath, format="iceberg")
+    hist = snapshot_sql(
+        spark, "DESCRIBE HISTORY ivt", catalog=cat
+    ).collect()
+    assert len(hist) == 3
+    r = snapshot_sql(
+        spark, "VACUUM ivt RETAIN 1 VERSIONS", catalog=cat
+    ).collect()[0]
+    assert r.operation == "vacuum" and r.removed_files >= 0
+    assert len(ice.iceberg_history(ipath)) == 1
+    # delta history routes too
+    dpath = _tmp("sqlv_d")
+    dl.write_delta(spark.range(0, 5).selectExpr("id AS k"), dpath)
+    dl.write_delta(spark.range(5, 9).selectExpr("id AS k"), dpath,
+                   mode="append")
+    cat.register("dht", path=dpath, format="delta")
+    hist = snapshot_sql(
+        spark, "DESCRIBE HISTORY dht", catalog=cat
+    ).collect()
+    assert len(hist) == 2
+
+
 def test_sql_optimize_routes_per_format(spark):
     cat = Catalog(tempfile.mkdtemp(prefix="r11opt_"))
     dpath = _tmp("sqlo_d")
