@@ -8103,6 +8103,101 @@ def q_variant_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sql_delta_warehouse_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+ins AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + 7500000, v, et FROM base WHERE k % 13 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM ins
+""")
+def q_sql_delta_warehouse_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The warehouse lifecycle over a DELTA-format catalog entry
+    (round 11): CREATE TABLE AS routes to ``write_delta``, INSERT
+    appends through the wire writer, OPTIMIZE bin-packs in one
+    dataChange=false commit (``delta_optimize``), VACUUM routes to
+    ``delta_vacuum`` — every statement through ``snapshot_sql_script``
+    with the name bound ``format="delta"``; OPTIMIZE/VACUUM being
+    digest-invariant is part of what the hash proves. Oracle is pure
+    SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqldwh_"))
+    cat.register("dwt", format="delta")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqldwh_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE dwt AS SELECT k, v, et FROM sqldwh_events;
+      INSERT INTO dwt
+        SELECT k + 7500000 AS k, v, et FROM sqldwh_events
+        WHERE k % 13 = 0;
+      OPTIMIZE dwt;
+      VACUUM dwt;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM dwt
+    """, catalog=cat)
+
+
+@_q("delta_cdf_digest", """
+WITH gen1 AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1
+),
+gen2 AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 2
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(DISTINCT CASE WHEN k % 4 = 1 THEN 1 ELSE 2 END)
+           AS n_commits
+FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+""")
+def q_delta_cdf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta WIRE-FORMAT change feed (round 11): two appends after
+    the base write read back through ``read_delta_changes`` as
+    per-commit inserts, and an OPTIMIZE in between contributes
+    NOTHING (dataChange=false — the no-op-commit rule the spec
+    requires of a CDF reader). Oracle recomputes the two appended
+    generations as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = tempfile.mkdtemp(prefix="dcdf_") + "/t"
+    dl.write_delta(ev.filter(F.col("k") % 4 == 0), t)          # v0
+    dl.write_delta(ev.filter(F.col("k") % 4 == 1), t,
+                   mode="append")                               # v1
+    dl.delta_optimize(spark, t, min_files=1)                    # v2: noop
+    dl.write_delta(ev.filter(F.col("k") % 4 == 2), t,
+                   mode="append")                               # v3
+    feed = dl.read_delta_changes(spark, t, 0)
+    return feed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+        F.countDistinct("_commit_version").alias("n_commits"),
+    )
+
+
 @_q("iceberg_spec_evolution_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, event_type AS et,
