@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import quote, unquote
@@ -1112,6 +1113,253 @@ def write_delta_checkpoint(
         json.dump({"version": v, "size": len(rows)}, fh)
     os.replace(tmp, hint)
     return v
+
+
+def delta_delete_where(
+    spark: SparkSession, path: str, pred: str,
+    record_cdf: bool = False,
+) -> tuple:
+    """See :func:`_delta_mor_mutate` — the DELETE wrapper."""
+    return _delta_mor_mutate(spark, path, pred,
+                             record_cdf=record_cdf)
+
+
+def delta_update_where(
+    spark: SparkSession, path: str, pred: str, set_exprs: dict,
+    record_cdf: bool = False,
+) -> tuple:
+    """Row-level UPDATE on a Delta table in its own format: matched
+    rows deletion-vector out of their files AND re-append transformed
+    (one commit, the MOR update shape); SET results cast back to the
+    DECLARED column types. Returns ``(version, n_updated)``."""
+    if not set_exprs:
+        raise ValueError("update needs at least one SET expression")
+    return _delta_mor_mutate(spark, path, pred, set_exprs=set_exprs,
+                             record_cdf=record_cdf)
+
+
+def _delta_mor_mutate(
+    spark: SparkSession, path: str, pred: str,
+    set_exprs: "dict | None" = None,
+    record_cdf: bool = False,
+) -> tuple:
+    """Row-level DELETE on a DELTA table IN ITS OWN FORMAT —
+    merge-on-read via spec deletion vectors, so a foreign table gets
+    ``DELETE WHERE`` without adoption and without rewriting a byte of
+    data: matching row positions land in a roaring-bitmap DV file
+    (``sources/deltadv``), each touched add is re-added with its
+    (existing ∪ new) vector, and the protocol upgrades to declare
+    ``deletionVectors`` if it didn't already. Returns
+    ``(version, n_deleted)``.
+
+    ``record_cdf=True`` additionally stages the deleted rows as
+    ``cdc`` delete records, so :func:`read_delta_changes` expresses
+    this commit row-level instead of refusing.
+
+    Write cost is O(matched rows) positions; a delete matching most
+    of the table should compact afterwards (``delta_optimize``
+    materializes the vectors away). Column-mapped tables refuse
+    (predicates and files speak different names)."""
+    from harmony_energy_data_pipeline_spark.sources import deltadv
+
+    adds, meta, proto, v = _replay(path, None)
+    cm = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm not in ("none", ""):
+        raise DeltaProtocolError(
+            "DELETE over a column-mapped Delta table is not "
+            "supported by this writer"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    from pyspark.sql.types import StructField as _SF
+
+    data_schema = StructType([
+        _SF(f.name, f.dataType, True) for f in data_fields
+    ])
+    ptypes = {f.name: f.dataType for f in schema.fields
+              if f.name in pcols}
+    # group adds by partition tuple so partition columns join the
+    # predicate as plan-time literals (the wire-format truth)
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(p) for p in pcols), []).append(a)
+    by_rel: dict[str, list[int]] = {}
+    cdf_parts = []
+    updated_parts = []
+    for key, acts in groups.items():
+        scan = spark.read.schema(data_schema).parquet(*[
+            os.path.join(path, unquote(a["path"])) for a in acts
+        ]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        # rows ALREADY deleted by existing vectors must not match
+        # again (an UPDATE would resurrect them as post-images)
+        dv_pairs = []
+        for a in acts:
+            if a.get("deletionVector"):
+                ab = os.path.abspath(
+                    os.path.join(path, unquote(a["path"]))
+                )
+                dv_pairs.extend(
+                    (ab, int(pp))
+                    for pp in deltadv.read_dv(
+                        path, a["deletionVector"]
+                    )
+                )
+        if dv_pairs:
+            ex = spark.createDataFrame(
+                dv_pairs, "___xf string, ___xp long"
+            )
+            fn = F.url_decode(F.replace(
+                F.regexp_replace(
+                    F.col("__f"), "^[a-zA-Z0-9]+:/+", "/"
+                ),
+                F.lit("+"), F.lit("%2B"),
+            ))
+            scan = scan.withColumn("__fn", fn).join(
+                F.broadcast(ex),
+                (F.col("__fn") == F.col("___xf"))
+                & (F.col("__p") == F.col("___xp")),
+                "left_anti",
+            ).drop("__fn")
+        for pcol, raw in zip(pcols, key):
+            scan = scan.withColumn(
+                pcol,
+                (F.lit(None) if raw is None else F.lit(raw))
+                .cast(ptypes[pcol]),
+            )
+        hits = scan.filter(F.expr(pred))
+        if set_exprs is not None:
+            ttypes = {f.name: f.dataType for f in schema.fields}
+            upd = hits
+            for c, e in set_exprs.items():
+                if c not in ttypes:
+                    raise ValueError(f"SET column {c!r} not in table")
+                col = F.expr(e) if isinstance(e, str) else e
+                upd = upd.withColumn(c, col.cast(ttypes[c]))
+            updated_parts.append(
+                upd.select(*[f.name for f in schema.fields])
+            )
+        if record_cdf:
+            kind = ("update_preimage" if set_exprs is not None
+                    else "delete")
+            cdf_parts.append(hits.select(
+                *[f.name for f in schema.fields]
+            ).withColumn("_change_type", F.lit(kind)))
+        for r in hits.select("__f", "__p").collect():
+            disk = unquote(r["__f"])
+            disk = re.sub(r"^[a-zA-Z0-9]+:/+", "/", disk)
+            rel = os.path.relpath(disk, os.path.abspath(path))
+            by_rel.setdefault(rel, []).append(int(r["__p"]))
+    if not by_rel:
+        return (v, 0)  # nothing matched: no commit needed
+    # subtract rows ALREADY deleted by existing vectors, and union
+    # the new positions into them
+    rel_to_add = {unquote(a["path"]): a for a in adds}
+    n_deleted = 0
+    vectors, touched = [], []
+    for rel in sorted(by_rel):
+        a = rel_to_add.get(rel)
+        if a is None:
+            raise ValueError(
+                f"scanned file {rel} is not a live add; concurrent "
+                "commit — retry"
+            )
+        old_pos = (
+            set(deltadv.read_dv(path, a["deletionVector"]))
+            if a.get("deletionVector") else set()
+        )
+        new_pos = set(by_rel[rel]) - old_pos
+        n_deleted += len(new_pos)
+        if not new_pos:
+            continue
+        vectors.append(sorted(old_pos | new_pos))
+        touched.append(a)
+    if not touched:
+        return (v, 0)
+    descs = deltadv.write_dv_file(path, vectors)
+    now_ms = int(time.time() * 1000)
+    new_adds: list[dict] = []
+    if set_exprs is not None and updated_parts:
+        upd_df = updated_parts[0]
+        for part in updated_parts[1:]:
+            upd_df = upd_df.unionByName(part)
+        new_adds = _stage_files(upd_df, path, pcols, stats_cols=None)
+        if record_cdf:
+            cdf_parts.append(
+                upd_df.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+    actions = [{"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "UPDATE" if set_exprs is not None else "DELETE",
+        "operationParameters": {"predicate": pred},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    feats = set((proto or {}).get("readerFeatures") or [])
+    rv = (proto or {}).get("minReaderVersion", 1)
+    if "deletionVectors" not in feats or rv < 3:
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats | {"deletionVectors"}),
+            "writerFeatures": sorted(
+                set((proto or {}).get("writerFeatures") or [])
+                | {"deletionVectors"}
+            ),
+        }})
+    if record_cdf and cdf_parts:
+        cdf_df = cdf_parts[0]
+        for part in cdf_parts[1:]:
+            cdf_df = cdf_df.unionByName(part)
+        os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+        stage = os.path.join(path, f"_cdcstage-{uuid.uuid4().hex[:8]}")
+        cdf_df.coalesce(1).write.parquet(stage)
+        for n in os.listdir(stage):
+            if n.endswith(".parquet"):
+                rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(stage, n),
+                          os.path.join(path, rel))
+                actions.append({"cdc": {
+                    "path": rel, "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": False,
+                }})
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    for a, desc in zip(touched, descs):
+        actions.append({"remove": {
+            "path": a["path"], "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }})
+        new_add = dict(a, deletionVector=desc, dataChange=True)
+        actions.append({"add": new_add})
+    actions.extend({"add": a} for a in new_adds)
+    version = v + 1
+    final = _log_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version {version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    return (version, n_deleted)
 
 
 def read_delta_changes(

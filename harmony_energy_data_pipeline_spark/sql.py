@@ -967,7 +967,7 @@ def snapshot_sql(
     if mt:
         name = mt.group("name")
         _refuse_target_travel(stmt, name)
-        path = _require_native(_target(resolved, name, catalog), "UPDATE")
+        entry = _target(resolved, name, catalog)
         set_exprs: dict[str, str] = {}
         for item in _split_top(mt.group("sets")):
             m2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", item, re.DOTALL)
@@ -975,6 +975,18 @@ def snapshot_sql(
                 raise ValueError(f"could not parse SET clause {item!r}")
             set_exprs[m2.group(1)] = m2.group(2).strip()
         where = (mt.group("where") or "true").strip()
+        if _table_format(entry) == "delta":
+            # MOR update in the wire format: old positions DV out,
+            # transformed rows re-append — one commit, no adoption
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v, _n = dl.delta_update_where(
+                spark, entry["path"], where, set_exprs
+            )
+            return _dml_result(spark, "update", name, v)
+        path = _require_native(entry, "UPDATE")
         v = snapshot_update_where(spark, path, where, set_exprs)
         return _dml_result(spark, "update", name, v)
 
@@ -982,8 +994,18 @@ def snapshot_sql(
     if mt:
         name = mt.group("name")
         _refuse_target_travel(stmt, name)
-        path = _require_native(_target(resolved, name, catalog), "DELETE")
+        entry = _target(resolved, name, catalog)
         where = (mt.group("where") or "true").strip()
+        if _table_format(entry) == "delta":
+            # MOR delete IN the wire format: matching positions land
+            # in spec deletion vectors — no adoption, no data rewrite
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v, _n = dl.delta_delete_where(spark, entry["path"], where)
+            return _dml_result(spark, "delete", name, v)
+        path = _require_native(entry, "DELETE")
         v = snapshot_delete_where(spark, path, where)
         return _dml_result(spark, "delete", name, v)
 

@@ -143,13 +143,15 @@ def test_insert_into_delta_table_appends(spark, cat):
         spark, "INSERT INTO dtab VALUES (100, 1.5)", catalog=cat
     )
     assert dl.read_delta(spark, path).count() == 11
-    # row-level DML refuses the wire format with guidance
-    with pytest.raises(ValueError, match="native log"):
-        snapshot_sql(spark, "DELETE FROM dtab WHERE k = 1", catalog=cat)
-    with pytest.raises(ValueError, match="native log"):
-        snapshot_sql(
-            spark, "UPDATE dtab SET v = 0 WHERE k = 1", catalog=cat
-        )
+    # row-level DML now runs IN the wire format (round 11): DELETE
+    # lands deletion vectors, UPDATE DVs + re-appends — no adoption
+    snapshot_sql(spark, "DELETE FROM dtab WHERE k = 1", catalog=cat)
+    assert dl.read_delta(spark, path).count() == 10
+    snapshot_sql(
+        spark, "UPDATE dtab SET v = 0 WHERE k = 2", catalog=cat
+    )
+    rows = {r.k: r.v for r in dl.read_delta(spark, path).collect()}
+    assert 1 not in rows and rows[2] == 0.0
 
 
 # --- UPDATE / DELETE / MERGE --------------------------------------------------------

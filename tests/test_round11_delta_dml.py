@@ -1,0 +1,130 @@
+"""Row-level DML ON the Delta wire format (round 11):
+``delta_delete_where`` (merge-on-read deletion vectors) and
+``delta_update_where`` (DV + re-append, one commit) — no adoption,
+no data rewrite; protocol upgrades to declare ``deletionVectors``;
+existing vectors union; OPTIMIZE materializes them away; the change
+feed expresses both when ``record_cdf=True``."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from harmony_energy_data_pipeline_spark.catalog import Catalog
+from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+from harmony_energy_data_pipeline_spark.sql import snapshot_sql
+
+
+def _tmp():
+    return os.path.join(tempfile.mkdtemp(prefix="ddml_"), "t")
+
+
+def _seed(spark, n=50, pcols=None):
+    t = _tmp()
+    dl.write_delta(
+        spark.range(0, n).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS p",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        t, partition_by=pcols, stats_cols=["k"],
+    )
+    return t
+
+
+def test_delete_lands_dvs_and_upgrades_protocol(spark):
+    t = _seed(spark, pcols=["p"])
+    v, n = dl.delta_delete_where(spark, t, "k % 5 = 0")
+    assert (v, n) == (1, 10)
+    assert dl.read_delta(spark, t).count() == 40
+    # protocol declared the feature
+    _adds, _m, proto, _v = dl._replay(t, None)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    # time travel pre-delete intact
+    assert dl.read_delta(spark, t, version=0).count() == 50
+    # second delete UNIONS into existing vectors (no double count)
+    v2, n2 = dl.delta_delete_where(spark, t, "k % 5 = 0 OR k = 1")
+    assert (v2, n2) == (2, 1)
+    assert dl.read_delta(spark, t).count() == 39
+    # no-match delete commits nothing
+    v3, n3 = dl.delta_delete_where(spark, t, "k = 99999")
+    assert (v3, n3) == (2, 0)
+    # optimize materializes the vectors away, content unchanged
+    dl.delta_optimize(spark, t, min_files=1)
+    adds, _m, _p, _ = dl._replay(t, None)
+    assert all(not a.get("deletionVector") for a in adds)
+    assert dl.read_delta(spark, t).count() == 39
+
+
+def test_update_rewrites_rows_and_skips_deleted(spark):
+    t = _seed(spark, n=30)
+    v, n = dl.delta_update_where(
+        spark, t, "k < 5", {"v": "v * 100"}, record_cdf=True
+    )
+    assert n == 5
+    rows = {r.k: r.v for r in dl.read_delta(spark, t).collect()}
+    assert rows[3] == 300.0 and rows[10] == 10.0 and len(rows) == 30
+    # deleted rows never resurrect as post-images
+    dl.delta_delete_where(spark, t, "k >= 10 AND k < 15")
+    _v, n2 = dl.delta_update_where(
+        spark, t, "k >= 8 AND k < 20", {"v": "0.0"}
+    )
+    assert n2 == 7  # 8,9,15..19 — the five deleted keys excluded
+    rows = {r.k: r.v for r in dl.read_delta(spark, t).collect()}
+    assert 12 not in rows and rows[9] == 0.0 and len(rows) == 25
+    # SET casts back to the declared type (decimal-literal gotcha)
+    dl.delta_update_where(spark, t, "k = 0", {"v": "1.5"})
+    got = dl.read_delta(spark, t)
+    assert got.schema["v"].dataType.typeName() == "double"
+    assert got.filter("k = 0").collect()[0].v == 1.5
+
+
+def test_dml_cdf_roundtrip(spark):
+    t = _seed(spark, n=20)
+    dl.delta_delete_where(spark, t, "k < 3", record_cdf=True)
+    dl.delta_update_where(
+        spark, t, "k = 10", {"v": "-1.0"}, record_cdf=True
+    )
+    feed = dl.read_delta_changes(spark, t, 0)
+    kinds = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in feed.collect()
+    )
+    assert kinds == [
+        (1, "delete", 0), (1, "delete", 1), (1, "delete", 2),
+        (2, "update_postimage", 10), (2, "update_preimage", 10),
+    ]
+
+
+def test_sql_dml_routes_to_delta(spark):
+    t = _seed(spark, n=20)
+    cat = Catalog(tempfile.mkdtemp(prefix="ddmlc_"))
+    cat.register("wt", path=t, format="delta")
+    r = snapshot_sql(
+        spark, "DELETE FROM wt WHERE k >= 15", catalog=cat
+    ).collect()[0]
+    assert r.operation == "delete"
+    r = snapshot_sql(
+        spark, "UPDATE wt SET v = v + 1000 WHERE k = 0", catalog=cat
+    ).collect()[0]
+    assert r.operation == "update"
+    rows = {r2.k: r2.v for r2 in dl.read_delta(spark, t).collect()}
+    assert len(rows) == 15 and rows[0] == 1000.0
+
+
+def test_column_mapped_tables_still_refuse_dml(spark):
+    t = _tmp()
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x"}}]}
+    with open(dl._log_path(t, 0), "w") as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}}) + "\n")
+    with pytest.raises(dl.DeltaProtocolError, match="column-mapped"):
+        dl.delta_delete_where(spark, t, "k = 1")
