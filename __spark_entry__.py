@@ -8154,6 +8154,55 @@ def q_sql_delta_warehouse_digest(
     """, catalog=cat)
 
 
+@_q("sql_delta_dml_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+upd AS (
+  SELECT k,
+         CASE WHEN et = 'view' AND k >= 200 AND k <= 4000
+              THEN v * 3 ELSE v END AS v,
+         et
+  FROM base
+),
+del AS (SELECT * FROM upd WHERE NOT (k % 11 = 0))
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM del
+""")
+def q_sql_delta_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML ON the Delta wire format through SQL (round 11):
+    UPDATE deletion-vectors old rows and re-appends transformed ones,
+    DELETE lands spec roaring-bitmap DVs — one commit each, protocol
+    upgraded to declare ``deletionVectors``, zero adoption and zero
+    data-file rewrite (`sources/deltalake.py: delta_update_where /
+    delta_delete_where`). The digest reads back through the DV-aware
+    reader; oracle recomputes as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlddml_"))
+    cat.register("ddt", format="delta")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqlddml_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE ddt AS SELECT k, v, et FROM sqlddml_events;
+      UPDATE ddt SET v = v * 3
+        WHERE et = 'view' AND k >= 200 AND k <= 4000;
+      DELETE FROM ddt WHERE k % 11 = 0;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM ddt
+    """, catalog=cat)
+
+
 @_q("delta_cdf_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1
