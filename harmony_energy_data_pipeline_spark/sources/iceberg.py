@@ -1835,6 +1835,79 @@ def _spec_to_partition_by(meta: dict) -> "list[str] | None":
     return out or None
 
 
+def iceberg_delete_where(
+    spark: SparkSession, path: str, pred: str,
+) -> tuple:
+    """Row-level DELETE on an Iceberg table IN ITS OWN FORMAT —
+    merge-on-read via a spec POSITION-DELETE snapshot
+    (:func:`write_position_deletes`), so a foreign table gets
+    ``DELETE WHERE`` without adoption and without rewriting data.
+    Returns ``(snapshot_id, n_deleted)``; no commit when nothing
+    matches. Existing position deletes are subtracted first (no
+    double count). Tables carrying EQUALITY deletes refuse —
+    their sequence-scoped value matching makes exact position
+    accounting ambiguous; run :func:`iceberg_compact` first."""
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema)
+    data, deletes = live_files(path, meta)
+    if any((d.get("content") or 0) == 2 for d in deletes):
+        raise IcebergProtocolError(
+            "DELETE WHERE on a table with EQUALITY deletes: compact "
+            "first (iceberg_compact) so positions are unambiguous"
+        )
+    if not data:
+        return (meta.get("current-snapshot-id"), 0)
+    abs_to_spelled = {
+        os.path.abspath(_resolve_file_path(path, d["file_path"])):
+            d["file_path"]
+        for d in data
+    }
+    scan = spark.read.schema(spark_schema).parquet(
+        *abs_to_spelled.keys()
+    )
+    scan_path = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
+    base = scan.select(
+        "*", scan_path.alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    pos_dels = [d for d in deletes if (d.get("content") or 0) == 1]
+    existing: set = set()
+    if pos_dels:
+        import pyarrow.parquet as pq
+
+        for d in pos_dels:
+            fp = _resolve_file_path(path, d["file_path"])
+            tbl = pq.read_table(fp, columns=["file_path", "pos"])
+            for p_, pos in zip(tbl.column("file_path").to_pylist(),
+                               tbl.column("pos").to_pylist()):
+                existing.add((
+                    os.path.abspath(_resolve_file_path(path, p_)),
+                    int(pos),
+                ))
+    pairs = []
+    for r in base.filter(F.expr(pred)).select("__f", "__p").collect():
+        key = (r["__f"], int(r["__p"]))
+        if key in existing:
+            continue
+        spelled = abs_to_spelled.get(r["__f"])
+        if spelled is None:
+            raise ValueError(
+                f"scanned file {r['__f']} is not a live data file; "
+                "concurrent commit — retry"
+            )
+        pairs.append((spelled, int(r["__p"])))
+    if not pairs:
+        return (meta.get("current-snapshot-id"), 0)
+    sid = write_position_deletes(spark, path, pairs)
+    return (sid, len(pairs))
+
+
 def iceberg_expire_snapshots(
     path: str, keep_last: int = 1, dry_run: bool = False,
 ) -> list[str]:

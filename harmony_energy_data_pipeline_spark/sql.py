@@ -1005,6 +1005,16 @@ def snapshot_sql(
 
             v, _n = dl.delta_delete_where(spark, entry["path"], where)
             return _dml_result(spark, "delete", name, v)
+        if _table_format(entry) == "iceberg":
+            # the Iceberg twin: one spec position-delete snapshot
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            sid, _n = ice.iceberg_delete_where(
+                spark, entry["path"], where
+            )
+            return _dml_result(spark, "delete", name, sid)
         path = _require_native(entry, "DELETE")
         v = snapshot_delete_where(spark, path, where)
         return _dml_result(spark, "delete", name, v)

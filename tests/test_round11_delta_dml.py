@@ -112,6 +112,42 @@ def test_sql_dml_routes_to_delta(spark):
     assert len(rows) == 15 and rows[0] == 1000.0
 
 
+def test_iceberg_delete_where_mor(spark):
+    """The Iceberg twin: DELETE WHERE lands one spec position-delete
+    snapshot; existing positions subtract; eq-delete tables refuse
+    with compact guidance; SQL routes."""
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    t = os.path.join(tempfile.mkdtemp(prefix="idel_"), "t")
+    ice.write_iceberg(
+        spark.range(0, 50).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS tag"
+        ),
+        t, partition_by=["bucket[4](k)"], stats_cols=["k"],
+    )
+    sid, n = ice.iceberg_delete_where(spark, t, "k % 5 = 0")
+    assert n == 10
+    assert ice.read_iceberg(spark, t).count() == 40
+    _sid2, n2 = ice.iceberg_delete_where(spark, t, "k % 5 = 0 OR k = 1")
+    assert n2 == 1
+    # no-match: no commit
+    before = ice.table_metadata(t)["current-snapshot-id"]
+    _sid3, n3 = ice.iceberg_delete_where(spark, t, "k = 9999")
+    assert n3 == 0
+    assert ice.table_metadata(t)["current-snapshot-id"] == before
+    cat = Catalog(tempfile.mkdtemp(prefix="idelc_"))
+    cat.register("it", path=t, format="iceberg")
+    r = snapshot_sql(
+        spark, "DELETE FROM it WHERE k >= 40", catalog=cat
+    ).collect()[0]
+    assert r.operation == "delete"
+    assert ice.read_iceberg(spark, t).count() == 31
+    ice.iceberg_compact(spark, t)
+    ice.write_equality_deletes(spark, t, [{"tag": "2"}], ["tag"])
+    with pytest.raises(Exception, match="compact"):
+        ice.iceberg_delete_where(spark, t, "k = 3")
+
+
 def test_column_mapped_tables_still_refuse_dml(spark):
     t = _tmp()
     os.makedirs(os.path.join(t, "_delta_log"))
