@@ -376,9 +376,13 @@ def test_sql_over_iceberg_catalog_table(spark, cat):
         catalog=cat,
     ).collect()[0].n
     assert n == 30
-    # row-level DML refuses with format-specific guidance
-    with pytest.raises(ValueError, match="iceberg wire-format"):
-        snapshot_sql(spark, "DELETE FROM icet WHERE k = 1", catalog=cat)
+    # row-level DML now runs IN the wire format (round 11): DELETE
+    # lands a position-delete snapshot
+    snapshot_sql(spark, "DELETE FROM icet WHERE k = 1", catalog=cat)
+    assert ice.read_iceberg(spark, path).count() == 30
+    assert 1 not in {
+        r.k for r in ice.read_iceberg(spark, path).collect()
+    }
 
 
 def test_sql_named_ref_travel(spark, cat):
