@@ -953,7 +953,12 @@ def delta_optimize(
         return None
     df = read_delta(spark, path, version=v)
     pcols = meta.get("partitionColumns") or []
-    new_adds = _stage_files(df, path, pcols, stats_cols=stats_cols)
+    if df.isEmpty():
+        # every live row is DV-deleted: the pack is pure removes (a
+        # Delta table may validly list zero files)
+        new_adds = []
+    else:
+        new_adds = _stage_files(df, path, pcols, stats_cols=stats_cols)
     now_ms = int(time.time() * 1000)
     actions = [{"commitInfo": {
         "timestamp": now_ms, "operation": "OPTIMIZE",

@@ -80,6 +80,22 @@ def test_delta_optimize_materializes_dvs(spark):
     assert dl.read_delta(spark, t).count() == 30 - len(deleted)
 
 
+def test_delta_optimize_of_fully_deleted_table(spark):
+    """A table whose every row is DV-deleted packs to ZERO live
+    files (valid Delta state), not an empty-batch error."""
+    t = _tmp("doptz_")
+    dl.write_delta(
+        spark.range(0, 10).selectExpr("id AS k").coalesce(1), t
+    )
+    dl.delta_delete_where(spark, t, "true")
+    assert dl.read_delta(spark, t).count() == 0
+    v = dl.delta_optimize(spark, t, min_files=1)
+    assert v is not None
+    adds, _m, _p, _v = dl._replay(t, None)
+    assert adds == []
+    assert dl.read_delta(spark, t).count() == 0
+
+
 def test_iceberg_compact_applies_deletes_keeps_spec(spark):
     t = _tmp("iopt_")
     df = spark.range(0, 60).selectExpr(
