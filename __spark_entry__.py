@@ -8321,7 +8321,7 @@ def q_iceberg_transform_write_digest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Iceberg TRANSFORM-PARTITIONED WRITES (round 11): the table
-    lands with a ``bucket[16](k) + day(ts)`` spec — real Appendix-B
+    lands with a ``day(ts) + bucket[4](k)`` spec — real Appendix-B
     murmur3 bucket tuples (vectorized Arrow batch hash; Spark's own
     ``hash()`` seeds differently) and day ordinals in the manifests —
     and the read prunes a two-day window on the day tuples before the
@@ -8338,7 +8338,7 @@ def q_iceberg_transform_write_digest(
     )
     t = tempfile.mkdtemp(prefix="ice_trw_") + "/t"
     ice.write_iceberg(
-        ev, t, partition_by=["bucket[16](k)", "day(ts)"],
+        ev, t, partition_by=["day(ts)", "bucket[4](k)"],
         stats_cols=["k"],
     )
     lo = ev.agg(F.min("ts")).collect()[0][0]
