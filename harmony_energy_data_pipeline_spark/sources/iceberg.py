@@ -1928,6 +1928,249 @@ def iceberg_delete_where(
     return (sid, len(pairs))
 
 
+def iceberg_update_where(
+    spark: SparkSession, path: str, pred: str, set_exprs: dict,
+    stats_cols: "list[str] | None" = None,
+) -> tuple:
+    """Row-level UPDATE on an Iceberg table in its own format — ONE
+    v2 snapshot carrying BOTH a position-delete manifest (the old
+    rows) and a data manifest (the transformed rows), the MOR update
+    shape Spark/Flink writers emit: a reader sees the update
+    atomically, never the deleted-but-not-reinserted middle. SET
+    results cast back to the DECLARED column types. Returns
+    ``(snapshot_id, n_updated)``.
+
+    Scope: the table's CURRENT default spec must be unpartitioned
+    (transform-partitioned updates go through
+    :func:`iceberg_compact`-style rewrite); equality-delete tables
+    refuse as in :func:`iceberg_delete_where`."""
+    import pyarrow.parquet as pq
+
+    if not set_exprs:
+        raise ValueError("update needs at least one SET expression")
+    meta = table_metadata(path)
+    cur_spec = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    if cur_spec.get("fields"):
+        raise IcebergProtocolError(
+            "UPDATE WHERE on a PARTITIONED Iceberg table is not "
+            "supported by this writer — rewrite via read_iceberg + "
+            "write_iceberg (or compact) instead"
+        )
+    schema = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema)
+    data, deletes = live_files(path, meta)
+    if any((d.get("content") or 0) == 2 for d in deletes):
+        raise IcebergProtocolError(
+            "UPDATE WHERE on a table with EQUALITY deletes: compact "
+            "first (iceberg_compact) so positions are unambiguous"
+        )
+    if not data:
+        return (meta.get("current-snapshot-id"), 0)
+    abs_to_spelled = {
+        os.path.abspath(_resolve_file_path(path, d["file_path"])):
+            d["file_path"]
+        for d in data
+    }
+    scan = spark.read.schema(spark_schema).parquet(
+        *abs_to_spelled.keys()
+    )
+    scan_path = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
+    base = scan.select(
+        "*", scan_path.alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    pos_dels = [d for d in deletes if (d.get("content") or 0) == 1]
+    if pos_dels:
+        ex_pairs = []
+        for d in pos_dels:
+            fp = _resolve_file_path(path, d["file_path"])
+            tbl = pq.read_table(fp, columns=["file_path", "pos"])
+            for p_, pos in zip(tbl.column("file_path").to_pylist(),
+                               tbl.column("pos").to_pylist()):
+                ex_pairs.append((
+                    os.path.abspath(_resolve_file_path(path, p_)),
+                    int(pos),
+                ))
+        if ex_pairs:
+            ex = spark.createDataFrame(
+                ex_pairs, "___xf string, ___xp long"
+            )
+            base = base.join(
+                F.broadcast(ex),
+                (F.col("__f") == F.col("___xf"))
+                & (F.col("__p") == F.col("___xp")),
+                "left_anti",
+            )
+    hits = base.filter(F.expr(pred))
+    cols = [f["name"] for f in schema["fields"]]
+    ttypes = {f.name: f.dataType for f in spark_schema.fields}
+    upd = hits
+    for c, e in set_exprs.items():
+        if c not in ttypes:
+            raise ValueError(f"SET column {c!r} not in table")
+        col = F.expr(e) if isinstance(e, str) else e
+        upd = upd.withColumn(c, col.cast(ttypes[c]))
+    upd = upd.select(*cols)
+    pairs = []
+    for r in hits.select("__f", "__p").collect():
+        spelled = abs_to_spelled.get(r["__f"])
+        if spelled is None:
+            raise ValueError(
+                f"scanned file {r['__f']} is not a live data file; "
+                "concurrent commit — retry"
+            )
+        pairs.append((spelled, int(r["__p"])))
+    if not pairs:
+        return (meta.get("current-snapshot-id"), 0)
+    # stage the transformed rows as data files
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    upd.write.mode("error").parquet(staging)
+    prev_snap = _snapshot(meta, None)
+    seq = meta.get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    data_entries = []
+    for root, _dirs, fnames in os.walk(staging):
+        for n in sorted(fnames):
+            if not n.endswith(".parquet"):
+                continue
+            src_fp = os.path.join(root, n)
+            if pq.read_metadata(src_fp).num_rows == 0:
+                continue
+            final = f"data/{uuid.uuid4().hex}.parquet"
+            os.rename(src_fp, os.path.join(path, final))
+            fp = os.path.join(path, final)
+            lows, highs, n_rows = _file_bounds_maps(
+                fp, list(stats_cols or []), schema["fields"]
+            )
+            data_entries.append({
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0, "file_path": final,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": (
+                        n_rows if n_rows is not None
+                        else pq.read_metadata(fp).num_rows
+                    ),
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lows, "upper_bounds": highs,
+                },
+            })
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    # the position-delete file + manifest
+    import pyarrow as pa
+
+    pairs = sorted(pairs)
+    del_rel = f"data/delete-{uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([p_ for p_, _ in pairs],
+                                  pa.string()),
+            "pos": pa.array([x for _, x in pairs], pa.int64()),
+        }),
+        os.path.join(path, del_rel),
+    )
+    del_entry = {
+        "status": 1, "snapshot_id": snap_id,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {
+            "content": 1, "file_path": del_rel,
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(pairs),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(path, del_rel)),
+            "lower_bounds": None, "upper_bounds": None,
+        },
+    }
+    manifests = []
+    for content, entries in ((1, [del_entry]), (0, data_entries)):
+        if not entries:
+            continue
+        man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+        man_len = write_avro(
+            os.path.join(path, man_rel),
+            _manifest_entry_schema(), entries,
+            metadata={
+                "schema": json.dumps(schema),
+                "partition-spec": "[]", "partition-spec-id":
+                    str(meta.get("default-spec-id", 0)),
+                "format-version": "2",
+                "content": "deletes" if content == 1 else "data",
+            },
+        )
+        manifests.append({
+            "manifest_path": man_rel, "manifest_length": man_len,
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": content,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        })
+    prev_list, _ = read_avro(
+        _resolve_file_path(path, prev_snap["manifest-list"])
+    )
+    manifests.extend(prev_list)
+    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
+               manifests, metadata={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {"operation": "overwrite"},
+        "manifest-list": ml_rel,
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    names = _metadata_files(path)
+    version = int(names[-1].split(".")[0].lstrip("v")) + 1
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = (
+        list(meta.get("snapshot-log") or [])
+        + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
+    )
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new_meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Iceberg metadata v{version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint)
+    return (snap_id, len(pairs))
+
+
 def iceberg_expire_snapshots(
     path: str, keep_last: int = 1, dry_run: bool = False,
 ) -> list[str]:

@@ -986,6 +986,17 @@ def snapshot_sql(
                 spark, entry["path"], where, set_exprs
             )
             return _dml_result(spark, "update", name, v)
+        if _table_format(entry) == "iceberg":
+            # the Iceberg twin: one snapshot carrying the
+            # position-delete AND data manifests
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            sid, _n = ice.iceberg_update_where(
+                spark, entry["path"], where, set_exprs
+            )
+            return _dml_result(spark, "update", name, sid)
         path = _require_native(entry, "UPDATE")
         v = snapshot_update_where(spark, path, where, set_exprs)
         return _dml_result(spark, "update", name, v)

@@ -148,6 +148,59 @@ def test_iceberg_delete_where_mor(spark):
         ice.iceberg_delete_where(spark, t, "k = 3")
 
 
+def test_iceberg_update_where_single_snapshot(spark):
+    """UPDATE WHERE on an Iceberg table: ONE v2 snapshot carrying
+    both the position-delete and data manifests — a reader never
+    sees the deleted-but-not-reinserted middle; composable with
+    later deletes; partitioned specs refuse with guidance."""
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    t = os.path.join(tempfile.mkdtemp(prefix="iupd_"), "t")
+    ice.write_iceberg(
+        spark.range(0, 40).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        t, stats_cols=["k"],
+    )
+    sid, n = ice.iceberg_update_where(spark, t, "k < 5",
+                                      {"v": "v * 100"})
+    assert n == 5
+    rows = {r.k: r.v for r in ice.read_iceberg(spark, t).collect()}
+    assert rows[3] == 300.0 and rows[10] == 10.0 and len(rows) == 40
+    assert len(ice.iceberg_history(t)) == 2  # ONE update snapshot
+    # the update snapshot time-travels atomically
+    first = ice.iceberg_history(t)[0]["snapshot_id"]
+    assert ice.read_iceberg(spark, t, snapshot_id=first).count() == 40
+    # second update targets rows now living in the NEW files
+    _s2, n2 = ice.iceberg_update_where(
+        spark, t, "v >= 300 AND v <= 400", {"v": "-1.0"}
+    )
+    assert n2 == 2
+    rows = {r.k: r.v for r in ice.read_iceberg(spark, t).collect()}
+    assert rows[3] == -1.0 and rows[4] == -1.0 and len(rows) == 40
+    ice.iceberg_delete_where(spark, t, "k = 10")
+    assert ice.read_iceberg(spark, t).count() == 39
+    # partitioned specs refuse
+    t2 = os.path.join(tempfile.mkdtemp(prefix="iupd2_"), "t")
+    ice.write_iceberg(
+        spark.range(0, 10).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS p"
+        ),
+        t2, partition_by=["p"],
+    )
+    with pytest.raises(Exception, match="PARTITIONED"):
+        ice.iceberg_update_where(spark, t2, "k = 1", {"k": "0"})
+    # SQL routes
+    cat = Catalog(tempfile.mkdtemp(prefix="iupdc_"))
+    cat.register("ut", path=t, format="iceberg")
+    r = snapshot_sql(
+        spark, "UPDATE ut SET v = 7.0 WHERE k = 20", catalog=cat
+    ).collect()[0]
+    assert r.operation == "update"
+    rows = {r2.k: r2.v for r2 in ice.read_iceberg(spark, t).collect()}
+    assert rows[20] == 7.0
+
+
 def test_column_mapped_tables_still_refuse_dml(spark):
     t = _tmp()
     os.makedirs(os.path.join(t, "_delta_log"))
