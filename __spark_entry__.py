@@ -8203,6 +8203,55 @@ def q_sql_delta_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("sql_iceberg_dml_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+upd AS (
+  SELECT k,
+         CASE WHEN et = 'click' AND k >= 500 AND k <= 3500
+              THEN v + 50 ELSE v END AS v,
+         et
+  FROM base
+),
+del AS (SELECT * FROM upd WHERE NOT (k % 9 = 0))
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM del
+""")
+def q_sql_iceberg_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML ON the Iceberg wire format through SQL (round
+    11): UPDATE commits ONE v2 snapshot carrying a position-delete
+    manifest AND the transformed rows' data manifest (atomic MOR —
+    `sources/iceberg.py: iceberg_update_where`); DELETE commits a
+    position-delete snapshot (`iceberg_delete_where`) — zero
+    adoption, zero data-file rewrite; reads apply the deletes
+    merge-on-read. Oracle recomputes as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlidml_"))
+    cat.register("idt", format="iceberg")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqlidml_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE idt AS SELECT k, v, et FROM sqlidml_events;
+      UPDATE idt SET v = v + 50
+        WHERE et = 'click' AND k >= 500 AND k <= 3500;
+      DELETE FROM idt WHERE k % 9 = 0;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM idt
+    """, catalog=cat)
+
+
 @_q("delta_cdf_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1
