@@ -5629,12 +5629,29 @@ def snapshot_merge_when(
             t_live = _load_live(spark, affected, m, path)
         else:
             t_live = spark.createDataFrame([], schema)
+        src_side = source.select(
+            F.struct(*[F.col(c) for c in src_cols]).alias("s")
+        )
+        if not matched:
+            # No WHEN MATCHED clause ⇒ duplicate source keys are NOT
+            # a cardinality violation (SQL: the target row is simply
+            # kept once; each non-matching copy may still insert).
+            # But the full-outer join fans a matched target row out
+            # once per source copy and every copy would label 'keep',
+            # silently duplicating target rows — so rank the source
+            # per key and let only the first copy carry the kept
+            # target row (the tail drops the rest below).
+            from pyspark.sql import Window as _W
+            src_side = source.select(
+                F.struct(*[F.col(c) for c in src_cols]).alias("s"),
+                F.row_number().over(
+                    _W.partitionBy(skey).orderBy(F.lit(1))
+                ).alias("__srn"),
+            )
         j = t_live.select(
             F.struct(*[F.col(c) for c in tcols]).alias("t")
         ).join(
-            source.select(
-                F.struct(*[F.col(c) for c in src_cols]).alias("s")
-            ),
+            src_side,
             F.col(f"t.{key}") == F.col(f"s.{skey}"),
             "full_outer",
         )
@@ -5663,9 +5680,14 @@ def snapshot_merge_when(
             act = (F.when(cond, F.lit(label)) if act is None
                    else act.when(cond, F.lit(label)))
         keep_tail = F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
-        act = keep_tail if act is None else act.otherwise(
-            F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
-        )
+        if not matched:
+            # fanout copies of a kept target row (duplicate source
+            # keys matching it) drop — exactly one copy keeps it
+            keep_tail = (
+                F.when(tp & sp & (F.col("__srn") > 1), F.lit("drop"))
+                .when(tp, F.lit("keep")).otherwise(F.lit("drop"))
+            )
+        act = keep_tail if act is None else act.otherwise(keep_tail)
         j = j.withColumn("__act", act)
 
         drop_labels = {"drop"}

@@ -499,14 +499,22 @@ def _transform_column(spec: dict, src_type: str):
             col = F.col(c)
             if src_type == "timestamp":  # ntz: pin the UTC reading
                 col = col.cast("timestamp")
-            if tr == "year":
-                return F.year(col) - F.lit(1970)
-            if tr == "month":
-                return (F.year(col) - 1970) * 12 + F.month(col) - 1
+            # every arm derives from unix_micros (the internal UTC
+            # instant — session-TZ-independent); year/month walk
+            # through a DATE computed by day arithmetic, never
+            # F.year(timestamp), which renders in
+            # spark.sql.session.timeZone and would emit spec-violating
+            # tuples under a non-UTC session
             micros = F.unix_micros(col)
             if tr == "day":
                 return F.floor(micros / F.lit(86_400_000_000))
-            return F.floor(micros / F.lit(3_600_000_000))
+            if tr == "hour":
+                return F.floor(micros / F.lit(3_600_000_000))
+            days = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+            d = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+            if tr == "year":
+                return F.year(d) - F.lit(1970)
+            return (F.year(d) - 1970) * 12 + F.month(d) - 1
         raise IcebergProtocolError(
             f"{tr} over {src_type!r} not supported by this writer"
         )
@@ -1623,9 +1631,27 @@ def write_iceberg(
         staged = staged.repartition(
             *[F.col(f"__p_{pp['pv_name']}") for pp in pspec]
         )
-        staged.write.mode("error").partitionBy(
-            *[f"__p_{pp['pv_name']}" for pp in pspec]
-        ).parquet(staging)
+        # spec rule: timestamp transforms partition by the UTC
+        # instant (ntz by its literal wall clock read AS UTC). The
+        # ntz→timestamp cast and the Arrow bucket path both resolve
+        # in spark.sql.session.timeZone at ACTION time, so the stage
+        # runs pinned to UTC and restores the caller's zone after.
+        tz_sensitive = any(
+            pp["transform"] != "identity"
+            and types_of[pp["src"]] in ("timestamp", "timestamptz")
+            for pp in pspec
+        )
+        sess = df.sparkSession
+        saved_tz = sess.conf.get("spark.sql.session.timeZone")
+        try:
+            if tz_sensitive:
+                sess.conf.set("spark.sql.session.timeZone", "UTC")
+            staged.write.mode("error").partitionBy(
+                *[f"__p_{pp['pv_name']}" for pp in pspec]
+            ).parquet(staging)
+        finally:
+            if tz_sensitive:
+                sess.conf.set("spark.sql.session.timeZone", saved_tz)
     else:
         df.write.mode("error").parquet(staging)
     data_files: list[dict] = []

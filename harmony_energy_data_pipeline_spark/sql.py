@@ -308,8 +308,11 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
     r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_]\w*)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?:PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)\s*)?"
+    # one paren-nesting level so parameterized types — DECIMAL(10,2),
+    # VARCHAR(8) — and transform specs — day(ts) — don't end the list
+    # at their inner ')'
+    r"(?:\((?P<cols>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<pcols>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:AS\s+(?P<select>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -815,7 +818,8 @@ def snapshot_sql(
             )
         pcols = None
         if mt.group("pcols"):
-            pcols = [c.strip() for c in mt.group("pcols").split(",")
+            # paren-aware split: PARTITIONED BY (day(ts), region)
+            pcols = [c.strip() for c in _split_top(mt.group("pcols"))
                      if c.strip()]
         if mt.group("cols") and mt.group("select"):
             raise ValueError(
@@ -826,10 +830,29 @@ def snapshot_sql(
             # explicit-schema DDL: an EMPTY table with the declared
             # columns (INSERT fills it; the native log handles
             # zero-row versions)
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import (
+                CharType,
+                StringType,
+                StructField,
+                StructType,
+                VarcharType,
+            )
 
             ddl = ", ".join(_split_top(mt.group("cols")))
-            df = spark.createDataFrame([], StructType.fromDDL(ddl))
+            st = StructType.fromDDL(ddl)
+            # CHAR(n)/VARCHAR(n) store as plain strings (Spark's own
+            # table behavior; createDataFrame refuses raw char types)
+            st = StructType([
+                StructField(
+                    f.name,
+                    StringType()
+                    if isinstance(f.dataType, (CharType, VarcharType))
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in st.fields
+            ])
+            df = spark.createDataFrame([], st)
         elif mt.group("select"):
             df = spark.sql(
                 _rewrite_select(spark, mt.group("select"), resolved)
