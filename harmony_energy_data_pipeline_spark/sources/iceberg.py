@@ -1202,86 +1202,31 @@ def _file_bounds_maps(fp: str, cols: list[str], ice_fields: list[dict]):
     return lows or None, highs or None, n_rows
 
 
-def write_position_deletes(
-    spark: SparkSession, path: str, pairs: list[tuple[str, int]],
-) -> int:
-    """Commit a POSITION-DELETE snapshot (Iceberg v2 row-level
-    delete): one spec-shaped delete parquet (columns ``file_path``,
-    ``pos`` — field ids 2147483546/2147483545) plus a delete MANIFEST
-    (content=1) appended to the current manifest list under a new
-    ``delete`` snapshot. ``pairs``: (data file_path exactly as the
-    manifests spell it, 0-based row position). Returns the new
-    snapshot id. Mainly the fixture/export shape — foreign engines'
-    delete files read through :func:`read_iceberg` identically."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    if not pairs:
-        raise ValueError("position-delete commit needs >= 1 pair")
-    prev_meta = table_metadata(path)
-    snap_prev = _snapshot(prev_meta, None)
-    seq = prev_meta.get("last-sequence-number", 0) + 1
-    snap_id = int.from_bytes(os.urandom(7), "big")
-    rel = f"data/delete-{uuid.uuid4().hex}.parquet"
-    fp = os.path.join(path, rel)
-    pairs = sorted(pairs)
-    pq.write_table(
-        pa.table({
-            "file_path": pa.array([p for p, _ in pairs], pa.string()),
-            "pos": pa.array([int(x) for _, x in pairs], pa.int64()),
-        }),
-        fp,
-    )
-    entry = {
-        "status": 1, "snapshot_id": snap_id,
-        "sequence_number": None, "file_sequence_number": None,
-        "data_file": {
-            "content": 1, "file_path": rel, "file_format": "PARQUET",
-            "partition": {}, "record_count": len(pairs),
-            "file_size_in_bytes": os.path.getsize(fp),
-            "lower_bounds": None, "upper_bounds": None,
-        },
-    }
-    man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
-    man_len = write_avro(
-        os.path.join(path, man_rel), _manifest_entry_schema(), [entry],
-        metadata={"schema": json.dumps(_current_schema(prev_meta)),
-                  "partition-spec": "[]", "partition-spec-id": "0",
-                  "format-version": "2", "content": "deletes"},
-    )
-    manifests = [{
-        "manifest_path": man_rel, "manifest_length": man_len,
-        "partition_spec_id": 0, "content": 1,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id, "added_files_count": 1,
-        "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": len(pairs),
-        "existing_rows_count": 0, "deleted_rows_count": 0,
-    }]
-    prev_list, _ = read_avro(
-        _resolve_file_path(path, snap_prev["manifest-list"])
-    )
-    manifests.extend(prev_list)
-    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
-    write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
-               manifests, metadata={"format-version": "2"})
-    now_ms = int(time.time() * 1000)
-    snapshot = {
-        "snapshot-id": snap_id, "timestamp-ms": now_ms,
-        "sequence-number": seq, "summary": {"operation": "delete"},
-        "manifest-list": ml_rel,
-        "schema-id": prev_meta.get("current-schema-id", 0),
-    }
+def _commit_metadata(path: str, meta: dict,
+                     prev_meta: "dict | None") -> int:
+    """Atomically publish ``meta`` as the next ``vN.metadata.json``
+    (+ ``version-hint.text``) — the one commit door every writer in
+    this module walks through. Appends the PREVIOUS metadata file to
+    ``metadata-log`` per the spec (the chain foreign tools'
+    ``.metadata_log_entries`` / metadata time travel inspect), so the
+    history is populated on every commit, not left ``[]``. The
+    version file is claimed with an atomic link; racing writers get
+    ``FileExistsError``. Returns the published version number."""
     names = _metadata_files(path)
-    version = int(names[-1].split(".")[0].lstrip("v")) + 1
-    meta = dict(prev_meta)
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = now_ms
-    meta["current-snapshot-id"] = snap_id
-    meta["snapshots"] = list(prev_meta.get("snapshots") or []) + [snapshot]
-    meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
-    ]
+    version = 1
+    if names:
+        try:
+            version = int(names[-1].split(".")[0].lstrip("v")) + 1
+        except ValueError:
+            version = len(names) + 1
+    meta = dict(meta)
+    mlog = list((prev_meta or {}).get("metadata-log") or [])
+    if names and prev_meta is not None:
+        mlog.append({
+            "timestamp-ms": prev_meta.get("last-updated-ms"),
+            "metadata-file": f"metadata/{names[-1]}",
+        })
+    meta["metadata-log"] = mlog
     final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -1289,7 +1234,7 @@ def write_position_deletes(
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        os.link(tmp, final)
+        os.link(tmp, final)  # atomic put-if-absent
     except FileExistsError:
         raise FileExistsError(
             f"Iceberg metadata v{version} at {path} was claimed by a "
@@ -1302,6 +1247,160 @@ def write_position_deletes(
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(version))
     os.replace(tmp, hint)
+    return version
+
+
+def _global_delete_spec(meta: dict) -> tuple:
+    """``(spec_id, partition_specs)`` to write GLOBAL position
+    deletes under: the table's registered UNPARTITIONED spec, or a
+    freshly allocated one appended to ``partition-specs`` (the spec
+    explicitly allows path-scoped position deletes under an
+    unpartitioned spec). Never stamps a delete manifest with a
+    partitioned spec-id while claiming an empty partition struct —
+    that mis-scopes deletes in strict foreign readers."""
+    specs = list(meta.get("partition-specs") or [])
+    hit = next((sp for sp in specs if not sp.get("fields")), None)
+    if hit is not None:
+        return hit["spec-id"], specs
+    sid = 1 + max((sp["spec-id"] for sp in specs), default=-1)
+    specs.append({"spec-id": sid, "fields": []})
+    return sid, specs
+
+
+def _stage_pos_delete_entries(
+    spark: SparkSession, path: str, pos_df: DataFrame, snap_id: int,
+) -> list[dict]:
+    """Stage position-delete parquet DISTRIBUTED: ``pos_df`` carries
+    ``file_path`` (spelled exactly as the manifests spell it) and
+    ``pos``. Executors write the spec-shaped files (each sorted by
+    file_path, pos — multiple delete files are legal); the driver
+    touches only per-file descriptors, never the O(matched rows)
+    positions. Returns content=1 manifest entries."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    (
+        pos_df.select(
+            F.col("file_path").cast("string").alias("file_path"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("error").parquet(staging)
+    )
+    entries: list[dict] = []
+    staged = []
+    for root, _dirs, fnames in os.walk(staging):
+        staged.extend(
+            os.path.join(root, n) for n in fnames
+            if n.endswith(".parquet")
+        )
+    for src_fp in sorted(staged):
+        md = pq.read_metadata(src_fp)
+        if md.num_rows == 0:
+            continue
+        rel = f"data/delete-{uuid.uuid4().hex}.parquet"
+        os.rename(src_fp, os.path.join(path, rel))
+        entries.append({
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 1, "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {}, "record_count": md.num_rows,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(path, rel)),
+                "lower_bounds": None, "upper_bounds": None,
+            },
+        })
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def _commit_position_deletes(
+    spark: SparkSession, path: str, pos_df: DataFrame,
+) -> tuple:
+    """Commit a POSITION-DELETE snapshot from a DISTRIBUTED
+    ``(file_path, pos)`` DataFrame: delete parquet staged
+    executor-side, ONE content=1 delete manifest under the table's
+    (registered-if-absent) unpartitioned spec, appended to the
+    current manifest list. Returns ``(snapshot_id, n_deleted)`` —
+    ``(current, 0)`` with no commit when the frame is empty."""
+    prev_meta = table_metadata(path)
+    snap_prev = _snapshot(prev_meta, None)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    entries = _stage_pos_delete_entries(spark, path, pos_df, snap_id)
+    if not entries:
+        return (prev_meta.get("current-snapshot-id"), 0)
+    n = sum(e["data_file"]["record_count"] for e in entries)
+    gsid, specs = _global_delete_spec(prev_meta)
+    man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+    man_len = write_avro(
+        os.path.join(path, man_rel), _manifest_entry_schema(), entries,
+        metadata={"schema": json.dumps(_current_schema(prev_meta)),
+                  "partition-spec": "[]",
+                  "partition-spec-id": str(gsid),
+                  "format-version": "2", "content": "deletes"},
+    )
+    manifests = [{
+        "manifest_path": man_rel, "manifest_length": man_len,
+        "partition_spec_id": gsid, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": n,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    prev_list, _ = read_avro(
+        _resolve_file_path(path, snap_prev["manifest-list"])
+    )
+    manifests.extend(prev_list)
+    ml_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
+               manifests, metadata={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["partition-specs"] = specs
+    meta["snapshots"] = list(prev_meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq, "summary": {"operation": "delete"},
+        "manifest-list": ml_rel,
+        "schema-id": prev_meta.get("current-schema-id", 0),
+    }]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    _commit_metadata(path, meta, prev_meta)
+    return (snap_id, n)
+
+
+def write_position_deletes(
+    spark: SparkSession, path: str, pairs: list[tuple[str, int]],
+) -> int:
+    """Commit a POSITION-DELETE snapshot (Iceberg v2 row-level
+    delete): spec-shaped delete parquet (columns ``file_path``,
+    ``pos``) plus a delete MANIFEST (content=1) appended to the
+    current manifest list under a new ``delete`` snapshot — written
+    under the table's (registered-if-absent) UNPARTITIONED spec, so
+    the manifest is spec-valid on partitioned tables too. ``pairs``:
+    (data file_path exactly as the manifests spell it, 0-based row
+    position). Returns the new snapshot id. Mainly the fixture/export
+    shape — :func:`iceberg_delete_where` keeps positions DISTRIBUTED
+    and goes through :func:`_commit_position_deletes` directly."""
+    if not pairs:
+        raise ValueError("position-delete commit needs >= 1 pair")
+    pos_df = spark.createDataFrame(
+        [(p, int(x)) for p, x in sorted(pairs)],
+        "file_path string, pos long",
+    )
+    snap_id, _n = _commit_position_deletes(spark, path, pos_df)
     return snap_id
 
 
@@ -1378,8 +1477,6 @@ def write_equality_deletes(
     write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
                manifests, metadata={"format-version": "2"})
     now_ms = int(time.time() * 1000)
-    names = _metadata_files(path)
-    version = int(names[-1].split(".")[0].lstrip("v")) + 1
     meta = dict(prev_meta)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
@@ -1393,27 +1490,149 @@ def write_equality_deletes(
     meta["snapshot-log"] = list(prev_meta.get("snapshot-log") or []) + [
         {"snapshot-id": snap_id, "timestamp-ms": now_ms}
     ]
-    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Iceberg metadata v{version} at {path} was claimed "
-            "concurrently"
-        )
-    finally:
-        os.unlink(tmp)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, hint)
+    _commit_metadata(path, meta, prev_meta)
     return snap_id
+
+
+def _stage_data_entries(
+    df: DataFrame, path: str, pspec: list, types_of: dict,
+    ice_schema: dict, stats_cols, snap_id: int,
+) -> list:
+    """Stage ``df`` as final ``data/`` parquet files under ``pspec``
+    (``[]`` = unpartitioned) and return content=0 manifest entries
+    with typed partition tuples — the ONE distributed
+    repartition+partitionBy stage that :func:`write_iceberg` and
+    :func:`iceberg_update_where` both commit through (so a
+    partitioned UPDATE lands files with spec-true tuples, not empty
+    structs). Timestamp-transform stages pin the session zone to UTC
+    (spec rule) around the write action."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    pv_types = {
+        pp["pv_name"]: _transform_result_ice_type(
+            pp["transform"], types_of[pp["src"]]
+        )
+        for pp in pspec
+    }
+    if pspec:
+        staged = df
+        for pp in pspec:
+            staged = staged.withColumn(
+                f"__p_{pp['pv_name']}",
+                _transform_column(pp, types_of[pp["src"]]),
+            )
+        # align input partitions to the PARTITION TUPLES before the
+        # split: a raw partitionBy writes up to
+        # #input-partitions × #tuples files (the small-files explosion
+        # that kills a 100 TB table's manifest); one shuffle keyed by
+        # the tuple lands ~one right-sized file per tuple per write
+        staged = staged.repartition(
+            *[F.col(f"__p_{pp['pv_name']}") for pp in pspec]
+        )
+        # spec rule: timestamp transforms partition by the UTC
+        # instant (ntz by its literal wall clock read AS UTC). The
+        # ntz→timestamp cast and the Arrow bucket path both resolve
+        # in spark.sql.session.timeZone at ACTION time, so the stage
+        # runs pinned to UTC and restores the caller's zone after.
+        tz_sensitive = any(
+            pp["transform"] != "identity"
+            and types_of[pp["src"]] in ("timestamp", "timestamptz")
+            for pp in pspec
+        )
+        sess = df.sparkSession
+        saved_tz = sess.conf.get("spark.sql.session.timeZone")
+        try:
+            if tz_sensitive:
+                sess.conf.set("spark.sql.session.timeZone", "UTC")
+            staged.write.mode("error").partitionBy(
+                *[f"__p_{pp['pv_name']}" for pp in pspec]
+            ).parquet(staging)
+        finally:
+            if tz_sensitive:
+                sess.conf.set("spark.sql.session.timeZone", saved_tz)
+    else:
+        df.write.mode("error").parquet(staging)
+
+    def _typed_part_value(c: str, raw: str):
+        import datetime as _dt
+        from urllib.parse import unquote as _unq
+
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        raw = _unq(raw)
+        t = pv_types[c]
+        if t in ("int", "long"):
+            return int(raw)
+        if t == "double":
+            return float(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        if t == "date":  # avro int: days since epoch
+            return (_dt.date.fromisoformat(raw)
+                    - _dt.date(1970, 1, 1)).days
+        return raw
+
+    staged_files: list = []
+    for root, _dirs, fnames in os.walk(staging):
+        for n in fnames:
+            if not n.endswith(".parquet"):
+                continue
+            segs = os.path.relpath(
+                os.path.join(root, n), staging
+            ).split(os.sep)[:-1]
+            pv: dict = {}
+            for seg in segs:
+                k, sep, raw = seg.partition("=")
+                if sep and k.startswith("__p_"):
+                    c = k[4:]
+                    pv[c] = _typed_part_value(c, raw)
+            staged_files.append((os.path.join(root, n), pv))
+
+    def _finalize(item):
+        # per-file rename + footer/bounds read: pure I/O, safely
+        # thread-parallel — a partitioned write can stage hundreds of
+        # files and a serial driver loop was the wall (≈8 ms/file of
+        # footer reads)
+        src_fp, pv = item
+        if pq.read_metadata(src_fp).num_rows == 0:
+            return None  # empty part file: not a data file
+        final = f"data/{uuid.uuid4().hex}.parquet"
+        os.rename(src_fp, os.path.join(path, final))
+        fp = os.path.join(path, final)
+        lows, highs, n_rows = _file_bounds_maps(
+            fp, list(stats_cols or []), ice_schema["fields"]
+        )
+        return {
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": final,
+                "file_format": "PARQUET",
+                "partition": {
+                    pp["pv_name"]: pv.get(pp["pv_name"])
+                    for pp in pspec
+                },
+                "record_count": (
+                    n_rows if n_rows is not None
+                    else pq.read_metadata(fp).num_rows
+                ),
+                "file_size_in_bytes": os.path.getsize(fp),
+                "lower_bounds": lows, "upper_bounds": highs,
+            },
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    data_files: list = []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        for rec in pool.map(_finalize, sorted(staged_files)):
+            if rec is not None:
+                data_files.append(rec)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return data_files
 
 
 def write_iceberg(
@@ -1606,134 +1825,14 @@ def write_iceberg(
                 "files keep their spec, new files land under the new "
                 "one; readers prune per file)"
             )
+    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
     # stage data files; a partitioned stage splits on DUPLICATED
     # hidden columns so the real ones stay stored in the files (the
     # spec requires it), one tuple per file
-    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    pv_types = {
-        pp["pv_name"]: _transform_result_ice_type(
-            pp["transform"], types_of[pp["src"]]
-        )
-        for pp in pspec
-    }
-    if pspec:
-        staged = df
-        for pp in pspec:
-            staged = staged.withColumn(
-                f"__p_{pp['pv_name']}",
-                _transform_column(pp, types_of[pp["src"]]),
-            )
-        # align input partitions to the PARTITION TUPLES before the
-        # split: a raw partitionBy writes up to
-        # #input-partitions × #tuples files (the small-files explosion
-        # that kills a 100 TB table's manifest); one shuffle keyed by
-        # the tuple lands ~one right-sized file per tuple per write
-        staged = staged.repartition(
-            *[F.col(f"__p_{pp['pv_name']}") for pp in pspec]
-        )
-        # spec rule: timestamp transforms partition by the UTC
-        # instant (ntz by its literal wall clock read AS UTC). The
-        # ntz→timestamp cast and the Arrow bucket path both resolve
-        # in spark.sql.session.timeZone at ACTION time, so the stage
-        # runs pinned to UTC and restores the caller's zone after.
-        tz_sensitive = any(
-            pp["transform"] != "identity"
-            and types_of[pp["src"]] in ("timestamp", "timestamptz")
-            for pp in pspec
-        )
-        sess = df.sparkSession
-        saved_tz = sess.conf.get("spark.sql.session.timeZone")
-        try:
-            if tz_sensitive:
-                sess.conf.set("spark.sql.session.timeZone", "UTC")
-            staged.write.mode("error").partitionBy(
-                *[f"__p_{pp['pv_name']}" for pp in pspec]
-            ).parquet(staging)
-        finally:
-            if tz_sensitive:
-                sess.conf.set("spark.sql.session.timeZone", saved_tz)
-    else:
-        df.write.mode("error").parquet(staging)
-    data_files: list[dict] = []
-    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
-    snap_id = int.from_bytes(os.urandom(7), "big")
-
-    def _typed_part_value(c: str, raw: str):
-        import datetime as _dt
-        from urllib.parse import unquote as _unq
-
-        if raw == "__HIVE_DEFAULT_PARTITION__":
-            return None
-        raw = _unq(raw)
-        t = pv_types[c]
-        if t in ("int", "long"):
-            return int(raw)
-        if t == "double":
-            return float(raw)
-        if t == "boolean":
-            return raw.lower() == "true"
-        if t == "date":  # avro int: days since epoch
-            return (_dt.date.fromisoformat(raw)
-                    - _dt.date(1970, 1, 1)).days
-        return raw
-
-    staged_files: list[tuple[str, dict]] = []
-    for root, _dirs, fnames in os.walk(staging):
-        for n in fnames:
-            if not n.endswith(".parquet"):
-                continue
-            segs = os.path.relpath(
-                os.path.join(root, n), staging
-            ).split(os.sep)[:-1]
-            pv: dict = {}
-            for seg in segs:
-                k, sep, raw = seg.partition("=")
-                if sep and k.startswith("__p_"):
-                    c = k[4:]
-                    pv[c] = _typed_part_value(c, raw)
-            staged_files.append((os.path.join(root, n), pv))
-    def _finalize(item):
-        # per-file rename + footer/bounds read: pure I/O, safely
-        # thread-parallel — a partitioned write can stage hundreds of
-        # files and a serial driver loop was the wall (≈8 ms/file of
-        # footer reads)
-        src_fp, pv = item
-        if pq.read_metadata(src_fp).num_rows == 0:
-            return None  # empty part file: not a data file
-        final = f"data/{uuid.uuid4().hex}.parquet"
-        os.rename(src_fp, os.path.join(path, final))
-        fp = os.path.join(path, final)
-        lows, highs, n_rows = _file_bounds_maps(
-            fp, list(stats_cols or []), ice_schema["fields"]
-        )
-        return {
-            "status": 1, "snapshot_id": snap_id,
-            "sequence_number": None, "file_sequence_number": None,
-            "data_file": {
-                "content": 0, "file_path": final,
-                "file_format": "PARQUET",
-                "partition": {
-                    pp["pv_name"]: pv.get(pp["pv_name"])
-                    for pp in pspec
-                },
-                "record_count": (
-                    n_rows if n_rows is not None
-                    else pq.read_metadata(fp).num_rows
-                ),
-                "file_size_in_bytes": os.path.getsize(fp),
-                "lower_bounds": lows, "upper_bounds": highs,
-            },
-        }
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        for rec in pool.map(_finalize, sorted(staged_files)):
-            if rec is not None:
-                data_files.append(rec)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    data_files = _stage_data_entries(
+        df, path, pspec, types_of, ice_schema, stats_cols, snap_id
+    )
     if not data_files:
         raise ValueError("empty batch: Iceberg snapshots need >= 1 file")
     # one manifest for the new files
@@ -1787,12 +1886,6 @@ def write_iceberg(
                     "append" if mode == "append" else "overwrite"},
         "manifest-list": ml_rel, "schema-id": cur_schema_id,
     }
-    version = 1
-    if names:
-        try:
-            version = int(names[-1].split(".")[0].lstrip("v")) + 1
-        except ValueError:
-            version = len(names) + 1
     meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get("table-uuid",
@@ -1816,28 +1909,8 @@ def write_iceberg(
             list((prev_meta or {}).get("snapshot-log") or [])
             + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
         ),
-        "metadata-log": [],
     }
-    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)  # atomic put-if-absent, like the Delta twin
-    except FileExistsError:
-        raise FileExistsError(
-            f"Iceberg metadata v{version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, hint)
+    _commit_metadata(path, meta, prev_meta)
     return snap_id
 
 
@@ -1881,18 +1954,93 @@ def _spec_to_partition_by(meta: dict) -> "list[str] | None":
     return out or None
 
 
+def _provenance_scan(spark, path, data, spark_schema, deletes):
+    """ONE scan over the live data files carrying ``__f`` (decoded
+    absolute path) and ``__p`` (row position) provenance columns,
+    with existing POSITION deletes subtracted by a single distributed
+    anti-join — never decoded into driver-side sets (an existing
+    delete backlog can be O(table))."""
+    scan = spark.read.schema(spark_schema).parquet(*sorted(
+        os.path.abspath(_resolve_file_path(path, d["file_path"]))
+        for d in data
+    ))
+    scan_path = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
+    base = scan.select(
+        "*", scan_path.alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    pos_dels = [d for d in (deletes or [])
+                if (d.get("content") or 0) == 1]
+    if pos_dels:
+        del_paths = sorted(
+            _resolve_file_path(path, d["file_path"]) for d in pos_dels
+        )
+        dv = spark.read.schema(
+            "file_path string, pos long"
+        ).parquet(*del_paths).select(
+            _norm_content_path(path, F.col("file_path")).alias("__dvf"),
+            F.col("pos").alias("__dvp"),
+        )
+        base = base.join(
+            dv,
+            (F.col("__f") == F.col("__dvf"))
+            & (F.col("__p") == F.col("__dvp")),
+            "left_anti",
+        )
+    return base
+
+
+def _spelled_positions(spark, path, data, hits):
+    """``(file_path, pos)`` of ``hits`` (which carries ``__f``/
+    ``__p``) with the file path spelled exactly as the manifests
+    spell it — a broadcast map join over the O(#files) live set, with
+    an executor-side raise if a scanned file is no longer live
+    (concurrent commit)."""
+    smap = spark.createDataFrame(
+        [(os.path.abspath(_resolve_file_path(path, d["file_path"])),
+          d["file_path"]) for d in data],
+        "__absf string, __spelled string",
+    )
+    return hits.select("__f", "__p").join(
+        F.broadcast(smap), F.col("__f") == F.col("__absf"), "left"
+    ).select(
+        F.when(
+            F.col("__spelled").isNull(),
+            F.raise_error(F.concat(
+                F.lit("scanned file "), F.col("__f"),
+                F.lit(" is not a live data file; concurrent commit "
+                      "— retry"),
+            )),
+        ).otherwise(F.col("__spelled")).alias("file_path"),
+        F.col("__p").alias("pos"),
+    )
+
+
 def iceberg_delete_where(
     spark: SparkSession, path: str, pred: str,
 ) -> tuple:
     """Row-level DELETE on an Iceberg table IN ITS OWN FORMAT —
-    merge-on-read via a spec POSITION-DELETE snapshot
-    (:func:`write_position_deletes`), so a foreign table gets
-    ``DELETE WHERE`` without adoption and without rewriting data.
-    Returns ``(snapshot_id, n_deleted)``; no commit when nothing
-    matches. Existing position deletes are subtracted first (no
-    double count). Tables carrying EQUALITY deletes refuse —
-    their sequence-scoped value matching makes exact position
-    accounting ambiguous; run :func:`iceberg_compact` first."""
+    merge-on-read via a spec POSITION-DELETE snapshot, PARTITIONED
+    tables included: the delete manifest is written under a
+    registered UNPARTITIONED spec (the global position-delete shape
+    the spec allows), never a partitioned spec-id claiming an empty
+    tuple — strict foreign readers (Spark+Iceberg, Trino) resolve
+    applicability through the spec and would mis-scope that.
+
+    Scale shape: matched positions stay DISTRIBUTED end to end —
+    existing deletes subtract via one anti-join, the predicate
+    evaluates ONCE into executor-written delete parquet (each sorted
+    by file_path, pos), and the driver touches only per-file
+    descriptors, never O(matched rows). Returns
+    ``(snapshot_id, n_deleted)``; no commit when nothing matches.
+    Tables carrying EQUALITY deletes refuse — their sequence-scoped
+    value matching makes exact position accounting ambiguous; run
+    :func:`iceberg_compact` first."""
     meta = table_metadata(path)
     schema = _current_schema(meta)
     spark_schema = _schema_to_spark(schema)
@@ -1904,54 +2052,14 @@ def iceberg_delete_where(
         )
     if not data:
         return (meta.get("current-snapshot-id"), 0)
-    abs_to_spelled = {
-        os.path.abspath(_resolve_file_path(path, d["file_path"])):
-            d["file_path"]
-        for d in data
-    }
-    scan = spark.read.schema(spark_schema).parquet(
-        *abs_to_spelled.keys()
+    base = _provenance_scan(spark, path, data, spark_schema, deletes)
+    pos_df = _spelled_positions(
+        spark, path, data, base.filter(F.expr(pred))
     )
-    scan_path = F.url_decode(F.replace(
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
-        ),
-        F.lit("+"), F.lit("%2B"),
-    ))
-    base = scan.select(
-        "*", scan_path.alias("__f"),
-        F.col("_metadata.row_index").alias("__p"),
-    )
-    pos_dels = [d for d in deletes if (d.get("content") or 0) == 1]
-    existing: set = set()
-    if pos_dels:
-        import pyarrow.parquet as pq
-
-        for d in pos_dels:
-            fp = _resolve_file_path(path, d["file_path"])
-            tbl = pq.read_table(fp, columns=["file_path", "pos"])
-            for p_, pos in zip(tbl.column("file_path").to_pylist(),
-                               tbl.column("pos").to_pylist()):
-                existing.add((
-                    os.path.abspath(_resolve_file_path(path, p_)),
-                    int(pos),
-                ))
-    pairs = []
-    for r in base.filter(F.expr(pred)).select("__f", "__p").collect():
-        key = (r["__f"], int(r["__p"]))
-        if key in existing:
-            continue
-        spelled = abs_to_spelled.get(r["__f"])
-        if spelled is None:
-            raise ValueError(
-                f"scanned file {r['__f']} is not a live data file; "
-                "concurrent commit — retry"
-            )
-        pairs.append((spelled, int(r["__p"])))
-    if not pairs:
+    sid, n = _commit_position_deletes(spark, path, pos_df)
+    if n == 0:
         return (meta.get("current-snapshot-id"), 0)
-    sid = write_position_deletes(spark, path, pairs)
-    return (sid, len(pairs))
+    return (sid, n)
 
 
 def iceberg_update_where(
@@ -1960,32 +2068,28 @@ def iceberg_update_where(
 ) -> tuple:
     """Row-level UPDATE on an Iceberg table in its own format — ONE
     v2 snapshot carrying BOTH a position-delete manifest (the old
-    rows) and a data manifest (the transformed rows), the MOR update
-    shape Spark/Flink writers emit: a reader sees the update
-    atomically, never the deleted-but-not-reinserted middle. SET
-    results cast back to the DECLARED column types. Returns
-    ``(snapshot_id, n_updated)``.
+    rows, under a registered unpartitioned spec — the global shape)
+    and a data manifest (the transformed rows, staged under the
+    table's CURRENT default spec with real partition tuples —
+    PARTITIONED tables included): a reader sees the update
+    atomically, never the deleted-but-not-reinserted middle.
 
-    Scope: the table's CURRENT default spec must be unpartitioned
-    (transform-partitioned updates go through
-    :func:`iceberg_compact`-style rewrite); equality-delete tables
-    refuse as in :func:`iceberg_delete_where`."""
+    The matched set is evaluated ONCE: the predicate materializes the
+    hit rows (with file/position provenance) to a staging parquet,
+    and both the delete positions and the re-inserted rows derive
+    from that materialization — a non-deterministic predicate
+    (rand(), now()-relative) cannot desynchronize them. Positions
+    stay distributed; the driver sees only per-file descriptors.
+    SET results cast back to the DECLARED column types. Returns
+    ``(snapshot_id, n_updated)``. Equality-delete tables refuse as
+    in :func:`iceberg_delete_where`."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     if not set_exprs:
         raise ValueError("update needs at least one SET expression")
     meta = table_metadata(path)
-    cur_spec = next(
-        (sp for sp in meta.get("partition-specs", [])
-         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
-        {"fields": []},
-    )
-    if cur_spec.get("fields"):
-        raise IcebergProtocolError(
-            "UPDATE WHERE on a PARTITIONED Iceberg table is not "
-            "supported by this writer — rewrite via read_iceberg + "
-            "write_iceberg (or compact) instead"
-        )
     schema = _current_schema(meta)
     spark_schema = _schema_to_spark(schema)
     data, deletes = live_files(path, meta)
@@ -1996,150 +2100,102 @@ def iceberg_update_where(
         )
     if not data:
         return (meta.get("current-snapshot-id"), 0)
-    abs_to_spelled = {
-        os.path.abspath(_resolve_file_path(path, d["file_path"])):
-            d["file_path"]
-        for d in data
-    }
-    scan = spark.read.schema(spark_schema).parquet(
-        *abs_to_spelled.keys()
+    base = _provenance_scan(spark, path, data, spark_schema, deletes)
+    # SINGLE EVALUATION: materialize the matched rows once
+    hitstage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    base.filter(F.expr(pred)).write.mode("error").parquet(hitstage)
+    n = 0
+    for root, _dirs, fnames in os.walk(hitstage):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                n += pq.read_metadata(
+                    os.path.join(root, fn)
+                ).num_rows
+    if n == 0:
+        shutil.rmtree(hitstage, ignore_errors=True)
+        return (meta.get("current-snapshot-id"), 0)
+    staged = spark.read.parquet(hitstage)
+    seq = meta.get("last-sequence-number", 0) + 1
+    snap_id = int.from_bytes(os.urandom(7), "big")
+    # the old rows' positions → executor-written delete parquet
+    pos_df = _spelled_positions(spark, path, data, staged)
+    del_entries = _stage_pos_delete_entries(
+        spark, path, pos_df, snap_id
     )
-    scan_path = F.url_decode(F.replace(
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
-        ),
-        F.lit("+"), F.lit("%2B"),
-    ))
-    base = scan.select(
-        "*", scan_path.alias("__f"),
-        F.col("_metadata.row_index").alias("__p"),
-    )
-    pos_dels = [d for d in deletes if (d.get("content") or 0) == 1]
-    if pos_dels:
-        ex_pairs = []
-        for d in pos_dels:
-            fp = _resolve_file_path(path, d["file_path"])
-            tbl = pq.read_table(fp, columns=["file_path", "pos"])
-            for p_, pos in zip(tbl.column("file_path").to_pylist(),
-                               tbl.column("pos").to_pylist()):
-                ex_pairs.append((
-                    os.path.abspath(_resolve_file_path(path, p_)),
-                    int(pos),
-                ))
-        if ex_pairs:
-            ex = spark.createDataFrame(
-                ex_pairs, "___xf string, ___xp long"
-            )
-            base = base.join(
-                F.broadcast(ex),
-                (F.col("__f") == F.col("___xf"))
-                & (F.col("__p") == F.col("___xp")),
-                "left_anti",
-            )
-    hits = base.filter(F.expr(pred))
+    # the transformed rows, staged under the CURRENT default spec
     cols = [f["name"] for f in schema["fields"]]
     ttypes = {f.name: f.dataType for f in spark_schema.fields}
-    upd = hits
+    upd = staged
     for c, e in set_exprs.items():
         if c not in ttypes:
             raise ValueError(f"SET column {c!r} not in table")
         col = F.expr(e) if isinstance(e, str) else e
         upd = upd.withColumn(c, col.cast(ttypes[c]))
     upd = upd.select(*cols)
-    pairs = []
-    for r in hits.select("__f", "__p").collect():
-        spelled = abs_to_spelled.get(r["__f"])
-        if spelled is None:
-            raise ValueError(
-                f"scanned file {r['__f']} is not a live data file; "
-                "concurrent commit — retry"
-            )
-        pairs.append((spelled, int(r["__p"])))
-    if not pairs:
-        return (meta.get("current-snapshot-id"), 0)
-    # stage the transformed rows as data files
-    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    upd.write.mode("error").parquet(staging)
-    prev_snap = _snapshot(meta, None)
-    seq = meta.get("last-sequence-number", 0) + 1
-    snap_id = int.from_bytes(os.urandom(7), "big")
-    data_entries = []
-    for root, _dirs, fnames in os.walk(staging):
-        for n in sorted(fnames):
-            if not n.endswith(".parquet"):
-                continue
-            src_fp = os.path.join(root, n)
-            if pq.read_metadata(src_fp).num_rows == 0:
-                continue
-            final = f"data/{uuid.uuid4().hex}.parquet"
-            os.rename(src_fp, os.path.join(path, final))
-            fp = os.path.join(path, final)
-            lows, highs, n_rows = _file_bounds_maps(
-                fp, list(stats_cols or []), schema["fields"]
-            )
-            data_entries.append({
-                "status": 1, "snapshot_id": snap_id,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0, "file_path": final,
-                    "file_format": "PARQUET", "partition": {},
-                    "record_count": (
-                        n_rows if n_rows is not None
-                        else pq.read_metadata(fp).num_rows
-                    ),
-                    "file_size_in_bytes": os.path.getsize(fp),
-                    "lower_bounds": lows, "upper_bounds": highs,
-                },
-            })
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
-    # the position-delete file + manifest
-    import pyarrow as pa
-
-    pairs = sorted(pairs)
-    del_rel = f"data/delete-{uuid.uuid4().hex}.parquet"
-    pq.write_table(
-        pa.table({
-            "file_path": pa.array([p_ for p_, _ in pairs],
-                                  pa.string()),
-            "pos": pa.array([x for _, x in pairs], pa.int64()),
-        }),
-        os.path.join(path, del_rel),
+    cur_spec = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []},
     )
-    del_entry = {
-        "status": 1, "snapshot_id": snap_id,
-        "sequence_number": None, "file_sequence_number": None,
-        "data_file": {
-            "content": 1, "file_path": del_rel,
-            "file_format": "PARQUET", "partition": {},
-            "record_count": len(pairs),
-            "file_size_in_bytes": os.path.getsize(
-                os.path.join(path, del_rel)),
-            "lower_bounds": None, "upper_bounds": None,
-        },
-    }
+    by_id_name = {f["id"]: f["name"] for f in schema["fields"]}
+    by_src_type = {f["id"]: f["type"] for f in schema["fields"]
+                   if isinstance(f["type"], str)}
+    pspec, part_fields = [], []
+    for f in cur_spec.get("fields", []):
+        src = by_id_name.get(f.get("source-id"))
+        tr = f.get("transform") or ""
+        if src is None or not (
+            tr == "identity"
+            or tr in ("year", "month", "day", "hour")
+            or tr.startswith(("bucket[", "truncate["))
+        ):
+            shutil.rmtree(hitstage, ignore_errors=True)
+            raise IcebergProtocolError(
+                f"UPDATE WHERE cannot stage under partition "
+                f"transform {tr!r} — rewrite via read_iceberg + "
+                "write_iceberg"
+            )
+        pspec.append({"src": src, "transform": tr,
+                      "pv_name": f["name"]})
+        part_fields.append(dict(
+            f, type=_transform_result_ice_type(
+                tr, by_src_type[f["source-id"]]),
+        ))
+    types_of = {f["name"]: f["type"] for f in schema["fields"]}
+    data_entries = _stage_data_entries(
+        upd, path, pspec, types_of, schema, stats_cols, snap_id
+    )
+    shutil.rmtree(hitstage, ignore_errors=True)
+    # two manifests, one snapshot: deletes under the unpartitioned
+    # global spec, data under the table's default spec
+    gsid, specs = _global_delete_spec(meta)
+    spec_id = meta.get("default-spec-id", 0)
     manifests = []
-    for content, entries in ((1, [del_entry]), (0, data_entries)):
+    for content, entries, pf, sid_, spec_json in (
+        (1, del_entries, None, gsid, "[]"),
+        (0, data_entries, part_fields, spec_id, json.dumps([
+            {k: f[k] for k in
+             ("name", "transform", "source-id", "field-id")}
+            for f in part_fields
+        ])),
+    ):
         if not entries:
             continue
         man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
         man_len = write_avro(
             os.path.join(path, man_rel),
-            _manifest_entry_schema(), entries,
+            _manifest_entry_schema(pf), entries,
             metadata={
                 "schema": json.dumps(schema),
-                "partition-spec": "[]", "partition-spec-id":
-                    str(meta.get("default-spec-id", 0)),
+                "partition-spec": spec_json,
+                "partition-spec-id": str(sid_),
                 "format-version": "2",
                 "content": "deletes" if content == 1 else "data",
             },
         )
         manifests.append({
             "manifest_path": man_rel, "manifest_length": man_len,
-            "partition_spec_id": meta.get("default-spec-id", 0),
-            "content": content,
+            "partition_spec_id": sid_, "content": content,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
             "added_files_count": len(entries),
@@ -2148,6 +2204,7 @@ def iceberg_update_where(
                 e["data_file"]["record_count"] for e in entries),
             "existing_rows_count": 0, "deleted_rows_count": 0,
         })
+    prev_snap = _snapshot(meta, None)
     prev_list, _ = read_avro(
         _resolve_file_path(path, prev_snap["manifest-list"])
     )
@@ -2156,45 +2213,24 @@ def iceberg_update_where(
     write_avro(os.path.join(path, ml_rel), _manifest_file_schema(),
                manifests, metadata={"format-version": "2"})
     now_ms = int(time.time() * 1000)
-    snapshot = {
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["partition-specs"] = specs
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq,
         "summary": {"operation": "overwrite"},
         "manifest-list": ml_rel,
         "schema-id": meta.get("current-schema-id", 0),
-    }
-    names = _metadata_files(path)
-    version = int(names[-1].split(".")[0].lstrip("v")) + 1
-    new_meta = dict(meta)
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snap_id
-    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    }]
     new_meta["snapshot-log"] = (
         list(meta.get("snapshot-log") or [])
         + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
     )
-    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(new_meta, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Iceberg metadata v{version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, hint)
-    return (snap_id, len(pairs))
+    _commit_metadata(path, new_meta, meta)
+    return (snap_id, n)
 
 
 def iceberg_expire_snapshots(
@@ -2255,8 +2291,6 @@ def iceberg_expire_snapshots(
         return rels
     # metadata first: a reader racing the deletes must already see
     # the expired snapshots gone
-    names = _metadata_files(path)
-    version = int(names[-1].split(".")[0].lstrip("v")) + 1
     now_ms = int(time.time() * 1000)
     new_meta = dict(meta)
     new_meta["snapshots"] = [
@@ -2268,26 +2302,7 @@ def iceberg_expire_snapshots(
         if e.get("snapshot-id") in kept_ids
     ]
     new_meta["last-updated-ms"] = now_ms
-    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(new_meta, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Iceberg metadata v{version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, hint)
+    _commit_metadata(path, new_meta, meta)
     for fp in doomed:
         try:
             os.unlink(fp)

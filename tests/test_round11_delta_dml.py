@@ -152,7 +152,8 @@ def test_iceberg_update_where_single_snapshot(spark):
     """UPDATE WHERE on an Iceberg table: ONE v2 snapshot carrying
     both the position-delete and data manifests — a reader never
     sees the deleted-but-not-reinserted middle; composable with
-    later deletes; partitioned specs refuse with guidance."""
+    later deletes; partitioned tables stage transformed rows under
+    the current spec (round 12 — refusal removed)."""
     from harmony_energy_data_pipeline_spark.sources import iceberg as ice
 
     t = os.path.join(tempfile.mkdtemp(prefix="iupd_"), "t")
@@ -180,7 +181,8 @@ def test_iceberg_update_where_single_snapshot(spark):
     assert rows[3] == -1.0 and rows[4] == -1.0 and len(rows) == 40
     ice.iceberg_delete_where(spark, t, "k = 10")
     assert ice.read_iceberg(spark, t).count() == 39
-    # partitioned specs refuse
+    # partitioned tables update in place — transformed rows land
+    # under the current spec with real partition tuples
     t2 = os.path.join(tempfile.mkdtemp(prefix="iupd2_"), "t")
     ice.write_iceberg(
         spark.range(0, 10).selectExpr(
@@ -188,8 +190,14 @@ def test_iceberg_update_where_single_snapshot(spark):
         ),
         t2, partition_by=["p"],
     )
-    with pytest.raises(Exception, match="PARTITIONED"):
-        ice.iceberg_update_where(spark, t2, "k = 1", {"k": "0"})
+    _sp, np_ = ice.iceberg_update_where(spark, t2, "k = 1", {"k": "100"})
+    assert np_ == 1
+    got = {r.k for r in ice.read_iceberg(spark, t2).collect()}
+    assert got == {0, 2, 3, 4, 5, 6, 7, 8, 9, 100}
+    # partition pruning still works on the updated table
+    assert ice.read_iceberg(
+        spark, t2, where=[("p", "1", "1")]
+    ).count() == 5
     # SQL routes
     cat = Catalog(tempfile.mkdtemp(prefix="iupdc_"))
     cat.register("ut", path=t, format="iceberg")
