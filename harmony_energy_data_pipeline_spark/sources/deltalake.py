@@ -885,7 +885,13 @@ def write_delta(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(df.schema.jsonValue()),
                 "partitionColumns": pcols,
-                "configuration": {},
+                # an overwrite evolves schema/layout, not table
+                # PROPERTIES — dropping configuration would silently
+                # disable enableChangeDataFeed / appendOnly on a
+                # foreign table we rewrite
+                "configuration": dict(
+                    (meta or {}).get("configuration") or {}
+                ),
                 "createdTime": (meta or {}).get("createdTime", now_ms),
             }
         })
@@ -898,6 +904,41 @@ def write_delta(
                     "dataChange": True,
                 }
             })
+    # delta.enableChangeDataFeed: an overwrite REMOVES rows, and a
+    # remove-carrying commit without cdc actions bricks downstream
+    # table_changes readers (their own contract) — so stage the
+    # row-level feed: every previously-live row as 'delete', the new
+    # batch as 'insert'. Blind appends stay cdc-less per the spec
+    # (readers synthesize inserts from the add files).
+    cdf_enabled = str(
+        ((meta or {}).get("configuration") or {})
+        .get("delta.enableChangeDataFeed", "")
+    ).lower() == "true"
+    if cdf_enabled and mode == "overwrite" and prev_adds:
+        old_schema = json.dumps(
+            json.loads(meta["schemaString"]), sort_keys=True
+        )
+        new_schema = json.dumps(df.schema.jsonValue(), sort_keys=True)
+        if old_schema != new_schema:
+            raise DeltaProtocolError(
+                "overwrite changes the schema of a CDF-enabled table; "
+                "the change feed cannot express mixed-schema pre/post "
+                "images in one commit — disable "
+                "delta.enableChangeDataFeed or align the schema"
+            )
+        _cm, phys, _fi = _column_mapping(meta)
+        spark = df.sparkSession
+        pre = read_delta(spark, path, version=prev).select(*[
+            F.col(f.name).alias(phys[f.name])
+            for f in df.schema.fields
+        ]).withColumn("_change_type", F.lit("delete"))
+        post = df.select(*[
+            F.col(f.name).alias(phys[f.name])
+            for f in df.schema.fields
+        ]).withColumn("_change_type", F.lit("insert"))
+        actions.extend(_stage_cdc_files(
+            pre.unionByName(post), path, [phys[c] for c in pcols]
+        ))
     actions.extend({"add": a} for a in adds)
     final = _log_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1143,165 +1184,366 @@ def delta_update_where(
                              record_cdf=record_cdf)
 
 
+def _stage_cdc_files(
+    cdf_df: DataFrame, path: str, pcols_phys: list,
+) -> list[dict]:
+    """Stage spec ``cdc`` change files DISTRIBUTED under
+    ``_change_data/`` — a normal parallel write (N files per commit
+    is legal; the old single-task ``coalesce(1)`` funnel is gone),
+    partitioned by the table's (physical) partition columns so each
+    file records its REAL ``partitionValues`` and the partition
+    columns stay OUT of the staged parquet — the add-file convention
+    foreign CDF readers rebuild partition columns from. Returns the
+    cdc actions."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f"_cdcstage-{uuid.uuid4().hex[:8]}")
+    w = cdf_df.write.mode("error")
+    if pcols_phys:
+        w = w.partitionBy(*pcols_phys)
+    w.parquet(staging)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    out: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(root, n)
+            if pq.read_metadata(src).num_rows == 0:
+                continue
+            relsegs = os.path.relpath(src, staging).split(os.sep)
+            pvals: dict = {}
+            for seg in relsegs[:-1]:
+                k, _sep, raw = seg.partition("=")
+                pvals[k] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+            rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+            os.rename(src, os.path.join(path, rel))
+            out.append({"cdc": {
+                "path": rel,
+                "partitionValues": {
+                    c: pvals.get(c) for c in pcols_phys
+                },
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "dataChange": False,
+            }})
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _column_mapping(meta: dict):
+    """``(mode, phys, field_ids)`` for a metaData — logical→physical
+    name map (identity when unmapped) and the field-id map id-mode
+    resolution rides on. Unknown modes raise."""
+    conf = meta.get("configuration") or {}
+    cm = conf.get("delta.columnMapping.mode", "none") or "none"
+    if cm not in ("none", "", "name", "id"):
+        raise DeltaProtocolError(
+            f"unknown columnMapping mode {cm!r}"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+    field_ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    if cm == "id" and any(
+        field_ids[f.name] is None for f in schema.fields
+    ):
+        raise DeltaProtocolError(
+            "columnMapping mode 'id' but a schema field lacks "
+            "delta.columnMapping.id"
+        )
+    return cm, phys, field_ids
+
+
 def _delta_mor_mutate(
     spark: SparkSession, path: str, pred: str,
     set_exprs: "dict | None" = None,
     record_cdf: bool = False,
 ) -> tuple:
-    """Row-level DELETE on a DELTA table IN ITS OWN FORMAT —
-    merge-on-read via spec deletion vectors, so a foreign table gets
-    ``DELETE WHERE`` without adoption and without rewriting a byte of
-    data: matching row positions land in a roaring-bitmap DV file
-    (``sources/deltadv``), each touched add is re-added with its
-    (existing ∪ new) vector, and the protocol upgrades to declare
-    ``deletionVectors`` if it didn't already. Returns
-    ``(version, n_deleted)``.
+    """Row-level DELETE/UPDATE on a DELTA table IN ITS OWN FORMAT —
+    merge-on-read via spec deletion vectors: matching row positions
+    land in roaring-bitmap DV files (``sources/deltadv``), each
+    touched add re-adds with its (existing ∪ new) vector, the
+    protocol upgrades to declare ``deletionVectors`` if needed, and
+    UPDATE re-appends the transformed rows in the SAME commit.
+    Returns ``(version, n_deleted)``.
 
-    ``record_cdf=True`` additionally stages the deleted rows as
-    ``cdc`` delete records, so :func:`read_delta_changes` expresses
-    this commit row-level instead of refusing.
+    Scale shape (round 12): ONE scan over the in-scope adds (a
+    conjunctive predicate prunes files on partitionValues + stats
+    zone maps first) — not one plan arm per partition tuple; existing
+    vectors expand EXECUTOR-side and subtract with one anti-join
+    (never decoded into driver sets); the matched set is evaluated
+    ONCE into a provenance-carrying staging parquet that both the new
+    vectors and the re-inserted rows derive from (a non-deterministic
+    predicate cannot desynchronize them); the new DV files are
+    written BY THE EXECUTORS (one per touched data file) and the
+    driver collects only O(#touched files) descriptors.
 
-    Write cost is O(matched rows) positions; a delete matching most
-    of the table should compact afterwards (``delta_optimize``
-    materializes the vectors away). Column-mapped tables refuse
-    (predicates and files speak different names)."""
-    from harmony_energy_data_pipeline_spark.sources import deltadv
+    COLUMN-MAPPED tables (name and id mode) are supported: the scan
+    resolves physical names/field ids exactly like
+    :func:`read_delta`, re-appended files store PHYSICAL names (+
+    parquet field ids when the schema carries them), and cdc files
+    stage physical-named with real partitionValues.
 
-    adds, meta, proto, v = _replay(path, None)
-    cm = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if cm not in ("none", ""):
-        raise DeltaProtocolError(
-            "DELETE over a column-mapped Delta table is not "
-            "supported by this writer"
-        )
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = meta.get("partitionColumns") or []
-    data_fields = [f for f in schema.fields if f.name not in pcols]
+    ``record_cdf=True`` — or the table property
+    ``delta.enableChangeDataFeed=true``, which this writer honors —
+    stages spec ``cdc`` records so foreign ``table_changes`` readers
+    see the commit row-level instead of refusing on its removes."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StringType
     from pyspark.sql.types import StructField as _SF
 
-    data_schema = StructType([
-        _SF(f.name, f.dataType, True) for f in data_fields
-    ])
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+    )
+
+    adds, meta, proto, v = _replay(path, None)
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableChangeDataFeed", "")
+           ).lower() == "true":
+        record_cdf = True
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    cm, phys, field_ids = _column_mapping(meta)
+    if cm == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
+        )
+    pcols = meta.get("partitionColumns") or []
+    pcols_phys = [phys[c] for c in pcols]
     ptypes = {f.name: f.dataType for f in schema.fields
               if f.name in pcols}
-    # group adds by partition tuple so partition columns join the
-    # predicate as plan-time literals (the wire-format truth)
-    groups: dict[tuple, list[dict]] = {}
-    for a in adds:
-        pv = a.get("partitionValues") or {}
-        groups.setdefault(tuple(pv.get(p) for p in pcols), []).append(a)
-    by_rel: dict[str, list[int]] = {}
-    cdf_parts = []
-    updated_parts = []
-    for key, acts in groups.items():
-        scan = spark.read.schema(data_schema).parquet(*[
-            os.path.join(path, unquote(a["path"])) for a in acts
-        ]).select(
-            "*",
-            F.col("_metadata.file_path").alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema_phys = StructType([
+        _SF(
+            phys[f.name], f.dataType, True,
+            {"parquet.field.id": int(field_ids[f.name])}
+            if cm == "id" else {},
         )
-        # rows ALREADY deleted by existing vectors must not match
-        # again (an UPDATE would resurrect them as post-images)
-        dv_pairs = []
-        for a in acts:
-            if a.get("deletionVector"):
-                ab = os.path.abspath(
-                    os.path.join(path, unquote(a["path"]))
-                )
-                dv_pairs.extend(
-                    (ab, int(pp))
-                    for pp in deltadv.read_dv(
-                        path, a["deletionVector"]
-                    )
-                )
-        if dv_pairs:
-            ex = spark.createDataFrame(
-                dv_pairs, "___xf string, ___xp long"
+        for f in data_fields
+    ])
+    if not adds:
+        return (v, 0)
+    # plan-time file pruning: conjunctive predicates skip files on
+    # partitionValues (exact) + stats zone maps, like read_delta —
+    # correctness never depends on it (the predicate re-applies
+    # row-level below)
+    triples = parse_conjunctive_where(pred)
+    scoped = adds
+    if triples:
+        where_phys = [(phys.get(c, c), lo, hi)
+                      for c, lo, hi in triples]
+        ptypes_phys = {phys[c]: ptypes[c] for c in pcols}
+        scoped = [a for a in adds
+                  if _add_matches(a, where_phys, pcols_phys,
+                                  ptypes_phys)]
+        if not scoped:
+            return (v, 0)
+    # ONE scan over the in-scope adds; partition columns re-attach
+    # from a broadcast O(#files) map of add.partitionValues (the wire
+    # truth — data files do not store them)
+    scan = spark.read.schema(data_schema_phys).parquet(*[
+        os.path.join(path, unquote(a["path"])) for a in scoped
+    ]).select(
+        *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
+        F.url_decode(F.replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+            ),
+            F.lit("+"), F.lit("%2B"),
+        )).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    map_fields = (
+        [_SF("__absf", StringType(), False),
+         _SF("__rel", StringType(), False)]
+        + [_SF(f"__pv{i}", StringType(), True)
+           for i in range(len(pcols))]
+    )
+    map_rows = []
+    for a in scoped:
+        pv = a.get("partitionValues") or {}
+        map_rows.append(tuple(
+            [os.path.abspath(os.path.join(path, unquote(a["path"]))),
+             unquote(a["path"])]
+            + [pv.get(pc) for pc in pcols_phys]
+        ))
+    smap = spark.createDataFrame(map_rows, StructType(map_fields))
+    base = scan.join(
+        F.broadcast(smap), F.col("__f") == F.col("__absf"), "inner"
+    ).drop("__absf", "__f")
+    for i, c in enumerate(pcols):
+        base = base.withColumn(
+            c, F.col(f"__pv{i}").cast(ptypes[c])
+        )
+    base = base.drop(*[f"__pv{i}" for i in range(len(pcols))])
+    # rows ALREADY deleted by existing vectors must not match again
+    # (an UPDATE would resurrect them as post-images): descriptors
+    # expand executor-side, one distributed anti-join
+    tbl = os.path.abspath(path)
+    dv_scoped = [
+        (unquote(a["path"]), json.dumps(a["deletionVector"]))
+        for a in scoped if a.get("deletionVector")
+    ]
+    if dv_scoped:
+        ddf = spark.createDataFrame(
+            dv_scoped, "__xr string, __xd string"
+        )
+
+        def _expand(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltadv as _dv,
             )
-            fn = F.url_decode(F.replace(
-                F.regexp_replace(
-                    F.col("__f"), "^[a-zA-Z0-9]+:/+", "/"
-                ),
-                F.lit("+"), F.lit("%2B"),
-            ))
-            scan = scan.withColumn("__fn", fn).join(
-                F.broadcast(ex),
-                (F.col("__fn") == F.col("___xf"))
-                & (F.col("__p") == F.col("___xp")),
-                "left_anti",
-            ).drop("__fn")
-        for pcol, raw in zip(pcols, key):
-            scan = scan.withColumn(
-                pcol,
-                (F.lit(None) if raw is None else F.lit(raw))
-                .cast(ptypes[pcol]),
-            )
-        hits = scan.filter(F.expr(pred))
-        if set_exprs is not None:
-            ttypes = {f.name: f.dataType for f in schema.fields}
-            upd = hits
-            for c, e in set_exprs.items():
-                if c not in ttypes:
-                    raise ValueError(f"SET column {c!r} not in table")
-                col = F.expr(e) if isinstance(e, str) else e
-                upd = upd.withColumn(c, col.cast(ttypes[c]))
-            updated_parts.append(
-                upd.select(*[f.name for f in schema.fields])
-            )
-        if record_cdf:
-            kind = ("update_preimage" if set_exprs is not None
-                    else "delete")
-            cdf_parts.append(hits.select(
-                *[f.name for f in schema.fields]
-            ).withColumn("_change_type", F.lit(kind)))
-        for r in hits.select("__f", "__p").collect():
-            disk = unquote(r["__f"])
-            disk = re.sub(r"^[a-zA-Z0-9]+:/+", "/", disk)
-            rel = os.path.relpath(disk, os.path.abspath(path))
-            by_rel.setdefault(rel, []).append(int(r["__p"]))
-    if not by_rel:
-        return (v, 0)  # nothing matched: no commit needed
-    # subtract rows ALREADY deleted by existing vectors, and union
-    # the new positions into them
+
+            for pdf in batches:
+                for rel_, d_ in zip(pdf["__xr"], pdf["__xd"]):
+                    pos = _dv.read_dv(tbl, _json.loads(d_))
+                    yield pd.DataFrame({
+                        "__xr": rel_,
+                        "__xp": pd.array(pos, dtype="int64"),
+                    })
+
+        ex = ddf.mapInPandas(_expand, "__xr string, __xp long")
+        base = base.join(
+            ex,
+            (F.col("__rel") == F.col("__xr"))
+            & (F.col("__p") == F.col("__xp")),
+            "left_anti",
+        )
+    # SINGLE EVALUATION: the predicate materializes the matched rows
+    # (with file/position provenance) exactly once
+    hits = base.filter(F.expr(pred))
+    hitstage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    hits.select(
+        *[f.name for f in schema.fields], "__rel", "__p"
+    ).write.mode("error").parquet(hitstage)
+    n_hits = 0
+    for root, _dirs, fns in os.walk(hitstage):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                n_hits += pq.read_metadata(
+                    os.path.join(root, fn)
+                ).num_rows
+    if n_hits == 0:
+        shutil.rmtree(hitstage, ignore_errors=True)
+        return (v, 0)
+    staged = spark.read.parquet(hitstage)
+    # new vectors: per-file position aggregation + DV files written
+    # BY THE EXECUTORS; the driver receives only descriptors
     rel_to_add = {unquote(a["path"]): a for a in adds}
-    n_deleted = 0
-    vectors, touched = [], []
-    for rel in sorted(by_rel):
-        a = rel_to_add.get(rel)
+    odf = spark.createDataFrame(
+        [(unquote(a["path"]),
+          json.dumps(a["deletionVector"])
+          if a.get("deletionVector") else None)
+         for a in scoped],
+        "__rel string, __old string",
+    )
+
+    def _write_vectors(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from harmony_energy_data_pipeline_spark.sources import (
+            deltadv as _dv,
+        )
+
+        for pdf in batches:
+            rels, descs, news = [], [], []
+            for rel_, plist, old_ in zip(
+                pdf["__rel"], pdf["__plist"], pdf["__old"]
+            ):
+                old_pos = (
+                    set(_dv.read_dv(tbl, _json.loads(old_)))
+                    if old_ is not None and not (
+                        isinstance(old_, float) and pd.isna(old_)
+                    ) else set()
+                )
+                new_pos = {int(x) for x in plist} - old_pos
+                if not new_pos:
+                    continue
+                d = _dv.write_dv_file(
+                    tbl, [sorted(old_pos | new_pos)]
+                )[0]
+                rels.append(rel_)
+                descs.append(_json.dumps(d))
+                news.append(len(new_pos))
+            yield pd.DataFrame({
+                "__rel": pd.array(rels, dtype="str"),
+                "__desc": pd.array(descs, dtype="str"),
+                "__n": pd.array(news, dtype="int64"),
+            })
+
+    dv_rows = (
+        staged.groupBy("__rel")
+        .agg(F.collect_list("__p").alias("__plist"))
+        .join(F.broadcast(odf), "__rel", "left")
+        .mapInPandas(_write_vectors,
+                     "__rel string, __desc string, __n long")
+        .collect()  # O(#touched files) descriptors, never positions
+    )
+    if not dv_rows:
+        shutil.rmtree(hitstage, ignore_errors=True)
+        return (v, 0)
+    n_deleted = int(sum(r["__n"] for r in dv_rows))
+    touched = []
+    for r in dv_rows:
+        a = rel_to_add.get(r["__rel"])
         if a is None:
             raise ValueError(
-                f"scanned file {rel} is not a live add; concurrent "
-                "commit — retry"
+                f"scanned file {r['__rel']} is not a live add; "
+                "concurrent commit — retry"
             )
-        old_pos = (
-            set(deltadv.read_dv(path, a["deletionVector"]))
-            if a.get("deletionVector") else set()
-        )
-        new_pos = set(by_rel[rel]) - old_pos
-        n_deleted += len(new_pos)
-        if not new_pos:
-            continue
-        vectors.append(sorted(old_pos | new_pos))
-        touched.append(a)
-    if not touched:
-        return (v, 0)
-    descs = deltadv.write_dv_file(path, vectors)
+        touched.append((a, json.loads(r["__desc"])))
     now_ms = int(time.time() * 1000)
+    # UPDATE: transformed rows derive from the SAME staged hits,
+    # staged with PHYSICAL names (+ field ids when mapped) so the new
+    # files read back under the table's resolution mode
     new_adds: list[dict] = []
-    if set_exprs is not None and updated_parts:
-        upd_df = updated_parts[0]
-        for part in updated_parts[1:]:
-            upd_df = upd_df.unionByName(part)
-        new_adds = _stage_files(upd_df, path, pcols, stats_cols=None)
-        if record_cdf:
-            cdf_parts.append(
-                upd_df.withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+    upd_phys = None
+    if set_exprs is not None:
+        ttypes = {f.name: f.dataType for f in schema.fields}
+        upd = staged
+        for c, e in set_exprs.items():
+            if c not in ttypes:
+                raise ValueError(f"SET column {c!r} not in table")
+            col = F.expr(e) if isinstance(e, str) else e
+            upd = upd.withColumn(c, col.cast(ttypes[c]))
+
+        def _phys_col(name):
+            md = (
+                {"parquet.field.id": int(field_ids[name])}
+                if field_ids.get(name) is not None else {}
             )
+            return F.col(name).alias(phys[name], metadata=md)
+
+        upd_phys = upd.select(*[
+            _phys_col(f.name) for f in schema.fields
+        ])
+        if cm == "id":
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        new_adds = _stage_files(upd_phys, path, pcols_phys,
+                                stats_cols=None)
     actions = [{"commitInfo": {
         "timestamp": now_ms,
         "operation": "UPDATE" if set_exprs is not None else "DELETE",
@@ -1319,34 +1561,30 @@ def _delta_mor_mutate(
                 | {"deletionVectors"}
             ),
         }})
-    if record_cdf and cdf_parts:
-        cdf_df = cdf_parts[0]
-        for part in cdf_parts[1:]:
-            cdf_df = cdf_df.unionByName(part)
-        os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
-        stage = os.path.join(path, f"_cdcstage-{uuid.uuid4().hex[:8]}")
-        cdf_df.coalesce(1).write.parquet(stage)
-        for n in os.listdir(stage):
-            if n.endswith(".parquet"):
-                rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(stage, n),
-                          os.path.join(path, rel))
-                actions.append({"cdc": {
-                    "path": rel, "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "dataChange": False,
-                }})
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
-    for a, desc in zip(touched, descs):
+    if record_cdf:
+        pre_kind = (
+            "update_preimage" if set_exprs is not None else "delete"
+        )
+        cdf_df = staged.select(*[
+            F.col(f.name).alias(phys[f.name])
+            for f in schema.fields
+        ]).withColumn("_change_type", F.lit(pre_kind))
+        if upd_phys is not None:
+            cdf_df = cdf_df.unionByName(
+                upd_phys.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        actions.extend(_stage_cdc_files(cdf_df, path, pcols_phys))
+    for a, desc in touched:
         actions.append({"remove": {
             "path": a["path"], "deletionTimestamp": now_ms,
             "dataChange": True,
         }})
-        new_add = dict(a, deletionVector=desc, dataChange=True)
-        actions.append({"add": new_add})
+        actions.append({"add": dict(a, deletionVector=desc,
+                                    dataChange=True)})
     actions.extend({"add": a} for a in new_adds)
+    shutil.rmtree(hitstage, ignore_errors=True)
     version = v + 1
     final = _log_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1385,22 +1623,32 @@ def read_delta_changes(
     append — its add files read as inserts; ``dataChange=false``
     commits (OPTIMIZE) change nothing and are skipped. Anything else
     (a remove without cdc — the deleted rows are unrecoverable)
-    raises, matching the native feed's contract. Column-mapped
-    tables refuse (cdc files are physical-named)."""
+    raises, matching the native feed's contract.
+
+    Scale shape (round 12): the range reads as ONE scan per
+    (schema epoch × action kind) — NOT one plan arm per commit (a
+    many-thousand-commit range used to build that many union arms);
+    each file's ``_commit_version`` and partition columns re-attach
+    from a broadcast O(#files) map. COLUMN-MAPPED tables (name + id
+    mode) resolve physical names exactly like :func:`read_delta`."""
+    from pyspark.sql.types import LongType, StringType
+    from pyspark.sql.types import StructField as _SF
+
     versions = _list_log_versions(path)
     if to_version is None:
         to_version = versions[-1] if versions else from_version
     # meta as of from_version (schema may evolve inside the range)
     _adds0, meta, _p0, _v0 = _replay(path, from_version)
-    cm = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if cm not in ("none", ""):
-        raise DeltaProtocolError(
-            "change feed over a column-mapped Delta table is not "
-            "supported by this reader"
-        )
-    out = None
+    # pass 1 (metadata only): classify each commit, group files by
+    # (schema epoch, kind) — the scan count is bounded by epochs, not
+    # commits
+    groups: dict = {}   # (sig, kind) -> {"meta": meta, "files": [...]}
+    metas_sig: dict = {}
+
+    def _sig(m):
+        return (m["schemaString"],
+                tuple(m.get("partitionColumns") or []))
+
     for cv in range(from_version + 1, to_version + 1):
         fp = _log_path(path, cv)
         if not os.path.exists(fp):
@@ -1423,96 +1671,112 @@ def read_delta_changes(
                     removes.append(act["remove"])
                 elif "metaData" in act:
                     meta = act["metaData"]
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        pcols = meta.get("partitionColumns") or []
-        data_fields = [f for f in schema.fields if f.name not in pcols]
-        from pyspark.sql.types import StringType
-        from pyspark.sql.types import StructField as _SF
-
+        sig = _sig(meta)
+        metas_sig[sig] = meta
         if cdc:
-            part = None
-            groups: dict[tuple, list[dict]] = {}
-            for c in cdc:
-                pv = c.get("partitionValues") or {}
-                groups.setdefault(
-                    tuple(pv.get(p) for p in pcols), []
-                ).append(c)
-            cdc_schema = StructType(
-                [_SF(f.name, f.dataType, True) for f in data_fields]
-                + [_SF("_change_type", StringType(), True)]
-            )
-            for key, acts in sorted(
-                groups.items(), key=lambda kv: tuple(map(str, kv[0]))
-            ):
-                one = spark.read.schema(cdc_schema).parquet(*[
-                    os.path.join(path, unquote(c["path"]))
-                    for c in acts
-                ])
-                for pcol, raw in zip(pcols, key):
-                    pt = next(f.dataType for f in schema.fields
-                              if f.name == pcol)
-                    one = one.withColumn(
-                        pcol,
-                        (F.lit(None) if raw is None
-                         else F.lit(raw)).cast(pt),
-                    )
-                one = one.select(
-                    *[f.name for f in schema.fields], "_change_type"
-                )
-                part = one if part is None else part.unionByName(one)
-        else:
-            changing_adds = [a for a in adds if a.get("dataChange")]
-            changing_removes = [
-                r for r in removes if r.get("dataChange", True)
-            ]
-            if not changing_adds and not changing_removes:
-                continue  # OPTIMIZE-style no-op commit
-            if changing_removes or any(
-                a.get("deletionVector") for a in changing_adds
-            ):
-                raise ValueError(
-                    f"commit {cv} rewrites/deletes rows without cdc "
-                    "actions — its row-level changes are not "
-                    "recoverable (enable CDF on the writer)"
-                )
-            part = None
-            groups2: dict[tuple, list[dict]] = {}
-            for a in changing_adds:
-                pv = a.get("partitionValues") or {}
-                groups2.setdefault(
-                    tuple(pv.get(p) for p in pcols), []
-                ).append(a)
-            data_schema = StructType([
-                _SF(f.name, f.dataType, True) for f in data_fields
-            ])
-            for key, acts in sorted(
-                groups2.items(), key=lambda kv: tuple(map(str, kv[0]))
-            ):
-                one = spark.read.schema(data_schema).parquet(*[
-                    os.path.join(path, unquote(a["path"]))
-                    for a in acts
-                ])
-                for pcol, raw in zip(pcols, key):
-                    pt = next(f.dataType for f in schema.fields
-                              if f.name == pcol)
-                    one = one.withColumn(
-                        pcol,
-                        (F.lit(None) if raw is None
-                         else F.lit(raw)).cast(pt),
-                    )
-                one = one.select(
-                    *[f.name for f in schema.fields]
-                ).withColumn("_change_type", F.lit("insert"))
-                part = one if part is None else part.unionByName(one)
-        if part is None:
+            g = groups.setdefault((sig, "cdc"),
+                                  {"meta": meta, "files": []})
+            g["files"].extend((cv, c) for c in cdc)
             continue
-        part = part.withColumn("_commit_version", F.lit(cv))
+        changing_adds = [a for a in adds if a.get("dataChange")]
+        changing_removes = [
+            r for r in removes if r.get("dataChange", True)
+        ]
+        if not changing_adds and not changing_removes:
+            continue  # OPTIMIZE-style no-op commit
+        if changing_removes or any(
+            a.get("deletionVector") for a in changing_adds
+        ):
+            raise ValueError(
+                f"commit {cv} rewrites/deletes rows without cdc "
+                "actions — its row-level changes are not "
+                "recoverable (enable CDF on the writer)"
+            )
+        g = groups.setdefault((sig, "insert"),
+                              {"meta": meta, "files": []})
+        g["files"].extend((cv, a) for a in changing_adds)
+
+    out = None
+    for (sig, kind), g in sorted(
+        groups.items(),
+        key=lambda kv: min(cv for cv, _a in kv[1]["files"]),
+    ):
+        gmeta = g["meta"]
+        schema = StructType.fromJson(json.loads(gmeta["schemaString"]))
+        cm, phys, field_ids = _column_mapping(gmeta)
+        if cm == "id":
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing",
+                "false",
+            )
+        pcols = gmeta.get("partitionColumns") or []
+        pcols_phys = [phys[c] for c in pcols]
+        ptypes = {f.name: f.dataType for f in schema.fields
+                  if f.name in pcols}
+        data_fields = [f for f in schema.fields
+                       if f.name not in pcols]
+        read_fields = [
+            _SF(
+                phys[f.name], f.dataType, True,
+                {"parquet.field.id": int(field_ids[f.name])}
+                if cm == "id" else {},
+            )
+            for f in data_fields
+        ]
+        if kind == "cdc":
+            read_fields.append(_SF("_change_type", StringType(),
+                                   True))
+        read_schema = StructType(read_fields)
+        map_fields = (
+            [_SF("__absf", StringType(), False),
+             _SF("__ver", LongType(), False)]
+            + [_SF(f"__pv{i}", StringType(), True)
+               for i in range(len(pcols))]
+        )
+        map_rows = []
+        for cv, act in g["files"]:
+            pv = act.get("partitionValues") or {}
+            map_rows.append(tuple(
+                [os.path.abspath(
+                    os.path.join(path, unquote(act["path"]))),
+                 cv]
+                + [pv.get(pc) for pc in pcols_phys]
+            ))
+        smap = spark.createDataFrame(map_rows,
+                                     StructType(map_fields))
+        scan = spark.read.schema(read_schema).parquet(*sorted(
+            {r[0] for r in map_rows}
+        ))
+        sel = [F.col(phys[f.name]).alias(f.name)
+               for f in data_fields]
+        sel.append(
+            F.col("_change_type") if kind == "cdc"
+            else F.lit("insert").alias("_change_type")
+        )
+        sel.append(F.url_decode(F.replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+            ),
+            F.lit("+"), F.lit("%2B"),
+        )).alias("__f"))
+        part = scan.select(*sel).join(
+            F.broadcast(smap), F.col("__f") == F.col("__absf"),
+            "inner",
+        )
+        for i, c in enumerate(pcols):
+            part = part.withColumn(
+                c, F.col(f"__pv{i}").cast(ptypes[c])
+            )
+        part = part.select(
+            *[f.name for f in schema.fields], "_change_type",
+            F.col("__ver").alias("_commit_version"),
+        )
         out = part if out is None else out.unionByName(part)
     if out is None:
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        from pyspark.sql.types import LongType, StringType
-        from pyspark.sql.types import StructField as _SF
-
         empty = StructType(
             list(schema.fields)
             + [_SF("_change_type", StringType(), True),

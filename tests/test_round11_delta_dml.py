@@ -209,19 +209,66 @@ def test_iceberg_update_where_single_snapshot(spark):
     assert rows[20] == 7.0
 
 
-def test_column_mapped_tables_still_refuse_dml(spark):
+def test_column_mapped_dml_round_trip(spark):
+    """Round 12: name-mode column-mapped tables take DV DELETE and
+    UPDATE — the scan resolves physical names, re-appended files
+    store physical names, and read_delta sees logical ones."""
     t = _tmp()
     os.makedirs(os.path.join(t, "_delta_log"))
+    # physical-named data file
+    spark.range(0, 20).selectExpr(
+        "id AS `col-x`", "CAST(id AS DOUBLE) AS `col-y`"
+    ).coalesce(1).write.parquet(os.path.join(t, "stage0"))
+    import glob
+    import shutil
+
+    f0 = glob.glob(os.path.join(t, "stage0", "*.parquet"))[0]
+    shutil.move(f0, os.path.join(t, "part-000.parquet"))
+    shutil.rmtree(os.path.join(t, "stage0"))
     schema = {"type": "struct", "fields": [
         {"name": "k", "type": "long", "nullable": True, "metadata": {
             "delta.columnMapping.id": 1,
-            "delta.columnMapping.physicalName": "col-x"}}]}
+            "delta.columnMapping.physicalName": "col-x"}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-y"}},
+    ]}
     with open(dl._log_path(t, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema),
             "partitionColumns": [],
             "configuration": {"delta.columnMapping.mode": "name"},
             "createdTime": 0}}) + "\n")
-    with pytest.raises(dl.DeltaProtocolError, match="column-mapped"):
-        dl.delta_delete_where(spark, t, "k = 1")
+        fh.write(json.dumps({"add": {
+            "path": "part-000.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(t, "part-000.parquet")),
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    # logical-name predicate drives a DV delete on physical files
+    v1, n1 = dl.delta_delete_where(spark, t, "k >= 15")
+    assert n1 == 5
+    rows = {r.k: r.v for r in dl.read_delta(spark, t).collect()}
+    assert len(rows) == 15 and 15 not in rows
+    # UPDATE re-appends transformed rows physical-named
+    v2, n2 = dl.delta_update_where(spark, t, "k < 3", {"v": "v + 0.5"})
+    assert n2 == 3
+    rows = {r.k: r.v for r in dl.read_delta(spark, t).collect()}
+    assert rows[0] == 0.5 and rows[2] == 2.5 and rows[5] == 5.0
+    assert len(rows) == 15
+    # the re-appended file stores PHYSICAL column names
+    adds, _m, _p, _v = dl._replay(t, None)
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote as _unq
+
+    new_files = [a for a in adds if not a.get("deletionVector")]
+    assert new_files
+    names = set()
+    for a in new_files:
+        names |= set(pq.read_schema(
+            os.path.join(t, _unq(a["path"]))
+        ).names)
+    assert names == {"col-x", "col-y"}

@@ -96,9 +96,15 @@ def test_dml_position_path_never_collects(spark, monkeypatch):
             "driver-side row materialization inside wire DML"
         )
 
-    monkeypatch.setattr(DataFrame, "collect", _boom)
-    monkeypatch.setattr(DataFrame, "toPandas", _boom)
-    monkeypatch.setattr(DataFrame, "toLocalIterator", _boom)
+    try:  # Spark 4: the classic impl overrides the facade's methods
+        from pyspark.sql.classic.dataframe import (
+            DataFrame as _ImplDF,
+        )
+    except ImportError:
+        _ImplDF = DataFrame
+    monkeypatch.setattr(_ImplDF, "collect", _boom)
+    monkeypatch.setattr(_ImplDF, "toPandas", _boom)
+    monkeypatch.setattr(_ImplDF, "toLocalIterator", _boom)
     sid, n = ice.iceberg_delete_where(spark, t, "k % 10 = 3")
     assert n == 100
     _sid2, n2 = ice.iceberg_update_where(
