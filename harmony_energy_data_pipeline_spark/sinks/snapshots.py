@@ -5239,56 +5239,9 @@ def snapshot_merge_into(
             # version forward, and the merge must publish against the
             # evolved parent. Idempotent across conflict redos (the
             # columns exist on the second pass).
-            from pyspark.sql.types import _parse_datatype_json_value
-
-            tcols = {f["name"] for f in m["schema"]["fields"]}
-            # shared columns must type-match (narrower source values
-            # upcast fine at read; anything else is a conflict, not
-            # an evolution — widening the TABLE is an explicit
-            # snapshot_widen_column decision)
-            ttypes = {
-                f["name"]: _parse_datatype_json_value(f["type"]).typeName()
-                for f in m["schema"]["fields"]
-            }
-            for fld in source.schema.fields:
-                have = ttypes.get(fld.name)
-                got = fld.dataType.typeName()
-                if have is not None and got != have and not _is_widening(
-                    got, have
-                ):
-                    raise SchemaEvolutionError(
-                        f"merge source column {fld.name!r} is {got}, "
-                        f"table has {have}; evolve_schema only adds "
-                        "columns — type changes go through "
-                        "snapshot_widen_column / an overwrite commit"
-                    )
-            new_fields = [
-                f for f in source.schema.fields if f.name not in tcols
-            ]
-            for fld in new_fields:
-                snapshot_add_column(
-                    path, fld.name, fld.dataType.simpleString(),
-                    protocol=protocol,
-                )
-            if new_fields:
-                v = latest_version(path)
-                m = _read_manifest(path, v)
-            missing = {
-                f["name"] for f in m["schema"]["fields"]
-            } - set(source.columns)
-            if missing:
-                from pyspark.sql.types import _parse_datatype_json_value
-
-                types = {f["name"]: f for f in m["schema"]["fields"]}
-                source = source.select(
-                    "*",
-                    *[
-                        F.lit(None).cast(
-                            _parse_datatype_json_value(types[c]["type"])
-                        ).alias(c)
-                        for c in sorted(missing)
-                    ],
-                )
+            v, m, source = _merge_evolve_schema(
+                path, m, v, source, protocol
+            )
         membs = {
             _rel_file(path, f): s for f, s in m.get("members", {}).items()
         }
@@ -5407,6 +5360,63 @@ def snapshot_merge_into(
     raise last_err
 
 
+def _merge_evolve_schema(path, m, v, source, protocol):
+    """The ``MERGE … WITH SCHEMA EVOLUTION`` prelude shared by
+    :func:`snapshot_merge_into` and :func:`snapshot_merge_when`:
+    source columns the table lacks are ADDED (shared columns must
+    type-match — widening the table stays an explicit
+    snapshot_widen_column decision), table columns the source lacks
+    NULL-fill onto the source. Returns the possibly-advanced
+    ``(v, m, source)`` — the add-column commits move the version
+    forward and the merge must publish against the evolved parent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    tcols = {f["name"] for f in m["schema"]["fields"]}
+    ttypes = {
+        f["name"]: _parse_datatype_json_value(f["type"]).typeName()
+        for f in m["schema"]["fields"]
+    }
+    for fld in source.schema.fields:
+        have = ttypes.get(fld.name)
+        got = fld.dataType.typeName()
+        if have is not None and got != have and not _is_widening(
+            got, have
+        ):
+            raise SchemaEvolutionError(
+                f"merge source column {fld.name!r} is {got}, "
+                f"table has {have}; evolve_schema only adds "
+                "columns — type changes go through "
+                "snapshot_widen_column / an overwrite commit"
+            )
+    new_fields = [
+        f for f in source.schema.fields if f.name not in tcols
+    ]
+    for fld in new_fields:
+        snapshot_add_column(
+            path, fld.name, fld.dataType.simpleString(),
+            protocol=protocol,
+        )
+    if new_fields:
+        v = latest_version(path)
+        m = _read_manifest(path, v)
+    missing = {
+        f["name"] for f in m["schema"]["fields"]
+    } - set(source.columns)
+    if missing:
+        types = {f["name"]: f for f in m["schema"]["fields"]}
+        source = source.select(
+            "*",
+            *[
+                F.lit(None).cast(
+                    _parse_datatype_json_value(types[c]["type"])
+                ).alias(c)
+                for c in sorted(missing)
+            ],
+        )
+    return v, m, source
+
+
 @normalizes_paths('path')
 def snapshot_merge_when(
     spark: SparkSession,
@@ -5420,6 +5430,7 @@ def snapshot_merge_when(
     max_redo: int = 3,
     record_cdf: bool = False,
     source_key: "str | None" = None,
+    evolve_schema: bool = False,
 ) -> int:
     """General MERGE with ordered WHEN clauses — the full Delta/SQL
     surface :func:`snapshot_merge_into` specializes (that one stays
@@ -5462,6 +5473,11 @@ def snapshot_merge_when(
     ``source_key``: the source-side join column when named
     differently (``ON t.key = s.source_key``); the star forms map the
     target key onto it, everything else matches by name.
+
+    ``evolve_schema``: the ``MERGE … WITH SCHEMA EVOLUTION`` flag —
+    source columns the table lacks are ADDED before clause
+    evaluation (NULL for pre-existing rows), absent ones NULL-fill,
+    so conditioned WHEN forms compose with a widening CDC source.
 
     ``record_cdf``: stage row-level CHANGE FILES — changed target
     rows' pre-images as ``_change_type='delete'`` (updates AND
@@ -5559,6 +5575,14 @@ def snapshot_merge_when(
         if "schema" not in m:
             raise ValueError(
                 "snapshot_merge_when needs a schema-tracked table"
+            )
+        if evolve_schema:
+            # rich WHEN clauses compose with evolution: new source
+            # columns ADD to the table first, so SET */INSERT * and
+            # explicit expressions can reference them (the CDC flow
+            # with a widening source schema)
+            v, m, source = _merge_evolve_schema(
+                path, m, v, source, protocol
             )
         schema = StructType.fromJson(m["schema"])
         tcols = [f.name for f in schema.fields]

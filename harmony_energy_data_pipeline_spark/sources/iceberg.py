@@ -2351,7 +2351,11 @@ def snapshot_import_iceberg(
     read path's own grouping) materializes the matching row
     positions into the same native positional-delete parquet — the
     value-matching semantics become exact positions at import time,
-    after which the native log needs no equality machinery. Raises
+    after which the native log needs no equality machinery. The
+    position pipeline is DISTRIBUTED end to end (round 12): delete
+    parquet reads, the root-layout guard, dedup, and the keyed
+    write all run in DataFrames; the driver streams only per-file
+    distinct keys for the dvs manifest. Raises
     if a native log already exists or files live outside the table
     dir."""
     from harmony_energy_data_pipeline_spark.sinks import snapshots as snap
@@ -2393,34 +2397,30 @@ def snapshot_import_iceberg(
         raise ValueError(f"Iceberg table at {iceberg_path} has no files")
     dvs_manifest: dict = {}
     root = os.path.abspath(iceberg_path)
-    pairs_by_rel: dict[str, set[int]] = {}
+    pos_parts = []  # DataFrames of (__abs, __p) — kept DISTRIBUTED
     if delete_recs:
-        # decode (file_path, pos) pairs into ONE native
-        # positional-delete parquet — the same shape
-        # snapshot_delete_where_dv writes, keyed by _dv_key — so every
-        # native read/rewrite/stats path folds them unchanged
-        import pyarrow.parquet as pq
-
-        for d in delete_recs:
-            fp = _resolve_file_path(iceberg_path, d["file_path"])
-            tbl = pq.read_table(fp, columns=["file_path", "pos"])
-            for p, pos in zip(tbl.column("file_path").to_pylist(),
-                              tbl.column("pos").to_pylist()):
-                res = _resolve_file_path(iceberg_path, p)
-                rel = os.path.relpath(res, root)
-                if rel.startswith(".."):
-                    raise ValueError(
-                        f"position delete references {res} outside the "
-                        "table directory; adoption needs self-contained "
-                        "layout"
-                    )
-                pairs_by_rel.setdefault(rel, set()).add(int(pos))
+        # decode (file_path, pos) pairs into native positional-delete
+        # parquet — read distributed (a foreign delete backlog can be
+        # O(table); never pulled into driver sets)
+        del_paths = sorted(
+            _resolve_file_path(iceberg_path, d["file_path"])
+            for d in delete_recs
+        )
+        pos_parts.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(*del_paths)
+            .select(
+                _norm_content_path(
+                    iceberg_path, F.col("file_path")
+                ).alias("__abs"),
+                F.col("pos").cast("long").alias("__p"),
+            )
+        )
     if eq_recs:
         # ONE distributed scan per delete boundary materializes the
         # value matches as exact positions — the adoption twin of the
-        # read path's sequence-scoped application. Driver memory is
-        # O(deleted rows), the same bound the position-delete decode
-        # above already accepts for a one-time import.
+        # read path's sequence-scoped application; matches stay in
+        # DataFrames end to end
         by_name = {f["id"]: f["name"] for f in schema["fields"]
                    if isinstance(f["type"], str)}
         eq_groups: dict[tuple, list[dict]] = {}
@@ -2449,7 +2449,6 @@ def snapshot_import_iceberg(
                 "*", scan_path.alias("__f"),
                 F.col("_metadata.row_index").alias("__p"),
             )
-            matched = None
             for ids, dels in sorted(eq_groups.items()):
                 applicable = [
                     d for d in dels if int(d.get("__seq") or 0) > rep_seq
@@ -2467,39 +2466,72 @@ def snapshot_import_iceberg(
                 for c in cols:
                     c2 = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                     cond = c2 if cond is None else cond & c2
-                hit = base.join(
-                    F.broadcast(dd), cond, "left_semi"
-                ).select("__f", "__p")
-                matched = (hit if matched is None
-                           else matched.unionByName(hit))
-            if matched is None:
-                continue
-            for r in matched.dropDuplicates(["__f", "__p"]).collect():
-                rel = os.path.relpath(r["__f"], root)
-                if rel.startswith(".."):
-                    raise ValueError(
-                        f"equality delete matched {r['__f']} outside "
-                        "the table directory; adoption needs "
-                        "self-contained layout"
-                    )
-                pairs_by_rel.setdefault(rel, set()).add(int(r["__p"]))
-    if pairs_by_rel:
-        import pyarrow as pa
+                pos_parts.append(
+                    base.join(F.broadcast(dd), cond, "left_semi")
+                    .select(F.col("__f").alias("__abs"), "__p")
+                )
+    if pos_parts:
         import pyarrow.parquet as pq
 
-        dv_rel = f"dvimport-{uuid.uuid4().hex[:12]}.parquet"
-        fcol, pcol = [], []
-        for rel in sorted(pairs_by_rel):
-            key = snap._dv_key(rel)
-            for pos in sorted(pairs_by_rel[rel]):
-                fcol.append(key)
-                pcol.append(pos)
-        pq.write_table(
-            pa.table({"file": pa.array(fcol, pa.string()),
-                      "pos": pa.array(pcol, pa.int64())}),
-            os.path.join(iceberg_path, dv_rel),
+        union_df = pos_parts[0]
+        for part in pos_parts[1:]:
+            union_df = union_df.unionByName(part)
+        rootp = root + os.sep
+        # executor-side layout guard + root-relative rel + the
+        # _dv_key canonical form ("data/" + tail past the last
+        # data/), all expression-side
+        guarded = union_df.select(
+            F.when(
+                ~F.col("__abs").startswith(F.lit(rootp)),
+                F.raise_error(F.concat(
+                    F.lit("position/equality delete references "),
+                    F.col("__abs"),
+                    F.lit(" outside the table directory; adoption "
+                          "needs self-contained layout"),
+                )),
+            ).otherwise(
+                F.expr(f"substring(__abs, {len(rootp) + 1})")
+            ).alias("__rel"),
+            F.col("__p"),
+        ).dropDuplicates(["__rel", "__p"])
+        keyed = guarded.select(
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("__rel"), "data/"), -1),
+            ).alias("file"),
+            F.col("__p").alias("pos"),
+        ).repartition(F.col("file")).sortWithinPartitions(
+            "file", "pos"
         )
-        dvs_manifest = {rel: [dv_rel] for rel in pairs_by_rel}
+        staging = os.path.join(
+            iceberg_path, f"_dvstage-{uuid.uuid4().hex[:12]}"
+        )
+        keyed.write.mode("error").parquet(staging)
+        # per-file finalize: rename + STREAM each file's distinct keys
+        # (driver memory is O(one batch), never O(positions))
+        key_to_rel = {snap._dv_key(rel): rel for rel in files}
+        staged = []
+        for sroot, _dirs, fnames in os.walk(staging):
+            staged.extend(
+                os.path.join(sroot, n_) for n_ in fnames
+                if n_.endswith(".parquet")
+            )
+        for src_fp in sorted(staged):
+            pf = pq.ParquetFile(src_fp)
+            if pf.metadata.num_rows == 0:
+                continue
+            dv_rel = f"dvimport-{uuid.uuid4().hex[:12]}.parquet"
+            keys: set = set()
+            for batch in pf.iter_batches(columns=["file"]):
+                keys.update(batch.column(0).unique().to_pylist())
+            pf.close()
+            os.rename(src_fp, os.path.join(iceberg_path, dv_rel))
+            for k in keys:
+                rel = key_to_rel.get(k, k)
+                dvs_manifest.setdefault(rel, []).append(dv_rel)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     payload = {
         "version": 0,
         "parent": None,

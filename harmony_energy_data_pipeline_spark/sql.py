@@ -1113,20 +1113,19 @@ def snapshot_sql(
                 spark, path, src_df, key=key, evolve_schema=evolve
             )
             return _dml_result(spark, "merge", name, v)
-        if evolve:
-            raise NotImplementedError(
-                "MERGE WITH SCHEMA EVOLUTION pairs with the canonical "
-                "upsert clause pair; evolve the schema first "
-                "(ALTER TABLE ... ADD COLUMN) for conditioned WHEN "
-                "forms"
-            )
         from harmony_energy_data_pipeline_spark.sinks.snapshots import (
             snapshot_merge_when,
         )
 
+        # WITH SCHEMA EVOLUTION + rich WHEN clauses: new source
+        # columns are about to be ADDED, so clause expressions may
+        # already reference them as target columns
+        tgt_cols = {f.name for f in schema.fields}
+        if evolve:
+            tgt_cols |= set(src_df.columns)
         m_cl, nm_cl, nmbs_cl = _parse_when_clauses(
             whens,
-            tgt_cols={f.name for f in schema.fields},
+            tgt_cols=tgt_cols,
             src_cols=set(src_df.columns),
             tgt_alias=tgt_alias or name,
             src_alias=src_alias or (None if is_select else source),
@@ -1135,6 +1134,7 @@ def snapshot_sql(
             spark, path, src_df, key=key, matched=m_cl,
             not_matched=nm_cl, not_matched_by_source=nmbs_cl,
             source_key=skey if skey != key else None,
+            evolve_schema=evolve,
         )
         return _dml_result(spark, "merge", name, v)
 

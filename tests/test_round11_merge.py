@@ -329,13 +329,17 @@ def test_sql_merge_with_schema_evolution(spark):
       SELECT COUNT(*) AS n, COUNT(extra) AS n_extra FROM mt5
     """, catalog=cat).collect()[0]
     assert (out.n, out.n_extra) == (11, 2)
-    # conditioned WHEN forms refuse the combo with guidance
-    with pytest.raises(NotImplementedError, match="SCHEMA EVOLUTION"):
-        snapshot_sql(spark, """
-          MERGE WITH SCHEMA EVOLUTION INTO mt5 USING mw_chg5
-            ON mt5.k = mw_chg5.k
-            WHEN MATCHED THEN DELETE
-        """, catalog=cat)
+    # round 12: conditioned WHEN forms COMPOSE with evolution
+    snapshot_sql(spark, """
+      MERGE WITH SCHEMA EVOLUTION INTO mt5 USING mw_chg5
+        ON mt5.k = mw_chg5.k
+        WHEN MATCHED AND mw_chg5.extra = 'n1' THEN DELETE
+    """, catalog=cat)
+    out2 = snapshot_sql(
+        spark, "SELECT COUNT(*) AS n, COUNT(extra) AS n_extra "
+        "FROM mt5", catalog=cat,
+    ).collect()[0]
+    assert (out2.n, out2.n_extra) == (10, 1)  # k=3 deleted
 
 
 def test_sql_merge_errors(spark):

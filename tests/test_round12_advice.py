@@ -174,3 +174,47 @@ def test_iceberg_timestamp_transforms_utc_under_shifted_session(spark):
         ) == part["ts_month"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+# --- 4: MERGE WITH SCHEMA EVOLUTION + rich WHEN clauses --------------------------------
+
+
+def test_merge_evolution_with_rich_when(spark, tmp_path):
+    """VERDICT r11 #9: WITH SCHEMA EVOLUTION composes with
+    conditioned WHEN forms — the widening-CDC-source shape."""
+    cat = Catalog(str(tmp_path / "cat"))
+    snapshot_sql(
+        spark, "CREATE TABLE t (k INT, v DOUBLE)", catalog=cat
+    )
+    snapshot_sql(
+        spark,
+        "INSERT INTO t VALUES (1, 1.0), (2, 2.0), (3, 3.0)",
+        catalog=cat,
+    )
+    # source carries a NEW column `tag` and a condition-gated update
+    snapshot_sql(
+        spark,
+        "CREATE TABLE s AS SELECT * FROM VALUES "
+        "(1, 10.0, 'hot'), (2, 20.0, 'cold'), (9, 90.0, 'new') "
+        "AS x(k, v, tag)",
+        catalog=cat,
+    )
+    snapshot_sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND s.tag = 'hot' THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        catalog=cat,
+    )
+    rows = sorted(
+        (r.k, r.v, r.tag)
+        for r in snapshot_sql(
+            spark, "SELECT * FROM t", catalog=cat
+        ).collect()
+    )
+    # k=1 updated (tag landed), k=2 kept (condition false, tag NULL
+    # on the pre-existing row), k=3 untouched, k=9 inserted with tag
+    assert rows == [
+        (1, 10.0, "hot"), (2, 2.0, None), (3, 3.0, None),
+        (9, 90.0, "new"),
+    ]
