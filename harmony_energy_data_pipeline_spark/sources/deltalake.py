@@ -1486,11 +1486,12 @@ def _delta_mor_mutate(
                 rels.append(rel_)
                 descs.append(_json.dumps(d))
                 news.append(len(new_pos))
-            yield pd.DataFrame({
-                "__rel": pd.array(rels, dtype="str"),
-                "__desc": pd.array(descs, dtype="str"),
-                "__n": pd.array(news, dtype="int64"),
-            })
+            if rels:  # an empty batch yields nothing (typed-empty
+                # pandas frames round-trip poorly through Arrow)
+                yield pd.DataFrame({
+                    "__rel": rels, "__desc": descs,
+                    "__n": pd.array(news, dtype="int64"),
+                })
 
     dv_rows = (
         staged.groupBy("__rel")

@@ -771,6 +771,131 @@ def _bounds_of(df_rec: dict, field_types: dict) -> dict:
     return out
 
 
+def _prune_data_files(meta: dict, schema: dict, files: list,
+                      where: "list[tuple] | None") -> list:
+    """PLANNING-TIME file skipping shared by :func:`read_iceberg`
+    and the row-level DML scans: inclusive interval triples prune on
+    decoded lower/upper bounds, identity partition tuples (per
+    spec-id — an evolved table's files prune against THEIR OWN
+    spec), and Appendix-B transforms (monotone ones map predicate
+    bounds into partition-value space; bucket[N] prunes equality
+    only). Conservative everywhere information is missing —
+    correctness never depends on this, callers re-apply the
+    predicate row-level."""
+    if not where:
+        return list(files)
+    field_types = {
+        f["id"]: (f["name"], f["type"])
+        for f in schema["fields"] if isinstance(f["type"], str)
+    }
+    by_id = {f["id"]: f["type"] for f in schema["fields"]
+             if isinstance(f["type"], str)}
+    by_id_name = {f["id"]: f["name"] for f in schema["fields"]
+                  if isinstance(f["type"], str)}
+    spec_ident_types: dict = {}
+    spec_tr_fields: dict = {}
+    for sp in meta.get("partition-specs", []):
+        m_ident: dict = {}
+        m_tr: dict = {}
+        for f in sp.get("fields", []):
+            sid = f.get("source-id")
+            if sid not in by_id:
+                continue
+            tr = f.get("transform")
+            if tr == "identity":
+                m_ident[f["name"]] = by_id[sid]
+            else:
+                m_tr.setdefault(by_id_name[sid], []).append(
+                    (f["name"], tr, by_id[sid])
+                )
+        spec_ident_types[sp.get("spec-id", 0)] = m_ident
+        spec_tr_fields[sp.get("spec-id", 0)] = m_tr
+
+    def _part_pred_value(v, itype: str):
+        import datetime as _dt
+
+        if itype == "date" and isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        if itype in ("int", "long") and isinstance(v, int):
+            return v
+        if itype == "double" and isinstance(v, (int, float)):
+            return float(v)
+        if itype == "string" and isinstance(v, str):
+            return v
+        return None
+
+    kept = []
+    for df_rec in files:
+        bounds = _bounds_of(df_rec, field_types)
+        pv = df_rec.get("partition") or {}
+        ident_types = spec_ident_types.get(
+            df_rec.get("__spec_id", 0), {}
+        )
+        tr_fields = spec_tr_fields.get(
+            df_rec.get("__spec_id", 0), {}
+        )
+        ok = True
+        for c, lo, hi in where:
+            for pv_name, tr, src_type in tr_fields.get(c, ()):
+                tv = pv.get(pv_name)
+                if tv is None:
+                    continue
+                if tr.startswith("bucket["):
+                    if lo is not None and lo == hi:
+                        b = iceberg_bucket(
+                            lo, int(tr[7:-1]), src_type
+                        )
+                        if b is not None and tv != b:
+                            ok = False
+                            break
+                    continue
+                tlo = iceberg_transform_value(tr, lo, src_type)
+                thi = iceberg_transform_value(tr, hi, src_type)
+                try:
+                    if tlo is not None and tv < tlo:
+                        ok = False
+                        break
+                    if thi is not None and tv > thi:
+                        ok = False
+                        break
+                except TypeError:
+                    continue
+            if not ok:
+                break
+            if c in ident_types and pv.get(c) is not None:
+                val = pv[c]
+                clo = (_part_pred_value(lo, ident_types[c])
+                       if lo is not None else None)
+                chi = (_part_pred_value(hi, ident_types[c])
+                       if hi is not None else None)
+                try:
+                    if clo is not None and val < clo:
+                        ok = False
+                        break
+                    if chi is not None and val > chi:
+                        ok = False
+                        break
+                except TypeError:
+                    pass  # incomparable: fall through to bounds
+            b = bounds.get(c)
+            if b is None:
+                continue
+            try:
+                if hi is not None and type(b[0]) is type(hi) \
+                        and b[0] > hi:
+                    ok = False
+                    break
+                if lo is not None and type(b[1]) is type(lo) \
+                        and b[1] < lo:
+                    ok = False
+                    break
+            except TypeError:
+                continue
+        if ok:
+            kept.append(df_rec)
+    return kept
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
     where: list[tuple] | None = None,
@@ -809,52 +934,6 @@ def read_iceberg(
         for f in schema["fields"] if isinstance(f["type"], str)
     }
     files, deletes = live_files(path, meta, snapshot_id)
-    # identity-transform partition fields, resolved PER SPEC-ID: a
-    # table whose spec evolved has files under several historical
-    # specs (each manifest records which); each file's partition
-    # tuple prunes against ITS OWN spec's fields. Values prune
-    # EXACTLY (dates ride as epoch days per the Avro encoding).
-    by_id = {f["id"]: f["type"] for f in schema["fields"]
-             if isinstance(f["type"], str)}
-    by_id_name = {f["id"]: f["name"] for f in schema["fields"]
-                  if isinstance(f["type"], str)}
-    spec_ident_types: dict[int, dict[str, str]] = {}
-    # non-identity transforms prune too (Appendix B): monotone ones
-    # (year/month/day/hour, truncate[W]) map predicate BOUNDS into
-    # the partition-value space; bucket[N] prunes equality
-    # predicates only (not monotone). src-col -> [(pv_name,
-    # transform, src_type)] per spec.
-    spec_tr_fields: dict[int, dict[str, list]] = {}
-    for sp in meta.get("partition-specs", []):
-        m_ident: dict[str, str] = {}
-        m_tr: dict[str, list] = {}
-        for f in sp.get("fields", []):
-            sid = f.get("source-id")
-            if sid not in by_id:
-                continue
-            tr = f.get("transform")
-            if tr == "identity":
-                m_ident[f["name"]] = by_id[sid]
-            else:
-                m_tr.setdefault(by_id_name[sid], []).append(
-                    (f["name"], tr, by_id[sid])
-                )
-        spec_ident_types[sp.get("spec-id", 0)] = m_ident
-        spec_tr_fields[sp.get("spec-id", 0)] = m_tr
-
-    def _part_pred_value(v, itype: str):
-        import datetime as _dt
-
-        if itype == "date" and isinstance(v, _dt.date):
-            return (v - _dt.date(1970, 1, 1)).days
-        if itype in ("int", "long") and isinstance(v, int):
-            return v
-        if itype == "double" and isinstance(v, (int, float)):
-            return float(v)
-        if itype == "string" and isinstance(v, str):
-            return v
-        return None
-
     residual = None
     if where:
         residual = F.lit(True)
@@ -863,75 +942,7 @@ def read_iceberg(
                 residual = residual & (F.col(c) >= F.lit(lo))
             if hi is not None:
                 residual = residual & (F.col(c) <= F.lit(hi))
-        kept = []
-        for df_rec in files:
-            bounds = _bounds_of(df_rec, field_types)
-            pv = df_rec.get("partition") or {}
-            ident_types = spec_ident_types.get(
-                df_rec.get("__spec_id", 0), {}
-            )
-            tr_fields = spec_tr_fields.get(
-                df_rec.get("__spec_id", 0), {}
-            )
-            ok = True
-            for c, lo, hi in where:
-                for pv_name, tr, src_type in tr_fields.get(c, ()):
-                    tv = pv.get(pv_name)
-                    if tv is None:
-                        continue
-                    if tr.startswith("bucket["):
-                        if lo is not None and lo == hi:
-                            b = iceberg_bucket(
-                                lo, int(tr[7:-1]), src_type
-                            )
-                            if b is not None and tv != b:
-                                ok = False
-                                break
-                        continue
-                    tlo = iceberg_transform_value(tr, lo, src_type)
-                    thi = iceberg_transform_value(tr, hi, src_type)
-                    try:
-                        if tlo is not None and tv < tlo:
-                            ok = False
-                            break
-                        if thi is not None and tv > thi:
-                            ok = False
-                            break
-                    except TypeError:
-                        continue
-                if not ok:
-                    break
-                if c in ident_types and pv.get(c) is not None:
-                    val = pv[c]
-                    clo = (_part_pred_value(lo, ident_types[c])
-                           if lo is not None else None)
-                    chi = (_part_pred_value(hi, ident_types[c])
-                           if hi is not None else None)
-                    try:
-                        if clo is not None and val < clo:
-                            ok = False
-                            break
-                        if chi is not None and val > chi:
-                            ok = False
-                            break
-                    except TypeError:
-                        pass  # incomparable: fall through to bounds
-                b = bounds.get(c)
-                if b is None:
-                    continue
-                try:
-                    if hi is not None and type(b[0]) is type(hi) \
-                            and b[0] > hi:
-                        ok = False
-                        break
-                    if lo is not None and type(b[1]) is type(lo) \
-                            and b[1] < lo:
-                        ok = False
-                        break
-                except TypeError:
-                    continue
-            if ok:
-                kept.append(df_rec)
+        kept = _prune_data_files(meta, schema, files, where)
         if not kept and files:
             kept, residual = files[:1], F.lit(False)
         files = kept
@@ -2052,6 +2063,19 @@ def iceberg_delete_where(
         )
     if not data:
         return (meta.get("current-snapshot-id"), 0)
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+    )
+
+    # planning-time file pruning: a conjunctive predicate skips
+    # files on bounds + partition tuples (all transforms) exactly
+    # like read_iceberg — `DELETE WHERE day < X` on a 100 TB table
+    # scans candidates, not the table
+    triples = parse_conjunctive_where(pred)
+    if triples:
+        data = _prune_data_files(meta, schema, data, triples)
+        if not data:
+            return (meta.get("current-snapshot-id"), 0)
     base = _provenance_scan(spark, path, data, spark_schema, deletes)
     pos_df = _spelled_positions(
         spark, path, data, base.filter(F.expr(pred))
@@ -2100,6 +2124,16 @@ def iceberg_update_where(
         )
     if not data:
         return (meta.get("current-snapshot-id"), 0)
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+    )
+
+    # planning-time file pruning, as in iceberg_delete_where
+    triples = parse_conjunctive_where(pred)
+    if triples:
+        data = _prune_data_files(meta, schema, data, triples)
+        if not data:
+            return (meta.get("current-snapshot-id"), 0)
     base = _provenance_scan(spark, path, data, spark_schema, deletes)
     # SINGLE EVALUATION: materialize the matched rows once
     hitstage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")

@@ -194,3 +194,53 @@ def test_metadata_log_chain(spark):
         with open(fp, encoding="utf-8") as fh:
             old = json.load(fh)
         assert old["last-updated-ms"] == e["timestamp-ms"]
+
+
+def test_dml_scan_prunes_files(spark, monkeypatch):
+    """Conjunctive DML predicates skip non-matching files at PLANNING
+    time (partition tuples + bounds) — `DELETE WHERE p = x` on a
+    partitioned table scans one partition's files, not the table."""
+    t = _tmp("prune_")
+    ice.write_iceberg(
+        spark.range(0, 90).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS p",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        t, partition_by=["p"], stats_cols=["k"],
+    )
+    total = len(ice.live_files(t)[0])
+    assert total >= 3
+    seen = {}
+    orig = ice._provenance_scan
+
+    def _spy(spark_, path_, data_, schema_, deletes_):
+        seen["n"] = len(data_)
+        return orig(spark_, path_, data_, schema_, deletes_)
+
+    monkeypatch.setattr(ice, "_provenance_scan", _spy)
+    _sid, n = ice.iceberg_delete_where(spark, t, "p = '1'")
+    assert n == 30
+    assert seen["n"] < total  # only partition p=1's files scanned
+    # update prunes on bounds too (k stats)
+    # 80..89 minus the 3 already-deleted p='1' rows (82, 85, 88)
+    _sid2, n2 = ice.iceberg_update_where(
+        spark, t, "k >= 80", {"v": "0.0"}
+    )
+    assert n2 == 7
+    rows = {r.k: r.v for r in ice.read_iceberg(spark, t).collect()}
+    assert len(rows) == 60 and rows[84] == 0.0 and 85 not in rows
+    # UPDATE prunes on zone-map BOUNDS too: two appends with
+    # disjoint k ranges → the k >= 60 update scans one file
+    t2 = _tmp("pruneb_")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1)
+    ice.write_iceberg(mk(0, 45), t2, stats_cols=["k"])
+    ice.write_iceberg(mk(45, 90), t2, mode="append",
+                      stats_cols=["k"])
+    assert len(ice.live_files(t2)[0]) == 2
+    seen.clear()
+    _sid3, n3 = ice.iceberg_update_where(
+        spark, t2, "k >= 60", {"v": "-1.0"}
+    )
+    assert n3 == 30 and seen["n"] == 1
