@@ -8728,6 +8728,68 @@ def q_sql_merge_rich_evolve_digest(
     """, catalog=cat)
 
 
+@_q("iceberg_changes_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 3 = 0
+),
+gen2 AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 3 = 1
+),
+live AS (SELECT * FROM base UNION ALL SELECT * FROM gen2),
+del AS (SELECT k, v, 'delete' AS ct FROM live WHERE k % 5 = 0),
+upd AS (
+  SELECT k, v FROM live WHERE k % 7 = 0 AND NOT (k % 5 = 0)
+),
+feed AS (
+  SELECT k, v, 'insert' AS ct FROM gen2
+  UNION ALL SELECT * FROM del
+  UNION ALL SELECT k, v, 'delete' AS ct FROM upd
+  UNION ALL SELECT k, v + 7, 'insert' AS ct FROM upd
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(DISTINCT ct) AS n_kinds
+FROM feed
+""")
+def q_iceberg_changes_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg wire-format CHANGELOG SCAN (round 12 — the
+    ``read_delta_changes`` twin): incremental changes after a base
+    snapshot read row-level — an append as inserts, a
+    position-delete snapshot as materialized delete rows, the
+    single-snapshot UPDATE as delete+insert
+    (`sources/iceberg.py: read_iceberg_changes`; one data scan for
+    the range's inserts + one for its delete-referenced files,
+    snapshot ids from broadcast maps — plan arms bounded by change
+    kinds, not snapshots). Oracle recomputes every generation as
+    SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    t = tempfile.mkdtemp(prefix="ice_chg_") + "/t"
+    ice.write_iceberg(ev.filter(F.col("k") % 3 == 0), t,
+                      stats_cols=["k"])
+    base = ice.table_metadata(t)["current-snapshot-id"]
+    ice.write_iceberg(ev.filter(F.col("k") % 3 == 1), t,
+                      mode="append", stats_cols=["k"])
+    ice.iceberg_delete_where(spark, t, "k % 5 = 0")
+    ice.iceberg_update_where(spark, t, "k % 7 = 0",
+                             {"v": "v + 7"})
+    feed = ice.read_iceberg_changes(spark, t, base)
+    return feed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("v")).cast("long").alias("sum_vc"),
+        F.expr("bit_xor(k)").alias("id_xor"),
+        F.countDistinct("_change_type").alias("n_kinds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

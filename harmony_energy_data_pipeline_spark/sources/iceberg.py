@@ -1651,6 +1651,7 @@ def write_iceberg(
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     evolve_spec: bool = False,
+    operation: "str | None" = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table directory any Iceberg
     reader can open. ``append`` adds a fast-append snapshot (the new
@@ -1893,8 +1894,8 @@ def write_iceberg(
     snapshot = {
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq,
-        "summary": {"operation":
-                    "append" if mode == "append" else "overwrite"},
+        "summary": {"operation": operation or (
+            "append" if mode == "append" else "overwrite")},
         "manifest-list": ml_rel, "schema-id": cur_schema_id,
     }
     meta = {
@@ -2267,6 +2268,233 @@ def iceberg_update_where(
     return (snap_id, n)
 
 
+def read_iceberg_changes(
+    spark: SparkSession, path: str,
+    from_snapshot_id: "int | None" = None,
+    to_snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """ROW-LEVEL incremental changes from the ICEBERG WIRE FORMAT —
+    the changelog-scan shape (the Delta twin is
+    :func:`deltalake.read_delta_changes`): every change committed
+    strictly AFTER ``from_snapshot_id`` (None = from table creation)
+    up to and including ``to_snapshot_id`` (None = current), with
+    ``_change_type`` (``insert``/``delete``) and ``_snapshot_id``
+    columns. An UPDATE snapshot (position-delete + data manifests in
+    one commit) expresses as delete + insert rows, exactly like
+    Iceberg's own changelog.
+
+    Per snapshot: ``append`` → added data files read as inserts;
+    ``delete`` → added position-delete files materialize the deleted
+    rows (joined back against their data files); ``overwrite`` that
+    RETAINS prior manifests (the MOR update shape) → both; a FULL
+    overwrite (prior manifests dropped) → every previously-live row
+    as delete + the new set as insert; ``replace`` (compaction) →
+    skipped, logical content unchanged. EQUALITY deletes in range
+    refuse (their sequence-scoped value matching has no exact row
+    set without replaying — compact first).
+
+    Scale shape: ONE data scan for all inserted files in range and
+    ONE for all delete-referenced files, each joined to a broadcast
+    O(#files) path→snapshot map — plan arms bounded by change KINDS,
+    not by snapshots. Schema: the ``to`` snapshot's (older files
+    null-fill newer columns)."""
+    meta = table_metadata(path)
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: (s.get("sequence-number", 0),
+                                  s["timestamp-ms"]))
+    ids = [s["snapshot-id"] for s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not in table")
+    hi = ids.index(to_snapshot_id)
+    lo = -1
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not in table (expired?)"
+            )
+        lo = ids.index(from_snapshot_id)
+    schema = _current_schema(meta)
+    sid_sch = snaps[hi].get("schema-id")
+    if sid_sch is not None:
+        schema = next(
+            (s for s in meta.get("schemas", [])
+             if s.get("schema-id") == sid_sch),
+            schema,
+        )
+    spark_schema = _schema_to_spark(schema)
+    cols = [f["name"] for f in schema["fields"]]
+
+    def _added(sid):
+        """(data_entries, delete_entries) ADDED by snapshot sid, and
+        the set of manifest paths in its list."""
+        snap = next(s for s in snaps if s["snapshot-id"] == sid)
+        mlist, _ = read_avro(
+            _resolve_file_path(path, snap["manifest-list"])
+        )
+        data_e, del_e = [], []
+        for man in mlist:
+            if man.get("added_snapshot_id") != sid:
+                continue
+            entries, _m = read_avro(
+                _resolve_file_path(path, man["manifest_path"])
+            )
+            for e in entries:
+                if e.get("status") != 1:
+                    continue
+                rec = e.get("data_file") or {}
+                if (rec.get("content") or 0) == 0:
+                    data_e.append(rec)
+                elif (rec.get("content") or 0) == 1:
+                    del_e.append(rec)
+                else:
+                    raise IcebergProtocolError(
+                        "changelog over EQUALITY deletes is not "
+                        "expressible without a replay — compact "
+                        "first (iceberg_compact)"
+                    )
+        return data_e, del_e, {m["manifest_path"] for m in mlist}
+
+    ins_map = []   # (abs data file, snapshot id)
+    del_files = []  # (abs delete parquet, snapshot id)
+    full_ow = []    # (snapshot id, [prev live data recs])
+    prev_manifests: "set | None" = None
+    prev_live: "list | None" = None
+    if lo >= 0:
+        prev_snap = snaps[lo]
+        pml, _ = read_avro(
+            _resolve_file_path(path, prev_snap["manifest-list"])
+        )
+        prev_manifests = {m["manifest_path"] for m in pml}
+        prev_live = None  # resolved lazily only for a full overwrite
+    for i in range(lo + 1, hi + 1):
+        s = snaps[i]
+        sid = s["snapshot-id"]
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            # compaction: logical content unchanged — contribute no
+            # rows, but its manifest set is the next snapshot's
+            # "prior" for full-overwrite detection
+            mlist_r, _ = read_avro(
+                _resolve_file_path(path, s["manifest-list"])
+            )
+            prev_manifests = {m["manifest_path"] for m in mlist_r}
+            continue
+        data_e, del_e, mset = _added(sid)
+        dropped_prior = (
+            op == "overwrite"
+            and prev_manifests is not None
+            and not (prev_manifests & mset)
+            and not del_e
+        )
+        if dropped_prior:
+            # FULL overwrite: previous live rows all deleted
+            live_prev, dels_prev = live_files(
+                path, meta, snapshot_id=ids[i - 1]
+            )
+            if any((d.get("content") or 0) == 2 for d in dels_prev):
+                raise IcebergProtocolError(
+                    "changelog over EQUALITY deletes is not "
+                    "expressible without a replay — compact first"
+                )
+            full_ow.append((sid, live_prev, [
+                d for d in dels_prev
+                if (d.get("content") or 0) == 1
+            ]))
+        for rec in data_e:
+            ins_map.append((os.path.abspath(
+                _resolve_file_path(path, rec["file_path"])), sid))
+        for rec in del_e:
+            del_files.append((os.path.abspath(
+                _resolve_file_path(path, rec["file_path"])), sid))
+        prev_manifests = mset
+
+    from pyspark.sql.types import LongType, StringType
+    from pyspark.sql.types import StructField as _SF
+
+    out_schema = T.StructType(
+        list(spark_schema.fields)
+        + [_SF("_change_type", StringType(), True),
+           _SF("_snapshot_id", LongType(), True)]
+    )
+    parts = []
+    scan_path = F.url_decode(F.replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+        ),
+        F.lit("+"), F.lit("%2B"),
+    ))
+    if ins_map:
+        smap = spark.createDataFrame(
+            ins_map, "__absf string, __sid long"
+        )
+        scan = spark.read.schema(spark_schema).parquet(*sorted(
+            {p_ for p_, _s in ins_map}
+        )).select("*", scan_path.alias("__f"))
+        parts.append(
+            scan.join(F.broadcast(smap),
+                      F.col("__f") == F.col("__absf"), "inner")
+            .select(*cols, F.lit("insert").alias("_change_type"),
+                    F.col("__sid").alias("_snapshot_id"))
+        )
+    if del_files:
+        # ONE union of the range's delete parquet, tagged by
+        # snapshot, joined back against ONE scan of the referenced
+        # data files to materialize the deleted rows
+        dmap = spark.createDataFrame(
+            del_files, "__dpath string, __sid long"
+        )
+        dv = spark.read.schema(
+            "file_path string, pos long"
+        ).parquet(*sorted({p_ for p_, _s in del_files})).select(
+            _norm_content_path(path, F.col("file_path")).alias("__tf"),
+            F.col("pos").alias("__tp"),
+            scan_path.alias("__src"),
+        ).join(
+            F.broadcast(dmap),
+            F.col("__src") == F.col("__dpath"), "inner",
+        ).select("__tf", "__tp", "__sid")
+        targets = sorted({
+            r["__tf"]
+            for r in dv.select("__tf").distinct().collect()
+        })  # O(#files) paths, driver-bounded
+        tscan = spark.read.schema(spark_schema).parquet(
+            *targets
+        ).select(
+            "*", scan_path.alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        parts.append(
+            tscan.join(
+                dv,
+                (F.col("__f") == F.col("__tf"))
+                & (F.col("__p") == F.col("__tp")),
+                "inner",
+            ).select(*cols, F.lit("delete").alias("_change_type"),
+                     F.col("__sid").alias("_snapshot_id"))
+        )
+    for sid, live_prev, pos_prev in full_ow:
+        scan = spark.read.schema(spark_schema).parquet(*sorted(
+            _resolve_file_path(path, rec["file_path"])
+            for rec in live_prev
+        ))
+        if pos_prev:
+            scan = _subtract_position_deletes(
+                spark, path, scan, pos_prev
+            )
+        parts.append(scan.select(
+            *cols, F.lit("delete").alias("_change_type"),
+            F.lit(sid).alias("_snapshot_id"),
+        ))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def iceberg_expire_snapshots(
     path: str, keep_last: int = 1, dry_run: bool = False,
 ) -> list[str]:
@@ -2357,10 +2585,12 @@ def iceberg_compact(
     travel. Returns the new snapshot id."""
     meta = table_metadata(path)
     df = read_iceberg(spark, path)
+    # operation "replace" (the spec's rewrite_data_files stamp):
+    # logical content unchanged, so changelog readers skip it
     return write_iceberg(
         df, path, mode="overwrite",
         partition_by=_spec_to_partition_by(meta),
-        stats_cols=stats_cols,
+        stats_cols=stats_cols, operation="replace",
     )
 
 
