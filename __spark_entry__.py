@@ -8790,6 +8790,54 @@ def q_iceberg_changes_digest(
     )
 
 
+@_q("sql_table_changes_digest", """
+WITH gen2 AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1
+),
+gen3 AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 2
+),
+feed AS (
+  SELECT k, v, 'insert' AS ct FROM gen2
+  UNION ALL SELECT k, v, 'insert' AS ct FROM gen3
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM feed
+""")
+def q_sql_table_changes_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``TABLE_CHANGES(name, from[, to])`` in the SQL facade (round
+    12): the Delta table-function shape, resolved per registered
+    format to the row-level change feed (`sql.py: _rewrite_select` →
+    native feed / read_delta_changes / read_iceberg_changes). Two
+    INSERT commits after the base read back as inserts. Oracle
+    recomputes the two generations as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqltc_"))
+    ev = load_table(spark, "events", sf_dir)
+    for m, vn in ((0, "sqltc_g1"), (1, "sqltc_g2"), (2, "sqltc_g3")):
+        ev.filter(F.col("event_id") % 4 == m).select(
+            F.col("event_id").alias("k"), F.col("value").alias("v")
+        ).createOrReplaceTempView(vn)
+    return snapshot_sql_script(spark, """
+      CREATE TABLE ct AS SELECT k, v FROM sqltc_g1;
+      INSERT INTO ct SELECT k, v FROM sqltc_g2;
+      INSERT INTO ct SELECT k, v FROM sqltc_g3;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM TABLE_CHANGES(ct, 0)
+    """, catalog=cat)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

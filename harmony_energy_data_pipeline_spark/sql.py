@@ -211,13 +211,84 @@ def _reads_delta(entry: dict) -> bool:
     return _table_format(entry) == "delta"
 
 
+_TABLE_CHANGES_RE = re.compile(
+    r"\bTABLE_CHANGES\s*\(\s*'?(?P<tcn>[A-Za-z_]\w*)'?\s*,\s*"
+    r"(?P<tca>\d+|'[^']+')\s*(?:,\s*(?P<tcb>\d+|'[^']+'))?\s*\)",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_select(
     spark: SparkSession, query: str, resolved: dict[str, dict]
 ) -> str:
     """Rewrite ``query`` replacing each registered name (and optional
     travel clause) with a frozen temp view; returns the rewritten
-    SQL."""
+    SQL. ``TABLE_CHANGES(name, from[, to])`` — the Delta
+    ``table_changes`` table function — resolves per format to the
+    row-level change feed (native feed / ``read_delta_changes`` /
+    ``read_iceberg_changes``); args are versions (snapshot ids for
+    Iceberg) or quoted UTC timestamps."""
     rewritten = query
+
+    def _tc_sub(mt: re.Match) -> str:
+        name = mt.group("tcn")
+        entry = resolved.get(name)
+        if entry is None:
+            raise KeyError(
+                f"TABLE_CHANGES({name!r}): name is not a registered "
+                "table"
+            )
+        _path = entry["path"]
+        fmt = _table_format(entry)
+
+        def _arg(raw: "str | None"):
+            if raw is None:
+                return None
+            if raw.startswith("'"):
+                ts = _ts_to_unix(raw[1:-1])
+                if fmt == "delta":
+                    from harmony_energy_data_pipeline_spark.sources import (  # noqa: E501
+                        deltalake as dl,
+                    )
+
+                    return dl.delta_version_at_timestamp(_path, ts)
+                if fmt == "iceberg":
+                    from harmony_energy_data_pipeline_spark.sources import (  # noqa: E501
+                        iceberg as ice,
+                    )
+
+                    return ice.iceberg_snapshot_at_timestamp(_path, ts)
+                return version_at_timestamp(_path, ts)
+            return int(raw)
+
+        frm = _arg(mt.group("tca"))
+        to = _arg(mt.group("tcb"))
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            df = dl.read_delta_changes(spark, _path, frm, to)
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            df = ice.read_iceberg_changes(spark, _path, frm, to)
+        else:
+            from harmony_energy_data_pipeline_spark.sinks.snapshots import (  # noqa: E501
+                read_snapshot_changes_feed,
+            )
+
+            if to is None:
+                to = latest_version(_path)
+            df = read_snapshot_changes_feed(spark, _path, frm, to)
+        view = f"{name}__changes_{uuid.uuid4().hex[:6]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    rewritten = _sub_outside_literals(_TABLE_CHANGES_RE, _tc_sub,
+                                      rewritten)
     registered: dict[tuple, str] = {}
     for name, entry in resolved.items():
         pat = _travel_pattern(name)
