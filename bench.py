@@ -59,6 +59,11 @@ HEADLINE = [
     # round-4 additions (appended; prior positions unchanged)
     "auto_skew_join_events",
     "snapshot_compact_digest",
+    # round-12 additions (appended; prior positions unchanged) — the
+    # wire-format DML family at sf0.1
+    "sql_iceberg_dml_part_digest",
+    "delta_cdf_writer_digest",
+    "iceberg_changes_digest",
 ]
 
 

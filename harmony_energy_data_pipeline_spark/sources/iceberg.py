@@ -1237,7 +1237,9 @@ def _commit_metadata(path: str, meta: dict,
             "timestamp-ms": prev_meta.get("last-updated-ms"),
             "metadata-file": f"metadata/{names[-1]}",
         })
-    meta["metadata-log"] = mlog
+    # the spec's write.metadata.previous-versions-max (default 100):
+    # the log tracks the most recent previous files, not all history
+    meta["metadata-log"] = mlog[-100:]
     final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
