@@ -59,11 +59,11 @@ HEADLINE = [
     # round-4 additions (appended; prior positions unchanged)
     "auto_skew_join_events",
     "snapshot_compact_digest",
-    # round-12 additions (appended; prior positions unchanged) — the
-    # wire-format DML family at sf0.1
-    "sql_iceberg_dml_part_digest",
-    "delta_cdf_writer_digest",
-    "iceberg_changes_digest",
+    # round 12 adds NO headline queries: the new wire-DML digests are
+    # multi-commit write-path soaks (3-6 s of commit latency at
+    # sf0.01) that would swamp the cross-round total series; they get
+    # their perf history from the full-registry record
+    # (BENCH_FULL_SF01.json, $SPARK_GRAFT_BENCH_FULL=1) instead.
 ]
 
 
