@@ -244,3 +244,78 @@ def test_cdf_over_column_mapped_table(spark):
         os.path.join(t, "_change_data", cdc_files[0])
     ).names)
     assert {"col-x", "col-y", "_change_type"} <= names
+
+
+def test_mapped_partitioned_dml_cdf(spark):
+    """The hardest combination: name-mode column mapping AND a
+    partitioned layout AND the CDF property — logical predicates
+    drive DV DELETE / UPDATE over physical-named files, partition
+    values stay physical-keyed on the wire, and the auto-recorded
+    feed replays with real logical partition columns."""
+    import glob
+    import shutil
+
+    t = _tmp("cmpart_")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    for pval, lo, hi in (("a", 0, 10), ("b", 10, 20)):
+        stage = os.path.join(t, f"st_{pval}")
+        spark.range(lo, hi).selectExpr(
+            "id AS `col-x`", "CAST(id AS DOUBLE) AS `col-y`"
+        ).coalesce(1).write.parquet(stage)
+        f0 = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        shutil.move(f0, os.path.join(t, f"part-{pval}.parquet"))
+        shutil.rmtree(stage)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-y"}},
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-p"}},
+    ]}
+    with open(dl._log_path(t, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.enableChangeDataFeed": "true",
+            },
+            "createdTime": 0}}) + "\n")
+        for pval in ("a", "b"):
+            fh.write(json.dumps({"add": {
+                "path": f"part-{pval}.parquet",
+                "partitionValues": {"col-p": pval},
+                "size": os.path.getsize(
+                    os.path.join(t, f"part-{pval}.parquet")),
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    v1, n1 = dl.delta_delete_where(spark, t, "p = 'a' AND k < 3")
+    assert n1 == 3
+    v2, n2 = dl.delta_update_where(spark, t, "k >= 18", {"v": "-1.0"})
+    assert n2 == 2
+    out = {r.k: (r.v, r.p) for r in dl.read_delta(spark, t).collect()}
+    assert len(out) == 17 and out[18] == (-1.0, "b") and 2 not in out
+    feed = dl.read_delta_changes(spark, t, 0)
+    fr = {(r.k, r.p, r._change_type) for r in feed.collect()}
+    assert (0, "a", "delete") in fr
+    assert (18, "b", "update_postimage") in fr
+    # cdc actions carry PHYSICAL-keyed real partitionValues
+    cdc_pv = set()
+    for v in (v1, v2):
+        with open(dl._log_path(t, v), encoding="utf-8") as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "cdc" in a:
+                    cdc_pv.add(
+                        a["cdc"]["partitionValues"].get("col-p")
+                    )
+    assert cdc_pv <= {"a", "b"} and None not in cdc_pv
