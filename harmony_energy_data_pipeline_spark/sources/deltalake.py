@@ -816,7 +816,9 @@ def write_delta(
     prev_adds: list[dict] = []
     meta = None
     if prev is not None:
-        prev_adds, meta, _p, _v = _replay(path, prev)
+        prev_adds, meta, prev_proto, _v = _replay(path, prev)
+    else:
+        prev_proto = None
     if mode == "append" and meta is not None:
         def _lenient(node):
             # nullability compares leniently: a stricter (non-null)
@@ -869,7 +871,35 @@ def write_delta(
             for tn in _schema_type_names(df.schema)
             if tn in ("variant", "timestamp_ntz")
         })
-        if feats:
+        if prev_proto is not None:
+            # NEVER DOWNGRADE a foreign table's protocol: an
+            # overwrite re-emitting (1,2) would strip feature
+            # declarations (deletionVectors, changeDataFeed,
+            # columnMapping…) the surviving configuration and
+            # history still rely on — merge instead (max versions,
+            # union features)
+            rfeats = sorted(
+                set(prev_proto.get("readerFeatures") or []) |
+                set(feats)
+            )
+            wfeats = sorted(
+                set(prev_proto.get("writerFeatures") or []) |
+                set(feats)
+            )
+            merged = {
+                "minReaderVersion": max(
+                    prev_proto.get("minReaderVersion", 1),
+                    3 if rfeats else 1),
+                "minWriterVersion": max(
+                    prev_proto.get("minWriterVersion", 2),
+                    7 if wfeats else 2),
+            }
+            if rfeats or merged["minReaderVersion"] >= 3:
+                merged["readerFeatures"] = rfeats
+            if wfeats or merged["minWriterVersion"] >= 7:
+                merged["writerFeatures"] = wfeats
+            actions.append({"protocol": merged})
+        elif feats:
             actions.append({"protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": feats, "writerFeatures": feats,
@@ -1552,15 +1582,19 @@ def _delta_mor_mutate(
         "engineInfo": "harmony-energy-data-pipeline-spark",
     }}]
     feats = set((proto or {}).get("readerFeatures") or [])
+    wfeats = set((proto or {}).get("writerFeatures") or [])
     rv = (proto or {}).get("minReaderVersion", 1)
-    if "deletionVectors" not in feats or rv < 3:
+    # writers honoring the CDF property must DECLARE the feature
+    # (spec rule) — readers don't need it, so it's writer-side only
+    want_w = {"deletionVectors"} | (
+        {"changeDataFeed"} if record_cdf else set()
+    )
+    if "deletionVectors" not in feats or rv < 3 \
+            or not (want_w <= wfeats):
         actions.append({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": sorted(feats | {"deletionVectors"}),
-            "writerFeatures": sorted(
-                set((proto or {}).get("writerFeatures") or [])
-                | {"deletionVectors"}
-            ),
+            "writerFeatures": sorted(wfeats | want_w),
         }})
     if record_cdf:
         pre_kind = (

@@ -319,3 +319,33 @@ def test_mapped_partitioned_dml_cdf(spark):
                         a["cdc"]["partitionValues"].get("col-p")
                     )
     assert cdc_pv <= {"a", "b"} and None not in cdc_pv
+
+
+def test_overwrite_preserves_foreign_protocol(spark):
+    """An overwrite must never DOWNGRADE a foreign table's protocol:
+    feature declarations (deletionVectors, changeDataFeed) survive,
+    merged with whatever the new schema needs."""
+    t = _tmp("proto_")
+    dl.write_delta(
+        spark.range(0, 5).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        t,
+    )
+    _enable_cdf(t)
+    # a DML commit upgrades the protocol (DV + CDF writer features)
+    dl.delta_delete_where(spark, t, "k = 0")
+    _a, _m, proto, _v = dl._replay(t, None)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "changeDataFeed" in (proto.get("writerFeatures") or [])
+    # overwrite keeps the declarations (merged, not reset to (1,2))
+    dl.write_delta(
+        spark.range(10, 12).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        t, mode="overwrite",
+    )
+    _a, _m, proto2, _v = dl._replay(t, None)
+    assert proto2.get("minReaderVersion") == 3
+    assert "deletionVectors" in (proto2.get("readerFeatures") or [])
+    assert "changeDataFeed" in (proto2.get("writerFeatures") or [])
