@@ -878,26 +878,20 @@ def write_delta(
             # columnMapping…) the surviving configuration and
             # history still rely on — merge instead (max versions,
             # union features)
-            rfeats = sorted(
-                set(prev_proto.get("readerFeatures") or []) |
-                set(feats)
-            )
-            wfeats = sorted(
-                set(prev_proto.get("writerFeatures") or []) |
-                set(feats)
-            )
-            merged = {
-                "minReaderVersion": max(
-                    prev_proto.get("minReaderVersion", 1),
-                    3 if rfeats else 1),
-                "minWriterVersion": max(
-                    prev_proto.get("minWriterVersion", 2),
-                    7 if wfeats else 2),
-            }
-            if rfeats or merged["minReaderVersion"] >= 3:
-                merged["readerFeatures"] = rfeats
-            if wfeats or merged["minWriterVersion"] >= 7:
-                merged["writerFeatures"] = wfeats
+            if feats:
+                # a NEW table feature forces the features protocol:
+                # enumerate what the legacy versions implied so the
+                # upgrade never strips capabilities
+                r_imp, w_imp = _implied_features(prev_proto)
+                merged = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": sorted(r_imp | set(feats)),
+                    "writerFeatures": sorted(w_imp | set(feats)),
+                }
+            else:
+                # nothing new needed: carry the previous protocol
+                # through VERBATIM
+                merged = dict(prev_proto)
             actions.append({"protocol": merged})
         elif feats:
             actions.append({"protocol": {
@@ -956,19 +950,49 @@ def write_delta(
                 "images in one commit — disable "
                 "delta.enableChangeDataFeed or align the schema"
             )
-        _cm, phys, _fi = _column_mapping(meta)
+        _cm, phys, _fids = _column_mapping(meta)
         spark = df.sparkSession
+
+        def _pc(name):
+            md = (
+                {"parquet.field.id": int(_fids[name])}
+                if _fids.get(name) is not None else {}
+            )
+            return F.col(name).alias(phys[name], metadata=md)
+
         pre = read_delta(spark, path, version=prev).select(*[
-            F.col(f.name).alias(phys[f.name])
-            for f in df.schema.fields
+            _pc(f.name) for f in df.schema.fields
         ]).withColumn("_change_type", F.lit("delete"))
         post = df.select(*[
-            F.col(f.name).alias(phys[f.name])
-            for f in df.schema.fields
+            _pc(f.name) for f in df.schema.fields
         ]).withColumn("_change_type", F.lit("insert"))
-        actions.extend(_stage_cdc_files(
-            pre.unionByName(post), path, [phys[c] for c in pcols]
-        ))
+        saved_fw = None
+        if _cm == "id":
+            try:
+                saved_fw = spark.conf.get(
+                    "spark.sql.parquet.fieldId.write.enabled"
+                )
+            except Exception:
+                saved_fw = None
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        try:
+            actions.extend(_stage_cdc_files(
+                pre.unionByName(post), path,
+                [phys[c] for c in pcols],
+            ))
+        finally:
+            if _cm == "id":
+                if saved_fw is None:
+                    spark.conf.unset(
+                        "spark.sql.parquet.fieldId.write.enabled"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.parquet.fieldId.write.enabled",
+                        saved_fw,
+                    )
     actions.extend({"add": a} for a in adds)
     final = _log_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1265,6 +1289,33 @@ def _stage_cdc_files(
     return out
 
 
+def _implied_features(proto: dict) -> tuple:
+    """``(reader_features, writer_features)`` a protocol ACTUALLY
+    grants — explicit lists when present, else the features its
+    LEGACY version numbers imply (Delta PROTOCOL.md, "converting to
+    table features"): an upgrade to (3,7) must enumerate these or it
+    silently strips capabilities (columnMapping, appendOnly,
+    changeDataFeed…) the table's metadata still relies on."""
+    r = set(proto.get("readerFeatures") or [])
+    w = set(proto.get("writerFeatures") or [])
+    rv = proto.get("minReaderVersion", 1)
+    wv = proto.get("minWriterVersion", 1)
+    if proto.get("readerFeatures") is None and rv >= 2:
+        r.add("columnMapping")
+    if proto.get("writerFeatures") is None:
+        if wv >= 2:
+            w |= {"appendOnly", "invariants"}
+        if wv >= 3:
+            w.add("checkConstraints")
+        if wv >= 4:
+            w |= {"generatedColumns", "changeDataFeed"}
+        if wv >= 5:
+            w.add("columnMapping")
+        if wv >= 6:
+            w.add("identityColumns")
+    return r, w
+
+
 def _column_mapping(meta: dict):
     """``(mode, phys, field_ids)`` for a metaData — logical→physical
     name map (identity when unmapped) and the field-id map id-mode
@@ -1545,47 +1596,88 @@ def _delta_mor_mutate(
             )
         touched.append((a, json.loads(r["__desc"])))
     now_ms = int(time.time() * 1000)
+
+    def _phys_col(name):
+        md = (
+            {"parquet.field.id": int(field_ids[name])}
+            if field_ids.get(name) is not None else {}
+        )
+        return F.col(name).alias(phys[name], metadata=md)
+
     # UPDATE: transformed rows derive from the SAME staged hits,
     # staged with PHYSICAL names (+ field ids when mapped) so the new
-    # files read back under the table's resolution mode
+    # files — and the cdc files below — read back under the table's
+    # resolution mode. The fieldId write conf is pinned around the
+    # eager staging writes and RESTORED (a leak would make every
+    # later session write honor stray field-id metadata).
     new_adds: list[dict] = []
     upd_phys = None
-    if set_exprs is not None:
-        ttypes = {f.name: f.dataType for f in schema.fields}
-        upd = staged
-        for c, e in set_exprs.items():
-            if c not in ttypes:
-                raise ValueError(f"SET column {c!r} not in table")
-            col = F.expr(e) if isinstance(e, str) else e
-            upd = upd.withColumn(c, col.cast(ttypes[c]))
-
-        def _phys_col(name):
-            md = (
-                {"parquet.field.id": int(field_ids[name])}
-                if field_ids.get(name) is not None else {}
+    saved_fw = None
+    if cm == "id":
+        try:
+            saved_fw = spark.conf.get(
+                "spark.sql.parquet.fieldId.write.enabled"
             )
-            return F.col(name).alias(phys[name], metadata=md)
-
-        upd_phys = upd.select(*[
-            _phys_col(f.name) for f in schema.fields
-        ])
+        except Exception:
+            saved_fw = None
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+    try:
+        if set_exprs is not None:
+            ttypes = {f.name: f.dataType for f in schema.fields}
+            upd = staged
+            for c, e in set_exprs.items():
+                if c not in ttypes:
+                    raise ValueError(
+                        f"SET column {c!r} not in table"
+                    )
+                col = F.expr(e) if isinstance(e, str) else e
+                upd = upd.withColumn(c, col.cast(ttypes[c]))
+            upd_phys = upd.select(*[
+                _phys_col(f.name) for f in schema.fields
+            ])
+            new_adds = _stage_files(upd_phys, path, pcols_phys,
+                                    stats_cols=None)
+        cdc_actions: list[dict] = []
+        if record_cdf:
+            pre_kind = (
+                "update_preimage" if set_exprs is not None
+                else "delete"
+            )
+            cdf_df = staged.select(*[
+                _phys_col(f.name) for f in schema.fields
+            ]).withColumn("_change_type", F.lit(pre_kind))
+            if upd_phys is not None:
+                cdf_df = cdf_df.unionByName(
+                    upd_phys.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            cdc_actions = _stage_cdc_files(cdf_df, path, pcols_phys)
+    finally:
         if cm == "id":
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", "true"
-            )
-        new_adds = _stage_files(upd_phys, path, pcols_phys,
-                                stats_cols=None)
+            if saved_fw is None:
+                spark.conf.unset(
+                    "spark.sql.parquet.fieldId.write.enabled"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled",
+                    saved_fw,
+                )
     actions = [{"commitInfo": {
         "timestamp": now_ms,
         "operation": "UPDATE" if set_exprs is not None else "DELETE",
         "operationParameters": {"predicate": pred},
         "engineInfo": "harmony-energy-data-pipeline-spark",
     }}]
-    feats = set((proto or {}).get("readerFeatures") or [])
-    wfeats = set((proto or {}).get("writerFeatures") or [])
+    feats, wfeats = _implied_features(proto or {})
     rv = (proto or {}).get("minReaderVersion", 1)
     # writers honoring the CDF property must DECLARE the feature
-    # (spec rule) — readers don't need it, so it's writer-side only
+    # (spec rule) — readers don't need it, so it's writer-side only;
+    # a legacy protocol upgrades with its version-implied features
+    # ENUMERATED (columnMapping from reader v2 etc.), never stripped
     want_w = {"deletionVectors"} | (
         {"changeDataFeed"} if record_cdf else set()
     )
@@ -1594,23 +1686,11 @@ def _delta_mor_mutate(
         actions.append({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": sorted(feats | {"deletionVectors"}),
-            "writerFeatures": sorted(wfeats | want_w),
+            "writerFeatures": sorted(
+                wfeats | want_w | {"deletionVectors"}
+            ),
         }})
-    if record_cdf:
-        pre_kind = (
-            "update_preimage" if set_exprs is not None else "delete"
-        )
-        cdf_df = staged.select(*[
-            F.col(f.name).alias(phys[f.name])
-            for f in schema.fields
-        ]).withColumn("_change_type", F.lit(pre_kind))
-        if upd_phys is not None:
-            cdf_df = cdf_df.unionByName(
-                upd_phys.withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
-            )
-        actions.extend(_stage_cdc_files(cdf_df, path, pcols_phys))
+    actions.extend(cdc_actions)
     for a, desc in touched:
         actions.append({"remove": {
             "path": a["path"], "deletionTimestamp": now_ms,
@@ -1678,7 +1758,6 @@ def read_delta_changes(
     # (schema epoch, kind) — the scan count is bounded by epochs, not
     # commits
     groups: dict = {}   # (sig, kind) -> {"meta": meta, "files": [...]}
-    metas_sig: dict = {}
 
     def _sig(m):
         return (m["schemaString"],
@@ -1707,7 +1786,6 @@ def read_delta_changes(
                 elif "metaData" in act:
                     meta = act["metaData"]
         sig = _sig(meta)
-        metas_sig[sig] = meta
         if cdc:
             g = groups.setdefault((sig, "cdc"),
                                   {"meta": meta, "files": []})

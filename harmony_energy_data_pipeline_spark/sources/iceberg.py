@@ -2127,6 +2127,37 @@ def iceberg_update_where(
         )
     if not data:
         return (meta.get("current-snapshot-id"), 0)
+    # validate the CURRENT default spec FIRST (metadata-only): a
+    # refusal must cost nothing and orphan nothing — staging happens
+    # only after this passes
+    cur_spec = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    by_id_name = {f["id"]: f["name"] for f in schema["fields"]}
+    by_src_type = {f["id"]: f["type"] for f in schema["fields"]
+                   if isinstance(f["type"], str)}
+    pspec, part_fields = [], []
+    for f in cur_spec.get("fields", []):
+        src = by_id_name.get(f.get("source-id"))
+        tr = f.get("transform") or ""
+        if src is None or not (
+            tr == "identity"
+            or tr in ("year", "month", "day", "hour")
+            or tr.startswith(("bucket[", "truncate["))
+        ):
+            raise IcebergProtocolError(
+                f"UPDATE WHERE cannot stage under partition "
+                f"transform {tr!r} — rewrite via read_iceberg + "
+                "write_iceberg"
+            )
+        pspec.append({"src": src, "transform": tr,
+                      "pv_name": f["name"]})
+        part_fields.append(dict(
+            f, type=_transform_result_ice_type(
+                tr, by_src_type[f["source-id"]]),
+        ))
     from harmony_energy_data_pipeline_spark.sinks.snapshots import (
         parse_conjunctive_where,
     )
@@ -2169,35 +2200,6 @@ def iceberg_update_where(
         col = F.expr(e) if isinstance(e, str) else e
         upd = upd.withColumn(c, col.cast(ttypes[c]))
     upd = upd.select(*cols)
-    cur_spec = next(
-        (sp for sp in meta.get("partition-specs", [])
-         if sp.get("spec-id") == meta.get("default-spec-id", 0)),
-        {"fields": []},
-    )
-    by_id_name = {f["id"]: f["name"] for f in schema["fields"]}
-    by_src_type = {f["id"]: f["type"] for f in schema["fields"]
-                   if isinstance(f["type"], str)}
-    pspec, part_fields = [], []
-    for f in cur_spec.get("fields", []):
-        src = by_id_name.get(f.get("source-id"))
-        tr = f.get("transform") or ""
-        if src is None or not (
-            tr == "identity"
-            or tr in ("year", "month", "day", "hour")
-            or tr.startswith(("bucket[", "truncate["))
-        ):
-            shutil.rmtree(hitstage, ignore_errors=True)
-            raise IcebergProtocolError(
-                f"UPDATE WHERE cannot stage under partition "
-                f"transform {tr!r} — rewrite via read_iceberg + "
-                "write_iceberg"
-            )
-        pspec.append({"src": src, "transform": tr,
-                      "pv_name": f["name"]})
-        part_fields.append(dict(
-            f, type=_transform_result_ice_type(
-                tr, by_src_type[f["source-id"]]),
-        ))
     types_of = {f["name"]: f["type"] for f in schema["fields"]}
     data_entries = _stage_data_entries(
         upd, path, pspec, types_of, schema, stats_cols, snap_id
@@ -2329,13 +2331,19 @@ def read_iceberg_changes(
     cols = [f["name"] for f in schema["fields"]]
 
     def _added(sid):
-        """(data_entries, delete_entries) ADDED by snapshot sid, and
-        the set of manifest paths in its list."""
+        """Per-snapshot manifest walk: returns ``(data_entries,
+        delete_entries, removed_entries, carried_existing,
+        manifest_path_set)`` — ADDED data/delete files, REMOVED
+        (status=2) data files a foreign copy-on-write commit tombs
+        inside rewritten manifests, and whether any entry was
+        carried as status=0 EXISTING (a rewrite, not a fresh live
+        set)."""
         snap = next(s for s in snaps if s["snapshot-id"] == sid)
         mlist, _ = read_avro(
             _resolve_file_path(path, snap["manifest-list"])
         )
-        data_e, del_e = [], []
+        data_e, del_e, removed_e = [], [], []
+        carried = False
         for man in mlist:
             if man.get("added_snapshot_id") != sid:
                 continue
@@ -2343,20 +2351,26 @@ def read_iceberg_changes(
                 _resolve_file_path(path, man["manifest_path"])
             )
             for e in entries:
-                if e.get("status") != 1:
-                    continue
                 rec = e.get("data_file") or {}
-                if (rec.get("content") or 0) == 0:
-                    data_e.append(rec)
-                elif (rec.get("content") or 0) == 1:
-                    del_e.append(rec)
-                else:
+                if (rec.get("content") or 0) == 2:
                     raise IcebergProtocolError(
                         "changelog over EQUALITY deletes is not "
                         "expressible without a replay — compact "
                         "first (iceberg_compact)"
                     )
-        return data_e, del_e, {m["manifest_path"] for m in mlist}
+                if e.get("status") == 0:
+                    carried = True
+                    continue
+                if e.get("status") == 2:
+                    if (rec.get("content") or 0) == 0:
+                        removed_e.append(rec)
+                    continue
+                if (rec.get("content") or 0) == 0:
+                    data_e.append(rec)
+                else:
+                    del_e.append(rec)
+        return (data_e, del_e, removed_e, carried,
+                {m["manifest_path"] for m in mlist})
 
     ins_map = []   # (abs data file, snapshot id)
     del_files = []  # (abs delete parquet, snapshot id)
@@ -2383,12 +2397,32 @@ def read_iceberg_changes(
             )
             prev_manifests = {m["manifest_path"] for m in mlist_r}
             continue
-        data_e, del_e, mset = _added(sid)
+        data_e, del_e, removed_e, carried, mset = _added(sid)
+        if removed_e:
+            # foreign copy-on-write rewrite: status=2 tombstones name
+            # the removed files exactly — their previously-live rows
+            # read as deletes (the rewritten survivors re-appear as
+            # inserts via the snapshot's ADDED files, the same
+            # delete+insert representation our own UPDATE uses)
+            _lp, dels_prev = live_files(
+                path, meta, snapshot_id=ids[i - 1]
+            )
+            if any((d.get("content") or 0) == 2 for d in dels_prev):
+                raise IcebergProtocolError(
+                    "changelog over EQUALITY deletes is not "
+                    "expressible without a replay — compact first"
+                )
+            full_ow.append((sid, removed_e, [
+                d for d in dels_prev
+                if (d.get("content") or 0) == 1
+            ]))
         dropped_prior = (
             op == "overwrite"
             and prev_manifests is not None
             and not (prev_manifests & mset)
             and not del_e
+            and not removed_e
+            and not carried
         )
         if dropped_prior:
             # FULL overwrite: previous live rows all deleted

@@ -349,3 +349,134 @@ def test_overwrite_preserves_foreign_protocol(spark):
     assert proto2.get("minReaderVersion") == 3
     assert "deletionVectors" in (proto2.get("readerFeatures") or [])
     assert "changeDataFeed" in (proto2.get("writerFeatures") or [])
+
+
+def test_id_mode_cdf_round_trip(spark):
+    """id-mode mapped table + CDF: cdc files carry parquet FIELD IDS
+    (the mode's resolution currency) so the module's own
+    field-id-strict reader replays the feed it just wrote."""
+    t = _tmp("idcdf_")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    # parquet names deliberately unlike physicalName: only ids match
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "whatever_a": pa.array(range(10), pa.int64()),
+        "whatever_b": pa.array(
+            [float(i) for i in range(10)], pa.float64()),
+    })
+    tbl = tbl.replace_schema_metadata(None)
+    sch = pa.schema([
+        pa.field("whatever_a", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("whatever_b", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    pq.write_table(tbl.cast(sch), os.path.join(t, "part-000.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-y"}},
+    ]}
+    with open(dl._log_path(t, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.enableChangeDataFeed": "true",
+            },
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-000.parquet", "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(t, "part-000.parquet")),
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    fw_before = spark.conf.get(
+        "spark.sql.parquet.fieldId.write.enabled"
+    )
+    v1, n = dl.delta_update_where(spark, t, "k >= 8", {"v": "-1.0"})
+    assert n == 2
+    # the cdc parquet carries field ids
+    cdc_files = [
+        n_ for n_ in os.listdir(os.path.join(t, "_change_data"))
+        if n_.endswith(".parquet")
+    ]
+    assert cdc_files
+    sch2 = pq.read_schema(
+        os.path.join(t, "_change_data", cdc_files[0])
+    )
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in sch2
+    }
+    assert ids.get("col-x") == b"1" and ids.get("col-y") == b"2"
+    # and the strict id-mode feed reader replays it
+    feed = dl.read_delta_changes(spark, t, 0, v1)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    assert rows == [
+        (8, -1.0, "update_postimage"), (8, 8.0, "update_preimage"),
+        (9, -1.0, "update_postimage"), (9, 9.0, "update_preimage"),
+    ]
+    # the fieldId write conf was RESTORED to its pre-call value
+    assert spark.conf.get(
+        "spark.sql.parquet.fieldId.write.enabled"
+    ) == fw_before
+
+
+def test_legacy_protocol_upgrade_enumerates_implied_features(spark):
+    """Upgrading a legacy (2,5) protocol to table features must
+    ENUMERATE what the versions implied (columnMapping from reader
+    v2; appendOnly/invariants/checkConstraints/generatedColumns/
+    changeDataFeed/columnMapping from writer v5) — never strip."""
+    t = _tmp("lgcy_")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    spark.range(0, 6).selectExpr(
+        "id AS `col-x`"
+    ).coalesce(1).write.parquet(os.path.join(t, "st"))
+    import glob
+    import shutil
+
+    f0 = glob.glob(os.path.join(t, "st", "*.parquet"))[0]
+    shutil.move(f0, os.path.join(t, "part-000.parquet"))
+    shutil.rmtree(os.path.join(t, "st"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x"}},
+    ]}
+    with open(dl._log_path(t, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-000.parquet", "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(t, "part-000.parquet")),
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    dl.delta_delete_where(spark, t, "k = 0")
+    _a, _m, proto, _v = dl._replay(t, None)
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    for wf in ("appendOnly", "invariants", "checkConstraints",
+               "generatedColumns", "changeDataFeed",
+               "columnMapping", "deletionVectors"):
+        assert wf in proto["writerFeatures"], wf
+    assert dl.read_delta(spark, t).count() == 5
