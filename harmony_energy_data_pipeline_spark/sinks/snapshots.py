@@ -5417,6 +5417,181 @@ def _merge_evolve_schema(path, m, v, source, protocol):
     return v, m, source
 
 
+def _merge_check_clauses(matched, not_matched, not_matched_by_source):
+    """Validate and normalize the three WHEN-clause lists (shared by
+    the native :func:`snapshot_merge_when` and the wire-format MERGE
+    paths). Returns ``(matched, not_matched, nmbs)`` as lists."""
+    matched = list(matched)
+    not_matched = list(not_matched)
+    not_matched_by_source = list(not_matched_by_source)
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("merge needs at least one WHEN clause")
+    for cl in matched:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(
+                f"matched clause action must be update|delete: {cl}"
+            )
+    for cl in not_matched_by_source:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(
+                "not_matched_by_source clause action must be "
+                f"update|delete: {cl}"
+            )
+    return matched, not_matched, not_matched_by_source
+
+
+def _merge_cardinality_check(source: DataFrame, skey: str) -> None:
+    """SQL MERGE cardinality rule: with any WHEN MATCHED clause, a
+    duplicated source key may update/delete one target row twice —
+    raise loudly (bounded ``limit(1)`` probe, never O(source))."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        source.groupBy(skey).count()
+        .filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE cardinality violation: source key "
+            f"{dup[0][0]!r} appears more than once and a WHEN "
+            "MATCHED clause exists — a target row must not be "
+            "updated/deleted by two source rows (dedupe the "
+            "source first)"
+        )
+
+
+def _merge_labeled(t_df: DataFrame, source: DataFrame, key: str,
+                   skey: str, matched: list, not_matched: list,
+                   not_matched_by_source: list):
+    """The WHEN-clause labeling engine shared by the native COW merge
+    and the Delta/Iceberg wire-format MOR merges: full-outer join of
+    ``t_df`` (table columns PLUS any provenance columns the caller
+    wants to travel with the row) against ``source``, every row
+    labeled ``__act`` with the FIRST applicable clause in list order
+    (``m<i>`` matched, ``i<i>`` insert, ``b<i>`` not-matched-by-source;
+    ``keep``/``drop`` tail). A NULL clause condition reads as false,
+    per SQL. With no WHEN MATCHED clause, duplicate source keys
+    matching one target row are ranked so exactly one copy labels
+    ``keep`` — the rest ``drop`` (SQL: the row is kept once; each
+    copy may still insert through a NOT MATCHED clause).
+
+    Returns ``(j, labels, drop_labels)``: ``j`` carries struct
+    columns ``t`` (every ``t_df`` column) / ``s`` (every source
+    column) and ``__act``; ``labels`` is ``[(label, clause, kind)]``
+    with kind ∈ matched|insert|nmbs; ``drop_labels`` the label set
+    whose rows produce nothing (``drop`` + delete-action clauses)."""
+    from pyspark.sql import functions as F
+
+    src_cols = list(source.columns)
+    src_side = source.select(
+        F.struct(*[F.col(c) for c in src_cols]).alias("s")
+    )
+    if not matched:
+        from pyspark.sql import Window as _W
+        src_side = source.select(
+            F.struct(*[F.col(c) for c in src_cols]).alias("s"),
+            F.row_number().over(
+                _W.partitionBy(skey).orderBy(F.lit(1))
+            ).alias("__srn"),
+        )
+    j = t_df.select(
+        F.struct(*[F.col(c) for c in t_df.columns]).alias("t")
+    ).join(
+        src_side,
+        F.col(f"t.{key}") == F.col(f"s.{skey}"),
+        "full_outer",
+    )
+    tp = F.col("t").isNotNull()
+    sp = F.col("s").isNotNull()
+
+    def _guard(base, cond: "str | None"):
+        if cond is None:
+            return base
+        return base & F.coalesce(F.expr(cond), F.lit(False))
+
+    act = None
+    labels: list[tuple[str, dict, str]] = []  # (label, clause, kind)
+    for i, cl in enumerate(matched):
+        labels.append((f"m{i}", cl, "matched"))
+    for i, cl in enumerate(not_matched):
+        labels.append((f"i{i}", cl, "insert"))
+    for i, cl in enumerate(not_matched_by_source):
+        labels.append((f"b{i}", cl, "nmbs"))
+    for label, cl, kind in labels:
+        base = {
+            "matched": tp & sp, "insert": sp & ~tp,
+            "nmbs": tp & ~sp,
+        }[kind]
+        cond = _guard(base, cl.get("condition"))
+        act = (F.when(cond, F.lit(label)) if act is None
+               else act.when(cond, F.lit(label)))
+    keep_tail = F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
+    if not matched:
+        # fanout copies of a kept target row (duplicate source
+        # keys matching it) drop — exactly one copy keeps it
+        keep_tail = (
+            F.when(tp & sp & (F.col("__srn") > 1), F.lit("drop"))
+            .when(tp, F.lit("keep")).otherwise(F.lit("drop"))
+        )
+    act = keep_tail if act is None else act.otherwise(keep_tail)
+    j = j.withColumn("__act", act)
+    drop_labels = {"drop"}
+    for label, cl, kind in labels:
+        if kind in ("matched", "nmbs") and cl["action"] == "delete":
+            drop_labels.add(label)
+    return j, labels, drop_labels
+
+
+def _merge_out_cols(labels, drop_labels, tcols, ttypes, key, skey,
+                    src_cols):
+    """Per-table-column output expressions over a labeled merge frame
+    (``t``/``s``/``__act``): each column takes the winning clause's
+    value (SET */explicit expression, INSERT */VALUES) and falls back
+    to ``t.<col>``, cast back to the DECLARED table type. Shared by
+    the COW and MOR merge paths."""
+    from pyspark.sql import functions as F
+
+    def _src_name(c: str) -> "str | None":
+        """The source column backing table column ``c`` for the
+        star forms: same name, except the join key maps onto the
+        (possibly differently-named) source key."""
+        if c == key and skey != key and skey in src_cols \
+                and key not in src_cols:
+            return skey
+        return c if c in src_cols else None
+
+    def _value_for(label: str, cl: dict, kind: str, c: str):
+        if kind == "insert":
+            vals = cl.get("values")
+            if vals is None:  # INSERT *
+                sn = _src_name(c)
+                return (F.col(f"s.{sn}") if sn is not None
+                        else F.lit(None))
+            return (F.expr(vals[c]) if c in vals else F.lit(None))
+        # matched / nmbs update
+        st = cl.get("set")
+        if st is None:  # SET *
+            sn = _src_name(c)
+            return (F.col(f"s.{sn}") if sn is not None
+                    else F.col(f"t.{c}"))
+        return (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
+
+    out_cols = []
+    for c in tcols:
+        expr = None
+        for label, cl, kind in labels:
+            if label in drop_labels:
+                continue
+            val = _value_for(label, cl, kind, c)
+            expr = (F.when(F.col("__act") == label, val)
+                    if expr is None
+                    else expr.when(F.col("__act") == label, val))
+        col = (F.col(f"t.{c}") if expr is None
+               else expr.otherwise(F.col(f"t.{c}")))
+        out_cols.append(col.cast(ttypes[c]).alias(c))
+    return out_cols
+
+
 @normalizes_paths('path')
 def snapshot_merge_when(
     spark: SparkSession,
@@ -5501,37 +5676,13 @@ def snapshot_merge_when(
 
     if max_redo < 1:
         raise ValueError(f"max_redo must be >= 1 (got {max_redo})")
-    matched = list(matched)
-    not_matched = list(not_matched)
-    not_matched_by_source = list(not_matched_by_source)
-    if not (matched or not_matched or not_matched_by_source):
-        raise ValueError("merge needs at least one WHEN clause")
-    for cl in matched:
-        if cl.get("action") not in ("update", "delete"):
-            raise ValueError(
-                f"matched clause action must be update|delete: {cl}"
-            )
-    for cl in not_matched_by_source:
-        if cl.get("action") not in ("update", "delete"):
-            raise ValueError(
-                "not_matched_by_source clause action must be "
-                f"update|delete: {cl}"
-            )
+    matched, not_matched, not_matched_by_source = _merge_check_clauses(
+        matched, not_matched, not_matched_by_source
+    )
 
     skey = source_key or key  # ON t.key = s.source_key
     if matched:
-        dup = (
-            source.groupBy(skey).count()
-            .filter(F.col("count") > 1).limit(1).collect()
-        )
-        if dup:
-            raise ValueError(
-                f"MERGE cardinality violation: source key "
-                f"{dup[0][0]!r} appears more than once and a WHEN "
-                "MATCHED clause exists — a target row must not be "
-                "updated/deleted by two source rows (dedupe the "
-                "source first)"
-            )
+        _merge_cardinality_check(source, skey)
 
     _MAX_PROBE_KEYS = 200_000
     key_rows = (
@@ -5653,71 +5804,14 @@ def snapshot_merge_when(
             t_live = _load_live(spark, affected, m, path)
         else:
             t_live = spark.createDataFrame([], schema)
-        src_side = source.select(
-            F.struct(*[F.col(c) for c in src_cols]).alias("s")
+        # the shared WHEN-clause labeling engine (also drives the
+        # Delta/Iceberg wire-format MOR merges): duplicate source
+        # keys with no matched clause rank so a kept target row
+        # survives exactly once
+        j, labels, drop_labels = _merge_labeled(
+            t_live.select(*tcols), source, key, skey,
+            matched, not_matched, not_matched_by_source,
         )
-        if not matched:
-            # No WHEN MATCHED clause ⇒ duplicate source keys are NOT
-            # a cardinality violation (SQL: the target row is simply
-            # kept once; each non-matching copy may still insert).
-            # But the full-outer join fans a matched target row out
-            # once per source copy and every copy would label 'keep',
-            # silently duplicating target rows — so rank the source
-            # per key and let only the first copy carry the kept
-            # target row (the tail drops the rest below).
-            from pyspark.sql import Window as _W
-            src_side = source.select(
-                F.struct(*[F.col(c) for c in src_cols]).alias("s"),
-                F.row_number().over(
-                    _W.partitionBy(skey).orderBy(F.lit(1))
-                ).alias("__srn"),
-            )
-        j = t_live.select(
-            F.struct(*[F.col(c) for c in tcols]).alias("t")
-        ).join(
-            src_side,
-            F.col(f"t.{key}") == F.col(f"s.{skey}"),
-            "full_outer",
-        )
-        tp = F.col("t").isNotNull()
-        sp = F.col("s").isNotNull()
-
-        def _guard(base, cond: "str | None"):
-            if cond is None:
-                return base
-            return base & F.coalesce(F.expr(cond), F.lit(False))
-
-        act = None
-        labels: list[tuple[str, dict, str]] = []  # (label, clause, kind)
-        for i, cl in enumerate(matched):
-            labels.append((f"m{i}", cl, "matched"))
-        for i, cl in enumerate(not_matched):
-            labels.append((f"i{i}", cl, "insert"))
-        for i, cl in enumerate(not_matched_by_source):
-            labels.append((f"b{i}", cl, "nmbs"))
-        for label, cl, kind in labels:
-            base = {
-                "matched": tp & sp, "insert": sp & ~tp,
-                "nmbs": tp & ~sp,
-            }[kind]
-            cond = _guard(base, cl.get("condition"))
-            act = (F.when(cond, F.lit(label)) if act is None
-                   else act.when(cond, F.lit(label)))
-        keep_tail = F.when(tp, F.lit("keep")).otherwise(F.lit("drop"))
-        if not matched:
-            # fanout copies of a kept target row (duplicate source
-            # keys matching it) drop — exactly one copy keeps it
-            keep_tail = (
-                F.when(tp & sp & (F.col("__srn") > 1), F.lit("drop"))
-                .when(tp, F.lit("keep")).otherwise(F.lit("drop"))
-            )
-        act = keep_tail if act is None else act.otherwise(keep_tail)
-        j = j.withColumn("__act", act)
-
-        drop_labels = {"drop"}
-        for label, cl, kind in labels:
-            if kind in ("matched", "nmbs") and cl["action"] == "delete":
-                drop_labels.add(label)
         cdf_pre = None
         if record_cdf:
             # pre-images of every CHANGED target row (updated or
@@ -5734,45 +5828,9 @@ def snapshot_merge_when(
                     F.col(f"t.{c}").alias(c) for c in tcols
                 ]).withColumn("_change_type", F.lit("delete"))
         j = j.filter(~F.col("__act").isin(*sorted(drop_labels)))
-
-        def _src_name(c: str) -> "str | None":
-            """The source column backing table column ``c`` for the
-            star forms: same name, except the join key maps onto the
-            (possibly differently-named) source key."""
-            if c == key and skey != key and skey in src_cols \
-                    and key not in src_cols:
-                return skey
-            return c if c in src_cols else None
-
-        def _value_for(label: str, cl: dict, kind: str, c: str):
-            if kind == "insert":
-                vals = cl.get("values")
-                if vals is None:  # INSERT *
-                    sn = _src_name(c)
-                    return (F.col(f"s.{sn}") if sn is not None
-                            else F.lit(None))
-                return (F.expr(vals[c]) if c in vals else F.lit(None))
-            # matched / nmbs update
-            st = cl.get("set")
-            if st is None:  # SET *
-                sn = _src_name(c)
-                return (F.col(f"s.{sn}") if sn is not None
-                        else F.col(f"t.{c}"))
-            return (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
-
-        out_cols = []
-        for c in tcols:
-            expr = None
-            for label, cl, kind in labels:
-                if label in drop_labels:
-                    continue
-                val = _value_for(label, cl, kind, c)
-                expr = (F.when(F.col("__act") == label, val)
-                        if expr is None
-                        else expr.when(F.col("__act") == label, val))
-            col = (F.col(f"t.{c}") if expr is None
-                   else expr.otherwise(F.col(f"t.{c}")))
-            out_cols.append(col.cast(ttypes[c]).alias(c))
+        out_cols = _merge_out_cols(
+            labels, drop_labels, tcols, ttypes, key, skey, src_cols
+        )
         out = j.select(*out_cols, F.col("__act"))
         if m.get("constraints"):
             _validate_constraints(
