@@ -5417,6 +5417,33 @@ def _merge_evolve_schema(path, m, v, source, protocol):
     return v, m, source
 
 
+def stage_rows_once(spark: SparkSession, path: str, df: DataFrame):
+    """SINGLE-EVALUATION materialization shared by the row-level DML
+    and MERGE paths (native and wire-format): write ``df`` exactly
+    once into a staging parquet under the table root, so every
+    downstream consumer (delete positions, re-inserted rows, change
+    files) derives from the SAME evaluation — a non-deterministic
+    predicate cannot desynchronize them. Returns ``(staged_df, n_rows,
+    stage_dir)``; ``(None, 0, None)`` when nothing matched (the empty
+    staging dir is removed). Row count comes from parquet FOOTERS —
+    no extra Spark job. The caller removes ``stage_dir`` when done."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(stage)
+    n = 0
+    for root, _dirs, fns in os.walk(stage):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(root, fn)).num_rows
+    if n == 0:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None, 0, None
+    return spark.read.parquet(stage), n, stage
+
+
 def _merge_check_clauses(matched, not_matched, not_matched_by_source):
     """Validate and normalize the three WHEN-clause lists (shared by
     the native :func:`snapshot_merge_when` and the wire-format MERGE

@@ -1347,55 +1347,19 @@ def _column_mapping(meta: dict):
     return cm, phys, field_ids
 
 
-def _delta_mor_mutate(
-    spark: SparkSession, path: str, pred: str,
-    set_exprs: "dict | None" = None,
-    record_cdf: bool = False,
-) -> tuple:
-    """Row-level DELETE/UPDATE on a DELTA table IN ITS OWN FORMAT —
-    merge-on-read via spec deletion vectors: matching row positions
-    land in roaring-bitmap DV files (``sources/deltadv``), each
-    touched add re-adds with its (existing ∪ new) vector, the
-    protocol upgrades to declare ``deletionVectors`` if needed, and
-    UPDATE re-appends the transformed rows in the SAME commit.
-    Returns ``(version, n_deleted)``.
-
-    Scale shape (round 12): ONE scan over the in-scope adds (a
-    conjunctive predicate prunes files on partitionValues + stats
-    zone maps first) — not one plan arm per partition tuple; existing
-    vectors expand EXECUTOR-side and subtract with one anti-join
-    (never decoded into driver sets); the matched set is evaluated
-    ONCE into a provenance-carrying staging parquet that both the new
-    vectors and the re-inserted rows derive from (a non-deterministic
-    predicate cannot desynchronize them); the new DV files are
-    written BY THE EXECUTORS (one per touched data file) and the
-    driver collects only O(#touched files) descriptors.
-
-    COLUMN-MAPPED tables (name and id mode) are supported: the scan
-    resolves physical names/field ids exactly like
-    :func:`read_delta`, re-appended files store PHYSICAL names (+
-    parquet field ids when the schema carries them), and cdc files
-    stage physical-named with real partitionValues.
-
-    ``record_cdf=True`` — or the table property
-    ``delta.enableChangeDataFeed=true``, which this writer honors —
-    stages spec ``cdc`` records so foreign ``table_changes`` readers
-    see the commit row-level instead of refusing on its removes."""
-    import shutil
-
-    import pyarrow.parquet as pq
-    from pyspark.sql.types import StringType
+def _delta_dml_ctx(spark: SparkSession, path: str) -> dict:
+    """Log replay + schema/column-mapping/partition prelude shared by
+    the row-level DML (:func:`_delta_mor_mutate`) and wire-format
+    MERGE (:func:`delta_merge_when`) paths. COLUMN-MAPPED tables
+    (name and id mode) resolve physical names/field ids exactly like
+    :func:`read_delta`."""
     from pyspark.sql.types import StructField as _SF
-
-    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
-        parse_conjunctive_where,
-    )
 
     adds, meta, proto, v = _replay(path, None)
     conf = meta.get("configuration") or {}
-    if str(conf.get("delta.enableChangeDataFeed", "")
-           ).lower() == "true":
-        record_cdf = True
+    cdf_default = str(
+        conf.get("delta.enableChangeDataFeed", "")
+    ).lower() == "true"
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     cm, phys, field_ids = _column_mapping(meta)
     if cm == "id":
@@ -1417,27 +1381,32 @@ def _delta_mor_mutate(
         )
         for f in data_fields
     ])
-    if not adds:
-        return (v, 0)
-    # plan-time file pruning: conjunctive predicates skip files on
-    # partitionValues (exact) + stats zone maps, like read_delta —
-    # correctness never depends on it (the predicate re-applies
-    # row-level below)
-    triples = parse_conjunctive_where(pred)
-    scoped = adds
-    if triples:
-        where_phys = [(phys.get(c, c), lo, hi)
-                      for c, lo, hi in triples]
-        ptypes_phys = {phys[c]: ptypes[c] for c in pcols}
-        scoped = [a for a in adds
-                  if _add_matches(a, where_phys, pcols_phys,
-                                  ptypes_phys)]
-        if not scoped:
-            return (v, 0)
-    # ONE scan over the in-scope adds; partition columns re-attach
-    # from a broadcast O(#files) map of add.partitionValues (the wire
-    # truth — data files do not store them)
-    scan = spark.read.schema(data_schema_phys).parquet(*[
+    return {
+        "adds": adds, "meta": meta, "proto": proto, "v": v,
+        "conf": conf, "cdf_default": cdf_default, "schema": schema,
+        "cm": cm, "phys": phys, "field_ids": field_ids,
+        "pcols": pcols, "pcols_phys": pcols_phys, "ptypes": ptypes,
+        "data_fields": data_fields,
+        "data_schema_phys": data_schema_phys,
+    }
+
+
+def _delta_live_base(spark: SparkSession, path: str, ctx: dict,
+                     scoped: list) -> DataFrame:
+    """ONE scan over the ``scoped`` adds carrying ``__rel``
+    (manifest-spelled relative path) and ``__p`` (row position)
+    provenance; partition columns re-attach from a broadcast
+    O(#files) map of add.partitionValues (the wire truth — data files
+    do not store them); rows already deleted by existing deletion
+    vectors subtract via ONE distributed anti-join (descriptors
+    expand executor-side, never into driver sets)."""
+    from pyspark.sql.types import StringType
+    from pyspark.sql.types import StructField as _SF
+
+    schema, phys = ctx["schema"], ctx["phys"]
+    pcols, pcols_phys = ctx["pcols"], ctx["pcols_phys"]
+    ptypes, data_fields = ctx["ptypes"], ctx["data_fields"]
+    scan = spark.read.schema(ctx["data_schema_phys"]).parquet(*[
         os.path.join(path, unquote(a["path"])) for a in scoped
     ]).select(
         *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
@@ -1473,8 +1442,7 @@ def _delta_mor_mutate(
         )
     base = base.drop(*[f"__pv{i}" for i in range(len(pcols))])
     # rows ALREADY deleted by existing vectors must not match again
-    # (an UPDATE would resurrect them as post-images): descriptors
-    # expand executor-side, one distributed anti-join
+    # (an UPDATE would resurrect them as post-images)
     tbl = os.path.abspath(path)
     dv_scoped = [
         (unquote(a["path"]), json.dumps(a["deletionVector"]))
@@ -1509,27 +1477,35 @@ def _delta_mor_mutate(
             & (F.col("__p") == F.col("__xp")),
             "left_anti",
         )
-    # SINGLE EVALUATION: the predicate materializes the matched rows
-    # (with file/position provenance) exactly once
-    hits = base.filter(F.expr(pred))
-    hitstage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    hits.select(
-        *[f.name for f in schema.fields], "__rel", "__p"
-    ).write.mode("error").parquet(hitstage)
-    n_hits = 0
-    for root, _dirs, fns in os.walk(hitstage):
-        for fn in fns:
-            if fn.endswith(".parquet"):
-                n_hits += pq.read_metadata(
-                    os.path.join(root, fn)
-                ).num_rows
-    if n_hits == 0:
-        shutil.rmtree(hitstage, ignore_errors=True)
-        return (v, 0)
-    staged = spark.read.parquet(hitstage)
-    # new vectors: per-file position aggregation + DV files written
-    # BY THE EXECUTORS; the driver receives only descriptors
-    rel_to_add = {unquote(a["path"]): a for a in adds}
+    return base
+
+
+def _delta_empty_base(spark: SparkSession, ctx: dict) -> DataFrame:
+    """The zero-file scan result: table columns + provenance, empty —
+    a merge whose every live file provably holds no source key (or an
+    empty table) still evaluates its NOT MATCHED inserts against
+    this."""
+    from pyspark.sql.types import LongType, StringType
+    from pyspark.sql.types import StructField as _SF
+
+    return spark.createDataFrame([], StructType(
+        [_SF(f.name, f.dataType) for f in ctx["schema"].fields]
+        + [_SF("__rel", StringType()), _SF("__p", LongType())]
+    ))
+
+
+def _delta_write_dvs(spark: SparkSession, path: str, ctx: dict,
+                     staged: DataFrame, scoped: list) -> tuple:
+    """New deletion vectors from ``staged`` rows (``__rel``/``__p``
+    provenance): per-file positions aggregate executor-side, merge
+    with the file's existing vector, and the roaring DV files are
+    written BY THE EXECUTORS — the driver receives only O(#touched
+    files) descriptors, never positions. Returns
+    ``([(add_action, dv_descriptor), …], n_newly_deleted)`` with an
+    executor-side raise if a scanned file is no longer live
+    (concurrent commit)."""
+    tbl = os.path.abspath(path)
+    rel_to_add = {unquote(a["path"]): a for a in ctx["adds"]}
     odf = spark.createDataFrame(
         [(unquote(a["path"]),
           json.dumps(a["deletionVector"])
@@ -1582,10 +1558,6 @@ def _delta_mor_mutate(
                      "__rel string, __desc string, __n long")
         .collect()  # O(#touched files) descriptors, never positions
     )
-    if not dv_rows:
-        shutil.rmtree(hitstage, ignore_errors=True)
-        return (v, 0)
-    n_deleted = int(sum(r["__n"] for r in dv_rows))
     touched = []
     for r in dv_rows:
         a = rel_to_add.get(r["__rel"])
@@ -1595,7 +1567,22 @@ def _delta_mor_mutate(
                 "concurrent commit — retry"
             )
         touched.append((a, json.loads(r["__desc"])))
-    now_ms = int(time.time() * 1000)
+    return touched, int(sum(r["__n"] for r in dv_rows))
+
+
+def _delta_stage_outputs(spark: SparkSession, path: str, ctx: dict,
+                         produced: "DataFrame | None",
+                         cdf_parts: list) -> tuple:
+    """Stage the commit's NEW data files (``produced`` rows, logical
+    names) and spec ``cdc`` change files (``cdf_parts`` =
+    ``[(logical_df, change_type), …]``) — both written with PHYSICAL
+    names (+ parquet field ids when mapped) so they read back under
+    the table's resolution mode. The fieldId write conf is pinned
+    around the eager staging writes and RESTORED (a leak would make
+    every later session write honor stray field-id metadata).
+    Returns ``(new_add_actions, cdc_actions)``."""
+    schema, cm = ctx["schema"], ctx["cm"]
+    phys, field_ids = ctx["phys"], ctx["field_ids"]
 
     def _phys_col(name):
         md = (
@@ -1604,14 +1591,8 @@ def _delta_mor_mutate(
         )
         return F.col(name).alias(phys[name], metadata=md)
 
-    # UPDATE: transformed rows derive from the SAME staged hits,
-    # staged with PHYSICAL names (+ field ids when mapped) so the new
-    # files — and the cdc files below — read back under the table's
-    # resolution mode. The fieldId write conf is pinned around the
-    # eager staging writes and RESTORED (a leak would make every
-    # later session write honor stray field-id metadata).
     new_adds: list[dict] = []
-    upd_phys = None
+    cdc_actions: list[dict] = []
     saved_fw = None
     if cm == "id":
         try:
@@ -1624,37 +1605,22 @@ def _delta_mor_mutate(
             "spark.sql.parquet.fieldId.write.enabled", "true"
         )
     try:
-        if set_exprs is not None:
-            ttypes = {f.name: f.dataType for f in schema.fields}
-            upd = staged
-            for c, e in set_exprs.items():
-                if c not in ttypes:
-                    raise ValueError(
-                        f"SET column {c!r} not in table"
-                    )
-                col = F.expr(e) if isinstance(e, str) else e
-                upd = upd.withColumn(c, col.cast(ttypes[c]))
-            upd_phys = upd.select(*[
+        if produced is not None:
+            produced_phys = produced.select(*[
                 _phys_col(f.name) for f in schema.fields
             ])
-            new_adds = _stage_files(upd_phys, path, pcols_phys,
+            new_adds = _stage_files(produced_phys, path,
+                                    ctx["pcols_phys"],
                                     stats_cols=None)
-        cdc_actions: list[dict] = []
-        if record_cdf:
-            pre_kind = (
-                "update_preimage" if set_exprs is not None
-                else "delete"
-            )
-            cdf_df = staged.select(*[
-                _phys_col(f.name) for f in schema.fields
-            ]).withColumn("_change_type", F.lit(pre_kind))
-            if upd_phys is not None:
-                cdf_df = cdf_df.unionByName(
-                    upd_phys.withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    )
-                )
-            cdc_actions = _stage_cdc_files(cdf_df, path, pcols_phys)
+        if cdf_parts:
+            cdf_df = None
+            for part, kind in cdf_parts:
+                p = part.select(*[
+                    _phys_col(f.name) for f in schema.fields
+                ]).withColumn("_change_type", F.lit(kind))
+                cdf_df = p if cdf_df is None else cdf_df.unionByName(p)
+            cdc_actions = _stage_cdc_files(cdf_df, path,
+                                           ctx["pcols_phys"])
     finally:
         if cm == "id":
             if saved_fw is None:
@@ -1666,10 +1632,24 @@ def _delta_mor_mutate(
                     "spark.sql.parquet.fieldId.write.enabled",
                     saved_fw,
                 )
+    return new_adds, cdc_actions
+
+
+def _delta_commit_dml(path: str, ctx: dict, touched: list,
+                      new_adds: list, cdc_actions: list,
+                      operation: str, op_params: dict,
+                      record_cdf: bool) -> int:
+    """Write the single DML commit: remove+re-add each DV-touched
+    file, append the new adds and cdc actions, and upgrade the
+    protocol — enumerating the legacy version-implied features,
+    never stripping them — when the commit introduces deletion
+    vectors or honors CDF. Returns the committed version."""
+    proto = ctx["proto"]
+    now_ms = int(time.time() * 1000)
     actions = [{"commitInfo": {
         "timestamp": now_ms,
-        "operation": "UPDATE" if set_exprs is not None else "DELETE",
-        "operationParameters": {"predicate": pred},
+        "operation": operation,
+        "operationParameters": op_params,
         "engineInfo": "harmony-energy-data-pipeline-spark",
     }}]
     feats, wfeats = _implied_features(proto or {})
@@ -1677,19 +1657,28 @@ def _delta_mor_mutate(
     # writers honoring the CDF property must DECLARE the feature
     # (spec rule) — readers don't need it, so it's writer-side only;
     # a legacy protocol upgrades with its version-implied features
-    # ENUMERATED (columnMapping from reader v2 etc.), never stripped
-    want_w = {"deletionVectors"} | (
-        {"changeDataFeed"} if record_cdf else set()
+    # ENUMERATED (columnMapping from reader v2 etc.), never stripped.
+    # An insert-only commit (no DVs written) does not force the
+    # deletionVectors reader feature onto foreign readers.
+    need_dv = bool(touched)
+    want_w = (
+        ({"deletionVectors"} if need_dv else set())
+        | ({"changeDataFeed"} if record_cdf else set())
     )
-    if "deletionVectors" not in feats or rv < 3 \
+    if (need_dv and ("deletionVectors" not in feats or rv < 3)) \
             or not (want_w <= wfeats):
         actions.append({"protocol": {
-            "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": sorted(feats | {"deletionVectors"}),
-            "writerFeatures": sorted(
-                wfeats | want_w | {"deletionVectors"}
-            ),
+            "minReaderVersion": 3 if need_dv else rv,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                feats | ({"deletionVectors"} if need_dv else set())
+            ) if (need_dv or proto and
+                  proto.get("readerFeatures") is not None) else None,
+            "writerFeatures": sorted(wfeats | want_w),
         }})
+        if actions[-1]["protocol"]["readerFeatures"] is None:
+            del actions[-1]["protocol"]["readerFeatures"]
+            actions[-1]["protocol"]["minReaderVersion"] = rv
     actions.extend(cdc_actions)
     for a, desc in touched:
         actions.append({"remove": {
@@ -1699,8 +1688,7 @@ def _delta_mor_mutate(
         actions.append({"add": dict(a, deletionVector=desc,
                                     dataChange=True)})
     actions.extend({"add": a} for a in new_adds)
-    shutil.rmtree(hitstage, ignore_errors=True)
-    version = v + 1
+    version = ctx["v"] + 1
     final = _log_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -1717,7 +1705,347 @@ def _delta_mor_mutate(
         )
     finally:
         os.unlink(tmp)
+    return version
+
+
+def _delta_mor_mutate(
+    spark: SparkSession, path: str, pred: str,
+    set_exprs: "dict | None" = None,
+    record_cdf: bool = False,
+) -> tuple:
+    """Row-level DELETE/UPDATE on a DELTA table IN ITS OWN FORMAT —
+    merge-on-read via spec deletion vectors: matching row positions
+    land in roaring-bitmap DV files (``sources/deltadv``), each
+    touched add re-adds with its (existing ∪ new) vector, the
+    protocol upgrades to declare ``deletionVectors`` if needed, and
+    UPDATE re-appends the transformed rows in the SAME commit.
+    Returns ``(version, n_deleted)``.
+
+    Scale shape (round 12): ONE scan over the in-scope adds (a
+    conjunctive predicate prunes files on partitionValues + stats
+    zone maps first) — not one plan arm per partition tuple; existing
+    vectors expand EXECUTOR-side and subtract with one anti-join
+    (never decoded into driver sets); the matched set is evaluated
+    ONCE into a provenance-carrying staging parquet that both the new
+    vectors and the re-inserted rows derive from (a non-deterministic
+    predicate cannot desynchronize them); the new DV files are
+    written BY THE EXECUTORS (one per touched data file) and the
+    driver collects only O(#touched files) descriptors.
+
+    COLUMN-MAPPED tables (name and id mode) are supported: the scan
+    resolves physical names/field ids exactly like
+    :func:`read_delta`, re-appended files store PHYSICAL names (+
+    parquet field ids when the schema carries them), and cdc files
+    stage physical-named with real partitionValues.
+
+    ``record_cdf=True`` — or the table property
+    ``delta.enableChangeDataFeed=true``, which this writer honors —
+    stages spec ``cdc`` records so foreign ``table_changes`` readers
+    see the commit row-level instead of refusing on its removes."""
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+        stage_rows_once,
+    )
+
+    ctx = _delta_dml_ctx(spark, path)
+    record_cdf = record_cdf or ctx["cdf_default"]
+    adds, v, schema = ctx["adds"], ctx["v"], ctx["schema"]
+    if not adds:
+        return (v, 0)
+    # plan-time file pruning: conjunctive predicates skip files on
+    # partitionValues (exact) + stats zone maps, like read_delta —
+    # correctness never depends on it (the predicate re-applies
+    # row-level below)
+    triples = parse_conjunctive_where(pred)
+    scoped = adds
+    if triples:
+        phys, pcols, ptypes = ctx["phys"], ctx["pcols"], ctx["ptypes"]
+        where_phys = [(phys.get(c, c), lo, hi)
+                      for c, lo, hi in triples]
+        ptypes_phys = {phys[c]: ptypes[c] for c in pcols}
+        scoped = [a for a in adds
+                  if _add_matches(a, where_phys, ctx["pcols_phys"],
+                                  ptypes_phys)]
+        if not scoped:
+            return (v, 0)
+    base = _delta_live_base(spark, path, ctx, scoped)
+    # SINGLE EVALUATION: the predicate materializes the matched rows
+    # (with file/position provenance) exactly once
+    staged, n_hits, hitstage = stage_rows_once(
+        spark, path,
+        base.filter(F.expr(pred)).select(
+            *[f.name for f in schema.fields], "__rel", "__p"
+        ),
+    )
+    if n_hits == 0:
+        return (v, 0)
+    try:
+        touched, n_deleted = _delta_write_dvs(
+            spark, path, ctx, staged, scoped
+        )
+        if not touched:
+            return (v, 0)
+        produced = None
+        if set_exprs is not None:
+            ttypes = {f.name: f.dataType for f in schema.fields}
+            upd = staged
+            for c, e in set_exprs.items():
+                if c not in ttypes:
+                    raise ValueError(
+                        f"SET column {c!r} not in table"
+                    )
+                col = F.expr(e) if isinstance(e, str) else e
+                upd = upd.withColumn(c, col.cast(ttypes[c]))
+            produced = upd.select(*[f.name for f in schema.fields])
+        cdf_parts: list = []
+        if record_cdf:
+            pre_kind = (
+                "update_preimage" if set_exprs is not None
+                else "delete"
+            )
+            cdf_parts.append((
+                staged.select(*[f.name for f in schema.fields]),
+                pre_kind,
+            ))
+            if produced is not None:
+                cdf_parts.append((produced, "update_postimage"))
+        new_adds, cdc_actions = _delta_stage_outputs(
+            spark, path, ctx, produced, cdf_parts
+        )
+    finally:
+        shutil.rmtree(hitstage, ignore_errors=True)
+    version = _delta_commit_dml(
+        path, ctx, touched, new_adds, cdc_actions,
+        "UPDATE" if set_exprs is not None else "DELETE",
+        {"predicate": pred}, record_cdf,
+    )
     return (version, n_deleted)
+
+
+def _delta_merge_scope(ctx: dict, source: DataFrame, key: str,
+                       skey: str, nmbs: list) -> list:
+    """The adds a wire-format MERGE must SCAN. Matched/insert
+    soundness rides on no-false-negative pruning: a file whose
+    partitionValues/stats range provably excludes EVERY source key
+    (one bounded min/max aggregation of the source) cannot contain a
+    match, so its rows are untouched by construction — same
+    conservative zone-map contract as :func:`_add_matches`. NOT
+    MATCHED BY SOURCE clauses widen the scope: when every NMBS
+    condition parses as a conjunctive target range, the range-matching
+    files join the scan; an unconditional (or unparseable) NMBS
+    clause inherently inspects every live row."""
+    import datetime as _dt
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+    )
+
+    adds = ctx["adds"]
+    phys, pcols, ptypes = ctx["phys"], ctx["pcols"], ctx["ptypes"]
+    pcols_phys = ctx["pcols_phys"]
+    ptypes_phys = {phys[c]: ptypes[c] for c in pcols}
+
+    def _phys_triples(triples):
+        return [(phys.get(c, c), lo, hi) for c, lo, hi in triples]
+
+    nmbs_wheres: list = []
+    if nmbs:
+        for cl in nmbs:
+            cond = cl.get("condition")
+            parsed = (
+                None if cond is None
+                else parse_conjunctive_where(re.sub(r"\bt\.", "", cond))
+            )
+            if parsed is None:
+                return list(adds)  # unbounded NMBS: full scan
+            nmbs_wheres.append(_phys_triples(parsed))
+    row = source.agg(
+        F.min(skey).alias("lo"), F.max(skey).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    prunable = (int, float, str, _dt.date)
+    if lo is not None and isinstance(lo, prunable) \
+            and not isinstance(lo, _dt.datetime):
+        key_triples = _phys_triples([(key, lo, hi)])
+    elif lo is None:
+        # empty / all-NULL source keys: nothing can match — only the
+        # NMBS ranges (if any) need target rows
+        key_triples = []
+    else:
+        return list(adds)  # unprunable key type: full scan
+    out = []
+    for a in adds:
+        keep = (
+            bool(key_triples)
+            and _add_matches(a, key_triples, pcols_phys, ptypes_phys)
+        )
+        if not keep:
+            keep = any(
+                _add_matches(a, w, pcols_phys, ptypes_phys)
+                for w in nmbs_wheres
+            )
+        if keep:
+            out.append(a)
+    return out
+
+
+def delta_merge_when(
+    spark: SparkSession, path: str, source: DataFrame, key: str,
+    matched: "list | tuple" = (), not_matched: "list | tuple" = (),
+    not_matched_by_source: "list | tuple" = (),
+    source_key: "str | None" = None,
+    record_cdf: bool = False,
+) -> tuple:
+    """MERGE INTO a Delta table IN ITS OWN FORMAT — the full
+    WHEN-clause surface of :func:`snapshot_merge_when` (same clause
+    dicts, same first-match semantics, same SQL cardinality rule) as
+    a single-commit merge-on-read: target rows hit by an
+    UPDATE/DELETE clause deletion-vector OUT of their files, clause-
+    produced rows (update post-images + inserts) append as new data
+    files — one atomic commit, no adoption, column-mapped and
+    partitioned tables included. The daily CDC upsert
+    (reference: src/serve/load.py:43-46) lands on a foreign Delta
+    table without leaving its wire format.
+
+    Scale shape: the labeling engine's full-outer join shuffles
+    target∪source on the key ONCE; the target scan is scoped by
+    source-key min/max against partitionValues + stats zone maps
+    (:func:`_delta_merge_scope` — no-false-negative, so unscanned
+    rows are provably unmatched); the labeled rows materialize ONCE
+    (:func:`stage_rows_once`) and the delete positions, appended
+    rows, and change files all derive from that staging; DV files
+    write executor-side with O(#touched files) driver descriptors.
+
+    ``record_cdf=True`` — or ``delta.enableChangeDataFeed=true`` on
+    the table, which this writer honors — stages spec ``cdc`` files
+    with the MERGE kinds foreign readers expect: ``update_preimage``/
+    ``update_postimage`` for update clauses, ``delete`` for delete
+    clauses, ``insert`` for inserts.
+
+    Returns ``(version, n_changed)`` — ``n_changed`` counts clause-
+    hit rows (updates + deletes + inserts); ``(current_version, 0)``
+    with NO commit when no clause fires."""
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        _merge_cardinality_check,
+        _merge_check_clauses,
+        _merge_labeled,
+        _merge_out_cols,
+        stage_rows_once,
+    )
+
+    matched, not_matched, nmbs = _merge_check_clauses(
+        matched, not_matched, not_matched_by_source
+    )
+    skey = source_key or key
+    ctx = _delta_dml_ctx(spark, path)
+    record_cdf = record_cdf or ctx["cdf_default"]
+    schema, v = ctx["schema"], ctx["v"]
+    tcols = [f.name for f in schema.fields]
+    ttypes = {f.name: f.dataType for f in schema.fields}
+    if key not in ttypes:
+        raise ValueError(f"merge key {key!r} not a table column")
+    if skey not in source.columns:
+        raise ValueError(
+            f"merge source key {skey!r} not a source column"
+        )
+    if matched:
+        _merge_cardinality_check(source, skey)
+    scoped = _delta_merge_scope(ctx, source, key, skey, nmbs) \
+        if ctx["adds"] else []
+    base = (
+        _delta_live_base(spark, path, ctx, scoped) if scoped
+        else _delta_empty_base(spark, ctx)
+    )
+    j, labels, drop_labels = _merge_labeled(
+        base, source, key, skey, matched, not_matched, nmbs
+    )
+    touched_labels = sorted(
+        label for label, _cl, kind in labels
+        if kind in ("matched", "nmbs")
+    )
+    ins_labels = sorted(
+        label for label, _cl, kind in labels if kind == "insert"
+    )
+    # SINGLE EVALUATION: every clause-hit row (with its target
+    # provenance and source struct) materializes exactly once; the
+    # delete positions, appended rows, and change files ALL derive
+    # from this staging — a non-deterministic clause condition cannot
+    # desynchronize them
+    staged, n_changed, stage_dir = stage_rows_once(
+        spark, path,
+        j.filter(F.col("__act").isin(touched_labels + ins_labels)),
+    )
+    if n_changed == 0:
+        return (v, 0)
+    try:
+        touched, _n_del = ([], 0)
+        if touched_labels:
+            del_rows = staged.filter(
+                F.col("__act").isin(touched_labels)
+            ).select("t.*")
+            touched, _n_del = _delta_write_dvs(
+                spark, path, ctx, del_rows, scoped
+            )
+        out_cols = _merge_out_cols(
+            labels, drop_labels, tcols, ttypes, key, skey,
+            list(source.columns),
+        )
+        produced_labels = sorted(
+            label for label, _cl, kind in labels
+            if label not in drop_labels
+        )
+        produced = None
+        if produced_labels:
+            prod_src = staged.filter(
+                F.col("__act").isin(produced_labels)
+            )
+            produced = prod_src.select(*out_cols)
+        cdf_parts: list = []
+        if record_cdf:
+            upd_labels = sorted(
+                label for label, cl, kind in labels
+                if kind in ("matched", "nmbs")
+                and cl["action"] == "update"
+            )
+            del_labels = sorted(
+                label for label, cl, kind in labels
+                if kind in ("matched", "nmbs")
+                and cl["action"] == "delete"
+            )
+            t_cols = [F.col(f"t.{c}").alias(c) for c in tcols]
+            if upd_labels:
+                pre = staged.filter(F.col("__act").isin(upd_labels))
+                cdf_parts.append((pre.select(*t_cols),
+                                  "update_preimage"))
+                cdf_parts.append((pre.select(*out_cols),
+                                  "update_postimage"))
+            if del_labels:
+                cdf_parts.append((
+                    staged.filter(F.col("__act").isin(del_labels))
+                    .select(*t_cols),
+                    "delete",
+                ))
+            if ins_labels:
+                cdf_parts.append((
+                    staged.filter(F.col("__act").isin(ins_labels))
+                    .select(*out_cols),
+                    "insert",
+                ))
+        new_adds, cdc_actions = _delta_stage_outputs(
+            spark, path, ctx, produced, cdf_parts
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    version = _delta_commit_dml(
+        path, ctx, touched, new_adds, cdc_actions, "MERGE",
+        {"predicate": f"(target.{key} = source.{skey})"},
+        record_cdf,
+    )
+    return (version, n_changed)
 
 
 def read_delta_changes(
