@@ -2089,47 +2089,12 @@ def iceberg_delete_where(
     return (sid, n)
 
 
-def iceberg_update_where(
-    spark: SparkSession, path: str, pred: str, set_exprs: dict,
-    stats_cols: "list[str] | None" = None,
-) -> tuple:
-    """Row-level UPDATE on an Iceberg table in its own format — ONE
-    v2 snapshot carrying BOTH a position-delete manifest (the old
-    rows, under a registered unpartitioned spec — the global shape)
-    and a data manifest (the transformed rows, staged under the
-    table's CURRENT default spec with real partition tuples —
-    PARTITIONED tables included): a reader sees the update
-    atomically, never the deleted-but-not-reinserted middle.
-
-    The matched set is evaluated ONCE: the predicate materializes the
-    hit rows (with file/position provenance) to a staging parquet,
-    and both the delete positions and the re-inserted rows derive
-    from that materialization — a non-deterministic predicate
-    (rand(), now()-relative) cannot desynchronize them. Positions
-    stay distributed; the driver sees only per-file descriptors.
-    SET results cast back to the DECLARED column types. Returns
-    ``(snapshot_id, n_updated)``. Equality-delete tables refuse as
-    in :func:`iceberg_delete_where`."""
-    import shutil
-
-    import pyarrow.parquet as pq
-
-    if not set_exprs:
-        raise ValueError("update needs at least one SET expression")
-    meta = table_metadata(path)
-    schema = _current_schema(meta)
-    spark_schema = _schema_to_spark(schema)
-    data, deletes = live_files(path, meta)
-    if any((d.get("content") or 0) == 2 for d in deletes):
-        raise IcebergProtocolError(
-            "UPDATE WHERE on a table with EQUALITY deletes: compact "
-            "first (iceberg_compact) so positions are unambiguous"
-        )
-    if not data:
-        return (meta.get("current-snapshot-id"), 0)
-    # validate the CURRENT default spec FIRST (metadata-only): a
-    # refusal must cost nothing and orphan nothing — staging happens
-    # only after this passes
+def _staging_spec(meta: dict, schema: dict) -> tuple:
+    """Validate that the table's CURRENT default partition spec is
+    one this writer can stage data under, and compile it into the
+    ``(pspec, part_fields)`` pair :func:`_stage_data_entries` takes.
+    Metadata-only — a refusal costs nothing and orphans nothing.
+    Shared by the wire-format UPDATE and MERGE paths."""
     cur_spec = next(
         (sp for sp in meta.get("partition-specs", [])
          if sp.get("spec-id") == meta.get("default-spec-id", 0)),
@@ -2148,9 +2113,8 @@ def iceberg_update_where(
             or tr.startswith(("bucket[", "truncate["))
         ):
             raise IcebergProtocolError(
-                f"UPDATE WHERE cannot stage under partition "
-                f"transform {tr!r} — rewrite via read_iceberg + "
-                "write_iceberg"
+                f"cannot stage data under partition transform "
+                f"{tr!r} — rewrite via read_iceberg + write_iceberg"
             )
         pspec.append({"src": src, "transform": tr,
                       "pv_name": f["name"]})
@@ -2158,53 +2122,39 @@ def iceberg_update_where(
             f, type=_transform_result_ice_type(
                 tr, by_src_type[f["source-id"]]),
         ))
-    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
-        parse_conjunctive_where,
-    )
+    return pspec, part_fields
 
-    # planning-time file pruning, as in iceberg_delete_where
-    triples = parse_conjunctive_where(pred)
-    if triples:
-        data = _prune_data_files(meta, schema, data, triples)
-        if not data:
-            return (meta.get("current-snapshot-id"), 0)
-    base = _provenance_scan(spark, path, data, spark_schema, deletes)
-    # SINGLE EVALUATION: materialize the matched rows once
-    hitstage = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    base.filter(F.expr(pred)).write.mode("error").parquet(hitstage)
-    n = 0
-    for root, _dirs, fnames in os.walk(hitstage):
-        for fn in fnames:
-            if fn.endswith(".parquet"):
-                n += pq.read_metadata(
-                    os.path.join(root, fn)
-                ).num_rows
-    if n == 0:
-        shutil.rmtree(hitstage, ignore_errors=True)
-        return (meta.get("current-snapshot-id"), 0)
-    staged = spark.read.parquet(hitstage)
+
+def _commit_mor_snapshot(
+    spark: SparkSession, path: str, meta: dict, schema: dict,
+    pos_df: "DataFrame | None", produced: "DataFrame | None",
+    pspec: "list | None", part_fields: "list | None",
+    stats_cols: "list | None" = None,
+) -> tuple:
+    """ONE v2 snapshot carrying a position-delete manifest (from the
+    distributed ``pos_df`` of ``(file_path, pos)``, written under a
+    registered UNPARTITIONED spec — the global shape) AND/OR a data
+    manifest (``produced`` rows staged under the table's CURRENT
+    default spec with real partition tuples): a reader sees the
+    mutation atomically, never a deleted-but-not-reinserted middle.
+    Shared by the wire-format UPDATE and MERGE committers. Returns
+    ``(snapshot_id, n_deleted, n_added)``; commits nothing and
+    returns the current snapshot when both halves are empty."""
     seq = meta.get("last-sequence-number", 0) + 1
     snap_id = int.from_bytes(os.urandom(7), "big")
-    # the old rows' positions → executor-written delete parquet
-    pos_df = _spelled_positions(spark, path, data, staged)
-    del_entries = _stage_pos_delete_entries(
-        spark, path, pos_df, snap_id
+    del_entries = (
+        _stage_pos_delete_entries(spark, path, pos_df, snap_id)
+        if pos_df is not None else []
     )
-    # the transformed rows, staged under the CURRENT default spec
-    cols = [f["name"] for f in schema["fields"]]
-    ttypes = {f.name: f.dataType for f in spark_schema.fields}
-    upd = staged
-    for c, e in set_exprs.items():
-        if c not in ttypes:
-            raise ValueError(f"SET column {c!r} not in table")
-        col = F.expr(e) if isinstance(e, str) else e
-        upd = upd.withColumn(c, col.cast(ttypes[c]))
-    upd = upd.select(*cols)
-    types_of = {f["name"]: f["type"] for f in schema["fields"]}
-    data_entries = _stage_data_entries(
-        upd, path, pspec, types_of, schema, stats_cols, snap_id
-    )
-    shutil.rmtree(hitstage, ignore_errors=True)
+    data_entries = []
+    if produced is not None:
+        types_of = {f["name"]: f["type"] for f in schema["fields"]}
+        data_entries = _stage_data_entries(
+            produced, path, pspec, types_of, schema, stats_cols,
+            snap_id,
+        )
+    if not del_entries and not data_entries:
+        return (meta.get("current-snapshot-id"), 0, 0)
     # two manifests, one snapshot: deletes under the unpartitioned
     # global spec, data under the table's default spec
     gsid, specs = _global_delete_spec(meta)
@@ -2215,7 +2165,7 @@ def iceberg_update_where(
         (0, data_entries, part_fields, spec_id, json.dumps([
             {k: f[k] for k in
              ("name", "transform", "source-id", "field-id")}
-            for f in part_fields
+            for f in (part_fields or [])
         ])),
     ):
         if not entries:
@@ -2269,7 +2219,283 @@ def iceberg_update_where(
         + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
     )
     _commit_metadata(path, new_meta, meta)
+    return (
+        snap_id,
+        sum(e["data_file"]["record_count"] for e in del_entries),
+        sum(e["data_file"]["record_count"] for e in data_entries),
+    )
+
+
+def iceberg_update_where(
+    spark: SparkSession, path: str, pred: str, set_exprs: dict,
+    stats_cols: "list[str] | None" = None,
+) -> tuple:
+    """Row-level UPDATE on an Iceberg table in its own format — ONE
+    v2 snapshot carrying BOTH a position-delete manifest (the old
+    rows, under a registered unpartitioned spec — the global shape)
+    and a data manifest (the transformed rows, staged under the
+    table's CURRENT default spec with real partition tuples —
+    PARTITIONED tables included): a reader sees the update
+    atomically, never the deleted-but-not-reinserted middle.
+
+    The matched set is evaluated ONCE: the predicate materializes the
+    hit rows (with file/position provenance) to a staging parquet,
+    and both the delete positions and the re-inserted rows derive
+    from that materialization — a non-deterministic predicate
+    (rand(), now()-relative) cannot desynchronize them. Positions
+    stay distributed; the driver sees only per-file descriptors.
+    SET results cast back to the DECLARED column types. Returns
+    ``(snapshot_id, n_updated)``. Equality-delete tables refuse as
+    in :func:`iceberg_delete_where`."""
+    import shutil
+
+    if not set_exprs:
+        raise ValueError("update needs at least one SET expression")
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema)
+    data, deletes = live_files(path, meta)
+    if any((d.get("content") or 0) == 2 for d in deletes):
+        raise IcebergProtocolError(
+            "UPDATE WHERE on a table with EQUALITY deletes: compact "
+            "first (iceberg_compact) so positions are unambiguous"
+        )
+    if not data:
+        return (meta.get("current-snapshot-id"), 0)
+    # validate the CURRENT default spec FIRST (metadata-only): a
+    # refusal must cost nothing and orphan nothing — staging happens
+    # only after this passes
+    pspec, part_fields = _staging_spec(meta, schema)
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+        stage_rows_once,
+    )
+
+    # planning-time file pruning, as in iceberg_delete_where
+    triples = parse_conjunctive_where(pred)
+    if triples:
+        data = _prune_data_files(meta, schema, data, triples)
+        if not data:
+            return (meta.get("current-snapshot-id"), 0)
+    base = _provenance_scan(spark, path, data, spark_schema, deletes)
+    # SINGLE EVALUATION: materialize the matched rows once
+    staged, n, hitstage = stage_rows_once(
+        spark, path, base.filter(F.expr(pred))
+    )
+    if n == 0:
+        return (meta.get("current-snapshot-id"), 0)
+    try:
+        # the old rows' positions → executor-written delete parquet
+        pos_df = _spelled_positions(spark, path, data, staged)
+        # the transformed rows, staged under the CURRENT default spec
+        cols = [f["name"] for f in schema["fields"]]
+        ttypes = {f.name: f.dataType for f in spark_schema.fields}
+        upd = staged
+        for c, e in set_exprs.items():
+            if c not in ttypes:
+                raise ValueError(f"SET column {c!r} not in table")
+            col = F.expr(e) if isinstance(e, str) else e
+            upd = upd.withColumn(c, col.cast(ttypes[c]))
+        upd = upd.select(*cols)
+        snap_id, _nd, _na = _commit_mor_snapshot(
+            spark, path, meta, schema, pos_df, upd, pspec,
+            part_fields, stats_cols,
+        )
+    finally:
+        shutil.rmtree(hitstage, ignore_errors=True)
     return (snap_id, n)
+
+
+def _iceberg_merge_scope(meta: dict, schema: dict, data: list,
+                         source: DataFrame, key: str, skey: str,
+                         nmbs: list) -> list:
+    """The data files a wire-format MERGE must SCAN — the Iceberg
+    twin of :func:`_delta_merge_scope`: files whose manifest bounds /
+    partition tuples provably exclude EVERY source key (one bounded
+    min/max aggregation) cannot contain a match, so their rows are
+    untouched by construction; conjunctive-range NOT MATCHED BY
+    SOURCE conditions widen the scope, unbounded ones force a full
+    scan. No-false-negative everywhere (:func:`_prune_data_files`
+    is conservative where information is missing)."""
+    import datetime as _dt
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+    )
+
+    nmbs_wheres: list = []
+    if nmbs:
+        for cl in nmbs:
+            cond = cl.get("condition")
+            parsed = (
+                None if cond is None
+                else parse_conjunctive_where(re.sub(r"\bt\.", "", cond))
+            )
+            if parsed is None:
+                return list(data)  # unbounded NMBS: full scan
+            nmbs_wheres.append(parsed)
+    row = source.agg(
+        F.min(skey).alias("lo"), F.max(skey).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    prunable = (int, float, str, _dt.date)
+    if lo is not None and isinstance(lo, prunable) \
+            and not isinstance(lo, _dt.datetime):
+        scoped = _prune_data_files(meta, schema, data,
+                                   [(key, lo, hi)])
+    elif lo is None:
+        # empty / all-NULL source keys: nothing can match — only the
+        # NMBS ranges (if any) need target rows
+        scoped = []
+    else:
+        return list(data)  # unprunable key type: full scan
+    seen = {d["file_path"] for d in scoped}
+    for w in nmbs_wheres:
+        for d in _prune_data_files(meta, schema, data, w):
+            if d["file_path"] not in seen:
+                seen.add(d["file_path"])
+                scoped.append(d)
+    return scoped
+
+
+def iceberg_merge_when(
+    spark: SparkSession, path: str, source: DataFrame, key: str,
+    matched: "list | tuple" = (), not_matched: "list | tuple" = (),
+    not_matched_by_source: "list | tuple" = (),
+    source_key: "str | None" = None,
+    stats_cols: "list[str] | None" = None,
+) -> tuple:
+    """MERGE INTO an Iceberg table IN ITS OWN FORMAT — the full
+    WHEN-clause surface of :func:`snapshot_merge_when` (same clause
+    dicts, first-match semantics, SQL cardinality rule) as ONE v2
+    merge-on-read snapshot: target rows hit by an UPDATE/DELETE
+    clause position-delete out of their files (global unpartitioned
+    delete spec), clause-produced rows (update post-images + inserts)
+    stage under the table's CURRENT default spec with real partition
+    tuples — partitioned tables included, one atomic snapshot, no
+    adoption. The daily CDC upsert (reference: src/serve/load.py:43-46)
+    lands on a foreign Iceberg table without leaving its wire format.
+
+    Scale shape: the labeling engine's full-outer join shuffles
+    target∪source on the key ONCE; the target scan is scoped by
+    source-key min/max against manifest bounds + partition transforms
+    (:func:`_iceberg_merge_scope`, no-false-negative); the labeled
+    rows materialize ONCE (:func:`stage_rows_once`) and both commit
+    halves derive from that staging; delete parquet and data files
+    write executor-side with O(#files) driver descriptors.
+    :func:`read_iceberg_changes` replays the snapshot as
+    delete+insert rows, the same shape the single-snapshot UPDATE
+    emits.
+
+    Returns ``(snapshot_id, n_changed)`` — clause-hit rows (updates +
+    deletes + inserts); ``(current_snapshot_id, 0)`` with NO commit
+    when no clause fires. Equality-delete tables refuse as in
+    :func:`iceberg_delete_where`."""
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        _merge_cardinality_check,
+        _merge_check_clauses,
+        _merge_labeled,
+        _merge_out_cols,
+        stage_rows_once,
+    )
+
+    matched, not_matched, nmbs = _merge_check_clauses(
+        matched, not_matched, not_matched_by_source
+    )
+    skey = source_key or key
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema)
+    data, deletes = live_files(path, meta)
+    if any((d.get("content") or 0) == 2 for d in deletes):
+        raise IcebergProtocolError(
+            "MERGE on a table with EQUALITY deletes: compact first "
+            "(iceberg_compact) so positions are unambiguous"
+        )
+    tcols = [f["name"] for f in schema["fields"]]
+    ttypes = {f.name: f.dataType for f in spark_schema.fields}
+    if key not in ttypes:
+        raise ValueError(f"merge key {key!r} not a table column")
+    if skey not in source.columns:
+        raise ValueError(
+            f"merge source key {skey!r} not a source column"
+        )
+    # clauses that PRODUCE rows need a stageable default spec —
+    # validated FIRST (metadata-only, orphans nothing); a pure-delete
+    # merge commits no data manifest and skips the requirement
+    produces_rows = bool(not_matched) or any(
+        cl["action"] == "update" for cl in (*matched, *nmbs)
+    )
+    pspec, part_fields = (
+        _staging_spec(meta, schema) if produces_rows else (None, None)
+    )
+    if matched:
+        _merge_cardinality_check(source, skey)
+    scoped = (
+        _iceberg_merge_scope(meta, schema, data, source, key, skey,
+                             nmbs)
+        if data else []
+    )
+    if scoped:
+        base = _provenance_scan(spark, path, scoped, spark_schema,
+                                deletes)
+    else:
+        from pyspark.sql.types import LongType, StringType
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        base = spark.createDataFrame([], _ST(
+            list(spark_schema.fields)
+            + [_SF("__f", StringType()), _SF("__p", LongType())]
+        ))
+    j, labels, drop_labels = _merge_labeled(
+        base, source, key, skey, matched, not_matched, nmbs
+    )
+    touched_labels = sorted(
+        label for label, _cl, kind in labels
+        if kind in ("matched", "nmbs")
+    )
+    ins_labels = sorted(
+        label for label, _cl, kind in labels if kind == "insert"
+    )
+    # SINGLE EVALUATION: every clause-hit row (with target provenance
+    # and source struct) materializes exactly once; both commit
+    # halves derive from this staging
+    staged, n_changed, stage_dir = stage_rows_once(
+        spark, path,
+        j.filter(F.col("__act").isin(touched_labels + ins_labels)),
+    )
+    if n_changed == 0:
+        return (meta.get("current-snapshot-id"), 0)
+    try:
+        pos_df = None
+        if touched_labels:
+            del_rows = staged.filter(
+                F.col("__act").isin(touched_labels)
+            ).select("t.*")
+            pos_df = _spelled_positions(spark, path, scoped, del_rows)
+        produced = None
+        produced_labels = sorted(
+            label for label, _cl, kind in labels
+            if label not in drop_labels
+        )
+        if produced_labels:
+            out_cols = _merge_out_cols(
+                labels, drop_labels, tcols, ttypes, key, skey,
+                list(source.columns),
+            )
+            produced = staged.filter(
+                F.col("__act").isin(produced_labels)
+            ).select(*out_cols)
+        snap_id, _nd, _na = _commit_mor_snapshot(
+            spark, path, meta, schema, pos_df, produced, pspec,
+            part_fields, stats_cols,
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return (snap_id, n_changed)
 
 
 def read_iceberg_changes(
