@@ -8252,6 +8252,176 @@ def q_sql_iceberg_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("sql_delta_merge_digest", """
+WITH tgt AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+src AS (
+  SELECT event_id AS k,
+         value + 500.0 AS v,
+         CASE WHEN event_id % 4 = 0 THEN 'drop' ELSE 'amend' END AS op
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT event_id + 9000000, value, 'fresh' FROM events
+  WHERE event_id % 13 = 0
+),
+merged AS (
+  -- WHEN MATCHED AND op='drop' THEN DELETE
+  -- WHEN MATCHED THEN UPDATE SET v = src.v, et = 'amended'
+  -- WHEN NOT MATCHED AND v >= 0 THEN INSERT (k, v, et) VALUES (k, v, 'new')
+  SELECT t.k,
+         CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+         CASE WHEN s.k IS NOT NULL THEN 'amended' ELSE t.et END AS et
+  FROM tgt t LEFT JOIN src s ON t.k = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.op = 'drop')
+  UNION ALL
+  SELECT s.k, s.v, 'new'
+  FROM src s LEFT JOIN tgt t ON s.k = t.k
+  WHERE t.k IS NULL AND s.v >= 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+       COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+FROM merged
+""")
+def q_sql_delta_merge_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE IN the Delta wire format through SQL (round 12): the
+    full WHEN surface (conditioned MATCHED DELETE, MATCHED UPDATE,
+    conditioned NOT MATCHED INSERT) lands as ONE MOR commit — matched
+    rows deletion-vector out of their files, clause-produced rows
+    append — via ``delta_merge_when`` (`sources/deltalake.py`),
+    zero adoption, zero data-file rewrite. The daily keyed upsert of
+    the reference's loader (src/serve/load.py:43-46) against a
+    foreign Delta table. Oracle recomputes the post-merge table as
+    join algebra; the digest reads back through the DV-aware
+    reader."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqldmrg_"))
+    cat.register("dmt", format="delta")
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("dmrg_tgt_src")
+    ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("k"),
+        (F.col("value") + 500.0).alias("v"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("drop"))
+         .otherwise(F.lit("amend")).alias("op"),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + 9000000).alias("k"),
+            F.col("value").alias("v"),
+            F.lit("fresh").alias("op"),
+        )
+    ).createOrReplaceTempView("dmrg_chg")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE dmt AS SELECT k, v, et FROM dmrg_tgt_src;
+      MERGE INTO dmt USING dmrg_chg ON dmt.k = dmrg_chg.k
+        WHEN MATCHED AND dmrg_chg.op = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = dmrg_chg.v, et = 'amended'
+        WHEN NOT MATCHED AND dmrg_chg.v >= 0
+          THEN INSERT (k, v, et) VALUES (dmrg_chg.k, dmrg_chg.v, 'new');
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor,
+             COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+             COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+      FROM dmt
+    """, catalog=cat)
+
+
+@_q("sql_iceberg_merge_digest", """
+WITH tgt AS (
+  SELECT event_id AS k, value AS v, event_type AS et FROM events
+),
+src AS (
+  SELECT event_id AS k,
+         value - 250.0 AS v,
+         CASE WHEN event_id % 6 = 0 THEN 'drop' ELSE 'amend' END AS op
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id + 8000000, value, 'fresh' FROM events
+  WHERE event_id % 17 = 0
+),
+merged AS (
+  -- WHEN MATCHED AND op='drop' THEN DELETE
+  -- WHEN MATCHED THEN UPDATE SET v = src.v, et = 'amended'
+  -- WHEN NOT MATCHED THEN INSERT (k, v, et) VALUES (k, v, 'new')
+  SELECT t.k,
+         CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+         CASE WHEN s.k IS NOT NULL THEN 'amended' ELSE t.et END AS et
+  FROM tgt t LEFT JOIN src s ON t.k = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.op = 'drop')
+  UNION ALL
+  SELECT s.k, s.v, 'new'
+  FROM src s LEFT JOIN tgt t ON s.k = t.k
+  WHERE t.k IS NULL
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor,
+       COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+       COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+FROM merged
+""")
+def q_sql_iceberg_merge_digest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MERGE IN the Iceberg wire format through SQL (round 12): the
+    WHEN surface commits ONE v2 MOR snapshot — matched rows
+    position-delete under the registered unpartitioned global spec,
+    clause-produced rows stage under the table's default spec — via
+    ``iceberg_merge_when`` (`sources/iceberg.py`), zero adoption.
+    Oracle recomputes the post-merge table as join algebra; the
+    digest reads back merge-on-read."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlimrg_"))
+    cat.register("imt", format="iceberg")
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("imrg_tgt_src")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("k"),
+        (F.col("value") - 250.0).alias("v"),
+        F.when(F.col("event_id") % 6 == 0, F.lit("drop"))
+         .otherwise(F.lit("amend")).alias("op"),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 17 == 0).select(
+            (F.col("event_id") + 8000000).alias("k"),
+            F.col("value").alias("v"),
+            F.lit("fresh").alias("op"),
+        )
+    ).createOrReplaceTempView("imrg_chg")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE imt AS SELECT k, v, et FROM imrg_tgt_src;
+      MERGE INTO imt USING imrg_chg ON imt.k = imrg_chg.k
+        WHEN MATCHED AND imrg_chg.op = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = imrg_chg.v, et = 'amended'
+        WHEN NOT MATCHED
+          THEN INSERT (k, v, et) VALUES (imrg_chg.k, imrg_chg.v, 'new');
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor,
+             COUNT(CASE WHEN et = 'amended' THEN 1 END) AS n_amended,
+             COUNT(CASE WHEN et = 'new' THEN 1 END) AS n_new
+      FROM imt
+    """, catalog=cat)
+
+
 @_q("delta_cdf_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1

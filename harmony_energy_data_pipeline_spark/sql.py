@@ -29,7 +29,11 @@ resolve across THREE formats — the native log, Delta, and Iceberg
 and ``VERSION AS OF '<name>'`` (quoted) resolves a native table's
 NAMED REF: a tag pins its version, a branch reads the branch table.
 INSERT appends to wire-format tables through their own writers;
-row-level DML on them refuses with adoption guidance.
+UPDATE / DELETE / MERGE on them run IN the wire format
+(:func:`delta_update_where` / :func:`iceberg_delete_where` /
+:func:`delta_merge_when` / :func:`iceberg_merge_when` — MOR
+commits, no adoption); the remaining native-only statements refuse
+with adoption guidance.
 
 DML routes to the native ops and inherits their semantics wholesale:
 
@@ -52,8 +56,10 @@ DML routes to the native ops and inherits their semantics wholesale:
   (first matching clause wins, in order). The canonical
   unconditional pair routes to :func:`snapshot_merge_into` (the
   sketch-scoped fast path); richer forms to
-  :func:`snapshot_merge_when`. The source may be a name or a
-  parenthesized sub-select;
+  :func:`snapshot_merge_when`; Delta/Iceberg targets take the SAME
+  WHEN surface through :func:`delta_merge_when` /
+  :func:`iceberg_merge_when` (single-commit MOR in the wire format).
+  The source may be a name or a parenthesized sub-select;
 * ``DROP TABLE [IF EXISTS] name`` → catalog unbind, METADATA-ONLY
   (external-table semantics: data files stay for other readers).
 
@@ -1144,7 +1150,9 @@ def snapshot_sql(
         (name, source, is_select, src_alias, tgt_alias, key, skey,
          whens, evolve) = _parse_merge(stmt)
         _refuse_target_travel(stmt, name)
-        path = _require_native(_target(resolved, name, catalog), "MERGE")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        path = entry["path"]
         if is_select:
             src_df = spark.sql(_rewrite_select(spark, source, resolved))
         else:
@@ -1154,13 +1162,59 @@ def snapshot_sql(
         # SQL literals arrive as whatever type the parser picked
         # (e.g. DECIMAL for -1.0) — cast same-named source columns to
         # the TABLE's types so a literal never widens the table schema
-        schema = _table_schema(spark, path)
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            schema = dl.read_delta(spark, path).schema
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            schema = ice.read_iceberg(spark, path).schema
+        else:
+            schema = _table_schema(spark, path)
         ttypes = {f.name: f.dataType for f in schema.fields}
         src_df = src_df.select(*[
             F.col(c).cast(ttypes[c]).alias(c) if c in ttypes
             else F.col(c)
             for c in src_df.columns
         ])
+        if fmt in ("delta", "iceberg"):
+            # MERGE IN the wire format: one MOR commit — matched/NMBS
+            # rows position-delete (Iceberg) / DV out (Delta),
+            # clause-produced rows append. Evolution stays a native-
+            # log feature (wire-format schema changes are an explicit
+            # ALTER/overwrite decision, not a merge side effect).
+            if evolve:
+                raise ValueError(
+                    f"MERGE WITH SCHEMA EVOLUTION targets a {fmt} "
+                    "wire-format table; adopt it first "
+                    f"(snapshot_import_{fmt}) — wire-format merges "
+                    "do not evolve the table schema"
+                )
+            m_cl, nm_cl, nmbs_cl = _parse_when_clauses(
+                whens,
+                tgt_cols={f.name for f in schema.fields},
+                src_cols=set(src_df.columns),
+                tgt_alias=tgt_alias or name,
+                src_alias=src_alias or (None if is_select else source),
+            )
+            if fmt == "delta":
+                v, _n = dl.delta_merge_when(
+                    spark, path, src_df, key=key, matched=m_cl,
+                    not_matched=nm_cl, not_matched_by_source=nmbs_cl,
+                    source_key=skey if skey != key else None,
+                )
+            else:
+                v, _n = ice.iceberg_merge_when(
+                    spark, path, src_df, key=key, matched=m_cl,
+                    not_matched=nm_cl, not_matched_by_source=nmbs_cl,
+                    source_key=skey if skey != key else None,
+                )
+            return _dml_result(spark, "merge", name, v)
         canon = re.sub(r"\s+", " ", whens).strip().upper()
         if canon == _CANON_WHENS:
             # canonical unconditional upsert: the sketch-scoped fast
