@@ -8422,6 +8422,116 @@ def q_sql_iceberg_merge_digest(spark: SparkSession,
     """, catalog=cat)
 
 
+@_q("sql_delta_backfill_digest", """
+WITH base AS (
+  SELECT event_id AS k, event_id % 7 AS day, value AS v FROM events
+),
+-- DELETE k%5=0 ⊕ RESTORE to v0 (undoes it) ⊕ REPLACE WHERE day=3
+after_restore AS (SELECT * FROM base),
+backfill AS (
+  SELECT k, day, v FROM after_restore WHERE day <> 3
+  UNION ALL
+  SELECT k + 5000000 AS k, day, v * 2 AS v
+  FROM base WHERE day = 3
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM backfill
+""")
+def q_sql_delta_backfill_digest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Backfill + rollback ON the Delta wire format through SQL
+    (round 12): DELETE deletion-vectors rows out, ``RESTORE TABLE …
+    TO VERSION AS OF 0`` rolls the live set back as a file-level
+    diff commit (`sources/deltalake.py: delta_restore`), and
+    ``INSERT INTO … REPLACE WHERE`` replaces a region as ONE MOR
+    commit (`delta_replace_where`) — the idempotent backfill
+    primitive. Oracle: the restore cancels the delete, so the final
+    state is base with the day=3 region replaced."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqldbf_"))
+    cat.register("dbt", format="delta")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"),
+        (F.col("event_id") % 7).alias("day"),
+        F.col("value").alias("v"),
+    ).createOrReplaceTempView("dbf_events")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE dbt AS SELECT k, day, v FROM dbf_events;
+      DELETE FROM dbt WHERE k % 5 = 0;
+      RESTORE TABLE dbt TO VERSION AS OF 0;
+      INSERT INTO dbt REPLACE WHERE day = 3
+        SELECT k + 5000000 AS k, day, v * 2 AS v
+        FROM dbf_events WHERE day = 3;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM dbt
+    """, catalog=cat)
+
+
+@_q("sql_iceberg_backfill_digest", """
+WITH base AS (
+  SELECT event_id AS k, event_id % 7 AS day, value AS v FROM events
+),
+backfill AS (
+  SELECT k, day, v FROM base WHERE day <> 4
+  UNION ALL
+  SELECT k + 6000000 AS k, day, v + 10 AS v
+  FROM base WHERE day = 4
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       bit_xor(k) AS id_xor
+FROM backfill
+""")
+def q_sql_iceberg_backfill_digest(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Backfill + rollback ON the Iceberg wire format: DELETE
+    position-deletes rows, ``iceberg_restore`` rolls back with the
+    spec's rollback_to_snapshot (current-snapshot-id moves, pure
+    metadata), then SQL ``INSERT INTO … REPLACE WHERE`` replaces the
+    day=4 region as ONE v2 MOR snapshot
+    (`sources/iceberg.py: iceberg_replace_where`). Oracle: rollback
+    cancels the delete; final state is base with day=4 replaced."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    root = tempfile.mkdtemp(prefix="sqlibf_")
+    cat = Catalog(root)
+    cat.register("ibt", format="iceberg")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"),
+        (F.col("event_id") % 7).alias("day"),
+        F.col("value").alias("v"),
+    ).createOrReplaceTempView("ibf_events")
+    snapshot_sql_script(spark, """
+      CREATE TABLE ibt AS SELECT k, day, v FROM ibf_events;
+      DELETE FROM ibt WHERE k % 5 = 0;
+    """, catalog=cat)
+    sid0 = ice.iceberg_history(cat.table_path("ibt"))[0]["snapshot_id"]
+    return snapshot_sql_script(spark, f"""
+      RESTORE TABLE ibt TO VERSION AS OF {sid0};
+      INSERT INTO ibt REPLACE WHERE day = 4
+        SELECT k + 6000000 AS k, day, v + 10 AS v
+        FROM ibf_events WHERE day = 4;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             bit_xor(k) AS id_xor
+      FROM ibt
+    """, catalog=cat)
+
+
 @_q("delta_cdf_digest", """
 WITH gen1 AS (
   SELECT event_id AS k, value AS v FROM events WHERE event_id % 4 = 1

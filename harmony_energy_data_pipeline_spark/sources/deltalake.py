@@ -2048,6 +2048,213 @@ def delta_merge_when(
     return (version, n_changed)
 
 
+def delta_replace_where(
+    spark: SparkSession, path: str, pred: str, df: DataFrame,
+    record_cdf: bool = False,
+) -> tuple:
+    """Atomically REPLACE a predicate region of a Delta table IN ITS
+    OWN FORMAT — the ``replaceWhere`` overwrite shape as ONE MOR
+    commit: rows matching ``pred`` deletion-vector out of their
+    files, the batch appends — the idempotent date-range/partition
+    backfill primitive, without adoption or data-file rewrite. The
+    batch is VALIDATED to satisfy the predicate first (a stray row
+    would escape the region's delete on the next backfill — Delta's
+    own replaceWhere raises for exactly this reason). Scale shape,
+    column mapping, CDF (deleted pre-images + inserted batch), and
+    single evaluation are inherited from the shared DML stages
+    (:func:`_delta_dml_ctx` …). Returns ``(version, n_deleted)``."""
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+        stage_rows_once,
+    )
+
+    ctx = _delta_dml_ctx(spark, path)
+    record_cdf = record_cdf or ctx["cdf_default"]
+    schema = ctx["schema"]
+    stray = df.filter(
+        ~F.coalesce(F.expr(pred), F.lit(False))
+    ).limit(1).count()
+    if stray > 0:
+        raise ValueError(
+            "replace_where batch contains rows NOT matching the "
+            f"predicate {pred!r}; such rows would escape the "
+            "region's delete on the next backfill — filter the "
+            "batch or widen the predicate"
+        )
+    ttypes = {f.name: f.dataType for f in schema.fields}
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"replace_where batch lacks table columns {missing}"
+        )
+    produced = df.select(*[
+        F.col(f.name).cast(ttypes[f.name]).alias(f.name)
+        for f in schema.fields
+    ])
+    triples = parse_conjunctive_where(pred)
+    scoped = ctx["adds"]
+    if triples and scoped:
+        phys, pcols, ptypes = ctx["phys"], ctx["pcols"], ctx["ptypes"]
+        where_phys = [(phys.get(c, c), lo, hi)
+                      for c, lo, hi in triples]
+        ptypes_phys = {phys[c]: ptypes[c] for c in pcols}
+        scoped = [a for a in scoped
+                  if _add_matches(a, where_phys, ctx["pcols_phys"],
+                                  ptypes_phys)]
+    staged, n_hits, hitstage = (None, 0, None)
+    if scoped:
+        base = _delta_live_base(spark, path, ctx, scoped)
+        staged, n_hits, hitstage = stage_rows_once(
+            spark, path,
+            base.filter(F.expr(pred)).select(
+                *[f.name for f in schema.fields], "__rel", "__p"
+            ),
+        )
+    try:
+        touched = []
+        if n_hits:
+            touched, _nd = _delta_write_dvs(
+                spark, path, ctx, staged, scoped
+            )
+        cdf_parts: list = []
+        if record_cdf:
+            if n_hits:
+                cdf_parts.append((
+                    staged.select(*[f.name for f in schema.fields]),
+                    "delete",
+                ))
+            cdf_parts.append((produced, "insert"))
+        new_adds, cdc_actions = _delta_stage_outputs(
+            spark, path, ctx, produced, cdf_parts
+        )
+    finally:
+        if hitstage:
+            shutil.rmtree(hitstage, ignore_errors=True)
+    version = _delta_commit_dml(
+        path, ctx, touched, new_adds, cdc_actions, "WRITE",
+        {"mode": "Overwrite", "predicate": pred}, record_cdf,
+    )
+    return (version, n_hits)
+
+
+def delta_restore(
+    spark: SparkSession, path: str, version: int,
+    record_cdf: bool = False,
+) -> tuple:
+    """RESTORE a Delta table to ``version`` IN ITS OWN FORMAT — one
+    commit whose file-level diff rolls the live set back: adds live
+    now but not at ``version`` remove, adds live then but not now
+    re-add (identity = path + deletion vector, so a file whose DV
+    grew since ``version`` swaps back to its old vector), files
+    unchanged in both are carried untouched — pure metadata, no data
+    rewrite, history preserved (the Delta ``RESTORE TABLE`` shape).
+    The table's metaData (schema, partition columns, configuration)
+    restores too when it changed.
+
+    ``record_cdf=True`` — or ``delta.enableChangeDataFeed=true`` —
+    stages the file-level diff row-level (removed files' live rows as
+    deletes, re-added files' live rows as inserts) so a CDF consumer
+    replays the rollback instead of choking on its removes; refused
+    honestly when the restore crosses a schema change (a mixed-schema
+    feed is inexpressible). Returns ``(new_version, files_changed)``."""
+    adds_now, meta_now, proto_now, v_now = _replay(path, None)
+    if version == v_now:
+        return (v_now, 0)
+    adds_v, meta_v, _proto_v, _ = _replay(path, version)
+    conf = meta_now.get("configuration") or {}
+    record_cdf = record_cdf or str(
+        conf.get("delta.enableChangeDataFeed", "")
+    ).lower() == "true"
+
+    def _sig(a: dict):
+        dv = a.get("deletionVector")
+        return (a["path"], json.dumps(dv, sort_keys=True) if dv else None)
+
+    now_by_sig = {_sig(a): a for a in adds_now}
+    v_by_sig = {_sig(a): a for a in adds_v}
+    removes = [a for s, a in now_by_sig.items() if s not in v_by_sig]
+    readds = [a for s, a in v_by_sig.items() if s not in now_by_sig]
+    meta_changed = (
+        meta_v.get("schemaString") != meta_now.get("schemaString")
+        or (meta_v.get("partitionColumns") or [])
+        != (meta_now.get("partitionColumns") or [])
+        or (meta_v.get("configuration") or {})
+        != (meta_now.get("configuration") or {})
+    )
+    if not removes and not readds and not meta_changed:
+        return (v_now, 0)
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "RESTORE",
+        "operationParameters": {"version": str(version)},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if meta_changed:
+        actions.append({"metaData": meta_v})
+    cdc_actions: list = []
+    if record_cdf and (removes or readds):
+        if meta_v.get("schemaString") != meta_now.get("schemaString"):
+            raise ValueError(
+                "CDF-enabled RESTORE across a schema change: the "
+                "mixed-schema change feed is inexpressible — disable "
+                "delta.enableChangeDataFeed or restore to a version "
+                "with the current schema"
+            )
+        ctx = _delta_dml_ctx(spark, path)
+        schema = ctx["schema"]
+        cdf_parts = []
+        for sub, kind in ((removes, "delete"), (readds, "insert")):
+            if sub:
+                live = _delta_live_base(spark, path, ctx, sub)
+                cdf_parts.append((
+                    live.select(*[f.name for f in schema.fields]),
+                    kind,
+                ))
+        _na, cdc_actions = _delta_stage_outputs(
+            spark, path, ctx, None, cdf_parts
+        )
+        feats, wfeats = _implied_features(proto_now or {})
+        if "changeDataFeed" not in wfeats:
+            rv = (proto_now or {}).get("minReaderVersion", 1)
+            proto_new = {
+                "minReaderVersion": rv, "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeats | {"changeDataFeed"}),
+            }
+            if rv >= 3:
+                proto_new["readerFeatures"] = sorted(feats)
+            actions.append({"protocol": proto_new})
+    actions.extend(cdc_actions)
+    for a in removes:
+        actions.append({"remove": {
+            "path": a["path"], "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }})
+    actions.extend(
+        {"add": dict(a, dataChange=True)} for a in readds
+    )
+    new_version = v_now + 1
+    final = _log_path(path, new_version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version {new_version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    return (new_version, len(removes) + len(readds))
+
+
 def read_delta_changes(
     spark: SparkSession, path: str, from_version: int,
     to_version: "int | None" = None,

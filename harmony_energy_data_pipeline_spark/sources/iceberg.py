@@ -2498,6 +2498,113 @@ def iceberg_merge_when(
     return (snap_id, n_changed)
 
 
+def iceberg_replace_where(
+    spark: SparkSession, path: str, pred: str, df: DataFrame,
+    stats_cols: "list[str] | None" = None,
+) -> tuple:
+    """Atomically REPLACE a predicate region of an Iceberg table IN
+    ITS OWN FORMAT — the ``replaceWhere`` backfill shape as ONE v2
+    MOR snapshot: rows matching ``pred`` position-delete out (global
+    unpartitioned delete spec), the batch stages under the table's
+    CURRENT default spec — readers never observe the
+    deleted-but-not-reinserted middle. The batch is VALIDATED to
+    satisfy the predicate first (a stray row would escape the next
+    backfill's delete). Returns ``(snapshot_id, n_deleted)``.
+    Equality-delete tables refuse as in
+    :func:`iceberg_delete_where`."""
+    import shutil
+
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        parse_conjunctive_where,
+        stage_rows_once,
+    )
+
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema)
+    data, deletes = live_files(path, meta)
+    if any((d.get("content") or 0) == 2 for d in deletes):
+        raise IcebergProtocolError(
+            "REPLACE WHERE on a table with EQUALITY deletes: compact "
+            "first (iceberg_compact) so positions are unambiguous"
+        )
+    pspec, part_fields = _staging_spec(meta, schema)
+    stray = df.filter(
+        ~F.coalesce(F.expr(pred), F.lit(False))
+    ).limit(1).count()
+    if stray > 0:
+        raise ValueError(
+            "replace_where batch contains rows NOT matching the "
+            f"predicate {pred!r}; such rows would escape the "
+            "region's delete on the next backfill — filter the "
+            "batch or widen the predicate"
+        )
+    ttypes = {f.name: f.dataType for f in spark_schema.fields}
+    missing = [f.name for f in spark_schema.fields
+               if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"replace_where batch lacks table columns {missing}"
+        )
+    produced = df.select(*[
+        F.col(f.name).cast(ttypes[f.name]).alias(f.name)
+        for f in spark_schema.fields
+    ])
+    triples = parse_conjunctive_where(pred)
+    scoped = data
+    if triples and scoped:
+        scoped = _prune_data_files(meta, schema, scoped, triples)
+    staged, n_hits, hitstage = (None, 0, None)
+    if scoped:
+        base = _provenance_scan(spark, path, scoped, spark_schema,
+                                deletes)
+        staged, n_hits, hitstage = stage_rows_once(
+            spark, path, base.filter(F.expr(pred))
+        )
+    try:
+        pos_df = (
+            _spelled_positions(spark, path, scoped, staged)
+            if n_hits else None
+        )
+        snap_id, _nd, _na = _commit_mor_snapshot(
+            spark, path, meta, schema, pos_df, produced, pspec,
+            part_fields, stats_cols,
+        )
+    finally:
+        if hitstage:
+            shutil.rmtree(hitstage, ignore_errors=True)
+    return (snap_id, n_hits)
+
+
+def iceberg_restore(path: str, snapshot_id: int) -> int:
+    """ROLL BACK an Iceberg table to ``snapshot_id`` — the spec's
+    ``rollback_to_snapshot``: current-snapshot-id moves to the
+    existing snapshot (which must still be in ``snapshots``), the
+    snapshot-log records the change, nothing is deleted — history
+    stays inspectable until :func:`iceberg_expire_snapshots`. Pure
+    metadata; foreign readers resolve the restored state through the
+    snapshot's own manifest list. Returns ``snapshot_id``."""
+    meta = table_metadata(path)
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return snapshot_id
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"no Iceberg snapshot {snapshot_id} at {path} (expired "
+            "or never committed)"
+        )
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = (
+        list(meta.get("snapshot-log") or [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+    )
+    _commit_metadata(path, new_meta, meta)
+    return snapshot_id
+
+
 def read_iceberg_changes(
     spark: SparkSession, path: str,
     from_snapshot_id: "int | None" = None,

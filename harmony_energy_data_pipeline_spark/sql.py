@@ -972,8 +972,29 @@ def snapshot_sql(
         )
 
         name = mt.group("name")
-        path = _require_native(_target(resolved, name, catalog),
-                               "RESTORE TABLE")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        path = entry["path"]
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            tv = (int(mt.group("v")) if mt.group("v") is not None
+                  else dl.delta_version_at_timestamp(
+                      path, _ts_to_unix(mt.group("ts"))))
+            v, _nf = dl.delta_restore(spark, path, tv)
+            return _dml_result(spark, "restore", name, v)
+        if fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            sid = (int(mt.group("v")) if mt.group("v") is not None
+                   else ice.iceberg_snapshot_at_timestamp(
+                       path, _ts_to_unix(mt.group("ts"))))
+            v = ice.iceberg_restore(path, sid)
+            return _dml_result(spark, "restore", name, v)
         tv = (int(mt.group("v")) if mt.group("v") is not None
               else version_at_timestamp(path, _ts_to_unix(mt.group("ts"))))
         v = snapshot_restore(path, tv)
@@ -990,10 +1011,24 @@ def snapshot_sql(
 
         name = mt.group("name")
         _refuse_target_travel(stmt, name)
-        path = _require_native(_target(resolved, name, catalog),
-                               "INSERT … REPLACE WHERE")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        path = entry["path"]
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            schema = dl.read_delta(spark, path).schema
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            schema = ice.read_iceberg(spark, path).schema
+        else:
+            schema = _table_schema(spark, path)
         body = mt.group("body").strip()
-        schema = _table_schema(spark, path)
         if body.upper().startswith("VALUES"):
             names = [f.name for f in schema.fields]
             body = (
@@ -1002,9 +1037,18 @@ def snapshot_sql(
         df = _align_to_schema(
             spark.sql(_rewrite_select(spark, body, resolved)), schema
         )
-        v = snapshot_replace_where(
-            spark, path, mt.group("pred").strip(), df
-        )
+        if fmt == "delta":
+            v, _nd = dl.delta_replace_where(
+                spark, path, mt.group("pred").strip(), df
+            )
+        elif fmt == "iceberg":
+            v, _nd = ice.iceberg_replace_where(
+                spark, path, mt.group("pred").strip(), df
+            )
+        else:
+            v = snapshot_replace_where(
+                spark, path, mt.group("pred").strip(), df
+            )
         return _dml_result(spark, "replace_where", name, v)
 
     mt = _INSERT_RE.match(stmt)
