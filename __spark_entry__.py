@@ -8422,6 +8422,137 @@ def q_sql_iceberg_merge_digest(spark: SparkSession,
     """, catalog=cat)
 
 
+@_q("sql_delta_merge_evolve_digest", """
+WITH tgt AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 2 = 0
+),
+src AS (
+  SELECT event_id AS k, value AS v,
+         CAST(event_id % 100 AS DOUBLE) / 100.0 AS score
+  FROM events WHERE event_id % 3 = 0
+),
+merged AS (
+  SELECT t.k,
+         CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+         CASE WHEN s.k IS NOT NULL THEN s.score
+              ELSE CAST(NULL AS DOUBLE) END AS score
+  FROM tgt t LEFT JOIN src s ON t.k = s.k
+  UNION ALL
+  SELECT s.k, s.v, s.score
+  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       CAST(SUM(CAST(round(coalesce(score, -1) * 100) AS BIGINT))
+            AS BIGINT) AS sum_sc,
+       bit_xor(k) AS id_xor
+FROM merged
+""")
+def q_sql_delta_merge_evolve_digest(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION`` ON the Delta wire format: the
+    source carries a column the table lacks — it lands first as a
+    metadata-only add-column commit (`sources/deltalake.py:
+    delta_add_columns`; column-mapped tables allocate field ids per
+    the spec), then the MOR merge writes it; pre-existing rows read
+    NULL. The widening-CDC-source flow without adoption. Oracle:
+    join algebra with the new column NULL for unmatched target
+    rows."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqldme_"))
+    cat.register("dme", format="delta")
+    ev = load_table(spark, "events", sf_dir)
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+    ).createOrReplaceTempView("dme_tgt")
+    ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        ((F.col("event_id") % 100).cast("double") / 100.0
+         ).alias("score"),
+    ).createOrReplaceTempView("dme_chg")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE dme AS SELECT k, v FROM dme_tgt;
+      MERGE WITH SCHEMA EVOLUTION INTO dme USING dme_chg
+        ON dme.k = dme_chg.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             CAST(SUM(CAST(round(coalesce(score, -1) * 100)
+                           AS BIGINT)) AS BIGINT) AS sum_sc,
+             bit_xor(k) AS id_xor
+      FROM dme
+    """, catalog=cat)
+
+
+@_q("sql_iceberg_merge_evolve_digest", """
+WITH tgt AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id % 2 = 1
+),
+src AS (
+  SELECT event_id AS k, value AS v,
+         CAST(event_id % 50 AS BIGINT) AS gen
+  FROM events WHERE event_id % 5 = 0
+),
+merged AS (
+  SELECT t.k,
+         CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+         CASE WHEN s.k IS NOT NULL THEN s.gen
+              ELSE CAST(NULL AS BIGINT) END AS gen
+  FROM tgt t LEFT JOIN src s ON t.k = s.k
+  UNION ALL
+  SELECT s.k, s.v, s.gen
+  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+       CAST(SUM(coalesce(gen, -1)) AS BIGINT) AS sum_gen,
+       bit_xor(k) AS id_xor
+FROM merged
+""")
+def q_sql_iceberg_merge_evolve_digest(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION`` ON the Iceberg wire format:
+    the source's new column lands as a NEW schema under the next
+    schema-id with its field id allocated past ``last-column-id``
+    (`sources/iceberg.py: iceberg_add_columns`), then the single-
+    snapshot MOR merge writes it. Oracle: join algebra with NULL for
+    pre-existing rows."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql_script
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlime_"))
+    cat.register("ime", format="iceberg")
+    ev = load_table(spark, "events", sf_dir)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+    ).createOrReplaceTempView("ime_tgt")
+    ev.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        (F.col("event_id") % 50).cast("long").alias("gen"),
+    ).createOrReplaceTempView("ime_chg")
+    return snapshot_sql_script(spark, """
+      CREATE TABLE ime AS SELECT k, v FROM ime_tgt;
+      MERGE WITH SCHEMA EVOLUTION INTO ime USING ime_chg
+        ON ime.k = ime_chg.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_vc,
+             CAST(SUM(coalesce(gen, -1)) AS BIGINT) AS sum_gen,
+             bit_xor(k) AS id_xor
+      FROM ime
+    """, catalog=cat)
+
+
 @_q("sql_delta_backfill_digest", """
 WITH base AS (
   SELECT event_id AS k, event_id % 7 AS day, value AS v FROM events

@@ -5444,6 +5444,25 @@ def stage_rows_once(spark: SparkSession, path: str, df: DataFrame):
     return spark.read.parquet(stage), n, stage
 
 
+def _merge_evolve_wire(source: DataFrame, tcols: "set[str]",
+                       add_columns) -> bool:
+    """The wire-format ``MERGE WITH SCHEMA EVOLUTION`` prelude
+    (shared by :func:`delta_merge_when` / :func:`iceberg_merge_when`):
+    source columns the table lacks are ADDED (nullable, NULL for
+    pre-existing rows) through the format's own metadata-only
+    add-column commit; table columns the source lacks already
+    NULL-fill through the labeling engine's star forms. Returns True
+    when the schema advanced (the caller re-reads its prelude)."""
+    new_cols = {
+        f.name: f.dataType.simpleString()
+        for f in source.schema.fields if f.name not in tcols
+    }
+    if not new_cols:
+        return False
+    add_columns(new_cols)
+    return True
+
+
 def _merge_check_clauses(matched, not_matched, not_matched_by_source):
     """Validate and normalize the three WHEN-clause lists (shared by
     the native :func:`snapshot_merge_when` and the wire-format MERGE

@@ -1897,6 +1897,7 @@ def delta_merge_when(
     not_matched_by_source: "list | tuple" = (),
     source_key: "str | None" = None,
     record_cdf: bool = False,
+    evolve_schema: bool = False,
 ) -> tuple:
     """MERGE INTO a Delta table IN ITS OWN FORMAT — the full
     WHEN-clause surface of :func:`snapshot_merge_when` (same clause
@@ -1932,6 +1933,7 @@ def delta_merge_when(
     from harmony_energy_data_pipeline_spark.sinks.snapshots import (
         _merge_cardinality_check,
         _merge_check_clauses,
+        _merge_evolve_wire,
         _merge_labeled,
         _merge_out_cols,
         stage_rows_once,
@@ -1942,6 +1944,14 @@ def delta_merge_when(
     )
     skey = source_key or key
     ctx = _delta_dml_ctx(spark, path)
+    if evolve_schema and _merge_evolve_wire(
+        source, {f.name for f in ctx["schema"].fields},
+        lambda cols: delta_add_columns(path, cols),
+    ):
+        # MERGE WITH SCHEMA EVOLUTION: new source columns landed as a
+        # metadata-only add-column commit — re-read the prelude so the
+        # clauses see them (NULL for pre-existing rows)
+        ctx = _delta_dml_ctx(spark, path)
     record_cdf = record_cdf or ctx["cdf_default"]
     schema, v = ctx["schema"], ctx["v"]
     tcols = [f.name for f in schema.fields]
@@ -2253,6 +2263,85 @@ def delta_restore(
     finally:
         os.unlink(tmp)
     return (new_version, len(removes) + len(readds))
+
+
+def delta_add_columns(path: str, cols: "dict[str, str]") -> int:
+    """ADD nullable columns to a Delta table — one METADATA-ONLY
+    commit carrying the widened schemaString (existing files read the
+    new columns as NULL, the Delta add-column contract). On a
+    column-mapped table (name or id mode) each new field is assigned
+    the next ``delta.columnMapping.maxColumnId`` and a fresh physical
+    name, and the counter advances in the table configuration — the
+    spec's evolution rule, so foreign readers resolve the new columns
+    like any Databricks-written ones. ``cols`` maps name → Spark DDL
+    type string. Returns the committed version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    _adds, meta, _proto, v = _replay(path, None)
+    schema_json = json.loads(meta["schemaString"])
+    have = {f["name"] for f in schema_json["fields"]}
+    cm, _phys, _fids = _column_mapping(meta)
+    conf = dict(meta.get("configuration") or {})
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+    if cm in ("name", "id") and max_id == 0:
+        max_id = max(
+            (int((f.get("metadata") or {})
+                 .get("delta.columnMapping.id", 0))
+             for f in schema_json["fields"]),
+            default=0,
+        )
+    for cname, ddl in cols.items():
+        if cname in have:
+            raise ValueError(
+                f"column {cname!r} already exists at {path}"
+            )
+        field = {
+            "name": cname,
+            "type": _parse_datatype_string(ddl).jsonValue(),
+            "nullable": True,
+            "metadata": {},
+        }
+        if cm in ("name", "id"):
+            max_id += 1
+            field["metadata"] = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4().hex[:16]}",
+            }
+        schema_json["fields"].append(field)
+    if cm in ("name", "id"):
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    new_meta = dict(meta, schemaString=json.dumps(schema_json),
+                    configuration=conf)
+    actions = [
+        {"commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "ADD COLUMNS",
+            "operationParameters": {
+                "columns": json.dumps(sorted(cols)),
+            },
+            "engineInfo": "harmony-energy-data-pipeline-spark",
+        }},
+        {"metaData": new_meta},
+    ]
+    version = v + 1
+    final = _log_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version {version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    return version
 
 
 def read_delta_changes(

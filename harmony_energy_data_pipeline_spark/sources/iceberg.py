@@ -2364,6 +2364,7 @@ def iceberg_merge_when(
     not_matched_by_source: "list | tuple" = (),
     source_key: "str | None" = None,
     stats_cols: "list[str] | None" = None,
+    evolve_schema: bool = False,
 ) -> tuple:
     """MERGE INTO an Iceberg table IN ITS OWN FORMAT — the full
     WHEN-clause surface of :func:`snapshot_merge_when` (same clause
@@ -2396,6 +2397,7 @@ def iceberg_merge_when(
     from harmony_energy_data_pipeline_spark.sinks.snapshots import (
         _merge_cardinality_check,
         _merge_check_clauses,
+        _merge_evolve_wire,
         _merge_labeled,
         _merge_out_cols,
         stage_rows_once,
@@ -2407,6 +2409,15 @@ def iceberg_merge_when(
     skey = source_key or key
     meta = table_metadata(path)
     schema = _current_schema(meta)
+    if evolve_schema and _merge_evolve_wire(
+        source, {f["name"] for f in schema["fields"]},
+        lambda cols: iceberg_add_columns(path, cols),
+    ):
+        # MERGE WITH SCHEMA EVOLUTION: new source columns landed as a
+        # metadata-only schema commit — re-read so the clauses see
+        # them (NULL for pre-existing rows)
+        meta = table_metadata(path)
+        schema = _current_schema(meta)
     spark_schema = _schema_to_spark(schema)
     data, deletes = live_files(path, meta)
     if any((d.get("content") or 0) == 2 for d in deletes):
@@ -2603,6 +2614,62 @@ def iceberg_restore(path: str, snapshot_id: int) -> int:
     )
     _commit_metadata(path, new_meta, meta)
     return snapshot_id
+
+
+def iceberg_add_columns(path: str, cols: "dict[str, str]") -> int:
+    """ADD optional (nullable) columns to an Iceberg table — one
+    METADATA-ONLY commit: a NEW schema appends to ``schemas`` under
+    the next schema-id, field ids allocate monotonically past
+    ``last-column-id`` (ids are immutable and never reused — old
+    manifests' bounds keep decoding), ``current-schema-id`` advances,
+    prior schemas stay listed so old snapshots resolve theirs.
+    ``cols`` maps name → Spark DDL type string. Returns the new
+    schema-id."""
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+    from pyspark.sql.types import _parse_datatype_string
+
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    have = {f["name"] for f in schema["fields"]}
+    last_col = meta.get(
+        "last-column-id",
+        max((f["id"] for f in schema["fields"]), default=0),
+    )
+    new_fields = []
+    for cname, ddl in cols.items():
+        if cname in have:
+            raise ValueError(
+                f"column {cname!r} already exists at {path}"
+            )
+        ice_f = _spark_schema_to_ice(_ST([
+            _SF(cname, _parse_datatype_string(ddl), True)
+        ]))["fields"][0]
+        last_col += 1
+        ice_f["id"] = last_col
+        ice_f["required"] = False
+        new_fields.append(ice_f)
+    new_schema = {
+        "type": "struct",
+        "fields": list(schema["fields"]) + new_fields,
+    }
+    schemas = list(meta.get("schemas") or [])
+    if not schemas and "schema" in meta:  # format-v1 shape
+        schemas = [dict(meta["schema"], **{"schema-id": 0})]
+    new_sid = 1 + max(
+        (s.get("schema-id", 0) for s in schemas), default=-1
+    )
+    new_schema["schema-id"] = new_sid
+    schemas.append(new_schema)
+    new_meta = dict(meta)
+    new_meta["schemas"] = schemas
+    new_meta["current-schema-id"] = new_sid
+    new_meta["last-column-id"] = last_col
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if "schema" in meta:  # keep the v1 single-schema key current
+        new_meta["schema"] = new_schema
+    _commit_metadata(path, new_meta, meta)
+    return new_sid
 
 
 def read_iceberg_changes(

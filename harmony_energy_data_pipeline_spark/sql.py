@@ -1229,19 +1229,15 @@ def snapshot_sql(
         if fmt in ("delta", "iceberg"):
             # MERGE IN the wire format: one MOR commit — matched/NMBS
             # rows position-delete (Iceberg) / DV out (Delta),
-            # clause-produced rows append. Evolution stays a native-
-            # log feature (wire-format schema changes are an explicit
-            # ALTER/overwrite decision, not a merge side effect).
+            # clause-produced rows append. WITH SCHEMA EVOLUTION
+            # lands new source columns as the format's own
+            # metadata-only add-column commit first.
+            tgt_cols = {f.name for f in schema.fields}
             if evolve:
-                raise ValueError(
-                    f"MERGE WITH SCHEMA EVOLUTION targets a {fmt} "
-                    "wire-format table; adopt it first "
-                    f"(snapshot_import_{fmt}) — wire-format merges "
-                    "do not evolve the table schema"
-                )
+                tgt_cols |= set(src_df.columns)
             m_cl, nm_cl, nmbs_cl = _parse_when_clauses(
                 whens,
-                tgt_cols={f.name for f in schema.fields},
+                tgt_cols=tgt_cols,
                 src_cols=set(src_df.columns),
                 tgt_alias=tgt_alias or name,
                 src_alias=src_alias or (None if is_select else source),
@@ -1251,12 +1247,14 @@ def snapshot_sql(
                     spark, path, src_df, key=key, matched=m_cl,
                     not_matched=nm_cl, not_matched_by_source=nmbs_cl,
                     source_key=skey if skey != key else None,
+                    evolve_schema=evolve,
                 )
             else:
                 v, _n = ice.iceberg_merge_when(
                     spark, path, src_df, key=key, matched=m_cl,
                     not_matched=nm_cl, not_matched_by_source=nmbs_cl,
                     source_key=skey if skey != key else None,
+                    evolve_schema=evolve,
                 )
             return _dml_result(spark, "merge", name, v)
         canon = re.sub(r"\s+", " ", whens).strip().upper()
@@ -1314,8 +1312,34 @@ def snapshot_sql(
     if mt:
         name, rest = mt.group("name"), mt.group("rest").strip()
         _refuse_target_travel(stmt, name)
-        path = _require_native(_target(resolved, name, catalog),
-                               "ALTER TABLE")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        m2 = re.match(
+            r"^ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)$", rest,
+            re.IGNORECASE,
+        )
+        if m2 and fmt in ("delta", "iceberg"):
+            # ADD COLUMN lands as the wire format's own metadata-only
+            # schema commit (field ids allocated per each spec's
+            # evolution rules); other ALTER clauses stay native-only
+            if fmt == "delta":
+                from harmony_energy_data_pipeline_spark.sources import (
+                    deltalake as dl,
+                )
+
+                v = dl.delta_add_columns(
+                    entry["path"], {m2.group(1): m2.group(2).strip()}
+                )
+            else:
+                from harmony_energy_data_pipeline_spark.sources import (
+                    iceberg as ice,
+                )
+
+                v = ice.iceberg_add_columns(
+                    entry["path"], {m2.group(1): m2.group(2).strip()}
+                )
+            return _dml_result(spark, "add_column", name, v)
+        path = _require_native(entry, "ALTER TABLE")
         from harmony_energy_data_pipeline_spark.sinks import refs
         from harmony_energy_data_pipeline_spark.sinks import (
             snapshots as _snap,
