@@ -18,11 +18,27 @@ Mechanics (mirrors sources/snapstream.py, the native source):
   and attach the add's authoritative ``partitionValues`` as typed
   constant columns (the wire-format rule — partition columns are not
   in the data files). Data never funnels through the driver.
+  COLUMN-MAPPED tables (name/id mode) resolve physical names; adds
+  carrying DELETION VECTORS stream only their live rows (the DV
+  expands executor-side and masks positions).
 * **Removes.** A version carrying remove actions is not expressible
   as an append stream and FAILS with a clear error (the Delta
   contract without ``ignoreDeletes``);
   ``option("ignore_deletes", "true")`` streams such versions' adds
-  and skips the removes (eventual re-materialization semantics).
+  and skips the removes (eventual re-materialization — re-added
+  DV'd files stream their live rows, so downstream sees duplicates
+  exactly as Delta's own ``ignoreChanges`` documents);
+  ``option("skip_change_commits", "true")`` skips such versions
+  ENTIRELY (the modern Delta ``skipChangeCommits``).
+* **Change feed.** ``option("read_change_feed", "true")`` streams
+  ROW-LEVEL changes instead of appended rows — the Delta
+  ``readChangeFeed`` shape: the schema gains ``_change_type`` /
+  ``_commit_version``; a commit's spec ``cdc`` files are
+  authoritative (insert/delete/update_preimage/update_postimage read
+  verbatim), blind appends stream as inserts, a remove-carrying
+  commit WITHOUT cdc raises (its row-level changes are not
+  recoverable — enable CDF on the writer). The initial snapshot
+  streams as inserts at the start version.
 * **Exactly-once.** Offsets live in the query checkpoint; replayed
   batches re-read the same immutable files. Keep the stream's lag
   within the log's retention (a checkpoint-cleaned range raises).
@@ -39,9 +55,11 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+_CDF_COLS = ("_change_type", "_commit_version")
 
 
 @dataclass
@@ -50,6 +68,12 @@ class DeltaFilePartition(InputPartition):
     schema_json: str
     pvals: dict = field(default_factory=dict)
     pcols: list = field(default_factory=list)
+    phys_json: str = "{}"       # logical → physical column names
+    dv_json: str = ""           # deletionVector descriptor ("" = none)
+    table_path: str = ""        # DV path resolution root
+    change_type: str = ""       # constant _change_type (CDF mode)
+    commit_version: int = -1    # _commit_version (CDF mode)
+    cdc_file: bool = False      # file carries its own _change_type
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -58,9 +82,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.schema = schema
         sv = options.get("starting_version")
         self.start_version = int(sv) if sv is not None else None
-        self.ignore_deletes = (
-            str(options.get("ignore_deletes", "false")).lower() == "true"
-        )
+
+        def _flag(name: str) -> bool:
+            return str(options.get(name, "false")).lower() == "true"
+
+        self.ignore_deletes = _flag("ignore_deletes")
+        self.skip_change_commits = _flag("skip_change_commits")
+        self.read_change_feed = _flag("read_change_feed")
 
     def initialOffset(self):
         if self.start_version is not None:
@@ -75,7 +103,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
         return {"version": v}
 
-    def _version_adds(self, v: int) -> list[dict]:
+    def _version_actions(self, v: int):
+        """``(cdc, adds, removes)`` of one commit's log file."""
         lp = dl._log_path(self.path, v)
         if not os.path.exists(lp):
             raise FileNotFoundError(
@@ -83,46 +112,114 @@ class DeltaStreamReader(DataSourceStreamReader):
                 "retention passed the stream's lag); restart from a "
                 "fresh checkpoint"
             )
+        cdc: list[dict] = []
         adds: list[dict] = []
+        removes: list[dict] = []
         with open(lp, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 act = json.loads(line)
-                if "add" in act:
+                if "cdc" in act:
+                    cdc.append(act["cdc"])
+                elif "add" in act:
                     adds.append(act["add"])
-                elif "remove" in act and not self.ignore_deletes:
-                    raise ValueError(
-                        f"Delta version {v} of {self.path} removes "
-                        "files; an append stream cannot express it — "
-                        "restart from a fresh checkpoint (full refresh) "
-                        "or set option('ignore_deletes', 'true')"
-                    )
+                elif "remove" in act:
+                    removes.append(act["remove"])
+        return cdc, adds, removes
+
+    def _version_adds(self, v: int) -> list[dict]:
+        _cdc, adds, removes = self._version_actions(v)
+        if removes:
+            if self.skip_change_commits:
+                return []  # the whole commit is invisible
+            if not self.ignore_deletes:
+                raise ValueError(
+                    f"Delta version {v} of {self.path} removes "
+                    "files; an append stream cannot express it — "
+                    "restart from a fresh checkpoint (full refresh), "
+                    "set option('ignore_deletes', 'true'), or skip "
+                    "such commits with "
+                    "option('skip_change_commits', 'true')"
+                )
         return adds
+
+    def _mk_part(self, a: dict, sj: str, pcols: list, phys_j: str,
+                 **kw) -> DeltaFilePartition:
+        return DeltaFilePartition(
+            file=os.path.join(self.path, dl.unquote(a["path"])),
+            schema_json=sj,
+            pvals=dict(a.get("partitionValues") or {}),
+            pcols=pcols,
+            phys_json=phys_j,
+            dv_json=(json.dumps(a["deletionVector"])
+                     if a.get("deletionVector") else ""),
+            table_path=os.path.abspath(self.path),
+            **kw,
+        )
 
     def partitions(self, start: dict, end: dict):
         e = end["version"]
         adds, meta, _p, _v = dl._replay(self.path, e)
         pcols = list(meta.get("partitionColumns") or [])
+        _cm, phys, _fids = dl._column_mapping(meta)
+        phys_j = json.dumps(phys)
         sj = meta["schemaString"]
-        if not start.get("snapshot"):
-            ranged: list[dict] = []
-            for v in range(start["version"] + 1, e + 1):
-                ranged.extend(self._version_adds(v))
-            adds = ranged
-        parts = [
-            DeltaFilePartition(
-                file=os.path.join(self.path, dl.unquote(a["path"])),
-                schema_json=sj,
-                pvals=dict(a.get("partitionValues") or {}),
-                pcols=pcols,
-            )
-            for a in adds
-        ]
+        parts: list[DeltaFilePartition] = []
+        if self.read_change_feed:
+            if start.get("snapshot"):
+                parts = [
+                    self._mk_part(a, sj, pcols, phys_j,
+                                  change_type="insert",
+                                  commit_version=e)
+                    for a in adds
+                ]
+            else:
+                for v in range(start["version"] + 1, e + 1):
+                    cdc, vadds, removes = self._version_actions(v)
+                    if cdc:
+                        # authoritative row-level record; the commit's
+                        # add/remove actions are ignored for CDF
+                        parts.extend(
+                            self._mk_part(c, sj, pcols, phys_j,
+                                          commit_version=v,
+                                          cdc_file=True)
+                            for c in cdc
+                        )
+                        continue
+                    changing = [a for a in vadds if a.get("dataChange")]
+                    removing = [r for r in removes
+                                if r.get("dataChange", True)]
+                    if not changing and not removing:
+                        continue  # OPTIMIZE-style no-op commit
+                    if removing or any(
+                        a.get("deletionVector") for a in changing
+                    ):
+                        raise ValueError(
+                            f"Delta version {v} of {self.path} "
+                            "rewrites/deletes rows without cdc "
+                            "actions — its row-level changes are not "
+                            "recoverable (enable CDF on the writer)"
+                        )
+                    parts.extend(
+                        self._mk_part(a, sj, pcols, phys_j,
+                                      change_type="insert",
+                                      commit_version=v)
+                        for a in changing
+                    )
+        else:
+            if not start.get("snapshot"):
+                ranged: list[dict] = []
+                for v in range(start["version"] + 1, e + 1):
+                    ranged.extend(self._version_adds(v))
+                adds = ranged
+            parts = [
+                self._mk_part(a, sj, pcols, phys_j) for a in adds
+            ]
         # Spark requires >= 1 partition per batch: an empty range
-        # (pure-remove version under ignore_deletes) emits a zero-row
-        # marker partition
+        # (pure-remove version under skip/ignore flags) emits a
+        # zero-row marker partition
         return parts or [
             DeltaFilePartition(file="", schema_json=sj, pcols=pcols)
         ]
@@ -134,23 +231,51 @@ class DeltaStreamReader(DataSourceStreamReader):
         from pyspark.sql.types import StructType as _ST
 
         declared = _ST.fromJson(json.loads(partition.schema_json))
+        want_cdf = self.read_change_feed
         if not partition.file:
-            yield from pa.table({
+            cols = {
                 f.name: pa.array([], to_arrow_type(f.dataType))
                 for f in declared.fields
-            }).to_batches()
+            }
+            if want_cdf:
+                cols["_change_type"] = pa.array([], pa.string())
+                cols["_commit_version"] = pa.array([], pa.int64())
+            yield from pa.table(cols).to_batches()
             return
+        phys = json.loads(partition.phys_json or "{}")
         tbl = pq.read_table(partition.file)
+        if partition.dv_json:
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltadv as _dv,
+            )
+
+            dead = set(_dv.read_dv(
+                partition.table_path, json.loads(partition.dv_json)
+            ))
+            if dead:
+                mask = pa.array(
+                    [i not in dead for i in range(len(tbl))],
+                    pa.bool_(),
+                )
+                tbl = tbl.filter(mask)
         names = set(tbl.schema.names)
         arrays = []
+        out_names = []
         for f in declared.fields:
+            pname = phys.get(f.name, f.name)
             target = to_arrow_type(f.dataType)
             if f.name in partition.pcols:
-                raw = partition.pvals.get(f.name)
+                raw = partition.pvals.get(pname,
+                                          partition.pvals.get(f.name))
                 arrays.append(
                     pa.nulls(len(tbl), type=target) if raw is None
                     else pa.array([raw] * len(tbl), pa.string())
                     .cast(target)
+                )
+            elif pname in names:
+                col = tbl.column(pname)
+                arrays.append(
+                    col if col.type == target else col.cast(target)
                 )
             elif f.name in names:
                 col = tbl.column(f.name)
@@ -159,9 +284,21 @@ class DeltaStreamReader(DataSourceStreamReader):
                 )
             else:
                 arrays.append(pa.nulls(len(tbl), type=target))
-        yield from pa.table(
-            dict(zip([f.name for f in declared.fields], arrays))
-        ).to_batches()
+            out_names.append(f.name)
+        if want_cdf:
+            if partition.cdc_file and "_change_type" in names:
+                arrays.append(tbl.column("_change_type"))
+            else:
+                arrays.append(pa.array(
+                    [partition.change_type or "insert"] * len(tbl),
+                    pa.string(),
+                ))
+            out_names.append("_change_type")
+            arrays.append(pa.array(
+                [partition.commit_version] * len(tbl), pa.int64()
+            ))
+            out_names.append("_commit_version")
+        yield from pa.table(dict(zip(out_names, arrays))).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are versions; nothing to clean up
@@ -180,7 +317,15 @@ class DeltaTableDataSource(DataSource):
         if not path:
             raise ValueError("option('path', <delta table dir>) required")
         _adds, meta, _p, _v = dl._replay(path, None)
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        base = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("read_change_feed", "false")
+               ).lower() == "true":
+            return StructType(
+                list(base.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(
