@@ -2314,6 +2314,42 @@ def _parse_where_literal(raw: str):
     return float(raw)
 
 
+def strip_target_alias(cond: str, alias: str = "t") -> str:
+    """Remove ``alias.`` column qualifiers OUTSIDE string literals.
+    A bare ``re.sub(r"\\bt\\.", ...)`` would also rewrite occurrences
+    inside quoted values (``t.name = 't.x'`` → ``name = 'x'``),
+    corrupting the bounds file pruning derives — pruning must be
+    no-false-negative, so literal spans are skipped (single/double
+    quotes, doubled-quote escaping)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if cond[j] == ch:
+                    if j + 1 < n and cond[j + 1] == ch:  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    pat = re.compile(r"\b%s\." % re.escape(alias))
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(cond):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(cond[last:m.start()])
+        last = m.end()
+    out.append(cond[last:])
+    return "".join(out)
+
+
 def parse_conjunctive_where(s: str) -> "list[tuple] | None":
     """Best-effort inclusive-interval triples from a CONJUNCTIVE SQL
     range predicate — FOR FILE PRUNING ONLY (the original string stays
@@ -5493,7 +5529,10 @@ def _merge_cardinality_check(source: DataFrame, skey: str) -> None:
     from pyspark.sql import functions as F
 
     dup = (
-        source.groupBy(skey).count()
+        # NULL keys never equality-match a target row, so duplicate
+        # NULLs (e.g. unkeyed CDC inserts) are not a violation
+        source.filter(F.col(skey).isNotNull())
+        .groupBy(skey).count()
         .filter(F.col("count") > 1).limit(1).collect()
     )
     if dup:
@@ -5754,9 +5793,7 @@ def snapshot_merge_when(
         columns (``t.`` qualifiers stripped); None = cannot prune."""
         if cond is None:
             return None
-        return parse_conjunctive_where(
-            re.sub(r"\bt\.", "", cond)
-        )
+        return parse_conjunctive_where(strip_target_alias(cond))
 
     last_err: Exception | None = None
     for _ in range(max_redo):

@@ -145,6 +145,36 @@ def _log_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
 
 
+def _commit_actions(path: str, version: int,
+                    actions: "list[dict]") -> int:
+    """Atomically claim ``_delta_log/<version>.json`` — the ONE
+    commit door every Delta writer in this module goes through.
+    put-if-absent: ``os.link`` makes the COMPLETE, fsynced file
+    appear under the version name in a single atomic step, so a
+    concurrent ``_replay`` (or a racing overwrite computing
+    prev_adds) can never observe an empty or torn commit — unlike a
+    create-empty-then-write protocol, whose window between O_EXCL
+    create and content write is readable partial state.
+    ``FileExistsError`` = lost the race, whole and clean."""
+    final = _log_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"Delta version {version} at {path} was claimed by a "
+            "concurrent writer; re-read and retry"
+        )
+    finally:
+        os.unlink(tmp)
+    return version
+
+
 def _list_log_versions(path: str) -> list[int]:
     d = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(d):
@@ -994,30 +1024,7 @@ def write_delta(
                         saved_fw,
                     )
     actions.extend({"add": a} for a in adds)
-    final = _log_path(path, version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        # put-if-absent: os.link makes the COMPLETE, fsynced file
-        # appear under the version name in ONE atomic step, so a
-        # concurrent _replay (or a racing overwrite computing
-        # prev_adds) can never observe an empty or torn commit —
-        # unlike a create-empty-then-write protocol, whose window
-        # between O_EXCL create and content write is readable partial
-        # state. FileExistsError = lost the race, whole and clean.
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Delta version {version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    return version
+    return _commit_actions(path, version, actions)
 
 
 def delta_optimize(
@@ -1067,24 +1074,7 @@ def delta_optimize(
         }})
     for a in new_adds:
         actions.append({"add": dict(a, dataChange=False)})
-    version = v + 1
-    final = _log_path(path, version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Delta version {version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    return version
+    return _commit_actions(path, v + 1, actions)
 
 
 def write_delta_checkpoint(
@@ -1688,24 +1678,7 @@ def _delta_commit_dml(path: str, ctx: dict, touched: list,
         actions.append({"add": dict(a, deletionVector=desc,
                                     dataChange=True)})
     actions.extend({"add": a} for a in new_adds)
-    version = ctx["v"] + 1
-    final = _log_path(path, version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Delta version {version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    return version
+    return _commit_actions(path, ctx["v"] + 1, actions)
 
 
 def _delta_mor_mutate(
@@ -1840,6 +1813,7 @@ def _delta_merge_scope(ctx: dict, source: DataFrame, key: str,
 
     from harmony_energy_data_pipeline_spark.sinks.snapshots import (
         parse_conjunctive_where,
+        strip_target_alias,
     )
 
     adds = ctx["adds"]
@@ -1856,7 +1830,7 @@ def _delta_merge_scope(ctx: dict, source: DataFrame, key: str,
             cond = cl.get("condition")
             parsed = (
                 None if cond is None
-                else parse_conjunctive_where(re.sub(r"\bt\.", "", cond))
+                else parse_conjunctive_where(strip_target_alias(cond))
             )
             if parsed is None:
                 return list(adds)  # unbounded NMBS: full scan
@@ -2206,12 +2180,18 @@ def delta_restore(
         actions.append({"metaData": meta_v})
     cdc_actions: list = []
     if record_cdf and (removes or readds):
-        if meta_v.get("schemaString") != meta_now.get("schemaString"):
+        if (meta_v.get("schemaString") != meta_now.get("schemaString")
+                or (meta_v.get("partitionColumns") or [])
+                != (meta_now.get("partitionColumns") or [])):
+            # partition-LAYOUT changes too: re-added files key their
+            # partitionValues by the OLD layout, so staging through
+            # the current-layout ctx would NULL-fill those columns
             raise ValueError(
-                "CDF-enabled RESTORE across a schema change: the "
-                "mixed-schema change feed is inexpressible — disable "
+                "CDF-enabled RESTORE across a schema or "
+                "partition-layout change: the mixed-schema change "
+                "feed is inexpressible — disable "
                 "delta.enableChangeDataFeed or restore to a version "
-                "with the current schema"
+                "with the current schema and partitioning"
             )
         ctx = _delta_dml_ctx(spark, path)
         schema = ctx["schema"]
@@ -2245,23 +2225,7 @@ def delta_restore(
     actions.extend(
         {"add": dict(a, dataChange=True)} for a in readds
     )
-    new_version = v_now + 1
-    final = _log_path(path, new_version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Delta version {new_version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
+    new_version = _commit_actions(path, v_now + 1, actions)
     return (new_version, len(removes) + len(readds))
 
 
@@ -2324,24 +2288,7 @@ def delta_add_columns(path: str, cols: "dict[str, str]") -> int:
         }},
         {"metaData": new_meta},
     ]
-    version = v + 1
-    final = _log_path(path, version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"Delta version {version} at {path} was claimed by a "
-            "concurrent writer; re-read and retry"
-        )
-    finally:
-        os.unlink(tmp)
-    return version
+    return _commit_actions(path, v + 1, actions)
 
 
 def read_delta_changes(

@@ -131,6 +131,12 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def _version_adds(self, v: int) -> list[dict]:
         _cdc, adds, removes = self._version_actions(v)
+        # dataChange=false commits (OPTIMIZE-style compaction) carry
+        # no logical change: re-streaming their adds would duplicate
+        # every compacted row, and their removes must not kill the
+        # stream
+        adds = [a for a in adds if a.get("dataChange")]
+        removes = [r for r in removes if r.get("dataChange", True)]
         if removes:
             if self.skip_change_commits:
                 return []  # the whole commit is invisible
@@ -196,6 +202,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if removing or any(
                         a.get("deletionVector") for a in changing
                     ):
+                        if self.skip_change_commits:
+                            continue  # whole commit is invisible
                         raise ValueError(
                             f"Delta version {v} of {self.path} "
                             "rewrites/deletes rows without cdc "

@@ -2321,6 +2321,7 @@ def _iceberg_merge_scope(meta: dict, schema: dict, data: list,
 
     from harmony_energy_data_pipeline_spark.sinks.snapshots import (
         parse_conjunctive_where,
+        strip_target_alias,
     )
 
     nmbs_wheres: list = []
@@ -2329,7 +2330,7 @@ def _iceberg_merge_scope(meta: dict, schema: dict, data: list,
             cond = cl.get("condition")
             parsed = (
                 None if cond is None
-                else parse_conjunctive_where(re.sub(r"\bt\.", "", cond))
+                else parse_conjunctive_where(strip_target_alias(cond))
             )
             if parsed is None:
                 return list(data)  # unbounded NMBS: full scan
@@ -2804,6 +2805,15 @@ def read_iceberg_changes(
             # read as deletes (the rewritten survivors re-appear as
             # inserts via the snapshot's ADDED files, the same
             # delete+insert representation our own UPDATE uses)
+            if i == 0:
+                # ids[i-1] would wrap to the NEWEST snapshot; the
+                # true prior state precedes the retained history
+                raise IcebergProtocolError(
+                    "oldest retained snapshot rewrites files whose "
+                    "prior state was expired — changelog from the "
+                    "table start is unavailable; pass "
+                    "from_snapshot_id within retained history"
+                )
             _lp, dels_prev = live_files(
                 path, meta, snapshot_id=ids[i - 1]
             )
