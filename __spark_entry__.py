@@ -8252,6 +8252,76 @@ def q_sql_iceberg_dml_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("sql_rename_drop_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS val, event_type AS et FROM events
+),
+upd AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN val + 10 ELSE val END AS val
+  FROM base
+),
+one AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
+             AS sum_vc,
+         bit_xor(k) AS id_xor
+  FROM upd
+)
+SELECT d.n_rows AS d_rows, d.sum_vc AS d_sum, d.id_xor AS d_xor,
+       i.n_rows AS i_rows, i.sum_vc AS i_sum, i.id_xor AS i_xor
+FROM one d CROSS JOIN one i
+""")
+def q_sql_rename_drop_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME / DROP COLUMN on BOTH wire formats through SQL (round
+    12): Iceberg renames the field over its immutable id — pre-rename
+    files resolve via historical-name coalescing in this engine and
+    via the ``schema.name-mapping.default`` property for foreign
+    readers (`sources/iceberg.py: iceberg_rename_column`); Delta
+    relabels over a stable ``physicalName``, upgrading the table to
+    name-mode column mapping in the same commit
+    (`sources/deltalake.py: delta_rename_column`). Row-level DML
+    then runs THROUGH the renamed predicate column, and DROP COLUMN
+    removes the other field metadata-only. The schema churn of a
+    long-lived serving table (reference rebuilds on any schema
+    change: src/serve/load.py) as three metadata commits. Oracle
+    recomputes the surviving columns as SELECT algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import (
+        snapshot_sql,
+        snapshot_sql_script,
+    )
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlrnd_"))
+    cat.register("rdt", format="delta")
+    cat.register("rit", format="iceberg")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqlrnd_events")
+    for tbl in ("rdt", "rit"):
+        snapshot_sql_script(spark, f"""
+          CREATE TABLE {tbl} AS SELECT k, v, et FROM sqlrnd_events;
+          ALTER TABLE {tbl} RENAME COLUMN v TO val;
+          UPDATE {tbl} SET val = val + 10 WHERE k % 7 = 0;
+          ALTER TABLE {tbl} DROP COLUMN et
+        """, catalog=cat)
+    return snapshot_sql(spark, """
+      SELECT d.n_rows AS d_rows, d.sum_vc AS d_sum, d.id_xor AS d_xor,
+             i.n_rows AS i_rows, i.sum_vc AS i_sum, i.id_xor AS i_xor
+      FROM (SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(round(val * 100) AS BIGINT))
+                       AS BIGINT) AS sum_vc,
+                   bit_xor(k) AS id_xor FROM rdt) d
+      CROSS JOIN (SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(round(val * 100) AS BIGINT))
+                       AS BIGINT) AS sum_vc,
+                   bit_xor(k) AS id_xor FROM rit) i
+    """, catalog=cat)
+
+
 @_q("sql_delta_merge_digest", """
 WITH tgt AS (
   SELECT event_id AS k, value AS v, event_type AS et FROM events

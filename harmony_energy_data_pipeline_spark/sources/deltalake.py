@@ -851,12 +851,16 @@ def write_delta(
         prev_proto = None
     if mode == "append" and meta is not None:
         def _lenient(node):
-            # nullability compares leniently: a stricter (non-null)
-            # batch is always safe to append into a nullable column
+            # nullability compares leniently (a stricter non-null
+            # batch is always safe to append into a nullable column);
+            # field METADATA is dropped — the batch's logical schema
+            # never carries the table's columnMapping ids/physical
+            # names, and those are the table's business, not the
+            # append contract's
             if isinstance(node, dict):
                 return {
                     k: (True if k == "nullable" else _lenient(v))
-                    for k, v in node.items()
+                    for k, v in node.items() if k != "metadata"
                 }
             if isinstance(node, list):
                 return [_lenient(x) for x in node]
@@ -877,7 +881,85 @@ def write_delta(
                 f"append partitioned by {pcols} onto a table partitioned "
                 f"by {meta.get('partitionColumns')}"
             )
-    adds = _stage_files(df, path, pcols, stats_cols)
+    # APPEND to a column-mapped table: parquet must store PHYSICAL
+    # names (and field ids in id mode) — stage the batch renamed,
+    # with partition dirs / stats keyed physically, exactly like the
+    # DML staging does; the logical append contract above is already
+    # checked
+    stage_df, pcols_stage, stats_stage = df, pcols, stats_cols
+    cm_w, need_ids = "none", False
+    ow_schema_json, ow_conf = None, None
+    if meta is not None:
+        cm_w, phys_w, fids_w = _column_mapping(meta)
+    if mode == "append" and cm_w in ("name", "id"):
+        def _pcw(name):
+            md = (
+                {"parquet.field.id": int(fids_w[name])}
+                if fids_w.get(name) is not None else {}
+            )
+            return F.col(name).alias(phys_w[name], metadata=md)
+
+        stage_df = df.select(*[_pcw(c) for c in df.columns])
+        pcols_stage = [phys_w[c] for c in pcols]
+        stats_stage = (
+            [phys_w[c] for c in stats_cols] if stats_cols else None
+        )
+        need_ids = cm_w == "id"
+    elif mode == "overwrite" and cm_w in ("name", "id"):
+        # OVERWRITE of a mapped table: the configuration keeps
+        # declaring columnMapping, so the NEW schema must carry a
+        # valid mapping — regenerate it (fresh ids past maxColumnId,
+        # physical names = the new logical names; every old file is
+        # removed in this same commit, so nothing else resolves
+        # through the old mapping)
+        ow_schema_json = df.schema.jsonValue()
+        ow_conf = dict(meta.get("configuration") or {})
+        ow_max = int(
+            ow_conf.get("delta.columnMapping.maxColumnId", 0) or 0
+        )
+        ow_ids = {}
+        for f_ in ow_schema_json["fields"]:
+            ow_max += 1
+            ow_ids[f_["name"]] = ow_max
+            f_["metadata"] = dict(f_.get("metadata") or {}, **{
+                "delta.columnMapping.id": ow_max,
+                "delta.columnMapping.physicalName": f_["name"],
+            })
+        ow_conf["delta.columnMapping.maxColumnId"] = str(ow_max)
+        if cm_w == "id":
+            need_ids = True
+            stage_df = df.select(*[
+                F.col(c).alias(
+                    c, metadata={"parquet.field.id": ow_ids[c]}
+                )
+                for c in df.columns
+            ])
+    if need_ids:
+        spark_w = df.sparkSession
+        try:
+            saved_fw = spark_w.conf.get(
+                "spark.sql.parquet.fieldId.write.enabled"
+            )
+        except Exception:
+            saved_fw = None
+        spark_w.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        try:
+            adds = _stage_files(stage_df, path, pcols_stage,
+                                stats_stage)
+        finally:
+            if saved_fw is None:
+                spark_w.conf.unset(
+                    "spark.sql.parquet.fieldId.write.enabled"
+                )
+            else:
+                spark_w.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled",
+                    saved_fw,
+                )
+    else:
+        adds = _stage_files(stage_df, path, pcols_stage, stats_stage)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {
@@ -937,14 +1019,18 @@ def write_delta(
             "metaData": {
                 "id": (meta or {}).get("id") or str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": json.dumps(df.schema.jsonValue()),
+                "schemaString": json.dumps(
+                    ow_schema_json if ow_schema_json is not None
+                    else df.schema.jsonValue()
+                ),
                 "partitionColumns": pcols,
                 # an overwrite evolves schema/layout, not table
                 # PROPERTIES — dropping configuration would silently
                 # disable enableChangeDataFeed / appendOnly on a
                 # foreign table we rewrite
-                "configuration": dict(
-                    (meta or {}).get("configuration") or {}
+                "configuration": (
+                    ow_conf if ow_conf is not None
+                    else dict((meta or {}).get("configuration") or {})
                 ),
                 "createdTime": (meta or {}).get("createdTime", now_ms),
             }
@@ -969,10 +1055,22 @@ def write_delta(
         .get("delta.enableChangeDataFeed", "")
     ).lower() == "true"
     if cdf_enabled and mode == "overwrite" and prev_adds:
+        def _logical(node):
+            # compare LOGICAL schemas: columnMapping ids / physical
+            # names live in field metadata and are the table's
+            # business, not the feed contract's
+            if isinstance(node, dict):
+                return {k: _logical(v) for k, v in node.items()
+                        if k != "metadata"}
+            if isinstance(node, list):
+                return [_logical(x) for x in node]
+            return node
         old_schema = json.dumps(
-            json.loads(meta["schemaString"]), sort_keys=True
+            _logical(json.loads(meta["schemaString"])), sort_keys=True
         )
-        new_schema = json.dumps(df.schema.jsonValue(), sort_keys=True)
+        new_schema = json.dumps(
+            _logical(df.schema.jsonValue()), sort_keys=True
+        )
         if old_schema != new_schema:
             raise DeltaProtocolError(
                 "overwrite changes the schema of a CDF-enabled table; "
@@ -980,7 +1078,18 @@ def write_delta(
                 "images in one commit — disable "
                 "delta.enableChangeDataFeed or align the schema"
             )
-        _cm, phys, _fids = _column_mapping(meta)
+        if ow_schema_json is not None:
+            # the cdc files belong to THIS commit: readers resolve
+            # them through the commit's (regenerated) mapping
+            _cm = cm_w
+            phys = {f_["name"]: f_["metadata"]
+                    ["delta.columnMapping.physicalName"]
+                    for f_ in ow_schema_json["fields"]}
+            _fids = {f_["name"]: f_["metadata"]
+                     ["delta.columnMapping.id"]
+                     for f_ in ow_schema_json["fields"]}
+        else:
+            _cm, phys, _fids = _column_mapping(meta)
         spark = df.sparkSession
 
         def _pc(name):
@@ -2291,6 +2400,158 @@ def delta_add_columns(path: str, cols: "dict[str, str]") -> int:
     return _commit_actions(path, v + 1, actions)
 
 
+def _with_column_mapping(meta: dict, proto: "dict | None"):
+    """``(meta', protocol_action_or_None)`` with name-mode column
+    mapping ENABLED — the Delta upgrade rule: every existing field
+    keeps its CURRENT name as ``physicalName`` (existing parquet and
+    physical-keyed stats/partitionValues resolve unchanged) and gets
+    the next ``delta.columnMapping.id``; the protocol advances to
+    the legacy (2,5) columnMapping floor, or gains the
+    ``columnMapping`` feature when the table already speaks table
+    features — NEVER downgraded. Already-mapped tables pass through
+    untouched."""
+    conf = dict(meta.get("configuration") or {})
+    cm = conf.get("delta.columnMapping.mode", "none") or "none"
+    if cm in ("name", "id"):
+        return meta, None
+    schema_json = json.loads(meta["schemaString"])
+    max_id = 0
+    for f in schema_json["fields"]:
+        max_id += 1
+        f["metadata"] = dict(f.get("metadata") or {}, **{
+            "delta.columnMapping.id": max_id,
+            "delta.columnMapping.physicalName": f["name"],
+        })
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    new_meta = dict(meta, schemaString=json.dumps(schema_json),
+                    configuration=conf)
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if proto.get("readerFeatures") is not None or \
+            proto.get("writerFeatures") is not None:
+        r_imp, w_imp = _implied_features(proto)
+        new_proto = {
+            "minReaderVersion": max(proto.get("minReaderVersion", 1),
+                                    3),
+            "minWriterVersion": max(proto.get("minWriterVersion", 1),
+                                    7),
+            "readerFeatures": sorted(r_imp | {"columnMapping"}),
+            "writerFeatures": sorted(w_imp | {"columnMapping"}),
+        }
+    else:
+        new_proto = {
+            "minReaderVersion": max(proto.get("minReaderVersion", 1),
+                                    2),
+            "minWriterVersion": max(proto.get("minWriterVersion", 1),
+                                    5),
+        }
+    if new_proto == proto:
+        return new_meta, None
+    return new_meta, {"protocol": new_proto}
+
+
+def _refuse_dependent_metadata(meta: dict, col: str, verb: str):
+    """Refuse renaming/dropping a column that CHECK constraints or
+    generated-column expressions still reference — the stored
+    expression strings would silently dangle."""
+    conf = meta.get("configuration") or {}
+    pat = re.compile(r"\b%s\b" % re.escape(col))
+    for k, v in conf.items():
+        if k.startswith("delta.constraints.") and pat.search(v or ""):
+            raise DeltaProtocolError(
+                f"cannot {verb} column {col!r}: CHECK constraint "
+                f"{k.split('.', 2)[2]!r} references it — drop the "
+                "constraint first"
+            )
+    for f in json.loads(meta["schemaString"])["fields"]:
+        gexpr = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if gexpr and f["name"] != col and pat.search(gexpr):
+            raise DeltaProtocolError(
+                f"cannot {verb} column {col!r}: generated column "
+                f"{f['name']!r} derives from it"
+            )
+
+
+def delta_rename_column(path: str, old: str, new: str) -> int:
+    """RENAME a column IN THE WIRE FORMAT — metadata-only, the Delta
+    way: column mapping makes the LOGICAL name a label over a stable
+    ``physicalName``, so no data file rewrites. An unmapped table is
+    upgraded in the SAME commit (physical names = current names, so
+    every existing file, stat and partition value still resolves);
+    the logical field then renames, ``partitionColumns`` (logical
+    per this engine's read/write convention) follows. Returns the
+    committed version."""
+    _adds, meta, proto, v = _replay(path, None)
+    schema_json = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema_json["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist at {path}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    _refuse_dependent_metadata(meta, old, "rename")
+    meta2, proto_action = _with_column_mapping(meta, proto)
+    schema_json = json.loads(meta2["schemaString"])
+    for f in schema_json["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    pcols = [new if c == old else c
+             for c in (meta2.get("partitionColumns") or [])]
+    new_meta = dict(meta2, schemaString=json.dumps(schema_json),
+                    partitionColumns=pcols)
+    actions: list = [{"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "RENAME COLUMN",
+        "operationParameters": {"from": old, "to": new},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if proto_action:
+        actions.append(proto_action)
+    actions.append({"metaData": new_meta})
+    return _commit_actions(path, v + 1, actions)
+
+
+def delta_drop_column(path: str, col: str) -> int:
+    """DROP a column IN THE WIRE FORMAT — metadata-only: with column
+    mapping enabled (upgraded in the same commit if absent) the field
+    simply leaves the logical schema; data files keep the physical
+    column and readers stop projecting it. A later ADD COLUMN of the
+    same logical name allocates a FRESH physical name
+    (``delta_add_columns``), so old values can never resurrect.
+    Partition columns refuse (their ``partitionValues`` would lose
+    their meaning). Returns the committed version."""
+    _adds, meta, proto, v = _replay(path, None)
+    schema_json = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema_json["fields"]]
+    if col not in names:
+        raise ValueError(f"column {col!r} does not exist at {path}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if col in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"column {col!r} partitions the table; dropping it would "
+            "orphan every file's partitionValues"
+        )
+    _refuse_dependent_metadata(meta, col, "drop")
+    meta2, proto_action = _with_column_mapping(meta, proto)
+    schema_json = json.loads(meta2["schemaString"])
+    schema_json["fields"] = [
+        f for f in schema_json["fields"] if f["name"] != col
+    ]
+    new_meta = dict(meta2, schemaString=json.dumps(schema_json))
+    actions: list = [{"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "DROP COLUMNS",
+        "operationParameters": {"columns": json.dumps([col])},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if proto_action:
+        actions.append(proto_action)
+    actions.append({"metaData": new_meta})
+    return _commit_actions(path, v + 1, actions)
+
+
 def read_delta_changes(
     spark: SparkSession, path: str, from_version: int,
     to_version: "int | None" = None,
@@ -2873,6 +3134,7 @@ def _export_delta_linked(
 __all__ = [
     "read_delta", "write_delta", "delta_history", "delta_table_version",
     "write_delta_checkpoint", "delta_vacuum",
+    "delta_rename_column", "delta_drop_column",
     "snapshot_export_delta", "snapshot_import_delta",
     "DeltaProtocolError",
 ]

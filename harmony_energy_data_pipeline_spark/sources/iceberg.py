@@ -803,7 +803,10 @@ def _prune_data_files(meta: dict, schema: dict, files: list,
                 continue
             tr = f.get("transform")
             if tr == "identity":
-                m_ident[f["name"]] = by_id[sid]
+                # keyed by the source column's CURRENT name (a
+                # renamed column still prunes); the partition TUPLE
+                # stays keyed by the spec field's own name
+                m_ident[by_id_name[sid]] = (f["name"], by_id[sid])
             else:
                 m_tr.setdefault(by_id_name[sid], []).append(
                     (f["name"], tr, by_id[sid])
@@ -862,11 +865,13 @@ def _prune_data_files(meta: dict, schema: dict, files: list,
                     continue
             if not ok:
                 break
-            if c in ident_types and pv.get(c) is not None:
-                val = pv[c]
-                clo = (_part_pred_value(lo, ident_types[c])
+            if c in ident_types \
+                    and pv.get(ident_types[c][0]) is not None:
+                tuple_key, ityp = ident_types[c]
+                val = pv[tuple_key]
+                clo = (_part_pred_value(lo, ityp)
                        if lo is not None else None)
-                chi = (_part_pred_value(hi, ident_types[c])
+                chi = (_part_pred_value(hi, ityp)
                        if hi is not None else None)
                 try:
                     if clo is not None and val < clo:
@@ -894,6 +899,108 @@ def _prune_data_files(meta: dict, schema: dict, files: list,
         if ok:
             kept.append(df_rec)
     return kept
+
+
+def _rename_alternates(meta: dict, schema: dict):
+    """Current top-level field name → HISTORICAL names (current
+    excluded) for every field whose id ever carried another name —
+    gathered from the metadata's prior ``schemas`` and the spec's
+    ``schema.name-mapping.default`` property (how a foreign table
+    without parquet field-ids advertises old names). Returns None
+    when no field was ever renamed — the common case costs one dict
+    sweep and no plan change. Raises when one historical name maps
+    to TWO different field-ids (genuinely ambiguous name-based
+    resolution; the spec resolves it via parquet field-ids, which a
+    name-based scan does not have)."""
+    cur_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    cur_names = set(cur_by_id.values())
+    hist: "dict[int, set]" = {}
+    pools = list(meta.get("schemas") or [])
+    if "schema" in meta:  # format-v1 single-schema key
+        pools.append(meta["schema"])
+    for s in pools:
+        for f in s.get("fields", []):
+            hist.setdefault(f["id"], set()).add(f["name"])
+    nm = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if nm:
+        try:
+            for ent in json.loads(nm):
+                fid = ent.get("field-id")
+                if fid is None:
+                    continue
+                for n in ent.get("names") or []:
+                    hist.setdefault(fid, set()).add(n)
+        except (ValueError, TypeError, AttributeError):
+            pass  # malformed mapping: prior schemas still resolve
+    owners: "dict[str, set]" = {}
+    for fid in cur_by_id:
+        for n in hist.get(fid, ()):
+            owners.setdefault(n, set()).add(fid)
+    alts: "dict[str, list[str]]" = {}
+    for fid, cur in cur_by_id.items():
+        cand = []
+        for n in sorted(hist.get(fid, ())):
+            if n == cur or n in cur_names:
+                continue
+            if len(owners.get(n, ())) > 1:
+                raise IcebergProtocolError(
+                    f"historical column name {n!r} maps to multiple "
+                    f"field-ids {sorted(owners[n])}; name-based "
+                    "resolution is ambiguous — compact the table to "
+                    "materialize current names first"
+                )
+            cand.append(n)
+        if cand:
+            alts[cur] = cand
+    return alts or None
+
+
+def _data_scan(spark, path, abs_paths, spark_schema, meta, schema):
+    """The ONE parquet scan door for Iceberg DATA files — resolves
+    RENAMED columns: files written before a rename carry the OLD
+    physical column name, so the scan reads an EXTENDED schema (the
+    current fields plus each historical name, null-filled where
+    absent) and the returned ``project`` callable coalesces each
+    renamed field across its names back to the current name. Callers
+    apply ``project`` AFTER anything needing ``_metadata`` or the
+    raw scan (position-delete subtraction, provenance columns) and
+    list pass-through columns in ``extra``. With no renames in the
+    table's history the scan and plan are byte-identical to a plain
+    ``spark.read.schema(...).parquet(...)``."""
+    alts = _rename_alternates(meta, schema)
+    names = [f.name for f in spark_schema.fields]
+    if not alts:
+        df = spark.read.schema(spark_schema).parquet(*abs_paths)
+
+        def project(d, extra=()):
+            want = list(names) + list(extra)
+            return d if list(d.columns) == want else d.select(*want)
+
+        return df, project
+    ext_fields = list(spark_schema.fields)
+    typ = {f.name: f.dataType for f in spark_schema.fields}
+    for cur, cands in sorted(alts.items()):
+        for a in cands:
+            ext_fields.append(T.StructField(a, typ[cur], True))
+    df = spark.read.schema(T.StructType(ext_fields)).parquet(
+        *abs_paths
+    )
+
+    def project(d, extra=()):
+        sel = []
+        for f in spark_schema.fields:
+            if f.name in alts:
+                sel.append(F.coalesce(
+                    F.col(f.name),
+                    *[F.col(a) for a in alts[f.name]],
+                ).alias(f.name))
+            else:
+                sel.append(F.col(f.name))
+        return d.select(*sel, *extra)
+
+    return df, project
 
 
 def read_iceberg(
@@ -952,13 +1059,17 @@ def read_iceberg(
     eq_dels = [d for d in deletes if (d.get("content") or 0) == 2]
     if eq_dels:
         out = _read_with_equality_deletes(
-            spark, path, files, spark_schema, schema, eq_dels, pos_dels
+            spark, path, files, spark_schema, schema, eq_dels,
+            pos_dels, meta,
         )
         return out if residual is None else out.filter(residual)
     paths = [_resolve_file_path(path, f["file_path"]) for f in files]
-    out = spark.read.schema(spark_schema).parquet(*paths)
+    out, project = _data_scan(
+        spark, path, paths, spark_schema, meta, schema
+    )
     if pos_dels:
         out = _subtract_position_deletes(spark, path, out, pos_dels)
+    out = project(out)
     return out if residual is None else out.filter(residual)
 
 
@@ -993,7 +1104,7 @@ def _eq_delete_scan_groups(
 def _read_with_equality_deletes(
     spark: SparkSession, path: str, files: list[dict],
     spark_schema, ice_schema: dict, eq_dels: list[dict],
-    pos_dels: list[dict],
+    pos_dels: list[dict], meta: "dict | None" = None,
 ) -> DataFrame:
     """EQUALITY deletes (content=2), sequence-scoped per the spec: a
     delete applies to data files whose data sequence number is
@@ -1013,13 +1124,19 @@ def _read_with_equality_deletes(
                 "equality delete file lacks resolvable equality_ids"
             )
         eq_groups.setdefault(ids, []).append(d)
+    alts = (_rename_alternates(meta, ice_schema) or {}) if meta \
+        else {}
+    typ = {f.name: f.dataType for f in spark_schema.fields}
     out = None
     for fseq, group in _eq_delete_scan_groups(files, eq_dels):
-        part = spark.read.schema(spark_schema).parquet(
-            *[_resolve_file_path(path, f["file_path"]) for f in group]
+        part, project = _data_scan(
+            spark, path,
+            [_resolve_file_path(path, f["file_path"]) for f in group],
+            spark_schema, meta or {}, ice_schema,
         )
         if pos_dels:
             part = _subtract_position_deletes(spark, path, part, pos_dels)
+        part = project(part)
         for ids, dels in sorted(eq_groups.items()):
             applicable = [
                 d for d in dels if int(d.get("__seq") or 0) > fseq
@@ -1027,12 +1144,27 @@ def _read_with_equality_deletes(
             if not applicable:
                 continue
             cols = [by_name[i] for i in ids]
-            dd = spark.read.parquet(*sorted(
-                _resolve_file_path(path, d["file_path"])
-                for d in applicable
-            )).select(*[
-                F.col(c).alias(f"__eq_{c}") for c in cols
-            ]).dropDuplicates()
+            # a delete file written before a rename stores the OLD
+            # column name: read every historical name for each eq
+            # column and coalesce, like the data scan does
+            dd_fields, dd_expr = [], []
+            for c in cols:
+                dd_fields.append(T.StructField(c, typ[c], True))
+                for a in alts.get(c, ()):
+                    dd_fields.append(T.StructField(a, typ[c], True))
+                dd_expr.append(
+                    F.coalesce(
+                        F.col(c), *[F.col(a) for a in alts.get(c, ())]
+                    ).alias(f"__eq_{c}")
+                    if alts.get(c) else
+                    F.col(c).alias(f"__eq_{c}")
+                )
+            dd = spark.read.schema(T.StructType(dd_fields)).parquet(
+                *sorted(
+                    _resolve_file_path(path, d["file_path"])
+                    for d in applicable
+                )
+            ).select(*dd_expr).dropDuplicates()
             cond = None
             for c in cols:
                 c2 = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
@@ -1913,8 +2045,20 @@ def write_iceberg(
         "default-spec-id": spec_id,
         "partition-specs": prev_specs,
         "last-partition-id": last_partition_id,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        # carry table PROPERTIES, sort orders and refs through a
+        # data commit — a rebuilt-from-scratch metadata would
+        # silently strip a foreign table's configuration (retention
+        # settings, schema.name-mapping.default, branch refs)
+        "properties": dict(
+            (prev_meta or {}).get("properties") or {}
+        ),
+        "default-sort-order-id": (prev_meta or {}).get(
+            "default-sort-order-id", 0
+        ),
+        "sort-orders": (
+            list((prev_meta or {}).get("sort-orders") or [])
+            or [{"order-id": 0, "fields": []}]
+        ),
         "current-snapshot-id": snap_id,
         "snapshots": (
             list((prev_meta or {}).get("snapshots") or []) + [snapshot]
@@ -1924,6 +2068,14 @@ def write_iceberg(
             + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
         ),
     }
+    prev_refs = (prev_meta or {}).get("refs")
+    if prev_refs:
+        # a foreign table tracking branches: advance main, keep the
+        # rest (tags and side branches still resolve their snapshots)
+        refs = {k: dict(v) for k, v in prev_refs.items()}
+        refs["main"] = dict(refs.get("main") or {"type": "branch"},
+                            **{"snapshot-id": snap_id})
+        meta["refs"] = refs
     _commit_metadata(path, meta, prev_meta)
     return snap_id
 
@@ -1968,16 +2120,26 @@ def _spec_to_partition_by(meta: dict) -> "list[str] | None":
     return out or None
 
 
-def _provenance_scan(spark, path, data, spark_schema, deletes):
+def _provenance_scan(spark, path, data, spark_schema, deletes,
+                     meta=None, ice_schema=None):
     """ONE scan over the live data files carrying ``__f`` (decoded
     absolute path) and ``__p`` (row position) provenance columns,
     with existing POSITION deletes subtracted by a single distributed
     anti-join — never decoded into driver-side sets (an existing
-    delete backlog can be O(table))."""
-    scan = spark.read.schema(spark_schema).parquet(*sorted(
+    delete backlog can be O(table)). With ``meta``/``ice_schema``
+    the scan resolves RENAMED columns (files predating a rename
+    carry the old physical name)."""
+    paths = sorted(
         os.path.abspath(_resolve_file_path(path, d["file_path"]))
         for d in data
-    ))
+    )
+    if meta is not None and ice_schema is not None:
+        scan, project = _data_scan(
+            spark, path, paths, spark_schema, meta, ice_schema
+        )
+    else:
+        scan = spark.read.schema(spark_schema).parquet(*paths)
+        project = None
     scan_path = F.url_decode(F.replace(
         F.regexp_replace(
             F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
@@ -2006,6 +2168,8 @@ def _provenance_scan(spark, path, data, spark_schema, deletes):
             & (F.col("__p") == F.col("__dvp")),
             "left_anti",
         )
+    if project is not None:
+        base = project(base, extra=("__f", "__p"))
     return base
 
 
@@ -2079,7 +2243,8 @@ def iceberg_delete_where(
         data = _prune_data_files(meta, schema, data, triples)
         if not data:
             return (meta.get("current-snapshot-id"), 0)
-    base = _provenance_scan(spark, path, data, spark_schema, deletes)
+    base = _provenance_scan(spark, path, data, spark_schema,
+                             deletes, meta, schema)
     pos_df = _spelled_positions(
         spark, path, data, base.filter(F.expr(pred))
     )
@@ -2277,7 +2442,8 @@ def iceberg_update_where(
         data = _prune_data_files(meta, schema, data, triples)
         if not data:
             return (meta.get("current-snapshot-id"), 0)
-    base = _provenance_scan(spark, path, data, spark_schema, deletes)
+    base = _provenance_scan(spark, path, data, spark_schema,
+                             deletes, meta, schema)
     # SINGLE EVALUATION: materialize the matched rows once
     staged, n, hitstage = stage_rows_once(
         spark, path, base.filter(F.expr(pred))
@@ -2452,7 +2618,7 @@ def iceberg_merge_when(
     )
     if scoped:
         base = _provenance_scan(spark, path, scoped, spark_schema,
-                                deletes)
+                                deletes, meta, schema)
     else:
         from pyspark.sql.types import LongType, StringType
         from pyspark.sql.types import StructField as _SF
@@ -2569,7 +2735,7 @@ def iceberg_replace_where(
     staged, n_hits, hitstage = (None, 0, None)
     if scoped:
         base = _provenance_scan(spark, path, scoped, spark_schema,
-                                deletes)
+                                deletes, meta, schema)
         staged, n_hits, hitstage = stage_rows_once(
             spark, path, base.filter(F.expr(pred))
         )
@@ -2650,27 +2816,173 @@ def iceberg_add_columns(path: str, cols: "dict[str, str]") -> int:
         ice_f["id"] = last_col
         ice_f["required"] = False
         new_fields.append(ice_f)
+    # name-resurrection guard: a DROPPED (or renamed-away) name that
+    # ever belonged to a DIFFERENT field-id must not come back —
+    # name-based readers (this one, and any foreign reader resolving
+    # through schema.name-mapping.default) would associate old files'
+    # physical column with the NEW field and read stale values where
+    # the spec demands NULL
+    hist_ids: "dict[str, set]" = {}
+    for s in (meta.get("schemas") or []) + (
+        [meta["schema"]] if "schema" in meta else []
+    ):
+        for f in s.get("fields", []):
+            hist_ids.setdefault(f["name"], set()).add(f["id"])
+    for cname in cols:
+        if hist_ids.get(cname):
+            raise ValueError(
+                f"column name {cname!r} was previously used by "
+                f"field-id(s) {sorted(hist_ids[cname])} at {path}; "
+                "re-adding it would resurrect old files' values — "
+                "pick a fresh name"
+            )
     new_schema = {
         "type": "struct",
         "fields": list(schema["fields"]) + new_fields,
     }
+    return _commit_schema_change(path, meta, new_schema,
+                                 last_column_id=last_col)
+
+
+def _commit_schema_change(path: str, meta: dict, new_schema: dict,
+                          last_column_id: "int | None" = None,
+                          properties: "dict | None" = None) -> int:
+    """Append ``new_schema`` under the next schema-id and advance
+    ``current-schema-id`` — ONE metadata-only commit (prior schemas
+    stay listed so old snapshots resolve theirs). Optionally merges
+    ``properties`` into the table properties. Returns the new
+    schema-id."""
     schemas = list(meta.get("schemas") or [])
     if not schemas and "schema" in meta:  # format-v1 shape
         schemas = [dict(meta["schema"], **{"schema-id": 0})]
     new_sid = 1 + max(
         (s.get("schema-id", 0) for s in schemas), default=-1
     )
-    new_schema["schema-id"] = new_sid
+    new_schema = dict(new_schema, **{"schema-id": new_sid})
     schemas.append(new_schema)
     new_meta = dict(meta)
     new_meta["schemas"] = schemas
     new_meta["current-schema-id"] = new_sid
-    new_meta["last-column-id"] = last_col
+    if last_column_id is not None:
+        new_meta["last-column-id"] = last_column_id
+    if properties:
+        new_meta["properties"] = dict(
+            meta.get("properties") or {}, **properties
+        )
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     if "schema" in meta:  # keep the v1 single-schema key current
         new_meta["schema"] = new_schema
     _commit_metadata(path, new_meta, meta)
     return new_sid
+
+
+def _name_mapping_property(meta: dict, new_schema: dict) -> str:
+    """``schema.name-mapping.default`` covering EVERY name each
+    field-id has carried (current included) — the spec's artifact for
+    resolving files that lack parquet field-ids, so a FOREIGN reader
+    maps a pre-rename file's old column name to the right field."""
+    hist: "dict[int, set]" = {}
+    for s in (meta.get("schemas") or []) + (
+        [meta["schema"]] if "schema" in meta else []
+    ) + [new_schema]:
+        for f in s.get("fields", []):
+            hist.setdefault(f["id"], set()).add(f["name"])
+    cur_ids = [f["id"] for f in new_schema["fields"]]
+    return json.dumps([
+        {"field-id": fid, "names": sorted(hist[fid])}
+        for fid in cur_ids
+    ])
+
+
+def iceberg_rename_column(path: str, old: str, new: str) -> int:
+    """RENAME a column — METADATA-ONLY per the spec: the field keeps
+    its immutable id (manifest bounds, partition-spec source-ids and
+    old data files' stats all keep decoding), only the name in the
+    NEW current schema changes. ``schema.name-mapping.default``
+    updates so foreign readers resolve pre-rename files (which store
+    the old physical name and, from this writer, no parquet
+    field-ids); this engine's own scans coalesce across historical
+    names (:func:`_rename_alternates`). Renaming TO a name that any
+    OTHER field-id ever carried refuses — name-based resolution
+    would become ambiguous. Returns the new schema-id."""
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if old not in by_name:
+        raise ValueError(f"column {old!r} does not exist at {path}")
+    if new in by_name:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    fid = by_name[old]["id"]
+    hist_ids: "dict[str, set]" = {}
+    for s in (meta.get("schemas") or []) + (
+        [meta["schema"]] if "schema" in meta else []
+    ):
+        for f in s.get("fields", []):
+            hist_ids.setdefault(f["name"], set()).add(f["id"])
+    others = hist_ids.get(new, set()) - {fid}
+    if others:
+        raise ValueError(
+            f"name {new!r} was previously used by field-id(s) "
+            f"{sorted(others)} at {path}; renaming onto it would make "
+            "old files' column resolution ambiguous — pick a fresh "
+            "name"
+        )
+    new_schema = {
+        "type": "struct",
+        "fields": [
+            dict(f, name=new) if f["id"] == fid else dict(f)
+            for f in schema["fields"]
+        ],
+    }
+    return _commit_schema_change(
+        path, meta, new_schema,
+        properties={"schema.name-mapping.default":
+                    _name_mapping_property(meta, new_schema)},
+    )
+
+
+def iceberg_drop_column(path: str, name: str) -> int:
+    """DROP a column — METADATA-ONLY: the NEW current schema omits
+    the field (its id is never reused; old snapshots' schemas keep
+    it for time travel), data files keep the physical column and
+    every reader simply stops projecting it. Refuses when any
+    partition spec derives from the field (partition tuples would
+    lose their source) and when it is the last column. Returns the
+    new schema-id."""
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if name not in by_name:
+        raise ValueError(f"column {name!r} does not exist at {path}")
+    if len(schema["fields"]) == 1:
+        raise ValueError("cannot drop the only column")
+    fid = by_name[name]["id"]
+    for sp in meta.get("partition-specs", []):
+        for f in sp.get("fields", []):
+            if f.get("source-id") == fid:
+                raise ValueError(
+                    f"column {name!r} is the source of partition "
+                    f"field {f.get('name')!r} (spec "
+                    f"{sp.get('spec-id', 0)}); drop the partition "
+                    "spec first"
+                )
+    for so in meta.get("sort-orders", []):
+        for f in so.get("fields", []):
+            if f.get("source-id") == fid:
+                raise ValueError(
+                    f"column {name!r} is referenced by sort order "
+                    f"{so.get('order-id', 0)}"
+                )
+    new_schema = {
+        "type": "struct",
+        "fields": [dict(f) for f in schema["fields"]
+                   if f["id"] != fid],
+    }
+    return _commit_schema_change(
+        path, meta, new_schema,
+        properties={"schema.name-mapping.default":
+                    _name_mapping_property(meta, new_schema)},
+    )
 
 
 def read_iceberg_changes(
@@ -2875,9 +3187,12 @@ def read_iceberg_changes(
         smap = spark.createDataFrame(
             ins_map, "__absf string, __sid long"
         )
-        scan = spark.read.schema(spark_schema).parquet(*sorted(
-            {p_ for p_, _s in ins_map}
-        )).select("*", scan_path.alias("__f"))
+        raw, proj = _data_scan(
+            spark, path, sorted({p_ for p_, _s in ins_map}),
+            spark_schema, meta, schema,
+        )
+        scan = proj(raw.select("*", scan_path.alias("__f")),
+                    extra=("__f",))
         parts.append(
             scan.join(F.broadcast(smap),
                       F.col("__f") == F.col("__absf"), "inner")
@@ -2905,11 +3220,15 @@ def read_iceberg_changes(
             r["__tf"]
             for r in dv.select("__tf").distinct().collect()
         })  # O(#files) paths, driver-bounded
-        tscan = spark.read.schema(spark_schema).parquet(
-            *targets
-        ).select(
-            "*", scan_path.alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
+        raw_t, proj_t = _data_scan(
+            spark, path, targets, spark_schema, meta, schema
+        )
+        tscan = proj_t(
+            raw_t.select(
+                "*", scan_path.alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+            ),
+            extra=("__f", "__p"),
         )
         parts.append(
             tscan.join(
@@ -2921,14 +3240,17 @@ def read_iceberg_changes(
                      F.col("__sid").alias("_snapshot_id"))
         )
     for sid, live_prev, pos_prev in full_ow:
-        scan = spark.read.schema(spark_schema).parquet(*sorted(
-            _resolve_file_path(path, rec["file_path"])
-            for rec in live_prev
-        ))
+        scan, proj_ow = _data_scan(
+            spark, path,
+            sorted(_resolve_file_path(path, rec["file_path"])
+                   for rec in live_prev),
+            spark_schema, meta, schema,
+        )
         if pos_prev:
             scan = _subtract_position_deletes(
                 spark, path, scan, pos_prev
             )
+        scan = proj_ow(scan)
         parts.append(scan.select(
             *cols, F.lit("delete").alias("_change_type"),
             F.lit(sid).alias("_snapshot_id"),
@@ -3145,19 +3467,24 @@ def snapshot_import_iceberg(
             if not any(int(d.get("__seq") or 0) > rep_seq
                        for d in eq_recs):
                 continue
-            scan = spark.read.schema(spark_schema).parquet(*[
-                _resolve_file_path(iceberg_path, f["file_path"])
-                for f in group
-            ])
+            scan, proj_ad = _data_scan(
+                spark, iceberg_path,
+                [_resolve_file_path(iceberg_path, f["file_path"])
+                 for f in group],
+                spark_schema, meta, schema,
+            )
             scan_path = F.url_decode(F.replace(
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
                 ),
                 F.lit("+"), F.lit("%2B"),
             ))
-            base = scan.select(
-                "*", scan_path.alias("__f"),
-                F.col("_metadata.row_index").alias("__p"),
+            base = proj_ad(
+                scan.select(
+                    "*", scan_path.alias("__f"),
+                    F.col("_metadata.row_index").alias("__p"),
+                ),
+                extra=("__f", "__p"),
             )
             for ids, dels in sorted(eq_groups.items()):
                 applicable = [
@@ -3482,6 +3809,7 @@ __all__ = [
     "write_equality_deletes",
     "iceberg_history",
     "iceberg_snapshot_at_timestamp",
+    "iceberg_rename_column", "iceberg_drop_column",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",
 ]

@@ -1321,7 +1321,7 @@ def snapshot_sql(
         if m2 and fmt in ("delta", "iceberg"):
             # ADD COLUMN lands as the wire format's own metadata-only
             # schema commit (field ids allocated per each spec's
-            # evolution rules); other ALTER clauses stay native-only
+            # evolution rules)
             if fmt == "delta":
                 from harmony_energy_data_pipeline_spark.sources import (
                     deltalake as dl,
@@ -1339,6 +1339,52 @@ def snapshot_sql(
                     entry["path"], {m2.group(1): m2.group(2).strip()}
                 )
             return _dml_result(spark, "add_column", name, v)
+        m2 = re.match(
+            r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+"
+            r"([A-Za-z_]\w*)\s*$",
+            rest, re.IGNORECASE,
+        )
+        if m2 and fmt in ("delta", "iceberg"):
+            # metadata-only in both formats: Iceberg renames the
+            # field over its immutable id (+ name-mapping for
+            # foreign readers), Delta relabels over a stable
+            # physicalName (column mapping enabled in the same
+            # commit when absent)
+            if fmt == "delta":
+                from harmony_energy_data_pipeline_spark.sources import (
+                    deltalake as dl,
+                )
+
+                v = dl.delta_rename_column(
+                    entry["path"], m2.group(1), m2.group(2)
+                )
+            else:
+                from harmony_energy_data_pipeline_spark.sources import (
+                    iceberg as ice,
+                )
+
+                v = ice.iceberg_rename_column(
+                    entry["path"], m2.group(1), m2.group(2)
+                )
+            return _dml_result(spark, "rename_column", name, v)
+        m2 = re.match(
+            r"^DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2 and fmt in ("delta", "iceberg"):
+            if fmt == "delta":
+                from harmony_energy_data_pipeline_spark.sources import (
+                    deltalake as dl,
+                )
+
+                v = dl.delta_drop_column(entry["path"], m2.group(1))
+            else:
+                from harmony_energy_data_pipeline_spark.sources import (
+                    iceberg as ice,
+                )
+
+                v = ice.iceberg_drop_column(entry["path"], m2.group(1))
+            return _dml_result(spark, "drop_column", name, v)
         path = _require_native(entry, "ALTER TABLE")
         from harmony_energy_data_pipeline_spark.sinks import refs
         from harmony_energy_data_pipeline_spark.sinks import (

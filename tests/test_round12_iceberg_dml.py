@@ -213,9 +213,9 @@ def test_dml_scan_prunes_files(spark, monkeypatch):
     seen = {}
     orig = ice._provenance_scan
 
-    def _spy(spark_, path_, data_, schema_, deletes_):
+    def _spy(spark_, path_, data_, schema_, deletes_, *a):
         seen["n"] = len(data_)
-        return orig(spark_, path_, data_, schema_, deletes_)
+        return orig(spark_, path_, data_, schema_, deletes_, *a)
 
     monkeypatch.setattr(ice, "_provenance_scan", _spy)
     _sid, n = ice.iceberg_delete_where(spark, t, "p = '1'")
