@@ -1148,28 +1148,60 @@ def delta_optimize(
     version, or None when fewer than ``min_files`` live files exist
     (nothing to pack).
 
-    Column-mapped tables refuse: rewritten files must store PHYSICAL
-    column names, which this writer does not re-derive — adopt or
-    rewrite via read + write instead."""
+    COLUMN-MAPPED tables pack too: the logical read renames to each
+    field's ``physicalName`` (plus parquet field ids in id mode)
+    before staging, so the rewritten files resolve exactly like the
+    originals."""
     adds, meta, _proto, v = _replay(path, None)
-    cm = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if cm not in ("none", ""):
-        raise DeltaProtocolError(
-            "OPTIMIZE of a column-mapped Delta table is not "
-            "supported (rewritten files must store physical names)"
-        )
+    cm, phys, fids = _column_mapping(meta)
     if len(adds) < min_files:
         return None
     df = read_delta(spark, path, version=v)
     pcols = meta.get("partitionColumns") or []
+    stage_stats = stats_cols
+    if cm in ("name", "id"):
+        def _pco(name):
+            md = (
+                {"parquet.field.id": int(fids[name])}
+                if fids.get(name) is not None else {}
+            )
+            return F.col(name).alias(phys[name], metadata=md)
+
+        df = df.select(*[_pco(c) for c in df.columns])
+        pcols = [phys[c] for c in pcols]
+        stage_stats = (
+            [phys[c] for c in stats_cols] if stats_cols else None
+        )
     if df.isEmpty():
         # every live row is DV-deleted: the pack is pure removes (a
         # Delta table may validly list zero files)
         new_adds = []
+    elif cm == "id":
+        try:
+            saved_fw = spark.conf.get(
+                "spark.sql.parquet.fieldId.write.enabled"
+            )
+        except Exception:
+            saved_fw = None
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        try:
+            new_adds = _stage_files(df, path, pcols,
+                                    stats_cols=stage_stats)
+        finally:
+            if saved_fw is None:
+                spark.conf.unset(
+                    "spark.sql.parquet.fieldId.write.enabled"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled",
+                    saved_fw,
+                )
     else:
-        new_adds = _stage_files(df, path, pcols, stats_cols=stats_cols)
+        new_adds = _stage_files(df, path, pcols,
+                                stats_cols=stage_stats)
     now_ms = int(time.time() * 1000)
     actions = [{"commitInfo": {
         "timestamp": now_ms, "operation": "OPTIMIZE",
@@ -2512,6 +2544,73 @@ def delta_rename_column(path: str, old: str, new: str) -> int:
     return _commit_actions(path, v + 1, actions)
 
 
+def delta_widen_column(path: str, col: str, ddl_type: str) -> int:
+    """WIDEN a column's type IN THE WIRE FORMAT — metadata-only via
+    the ``typeWidening`` table feature this engine already reads
+    (r11): the field's type changes in the schemaString, the change
+    is RECORDED in the field's ``delta.typeChanges`` metadata (the
+    spec's audit trail, validated by `_validate_type_changes` on
+    read), and the protocol gains the feature — enumerating
+    legacy-implied features, never downgrading. Old files keep the
+    narrow physical pages; the vectorized reader upcasts on scan.
+    Allowed pairs are exactly `_widening_ok`'s. Returns the
+    committed version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    _adds, meta, proto, v = _replay(path, None)
+    schema_json = json.loads(meta["schemaString"])
+    field = next(
+        (f for f in schema_json["fields"] if f["name"] == col), None
+    )
+    if field is None:
+        raise ValueError(f"column {col!r} does not exist at {path}")
+    if col in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"column {col!r} partitions the table; partitionValues "
+            "strings re-parse under the old type — widen is refused"
+        )
+    dt = _parse_datatype_string(ddl_type)
+    new_json = dt.jsonValue()  # "long", "decimal(12,2)", …
+    old_json = field["type"]
+    if not isinstance(old_json, str) or not isinstance(new_json, str):
+        raise DeltaProtocolError(
+            "typeWidening applies to primitive columns only"
+        )
+    if not _widening_ok(old_json, new_json):
+        raise ValueError(
+            f"{old_json!r} → {new_json!r} is not an allowed "
+            "typeWidening"
+        )
+    field["type"] = new_json
+    md = dict(field.get("metadata") or {})
+    md["delta.typeChanges"] = list(
+        md.get("delta.typeChanges") or []
+    ) + [{"fromType": old_json, "toType": new_json,
+          "tableVersion": v + 1}]
+    field["metadata"] = md
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    r_imp, w_imp = _implied_features(proto)
+    new_proto = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(r_imp | {"typeWidening"}),
+        "writerFeatures": sorted(w_imp | {"typeWidening"}),
+    }
+    actions: list = [{"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "CHANGE COLUMN",
+        "operationParameters": {
+            "column": col, "type": new_json,
+        },
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if new_proto != proto:
+        actions.append({"protocol": new_proto})
+    actions.append({"metaData": dict(
+        meta, schemaString=json.dumps(schema_json)
+    )})
+    return _commit_actions(path, v + 1, actions)
+
+
 def delta_drop_column(path: str, col: str) -> int:
     """DROP a column IN THE WIRE FORMAT — metadata-only: with column
     mapping enabled (upgraded in the same commit if absent) the field
@@ -3135,6 +3234,7 @@ __all__ = [
     "read_delta", "write_delta", "delta_history", "delta_table_version",
     "write_delta_checkpoint", "delta_vacuum",
     "delta_rename_column", "delta_drop_column",
+    "delta_widen_column",
     "snapshot_export_delta", "snapshot_import_delta",
     "DeltaProtocolError",
 ]

@@ -581,10 +581,16 @@ def _decode_bound(raw: bytes, ice_type: str):
         if ice_type == "int":
             return struct.unpack("<i", raw)[0]
         if ice_type == "long":
+            # a column WIDENED int→long keeps old manifests' 4-byte
+            # bounds; decoding them keeps pruning exact post-widen
+            if len(raw) == 4:
+                return struct.unpack("<i", raw)[0]
             return struct.unpack("<q", raw)[0]
         if ice_type == "float":
             return struct.unpack("<f", raw)[0]
         if ice_type == "double":
+            if len(raw) == 4:  # widened float→double bounds
+                return float(struct.unpack("<f", raw)[0])
             return struct.unpack("<d", raw)[0]
         if ice_type in ("string", "uuid"):
             return raw.decode("utf-8")
@@ -2941,6 +2947,60 @@ def iceberg_rename_column(path: str, old: str, new: str) -> int:
     )
 
 
+def iceberg_widen_column(path: str, name: str, ddl_type: str) -> int:
+    """WIDEN a column's type — METADATA-ONLY, the spec's allowed
+    promotions only: ``int → long``, ``float → double``,
+    ``decimal(P,S) → decimal(P',S)`` with ``P' >= P``. The field
+    keeps its id; old data files keep the narrow physical encoding
+    and the vectorized parquet reader upcasts pages on scan (the
+    same mechanism the Delta typeWidening read path leans on); old
+    manifests' narrow bounds keep pruning (`_decode_bound` is
+    width-aware). ``ddl_type`` is a Spark DDL type string. Returns
+    the new schema-id."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if name not in by_name:
+        raise ValueError(f"column {name!r} does not exist at {path}")
+    dt = _parse_datatype_string(ddl_type)
+    tn = dt.typeName()
+    if tn in _SPARK_TO_ICE:
+        new_t = _SPARK_TO_ICE[tn]
+    elif tn == "decimal":
+        new_t = f"decimal({dt.precision},{dt.scale})"
+    else:
+        raise IcebergProtocolError(
+            f"type {ddl_type!r} has no Iceberg mapping"
+        )
+    old_t = by_name[name]["type"]
+    ok = (
+        (old_t, new_t) in (("int", "long"), ("float", "double"))
+    )
+    if (not ok and isinstance(old_t, str)
+            and old_t.startswith("decimal(")
+            and new_t.startswith("decimal(")):
+        fp, fs = (int(x) for x in old_t[8:-1].split(","))
+        tp, ts = (int(x) for x in new_t[8:-1].split(","))
+        ok = tp >= fp and ts == fs
+    if not ok:
+        raise ValueError(
+            f"{old_t!r} → {new_t!r} is not an Iceberg-allowed type "
+            "promotion (int→long, float→double, decimal precision "
+            "widening)"
+        )
+    fid = by_name[name]["id"]
+    new_schema = {
+        "type": "struct",
+        "fields": [
+            dict(f, type=new_t) if f["id"] == fid else dict(f)
+            for f in schema["fields"]
+        ],
+    }
+    return _commit_schema_change(path, meta, new_schema)
+
+
 def iceberg_drop_column(path: str, name: str) -> int:
     """DROP a column — METADATA-ONLY: the NEW current schema omits
     the field (its id is never reused; old snapshots' schemas keep
@@ -3810,6 +3870,7 @@ __all__ = [
     "iceberg_history",
     "iceberg_snapshot_at_timestamp",
     "iceberg_rename_column", "iceberg_drop_column",
+    "iceberg_widen_column",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",
 ]

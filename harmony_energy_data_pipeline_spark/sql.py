@@ -1385,6 +1385,32 @@ def snapshot_sql(
 
                 v = ice.iceberg_drop_column(entry["path"], m2.group(1))
             return _dml_result(spark, "drop_column", name, v)
+        m2 = re.match(
+            r"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+(.+)$",
+            rest, re.IGNORECASE,
+        )
+        if m2 and fmt in ("delta", "iceberg"):
+            # metadata-only widening: Delta records the change under
+            # the typeWidening feature, Iceberg promotes the field
+            # type over its id — old files keep narrow pages, the
+            # vectorized reader upcasts on scan
+            if fmt == "delta":
+                from harmony_energy_data_pipeline_spark.sources import (
+                    deltalake as dl,
+                )
+
+                v = dl.delta_widen_column(
+                    entry["path"], m2.group(1), m2.group(2).strip()
+                )
+            else:
+                from harmony_energy_data_pipeline_spark.sources import (
+                    iceberg as ice,
+                )
+
+                v = ice.iceberg_widen_column(
+                    entry["path"], m2.group(1), m2.group(2).strip()
+                )
+            return _dml_result(spark, "widen_column", name, v)
         path = _require_native(entry, "ALTER TABLE")
         from harmony_energy_data_pipeline_spark.sinks import refs
         from harmony_energy_data_pipeline_spark.sinks import (
