@@ -101,12 +101,13 @@ def test_overwrite_fails_unless_ignored(spark, tmp_path):
     assert {r.k for r in got.collect()} == set(range(100, 110))
 
 
-def test_initial_snapshot_with_pos_deletes_refuses(spark, tmp_path):
+def test_initial_snapshot_with_pos_deletes_masks(spark, tmp_path):
+    """Position deletes MASK executor-side in the initial snapshot
+    (round 12 — the Delta stream's DV-masked shape; previously this
+    refused)."""
     t = _tmp()
     ice.write_iceberg(_df(spark, 0, 30).coalesce(1), t)
     data, _ = ice.live_files(t)
     ice.write_position_deletes(spark, t, [(data[0]["file_path"], 0)])
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
-    with pytest.raises(StreamingQueryException, match="delete files"):
-        _drain(spark, t, "ist5", str(tmp_path / "c5"))
+    got = _drain(spark, t, "ist5", str(tmp_path / "c5"))
+    assert {r.k for r in got.collect()} == set(range(1, 30))
