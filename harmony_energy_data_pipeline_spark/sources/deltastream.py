@@ -135,7 +135,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         # no logical change: re-streaming their adds would duplicate
         # every compacted row, and their removes must not kill the
         # stream
-        adds = [a for a in adds if a.get("dataChange")]
+        # dataChange is REQUIRED by the spec, but a writer that
+        # omits it means a real data commit — default True so its
+        # rows are not silently dropped
+        adds = [a for a in adds if a.get("dataChange", True)]
         removes = [r for r in removes if r.get("dataChange", True)]
         if removes:
             if self.skip_change_commits:
@@ -194,7 +197,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                             for c in cdc
                         )
                         continue
-                    changing = [a for a in vadds if a.get("dataChange")]
+                    changing = [a for a in vadds
+                                if a.get("dataChange", True)]
                     removing = [r for r in removes
                                 if r.get("dataChange", True)]
                     if not changing and not removing:

@@ -1826,6 +1826,16 @@ def write_iceberg(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if partition_by is None and mode == "append":
+        # honor the table's DEFAULT SPEC by default — after a
+        # metadata-only SET PARTITION SPEC (or any foreign spec
+        # evolution) a bare append lands under the current layout
+        # instead of erroring
+        names0 = _metadata_files(path)
+        if names0:
+            with open(os.path.join(_meta_dir(path), names0[-1]),
+                      encoding="utf-8") as fh:
+                partition_by = _spec_to_partition_by(json.load(fh))
     pspec = [_parse_partition_entry(e) for e in (partition_by or [])]
     pcols = [p["src"] for p in pspec]
     missing = [c for c in pcols if c not in df.columns]
@@ -3001,6 +3011,61 @@ def iceberg_widen_column(path: str, name: str, ddl_type: str) -> int:
     return _commit_schema_change(path, meta, new_schema)
 
 
+def iceberg_set_partition_spec(path: str,
+                               entries: "list[str]") -> int:
+    """SET the table's default PARTITION SPEC — METADATA-ONLY spec
+    evolution, the Iceberg way: a new (or matching prior) spec-id
+    becomes ``default-spec-id``; NOT ONE data file is touched.
+    Existing files keep pruning under the spec they were written
+    with (readers resolve the spec per manifest — the r11
+    spec-evolution read machinery), future appends land under the
+    new layout (``write_iceberg`` derives ``partition_by`` from the
+    default spec when not given). ``entries`` use the
+    ``partition_by`` language: bare column, ``bucket[N](c)``,
+    ``truncate[W](c)``, ``year/month/day/hour(c)``; ``[]`` =
+    unpartitioned. Returns the new default spec-id."""
+    meta = table_metadata(path)
+    schema = _current_schema(meta)
+    ids_of = {f["name"]: f["id"] for f in schema["fields"]}
+    pspec = [_parse_partition_entry(e) for e in entries]
+    missing = [p["src"] for p in pspec if p["src"] not in ids_of]
+    if missing:
+        raise ValueError(
+            f"partition source columns not in the schema: {missing}"
+        )
+    specs = list(meta.get("partition-specs") or [])
+    want_sig = [
+        (p["pv_name"], p["transform"], ids_of[p["src"]])
+        for p in pspec
+    ]
+    hit = next(
+        (sp for sp in specs
+         if [(f["name"], f["transform"], f["source-id"])
+             for f in sp.get("fields", [])] == want_sig),
+        None,
+    )
+    last_pid = meta.get("last-partition-id", 999)
+    if hit is not None:
+        sid = hit["spec-id"]
+    else:
+        sid = 1 + max((sp["spec-id"] for sp in specs), default=-1)
+        fields = []
+        for p in pspec:
+            last_pid += 1
+            fields.append({
+                "name": p["pv_name"], "transform": p["transform"],
+                "source-id": ids_of[p["src"]], "field-id": last_pid,
+            })
+        specs = specs + [{"spec-id": sid, "fields": fields}]
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = specs
+    new_meta["default-spec-id"] = sid
+    new_meta["last-partition-id"] = last_pid
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta, meta)
+    return sid
+
+
 def iceberg_drop_column(path: str, name: str) -> int:
     """DROP a column — METADATA-ONLY: the NEW current schema omits
     the field (its id is never reused; old snapshots' schemas keep
@@ -3870,7 +3935,7 @@ __all__ = [
     "iceberg_history",
     "iceberg_snapshot_at_timestamp",
     "iceberg_rename_column", "iceberg_drop_column",
-    "iceberg_widen_column",
+    "iceberg_widen_column", "iceberg_set_partition_spec",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",
 ]

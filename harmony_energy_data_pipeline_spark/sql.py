@@ -1411,6 +1411,34 @@ def snapshot_sql(
                     entry["path"], m2.group(1), m2.group(2).strip()
                 )
             return _dml_result(spark, "widen_column", name, v)
+        m2 = re.match(
+            r"^SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$", rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m2 and fmt == "iceberg":
+            # metadata-only spec evolution: existing files keep
+            # pruning under their own spec, future appends land
+            # under the new default. Entries split on TOP-LEVEL
+            # commas only — bucket(4, c) carries its own
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            cols, depth, cur = [], 0, []
+            for ch in m2.group(1):
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    cols.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            if "".join(cur).strip():
+                cols.append("".join(cur).strip())
+            v = ice.iceberg_set_partition_spec(entry["path"], cols)
+            return _dml_result(spark, "set_partition_spec", name, v)
         path = _require_native(entry, "ALTER TABLE")
         from harmony_energy_data_pipeline_spark.sinks import refs
         from harmony_energy_data_pipeline_spark.sinks import (

@@ -444,26 +444,37 @@ def _soak_first_seen(spark, tmp_path, provider):
     )
     sizes: dict[int, int] = {}
     target_batches = 220
+    floor_batches = 120
     try:
+        # The soak's CLAIM is state boundedness over enough churn,
+        # not a throughput SLA — so the drive is BATCH-COUNT shaped,
+        # not wall-clock shaped: run to the target within the normal
+        # window, but when the host is in its slow mode (this box's
+        # effective speed oscillates ±2× with zero local load, see
+        # SURVEY; a fixed 420 s reached only batch 105-108 on
+        # 2026-08-17) keep driving while steady progress is being
+        # made, up to a hard cap, until at least the floor horizon
+        # (24k+ ever-new keys against a 1 s TTL) is covered.
         deadline = _time.monotonic() + 420
-        while _time.monotonic() < deadline:
+        hard_cap = _time.monotonic() + 900
+        while _time.monotonic() < hard_cap:
             p = q.lastProgress
             if p and p.get("stateOperators"):
                 sizes[p["batchId"]] = p["stateOperators"][0]["numRowsTotal"]
                 if p["batchId"] >= target_batches:
+                    break
+                if _time.monotonic() >= deadline and \
+                        p["batchId"] >= floor_batches:
                     break
             _time.sleep(0.25)
     finally:
         q.stop()
     assert sizes, "no progress reported"
     last_batch = max(sizes)
-    # The soak's CLAIM is state boundedness over enough churn, not a
-    # throughput SLA: 120+ batches (24k+ ever-new keys against a 1 s
-    # TTL) is ample horizon for the plateau assertions below, and the
-    # wall-clock a shared box does in 420 s varies ±25% with
-    # co-tenancy (observed: 183 batches under drift, 220 quiet —
-    # a hard 200 flaked on timing, never on state size).
-    assert last_batch >= 120, f"soak only reached batch {last_batch}"
+    assert last_batch >= floor_batches, (
+        f"soak only reached batch {last_batch} in 900 s — even the "
+        "slow-host allowance could not cover the floor horizon"
+    )
     keys_streamed = (last_batch + 1) * rows_per_batch
     final_state = sizes[last_batch]
     # TTL eviction keeps only the recent horizon's keys alive
