@@ -881,6 +881,9 @@ def write_delta(
                 f"append partitioned by {pcols} onto a table partitioned "
                 f"by {meta.get('partitionColumns')}"
             )
+    if meta is not None:
+        # CHECK constraints declared on the table bind every writer
+        _enforce_constraints(df, meta, f"{mode} batch")
     # APPEND to a column-mapped table: parquet must store PHYSICAL
     # names (and field ids in id mode) — stage the batch renamed,
     # with partition dirs / stats keyed physically, exactly like the
@@ -1737,6 +1740,10 @@ def _delta_stage_outputs(spark: SparkSession, path: str, ctx: dict,
         )
     try:
         if produced is not None:
+            # rows a DML produced (UPDATE post-images, MERGE
+            # updates/inserts) honor the table's CHECK constraints
+            _enforce_constraints(produced, ctx["meta"],
+                                 "DML-produced rows")
             produced_phys = produced.select(*[
                 _phys_col(f.name) for f in schema.fields
             ])
@@ -2544,6 +2551,108 @@ def delta_rename_column(path: str, old: str, new: str) -> int:
     return _commit_actions(path, v + 1, actions)
 
 
+def _table_constraints(meta: dict) -> dict:
+    """``name → CHECK expression`` from ``delta.constraints.*``."""
+    conf = meta.get("configuration") or {}
+    return {
+        k.split(".", 2)[2]: v
+        for k, v in conf.items()
+        if k.startswith("delta.constraints.") and v
+    }
+
+
+def _enforce_constraints(df: DataFrame, meta: dict,
+                         what: str = "batch") -> None:
+    """Refuse rows that VIOLATE a table CHECK constraint — the Delta
+    semantics exactly: a row violates when the expression evaluates
+    FALSE; NULL satisfies. One limit-1 scan per constraint (cheap —
+    short-circuits on the first violation)."""
+    for cname, expr in sorted(_table_constraints(meta).items()):
+        bad = df.filter(
+            F.expr(expr).eqNullSafe(F.lit(False))
+        ).limit(1).collect()
+        if bad:
+            raise DeltaProtocolError(
+                f"{what} violates CHECK constraint {cname!r} "
+                f"({expr}): first offending row {bad[0].asDict()}"
+            )
+
+
+def delta_add_check_constraint(spark: SparkSession, path: str,
+                               cname: str, expr: str) -> int:
+    """ADD a CHECK constraint IN THE WIRE FORMAT: existing rows are
+    VERIFIED first (the spec's ADD CONSTRAINT contract — a
+    constraint the current data already violates must not land),
+    then one metadata commit records ``delta.constraints.<name>``
+    and upgrades the writer protocol to the checkConstraints floor.
+    Every subsequent write through this engine enforces it; foreign
+    writers see the declaration through the standard property.
+    Returns the committed version."""
+    if not re.match(r"^[A-Za-z_]\w*$", cname):
+        raise ValueError(f"constraint name {cname!r} is not an "
+                         "identifier")
+    _adds, meta, proto, v = _replay(path, None)
+    if cname in _table_constraints(meta):
+        raise ValueError(
+            f"constraint {cname!r} already exists at {path}"
+        )
+    bad = read_delta(spark, path).filter(
+        F.expr(expr).eqNullSafe(F.lit(False))
+    ).limit(1).collect()
+    if bad:
+        raise DeltaProtocolError(
+            f"existing rows violate CHECK ({expr}): e.g. "
+            f"{bad[0].asDict()} — constraint not added"
+        )
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{cname}"] = expr
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if proto.get("writerFeatures") is not None:
+        r_imp, w_imp = _implied_features(proto)
+        new_proto = dict(
+            proto,
+            writerFeatures=sorted(w_imp | {"checkConstraints"}),
+        )
+    else:
+        new_proto = dict(
+            proto,
+            minWriterVersion=max(proto.get("minWriterVersion", 1), 3),
+        )
+    actions: list = [{"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "ADD CONSTRAINT",
+        "operationParameters": {"name": cname, "expr": expr},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if new_proto != proto:
+        actions.append({"protocol": new_proto})
+    actions.append({"metaData": dict(meta, configuration=conf)})
+    return _commit_actions(path, v + 1, actions)
+
+
+def delta_drop_constraint(path: str, cname: str) -> int:
+    """DROP a CHECK constraint — one metadata commit removing
+    ``delta.constraints.<name>``. Returns the committed version."""
+    _adds, meta, _proto, v = _replay(path, None)
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{cname}"
+    if key not in conf:
+        raise ValueError(
+            f"constraint {cname!r} does not exist at {path}"
+        )
+    del conf[key]
+    actions = [
+        {"commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "DROP CONSTRAINT",
+            "operationParameters": {"name": cname},
+            "engineInfo": "harmony-energy-data-pipeline-spark",
+        }},
+        {"metaData": dict(meta, configuration=conf)},
+    ]
+    return _commit_actions(path, v + 1, actions)
+
+
 def delta_widen_column(path: str, col: str, ddl_type: str) -> int:
     """WIDEN a column's type IN THE WIRE FORMAT — metadata-only via
     the ``typeWidening`` table feature this engine already reads
@@ -3235,6 +3344,7 @@ __all__ = [
     "write_delta_checkpoint", "delta_vacuum",
     "delta_rename_column", "delta_drop_column",
     "delta_widen_column",
+    "delta_add_check_constraint", "delta_drop_constraint",
     "snapshot_export_delta", "snapshot_import_delta",
     "DeltaProtocolError",
 ]

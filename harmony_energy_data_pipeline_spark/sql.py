@@ -1412,6 +1412,37 @@ def snapshot_sql(
                 )
             return _dml_result(spark, "widen_column", name, v)
         m2 = re.match(
+            r"^ADD\s+CONSTRAINT\s+(?:([A-Za-z_]\w*)\s+)?CHECK\s*"
+            r"\((.+)\)\s*$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if m2 and fmt == "delta":
+            # delta.constraints.<name>: verified against existing
+            # rows, enforced on every subsequent write/DML
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            cname = m2.group(1)
+            if not cname:
+                _a, meta_c, _p, _v = dl._replay(entry["path"], None)
+                cname = f"chk_{len(dl._table_constraints(meta_c))}"
+            v = dl.delta_add_check_constraint(
+                spark, entry["path"], cname, m2.group(2).strip()
+            )
+            return _dml_result(spark, "add_constraint", name, v)
+        m2 = re.match(
+            r"^DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2 and fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v = dl.delta_drop_constraint(entry["path"], m2.group(1))
+            return _dml_result(spark, "drop_constraint", name, v)
+        m2 = re.match(
             r"^SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$", rest,
             re.IGNORECASE | re.DOTALL,
         )
