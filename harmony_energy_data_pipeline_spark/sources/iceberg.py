@@ -3011,6 +3011,64 @@ def iceberg_widen_column(path: str, name: str, ddl_type: str) -> int:
     return _commit_schema_change(path, meta, new_schema)
 
 
+def iceberg_create_ref(path: str, name: str, kind: str = "tag",
+                       snapshot_id: "int | None" = None) -> int:
+    """CREATE a named REF — the spec's ``refs`` map: a ``tag`` pins
+    a snapshot forever (expire keeps it reachable in real Iceberg;
+    here it simply stays listed), a ``branch`` is a mutable head
+    (``write_iceberg`` advances ``main`` and carries every other
+    branch through untouched). Metadata-only. Returns the pinned
+    snapshot id."""
+    if kind not in ("tag", "branch"):
+        raise ValueError("kind must be tag|branch")
+    meta = table_metadata(path)
+    sid = snapshot_id if snapshot_id is not None else \
+        meta.get("current-snapshot-id")
+    if sid is None:
+        raise ValueError(f"table {path} has no snapshot to pin")
+    if not any(s["snapshot-id"] == sid
+               for s in meta.get("snapshots") or []):
+        raise ValueError(f"snapshot {sid} not in table {path}")
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists at {path}")
+    if not refs and meta.get("current-snapshot-id") is not None:
+        # first explicit ref: materialize the implicit main branch
+        # so foreign readers see a spec-complete refs map
+        refs["main"] = {
+            "snapshot-id": meta["current-snapshot-id"],
+            "type": "branch",
+        }
+    refs[name] = {"snapshot-id": sid, "type": kind}
+    new_meta = dict(meta, refs=refs)
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta, meta)
+    return sid
+
+
+def iceberg_drop_ref(path: str, name: str) -> None:
+    """DROP a named ref (``main`` refuses — the table head)."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    meta = table_metadata(path)
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    if name not in refs:
+        raise KeyError(f"no ref {name!r} at {path}")
+    del refs[name]
+    new_meta = dict(meta, refs=refs)
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta, meta)
+
+
+def iceberg_resolve_ref(path: str, name: str) -> int:
+    """Ref name → snapshot id (KeyError when absent)."""
+    meta = table_metadata(path)
+    ref = (meta.get("refs") or {}).get(name)
+    if ref is None:
+        raise KeyError(f"no ref {name!r} at {path}")
+    return int(ref["snapshot-id"])
+
+
 def iceberg_set_partition_spec(path: str,
                                entries: "list[str]") -> int:
     """SET the table's default PARTITION SPEC — METADATA-ONLY spec
@@ -3406,6 +3464,19 @@ def iceberg_expire_snapshots(
         raise ValueError("keep_last must be >= 1")
     kept = snaps[-keep_last:]
     kept_ids = {s["snapshot-id"] for s in kept}
+    # named refs PIN their snapshots (the spec's ref retention): a
+    # tagged or branched snapshot never expires out from under its
+    # ref
+    ref_ids = {
+        int(r["snapshot-id"])
+        for r in (meta.get("refs") or {}).values()
+        if r.get("snapshot-id") is not None
+    }
+    if ref_ids - kept_ids:
+        extra = [s for s in snaps
+                 if s["snapshot-id"] in (ref_ids - kept_ids)]
+        kept = sorted(kept + extra, key=lambda s: s["timestamp-ms"])
+        kept_ids |= ref_ids
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur not in kept_ids:
         raise ValueError(
@@ -3936,6 +4007,7 @@ __all__ = [
     "iceberg_snapshot_at_timestamp",
     "iceberg_rename_column", "iceberg_drop_column",
     "iceberg_widen_column", "iceberg_set_partition_spec",
+    "iceberg_create_ref", "iceberg_drop_ref", "iceberg_resolve_ref",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",
 ]

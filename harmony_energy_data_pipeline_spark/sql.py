@@ -311,23 +311,39 @@ def _rewrite_select(
                 v = int(mt.group(1))
             elif mt.group(2) is not None:
                 ref = mt.group(2)
-                if _fmt != "snapshot":
-                    raise ValueError(
-                        f"VERSION AS OF {ref!r}: named refs resolve on "
-                        f"native tables only ({_name} reads as {_fmt})"
-                    )
-                from harmony_energy_data_pipeline_spark.sinks import refs
+                if _fmt == "iceberg":
+                    # the spec's refs map: tag or branch name →
+                    # pinned snapshot id
+                    from harmony_energy_data_pipeline_spark.sources \
+                        import iceberg as _ice
 
-                try:
-                    v = refs.resolve_tag(_path, ref)
-                except KeyError:
-                    if ref in refs.list_branches(_path):
-                        branch = ref
-                    else:
+                    try:
+                        v = _ice.iceberg_resolve_ref(_path, ref)
+                    except KeyError:
                         raise KeyError(
                             f"no tag or branch {ref!r} on table "
                             f"{_name!r}"
                         ) from None
+                elif _fmt != "snapshot":
+                    raise ValueError(
+                        f"VERSION AS OF {ref!r}: named refs resolve on "
+                        f"native and iceberg tables only "
+                        f"({_name} reads as {_fmt})"
+                    )
+                else:
+                    from harmony_energy_data_pipeline_spark.sinks \
+                        import refs
+
+                    try:
+                        v = refs.resolve_tag(_path, ref)
+                    except KeyError:
+                        if ref in refs.list_branches(_path):
+                            branch = ref
+                        else:
+                            raise KeyError(
+                                f"no tag or branch {ref!r} on table "
+                                f"{_name!r}"
+                            ) from None
             elif mt.group(3) is not None:
                 ts = _ts_to_unix(mt.group(3))
                 if _fmt == "delta":
@@ -1442,6 +1458,32 @@ def snapshot_sql(
 
             v = dl.delta_drop_constraint(entry["path"], m2.group(1))
             return _dml_result(spark, "drop_constraint", name, v)
+        m2 = re.match(
+            r"^CREATE\s+(TAG|BRANCH)\s+'([^']+)'\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2 and fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            kind = m2.group(1).lower()
+            v = ice.iceberg_create_ref(entry["path"], m2.group(2),
+                                       kind=kind)
+            return _dml_result(spark, f"create_{kind}", name, v)
+        m2 = re.match(
+            r"^DROP\s+(TAG|BRANCH)\s+'([^']+)'\s*$", rest,
+            re.IGNORECASE,
+        )
+        if m2 and fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            ice.iceberg_drop_ref(entry["path"], m2.group(2))
+            return _dml_result(
+                spark, f"drop_{m2.group(1).lower()}", name, None
+            )
         m2 = re.match(
             r"^SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$", rest,
             re.IGNORECASE | re.DOTALL,
