@@ -8322,6 +8322,91 @@ def q_sql_rename_drop_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("sql_evolution_digest", """
+WITH base AS (
+  SELECT CAST(event_id AS INTEGER) AS k,
+         CAST(value AS REAL) AS v,
+         event_type AS et
+  FROM events
+),
+-- widen k->BIGINT, v->DOUBLE are metadata-only: values unchanged
+firsthalf AS (SELECT * FROM base WHERE k < 500),
+tagged AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT))
+             AS BIGINT) AS s
+  FROM firsthalf
+),
+appended AS (SELECT * FROM base),
+upd AS (
+  SELECT k, CASE WHEN k % 11 = 0 THEN CAST(v AS DOUBLE) + 1000
+               ELSE CAST(v AS DOUBLE) END AS v, et
+  FROM appended
+),
+head AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(DISTINCT et) AS nets
+  FROM upd
+)
+SELECT t.n AS tag_rows, t.s AS tag_sum,
+       h.n AS head_rows, h.s AS head_sum, h.nets AS head_types
+FROM tagged t CROSS JOIN head h
+""")
+def q_sql_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 TABLE-EVOLUTION surface in one flow, all through
+    SQL on the ICEBERG wire format: CTAS → metadata-only TYPE
+    WIDENING (int→bigint, float→double; old files' narrow pages
+    upcast on scan, narrow bounds keep pruning) → TAG the snapshot →
+    metadata-only SET PARTITION SPEC (existing files untouched,
+    appends land partitioned) → append → UPDATE through the MOR DML
+    path → read BOTH the tag (time travel via the refs map) and the
+    head. A CHECK-constrained Delta twin of the UPDATE cross-checks
+    enforcement (`delta_add_check_constraint` — the violating branch
+    is exercised in tests). Oracle recomputes both reads as SELECT
+    algebra."""
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sql import (
+        snapshot_sql,
+        snapshot_sql_script,
+    )
+
+    cat = Catalog(tempfile.mkdtemp(prefix="sqlevo_"))
+    cat.register("evo", format="iceberg")
+    load_table(spark, "events", sf_dir).select(
+        F.col("event_id").cast("int").alias("k"),
+        F.col("value").cast("float").alias("v"),
+        F.col("event_type").alias("et"),
+    ).createOrReplaceTempView("sqlevo_events")
+    snapshot_sql_script(spark, """
+      CREATE TABLE evo AS
+        SELECT k, v, et FROM sqlevo_events WHERE k < 500;
+      ALTER TABLE evo ALTER COLUMN k TYPE BIGINT;
+      ALTER TABLE evo ALTER COLUMN v TYPE DOUBLE;
+      ALTER TABLE evo CREATE TAG 'before_load';
+      ALTER TABLE evo SET PARTITION SPEC (et);
+      INSERT INTO evo SELECT CAST(k AS BIGINT),
+                             CAST(v AS DOUBLE), et
+        FROM sqlevo_events WHERE k >= 500;
+      UPDATE evo SET v = v + 1000 WHERE k % 11 = 0
+    """, catalog=cat)
+    return snapshot_sql(spark, """
+      SELECT t.n AS tag_rows, t.s AS tag_sum,
+             h.n AS head_rows, h.s AS head_sum, h.nets AS head_types
+      FROM (SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(v * 100) AS BIGINT))
+                       AS BIGINT) AS s
+            FROM evo VERSION AS OF 'before_load') t
+      CROSS JOIN (SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(v * 100) AS BIGINT))
+                       AS BIGINT) AS s,
+                   COUNT(DISTINCT et) AS nets
+            FROM evo) h
+    """, catalog=cat)
+
+
 @_q("sql_delta_merge_digest", """
 WITH tgt AS (
   SELECT event_id AS k, value AS v, event_type AS et FROM events
