@@ -850,6 +850,18 @@ def write_delta(
     else:
         prev_proto = None
     if mode == "append" and meta is not None:
+        gen = _generated_columns(meta)
+        if gen:
+            # GENERATED columns: compute when the batch omits them
+            # (then restore table column order so the schema
+            # contract below compares apples to apples), validate
+            # row-for-row when present
+            df = _apply_generated_delta(df, gen, "append batch")
+            order = [f["name"]
+                     for f in json.loads(meta["schemaString"])["fields"]]
+            if set(df.columns) == set(order):
+                df = df.select(*order)
+    if mode == "append" and meta is not None:
         def _lenient(node):
             # nullability compares leniently (a stricter non-null
             # batch is always safe to append into a nullable column);
@@ -1742,8 +1754,13 @@ def _delta_stage_outputs(spark: SparkSession, path: str, ctx: dict,
         if produced is not None:
             # rows a DML produced (UPDATE post-images, MERGE
             # updates/inserts) honor the table's CHECK constraints
+            # and generated-column expressions
             _enforce_constraints(produced, ctx["meta"],
                                  "DML-produced rows")
+            gen_dml = _generated_columns(ctx["meta"])
+            if gen_dml:
+                _apply_generated_delta(produced, gen_dml,
+                                       "DML-produced rows")
             produced_phys = produced.select(*[
                 _phys_col(f.name) for f in schema.fields
             ])
@@ -2551,6 +2568,100 @@ def delta_rename_column(path: str, old: str, new: str) -> int:
     return _commit_actions(path, v + 1, actions)
 
 
+def _generated_columns(meta: dict) -> dict:
+    """``column → generation expression`` from each field's
+    ``delta.generationExpression`` metadata (the spec's generated
+    -columns encoding)."""
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        e = (f.get("metadata") or {}).get("delta.generationExpression")
+        if e:
+            out[f["name"]] = e
+    return out
+
+
+def _apply_generated_delta(df: DataFrame, gen: dict,
+                           what: str = "batch") -> DataFrame:
+    """Materialize/validate GENERATED columns for one batch — the
+    wire-format twin of the native ``_apply_generated``: absent
+    columns COMPUTE from their expression, present columns must
+    EQUAL it row-for-row (null-safe), counted in one aggregation
+    pass."""
+    compute = {c: e for c, e in gen.items() if c not in df.columns}
+    check = {c: e for c, e in gen.items() if c in df.columns}
+    for c, e in compute.items():
+        df = df.withColumn(c, F.expr(e))
+    if check:
+        aggs = [
+            F.sum(
+                F.when(~F.col(c).eqNullSafe(F.expr(e)), 1).otherwise(0)
+            ).alias(c)
+            for c, e in check.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {c: int(row[c]) for c in check if (row[c] or 0) > 0}
+        if bad:
+            raise DeltaProtocolError(
+                f"{what} violates generated-column expressions: " +
+                "; ".join(f"{c} != {check[c]} ({n} rows)"
+                          for c, n in bad.items())
+            )
+    return df
+
+
+def delta_set_generated_column(spark: SparkSession, path: str,
+                               col: str, expr: str) -> int:
+    """Declare an EXISTING column GENERATED ALWAYS AS (expr) — the
+    spec's ``delta.generationExpression`` field metadata plus the
+    generatedColumns writer floor. Existing rows are VERIFIED to
+    satisfy the expression first (same contract as ADD CONSTRAINT);
+    every subsequent write through this engine computes the column
+    when the batch omits it and validates it when present. Returns
+    the committed version."""
+    _adds, meta, proto, v = _replay(path, None)
+    schema_json = json.loads(meta["schemaString"])
+    field = next(
+        (f for f in schema_json["fields"] if f["name"] == col), None
+    )
+    if field is None:
+        raise ValueError(f"column {col!r} does not exist at {path}")
+    bad = read_delta(spark, path).filter(
+        ~F.col(col).eqNullSafe(F.expr(expr))
+    ).limit(1).collect()
+    if bad:
+        raise DeltaProtocolError(
+            f"existing rows violate {col} == {expr}: e.g. "
+            f"{bad[0].asDict()} — generation not declared"
+        )
+    field["metadata"] = dict(field.get("metadata") or {}, **{
+        "delta.generationExpression": expr,
+    })
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if proto.get("writerFeatures") is not None:
+        r_imp, w_imp = _implied_features(proto)
+        new_proto = dict(
+            proto,
+            writerFeatures=sorted(w_imp | {"generatedColumns"}),
+        )
+    else:
+        new_proto = dict(
+            proto,
+            minWriterVersion=max(proto.get("minWriterVersion", 1), 4),
+        )
+    actions: list = [{"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "SET GENERATED",
+        "operationParameters": {"column": col, "expr": expr},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if new_proto != proto:
+        actions.append({"protocol": new_proto})
+    actions.append({"metaData": dict(
+        meta, schemaString=json.dumps(schema_json)
+    )})
+    return _commit_actions(path, v + 1, actions)
+
+
 def _table_constraints(meta: dict) -> dict:
     """``name → CHECK expression`` from ``delta.constraints.*``."""
     conf = meta.get("configuration") or {}
@@ -3345,6 +3456,7 @@ __all__ = [
     "delta_rename_column", "delta_drop_column",
     "delta_widen_column",
     "delta_add_check_constraint", "delta_drop_constraint",
+    "delta_set_generated_column",
     "snapshot_export_delta", "snapshot_import_delta",
     "DeltaProtocolError",
 ]

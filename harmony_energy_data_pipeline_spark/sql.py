@@ -1402,6 +1402,23 @@ def snapshot_sql(
                 v = ice.iceberg_drop_column(entry["path"], m2.group(1))
             return _dml_result(spark, "drop_column", name, v)
         m2 = re.match(
+            r"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+SET\s+GENERATED\s+"
+            r"(?:ALWAYS\s+)?AS\s*\((.+)\)\s*$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if m2 and fmt == "delta":
+            # delta.generationExpression: existing rows verified,
+            # future batches compute-on-absent / validate-on-present
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            v = dl.delta_set_generated_column(
+                spark, entry["path"], m2.group(1),
+                m2.group(2).strip(),
+            )
+            return _dml_result(spark, "set_generated", name, v)
+        m2 = re.match(
             r"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+(.+)$",
             rest, re.IGNORECASE,
         )
