@@ -2530,6 +2530,53 @@ def _refuse_dependent_metadata(meta: dict, col: str, verb: str):
             )
 
 
+def delta_clone(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE: version-0 commit at ``dst`` whose add actions
+    reference ``src``'s live files by ABSOLUTE path (the spec allows
+    absolute add paths exactly for this) — ZERO data copied, stats
+    and partitionValues carried verbatim, ``u``-storage deletion
+    vectors re-addressed as ``p`` (absolute) descriptors so the
+    clone's reads apply the source's DVs in place. The clone then
+    lives its own life: appends/DML land under ``dst``, VACUUM on
+    either side never reclaims the other's files (vacuum walks only
+    its own table dir; the clone's references are external paths).
+    Returns the committed version (0)."""
+    adds, meta, proto, _v = _replay(src, None)
+    if delta_table_version(dst) is not None:
+        raise FileExistsError(f"{dst} is already a Delta table")
+    os.makedirs(os.path.join(dst, _LOG_DIR), exist_ok=True)
+    src_abs = os.path.abspath(src)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "CLONE",
+        "operationParameters": {"source": src_abs},
+        "engineInfo": "harmony-energy-data-pipeline-spark",
+    }}]
+    if proto is not None:
+        actions.append({"protocol": dict(proto)})
+    else:
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
+    actions.append({"metaData": dict(
+        meta, id=str(uuid.uuid4()), createdTime=now_ms,
+    )})
+    from harmony_energy_data_pipeline_spark.sources import deltadv
+
+    for a in adds:
+        a2 = dict(a)
+        a2["path"] = quote(
+            os.path.join(src_abs, unquote(a["path"])), safe="/"
+        )
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            a2["deletionVector"] = dict(
+                dv, storageType="p",
+                pathOrInlineDv=deltadv.resolve_dv_path(src_abs, dv),
+            )
+        actions.append({"add": a2})
+    return _commit_actions(dst, 0, actions)
+
+
 def delta_rename_column(path: str, old: str, new: str) -> int:
     """RENAME a column IN THE WIRE FORMAT — metadata-only, the Delta
     way: column mapping makes the LOGICAL name a label over a stable
@@ -3456,7 +3503,7 @@ __all__ = [
     "delta_rename_column", "delta_drop_column",
     "delta_widen_column",
     "delta_add_check_constraint", "delta_drop_constraint",
-    "delta_set_generated_column",
+    "delta_set_generated_column", "delta_clone",
     "snapshot_export_delta", "snapshot_import_delta",
     "DeltaProtocolError",
 ]

@@ -873,6 +873,37 @@ def snapshot_sql(
             f"{mt.group(1)} VERSION AS OF", mt.group(1)
         )
 
+    mt = re.match(
+        r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+        r"SHALLOW\s+CLONE\s+(?P<src>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        # zero-copy clone: one commit referencing the source's live
+        # files by absolute path (Delta wire format only)
+        name, src_name = mt.group("name"), mt.group("src")
+        src_entry = _target(resolved, src_name, catalog)
+        if _table_format(src_entry) != "delta":
+            raise ValueError(
+                f"SHALLOW CLONE sources a {_table_format(src_entry)} "
+                "table; only delta tables clone"
+            )
+        if name in resolved:
+            dst_path = resolved[name]["path"]
+        elif catalog is not None:
+            dst_path = catalog.register(name, format="delta")
+        else:
+            raise KeyError(
+                f"CREATE TABLE {name}: name is unregistered and no "
+                "catalog was passed to place it"
+            )
+        from harmony_energy_data_pipeline_spark.sources import (
+            deltalake as dl,
+        )
+
+        v = dl.delta_clone(spark, src_entry["path"], dst_path)
+        return _dml_result(spark, "clone", name, v)
+
     mt = _CREATE_RE.match(stmt)
     if mt:
         name = mt.group("name")
