@@ -1792,6 +1792,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     evolve_spec: bool = False,
     operation: "str | None" = None,
+    branch: "str | None" = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table directory any Iceberg
     reader can open. ``append`` adds a fast-append snapshot (the new
@@ -1826,6 +1827,11 @@ def write_iceberg(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if branch and branch != "main" and not _metadata_files(path):
+        raise ValueError(
+            "branch write on a table with no main history — create "
+            "the table first, then branch"
+        )
     if partition_by is None and mode == "append":
         # honor the table's DEFAULT SPEC by default — after a
         # metadata-only SET PARTITION SPEC (or any foreign spec
@@ -2028,9 +2034,16 @@ def write_iceberg(
         "existing_rows_count": 0, "deleted_rows_count": 0,
     }
     manifests = [manifest_entry]
+    parent_sid = (prev_meta or {}).get("current-snapshot-id")
+    if branch and branch != "main" and prev_meta is not None:
+        bref = ((prev_meta.get("refs") or {}).get(branch))
+        if bref is not None:
+            parent_sid = int(bref["snapshot-id"])
+        # an absent branch forks from the CURRENT head (the
+        # write-audit-publish convention: first write creates it)
     if mode == "append" and prev_meta is not None and \
-            prev_meta.get("current-snapshot-id") is not None:
-        prev_snap = _snapshot(prev_meta, None)
+            parent_sid is not None:
+        prev_snap = _snapshot(prev_meta, parent_sid)
         prev_list, _ = read_avro(
             _resolve_file_path(path, prev_snap["manifest-list"])
         )
@@ -2075,17 +2088,40 @@ def write_iceberg(
             list((prev_meta or {}).get("sort-orders") or [])
             or [{"order-id": 0, "fields": []}]
         ),
-        "current-snapshot-id": snap_id,
+        "current-snapshot-id": (
+            snap_id if not branch or branch == "main"
+            else (prev_meta or {}).get("current-snapshot-id")
+        ),
         "snapshots": (
             list((prev_meta or {}).get("snapshots") or []) + [snapshot]
         ),
         "snapshot-log": (
             list((prev_meta or {}).get("snapshot-log") or [])
-            + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
+            + ([{"snapshot-id": snap_id, "timestamp-ms": now_ms}]
+               if not branch or branch == "main" else [])
         ),
     }
+    if snapshot.get("parent-snapshot-id") is None and \
+            parent_sid is not None:
+        snapshot["parent-snapshot-id"] = parent_sid
     prev_refs = (prev_meta or {}).get("refs")
-    if prev_refs:
+    if branch and branch != "main":
+        # a BRANCH write: the branch head advances; main and the
+        # snapshot-log (which tracks the CURRENT pointer) stay put —
+        # the write-audit-publish shape (iceberg_fast_forward
+        # publishes)
+        refs = {k: dict(v) for k, v in (prev_refs or {}).items()}
+        if not refs and (prev_meta or {}).get(
+            "current-snapshot-id"
+        ) is not None:
+            refs["main"] = {
+                "snapshot-id": prev_meta["current-snapshot-id"],
+                "type": "branch",
+            }
+        refs[branch] = dict(refs.get(branch) or {"type": "branch"},
+                            **{"snapshot-id": snap_id})
+        meta["refs"] = refs
+    elif prev_refs:
         # a foreign table tracking branches: advance main, keep the
         # rest (tags and side branches still resolve their snapshots)
         refs = {k: dict(v) for k, v in prev_refs.items()}
@@ -3060,6 +3096,31 @@ def iceberg_drop_ref(path: str, name: str) -> None:
     _commit_metadata(path, new_meta, meta)
 
 
+def iceberg_fast_forward(path: str, branch: str) -> int:
+    """PUBLISH a branch: fast-forward ``main`` (and the current
+    snapshot pointer) to the branch head — the write-audit-publish
+    closing step, metadata-only. Returns the published snapshot
+    id."""
+    meta = table_metadata(path)
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    if branch not in refs:
+        raise KeyError(f"no branch {branch!r} at {path}")
+    sid = int(refs[branch]["snapshot-id"])
+    if sid == meta.get("current-snapshot-id"):
+        return sid
+    refs["main"] = dict(refs.get("main") or {"type": "branch"},
+                        **{"snapshot-id": sid})
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta, refs=refs)
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshot-log"] = list(
+        meta.get("snapshot-log") or []
+    ) + [{"snapshot-id": sid, "timestamp-ms": now_ms}]
+    new_meta["last-updated-ms"] = now_ms
+    _commit_metadata(path, new_meta, meta)
+    return sid
+
+
 def iceberg_resolve_ref(path: str, name: str) -> int:
     """Ref name → snapshot id (KeyError when absent)."""
     meta = table_metadata(path)
@@ -4008,6 +4069,7 @@ __all__ = [
     "iceberg_rename_column", "iceberg_drop_column",
     "iceberg_widen_column", "iceberg_set_partition_spec",
     "iceberg_create_ref", "iceberg_drop_ref", "iceberg_resolve_ref",
+    "iceberg_fast_forward",
     "snapshot_import_iceberg", "snapshot_export_iceberg",
     "IcebergProtocolError",
 ]

@@ -385,8 +385,17 @@ def test_identity_partitioned_write_and_prune(spark):
         mode="append", partition_by=["tag"],
     )
     assert ice.read_iceberg(spark, t).count() == 180
+    # a BARE append derives the table's default spec (round 12 —
+    # previously it raised): the new files land partitioned
+    ice.write_iceberg(
+        df.selectExpr("k + 1000 AS k", "tag", "v"), t, mode="append"
+    )
+    data2, _ = ice.live_files(t)
+    assert all(d["partition"].get("tag") in ("0", "1", "2")
+               for d in data2)
+    # an append EXPLICITLY partitioned differently still refuses
     with pytest.raises(ValueError, match="partitioned by"):
-        ice.write_iceberg(df, t, mode="append")
+        ice.write_iceberg(df, t, mode="append", partition_by=["v"])
 
 
 def test_partitioned_native_export_materializes_with_spec(spark):
