@@ -8322,6 +8322,118 @@ def q_sql_rename_drop_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, catalog=cat)
 
 
+@_q("iceberg_wap_digest", """
+WITH base AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id < 600
+),
+staged AS (
+  SELECT event_id AS k, value AS v FROM events WHERE event_id >= 600
+),
+pre AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM base
+),
+post AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM staged)
+)
+SELECT p.n AS main_rows_during_audit, p.s AS main_sum_during_audit,
+       q.n AS main_rows_after_publish, q.s AS main_sum_after_publish
+FROM pre p CROSS JOIN post q
+""")
+def q_iceberg_wap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the Iceberg wire format (round 12):
+    a branch write (`write_iceberg(branch=...)`) advances the
+    branch head only — main readers see nothing until
+    `iceberg_fast_forward` publishes by pointing main at the branch
+    head, metadata-only. The digest reads main DURING the audit and
+    AFTER the publish; the oracle recomputes both states as SELECT
+    algebra."""
+    import os
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import iceberg as ice
+
+    t = os.path.join(tempfile.mkdtemp(prefix="wapq_"), "t")
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    ice.write_iceberg(ev.filter("k < 600"), t)
+    ice.write_iceberg(ev.filter("k >= 600"), t, mode="append",
+                      branch="audit")
+    pre = ice.read_iceberg(spark, t).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("v") * 100).cast("long"))
+        .cast("long").alias("s"),
+    ).collect()[0]
+    ice.iceberg_fast_forward(t, "audit")
+    return ice.read_iceberg(spark, t).agg(
+        F.lit(int(pre["n"])).alias("main_rows_during_audit"),
+        F.lit(int(pre["s"])).alias("main_sum_during_audit"),
+        F.count("*").alias("main_rows_after_publish"),
+        F.sum(F.round(F.col("v") * 100).cast("long"))
+        .cast("long").alias("main_sum_after_publish"),
+    )
+
+
+@_q("delta_clone_digest", """
+WITH src AS (
+  SELECT event_id AS k, value AS v FROM events
+),
+cloned AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN v + 7 ELSE v END AS v
+  FROM src WHERE NOT (k % 13 = 0)
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sm
+  FROM src
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sm
+  FROM cloned
+)
+SELECT s.n AS src_rows, s.sm AS src_sum,
+       c.n AS clone_rows, c.sm AS clone_sum
+FROM s CROSS JOIN c
+""")
+def q_delta_clone_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the Delta wire format (round 12): the clone
+    is a zero-copy version-0 commit referencing the source's files
+    by absolute path (`delta_clone`); DV DELETE and MOR UPDATE on
+    the clone diverge it while the source stays byte-identical. The
+    digest reads BOTH tables after the divergence; the oracle
+    recomputes them as SELECT algebra."""
+    import os
+    import tempfile
+
+    from harmony_energy_data_pipeline_spark.sources import deltalake as dl
+
+    d = tempfile.mkdtemp(prefix="clnq_")
+    src, dst = os.path.join(d, "s"), os.path.join(d, "c")
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("k"), F.col("value").alias("v")
+    )
+    dl.write_delta(ev, src)
+    dl.delta_clone(spark, src, dst)
+    dl.delta_delete_where(spark, dst, "k % 13 = 0")
+    dl.delta_update_where(spark, dst, "k % 5 = 0", {"v": "v + 7"})
+
+    def _agg(df, pfx):
+        return df.agg(
+            F.count("*").alias(f"{pfx}_rows"),
+            F.sum(F.round(F.col("v") * 100).cast("long"))
+            .cast("long").alias(f"{pfx}_sum"),
+        )
+
+    return _agg(dl.read_delta(spark, src), "src").crossJoin(
+        _agg(dl.read_delta(spark, dst), "clone")
+    )
+
+
 @_q("sql_evolution_digest", """
 WITH base AS (
   SELECT CAST(event_id AS INTEGER) AS k,
