@@ -3229,6 +3229,43 @@ def iceberg_drop_column(path: str, name: str) -> int:
     )
 
 
+def _lineage_ids(meta: dict, to_sid: "int | None"):
+    """Snapshot-ids on the PARENT CHAIN ending at ``to_sid`` —
+    branch (write-audit-publish) commits that were never published
+    are NOT on it, so changelogs and streams over main never count
+    staged-only data. Returns None when the history has no parent
+    links at all (legacy linear tables: every snapshot is on the
+    line). A parent-less snapshot mid-chain marks the pre-parent-id
+    prefix, which is linear by construction — everything at or
+    below its sequence number is included."""
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0),
+                       s["timestamp-ms"]),
+    )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if to_sid is None or to_sid not in by_id:
+        return None
+    if not any("parent-snapshot-id" in s for s in snaps):
+        return None
+    out: set = set()
+    cur = by_id.get(to_sid)
+    guard = len(snaps) + 1
+    while cur is not None and guard > 0:
+        guard -= 1
+        out.add(cur["snapshot-id"])
+        pid = cur.get("parent-snapshot-id")
+        if pid is not None:
+            cur = by_id.get(pid)  # None = parent expired: chain ends
+        else:
+            # parent UNRECORDED (optional in the spec, and commits
+            # predating branch support don't carry it): assume the
+            # seq-previous snapshot — the linear-history convention
+            idx = snaps.index(cur)
+            cur = snaps[idx - 1] if idx > 0 else None
+    return out
+
+
 def read_iceberg_changes(
     spark: SparkSession, path: str,
     from_snapshot_id: "int | None" = None,
@@ -3263,9 +3300,13 @@ def read_iceberg_changes(
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: (s.get("sequence-number", 0),
                                   s["timestamp-ms"]))
-    ids = [s["snapshot-id"] for s in snaps]
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id")
+    lineage = _lineage_ids(meta, to_snapshot_id)
+    if lineage is not None:
+        # unpublished BRANCH commits are not changes of this lineage
+        snaps = [s for s in snaps if s["snapshot-id"] in lineage]
+    ids = [s["snapshot-id"] for s in snaps]
     if to_snapshot_id not in ids:
         raise ValueError(f"snapshot {to_snapshot_id} not in table")
     hi = ids.index(to_snapshot_id)

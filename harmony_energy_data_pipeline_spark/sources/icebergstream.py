@@ -107,13 +107,28 @@ class IcebergStreamReader(DataSourceStreamReader):
         return {"seq": -1, "snapshot": True}
 
     def latestOffset(self):
+        # the MAIN HEAD's sequence number, not last-sequence-number:
+        # an unpublished branch (write-audit-publish) commit advances
+        # the table-global sequence without changing main — using
+        # last-seq would burn those offsets while the lineage filter
+        # drops the data, and a later fast-forward publish (which
+        # moves the pointer without allocating a new sequence) would
+        # then never stream the published rows
         meta = ice.table_metadata(self.path)
+        cur = meta.get("current-snapshot-id")
+        for s in meta.get("snapshots") or []:
+            if s["snapshot-id"] == cur:
+                return {"seq": s.get("sequence-number", 0)}
         return {"seq": meta.get("last-sequence-number", 0)}
 
     def _snaps_in_range(self, meta: dict, lo: int, hi: int) -> list[dict]:
+        lineage = ice._lineage_ids(
+            meta, meta.get("current-snapshot-id")
+        )
         out = [
             s for s in meta.get("snapshots") or []
             if lo < s.get("sequence-number", 0) <= hi
+            and (lineage is None or s["snapshot-id"] in lineage)
         ]
         out.sort(key=lambda s: s.get("sequence-number", 0))
         return out
@@ -166,8 +181,21 @@ class IcebergStreamReader(DataSourceStreamReader):
     # --- changelog mode ---------------------------------------------------
 
     def _snapshot_before(self, meta: dict, snap: dict):
-        """The snapshot immediately preceding ``snap`` in the FULL
-        retained history (None = table start)."""
+        """The snapshot preceding ``snap`` on ITS LINEAGE: the
+        recorded parent when present (an unpublished branch commit
+        elsewhere in the history must not become the diff base),
+        else the seq-previous snapshot (legacy linear history).
+        None = table start."""
+        pid = snap.get("parent-snapshot-id")
+        if pid is not None:
+            for s in meta.get("snapshots") or []:
+                if s["snapshot-id"] == pid:
+                    return s
+            raise ValueError(
+                f"snapshot {snap['snapshot-id']}'s parent {pid} was "
+                "expired; its changelog diff base is gone — restart "
+                "from a fresh checkpoint"
+            )
         prev = None
         for s in meta.get("snapshots") or []:
             if s.get("sequence-number", 0) < snap.get(

@@ -74,3 +74,44 @@ def test_branch_write_requires_table(spark):
     t = _tmp("wapn_")
     with pytest.raises(ValueError, match="branch"):
         ice.write_iceberg(_df(spark, 0, 3), t, branch="audit")
+
+
+def test_branch_commits_invisible_to_main_changelog_and_stream(
+    spark, tmp_path
+):
+    """An unpublished branch commit is NOT a change of main's
+    lineage: the batch changelog and the streaming source both skip
+    it; after iceberg_fast_forward the published rows arrive exactly
+    once (the stream's offset is the MAIN HEAD's sequence, so the
+    pointer-move publish still delivers)."""
+    from harmony_energy_data_pipeline_spark.sources.icebergstream import (
+        IcebergTableDataSource,
+    )
+
+    spark.dataSource.register(IcebergTableDataSource)
+    t = _tmp("lin_")
+    ice.write_iceberg(_df(spark, 0, 5), t)
+    base = ice.table_metadata(t)["current-snapshot-id"]
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("path", t).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.k for r in spark.read.parquet(out).collect())
+
+    assert drain() == [0, 1, 2, 3, 4]
+    ice.write_iceberg(_df(spark, 50, 53), t, mode="append",
+                      branch="audit")
+    assert drain() == [0, 1, 2, 3, 4]
+    assert ice.read_iceberg_changes(spark, t, base).count() == 0
+    ice.iceberg_fast_forward(t, "audit")
+    assert drain() == [0, 1, 2, 3, 4, 50, 51, 52]
+    assert sorted(
+        r.k for r in ice.read_iceberg_changes(spark, t, base).collect()
+    ) == [50, 51, 52]
