@@ -1710,6 +1710,112 @@ def snapshot_sql(
         )
 
     mt = re.match(
+        r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        # one metadata-only row: format, location, live file
+        # count/bytes, partition layout — the Delta DESCRIBE DETAIL
+        # shape, answered for every registered format without
+        # touching a data file
+        name = mt.group("name")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        p = entry["path"]
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            adds, meta_d, _pr, _v = dl._replay(p, None)
+            n_files = len(adds)
+            size = sum(int(a.get("size") or 0) for a in adds)
+            pcols = list(meta_d.get("partitionColumns") or [])
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            data, _dels = ice.live_files(p)
+            n_files = len(data)
+            size = sum(
+                int(d.get("file_size_in_bytes") or 0) for d in data
+            )
+            meta_i = ice.table_metadata(p)
+            try:
+                pcols = ice._spec_to_partition_by(meta_i) or []
+            except Exception:
+                pcols = []
+        else:
+            import os as _os
+
+            from harmony_energy_data_pipeline_spark.sinks import (
+                snapshots as _snap,
+            )
+
+            v = _snap.latest_version(p)
+            man = _snap._read_manifest_raw(p, v) if v is not None \
+                else {}
+            files = list(man.get("files") or [])
+            n_files = len(files)
+            size = 0
+            for f in files:
+                fp = _os.path.join(p, f)
+                if _os.path.exists(fp):
+                    size += _os.path.getsize(fp)
+            pcols = list(man.get("partition_cols") or [])
+        return spark.createDataFrame(
+            [(fmt, p, n_files, size, ",".join(pcols) or None)],
+            "format string, location string, num_files bigint, "
+            "size_bytes bigint, partition_columns string",
+        )
+
+    mt = re.match(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[A-Za-z_]\w*)\s*$",
+        stmt, re.IGNORECASE,
+    )
+    if mt:
+        name = mt.group("name")
+        entry = _target(resolved, name, catalog)
+        fmt = _table_format(entry)
+        p = entry["path"]
+        if fmt == "delta":
+            from harmony_energy_data_pipeline_spark.sources import (
+                deltalake as dl,
+            )
+
+            _a, meta_d, _pr, _v = dl._replay(p, None)
+            props = dict(meta_d.get("configuration") or {})
+        elif fmt == "iceberg":
+            from harmony_energy_data_pipeline_spark.sources import (
+                iceberg as ice,
+            )
+
+            props = dict(
+                ice.table_metadata(p).get("properties") or {}
+            )
+        else:
+            import json as _json
+
+            from harmony_energy_data_pipeline_spark.sinks import (
+                snapshots as _snap,
+            )
+
+            v = _snap.latest_version(p)
+            man = _snap._read_manifest_raw(p, v) if v is not None \
+                else {}
+            props = {}
+            for k in ("partition_cols", "bucket_spec",
+                      "generated_cols", "constraints",
+                      "dropped_cols"):
+                if man.get(k):
+                    props[k] = _json.dumps(man[k])
+        rows = sorted(props.items()) or [(None, None)]
+        return spark.createDataFrame(
+            rows, "key string, value string",
+        ).filter(F.col("key").isNotNull())
+
+    mt = re.match(
         r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
         stmt, re.IGNORECASE,
     )

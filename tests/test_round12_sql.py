@@ -84,3 +84,47 @@ def test_table_changes_unknown_name_raises(spark, tmp_path):
             spark, "SELECT * FROM TABLE_CHANGES(ghost, 0)",
             catalog=cat,
         )
+
+
+def test_describe_detail_and_tblproperties(spark, tmp_path):
+    """DESCRIBE DETAIL / SHOW TBLPROPERTIES answer metadata-only for
+    every registered format (round 12)."""
+    from harmony_energy_data_pipeline_spark.catalog import Catalog
+    from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+        snapshot_write,
+    )
+    from harmony_energy_data_pipeline_spark.sources import (
+        deltalake as dl,
+    )
+    from harmony_energy_data_pipeline_spark.sources import (
+        iceberg as ice,
+    )
+    from harmony_energy_data_pipeline_spark.sql import snapshot_sql
+
+    df = spark.range(0, 20).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    dl.write_delta(df, str(tmp_path / "d"), partition_by=["p"])
+    dl.delta_add_check_constraint(
+        spark, str(tmp_path / "d"), "pos", "v >= 0"
+    )
+    ice.write_iceberg(df, str(tmp_path / "i"), partition_by=["p"])
+    snapshot_write(df, str(tmp_path / "n"))
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.register("d", str(tmp_path / "d"), format="delta")
+    cat.register("i", str(tmp_path / "i"), format="iceberg")
+    cat.register("n", str(tmp_path / "n"))
+    for t, fmt in (("d", "delta"), ("i", "iceberg"),
+                   ("n", "snapshot")):
+        row = snapshot_sql(
+            spark, f"DESCRIBE DETAIL {t}", catalog=cat
+        ).collect()[0]
+        assert row.format == fmt
+        assert row.num_files > 0 and row.size_bytes > 0
+        if t != "n":
+            assert row.partition_columns == "p"
+    props = {r.key: r.value for r in snapshot_sql(
+        spark, "SHOW TBLPROPERTIES d", catalog=cat
+    ).collect()}
+    assert props["delta.constraints.pos"] == "v >= 0"
