@@ -1154,6 +1154,9 @@ def write_delta(
 def delta_optimize(
     spark: SparkSession, path: str, min_files: int = 2,
     stats_cols: list[str] | None = None,
+    zorder_by: "list[str] | None" = None,
+    zorder_bits: int = 16,
+    target_file_mb: float = 128,
 ) -> "int | None":
     """Bin-pack the table's live files into fresh right-sized ones —
     the Delta ``OPTIMIZE`` shape: ONE commit whose removes+adds all
@@ -1169,10 +1172,37 @@ def delta_optimize(
     originals."""
     adds, meta, _proto, v = _replay(path, None)
     cm, phys, fids = _column_mapping(meta)
-    if len(adds) < min_files:
+    if len(adds) < min_files and not zorder_by:
         return None
     df = read_delta(spark, path, version=v)
     pcols = meta.get("partitionColumns") or []
+    if zorder_by:
+        # OPTIMIZE ZORDER BY: range-partition + sort the rewrite on
+        # the Morton interleave (the native snapshot_compact layout
+        # engine, logical column names), and default the zone maps
+        # to the clustered dimensions — clustering without stats
+        # prunes nothing
+        if pcols:
+            raise DeltaProtocolError(
+                "OPTIMIZE ZORDER BY on a partitioned table is not "
+                "supported here — z-order the partition interior by "
+                "rewriting per partition"
+            )
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            _zorder_clustered,
+        )
+
+        total = sum(int(a.get("size") or 0) for a in adds)
+        import math as _math
+
+        n_files = max(
+            1, _math.ceil(total / (target_file_mb * (1 << 20)))
+        )
+        df = _zorder_clustered(
+            df, path, {}, list(zorder_by), zorder_bits, n_files
+        )
+        if stats_cols is None:
+            stats_cols = list(zorder_by)
     stage_stats = stats_cols
     if cm in ("name", "id"):
         def _pco(name):
@@ -1220,7 +1250,10 @@ def delta_optimize(
     now_ms = int(time.time() * 1000)
     actions = [{"commitInfo": {
         "timestamp": now_ms, "operation": "OPTIMIZE",
-        "operationParameters": {},
+        "operationParameters": (
+            {"zOrderBy": json.dumps(list(zorder_by))}
+            if zorder_by else {}
+        ),
         "engineInfo": "harmony-energy-data-pipeline-spark",
     }}]
     for a in adds:

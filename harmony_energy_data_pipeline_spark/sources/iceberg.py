@@ -3642,6 +3642,9 @@ def iceberg_expire_snapshots(
 def iceberg_compact(
     spark: SparkSession, path: str,
     stats_cols: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
+    zorder_bits: int = 16,
+    target_file_mb: float = 128,
 ) -> int:
     """Rewrite the table's LIVE rows (position + equality deletes
     applied) as one fresh snapshot under the CURRENT partition spec —
@@ -3651,11 +3654,36 @@ def iceberg_compact(
     travel. Returns the new snapshot id."""
     meta = table_metadata(path)
     df = read_iceberg(spark, path)
+    pby = _spec_to_partition_by(meta)
+    if zorder_by:
+        if pby:
+            raise IcebergProtocolError(
+                "compact with zorder_by on a partitioned table is "
+                "not supported here — the tuple-aligned staging "
+                "shuffle would undo the interleave"
+            )
+        from harmony_energy_data_pipeline_spark.sinks.snapshots import (
+            _zorder_clustered,
+        )
+
+        data, _d = live_files(path, meta)
+        total = sum(int(d.get("file_size_in_bytes") or 0)
+                    for d in data)
+        import math as _math
+
+        n_files = max(
+            1, _math.ceil(total / (target_file_mb * (1 << 20)))
+        )
+        df = _zorder_clustered(
+            df, path, {}, list(zorder_by), zorder_bits, n_files
+        )
+        if stats_cols is None:
+            stats_cols = list(zorder_by)
     # operation "replace" (the spec's rewrite_data_files stamp):
     # logical content unchanged, so changelog readers skip it
     return write_iceberg(
         df, path, mode="overwrite",
-        partition_by=_spec_to_partition_by(meta),
+        partition_by=pby,
         stats_cols=stats_cols, operation="replace",
     )
 

@@ -1895,7 +1895,9 @@ def snapshot_sql(
         )
 
     mt = re.match(
-        r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+        r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
+        r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]*)\))?\s*$",
+        stmt, re.IGNORECASE,
     )
     if mt:
         from harmony_energy_data_pipeline_spark.sinks.snapshots import (
@@ -1903,6 +1905,8 @@ def snapshot_sql(
         )
 
         name = mt.group("name")
+        zcols = [c.strip() for c in (mt.group("zcols") or "").split(",")
+                 if c.strip()] or None
         entry = _target(resolved, name, catalog)
         fmt = _table_format(entry)
         if fmt == "delta":
@@ -1910,17 +1914,19 @@ def snapshot_sql(
                 deltalake as dl,
             )
 
-            v = dl.delta_optimize(spark, entry["path"])
+            v = dl.delta_optimize(spark, entry["path"],
+                                  zorder_by=zcols)
             return _dml_result(spark, "optimize", name, v)
         if fmt == "iceberg":
             from harmony_energy_data_pipeline_spark.sources import (
                 iceberg as ice,
             )
 
-            v = ice.iceberg_compact(spark, entry["path"])
+            v = ice.iceberg_compact(spark, entry["path"],
+                                    zorder_by=zcols)
             return _dml_result(spark, "optimize", name, v)
         path = _require_native(entry, "OPTIMIZE")
-        v = snapshot_compact(spark, path)
+        v = snapshot_compact(spark, path, zorder_by=zcols)
         return _dml_result(spark, "optimize", name, v)
 
     mt = re.match(
