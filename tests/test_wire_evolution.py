@@ -156,10 +156,9 @@ def test_sql_alter_add_column_wire(spark):
         out = reader(spark, t)
         assert "note" in out.columns, fmt
         assert out.filter("note IS NULL").count() == 5, fmt
-        # other ALTER clauses stay native-only
-        try:
-            snapshot_sql(spark, "ALTER TABLE hot DROP COLUMN note",
-                         tables={"hot": t})
-            raise AssertionError("expected native-only refusal")
-        except ValueError as e:
-            assert "native" in str(e), (fmt, str(e))
+        # DROP COLUMN routes to the wire formats too (round 12:
+        # metadata-only — Delta via column mapping, Iceberg over
+        # the immutable field id)
+        snapshot_sql(spark, "ALTER TABLE hot DROP COLUMN note",
+                     tables={"hot": t})
+        assert "note" not in reader(spark, t).columns, fmt

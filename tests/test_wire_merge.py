@@ -194,17 +194,25 @@ def test_sql_merge_routes_to_wire_formats(spark):
               INSERT (k, grp, val) VALUES (s.k, 'new', s.val)
         """, tables={"hot": t})
         _check_rich(reader, spark, t)
-        # WITH SCHEMA EVOLUTION stays a native-log feature
-        try:
-            snapshot_sql(
-                spark,
-                f"MERGE WITH SCHEMA EVOLUTION INTO hot USING u_{fmt} "
-                "AS s ON hot.k = s.k WHEN MATCHED THEN UPDATE SET *",
-                tables={"hot": t},
-            )
-            raise AssertionError("expected evolve refusal")
-        except ValueError as e:
-            assert "SCHEMA EVOLUTION" in str(e)
+        # WITH SCHEMA EVOLUTION routes to the wire formats too
+        # (round 12): a source column the target lacks lands as a
+        # metadata-only ADD COLUMN in the same flow
+        spark.createDataFrame(
+            [Row(k=99, val=99.5, tag="x")]
+        ).createOrReplaceTempView(f"ue_{fmt}")
+        snapshot_sql(
+            spark,
+            f"MERGE WITH SCHEMA EVOLUTION INTO hot USING ue_{fmt} "
+            "AS s ON hot.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET val = s.val, tag = s.tag",
+            tables={"hot": t},
+        )
+        out = reader(spark, t)
+        assert "tag" in out.columns, fmt
+        got = {(r.k, r.val, r.tag) for r in out.collect()}
+        assert (99, 99.5, "x") in got, fmt
+        assert all(r.tag is None for r in out.collect()
+                   if r.k != 99), fmt
 
 
 def test_merge_driver_bounded_collects(spark, monkeypatch):
