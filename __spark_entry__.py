@@ -2199,10 +2199,12 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """)
 def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
-        "doc_id",
-        F.round(text.hashed_linear_score("text"), 6).alias("score"),
-        (text.hashed_linear_total("text") >= 0).alias("keep"),
+    # single-evaluation form: one tokenize + one md5 fold per row
+    # (the composed Column builders evaluated the fold twice and the
+    # tokenizer five times — see text.hashed_linear_outputs)
+    out = text.hashed_linear_outputs(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "keep"
     )
 
 

@@ -629,6 +629,61 @@ def hashed_linear_total(
     )
 
 
+def hashed_linear_outputs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "qw",
+    resolution: int = 1000,
+) -> DataFrame:
+    """``(id, score, keep)`` with the md5-per-token fold evaluated
+    ONCE per row.
+
+    ``hashed_linear_score`` + ``hashed_linear_total`` composed in one
+    projection evaluate the fold twice and the tokenizer five times:
+    the two Column builders produce independent lambda trees, so
+    neither codegen CSE (higher-order functions are interpreted) nor
+    subexpression elimination (the lambda variable ids differ)
+    unifies them. Staging the token array and the fold through
+    intermediate projections pins single evaluation — CollapseProject
+    keeps a non-cheap alias that is referenced more than once
+    (SPARK-36718), so the layers survive optimization. Values are
+    bit-identical to the Column builders (same expression shapes).
+    """
+    span = 2 * resolution + 1
+
+    def wt(tk: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), tk)), 1, 15), 16, 10
+        ).cast("long")
+        return h % span - resolution
+
+    # stage the normalized string too: ``tokens()`` references it
+    # twice (empty-check + split), which would run the regex twice
+    nrm = df.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+    t = nrm.select(
+        F.col(id_col),
+        F.when(F.col("__norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("__norm", " "))
+        .alias("__toks"),
+    )
+    s = t.select(
+        id_col,
+        F.aggregate(
+            F.col("__toks"), F.lit(0).cast("long"), lambda acc, tk: acc + wt(tk)
+        ).alias("__total"),
+        F.size("__toks").alias("__n"),
+    )
+    logit = F.when(
+        F.col("__n") > 0,
+        F.col("__total").cast("double") / (F.col("__n") * F.lit(float(resolution))),
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return s.select(
+        id_col, score.alias("score"), (F.col("__total") >= 0).alias("keep")
+    )
+
+
 def redact_pii(
     df: DataFrame,
     id_col: str,
