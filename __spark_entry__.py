@@ -2407,7 +2407,10 @@ def q_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    return pagerank_fixed_point(edges, n_iter=3)
+    # assume_distinct: pairs is DISTINCT and the union arms are
+    # disjoint by construction (src even in one arm, odd in the
+    # other), so the operator's dedup shuffle would remove nothing
+    return pagerank_fixed_point(edges, n_iter=3, assume_distinct=True)
 
 
 # --- WordPiece subword tokenization -----------------------------------------------

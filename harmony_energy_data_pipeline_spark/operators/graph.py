@@ -15,7 +15,7 @@ documents by link/citation graphs before sampling).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .iterative import DEFAULT_CHECKPOINT_EVERY, ensure_checkpoint_dir, truncate_every
@@ -29,6 +29,8 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     unit: int = 1_000_000,
     checkpoint_every: int = DEFAULT_CHECKPOINT_EVERY,
+    assume_distinct: bool = False,
+    degree_via: str = "window",
 ) -> DataFrame:
     """Fixed-point PageRank: ``n_iter`` synchronous power-iteration
     rounds with pure-INTEGER arithmetic —
@@ -47,11 +49,13 @@ def pagerank_fixed_point(
 
     Output: ``(node, rank_micro)`` for every node with an edge.
 
-    Scale shape: the edge list joins its out-degree once and both it
-    and the node set are ``persist()``-ed (fault-tolerant: lineage is
-    kept, so an executor loss recomputes from the source scan) — each
-    round is then ONE shuffle (contrib agg on dst) plus a
-    broadcast-size rank join. Rounds between reliable checkpoints
+    Scale shape: the edge list acquires its out-degree in one
+    src-keyed exchange (``degree_via`` picks window vs groupBy+join
+    physical form) and both it and the node set are ``persist()``-ed
+    (fault-tolerant: lineage is kept, so an executor loss recomputes
+    from the source scan) — each round is then ONE shuffle (contrib
+    agg on dst) plus a rank join that reuses the cached src
+    partitioning. Rounds between reliable checkpoints
     stay LAZY: a ``checkpoint_every``-round window compiles into a
     single job, and every ``checkpoint_every`` rounds the rank frame
     is reliably ``checkpoint()``-ed to the checkpoint dir (HDFS/S3 on
@@ -60,9 +64,28 @@ def pagerank_fixed_point(
     n_iter=3) run as one job with zero checkpoint writes.
     """
     ensure_checkpoint_dir(edges.sparkSession)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    e_deg = e.join(deg, "src").persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # callers that can PROVE their edge list is duplicate-free
+        # (e.g. a distinct pair set unioned with its disjoint reverse)
+        # pass assume_distinct=True and skip this full-width shuffle
+        e = e.distinct()
+    if degree_via == "window":
+        # one exchange establishes the src partitioning AND the degree
+        # rides it (count over the whole partition frame — no order, no
+        # second pass); the cached e_deg keeps that partitioning so the
+        # per-round contrib join needs no edge-side exchange. Caveat:
+        # the window buffers one src GROUP per task (spills past
+        # memory) — for extreme power-law hubs prefer degree_via="join",
+        # whose hash aggregate streams.
+        e_deg = e.withColumn(
+            "__deg", F.count("*").over(Window.partitionBy("src"))
+        ).persist()
+    elif degree_via == "join":
+        deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+        e_deg = e.join(deg, "src").persist()
+    else:
+        raise ValueError(f"degree_via must be window|join, got {degree_via!r}")
     # node set from the CACHED e_deg (same node universe: the join on
     # out-degree keeps every edge), so the edge distinct isn't
     # recomputed for a second scan subtree
