@@ -1221,7 +1221,6 @@ def kmeans_fixed_point(
         .agg(mean_cm)
     )
     d = F.col("vm") - F.col("cm")
-    w = Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
     # n_iter=0 = "seed centroids only": membership is the id%k seed
     assign = pe.select("id").distinct().select(
         "id", (F.col("id") % k).alias("cell")
@@ -1235,10 +1234,16 @@ def kmeans_fixed_point(
                 .groupBy("id", "cell")
                 .agg(F.sum(d * d).alias("__d2"))
             )
+            # argmin as a hash aggregate: min of struct(__d2, cell) is
+            # the lexicographic minimum — smallest distance, ties to
+            # the smallest cell id, exactly the former row_number
+            # window's ORDER BY __d2 ASC, cell ASC — but with map-side
+            # partial combine and no sort (the window paid a
+            # sort+exchange of the full (id, cell) distance table)
             assign = (
-                dist.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select("id", "cell")
+                dist.groupBy("id")
+                .agg(F.min(F.struct("__d2", "cell")).alias("__m"))
+                .select("id", F.col("__m.cell").alias("cell"))
             )
         cent = (
             pe.join(assign, "id")
