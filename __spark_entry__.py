@@ -4782,12 +4782,15 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
     path = tempfile.mkdtemp(prefix="snap_tbl_")
-    snap.snapshot_write(od.filter(F.col("o_orderkey") % 4 == 0), path)
-    snap.snapshot_write(
-        od.filter(F.col("o_orderkey") % 4 == 1), path, mode="append"
-    )
-    snap.snapshot_write(
-        od.filter(F.col("o_orderkey") % 4 == 2), path, mode="overwrite"
+    # concurrent staging + ordered publish: same three manifests,
+    # wall-clock of the slowest staging job instead of the sum
+    snap.snapshot_write_many(
+        [
+            (od.filter(F.col("o_orderkey") % 4 == 0), "overwrite"),
+            (od.filter(F.col("o_orderkey") % 4 == 1), "append"),
+            (od.filter(F.col("o_orderkey") % 4 == 2), "overwrite"),
+        ],
+        path,
     )
     digest = None
     for v in (0, 1, 2):
@@ -4818,9 +4821,14 @@ def q_snapshot_changes_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select("event_id", "value")
     path = tempfile.mkdtemp(prefix="snap_cdc_")
-    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 0), path)
-    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 1), path, mode="append")
-    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 2), path, mode="append")
+    snap.snapshot_write_many(
+        [
+            (ev.filter(F.col("event_id") % 3 == 0), "overwrite"),
+            (ev.filter(F.col("event_id") % 3 == 1), "append"),
+            (ev.filter(F.col("event_id") % 3 == 2), "append"),
+        ],
+        path,
+    )
     delta = snap.read_snapshot_changes(spark, path, 0, 2)
     return delta.agg(
         F.count("*").alias("n_rows"),
@@ -4850,12 +4858,13 @@ def q_snapshot_compact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select("event_id", "value")
     path = tempfile.mkdtemp(prefix="snap_compact_")
-    snap.snapshot_write(ev.filter(F.col("event_id") % 3 == 0).repartition(4), path)
-    snap.snapshot_write(
-        ev.filter(F.col("event_id") % 3 == 1).repartition(4), path, mode="append"
-    )
-    snap.snapshot_write(
-        ev.filter(F.col("event_id") % 3 == 2).repartition(4), path, mode="append"
+    snap.snapshot_write_many(
+        [
+            (ev.filter(F.col("event_id") % 3 == 0).repartition(4), "overwrite"),
+            (ev.filter(F.col("event_id") % 3 == 1).repartition(4), "append"),
+            (ev.filter(F.col("event_id") % 3 == 2).repartition(4), "append"),
+        ],
+        path,
     )
     before = len(snap._read_manifest(path, snap.latest_version(path))["files"])
     v = snap.snapshot_compact(spark, path, target_file_mb=128)

@@ -1492,6 +1492,73 @@ def snapshot_write(
     )
 
 
+def snapshot_write_many(
+    batches: "list[tuple[DataFrame, str]]",
+    path: str,
+    max_retries: int = 10,
+    protocol: str = "link",
+    max_stage_workers: int = 4,
+) -> list[int]:
+    """Commit several batches as CONSECUTIVE snapshots with their data
+    files staged CONCURRENTLY.
+
+    ``batches`` is an ordered list of ``(df, mode)``. Publishing is
+    inherently sequential (each version CASes on its parent), but the
+    expensive half of a commit — the distributed parquet staging — is
+    independent per batch, so the staging jobs are submitted from a
+    small thread pool and overlap inside one Spark application (the
+    scheduler back-fills each job's task tail with the next job's
+    tasks); the metadata publishes then run in list order. Result:
+    manifests byte-equivalent (modulo txids/timestamps) to a
+    sequential ``snapshot_write`` loop, wall-clock close to the
+    SLOWEST staging job instead of the sum.
+
+    Scope guard: table-level specs (constraints, generated columns,
+    bucket/partition layout) are validated/applied by
+    ``snapshot_write`` against the PARENT state, which for batch i is
+    batch i-1 — unknowable before its publish. If the existing table
+    carries any such spec, this falls back to the sequential loop;
+    spec-carrying batches should call ``snapshot_write`` directly.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    for _df, mode in batches:
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    parent = latest_version(path)
+    if parent is not None:
+        pm = _read_manifest_raw(path, parent)
+        if any(
+            pm.get(k)
+            for k in ("constraints", "generated_cols", "bucket_spec",
+                      "partition_cols")
+        ):
+            return [
+                snapshot_write(df, path, mode=mode, max_retries=max_retries,
+                               protocol=protocol)
+                for df, mode in batches
+            ]
+    txids = [uuid.uuid4().hex[:12] for _ in batches]
+
+    def _stage(i: int) -> None:
+        batches[i][0].write.mode("error").parquet(
+            os.path.join(path, "data", txids[i])
+        )
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_stage_workers, len(batches))
+    ) as pool:
+        # pool.map materializes lazily; list() re-raises the first error
+        list(pool.map(_stage, range(len(batches))))
+    return [
+        snapshot_publish_staged(
+            path, txids[i], mode=mode, max_retries=max_retries,
+            protocol=protocol, schema=df.schema.jsonValue(),
+        )
+        for i, (df, mode) in enumerate(batches)
+    ]
+
+
 @normalizes_paths('path')
 def snapshot_publish_staged(
     path: str,

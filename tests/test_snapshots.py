@@ -631,3 +631,50 @@ def test_snapshot_log_random_lifecycle_with_row_ops(spark, tmp_path):
             agg = snap.snapshot_stats_agg(path)
             if agg["n_rows"] is not None:
                 assert agg["n_rows"] == len(model), (trial, step, ops)
+
+
+def test_snapshot_write_many_matches_sequential(spark, tmp_path):
+    """Concurrent staging + ordered publish ≡ a sequential write loop."""
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    batches = [(_df(spark, 0, 5), "overwrite"),
+               (_df(spark, 5, 8), "append"),
+               (_df(spark, 100, 103), "overwrite"),
+               (_df(spark, 103, 104), "append")]
+    for df, mode in batches:
+        snap.snapshot_write(df, seq, mode=mode)
+    versions = snap.snapshot_write_many(batches, par)
+    assert versions == [0, 1, 2, 3]
+    for v in range(4):
+        assert _keys(spark, par, v) == _keys(spark, seq, v)
+    hist_ops = [(h["version"], h["parent"], h["operation"])
+                for h in snap.snapshot_history(par)]
+    assert hist_ops == [(0, None, "overwrite"), (1, 0, "append"),
+                        (2, 1, "overwrite"), (3, 2, "append")]
+
+
+def test_snapshot_write_many_falls_back_on_spec_tables(spark, tmp_path):
+    """A parent carrying table-level specs routes through the
+    sequential path so constraint/layout inheritance sees the true
+    parent of each batch."""
+    path = str(tmp_path / "tbl")
+    snap.snapshot_write(
+        _df(spark, 0, 5).withColumn("p", F.col("k") % 2), path,
+        partition_by=["p"],
+    )
+    vs = snap.snapshot_write_many(
+        [(_df(spark, 5, 8).withColumn("p", F.col("k") % 2), "append"),
+         (_df(spark, 8, 9).withColumn("p", F.col("k") % 2), "append")],
+        path,
+    )
+    assert vs == [1, 2]
+    # appends inherited the partition layout from their true parents
+    m = snap._read_manifest(path, 2)
+    assert m.get("partition_cols") == ["p"]
+    assert _keys(spark, path) == list(range(9))
+
+
+def test_snapshot_write_many_rejects_bad_mode(spark, tmp_path):
+    with pytest.raises(ValueError):
+        snap.snapshot_write_many(
+            [(_df(spark, 0, 3), "merge")], str(tmp_path / "t"))
