@@ -101,22 +101,64 @@ def skew_aware_join(
 
     The result set is identical in all three branches; only the
     physical plan changes. Cost of auto mode: one bounded count on the
-    small side + one two-shuffle profile pass on the big side.
+    small side + one two-shuffle profile pass on the big side. The two
+    probe jobs are independent, so they run CONCURRENTLY (the driver
+    submits both; the scheduler back-fills one job's task tail with
+    the other's tasks) — wall-clock is the slower probe, not the sum.
+    When the small-side count decides the route on its own (broadcast
+    fits, or a how= that salting can't express), the still-running
+    profile job group is cancelled so a 100 TB big-side scan isn't
+    paid for a decision that no longer needs it.
     """
+    import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
+
     from harmony_energy_data_pipeline_spark.operators.analytics import (
         key_skew_profile,
     )
 
-    small_rows = small.select(on).limit(broadcast_max_rows + 1).count()
-    if small_rows <= broadcast_max_rows:
-        return big.join(F.broadcast(small), on, how)
-    if how not in ("inner", "left"):
-        # salting can't express right/full/semi joins; route them plain
-        # UNCONDITIONALLY rather than crashing the day the data skews
-        # (AQE's runtime skew split still covers sort-merge skew)
-        return big.join(small, on, how)
-    if profile_row is None:
-        profile_row = key_skew_profile(big, on).first()
+    sc = big.sparkSession.sparkContext
+    prof_fut = None
+    prof_gid = None
+    pool = None
+    if profile_row is None and how in ("inner", "left"):
+        prof_gid = f"skew-probe-{_uuid.uuid4().hex[:8]}"
+
+        def _profile():
+            # job group is thread-local: tags only this probe's jobs
+            sc.setJobGroup(prof_gid, "skew_aware_join: big-side key profile",
+                           interruptOnCancel=True)
+            try:
+                return key_skew_profile(big, on).first()
+            finally:
+                sc.setJobGroup(None, None)
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        prof_fut = pool.submit(_profile)
+    try:
+        small_rows = small.select(on).limit(broadcast_max_rows + 1).count()
+        if small_rows <= broadcast_max_rows:
+            if prof_fut is not None:
+                sc.cancelJobGroup(prof_gid)
+            return big.join(F.broadcast(small), on, how)
+        if how not in ("inner", "left"):
+            # salting can't express right/full/semi joins; route them
+            # plain UNCONDITIONALLY rather than crashing the day the
+            # data skews (AQE's runtime skew split still covers
+            # sort-merge skew)
+            return big.join(small, on, how)
+        if prof_fut is not None:
+            profile_row = prof_fut.result()
+            prof_fut = None
+        elif profile_row is None:
+            profile_row = key_skew_profile(big, on).first()
+    finally:
+        if prof_fut is not None:
+            # a cancelled/abandoned probe must not surface its error
+            prof_fut.cancel()
+            prof_fut.add_done_callback(lambda f: f.exception())
+        if pool is not None:
+            pool.shutdown(wait=False)
     if profile_row is None or profile_row["max_share_ppm"] is None:
         # empty big side (no rows / NULL profile): nothing to skew
         return big.join(small, on, how)

@@ -353,3 +353,35 @@ def test_reader_recovery_leaves_inflight_staging_alone(spark, sf_dir, tmp_path):
     # writer path: staging swept
     P.recover_partitions(path, gc_unmarked=True)
     assert not os.path.exists(staging)
+
+
+def test_skew_aware_join_broadcast_cancels_concurrent_profile(spark, sf_dir):
+    """The small-side count short-circuits to broadcast; the profile
+    probe launched concurrently must be cancelled without surfacing
+    its error, and later jobs on the session must be unaffected."""
+    from harmony_energy_data_pipeline_spark.operators.joins import skew_aware_join
+
+    ev = load_table(spark, "events", sf_dir)
+    small = ev.select("user_id").distinct()
+    out = skew_aware_join(ev, small, "user_id")  # default budget: fits
+    assert out.count() == ev.count()
+    # the cancelled probe's job group must not poison the session
+    assert ev.limit(5).count() == 5
+
+
+def test_skew_aware_join_salted_concurrent_probe_same_result(spark, sf_dir):
+    from harmony_energy_data_pipeline_spark.operators.joins import skew_aware_join
+
+    ev = load_table(spark, "events", sf_dir)
+    big = ev.select(
+        F.when((F.col("user_id") % 10) < 7, F.lit(0))
+        .otherwise(F.col("user_id")).cast("long").alias("k"),
+        F.col("value"),
+    )
+    dim = big.groupBy("k").agg(F.count("*").alias("n"))
+    out = skew_aware_join(big, dim, "k", broadcast_max_rows=0,
+                          salt_share_ppm=100_000).select("k", "value", "n")
+    plain = big.join(dim, "k").select("k", "value", "n")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
