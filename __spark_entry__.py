@@ -3716,23 +3716,34 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("late"),
     )
-    # two-level plain aggregation instead of the oracle's double
-    # COUNT(DISTINCT ...): deduping to (order, supplier) first avoids
-    # Spark's Expand-based multi-distinct (which triples the shuffle
-    # volume), keeps map-side partial aggregation, and makes the final
-    # per-supplier count a plain COUNT(*) — after the n_late = 1 filter
-    # each surviving (order, supplier) row is already unique.
-    per_supp = lf.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # one orderkey exchange carries the whole correlated-subquery
+    # stage: dedup to (order, supplier) first (avoids Spark's
+    # Expand-based multi-distinct, which triples the shuffle volume);
+    # with lf pre-partitioned by l_orderkey the dedup aggregation is
+    # partition-local and the per-order totals come from an unordered
+    # window over the SAME partitioning instead of a second
+    # aggregation + self-join (3 exchanges -> 1; order groups are
+    # bounded by suppliers-per-order, so the window buffers O(1) rows)
+    per_supp = (
+        lf.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    w_ord = Window.partitionBy("l_orderkey")
+    ps = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w_ord).alias("n_supp"),
+        F.sum("late").over(w_ord).alias("n_late"),
     )
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
-        per_supp.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        ps.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
