@@ -910,11 +910,15 @@ def bigram_nll(
     Output: ``(doc_id, n_bigrams, nll)``.
 
     Scale shape: bigrams explode map-side from the token array (no
-    shuffle); the model is two keyed aggs (pair cf, then left-context
-    cf); scoring joins doc-pairs to the pair model on (w1, w2) —
-    broadcastable for bounded vocabularies — and re-aggregates per
-    document. All log-model rows are |distinct bigrams|, not corpus
-    occurrences.
+    shuffle); the raw bigram stream is materialized through ONE
+    doc-keyed exchange that both consumers (model training and
+    scoring) read back — the corpus is scanned and tokenized exactly
+    once, as a ReusedExchange, instead of once per consumer; the model
+    is two keyed aggs (pair cf, then left-context cf) over map-side
+    partial combines; scoring joins occurrences to the pair model on
+    (w1, w2) — broadcastable for bounded vocabularies — and
+    re-aggregates per document. All log-model rows are |distinct
+    bigrams|, not corpus occurrences.
     """
     bg = (
         df.select(
@@ -935,25 +939,26 @@ def bigram_nll(
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        # pin an explicit exchange under BOTH consumers: identical
+        # subtrees → Spark's exchange reuse evaluates scan + tokenize +
+        # explode once and serves the second consumer from shuffle files
+        .repartition("doc_id")
     )
-    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("__tf"))
-    pair_cf = per_doc.groupBy("w1", "w2").agg(
-        F.sum("__tf").cast("long").alias("__cf2")
-    )
+    pair_cf = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("__cf2"))
     left_cf = pair_cf.groupBy("w1").agg(F.sum("__cf2").cast("long").alias("__cf1"))
     li = F.round(
         F.log(F.col("__cf2").cast("double") / F.col("__cf1").cast("double"))
         * F.lit(float(quantum))
     ).cast("long")
     # assemble the log-prob MODEL first (|bigram types| rows), so the
-    # big per-doc frame shuffles through ONE join instead of two
+    # big occurrence stream shuffles through ONE join instead of two
     model = pair_cf.join(left_cf, "w1").select("w1", "w2", li.alias("__li"))
-    scored = per_doc.join(model, ["w1", "w2"]).select("doc_id", "__tf", "__li")
+    scored = bg.join(model, ["w1", "w2"]).select("doc_id", "__li")
     return scored.groupBy("doc_id").agg(
-        F.sum("__tf").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_bigrams"),
         (
-            -F.sum(F.col("__li") * F.col("__tf")).cast("double")
-            / (F.lit(float(quantum)) * F.sum("__tf").cast("double"))
+            -F.sum("__li").cast("double")
+            / (F.lit(float(quantum)) * F.count("*").cast("double"))
         ).alias("nll"),
     )
 

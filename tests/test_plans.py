@@ -467,6 +467,17 @@ def test_bench_bigram_nll_bounded_exchanges_with_broadcast_lm(spark, sf_dir):
     assert shuffle_count(df) <= 8, plan
 
 
+def test_bench_bigram_nll_tokenizes_corpus_once(spark, sf_dir):
+    """r12: model training and scoring both hang off ONE pinned
+    doc-keyed exchange — at runtime AQE serves the second consumer via
+    ReusedExchange, so the corpus is scanned + tokenized exactly once
+    (the before-plan recomputed the explode subtree per consumer)."""
+    df = _q(spark, sf_dir, "bigram_nll_docs")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
 def test_bench_minhash_no_allpairs_and_bounded_shuffles(spark, sf_dir):
     """Banded LSH must stay band-bucket-joined: no cartesian, no
     broadcast-nested-loop, and the staged pipeline's exchange count
