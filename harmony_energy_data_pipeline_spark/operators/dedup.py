@@ -221,7 +221,11 @@ def minhash_signature(
             out.append(m.min(axis=1))
         return pd.Series(out)
 
-    return _sig(col)
+    # the function is pure, but marking it non-deterministic stops the
+    # optimizer from pushing the sentinel filter BELOW the projection
+    # and re-evaluating the whole _sig(_hashes(...)) chain twice per
+    # row (two ArrowEvalPython nodes for one signature — guide §4.4)
+    return _sig.asNondeterministic()(col)
 
 
 def minhash_candidate_pairs(

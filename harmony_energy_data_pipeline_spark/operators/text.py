@@ -452,7 +452,13 @@ def wordpiece_udf(vocab: list[str], unk: str = "[UNK]"):
 
         return words.map(lookup)
 
-    return pieces
+    # pure function, but marked non-deterministic so the optimizer
+    # cannot push the explode-inferred `size(pieces)>0` filter below
+    # the distinct-word aggregation — that pushdown re-evaluated the
+    # UDF on every corpus OCCURRENCE (ArrowEvalPython below the word
+    # agg) instead of once per distinct word (guide §4.4; the whole
+    # point of the |vocab|-not-|corpus| design)
+    return pieces.asNondeterministic()
 
 
 def wordpiece_token_counts(

@@ -313,6 +313,29 @@ def test_wordpiece_stream_udf_runs_on_distinct_words(spark, sf_dir):
     assert "HashAggregate" in lines[udf_at + 1], tree
 
 
+def test_wordpiece_counts_udf_once_above_word_agg(spark, sf_dir):
+    """r12: the explode-inferred `size(pieces)>0` filter must NOT be
+    pushed below the distinct-word aggregation — that re-ran the
+    tokenizer UDF on every corpus occurrence. Pin: exactly one
+    ArrowEvalPython node, sitting above the word-count aggregate."""
+    import re
+
+    import __spark_entry__ as entry
+    from harmony_energy_data_pipeline_spark.operators.text import (
+        wordpiece_token_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = wordpiece_token_counts(docs, "doc_id", "text", entry._WP_VOCAB)
+    plan = physical_plan(out)
+    udf_nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(udf_nodes) == 1, plan[:600]
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    (udf_at,) = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    assert "HashAggregate" in lines[udf_at + 1], tree
+
+
 def test_skew_aware_join_picks_strategy_from_profile(spark, sf_dir):
     """The auto planner must (a) broadcast when the small side fits
     the budget, (b) salt when the measured hot-key share crosses the
