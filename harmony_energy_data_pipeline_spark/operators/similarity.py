@@ -1234,12 +1234,15 @@ def kmeans_fixed_point(
                 .groupBy("id", "cell")
                 .agg(F.sum(d * d).alias("__d2"))
             )
-            # argmin as a hash aggregate: min of struct(__d2, cell) is
-            # the lexicographic minimum — smallest distance, ties to
-            # the smallest cell id, exactly the former row_number
-            # window's ORDER BY __d2 ASC, cell ASC — but with map-side
-            # partial combine and no sort (the window paid a
-            # sort+exchange of the full (id, cell) distance table)
+            # argmin as an aggregate: min of struct(__d2, cell) is the
+            # lexicographic minimum — smallest distance, ties to the
+            # smallest cell id, exactly the former row_number window's
+            # ORDER BY __d2 ASC, cell ASC. Struct min buffers aren't
+            # UnsafeRow-mutable so this plans as a SortAggregate, but
+            # with MAP-SIDE PARTIAL COMBINE (k rows per id per
+            # partition max) — the window paid a full exchange+sort of
+            # the whole (id, cell) distance table with no reduction
+            # (interleaved A/B: 2.12 → 1.91 s)
             assign = (
                 dist.groupBy("id")
                 .agg(F.min(F.struct("__d2", "cell")).alias("__m"))

@@ -178,8 +178,12 @@ def winnowing_fingerprints(
             out.append(np.unique(hashes[sel]))
         return pd.Series(out)
 
+    # pure, but marked non-deterministic so the explode-inferred
+    # `size(__fps)>0` filter can't be pushed below the projection and
+    # re-run the fingerprint kernel twice per row (guide §4.4)
+    fps = _fps.asNondeterministic()
     return (
-        df.select(F.col(id_col), _fps(F.col(text_col)).alias("__fps"))
+        df.select(F.col(id_col), fps(F.col(text_col)).alias("__fps"))
         .select(F.col(id_col), F.explode("__fps").alias("fingerprint"))
     )
 
