@@ -208,14 +208,22 @@ def lsh_topk(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
         "neighbor_id", "__cv",
     )
-    cand = (
+    # score FIRST, dedup by max(score): a pair colliding in several
+    # tables has the identical score every time, so max == the score.
+    # The old dropDuplicates carried both VECTORS through its exchange
+    # and planned first(array) as a SortAggregate; this shuffles 24
+    # bytes per pair through a map-side-combined HashAggregate instead
+    # (guide §2.3: shuffle keys and metadata, not payloads)
+    scored = (
         q.join(c, on=["__table", "__bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("score")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv").alias("score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
