@@ -4184,8 +4184,15 @@ FROM c2 JOIN (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell) cnt
 """)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
+    # gemm E-step (r12): bit-identical to the expr oracle twin
+    # (parity-tested integer arithmetic) but assigns cells in one
+    # mapInPandas pass — no ×k broadcast-join fanout, no E-step
+    # shuffle, no argmin sort-aggregate per round. Interleaved A/B ×6
+    # at sf0.1: 1.60 → 1.24 s median; the docstring's production path
+    # for the same reason at scale.
     return similarity.kmeans_fixed_point(
-        emb, id_col="vec_id", vec_col="embedding", k=8, n_iter=2
+        emb, id_col="vec_id", vec_col="embedding", k=8, n_iter=2,
+        assign_mode="gemm",
     )
 
 
