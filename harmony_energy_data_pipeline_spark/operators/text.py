@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmony_energy_data_pipeline_spark.functions.textx import normalize_text, tokens
+from harmony_energy_data_pipeline_spark.io import local_relation
 
 # Tiny per-language stopword lists — an n-gram/stopword-hit heuristic,
 # not a trained model (deterministic and SQL-expressible by design).
@@ -1164,7 +1165,8 @@ def bpe_learn(
     local = _bpe_collect_small_hist(hist, local_max_vocab)
     if local is not None:
         planned, _seqs, _wcs = _bpe_local_plan(local, n_merges)
-        return spark.createDataFrame(
+        return local_relation(
+            spark,
             [
                 (r + 1, left, right, merged, c)
                 for r, (left, right, merged, c) in enumerate(planned)
@@ -1204,7 +1206,7 @@ def bpe_learn(
                 )
     finally:
         hist.unpersist()
-    return spark.createDataFrame(merges_rows, schema)
+    return local_relation(spark, merges_rows, schema)
 
 
 def bpe_token_counts(
@@ -1245,7 +1247,8 @@ def bpe_token_counts(
         items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if top_k is not None:
             items = items[:top_k]
-        return spark.createDataFrame(
+        return local_relation(
+            spark,
             [(t, int(c)) for t, c in items],
             "token string, token_count long",
         )
