@@ -90,14 +90,20 @@ def local_relation(spark: SparkSession, rows, schema: str) -> DataFrame:
     empty input falls back to the classic path, which handles a 0-row
     frame without dtype guessing.
     """
-    if not rows:
-        return spark.createDataFrame([], schema)
+    rows = list(rows)
+    flat = all(
+        isinstance(r, (tuple, list))
+        and all(isinstance(v, (int, float, str, bool)) for v in r)
+        for r in rows
+    )
+    if not rows or not flat:
+        # empty, nested, or null-carrying rows: the classic path casts
+        # through the declared schema without pandas dtype guessing
+        return spark.createDataFrame(rows, schema)
     import pandas as pd
 
     names = [f.name for f in T.StructType.fromDDL(schema).fields]
-    return spark.createDataFrame(
-        pd.DataFrame(list(rows), columns=names), schema=schema
-    )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
 
 
 def load_table(

@@ -90,6 +90,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harmony_energy_data_pipeline_spark.io import local_relation
+
 from harmony_energy_data_pipeline_spark.catalog import Catalog
 from harmony_energy_data_pipeline_spark.sinks.snapshots import (
     latest_version,
@@ -555,7 +557,7 @@ def _align_to_schema(df: DataFrame, schema) -> DataFrame:
 def _dml_result(
     spark: SparkSession, operation: str, table: str, version: int | None
 ) -> DataFrame:
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(operation, table, version)],
         "operation string, table string, version bigint",
     )
@@ -976,7 +978,7 @@ def snapshot_sql(
                 )
                 for f in st.fields
             ])
-            df = spark.createDataFrame([], st)
+            df = local_relation(spark, [], st)
         elif mt.group("select"):
             df = spark.sql(
                 _rewrite_select(spark, mt.group("select"), resolved)
@@ -1655,7 +1657,7 @@ def snapshot_sql(
         rows = sorted(
             (n, e["path"], _table_format(e)) for n, e in resolved.items()
         )
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows or [(None, None, None)],
             "table string, path string, format string",
         ).filter(F.col("table").isNotNull())
@@ -1681,7 +1683,7 @@ def snapshot_sql(
                 (h.get("version"), None, h.get("operation"), None)
                 for h in dl.delta_history(entry["path"])
             ]
-            return spark.createDataFrame(
+            return local_relation(spark, 
                 rows, "version bigint, parent bigint, "
                       "operation string, n_files bigint",
             )
@@ -1694,7 +1696,7 @@ def snapshot_sql(
                 (h.get("snapshot_id"), None, h.get("operation"), None)
                 for h in ice.iceberg_history(entry["path"])
             ]
-            return spark.createDataFrame(
+            return local_relation(spark, 
                 rows, "version bigint, parent bigint, "
                       "operation string, n_files bigint",
             )
@@ -1704,7 +1706,7 @@ def snapshot_sql(
              h.get("n_files"))
             for h in snapshot_history(path)
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows, "version bigint, parent bigint, operation string, "
                   "n_files bigint",
         )
@@ -1764,7 +1766,7 @@ def snapshot_sql(
                 if _os.path.exists(fp):
                     size += _os.path.getsize(fp)
             pcols = list(man.get("partition_cols") or [])
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(fmt, p, n_files, size, ",".join(pcols) or None)],
             "format string, location string, num_files bigint, "
             "size_bytes bigint, partition_columns string",
@@ -1811,7 +1813,7 @@ def snapshot_sql(
                 if man.get(k):
                     props[k] = _json.dumps(man[k])
         rows = sorted(props.items()) or [(None, None)]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows, "key string, value string",
         ).filter(F.col("key").isNotNull())
 
@@ -1837,7 +1839,7 @@ def snapshot_sql(
             schema = ice.read_iceberg(spark, entry["path"]).schema
         else:
             schema = _table_schema(spark, entry["path"])
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(f.name, f.dataType.simpleString(), f.nullable)
              for f in schema.fields],
             "col_name string, data_type string, nullable boolean",
@@ -1890,7 +1892,7 @@ def snapshot_sql(
         if pcols:
             ddl += f"\nPARTITIONED BY ({', '.join(pcols)})"
         ddl += f"\nUSING {fmt}\nLOCATION '{entry['path']}'"
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(ddl,)], "createtab_stmt string"
         )
 
@@ -1956,7 +1958,7 @@ def snapshot_sql(
                     "(delta_vacuum retention_s)"
                 )
             removed = len(dl.delta_vacuum(entry["path"]))
-            return spark.createDataFrame(
+            return local_relation(spark, 
                 [("vacuum", name, None, removed)],
                 "operation string, table string, version bigint, "
                 "removed_files bigint",
@@ -1969,7 +1971,7 @@ def snapshot_sql(
             removed = len(ice.iceberg_expire_snapshots(
                 entry["path"], keep_last=int(mt.group("n") or 1)
             ))
-            return spark.createDataFrame(
+            return local_relation(spark, 
                 [("vacuum", name, None, removed)],
                 "operation string, table string, version bigint, "
                 "removed_files bigint",
@@ -1981,7 +1983,7 @@ def snapshot_sql(
         # a removed-file COUNT is not a table version — report it in
         # its own column so the (operation, table, version) contract
         # stays unambiguous
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [("vacuum", name, None, removed)],
             "operation string, table string, version bigint, "
             "removed_files bigint",
