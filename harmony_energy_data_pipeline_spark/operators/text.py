@@ -962,9 +962,16 @@ def bigram_nll(
         * F.lit(float(quantum))
     ).cast("long")
     # assemble the log-prob MODEL first (|bigram types| rows), so the
-    # big occurrence stream shuffles through ONE join instead of two
+    # big occurrence stream shuffles through ONE join instead of two.
+    # The model side is the explicitly-broadcast build side: left to
+    # its size estimates Spark broadcast the OCCURRENCE stream and
+    # streamed the model, which (a) dies at the 8 GB broadcast cap at
+    # scale and (b) re-keys the join output by (w1, w2), forcing the
+    # final per-doc agg to re-shuffle every occurrence — with the
+    # model broadcast, the probe side keeps its doc_id partitioning
+    # and the scoring agg needs NO further exchange.
     model = pair_cf.join(left_cf, "w1").select("w1", "w2", li.alias("__li"))
-    scored = bg.join(model, ["w1", "w2"]).select("doc_id", "__li")
+    scored = bg.join(F.broadcast(model), ["w1", "w2"]).select("doc_id", "__li")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         (
