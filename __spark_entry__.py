@@ -2409,7 +2409,12 @@ def q_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # assume_distinct: pairs is DISTINCT and the union arms are
     # disjoint by construction (src even in one arm, odd in the
-    # other), so the operator's dedup shuffle would remove nothing
+    # other), so the operator's dedup shuffle would remove nothing.
+    # rank_join stays "partitioned": r13 interleaved A/B ×5 measured
+    # the broadcast mode 55% SLOWER here (median 3.17 vs 4.90 s — six
+    # sequential per-round broadcast-build jobs dominate at this edge
+    # volume); broadcast is the dial for huge-edge/dimension-node
+    # graphs where re-exchanging the edge list per round is the wall.
     return pagerank_fixed_point(edges, n_iter=3, assume_distinct=True)
 
 

@@ -31,6 +31,7 @@ def pagerank_fixed_point(
     checkpoint_every: int = DEFAULT_CHECKPOINT_EVERY,
     assume_distinct: bool = False,
     degree_via: str = "window",
+    rank_join: str = "partitioned",
 ) -> DataFrame:
     """Fixed-point PageRank: ``n_iter`` synchronous power-iteration
     rounds with pure-INTEGER arithmetic —
@@ -62,7 +63,28 @@ def pagerank_fixed_point(
     a cluster), truncating lineage without the executor-loss
     fragility of ``localCheckpoint``. Short loops (the default
     n_iter=3) run as one job with zero checkpoint writes.
+
+    ``rank_join`` picks the physical form of the two per-round joins:
+
+    * ``"partitioned"`` (default): shuffle joins — works at any
+      |nodes|, but AQE does not trust a cached plan's output
+      partitioning, so each round re-exchanges the cached edge list
+      and node set (3 exchanges + SMJ sorts per round).
+    * ``"broadcast"``: the rank table (and the per-round aggregated
+      contributions — both exactly |nodes|-bounded, two longs per
+      row) is the explicit build side of every per-round join, and
+      the out-degree attaches by broadcast too, so the cached edge
+      list NEVER re-shuffles: one exchange per round (the contrib
+      aggregation, map-side combined) and zero sorts. Correct choice
+      whenever the node universe is dimension-sized (broadcastable:
+      ≲10⁸ nodes — 16 bytes/row); the edge list itself can be
+      arbitrarily large. Results are bit-identical either way
+      (integer arithmetic, join strategy does not change rows).
     """
+    if rank_join not in ("partitioned", "broadcast"):
+        raise ValueError(
+            f"rank_join must be partitioned|broadcast, got {rank_join!r}"
+        )
     ensure_checkpoint_dir(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
@@ -70,7 +92,14 @@ def pagerank_fixed_point(
         # (e.g. a distinct pair set unioned with its disjoint reverse)
         # pass assume_distinct=True and skip this full-width shuffle
         e = e.distinct()
-    if degree_via == "window":
+    if rank_join == "broadcast":
+        # degree as a broadcast build side: the edge cache is built by
+        # scan + BroadcastHashJoin — no exchange touches the edge list
+        # anywhere in the whole query (the per-round contrib agg
+        # shuffles |nodes|-bounded partial sums only)
+        deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+        e_deg = e.join(F.broadcast(deg), "src").persist()
+    elif degree_via == "window":
         # one exchange establishes the src partitioning AND the degree
         # rides it (count over the whole partition frame — no order, no
         # second pass); the cached e_deg keeps that partitioning so the
@@ -97,9 +126,10 @@ def pagerank_fixed_point(
     )
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_micro"))
     teleport = (100 - damping_pct) * unit
+    bcast = F.broadcast if rank_join == "broadcast" else (lambda df: df)
     for i in range(n_iter):
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            e_deg.join(bcast(ranks), e_deg["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 F.expr("rank_micro div __deg").alias("__c"),
@@ -108,7 +138,7 @@ def pagerank_fixed_point(
             .agg(F.sum("__c").alias("__in"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(bcast(contribs), nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
                 F.expr(

@@ -300,6 +300,47 @@ def test_pagerank_fixed_point_matches_python_model(spark):
     assert got[1] > got[2] == got[3]  # the hub outranks the leaves
 
 
+def test_pagerank_rank_join_broadcast_identical_and_no_edge_exchange(spark):
+    """r13: rank_join='broadcast' — bit-identical ranks, and the
+    per-round joins are BroadcastHashJoins with NO exchange anywhere
+    over the edge relation (the contrib agg is the only shuffle)."""
+    from harmony_energy_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = [(i % 7 + 1, (i * 3) % 7 + 1) for i in range(40) if i % 7 + 1 != (i * 3) % 7 + 1]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    part = pagerank_fixed_point(df, n_iter=3, rank_join="partitioned")
+    bcast = pagerank_fixed_point(df, n_iter=3, rank_join="broadcast")
+    want = {(r["node"], r["rank_micro"]) for r in part.collect()}
+    got = {(r["node"], r["rank_micro"]) for r in bcast.collect()}
+    assert got == want
+
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # every rank/contrib attach is a broadcast build; the only
+    # hash-partitioned exchanges are the contrib aggs (keyed by dst)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        # deg agg (src), node-set distinct (node), contrib aggs (dst)
+        # — never a re-exchange of the cached (src, dst, __deg) edges
+        assert m.group(1).split("#")[0] in ("src", "dst", "node"), plan
+    spark.catalog.clearCache()
+
+
+def test_pagerank_rank_join_rejects_unknown_mode(spark):
+    from harmony_energy_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError, match="rank_join"):
+        pagerank_fixed_point(df, rank_join="nope")
+
+
 # --- WordPiece tokenizer ----------------------------------------------------
 
 
