@@ -1006,7 +1006,16 @@ def quantized_dot_topk(
     )
     route = "broadcast"
     if max_broadcast_queries is not None:
-        route = topk_route(queries.count(), max_broadcast_queries)
+        # bounded census, not a full count: the route only needs to
+        # know WHETHER |q| exceeds the dial, so the probe job stops
+        # after max_broadcast_queries+1 rows (same idiom as
+        # joins.skew_aware_join / sinks.upsert) — at corpus scale a
+        # full count() of the query side scans everything to answer
+        # a ≤-50k question
+        probe = queries.select(query_id).limit(
+            max_broadcast_queries + 1
+        ).count()
+        route = topk_route(probe, max_broadcast_queries)
     if route == "bucketed" and n_probe < n_centroids:
         if approximate is False:
             raise ValueError(
