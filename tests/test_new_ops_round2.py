@@ -329,6 +329,21 @@ def test_pagerank_rank_join_broadcast_identical_and_no_edge_exchange(spark):
     spark.catalog.clearCache()
 
 
+def test_pagerank_zero_rounds_returns_initial_unit_ranks(spark):
+    """r13 dense-rank restructure: n_iter=0 must still return every
+    node at the initial rank (the loop no longer materializes a
+    node-set rank table per round)."""
+    from harmony_energy_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {(r["node"], r["rank_micro"])
+           for r in pagerank_fixed_point(df, n_iter=0).collect()}
+    assert got == {(1, 1_000_000), (2, 1_000_000), (3, 1_000_000)}
+    spark.catalog.clearCache()
+
+
 def test_pagerank_rank_join_rejects_unknown_mode(spark):
     from harmony_energy_data_pipeline_spark.operators.graph import (
         pagerank_fixed_point,
