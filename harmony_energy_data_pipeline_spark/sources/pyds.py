@@ -140,13 +140,33 @@ class KeysetPagesReader(DataSourceReader):
             else:
                 yield f  # not ours — Spark evaluates it post-scan
 
-    #: Max input partitions per scan: keyset pages are SMALL by design
-    #: (a page is one HTTP fetch), so one-Python-task-per-page drowns
-    #: the read in per-task overhead (measured: 1000 hundred-row pages
-    #: = 5.5 s vs 0.5 s for the same rows in 20 pages). Bundling keeps
-    #: task count bounded while cursor pushdown still skips at FILE
-    #: granularity inside each bundle.
-    MAX_PARTITIONS = 128
+    #: Files bundled per task, upper bound: keyset pages are SMALL by
+    #: design (a page is one HTTP fetch), so one-Python-task-per-page
+    #: drowns the read in per-task overhead (measured: 1000 hundred-row
+    #: pages = 5.5 s vs 0.5 s for the same rows in 20 bundles). The cap
+    #: keeps each task's page list bounded when pages vastly outnumber
+    #: task slots.
+    MAX_FILES_PER_TASK = 50
+
+    def _target_partitions(self, n_live: int) -> int:
+        """Scan width tracks the scheduler's slot count (r13, guide
+        §2: derive partitioning, don't pin it) instead of the old
+        hard MAX_PARTITIONS=128 — which on a 32-core local box turned
+        96 pages into 96 one-page Python tasks (3 waves of per-task
+        worker overhead) and on a big cluster would cap scan
+        parallelism at 128 regardless of width. ``partitions()`` runs
+        on the driver, where the active context is available; no
+        context (bare unit tests) falls back to the old constant."""
+        try:
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            slots = sc.defaultParallelism if sc is not None else 0
+        except Exception:
+            slots = 0
+        if slots <= 0:
+            slots = 128
+        return min(n_live, max(slots, -(-n_live // self.MAX_FILES_PER_TASK)))
 
     def partitions(self):
         live = []
@@ -156,7 +176,7 @@ class KeysetPagesReader(DataSourceReader):
             live.append(file)
         if not live:
             return [PagePartition(files=())]
-        per = max(1, -(-len(live) // self.MAX_PARTITIONS))
+        per = max(1, -(-len(live) // self._target_partitions(len(live))))
         return [
             PagePartition(files=tuple(live[i:i + per]))
             for i in range(0, len(live), per)

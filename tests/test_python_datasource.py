@@ -264,9 +264,47 @@ def test_write_pages_distributed_matches_driver_writer(spark, tmp_path):
         ]
         assert ids == sorted(ids)
         assert ids[0] == int(lo) and ids[-1] == int(hi)
-    # cursor pushdown still skips whole files
+    # cursor pushdown still skips whole files (count FILES across the
+    # bundles, not partitions — r13's slot-derived bundling keeps the
+    # partition count at the scheduler width while pruning shrinks
+    # each bundle)
     schema = spark.createDataFrame([], DDL).schema
     rdr = KeysetPagesReader(d, schema)
     assert list(rdr.pushFilters([GT(("_id",), 250)])) == []
-    n_all = len(KeysetPagesReader(d, schema).partitions())
-    assert len(rdr.partitions()) < n_all
+    n_files_all = sum(
+        len(p.files) for p in KeysetPagesReader(d, schema).partitions()
+    )
+    n_files_pruned = sum(len(p.files) for p in rdr.partitions())
+    assert n_files_pruned < n_files_all
+
+
+def test_keyset_reader_bundles_pages_to_scheduler_width(spark, tmp_path):
+    """r13: scan width derives from the scheduler's slot count, not a
+    hard 128-partition cap — many small pages bundle into ~slots tasks
+    (each a multi-file bundle), and the bundles partition the live
+    file set exactly (no file lost or duplicated)."""
+    from harmony_energy_data_pipeline_spark.sources.pyds import (
+        KeysetPagesReader,
+        write_pages_distributed,
+    )
+
+    recs = _records(960)
+    df = spark.createDataFrame(recs, DDL)
+    d = str(tmp_path / "pages_width")
+    write_pages_distributed(df, d, page_size=10)  # 96 small pages
+    schema = spark.createDataFrame([], DDL).schema
+    rdr = KeysetPagesReader(d, schema)
+    parts = rdr.partitions()
+    slots = spark.sparkContext.defaultParallelism
+    n_live = sum(len(p.files) for p in parts)
+    assert n_live == 96
+    # bounded by the slot count (plus the ceil remainder bundle), far
+    # below one-task-per-page; never below the 50-files/task cap width
+    import math
+
+    target = min(96, max(slots, math.ceil(96 / rdr.MAX_FILES_PER_TASK)))
+    assert len(parts) <= target
+    assert len(parts) < 96 or slots >= 96
+    # every file appears exactly once across bundles
+    seen = [f for p in parts for f in p.files]
+    assert len(seen) == len(set(seen)) == 96
