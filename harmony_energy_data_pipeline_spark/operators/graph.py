@@ -69,22 +69,24 @@ def pagerank_fixed_point(
     fragility of ``localCheckpoint``. Short loops (the default
     n_iter=3) run as one job with zero checkpoint writes.
 
-    ``rank_join`` picks the physical form of the two per-round joins:
+    ``rank_join`` picks the physical form of the per-round edge⋈rank
+    join (and the final node-set join):
 
     * ``"partitioned"`` (default): shuffle joins — works at any
       |nodes|, but AQE does not trust a cached plan's output
-      partitioning, so each round re-exchanges the cached edge list
-      and node set (3 exchanges + SMJ sorts per round).
-    * ``"broadcast"``: the rank table (and the per-round aggregated
-      contributions — both exactly |nodes|-bounded, two longs per
-      row) is the explicit build side of every per-round join, and
-      the out-degree attaches by broadcast too, so the cached edge
-      list NEVER re-shuffles: one exchange per round (the contrib
-      aggregation, map-side combined) and zero sorts. Correct choice
-      whenever the node universe is dimension-sized (broadcastable:
-      ≲10⁸ nodes — 16 bytes/row); the edge list itself can be
-      arbitrarily large. Results are bit-identical either way
-      (integer arithmetic, join strategy does not change rows).
+      partitioning, so each round past the first re-exchanges the
+      cached edge list alongside the rank table (2 exchanges + an
+      SMJ per round, plus the contrib agg).
+    * ``"broadcast"``: the rank table (and the final dense table —
+      both exactly |nodes|-bounded, two longs per row) is the
+      explicit build side of every join, and the out-degree attaches
+      by broadcast too, so the cached edge list NEVER re-shuffles:
+      one exchange per round (the contrib aggregation, map-side
+      combined) and zero sorts. Correct choice whenever the node
+      universe is dimension-sized (broadcastable: ≲10⁸ nodes —
+      16 bytes/row); the edge list itself can be arbitrarily large.
+      Results are bit-identical either way (integer arithmetic, join
+      strategy does not change rows).
     """
     if rank_join not in ("partitioned", "broadcast"):
         raise ValueError(
