@@ -140,13 +140,14 @@ class KeysetPagesReader(DataSourceReader):
             else:
                 yield f  # not ours — Spark evaluates it post-scan
 
-    #: Files bundled per task, upper bound: keyset pages are SMALL by
+    #: Files bundled per task, target: keyset pages are SMALL by
     #: design (a page is one HTTP fetch), so one-Python-task-per-page
     #: drowns the read in per-task overhead (measured: 1000 hundred-row
-    #: pages = 5.5 s vs 0.5 s for the same rows in 20 bundles). The cap
-    #: keeps each task's page list bounded when pages vastly outnumber
-    #: task slots.
-    MAX_FILES_PER_TASK = 50
+    #: pages = 5.5 s vs 0.5 s for the same rows bundled), while very
+    #: large bundles straggle at low core counts (an 8-core interleaved
+    #: A/B measured ~50-file bundles trending 14% behind 8-file ones on
+    #: a 996-page table — fewer, bigger tasks wave-quantize badly).
+    TARGET_FILES_PER_TASK = 8
 
     def _target_partitions(self, n_live: int) -> int:
         """Scan width tracks the scheduler's slot count (r13, guide
@@ -154,9 +155,12 @@ class KeysetPagesReader(DataSourceReader):
         hard MAX_PARTITIONS=128 — which on a 32-core local box turned
         96 pages into 96 one-page Python tasks (3 waves of per-task
         worker overhead) and on a big cluster would cap scan
-        parallelism at 128 regardless of width. ``partitions()`` runs
-        on the driver, where the active context is available; no
-        context (bare unit tests) falls back to the old constant."""
+        parallelism at 128 regardless of width. The width is
+        ``max(slots, ceil(n/TARGET_FILES_PER_TASK))``: never fewer
+        tasks than slots, never more than one per
+        TARGET_FILES_PER_TASK pages. ``partitions()`` runs on the
+        driver, where the active context is available; no context
+        (bare unit tests) falls back to the old constant."""
         try:
             from pyspark import SparkContext
 
@@ -166,7 +170,9 @@ class KeysetPagesReader(DataSourceReader):
             slots = 0
         if slots <= 0:
             slots = 128
-        return min(n_live, max(slots, -(-n_live // self.MAX_FILES_PER_TASK)))
+        return min(
+            n_live, max(slots, -(-n_live // self.TARGET_FILES_PER_TASK))
+        )
 
     def partitions(self):
         live = []

@@ -302,7 +302,7 @@ def test_keyset_reader_bundles_pages_to_scheduler_width(spark, tmp_path):
     # below one-task-per-page; never below the 50-files/task cap width
     import math
 
-    target = min(96, max(slots, math.ceil(96 / rdr.MAX_FILES_PER_TASK)))
+    target = min(96, max(slots, math.ceil(96 / rdr.TARGET_FILES_PER_TASK)))
     assert len(parts) <= target
     assert len(parts) < 96 or slots >= 96
     # every file appears exactly once across bundles
